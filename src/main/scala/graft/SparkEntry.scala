@@ -1,13 +1,593 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.sources.Multimodal
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (and the training-data-pipeline
+  * extensions) is exposed as a named query over the driver tables, paired
+  * with equivalent DuckDB SQL in [[oracleSql]]. Numeric outputs are either
+  * exact (counts, min/max, decimal-summed-then-double) or rounded at a grid
+  * far above both engines' float noise, so hashes match bit-for-bit.
+  * Timestamps are always emitted as formatted strings — parquet µs vs ns
+  * physical types can never skew the compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val WFmt = "yyyy-MM-dd HH:mm:ss"
+  private def wstr(c: Column): Column = date_format(c, WFmt)
+  private def dec(name: String): Column = col(name).cast("decimal(18,2)")
+
+  /** events as the tick stream: symbol=event_type, price=value, seq=event_id. */
+  private def candles(s: SparkSession, dir: String): DataFrame =
+    Ohlc.candles(Tables.events(s, dir))
+
+  /** Shared DuckDB CTE chain producing the same candle set. */
+  private val CandleCte =
+    """ev AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS symbol, value FROM events
+      |), ranked AS (
+      |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, symbol, value,
+      |         row_number() OVER (PARTITION BY symbol, time_bucket(INTERVAL 5 MINUTE, ts) ORDER BY ts, event_id) AS rn_a,
+      |         row_number() OVER (PARTITION BY symbol, time_bucket(INTERVAL 5 MINUTE, ts) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM ev
+      |), candles AS (
+      |  SELECT window_start, symbol,
+      |         max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |         max(value) AS high,
+      |         min(value) AS low,
+      |         max(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |         count(*) AS tick_count
+      |  FROM ranked GROUP BY window_start, symbol
+      |)""".stripMargin
+
+  /** Decimal-exact revenue term shared by the relational queries. */
+  private def revenueSum: Column =
+    sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).cast("double")
+  private val RevenueSumSql =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full reference pipeline: ticks → OHLC candles → gap-fill → Wilder ATR.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val c = candles(spark, "/root/testdata/sf0.001")
+    Atr.enrich(GapFill.fill(c)).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── relational core (scan/filter/agg/join/sort/limit, SURVEY §2.1-2.5/2.9) ──
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1999-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          revenueSum.as("sum_disc_price"),
+          (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_filter_pushdown" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_quantity") < 25 &&
+          col("l_discount").between(0.02, 0.06))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), date_format(col("l_shipdate"), "yyyy-MM-dd").as("shipdate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q03_top_revenue_orders" -> ((s, dir) => {
+      Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < lit("1998-01-01"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > lit("1997-01-01"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(revenueSum.as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    }),
+    "q04_broadcast_dim_join" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy("p_brand", "p_type")
+    }),
+    "q05_region_volume" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(revenueSum.as("revenue"), count(lit(1)).as("n_lineitems"))
+        .orderBy("r_name", "n_name")
+    }),
+    "q06_first_match_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+      Tables.part(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("p_brand"), col("p_partkey"), col("p_name"))
+        .orderBy("p_brand")
+    }),
+    "q07_percentiles" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+          round(expr("percentile(c_acctbal, 0.95)"), 4).as("p95"),
+          round(expr("percentile(c_acctbal, 0.99)"), 4).as("p99"),
+          max(col("c_acctbal")).as("max_bal"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+    "q08_no_order_customers" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ── reference pipeline on the events stream (SURVEY §2.4-2.8) ──
+    "q10_ohlc_candles" -> ((s, dir) => {
+      candles(s, dir)
+        .select(wstr(col("window_start")).as("window_start"), col("symbol"),
+          col("open"), col("high"), col("low"), col("close"), col("tick_count"))
+        .orderBy("window_start", "symbol")
+    }),
+    "q11_gap_fill" -> ((s, dir) => {
+      GapFill.fill(candles(s, dir))
+        .select(wstr(col("window_start")).as("window_start"), col("symbol"),
+          col("open"), col("high"), col("low"), col("close"), col("tick_count"),
+          col("gap_filled"))
+        .orderBy("symbol", "window_start")
+    }),
+    "q12_true_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+      candles(s, dir)
+        .withColumn("prev_close", lag(col("close"), 1).over(w))
+        .select(wstr(col("window_start")).as("window_start"), col("symbol"),
+          round(when(col("prev_close").isNull, col("high") - col("low"))
+            .otherwise(greatest(col("high") - col("low"),
+              abs(col("high") - col("prev_close")),
+              abs(col("low") - col("prev_close")))), 4).as("tr"))
+        .orderBy("symbol", "window_start")
+    }),
+    "q13_atr_wilder" -> ((s, dir) => {
+      Atr.enrich(candles(s, dir)).toDF()
+        .select(col("window_start"), col("symbol"), col("tr"), col("atr"))
+        .orderBy("symbol", "window_start")
+    }),
+    "q14_row_ids" -> ((s, dir) => {
+      candles(s, dir)
+        .select(concat_ws("_", col("symbol"),
+          date_format(col("window_start"), "yyyyMMdd_HHmm")).as("id"),
+          col("symbol"), wstr(col("window_start")).as("window_start"))
+        .withColumn("parsed_symbol", regexp_extract(col("id"), "^(.*)_(\\d{8}_\\d{4})$", 1))
+        .withColumn("parsed_window", regexp_extract(col("id"), "^(.*)_(\\d{8}_\\d{4})$", 2))
+        .orderBy("id")
+    }),
+    "q15_dedup_antijoin" -> ((s, dir) => {
+      val ids = candles(s, dir).select(
+        concat_ws("_", col("symbol"),
+          date_format(col("window_start"), "yyyyMMdd_HHmm")).as("id"),
+        col("symbol"), col("window_start"), col("close"))
+      val sink = ids.where(dayofmonth(col("window_start")) <= 15).select("id")
+      ids.join(sink, Seq("id"), "left_anti")
+        .select(col("id"), col("symbol"), wstr(col("window_start")).as("window_start"), col("close"))
+        .orderBy("id")
+    }),
+    "q16_missing_census" -> ((s, dir) => {
+      GapFill.missingCensus(candles(s, dir))
+        .select(wstr(col("window_start")).as("window_start"), col("symbol"))
+        .orderBy("symbol", "window_start")
+    }),
+    "q17_sink_readback_max" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type").as("symbol"))
+        .agg(wstr(max(col("ts"))).as("max_ts"), count(lit(1)).as("n"))
+        .orderBy("symbol")
+    }),
+    "q18_state_reconcile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def lastClose(df: DataFrame, name: String): DataFrame = {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("event_type").as("symbol"), col("value").as(name))
+      }
+      val a = lastClose(ev.where(col("ts") < lit("2024-01-16")), "close_a")
+      val b = lastClose(ev, "close_b")
+      a.join(b, Seq("symbol"), "full_outer")
+        .select(col("symbol"), col("close_a"), col("close_b"),
+          coalesce(col("close_b"), col("close_a")).as("resolved"),
+          (col("close_a").isNotNull && col("close_b").isNotNull &&
+            abs(col("close_a") - col("close_b")) > 0.0001).as("diverged"))
+        .orderBy("symbol")
+    }),
+    "q19_session_filter" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .where((hour(col("ts")) * 60 + minute(col("ts"))).between(555, 929) &&
+          dayofweek(col("ts")).between(2, 6))
+        .select(col("event_id"), col("event_type"), col("value"), wstr(col("ts")).as("ts_s"))
+        .orderBy("event_id")
+    }),
+    "q20_sessionize" -> ((s, dir) => {
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(wo))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("is_new")).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(wstr(min(col("ts"))).as("session_start"), wstr(max(col("ts"))).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(dec("value")).cast("double").as("total_value"))
+        .orderBy("user_id", "session_id")
+    }),
+    "q21_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+        .rowsBetween(-3, 0)
+      candles(s, dir)
+        .select(col("symbol"), wstr(col("window_start")).as("window_start"), col("close"),
+          round(avg(col("close")).over(w), 4).as("ma4"))
+        .orderBy("symbol", "window_start")
+    }),
+
+    // ── text analysis / dedup / similarity (training-data extensions) ──
+    "q30_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q31_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q32_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q33_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q34_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir)).orderBy("fingerprint")),
+    "q35_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    "q36_knn_cosine" -> ((s, dir) =>
+      Similarity.knnCosineBrute(Tables.embeddings(s, dir), pmod(col("vec_id"), lit(100)) === 0)
+        .orderBy("query_id", "rnk")),
+
+    // ── Spark-only operators (no SQL-expressible oracle → rows-only check) ──
+    "q40_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.2)
+        .orderBy("doc_a", "doc_b")),
+    "q41_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q42_ann_lsh" -> ((s, dir) =>
+      Similarity.annLshTopK(Tables.embeddings(s, dir), pmod(col("vec_id"), lit(100)) === 0)
+        .orderBy("query_id", "rnk")),
+    "q43_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .toDF().orderBy("media_id")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  $RevenueSumSql AS sum_disc_price,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-01'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_quantity < 25 AND l_discount BETWEEN 0.02 AND 0.06
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_top_revenue_orders" ->
+      s"""SELECT l_orderkey, $RevenueSumSql AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1997-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_broadcast_dim_join" ->
+      """SELECT p_brand, p_type, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin,
+    "q05_region_volume" ->
+      s"""SELECT r_name, n_name, $RevenueSumSql AS revenue, count(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q06_first_match_dedup" ->
+      """SELECT p_brand, p_partkey, p_name FROM (
+        |  SELECT p_brand, p_partkey, p_name,
+        |         row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rn
+        |  FROM part) t
+        |WHERE rn = 1 ORDER BY p_brand""".stripMargin,
+    "q07_percentiles" ->
+      """SELECT c_mktsegment,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+        |  round(quantile_cont(c_acctbal, 0.95), 4) AS p95,
+        |  round(quantile_cont(c_acctbal, 0.99), 4) AS p99,
+        |  max(c_acctbal) AS max_bal, count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q08_no_order_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_ohlc_candles" ->
+      s"""WITH $CandleCte
+         |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, symbol,
+         |       open, high, low, close, tick_count
+         |FROM candles ORDER BY 1, symbol""".stripMargin,
+    "q11_gap_fill" ->
+      s"""WITH $CandleCte,
+         |bounds AS (SELECT min(window_start) AS wmin, max(window_start) AS wmax FROM candles),
+         |wins AS (SELECT unnest(generate_series(wmin, wmax, INTERVAL 5 MINUTE)) AS window_start FROM bounds),
+         |grid AS (SELECT w.window_start, s.symbol
+         |         FROM wins w CROSS JOIN (SELECT DISTINCT symbol FROM candles) s),
+         |filled AS (
+         |  SELECT g.window_start, g.symbol, c.open, c.high, c.low, c.close, c.tick_count,
+         |         last_value(c.close IGNORE NULLS) OVER (PARTITION BY g.symbol ORDER BY g.window_start
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_close
+         |  FROM grid g LEFT JOIN candles c ON g.window_start = c.window_start AND g.symbol = c.symbol)
+         |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, symbol,
+         |       coalesce(open, prev_close) AS open, coalesce(high, prev_close) AS high,
+         |       coalesce(low, prev_close) AS low, coalesce(close, prev_close) AS close,
+         |       coalesce(tick_count, 0) AS tick_count,
+         |       (tick_count IS NULL AND prev_close IS NOT NULL) AS gap_filled
+         |FROM filled
+         |WHERE tick_count IS NOT NULL OR prev_close IS NOT NULL
+         |ORDER BY symbol, window_start""".stripMargin,
+    "q12_true_range" ->
+      s"""WITH $CandleCte,
+         |tr AS (
+         |  SELECT symbol, window_start, high, low, close,
+         |         lag(close) OVER (PARTITION BY symbol ORDER BY window_start) AS prev_close
+         |  FROM candles)
+         |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, symbol,
+         |  round(CASE WHEN prev_close IS NULL THEN high - low
+         |        ELSE greatest(high - low, abs(high - prev_close), abs(low - prev_close)) END, 4) AS tr
+         |FROM tr ORDER BY symbol, window_start""".stripMargin,
+    "q13_atr_wilder" ->
+      s"""WITH RECURSIVE $CandleCte,
+         |seq_c AS (
+         |  SELECT symbol, window_start, high, low, close,
+         |         row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn,
+         |         lag(close) OVER (PARTITION BY symbol ORDER BY window_start) AS prev_close
+         |  FROM candles),
+         |tr AS (
+         |  SELECT symbol, window_start, rn,
+         |         round(CASE WHEN prev_close IS NULL THEN high - low
+         |               ELSE greatest(high - low, abs(high - prev_close), abs(low - prev_close)) END, 4) AS tr
+         |  FROM seq_c),
+         |tri AS (
+         |  SELECT symbol, window_start, rn, tr, CAST(round(tr * 10000) AS BIGINT) AS tr_i FROM tr),
+         |warm AS (
+         |  SELECT symbol, rn, window_start, tr, tr_i,
+         |         CAST(sum(tr_i) OVER (PARTITION BY symbol ORDER BY rn
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum14
+         |  FROM tri),
+         |atr AS (
+         |  SELECT symbol, rn, window_start, tr, tr_i,
+         |         greatest(CAST((sum14 + 7) // 14 AS BIGINT), 0) AS atr_i
+         |  FROM warm WHERE rn = 14
+         |  UNION ALL
+         |  SELECT t.symbol, t.rn, t.window_start, t.tr, t.tr_i,
+         |         greatest(CAST((a.atr_i * 13 + t.tr_i + 7) // 14 AS BIGINT), 0) AS atr_i
+         |  FROM atr a JOIN tri t ON t.symbol = a.symbol AND t.rn = a.rn + 1)
+         |SELECT strftime(w.window_start, '%Y-%m-%d %H:%M:%S') AS window_start, w.symbol, w.tr,
+         |       a.atr_i / 10000.0 AS atr
+         |FROM warm w LEFT JOIN atr a ON a.symbol = w.symbol AND a.rn = w.rn
+         |ORDER BY w.symbol, w.window_start""".stripMargin,
+    "q14_row_ids" ->
+      s"""WITH $CandleCte,
+         |ids AS (
+         |  SELECT symbol || '_' || strftime(window_start, '%Y%m%d_%H%M') AS id, symbol,
+         |         strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start
+         |  FROM candles)
+         |SELECT id, symbol, window_start,
+         |       regexp_extract(id, '^(.*)_(\\d{8}_\\d{4})$$', 1) AS parsed_symbol,
+         |       regexp_extract(id, '^(.*)_(\\d{8}_\\d{4})$$', 2) AS parsed_window
+         |FROM ids ORDER BY id""".stripMargin,
+    "q15_dedup_antijoin" ->
+      s"""WITH $CandleCte,
+         |ids AS (
+         |  SELECT symbol || '_' || strftime(window_start, '%Y%m%d_%H%M') AS id,
+         |         symbol, window_start, close
+         |  FROM candles),
+         |sink AS (SELECT id FROM ids WHERE CAST(strftime(window_start, '%d') AS INT) <= 15)
+         |SELECT i.id, i.symbol, strftime(i.window_start, '%Y-%m-%d %H:%M:%S') AS window_start, i.close
+         |FROM ids i WHERE NOT EXISTS (SELECT 1 FROM sink s WHERE s.id = i.id)
+         |ORDER BY i.id""".stripMargin,
+    "q16_missing_census" ->
+      s"""WITH $CandleCte,
+         |bounds AS (SELECT min(window_start) AS wmin, max(window_start) AS wmax FROM candles),
+         |wins AS (SELECT unnest(generate_series(wmin, wmax, INTERVAL 5 MINUTE)) AS window_start FROM bounds),
+         |grid AS (SELECT w.window_start, s.symbol
+         |         FROM wins w CROSS JOIN (SELECT DISTINCT symbol FROM candles) s)
+         |SELECT strftime(g.window_start, '%Y-%m-%d %H:%M:%S') AS window_start, g.symbol
+         |FROM grid g
+         |WHERE NOT EXISTS (SELECT 1 FROM candles c
+         |                  WHERE c.window_start = g.window_start AND c.symbol = g.symbol)
+         |ORDER BY g.symbol, g.window_start""".stripMargin,
+    "q17_sink_readback_max" ->
+      """SELECT event_type AS symbol,
+        |       strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS max_ts,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY symbol""".stripMargin,
+    "q18_state_reconcile" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |a AS (SELECT event_type AS symbol, value AS close_a FROM (
+        |        SELECT event_type, value,
+        |               row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ev WHERE ts < TIMESTAMP '2024-01-16') t WHERE rn = 1),
+        |b AS (SELECT event_type AS symbol, value AS close_b FROM (
+        |        SELECT event_type, value,
+        |               row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ev) t WHERE rn = 1)
+        |SELECT coalesce(a.symbol, b.symbol) AS symbol, a.close_a, b.close_b,
+        |       coalesce(b.close_b, a.close_a) AS resolved,
+        |       (a.close_a IS NOT NULL AND b.close_b IS NOT NULL
+        |        AND abs(a.close_a - b.close_b) > 0.0001) AS diverged
+        |FROM a FULL OUTER JOIN b ON a.symbol = b.symbol ORDER BY symbol""".stripMargin,
+    "q19_session_filter" ->
+      """SELECT event_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events
+        |WHERE (CAST(strftime(CAST(ts AS TIMESTAMP), '%H') AS INT) * 60
+        |       + CAST(strftime(CAST(ts AS TIMESTAMP), '%M') AS INT)) BETWEEN 555 AND 929
+        |  AND isodow(CAST(ts AS TIMESTAMP)) BETWEEN 1 AND 5
+        |ORDER BY event_id""".stripMargin,
+    "q20_sessionize" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
+        |m AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM l),
+        |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
+        |SELECT user_id, session_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q21_moving_avg" ->
+      s"""WITH $CandleCte
+         |SELECT symbol, strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, close,
+         |       round(avg(close) OVER (PARTITION BY symbol ORDER BY window_start
+         |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
+         |FROM candles ORDER BY symbol, window_start""".stripMargin,
+    "q30_token_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pieces,
+        |  round(CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) > 0
+        |    THEN list_sum(list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+        |           x -> CAST(length(x) AS DOUBLE)))
+        |         / CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE)
+        |    ELSE 0.0 END, 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
+        |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|on|for|with)\b')) AS DOUBLE) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+        |  round(CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END, 4) AS digit_ratio,
+        |  round(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END, 4) AS stopword_ratio,
+        |  CAST(n_toks AS BIGINT) AS n_tokens,
+        |  round(least(n_toks / 200.0, 1.0) * 0.5
+        |      + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
+        |      + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
+        |      4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q32_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT) AS s_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |       count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q35_jaccard_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 3),
+        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 5) t),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |capped AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT p.doc_a, p.doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, p.n_common,
+        |       round(p.n_common / (sa.n_sh + sb.n_sh - p.n_common), 4) AS jaccard
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |WHERE round(p.n_common / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q36_knn_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
+        |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
+        |comp AS (SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |         FROM e CROSS JOIN idx),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |qcomp AS (SELECT vec_id AS query_id, i, x FROM comp WHERE vec_id % 100 = 0),
+        |dots AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, sum(c.x * q.x) AS dp
+        |  FROM comp c JOIN qcomp q ON c.i = q.i AND c.vec_id <> q.query_id
+        |  GROUP BY q.query_id, c.vec_id),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
+        |  FROM dots d
+        |  JOIN norms nn ON nn.vec_id = d.neighbor_id
+        |  JOIN norms nq ON nq.vec_id = d.query_id)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+  )
 }

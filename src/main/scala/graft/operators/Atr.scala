@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.model.{AtrState, Candle, EnrichedCandle}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** True Range + 14-period Wilder ATR enrichment.
+  *
+  * Reference semantics: /root/reference/modules/atr/atr_engine.py:109-242 and
+  * /root/reference/Documentation/04_ULTRA_ATR_SPEC.md:
+  *   - TR = max(h−l, |h−prev_close|, |l−prev_close|); TR = h−l on a symbol's
+  *     first candle (no prev close). Rounded to 4 dp (atr_engine.py:125-132).
+  *   - ATR warmup: None for candles 1..13; at candle 14,
+  *     ATR₀ = round(mean(first 14 TRs), 4) (atr_engine.py:150-172).
+  *   - After warmup: Wilder recursion ATR = round((prev_atr·13 + TR)/14, 4),
+  *     clamped ≥ 0 (atr_engine.py:174-192).
+  *
+  * Spark-first design: the recursion is the one computation in the reference
+  * that no built-in window function expresses (it is order-dependent *and*
+  * self-referential, SURVEY.md §2.10). We run it as a typed
+  * `groupByKey(symbol).flatMapGroups` pass over candles sorted by window —
+  * one shuffle on the symbol key, then a pure sequential fold per symbol.
+  * Per-key memory is bounded by windows-per-session (75/day in the
+  * reference), so the sort-in-memory is safe at any symbol cardinality; at
+  * 100 TB the parallelism axis is the number of symbols, which is exactly how
+  * the reference's own per-ticker state dict scales. The streaming variant
+  * ([[graft.streaming.StreamingAtr]]) reuses [[step]] inside
+  * `flatMapGroupsWithState`.
+  */
+object Atr {
+  val Period = 14
+  val Precision = 4
+
+  /** Decimal HALF_UP rounding, bit-matching Spark's `round()` on doubles. */
+  def round4(x: Double): Double =
+    BigDecimal(x).setScale(Precision, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** TR per atr_engine.py:109-132 (already-rounded output). */
+  def trueRange(high: Double, low: Double, prevClose: Option[Double]): Double =
+    prevClose match {
+      case None => round4(high - low)
+      case Some(pc) =>
+        round4(math.max(high - low, math.max(math.abs(high - pc), math.abs(low - pc))))
+    }
+
+  /** One ATR state transition (atr_engine.py:134-192). Returns the updated
+    * state and the (tr, atr) pair for this candle. Pure — shared by the batch
+    * flatMapGroups pass and the streaming mapGroupsWithState operator.
+    *
+    * The Wilder recursion runs in exact integer "ticks" of 1e-4: since TR and
+    * ATR are 4-dp quantities, `(prev·13 + tr)/14` lands exactly on a .00005
+    * rounding tie whenever the tick numerator ≡ 7 (mod 14) — about 7% of
+    * steps — and float-vs-decimal rounding would then diverge between
+    * engines and propagate through the whole recursion. Integer half-up
+    * division `(n + 7) div 14` has no ties, so every engine that follows the
+    * same spec produces bit-identical ATRs.
+    */
+  def step(state: AtrState, high: Double, low: Double, close: Double): (AtrState, Double, Option[Double]) = {
+    val tr = trueRange(high, low, state.prevClose)
+    val trTicks = math.round(tr * 10000) // tr is 4 dp → exact integer
+    val count = state.candleCount + 1
+    val (atrTicks, history) = state.prevAtr match {
+      case Some(prev) =>
+        val prevTicks = math.round(prev * 10000)
+        // Wilder smoothing, half-up integer division; clamp ≥ 0 (atr_engine.py:179-181)
+        (Some(math.max(0L, (prevTicks * (Period - 1) + trTicks + Period / 2) / Period)), Nil)
+      case None =>
+        val h = state.trHistory :+ tr
+        if (h.length >= Period) {
+          val sum = h.map(t => math.round(t * 10000)).sum
+          (Some(math.max(0L, (sum + Period / 2) / Period)), Nil) // warmup mean, then drop history
+        } else (None, h)
+    }
+    val atr = atrTicks.map(_ / 10000.0)
+    (AtrState(Some(close), atr.orElse(state.prevAtr), history, count), tr, atr)
+  }
+
+  /** Enrich one symbol's candles, which must already be in window order. */
+  def enrichSeries(rows: Seq[Candle]): Seq[EnrichedCandle] = {
+    var state = AtrState.empty
+    rows.map { c =>
+      val (next, tr, atr) = step(state, c.high, c.low, c.close)
+      state = next
+      EnrichedCandle(c.symbol, c.wkey, c.window_start, c.open, c.high, c.low,
+        c.close, c.tick_count, c.gap_filled, Some(tr), atr)
+    }
+  }
+
+  /** Batch enrichment over a candle DataFrame with columns
+    * (window_start: timestamp, symbol, open, high, low, close, tick_count
+    * [, gap_filled]).
+    */
+  def enrich(candles: DataFrame): Dataset[EnrichedCandle] = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val withGap =
+      if (candles.columns.contains("gap_filled")) candles
+      else candles.withColumn("gap_filled", lit(false))
+    val ds = withGap.select(
+      col("symbol"),
+      unix_micros(col("window_start").cast("timestamp")).as("wkey"),
+      date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      col("open").cast("double"), col("high").cast("double"),
+      col("low").cast("double"), col("close").cast("double"),
+      col("tick_count").cast("long"), col("gap_filled")
+    ).as[Candle]
+    ds.groupByKey(_.symbol)
+      .flatMapGroups { (_, it) =>
+        enrichSeries(it.toIndexedSeq.sortBy(_.wkey)).iterator
+      }
+  }
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash-groupBy),
+  * exact n-gram Jaccard via an inverted shingle index, MinHash+LSH, and
+  * SimHash. Designed for the 100 TB path:
+  *   - exact dedup is a single hash aggregate on a fingerprint (one shuffle,
+  *     map-side partials);
+  *   - the Jaccard candidate join is an inverted-index self-join with a
+  *     document-frequency cap on shingles, which bounds the worst-case
+  *     pair blowup to df²·|shingles| and drops only shingles too common to
+  *     signal near-duplication;
+  *   - MinHash/LSH replaces the O(n²) pair space with band-bucket joins —
+  *     the standard sub-quadratic near-dup path at corpus scale.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text fingerprint.
+    * Output: fingerprint, n_docs, canonical_doc_id (min), doc_ids sorted.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(TextAnalysis.normalized(col("text"))).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc_id"))
+
+  /** Distinct word n-gram shingles per doc, for docs with ≥ n tokens.
+    * Output: doc_id, shingle (exploded).
+    */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    docs
+      .select(col("doc_id"), toks.as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("w")) - (n - 1)),
+            i => array_join(slice(col("w"), i, lit(n)), " ")))).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs via inverted shingle index.
+    *
+    * @param maxDf drop shingles appearing in more than this many docs before
+    *              pairing (bounds the join; intersection counts then
+    *              under-count for pairs sharing only ultra-common shingles —
+    *              acceptable for near-dup detection and deterministic).
+    * Output: doc_a < doc_b, n_a, n_b, intersection (over capped shingles),
+    * jaccard = inter / (n_a + n_b − inter), filtered ≥ threshold.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.4,
+                   maxDf: Int = 100): DataFrame = {
+    val sh = shingles(docs, n)
+    val docSizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("shingle")
+    val capped = sh.join(rare, Seq("shingle"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(docSizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(docSizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
+  }
+
+  /** MinHash signature: numPerms minima of seeded xxhash64 over the doc's
+    * shingle set, computed with higher-order functions (no UDF, no extra
+    * explode — O(perms · shingles) inside one projection).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 5, numPerms: Int = 64): DataFrame = {
+    val sh = shingles(docs, n)
+      .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("sh"))
+    sh.select(
+      col("doc_id"),
+      transform(sequence(lit(0), lit(numPerms - 1)),
+        i => array_min(transform(col("sh"), s => xxhash64(s, i)))).as("sig"))
+  }
+
+  /** MinHash + LSH near-dup pairs: band the signature (bands × rowsPerBand =
+    * numPerms), bucket-join on (band index, band slice), then verify each
+    * candidate pair's estimated Jaccard = fraction of matching signature
+    * components. Sub-quadratic: only docs sharing a band bucket ever meet.
+    * Output: doc_a < doc_b, est_jaccard (≥ threshold).
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 5, numPerms: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val rows = numPerms / bands
+    val sigs = minhashSignatures(docs, n, numPerms)
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("key")))).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numPerms.toDouble), 4))
+      .where(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens weighted by term frequency. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    // per-token ±cnt vote vector over 64 bit positions, summed element-wise
+    val votes = tf.select(col("doc_id"),
+      transform(sequence(lit(0), lit(63)),
+        b => when(call_function("shiftright", xxhash64(col("tok")), b).bitwiseAND(1) === 1,
+          col("cnt")).otherwise(-col("cnt"))).as("v"))
+    val summed = votes.groupBy(col("doc_id"))
+      .agg(aggregate(collect_list(col("v")),
+        transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("v"))
+    summed.select(col("doc_id"),
+      aggregate(
+        zip_with(col("v"), sequence(lit(0), lit(63)),
+          (vote, b) => when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
+    * 16-bit band buckets (4 bands ⇒ any pair with ≤ 3 differing bits shares
+    * a band — pigeonhole), then exact bit_count verification.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key")))).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-fill: synthesize flat candles for (symbol, window) slots with zero
+  * ticks, carrying the last known close forward.
+  *
+  * Reference semantics: /root/reference/modules/aggregator/gap_fill.py:32-88 —
+  * expected symbols LEFT JOIN current candles; missing + prior close known →
+  * flat candle (o=h=l=c=prev close, tick_count=0, gap_filled=true); missing
+  * with no prior close ever → unfillable, dropped (cold start).
+  *
+  * Spark-first design: build the dense (window × symbol) grid declaratively
+  * (`sequence` + `explode` over the observed bounds — no driver-side loop,
+  * the grid is generated inside the plan), left-join the candles, and
+  * forward-fill with `last(close, ignoreNulls)` over a per-symbol window
+  * (SURVEY.md §2.6). The analytic window partitions by symbol: at 100 TB the
+  * per-partition frame is bounded by windows-per-session (75/day in the
+  * reference), so no executor ever materializes more than one symbol-day.
+  */
+object GapFill {
+
+  /** @param candles (window_start: timestamp, symbol, open, high, low, close, tick_count)
+    * @return same schema + gap_filled, densified on the 5-minute grid between
+    *         the global min and max observed window.
+    */
+  def fill(candles: DataFrame, intervalMinutes: Int = 5): DataFrame = {
+    val bounds = candles.agg(
+      min(col("window_start")).as("wmin"),
+      max(col("window_start")).as("wmax"))
+    val wins = bounds.select(
+      explode(sequence(col("wmin"), col("wmax"),
+        expr(s"interval $intervalMinutes minutes"))).as("window_start"))
+    val syms = candles.select(col("symbol")).distinct()
+    // grid = windows × symbols; symbols dim is small → broadcast the cross join
+    val grid = wins.crossJoin(broadcast(syms))
+    val joined = grid.join(candles, Seq("window_start", "symbol"), "left_outer")
+    val w = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    joined
+      .withColumn("prev_close", last(col("close"), ignoreNulls = true).over(w))
+      .withColumn("gap_filled", col("tick_count").isNull && col("prev_close").isNotNull)
+      // cold start: never seen a close → unfillable, drop (gap_fill.py:70-75)
+      .where(col("tick_count").isNotNull || col("prev_close").isNotNull)
+      .select(
+        col("window_start"), col("symbol"),
+        coalesce(col("open"), col("prev_close")).as("open"),
+        coalesce(col("high"), col("prev_close")).as("high"),
+        coalesce(col("low"), col("prev_close")).as("low"),
+        coalesce(col("close"), col("prev_close")).as("close"),
+        coalesce(col("tick_count"), lit(0L)).as("tick_count"),
+        col("gap_filled"))
+  }
+
+  /** Missing-ticker census (candle_aggregator.py:193-203): expected grid slots
+    * with no candle at all — the validation-log complement of [[fill]].
+    */
+  def missingCensus(candles: DataFrame, intervalMinutes: Int = 5): DataFrame = {
+    val bounds = candles.agg(
+      min(col("window_start")).as("wmin"),
+      max(col("window_start")).as("wmax"))
+    val wins = bounds.select(
+      explode(sequence(col("wmin"), col("wmax"),
+        expr(s"interval $intervalMinutes minutes"))).as("window_start"))
+    val syms = candles.select(col("symbol")).distinct()
+    wins.crossJoin(broadcast(syms))
+      .join(candles.select("window_start", "symbol"), Seq("window_start", "symbol"), "left_anti")
+  }
+}

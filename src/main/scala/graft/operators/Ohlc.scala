@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tick → 5-minute OHLC candle aggregation.
+  *
+  * Reference semantics: /root/reference/modules/aggregator/tick_buffer.py:96-146
+  * (incremental per-tick OHLC upsert) and the window-assignment rules of
+  * /root/reference/utils/time_utils.py:167-224 (tumbling windows, membership
+  * `[start, start+interval)`, boundary tick belongs to the *starting* window).
+  *
+  * Spark-first design: one declarative `groupBy(window(...), symbol)` hash
+  * aggregate. Catalyst plans a partial (map-side) aggregate before the
+  * shuffle, so the shuffled volume is one row per (symbol, window) per input
+  * partition — the same "memory bounded to active window" property the
+  * reference hand-rolls, but spillable and distributed. `window()`'s
+  * floor-based assignment is identical to the reference's boundary-list scan
+  * because sessions open on a 5-minute grid (SURVEY.md §2.6).
+  *
+  * open/close use `min_by`/`max_by` ordered by (event_ts, seq): the reference
+  * resolves equal-timestamp ticks by arrival order under a lock; a monotonic
+  * sequence column reproduces that deterministically in a distributed setting
+  * (SURVEY.md §7 hard parts).
+  */
+object Ohlc {
+
+  /** Batch (and, unchanged, streaming) OHLC core.
+    *
+    * @param ticks  input with at least (tsCol, symCol, priceCol, seqCol)
+    * @param windowDuration Spark interval string, e.g. "5 minutes"
+    * @return (window_start, symbol, open, high, low, close, tick_count)
+    */
+  def candles(
+      ticks: DataFrame,
+      tsCol: String = "ts",
+      symCol: String = "event_type",
+      priceCol: String = "value",
+      seqCol: String = "event_id",
+      windowDuration: String = "5 minutes"): DataFrame = {
+    val ord: Column = struct(col(tsCol), col(seqCol))
+    // group by the window STRUCT (not window().start): Spark only recognizes
+    // the event-time window — and so watermark-driven finalization in
+    // streaming — when the TimeWindow expression itself is a grouping key
+    ticks
+      .groupBy(
+        window(col(tsCol), windowDuration).as("w"),
+        col(symCol).as("symbol"))
+      .agg(
+        min_by(col(priceCol), ord).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max_by(col(priceCol), ord).as("close"),
+        count(lit(1)).as("tick_count"))
+      .select(col("w.start").as("window_start"), col("symbol"), col("open"),
+        col("high"), col("low"), col("close"), col("tick_count"))
+  }
+
+  /** OHLC invariant violations (candle_aggregator.py:205-216): rows where
+    * high < max(open, close) or low > min(open, close). Empty when healthy;
+    * feeds the warnings/system_log path rather than failing the pipeline.
+    */
+  def invariantViolations(candles: DataFrame): DataFrame =
+    candles.where(
+      col("high") < greatest(col("open"), col("close")) ||
+      col("low") > least(col("open"), col("close")))
+}

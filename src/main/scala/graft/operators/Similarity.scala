@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - [[knnCosineBrute]]: exact brute-force top-k — the correctness baseline.
+  *     The query set is broadcast, so the scan side streams once with no
+  *     shuffle of the corpus; cost is O(|queries| · |corpus| · dim) of pure
+  *     codegen'd arithmetic.
+  *   - [[annLshTopK]]: random-hyperplane LSH — the 100 TB path. Vectors are
+  *     bucketed by sign-pattern hashes; only same-bucket pairs are scored,
+  *     replacing the full cross product with per-bucket joins.
+  *
+  * Dot products use `zip_with` + `aggregate` higher-order functions over
+  * double-cast floats: a strictly sequential left-to-right fold, so results
+  * are bit-deterministic regardless of partitioning.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Exact cosine top-k for a query subset.
+    *
+    * @param queryPred picks the query rows (e.g. vec_id % 100 === 0)
+    * @return query_id, neighbor_id, cosine (rounded 6dp), rank — rank ordered
+    *         by rounded cosine desc then neighbor_id, so ordering is stable
+    *         under float noise below the rounding grid.
+    */
+  def knnCosineBrute(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val queries = base.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * signed unit derived from xxhash64(p, j) — reproducible with no RNG state
+    * and computable inside codegen.
+    */
+  private def planeComponent(p: Column, j: Column): Column =
+    when(xxhash64(lit("plane"), p, j).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-pattern LSH bucket id for a vector: numPlanes sign bits packed into
+    * a long. Cosine-similar vectors agree on most sign bits, so they collide.
+    */
+  def lshBucket(v: Column, numPlanes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(numPlanes - 1)), p =>
+        when(aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, j) => x * planeComponent(p, j)), lit(0.0), (a, x) => a + x) > 0,
+          call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Approximate top-k: score only pairs sharing an LSH bucket across
+    * `numTables` independent hash tables. Recall grows with tables; cost is
+    * per-bucket instead of all-pairs. Output schema matches
+    * [[knnCosineBrute]] (rank within retrieved candidates).
+    */
+  def annLshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+                 numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    // one bucket id per table, with the table index salted into the planes
+    val tabled = base.select(col("vec_id"), col("v"), col("norm"),
+      explode(transform(sequence(lit(0), lit(numTables - 1)), t =>
+        struct(t.as("table"),
+          aggregate(
+            transform(sequence(lit(0), lit(numPlanes - 1)), p =>
+              when(aggregate(zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+                (x, j) => x * planeComponent(p + t * numPlanes, j)), lit(0.0),
+                (a, x) => a + x) > 0,
+                call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
+            lit(0L), (acc, x) => acc.bitwiseOR(x)).as("bucket")))).as("tb"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val queries = tabled.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
+        col("table"), col("bucket"))
+    val cand = tabled.join(queries, Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("v"), col("qv"),
+        col("norm"), col("qnorm"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+}

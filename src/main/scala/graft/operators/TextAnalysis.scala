@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, n-gram language ID, and document
+  * fingerprinting. All pure codegen'd column expressions — no UDFs — so the
+  * whole stage stays inside WholeStageCodegen and scales linearly with
+  * document count (no shuffle at all for the per-document ops).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish lexical pieces: alphanumeric runs or single non-space symbols. */
+  private val bpePattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Per-document token statistics.
+    * Output: doc_id, n_chars, n_tokens, n_pieces, avg_token_len.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast("long").as("n_pieces"),
+      round(
+        when(size(toks) > 0,
+          aggregate(transform(toks, t => length(t).cast("double")), lit(0.0), _ + _) /
+            size(toks).cast("double"))
+          .otherwise(lit(0.0)), 4).as("avg_token_len"))
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Per-document quality signals (length, punctuation ratio, stopword ratio,
+    * digit ratio) and a deterministic composite score in [0, 1].
+    * Mirrors the heuristics large text-corpus filters apply (C4/Gopher-style),
+    * expressed as pure column math.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val toks = tokens(col("text"))
+    val nToks = size(toks).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[\\.,;:!\\?]"), lit(0))).cast("double")
+    val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double")
+    val stopRe = "\\b(" + stopwords.mkString("|") + ")\\b"
+    val nStop = size(regexp_extract_all(lower(col("text")), lit(stopRe), lit(0))).cast("double")
+    docs.select(
+      col("doc_id"),
+      round(when(nChars > 0, nPunct / nChars).otherwise(0.0), 4).as("punct_ratio"),
+      round(when(nChars > 0, nDigit / nChars).otherwise(0.0), 4).as("digit_ratio"),
+      round(when(nToks > 0, nStop / nToks).otherwise(0.0), 4).as("stopword_ratio"),
+      size(toks).cast("long").as("n_tokens"),
+      // composite: reward length (saturating at 200 tokens) + stopword presence,
+      // penalize digit/punct noise
+      round(
+        least(nToks / 200.0, lit(1.0)) * 0.5 +
+          least(when(nToks > 0, nStop / nToks).otherwise(0.0) * 5.0, lit(1.0)) * 0.3 +
+          (lit(1.0) - least(when(nChars > 0, (nPunct + nDigit) / nChars).otherwise(0.0) * 4.0, lit(1.0))) * 0.2,
+        4).as("quality"))
+  }
+
+  /** Marker-word lists per language for the n-gram heuristic language ID. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que"),
+    "fr" -> Seq("le", "la", "les", "est", "une", "des", "dans"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "wo", "you"))
+
+  /** Heuristic language ID: count marker-word hits per language, argmax with
+    * alphabetical tie-break. Output: doc_id, plus one s_<lang> score column
+    * and the predicted language.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val lowered = lower(col("text"))
+    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, words) =>
+      val re = "\\b(" + words.mkString("|") + ")\\b"
+      lang -> size(regexp_extract_all(lowered, lit(re), lit(0))).cast("long")
+    }
+    val scoreCols = scores.map { case (lang, c) => c.as(s"s_$lang") }
+    val scored = docs.select(col("doc_id") +: scoreCols: _*)
+    // argmax with deterministic alphabetical tie-break: fold langs in order,
+    // strictly-greater beats, so the first (alphabetically smallest) wins ties
+    val pred = langMarkers.map(_._1).foldLeft((lit(""), lit(-1L))) {
+      case ((bestLang, bestScore), lang) =>
+        val s = col(s"s_$lang")
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+         when(s > bestScore, s).otherwise(bestScore))
+    }._1
+    scored.withColumn("predicted_lang", pred)
+  }
+
+  /** Canonical text normalization: lowercase, collapse whitespace, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Deterministic document fingerprint: md5 over normalized text. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(normalized(col("text"))).as("fingerprint"),
+      length(normalized(col("text"))).cast("long").as("norm_len"))
+}

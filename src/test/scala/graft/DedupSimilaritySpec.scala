@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today " +
+    "while morning light spreads across the valley and distant hills glow softly under a pale winter sun " +
+    "as birds begin their familiar songs in the tall oak trees beside the old stone bridge"
+  private val nearDup = base.replace("quiet", "silent")
+  private val other = "completely different words about spark catalyst optimizer plans and shuffles everywhere"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, other), (4L, base),
+    (5L, "  " + base.toUpperCase + " ") // normalizes to base → exact dup
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates") {
+    val groups = Dedup.exactGroups(docs).where(col("n_docs") > 1).collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("n_docs") === 3) // 1, 4, and case/space variant 5
+    assert(groups.head.getAs[Long]("canonical_doc_id") === 1)
+  }
+
+  test("exact jaccard pairs find near-duplicates, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH retrieves the near-dup pair sub-quadratically") {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs collide, near-dups are close, unrelated far") {
+    val h = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("brute-force cosine top-k ranks an exact duplicate vector first") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),   // identical to query
+      (2L, Array(0f, 1f, 0f, 0f)),   // orthogonal
+      (3L, Array(0.9f, 0.1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnCosineBrute(emb, col("vec_id") === 0, k = 3)
+      .select("neighbor_id", "cosine", "rnk").as[(Long, Double, Long)]
+      .collect().sortBy(_._3)
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 2L))
+    assert(out.head._2 === 1.0)
+    assert(out.last._2 === 0.0)
+  }
+
+  test("LSH ANN buckets recall an identical vector") {
+    val vecs = (0 to 40).map { i =>
+      val arr = Array.fill(8)(0f); arr(i % 8) = 1f; arr((i + 3) % 8) = 0.5f
+      (i.toLong, arr)
+    }
+    val emb = (vecs :+ (99L, vecs.head._2)).toDF("vec_id", "embedding")
+    val out = Similarity.annLshTopK(emb, col("vec_id") === 99, k = 5, numPlanes = 6, numTables = 6)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.exists { case (id, cos) => id == 0L && cos == 1.0 })
+  }
+
+  test("token stats and fingerprint normalization") {
+    val stats = TextAnalysis.tokenStats(Seq((1L, "a bb  ccc ")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(stats._3 === 3L)          // n_tokens
+    assert(stats._5 === 2.0)         // avg token len (1+2+3)/3
+    val fp = TextAnalysis.fingerprint(docs)
+      .select("doc_id", "fingerprint").as[(Long, String)].collect().toMap
+    assert(fp(1L) === fp(5L))        // case/whitespace-insensitive
+    assert(fp(1L) !== fp(2L))
+  }
+}

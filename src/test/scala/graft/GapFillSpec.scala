@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.GapFill
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+class GapFillSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // A trades in w1 and w3 (silent in w2); B first appears in w3 (cold start)
+  private val candles = Seq(
+    (ts("2026-02-02 09:15:00"), "A", 10.0, 12.0, 9.0, 11.0, 5L),
+    (ts("2026-02-02 09:25:00"), "A", 11.5, 13.0, 11.0, 12.0, 4L),
+    (ts("2026-02-02 09:25:00"), "B", 50.0, 50.0, 50.0, 50.0, 1L)
+  ).toDF("window_start", "symbol", "open", "high", "low", "close", "tick_count")
+
+  test("gap-fill synthesizes flat candle from last close; cold start drops") {
+    val out = GapFill.fill(candles).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).toString, r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6), r.getBoolean(7)))
+      .sortBy(t => (t._1, t._2))
+    assert(out === Array(
+      ("A", "2026-02-02 09:15:00.0", 10.0, 12.0, 9.0, 11.0, 5L, false),
+      // gap: o=h=l=c = prev close 11.0, tick_count 0, flagged
+      ("A", "2026-02-02 09:20:00.0", 11.0, 11.0, 11.0, 11.0, 0L, true),
+      ("A", "2026-02-02 09:25:00.0", 11.5, 13.0, 11.0, 12.0, 4L, false),
+      // B has no prior close at 09:15/09:20 → unfillable, dropped
+      ("B", "2026-02-02 09:25:00.0", 50.0, 50.0, 50.0, 50.0, 1L, false)))
+  }
+
+  test("missing census lists exactly the empty grid slots") {
+    val missing = GapFill.missingCensus(candles).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).toString)).sorted
+    assert(missing === Array(
+      ("A", "2026-02-02 09:20:00.0"),
+      ("B", "2026-02-02 09:15:00.0"),
+      ("B", "2026-02-02 09:20:00.0")))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.sink.IdempotentSink
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class IdempotentSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-sink").toString
+
+  test("row id is deterministic and parseable") {
+    val df = Seq(("RELIANCE", java.sql.Timestamp.valueOf("2026-02-02 09:15:00")))
+      .toDF("symbol", "window_start")
+      .withColumn("id", IdempotentSink.rowId())
+    assert(df.select("id").as[String].head() === "RELIANCE_20260202_0915")
+  }
+
+  test("appendDedup writes each id exactly once across replays") {
+    val sink = tmp() + "/sink"
+    val batch = Seq(("a_1", 1.0), ("b_1", 2.0)).toDF("id", "v")
+    assert(IdempotentSink.appendDedup(batch, sink) === 2L)
+    // replay the same batch (at-least-once delivery) → nothing new written
+    assert(IdempotentSink.appendDedup(batch, sink) === 0L)
+    val batch2 = Seq(("b_1", 2.0), ("c_1", 3.0)).toDF("id", "v")
+    assert(IdempotentSink.appendDedup(batch2, sink) === 1L)
+    val all = spark.read.parquet(sink).as[(String, Double)].collect().sorted
+    assert(all === Array(("a_1", 1.0), ("b_1", 2.0), ("c_1", 3.0)))
+  }
+
+  test("dead letters drain idempotently into the sink") {
+    val root = tmp(); val sink = root + "/sink"; val dead = root + "/dead"
+    val parked = Seq(("x_1", 1.0), ("y_1", 2.0)).toDF("id", "v")
+    parked.write.parquet(dead)
+    IdempotentSink.appendDedup(Seq(("x_1", 1.0)).toDF("id", "v"), sink)
+    assert(IdempotentSink.drainDeadLetters(spark, dead, sink) === 1L) // only y_1 is new
+    assert(spark.read.parquet(sink).count() === 2)
+    assert(IdempotentSink.drainDeadLetters(spark, dead, sink) === 0L) // dir cleared
+  }
+
+  test("overwriteState replaces the snapshot wholesale") {
+    val dir = tmp() + "/state"
+    IdempotentSink.overwriteState(Seq(("B", 1.0), ("A", 2.0)).toDF("symbol", "atr"), dir)
+    IdempotentSink.overwriteState(Seq(("A", 9.0)).toDF("symbol", "atr"), dir)
+    assert(spark.read.parquet(dir).as[(String, Double)].collect() === Array(("A", 9.0)))
+  }
+}
