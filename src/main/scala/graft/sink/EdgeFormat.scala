@@ -1,0 +1,46 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sheet-row edge formatter: the 13-column all-string row shape the
+  * reference writes to its sink.
+  *
+  * Reference: /root/reference/modules/atr/atr_engine.py:43-60 (row writer)
+  * and /root/reference/modules/sheets/schema_manager.py:20-24 (header).
+  * Nulls render as "" and booleans as "TRUE"/"FALSE" ONLY here, at the edge —
+  * internally TR/ATR stay real nullable doubles (SURVEY.md §7 hard parts).
+  * Note: the reference's shipped header lists 12 names while its row writer
+  * emits 13 values (gap_filled missing from the header) — we reproduce the
+  * 13-column row reality and include gap_filled in the header (FIXTURES.md §6).
+  */
+object EdgeFormat {
+
+  val Header: Seq[String] = Seq(
+    "id", "timestamp", "ticker", "segment", "open", "high", "low", "close",
+    "tr", "atr", "volume", "gap_filled", "created_at")
+
+  private def s(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit(""))
+
+  /** enriched candles (symbol, window_start ts/string, open..close,
+    * tick_count, gap_filled, tr, atr [, segment]) → 13 string columns.
+    */
+  def sheetRows(enriched: DataFrame, createdAt: String): DataFrame = {
+    val seg = if (enriched.columns.contains("segment")) col("segment") else lit("nse_cm")
+    val ts = to_timestamp(col("window_start"))
+    enriched.select(
+      concat_ws("_", col("symbol"), date_format(ts, "yyyyMMdd_HHmm")).as("id"),
+      date_format(ts, "yyyy-MM-dd'T'HH:mm:ss").as("timestamp"),
+      col("symbol").as("ticker"),
+      s(seg).as("segment"),
+      s(col("open")).as("open"),
+      s(col("high")).as("high"),
+      s(col("low")).as("low"),
+      s(col("close")).as("close"),
+      s(col("tr")).as("tr"),
+      s(col("atr")).as("atr"),
+      lit("").as("volume"),
+      when(col("gap_filled"), "TRUE").otherwise("FALSE").as("gap_filled"),
+      lit(createdAt).as("created_at"))
+  }
+}

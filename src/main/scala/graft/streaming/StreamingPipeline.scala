@@ -30,6 +30,24 @@ object StreamingPipeline {
     Ohlc.candles(ticks.withWatermark(tsCol, watermarkDelay),
       tsCol, symCol, priceCol, seqCol, windowDuration)
 
+  /** Candle frame (window_start timestamp, symbol, open..close, tick_count
+    * [, gap_filled]) → typed Dataset[Candle] for the stateful ATR stage.
+    */
+  def toCandleDS(candles: DataFrame): Dataset[Candle] = {
+    import candles.sparkSession.implicits._
+    val withGap =
+      if (candles.columns.contains("gap_filled")) candles
+      else candles.withColumn("gap_filled", lit(false))
+    withGap.select(
+      col("symbol"),
+      unix_micros(col("window_start").cast("timestamp")).as("wkey"),
+      date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      col("open").cast("double"), col("high").cast("double"),
+      col("low").cast("double"), col("close").cast("double"),
+      col("tick_count").cast("long"), col("gap_filled")
+    ).as[Candle]
+  }
+
   /** Stateful per-symbol ATR over the finalized-candle stream: state is the
     * reference's ATRState (atr_engine.py:20-26) carried in Spark's state
     * store (checkpointed + recoverable, replacing checkpoint_manager.py).

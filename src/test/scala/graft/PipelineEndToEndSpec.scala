@@ -1,0 +1,122 @@
+package graft
+
+import graft.app.BatchReplay
+import graft.model.Instrument
+import graft.streaming.StreamingPipeline
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** End-to-end replay of a synthetic trading slice (FIXTURES.md §1 surface):
+  * boundary ticks, silent windows (gap-fill), unknown tokens, invalid rows,
+  * a symbol with ≥15 windows (full ATR warmup + Wilder steps) — asserting
+  * completeness, zero duplicates across replays, and batch/streaming parity.
+  */
+class PipelineEndToEndSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val instruments = Seq(
+    Instrument("RELIANCE", "2885", "nse_cm"),
+    Instrument("TCS", "11536", "nse_cm"),
+    Instrument("NIFTY", "26000", "nse_cm"))
+
+  /** 16 windows from 09:15; RELIANCE ticks every window (warmup + 2 Wilder
+    * steps), TCS silent in windows 3-4 (gap-fill), NIFTY never ticks
+    * (unfillable); plus one unknown-token and one null-price tick.
+    */
+  private def syntheticDay(): Seq[(String, Option[Double], Timestamp, Long)] = {
+    val rnd = new Random(7)
+    val base = Timestamp.valueOf("2026-02-02 09:15:00").getTime
+    var seq = 0L
+    val rows = scala.collection.mutable.Buffer[(String, Option[Double], Timestamp, Long)]()
+    for (w <- 0 until 16) {
+      val wstart = base + w * 300000L
+      // boundary tick at exactly the window start
+      seq += 1; rows += (("2885", Some(2000.0 + rnd.nextInt(100)), new Timestamp(wstart), seq))
+      for (_ <- 0 until 3) {
+        seq += 1
+        rows += (("2885", Some(2000.0 + rnd.nextInt(100)),
+          new Timestamp(wstart + 1000 + rnd.nextInt(290000)), seq))
+      }
+      if (w < 2 || w > 3) { // TCS silent in windows 2-3
+        seq += 1
+        rows += (("11536", Some(3300.0 + rnd.nextInt(50)),
+          new Timestamp(wstart + rnd.nextInt(299000)), seq))
+      }
+    }
+    seq += 1; rows += (("424242", Some(1.0), new Timestamp(base + 1000), seq)) // unknown token
+    seq += 1; rows += (("2885", None, new Timestamp(base + 2000), seq))        // null price
+    rows.toSeq
+  }
+
+  private def rawDf() = syntheticDay().toDF("tk", "ltp", "exchange_timestamp", "seq")
+    .withColumn("exchange_timestamp", $"exchange_timestamp") // already timestamp
+
+  test("batch replay: completeness, gap-fill, ATR warmup, idempotent re-run") {
+    val sink = Files.createTempDirectory("graft-e2e").toString + "/market_data"
+    val dim = instruments.toDS()
+    val written = BatchReplay.run(rawDf(), dim, sink, "2026-02-02T16:00:00")
+    val table = spark.read.parquet(sink)
+    // RELIANCE 16 windows + TCS 16 (14 real + 2 gap-filled); NIFTY unfillable → absent
+    assert(written === 32L)
+    assert(table.count() === 32L)
+    assert(table.where($"ticker" === "TCS" && $"gap_filled" === "TRUE").count() === 2)
+    assert(table.where($"ticker" === "NIFTY").count() === 0)
+    // ATR: null (edge "") through candle 13, populated from candle 14 on
+    val relAtr = table.where($"ticker" === "RELIANCE").orderBy($"timestamp")
+      .select($"atr").as[String].collect()
+    assert(relAtr.take(13).forall(_ === ""))
+    assert(relAtr.drop(13).forall(_.nonEmpty))
+    // replay the whole day → zero new rows, zero duplicates (🔒3)
+    assert(BatchReplay.run(rawDf(), dim, sink, "2026-02-02T17:00:00") === 0L)
+    assert(spark.read.parquet(sink).count() === 32L)
+    assert(spark.read.parquet(sink).select("id").distinct().count() === 32L)
+  }
+
+  test("streaming pipeline matches batch enrichment and sinks idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-stream").toString
+    val dim = instruments.toDS()
+
+    // batch truth on the same ticks (no gap-fill in the streaming variant,
+    // so compare against candles → ATR only)
+    val ticks = graft.ingest.TickIngest.ingest(rawDf(), dim)
+    val batchCandles = graft.operators.Ohlc.candles(
+      ticks, tsCol = "event_ts", symCol = "symbol", priceCol = "ltp", seqCol = "seq")
+    val want = graft.operators.Atr.enrich(batchCandles).collect()
+      .map(e => (e.symbol, e.window_start, e.tr, e.atr)).toSet
+
+    case class Raw(tk: String, ltp: Option[Double], exchange_timestamp: Timestamp, seq: Long)
+    val stream = MemoryStream[(String, Option[Double], Timestamp, Long)]
+    val streamTicks = graft.ingest.TickIngest.ingest(
+      stream.toDF().toDF("tk", "ltp", "exchange_timestamp", "seq"), dim)
+    val candles = StreamingPipeline.ohlcCandles(streamTicks, tsCol = "event_ts",
+      symCol = "symbol", priceCol = "ltp", seqCol = "seq", watermarkDelay = "1 seconds")
+    val enriched = StreamingPipeline.atrEnrich(StreamingPipeline.toCandleDS(candles))
+    val q = StreamingPipeline.startIdempotentSink(enriched.toDF(),
+      s"$root/sink", s"$root/dead", s"$root/ckpt")
+    try {
+      val day = syntheticDay()
+      val (first, second) = day.splitAt(day.length / 2)
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+      // close every open window well past the watermark
+      stream.addData(Seq(("2885", Some(2000.0),
+        Timestamp.valueOf("2026-02-02 11:00:10"), 99999L)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$root/sink")
+        .select("symbol", "window_start", "tr", "atr")
+        .as[(String, String, Option[Double], Option[Double])].collect()
+        .map(t => (t._1, t._2, t._3, t._4)).toSet
+      // every batch row except the sentinel's own window must be in the sink
+      val wantCovered = want.filter(_._2 < "2026-02-02 11:00:00")
+      assert(wantCovered.subsetOf(got))
+      // no duplicate ids despite at-least-once micro-batches
+      val ids = spark.read.parquet(s"$root/sink").select("id").as[String].collect()
+      assert(ids.length === ids.distinct.length)
+    } finally q.stop()
+  }
+}
