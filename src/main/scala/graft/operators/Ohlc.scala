@@ -38,7 +38,15 @@ object Ohlc {
       priceCol: String = "value",
       seqCol: String = "event_id",
       windowDuration: String = "5 minutes"): DataFrame = {
-    val ord: Column = struct(col(tsCol), col(seqCol))
+    // Arrival order (ts, seq) packed into one DECIMAL(38,0):
+    // ts_micros · 10¹² + seq. A struct ordering key forces min_by/max_by
+    // into SortAggregate (struct buffers aren't hash-aggregable), which
+    // would sort the whole tick stream per partition; a fixed-width decimal
+    // keeps the plan in HashAggregate with map-side partials. Order is
+    // isomorphic to (ts, seq) for seq < 10¹² (µs-unique beyond that).
+    val ord: Column =
+      unix_micros(col(tsCol).cast("timestamp")).cast("decimal(20,0)") *
+        lit(1000000000000L) + col(seqCol)
     // group by the window STRUCT (not window().start): Spark only recognizes
     // the event-time window — and so watermark-driven finalization in
     // streaming — when the TimeWindow expression itself is a grouping key
