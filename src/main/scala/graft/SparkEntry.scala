@@ -251,6 +251,35 @@ object SparkEntry {
         .orderBy("symbol", "window_start")
     }),
 
+    "q09_buffer_stats" -> ((s, dir) => {
+      candles(s, dir)
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("tick_count")).as("total_ticks"),
+          max(col("tick_count")).as("max_ticks"))
+        .orderBy("symbol")
+    }),
+    "q22_atr_jumps" -> ((s, dir) => {
+      Atr.jumpWarnings(Atr.enrich(candles(s, dir)).toDF(), factor = 1.2)
+        .orderBy("symbol", "window_start")
+    }),
+    "q23_ohlc_violations" -> ((s, dir) => {
+      Ohlc.invariantViolations(candles(s, dir))
+        .select(wstr(col("window_start")).as("window_start"), col("symbol"),
+          col("open"), col("high"), col("low"), col("close"))
+        .orderBy("symbol", "window_start")
+    }),
+    "q50_full_pipeline" -> ((s, dir) => {
+      // one trading day, like the reference's per-session operation — also
+      // bounds the oracle's ATR recursion depth to windows-per-day
+      val day = Tables.events(s, dir)
+        .where(col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-06"))
+      graft.sink.EdgeFormat.sheetRows(
+        Atr.enrich(GapFill.fill(Ohlc.candles(day))).toDF(),
+        createdAt = "2026-01-01T00:00:00")
+        .orderBy("id")
+    }),
+
     // ── text analysis / dedup / similarity (training-data extensions) ──
     "q30_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -485,6 +514,119 @@ object SparkEntry {
          |       round(avg(close) OVER (PARTITION BY symbol ORDER BY window_start
          |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
          |FROM candles ORDER BY symbol, window_start""".stripMargin,
+    "q09_buffer_stats" ->
+      s"""WITH $CandleCte
+         |SELECT symbol, count(*) AS n_windows,
+         |       CAST(sum(tick_count) AS BIGINT) AS total_ticks,
+         |       max(tick_count) AS max_ticks
+         |FROM candles GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q22_atr_jumps" ->
+      s"""WITH RECURSIVE $CandleCte,
+         |seq_c AS (
+         |  SELECT symbol, window_start, high, low, close,
+         |         row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn,
+         |         lag(close) OVER (PARTITION BY symbol ORDER BY window_start) AS prev_close
+         |  FROM candles),
+         |tr AS (
+         |  SELECT symbol, window_start, rn,
+         |         round(CASE WHEN prev_close IS NULL THEN high - low
+         |               ELSE greatest(high - low, abs(high - prev_close), abs(low - prev_close)) END, 4) AS tr
+         |  FROM seq_c),
+         |tri AS (
+         |  SELECT symbol, window_start, rn, tr, CAST(round(tr * 10000) AS BIGINT) AS tr_i FROM tr),
+         |warm AS (
+         |  SELECT symbol, rn, window_start, tr, tr_i,
+         |         CAST(sum(tr_i) OVER (PARTITION BY symbol ORDER BY rn
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum14
+         |  FROM tri),
+         |atr AS (
+         |  SELECT symbol, rn, window_start, greatest(CAST((sum14 + 7) // 14 AS BIGINT), 0) AS atr_i
+         |  FROM warm WHERE rn = 14
+         |  UNION ALL
+         |  SELECT t.symbol, t.rn, t.window_start,
+         |         greatest(CAST((a.atr_i * 13 + t.tr_i + 7) // 14 AS BIGINT), 0) AS atr_i
+         |  FROM atr a JOIN tri t ON t.symbol = a.symbol AND t.rn = a.rn + 1)
+         |SELECT a.symbol, strftime(a.window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       p.atr_i / 10000.0 AS prev_atr, a.atr_i / 10000.0 AS atr
+         |FROM atr a JOIN atr p ON p.symbol = a.symbol AND p.rn = a.rn - 1
+         |WHERE a.atr_i / 10000.0 > (p.atr_i / 10000.0) * 1.2
+         |ORDER BY a.symbol, a.window_start""".stripMargin,
+    "q23_ohlc_violations" ->
+      s"""WITH $CandleCte
+         |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, symbol,
+         |       open, high, low, close
+         |FROM candles
+         |WHERE high < greatest(open, close) OR low > least(open, close)
+         |ORDER BY symbol, window_start""".stripMargin,
+    "q50_full_pipeline" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS symbol, value FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05'
+         |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06'
+         |), ranked AS (
+         |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, symbol, value,
+         |         row_number() OVER (PARTITION BY symbol, time_bucket(INTERVAL 5 MINUTE, ts) ORDER BY ts, event_id) AS rn_a,
+         |         row_number() OVER (PARTITION BY symbol, time_bucket(INTERVAL 5 MINUTE, ts) ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM ev
+         |), candles AS (
+         |  SELECT window_start, symbol,
+         |         max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         |         max(value) AS high,
+         |         min(value) AS low,
+         |         max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         |         count(*) AS tick_count
+         |  FROM ranked GROUP BY window_start, symbol
+         |),
+         |bounds AS (SELECT min(window_start) AS wmin, max(window_start) AS wmax FROM candles),
+         |wins AS (SELECT unnest(generate_series(wmin, wmax, INTERVAL 5 MINUTE)) AS window_start FROM bounds),
+         |grid AS (SELECT w.window_start, s.symbol
+         |         FROM wins w CROSS JOIN (SELECT DISTINCT symbol FROM candles) s),
+         |filled0 AS (
+         |  SELECT g.window_start, g.symbol, c.open, c.high, c.low, c.close, c.tick_count,
+         |         last_value(c.close IGNORE NULLS) OVER (PARTITION BY g.symbol ORDER BY g.window_start
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+         |  FROM grid g LEFT JOIN candles c ON g.window_start = c.window_start AND g.symbol = c.symbol),
+         |fc AS (
+         |  SELECT window_start, symbol,
+         |         coalesce(open, pc) AS open, coalesce(high, pc) AS high,
+         |         coalesce(low, pc) AS low, coalesce(close, pc) AS close,
+         |         coalesce(tick_count, 0) AS tick_count,
+         |         (tick_count IS NULL AND pc IS NOT NULL) AS gap_filled
+         |  FROM filled0 WHERE tick_count IS NOT NULL OR pc IS NOT NULL),
+         |seq_c AS (
+         |  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY window_start) AS rn,
+         |         lag(close) OVER (PARTITION BY symbol ORDER BY window_start) AS prev_close
+         |  FROM fc),
+         |tr AS (
+         |  SELECT window_start, symbol, open, high, low, close, tick_count, gap_filled, rn,
+         |         round(CASE WHEN prev_close IS NULL THEN high - low
+         |               ELSE greatest(high - low, abs(high - prev_close), abs(low - prev_close)) END, 4) AS tr
+         |  FROM seq_c),
+         |tri AS (SELECT *, CAST(round(tr * 10000) AS BIGINT) AS tr_i FROM tr),
+         |warm AS (
+         |  SELECT *, CAST(sum(tr_i) OVER (PARTITION BY symbol ORDER BY rn
+         |           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum14
+         |  FROM tri),
+         |atr AS (
+         |  SELECT symbol, rn, greatest(CAST((sum14 + 7) // 14 AS BIGINT), 0) AS atr_i
+         |  FROM warm WHERE rn = 14
+         |  UNION ALL
+         |  SELECT t.symbol, t.rn, greatest(CAST((a.atr_i * 13 + t.tr_i + 7) // 14 AS BIGINT), 0) AS atr_i
+         |  FROM atr a JOIN tri t ON t.symbol = a.symbol AND t.rn = a.rn + 1)
+         |SELECT w.symbol || '_' || strftime(w.window_start, '%Y%m%d_%H%M') AS id,
+         |       strftime(w.window_start, '%Y-%m-%dT%H:%M:%S') AS timestamp,
+         |       w.symbol AS ticker, 'nse_cm' AS segment,
+         |       CAST(CAST(w.open AS DECIMAL(28,4)) AS VARCHAR) AS open,
+         |       CAST(CAST(w.high AS DECIMAL(28,4)) AS VARCHAR) AS high,
+         |       CAST(CAST(w.low AS DECIMAL(28,4)) AS VARCHAR) AS low,
+         |       CAST(CAST(w.close AS DECIMAL(28,4)) AS VARCHAR) AS close,
+         |       coalesce(CAST(CAST(w.tr AS DECIMAL(28,4)) AS VARCHAR), '') AS tr,
+         |       coalesce(CAST(CAST(a.atr_i / 10000.0 AS DECIMAL(28,4)) AS VARCHAR), '') AS atr,
+         |       '' AS volume,
+         |       CASE WHEN w.gap_filled THEN 'TRUE' ELSE 'FALSE' END AS gap_filled,
+         |       '2026-01-01T00:00:00' AS created_at
+         |FROM warm w LEFT JOIN atr a ON a.symbol = w.symbol AND a.rn = w.rn
+         |ORDER BY id""".stripMargin,
     "q30_token_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,

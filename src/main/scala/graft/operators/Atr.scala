@@ -86,6 +86,20 @@ object Atr {
     }
   }
 
+  /** ATR sanity warnings (atr_engine.py:184-189 / 04_ULTRA_ATR_SPEC.md:25-29):
+    * rows where ATR jumped more than `factor`× over the previous window's
+    * ATR. Feeds the system_log/warnings path.
+    */
+  def jumpWarnings(enriched: DataFrame, factor: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+    enriched
+      .withColumn("prev_atr", lag(col("atr"), 1).over(w))
+      .where(col("atr").isNotNull && col("prev_atr").isNotNull &&
+        col("atr") > col("prev_atr") * factor)
+      .select(col("symbol"), col("window_start"), col("prev_atr"), col("atr"))
+  }
+
   /** Batch enrichment over a candle DataFrame with columns
     * (window_start: timestamp, symbol, open, high, low, close, tick_count
     * [, gap_filled]).

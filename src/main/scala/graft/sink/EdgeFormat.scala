@@ -22,6 +22,14 @@ object EdgeFormat {
 
   private def s(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit(""))
 
+  /** Numeric → fixed 4-decimal string via decimal cast: raw double→string
+    * falls into scientific notation below 1e-3 ("9.0E-4"), which is neither
+    * cross-engine-stable nor sheet-friendly. Decimal rendering is plain and
+    * exact for the pipeline's 2-4dp quantities.
+    */
+  private def sNum(c: org.apache.spark.sql.Column) =
+    coalesce(c.cast("decimal(28,4)").cast("string"), lit(""))
+
   /** enriched candles (symbol, window_start ts/string, open..close,
     * tick_count, gap_filled, tr, atr [, segment]) → 13 string columns.
     */
@@ -33,12 +41,12 @@ object EdgeFormat {
       date_format(ts, "yyyy-MM-dd'T'HH:mm:ss").as("timestamp"),
       col("symbol").as("ticker"),
       s(seg).as("segment"),
-      s(col("open")).as("open"),
-      s(col("high")).as("high"),
-      s(col("low")).as("low"),
-      s(col("close")).as("close"),
-      s(col("tr")).as("tr"),
-      s(col("atr")).as("atr"),
+      sNum(col("open")).as("open"),
+      sNum(col("high")).as("high"),
+      sNum(col("low")).as("low"),
+      sNum(col("close")).as("close"),
+      sNum(col("tr")).as("tr"),
+      sNum(col("atr")).as("atr"),
       lit("").as("volume"),
       when(col("gap_filled"), "TRUE").otherwise("FALSE").as("gap_filled"),
       lit(createdAt).as("created_at"))

@@ -67,6 +67,6 @@ class RecoverSpec extends AnyFunSuite {
     assert(r(0).getAs[String]("atr") === "")        // warmup null → empty at edge
     assert(r(0).getAs[String]("gap_filled") === "FALSE")
     assert(r(1).getAs[String]("gap_filled") === "TRUE")
-    assert(r(1).getAs[String]("atr") === "2.5")
+    assert(r(1).getAs[String]("atr") === "2.5000")  // fixed 4-decimal rendering
   }
 }
