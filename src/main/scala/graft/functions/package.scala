@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.{VectorFunctions => Shim}
+
+/** Public Column API for graft's native Catalyst expressions. The
+  * implementations live under org.apache.spark.sql.graftshim because
+  * Spark's expression SPI types (AbstractDataType, the Column constructor)
+  * are private[sql].
+  */
+package object functions {
+  object VectorFunctions {
+    def dot_product(a: Column, b: Column): Column = Shim.dot_product(a, b)
+    def l2_norm(a: Column): Column = Shim.l2_norm(a)
+  }
+}

@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Dot product via the native codegen expression
+    * ([[graft.functions.DotProduct]]): a primitive loop instead of the HOF
+    * `aggregate(zip_with(...))`, which materializes an intermediate array
+    * per row. Same sequential summation order — bit-identical results.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   def l2norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    graft.functions.VectorFunctions.l2_norm(v)
 
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 

@@ -1,6 +1,6 @@
 package graft.recover
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Startup state reconciliation: decide, before (re)starting the stream,
@@ -36,6 +36,21 @@ object Reconcile {
       .where(col("atr_l").isNotNull && col("atr_s").isNotNull &&
         abs(col("atr_l") - col("atr_s")) > tol)
       .count()
+
+  /** Sink read-back (sheets_client.py:154-210 analog): the persisted
+    * `atr_state` snapshot plus the max finalized window from the fact table.
+    * The max-window scan projects a single column and aggregates — at scale,
+    * partition the sink by date so the scan prunes to recent partitions.
+    */
+  def sinkSnapshot(spark: SparkSession, factDir: String, stateDir: String): Option[Snapshot] =
+    try {
+      val state = spark.read.parquet(stateDir)
+        .select(col("symbol"), col("last_close").cast("double"),
+          col("last_atr").cast("double"))
+      val maxW = spark.read.parquet(factDir)
+        .agg(max(col("timestamp")).cast("string")).head().getString(0)
+      Some(Snapshot(Option(maxW), state))
+    } catch { case _: AnalysisException => None }
 
   /** The 4-case matrix (checkpoint_manager.py:201-260):
     *   1. neither present            → Fresh

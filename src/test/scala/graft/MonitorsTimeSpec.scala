@@ -1,0 +1,50 @@
+package graft
+
+import graft.streaming.Monitors.HeartbeatMonitor
+import graft.time.Ist
+import org.scalatest.funsuite.AnyFunSuite
+
+class MonitorsTimeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("heartbeat monitor detects silence past the timeout") {
+    var now = 1000L
+    val hb = new HeartbeatMonitor(silenceTimeoutMs = 30000L, clock = () => now)
+    hb.recordProgress(1, 0)
+    now += 10000
+    assert(!hb.isStalled)
+    now += 25000
+    assert(hb.isStalled) // 35s of silence > 30s
+    hb.recordProgress(2, 7)
+    assert(!hb.isStalled)
+    assert(hb.totalDroppedByWatermark === 7L)
+    assert(hb.latestBatchId === 2L)
+  }
+
+  test("IST conversions: epoch, wall-clock, session minutes") {
+    // 2026-02-02 03:45:00 UTC == 09:15:00 IST (+5:30)
+    val df = Seq(1770003900L).toDF("epoch")
+    val r = df.select(
+      Ist.isoIst(org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.from_unixtime($"epoch"))).as("iso"),
+      Ist.istMinutesOfDay(org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.from_unixtime($"epoch"))).as("mins")
+    ).head()
+    assert(r.getString(0) === "2026-02-02T09:15:00")
+    assert(r.getInt(1) === 555) // 9*60+15 — session open boundary
+  }
+
+  test("sink snapshot read-back feeds reconciliation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    Seq(("A", 10.0, 1.5)).toDF("symbol", "last_close", "last_atr")
+      .write.parquet(s"$dir/state")
+    Seq(("A_20260202_0915", "2026-02-02T09:15:00"))
+      .toDF("id", "timestamp").write.parquet(s"$dir/fact")
+    val snap = graft.recover.Reconcile.sinkSnapshot(spark, s"$dir/fact", s"$dir/state")
+    assert(snap.nonEmpty)
+    assert(snap.get.lastWindow.contains("2026-02-02T09:15:00"))
+    assert(snap.get.state.count() === 1)
+    assert(graft.recover.Reconcile.sinkSnapshot(spark, s"$dir/nope", s"$dir/state").isEmpty)
+  }
+}
