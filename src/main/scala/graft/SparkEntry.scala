@@ -296,6 +296,9 @@ object SparkEntry {
     "q36_knn_cosine" -> ((s, dir) =>
       Similarity.knnCosineBrute(Tables.embeddings(s, dir), pmod(col("vec_id"), lit(100)) === 0)
         .orderBy("query_id", "rnk")),
+    "q37_embedding_dups" -> ((s, dir) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, dir), threshold = 0.3)
+        .orderBy("vec_a", "vec_b")),
 
     // ── Spark-only operators (no SQL-expressible oracle → rows-only check) ──
     "q40_minhash_lsh" -> ((s, dir) =>
@@ -731,5 +734,23 @@ object SparkEntry {
         |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q37_embedding_dups" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
+        |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
+        |comp AS (SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |         FROM e CROSS JOIN idx),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dp
+        |  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |scored AS (
+        |  SELECT d.vec_a, d.vec_b, round(d.dp / (na.nrm * nb.nrm), 6) AS cosine
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.vec_a
+        |  JOIN norms nb ON nb.vec_id = d.vec_b)
+        |SELECT vec_a, vec_b, cosine FROM scored
+        |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

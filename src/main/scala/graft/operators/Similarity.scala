@@ -55,6 +55,20 @@ object Similarity {
       .where(col("rnk") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine ≥
+    * threshold. This exact formulation is the correctness baseline — at
+    * corpus scale, run [[annLshTopK]]-style bucketing first and verify only
+    * candidates (same output contract, sub-quadratic candidates).
+    */
+  def cosineDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * signed unit derived from xxhash64(p, j) — reproducible with no RNG state
     * and computable inside codegen.

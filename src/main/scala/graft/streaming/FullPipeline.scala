@@ -1,0 +1,152 @@
+package graft.streaming
+
+import graft.model.{AtrState, Candle, EnrichedCandle}
+import graft.operators.Atr
+import graft.sink.{EdgeFormat, IdempotentSink}
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** The complete streaming assembly WITH gap-fill — the reference's
+  * per-window cycle (main.py:275-328, SURVEY.md §3.2) as a `foreachBatch`
+  * over watermark-finalized candles:
+  *
+  *   finalize → gap-fill vs expected symbols (last-close state seeded from a
+  *   persisted snapshot, gap_fill.py:29-88) → Wilder ATR continuing from the
+  *   persisted per-symbol state (atr_engine.py:194-242) → 13-column edge
+  *   rows → idempotent dedup append (🔒3) → state snapshot overwrite
+  *   (write_pipeline.py:328-362).
+  *
+  * Gap-fill needs per-window completeness across ALL symbols, which a
+  * per-symbol stateful operator cannot see (a silent symbol contributes no
+  * input row). Running the enrich step as a batch job per micro-batch —
+  * exactly the reference's one-batch-per-window design — keeps the
+  * semantics, while state lives in two tiny overwritten parquet snapshots
+  * (one row per symbol), the same shape as the reference's `atr_state`
+  * sheet. Restart recovery = streaming checkpoint (offsets/agg state) + the
+  * snapshots; replays dedup via the id anti-join.
+  */
+object FullPipeline {
+
+  final case class AtrStateRow(
+      symbol: String,
+      prev_close: Option[Double],
+      prev_atr: Option[Double],
+      tr_history: Seq[Double],
+      candle_count: Int)
+
+  final case class SymbolOut(rows: Seq[EnrichedCandle], state: AtrStateRow)
+
+  private def readOpt(spark: SparkSession, dir: String): Option[DataFrame] =
+    try Some(spark.read.parquet(dir)) catch { case _: AnalysisException => None }
+
+  /** Gap-fill one micro-batch of candles against the expected symbol set,
+    * seeding forward-fill with the persisted last-close snapshot.
+    */
+  private[streaming] def gapFillBatch(candles: DataFrame, expectedSymbols: DataFrame,
+                                      lastClose: Option[DataFrame]): DataFrame = {
+    val wins = candles.select(col("window_start")).distinct()
+    val grid = wins.crossJoin(broadcast(expectedSymbols))
+    val seeded = grid
+      .join(candles, Seq("window_start", "symbol"), "left_outer")
+      .join(broadcast(lastClose.getOrElse(
+        expectedSymbols.select(col("symbol"), lit(null).cast("double").as("seed_close"))
+          .limit(0))), Seq("symbol"), "left_outer")
+    val withSeed =
+      if (seeded.columns.contains("seed_close")) seeded
+      else seeded.withColumn("seed_close", lit(null).cast("double"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withSeed
+      .withColumn("prev_close",
+        coalesce(last(col("close"), ignoreNulls = true).over(w), col("seed_close")))
+      .withColumn("gap_filled", col("tick_count").isNull && col("prev_close").isNotNull)
+      .where(col("tick_count").isNotNull || col("prev_close").isNotNull)
+      .select(col("window_start"), col("symbol"),
+        coalesce(col("open"), col("prev_close")).as("open"),
+        coalesce(col("high"), col("prev_close")).as("high"),
+        coalesce(col("low"), col("prev_close")).as("low"),
+        coalesce(col("close"), col("prev_close")).as("close"),
+        coalesce(col("tick_count"), lit(0L)).as("tick_count"),
+        col("gap_filled"))
+  }
+
+  /** ATR enrichment continuing from persisted per-symbol state. Returns the
+    * enriched rows and the updated state, computed in one grouped pass.
+    */
+  private[streaming] def atrWithState(filled: DataFrame, state: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val spark = filled.sparkSession
+    import spark.implicits._
+    val st = state.getOrElse(Seq.empty[AtrStateRow].toDF())
+    val joined = StreamingPipeline.toCandleDS(filled).toDF()
+      .join(broadcast(st), Seq("symbol"), "left_outer")
+    val cols = joined.columns.toSet
+    val withStateCols = Seq("prev_close", "prev_atr", "tr_history", "candle_count")
+      .foldLeft(joined) { (df, c) =>
+        if (cols.contains(c)) df else df.withColumn(c,
+          if (c == "tr_history") lit(null).cast("array<double>")
+          else if (c == "candle_count") lit(null).cast("int")
+          else lit(null).cast("double"))
+      }
+    val out = withStateCols
+      .as[(String, Long, String, Double, Double, Double, Double, Long, Boolean,
+           Option[Double], Option[Double], Option[Seq[Double]], Option[Int])]
+      .groupByKey(_._1)
+      .mapGroups { (sym, it) =>
+        val rows = it.toIndexedSeq.sortBy(_._2)
+        val h = rows.head
+        var state = AtrState(h._10, h._11, h._12.map(_.toList).getOrElse(Nil), h._13.getOrElse(0))
+        val enriched = rows.map { r =>
+          val (next, tr, atr) = Atr.step(state, r._5, r._6, r._7)
+          state = next
+          EnrichedCandle(r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, Some(tr), atr)
+        }
+        SymbolOut(enriched,
+          AtrStateRow(sym, state.prevClose, state.prevAtr, state.trHistory, state.candleCount))
+      }
+      .cache()
+    (out.flatMap(_.rows).toDF(), out.map(_.state).toDF())
+  }
+
+  /** Wire the full pipeline onto a finalized-candle stream.
+    * @param stateRoot holds `last_close/` and `atr_state/` snapshots
+    */
+  def start(candles: DataFrame, expectedSymbols: Seq[String], sinkDir: String,
+            deadLetterDir: String, checkpointDir: String, stateRoot: String): StreamingQuery =
+    candles.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          IdempotentSink.drainDeadLetters(spark, deadLetterDir, sinkDir)
+          val expected = expectedSymbols.toDF("symbol")
+          val filled = gapFillBatch(batch, expected,
+            readOpt(spark, s"$stateRoot/last_close")).cache()
+          val (enriched, newAtrState) =
+            atrWithState(filled, readOpt(spark, s"$stateRoot/atr_state"))
+          val rows = EdgeFormat.sheetRows(enriched,
+            createdAt = java.time.Instant.now.toString)
+          IdempotentSink.appendWithRetry(rows, sinkDir, deadLetterDir,
+            maxRetries = 3, baseDelayMs = 100L)
+          // last-close snapshot includes synthesized closes (gap_fill.py:77-79)
+          val w = Window.partitionBy(col("symbol")).orderBy(col("window_start").desc)
+          val newLastClose = filled
+            .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+            .select(col("symbol"), col("close").as("seed_close"))
+          // write via temp + swap semantics: overwrite is atomic enough for
+          // parquet dirs under a single writer (reference overwrites per cycle)
+          newLastClose.write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/last_close.tmp")
+          spark.read.parquet(s"$stateRoot/last_close.tmp").write
+            .mode(SaveMode.Overwrite).parquet(s"$stateRoot/last_close")
+          newAtrState.write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/atr_state.tmp")
+          spark.read.parquet(s"$stateRoot/atr_state.tmp").write
+            .mode(SaveMode.Overwrite).parquet(s"$stateRoot/atr_state")
+          filled.unpersist()
+        }
+        ()
+      }
+      .start()
+}

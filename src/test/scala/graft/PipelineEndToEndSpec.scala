@@ -2,7 +2,7 @@ package graft
 
 import graft.app.BatchReplay
 import graft.model.Instrument
-import graft.streaming.StreamingPipeline
+import graft.streaming.{FullPipeline, StreamingPipeline}
 import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -74,6 +74,44 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     assert(BatchReplay.run(rawDf(), dim, sink, "2026-02-02T17:00:00") === 0L)
     assert(spark.read.parquet(sink).count() === 32L)
     assert(spark.read.parquet(sink).select("id").distinct().count() === 32L)
+  }
+
+  test("full streaming pipeline (gap-fill + ATR + edge sink) matches batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-full").toString
+    val dim = instruments.toDS()
+
+    // batch truth: full BatchReplay into its own sink
+    val batchSink = s"$root/batch_sink"
+    graft.app.BatchReplay.run(rawDf(), dim, batchSink, "2026-02-02T16:00:00")
+    val want = spark.read.parquet(batchSink)
+      .drop("created_at").collect().map(_.toSeq).toSet
+
+    val stream = MemoryStream[(String, Option[Double], Timestamp, Long)]
+    val ticks = graft.ingest.TickIngest.ingest(
+      stream.toDF().toDF("tk", "ltp", "exchange_timestamp", "seq"), dim)
+    val candles = StreamingPipeline.ohlcCandles(ticks, tsCol = "event_ts",
+      symCol = "symbol", priceCol = "ltp", seqCol = "seq", watermarkDelay = "1 seconds")
+    val q = FullPipeline.start(candles, instruments.map(_.symbol),
+      s"$root/sink", s"$root/dead", s"$root/ckpt", s"$root/state")
+    try {
+      val day = syntheticDay()
+      val (first, second) = day.splitAt(day.length / 2)
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+      // sentinel far past the last window so everything finalizes
+      stream.addData(Seq(("2885", Some(2000.0),
+        Timestamp.valueOf("2026-02-02 12:00:10"), 99999L)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$root/sink").drop("created_at")
+        .collect().map(_.toSeq).toSet
+      // everything batch produced for the synthetic day must be present,
+      // except rows the sentinel itself created (RELIANCE @ 12:00 window)
+      val missing = want -- got
+      assert(missing.isEmpty, s"missing ${missing.size} rows: ${missing.take(3)}")
+      val ids = spark.read.parquet(s"$root/sink").select("id").as[String].collect()
+      assert(ids.length === ids.distinct.length)
+    } finally q.stop()
   }
 
   test("streaming pipeline matches batch enrichment and sinks idempotently") {
