@@ -25,10 +25,16 @@ object Monitors {
     private val droppedByWatermark = new AtomicLong(0L)
     private val lastBatchId = new AtomicLong(-1L)
 
-    def recordProgress(batchId: Long, droppedRowsCumulative: Long): Unit = {
+    /** `droppedRowsInBatch` is the PER-BATCH numRowsDroppedByWatermark;
+      * progress events can repeat for an idle batch, so only a strictly
+      * newer batchId accumulates.
+      */
+    def recordProgress(batchId: Long, droppedRowsInBatch: Long): Unit = {
       lastProgressAt.set(clock())
-      lastBatchId.set(batchId)
-      droppedByWatermark.set(droppedRowsCumulative)
+      if (batchId > lastBatchId.get()) {
+        lastBatchId.set(batchId)
+        droppedByWatermark.addAndGet(droppedRowsInBatch)
+      }
     }
 
     /** True when no micro-batch progressed within the silence timeout —

@@ -37,4 +37,20 @@ class OhlcSpec extends AnyFunSuite {
   test("OHLC invariants hold — violation detector empty") {
     assert(Ohlc.invariantViolations(Ohlc.candles(ticks)).count() === 0)
   }
+
+  test("property: candles are invariant under tick arrival permutation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, ts(f"2026-02-02 ${9 + rnd.nextInt(2)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"),
+        s"S${rnd.nextInt(4)}", math.rint(rnd.nextDouble() * 10000) / 100)
+    }
+    def run(data: Seq[(Long, Timestamp, String, Double)], parts: Int) =
+      Ohlc.candles(spark.sparkContext.parallelize(data, parts)
+          .toDF("event_id", "ts", "event_type", "value"))
+        .collect().map(_.toSeq).toSet
+    val a = run(rows, 2)
+    val b = run(scala.util.Random.shuffle(rows), 7)
+    assert(a === b)
+  }
 }

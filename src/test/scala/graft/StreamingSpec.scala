@@ -40,6 +40,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("monitor listener counts watermark-dropped late ticks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hb = new graft.streaming.Monitors.HeartbeatMonitor(60000L)
+    val listener = graft.streaming.Monitors.listener(hb)
+    spark.streams.addListener(listener)
+    val stream = MemoryStream[TickRow]
+    val q = StreamingPipeline.ohlcCandles(stream.toDF(), watermarkDelay = "1 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("drop_out").start()
+    try {
+      stream.addData(TickRow(1, ts("2026-02-02 09:15:01"), "A", 100.0))
+      q.processAllAvailable()
+      stream.addData(TickRow(2, ts("2026-02-02 09:30:00"), "A", 101.0))
+      q.processAllAvailable()
+      // 09:16 is far behind the 09:30 watermark → dropped, counted
+      stream.addData(TickRow(3, ts("2026-02-02 09:16:00"), "A", 99.0))
+      q.processAllAvailable()
+      stream.addData(TickRow(4, ts("2026-02-02 09:31:00"), "A", 102.0))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 15000
+      while (hb.totalDroppedByWatermark == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200) // listener bus is async
+      assert(hb.totalDroppedByWatermark > 0)
+      assert(hb.latestBatchId >= 0)
+      assert(!hb.isStalled)
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+  }
+
   test("stateful streaming ATR matches the batch recursion across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
