@@ -309,6 +309,9 @@ object SparkEntry {
     "q42_ann_lsh" -> ((s, dir) =>
       Similarity.annLshTopK(Tables.embeddings(s, dir), pmod(col("vec_id"), lit(100)) === 0)
         .orderBy("query_id", "rnk")),
+    "q44_ann_ivf" -> ((s, dir) =>
+      Similarity.annIvfTopK(Tables.embeddings(s, dir), pmod(col("vec_id"), lit(100)) === 0)
+        .orderBy("query_id", "rnk")),
     "q43_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, dir)))
         .toDF().orderBy("media_id")),

@@ -13,4 +13,11 @@ package object functions {
     def dot_product(a: Column, b: Column): Column = Shim.dot_product(a, b)
     def l2_norm(a: Column): Column = Shim.l2_norm(a)
   }
+
+  /** Wilder ATR recursion as a native aggregate:
+    * `wilder_atr(struct(wkey, high, low, close))` →
+    * array<struct(wkey, tr, atr)> sorted by wkey.
+    */
+  def wilder_atr(c: Column): Column =
+    org.apache.spark.sql.graftshim.WilderAtrAgg.wilder_atr(c)
 }

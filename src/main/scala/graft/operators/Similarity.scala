@@ -87,6 +87,47 @@ object Similarity {
           call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nLists` Voronoi
+    * cells around centroid vectors, then search only the `nProbe` cells
+    * nearest to each query — the classic sub-linear ANN layout (IVF-Flat).
+    *
+    * Centroid selection here is deterministic (the `nLists` lowest vec_ids)
+    * instead of k-means — replaceable without touching the search path; at
+    * corpus scale you'd train centroids on a sample and broadcast them the
+    * same way. Cell assignment is one broadcast join + window argmin; no
+    * shuffle of the corpus beyond the final per-cell candidate join.
+    */
+  def annIvfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+                 nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val centW = Window.orderBy(col("vec_id"))
+    val centroids = base
+      .withColumn("crn", row_number().over(centW)).where(col("crn") <= nLists)
+      .select(col("crn").as("list_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    def nearestLists(df: DataFrame, keep: Int, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("list_id"))
+      df.join(broadcast(centroids), lit(true))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .drop("cv", "cnorm", "csim", "crank")
+    }
+    val assigned = nearestLists(base, 1, "vec_id") // corpus: 1 cell each
+    val queries = nearestLists(base.where(queryPred), nProbe, "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("list_id"))
+    val cand = assigned.join(queries, Seq("list_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Approximate top-k: score only pairs sharing an LSH bucket across
     * `numTables` independent hash tables. Recall grows with tables; cost is
     * per-bucket instead of all-pairs. Output schema matches

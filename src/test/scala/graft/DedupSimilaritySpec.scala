@@ -77,6 +77,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.exists { case (id, cos) => id == 0L && cos == 1.0 })
   }
 
+  test("IVF ANN recalls an identical vector through its probe lists") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 60).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val emb = (vecs :+ (99L, vecs(5)._2)).toDF("vec_id", "embedding")
+    val out = Similarity.annIvfTopK(emb, col("vec_id") === 99, k = 5, nLists = 8, nProbe = 3)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    // the clone of vector 5 lives in the same Voronoi cell → always probed
+    assert(out.exists { case (id, cos) => id == 5L && cos == 1.0 })
+    // IVF recall vs brute force on the probed queries is non-trivial
+    val brute = Similarity.knnCosineBrute(emb, col("vec_id") === 99, k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    val ivf = out.map(_._1).toSet
+    assert((brute intersect ivf).nonEmpty)
+  }
+
   test("token stats and fingerprint normalization") {
     val stats = TextAnalysis.tokenStats(Seq((1L, "a bb  ccc ")).toDF("doc_id", "text"))
       .as[(Long, Long, Long, Long, Double)].head()

@@ -54,6 +54,33 @@ class RecoverSpec extends AnyFunSuite {
     assert(!RetryPolicy.canRetry(cfg, 10))
   }
 
+  test("checkpoint store: round-trip, rotation keep-3, corrupt-primary fallback") {
+    import graft.model.AtrState
+    import graft.recover.CheckpointStore
+    import graft.recover.CheckpointStore.Checkpoint
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def cp(w: String) = Checkpoint(Some(w),
+      Map("RELIANCE" -> AtrState(Some(2050.25), Some(13.4567), List(1.5, 2.0), 20),
+          "TCS" -> AtrState(Some(3311.0), None, List(0.5), 3)),
+      savedAt = s"$w+z", sheetsWriteConfirmed = true)
+    CheckpointStore.save(dir, cp("2026-02-02T09:15:00"))
+    CheckpointStore.save(dir, cp("2026-02-02T09:20:00"))
+    CheckpointStore.save(dir, cp("2026-02-02T09:25:00"))
+    CheckpointStore.save(dir, cp("2026-02-02T09:30:00"))
+    assert(CheckpointStore.generations(dir).size === 3) // keep-3 rotation
+    val loaded = CheckpointStore.load(dir).get
+    assert(loaded.lastWindow.contains("2026-02-02T09:30:00"))
+    assert(loaded.atrState("RELIANCE") ===
+      AtrState(Some(2050.25), Some(13.4567), List(1.5, 2.0), 20))
+    assert(loaded.atrState("TCS").prevAtr.isEmpty)
+    assert(loaded.sheetsWriteConfirmed)
+    // corrupt the primary → loader falls back to the previous generation
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "checkpoint.json"), "{not json")
+    val fallback = CheckpointStore.load(dir).get
+    assert(fallback.lastWindow.contains("2026-02-02T09:25:00"))
+  }
+
   test("edge format: 13 string columns, null→empty, bool→TRUE/FALSE") {
     val enriched = Seq(
       ("RELIANCE", "2026-02-02 09:15:00", 10.0, 12.0, 9.0, 11.0, 5L, false, Some(3.0), None: Option[Double]),
