@@ -242,6 +242,18 @@ object SparkEntry {
           sum(dec("value")).cast("double").as("total_value"))
         .orderBy("user_id", "session_id")
     }),
+    "q24_session_window" -> ((s, dir) => {
+      // Spark's NATIVE session-window operator (vs q20's manual lag-based
+      // construction — the oracle mirrors its merge semantics: a gap of
+      // exactly 30 min starts a new session)
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec("value")).cast("double").as("total_value"))
+        .select(col("user_id"), wstr(col("sw.start")).as("session_start"),
+          wstr(col("sw.end")).as("session_end"), col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start")
+    }),
     "q21_moving_avg" -> ((s, dir) => {
       val w = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
         .rowsBetween(-3, 0)
@@ -514,6 +526,20 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q24_session_window" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
+        |m AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |                     OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM l),
+        |s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM m)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q21_moving_avg" ->
       s"""WITH $CandleCte
          |SELECT symbol, strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, close,

@@ -25,21 +25,29 @@ object IdempotentSink {
   def rowId(symbolCol: String = "symbol", windowCol: String = "window_start") =
     concat_ws("_", col(symbolCol), date_format(col(windowCol), "yyyyMMdd_HHmm"))
 
-  private def readIds(spark: SparkSession, dir: String, idCol: String): DataFrame =
-    try spark.read.parquet(dir).select(idCol)
-    catch {
-      case _: AnalysisException =>
-        import org.apache.spark.sql.types._
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField(idCol, StringType))))
-    }
-
   /** Append only rows whose id is not already present in the sink.
     * Returns the number of rows actually written.
+    *
+    * @param pruneCol when set (e.g. "timestamp"), the existing-ids scan is
+    *   filtered to the batch's [min, max] range of that column — with a
+    *   partitioned/sorted sink this prunes the read to the partitions and
+    *   row groups a replay could actually collide with, instead of scanning
+    *   the whole history (the 100 TB posture; mirrors the reference's
+    *   per-window dedup scan, sheets_client.py:128-148).
     */
-  def appendDedup(batch: DataFrame, sinkDir: String, idCol: String = "id"): Long = {
+  def appendDedup(batch: DataFrame, sinkDir: String, idCol: String = "id",
+                  pruneCol: Option[String] = None): Long = {
     val spark = batch.sparkSession
-    val existing = readIds(spark, sinkDir, idCol)
+    val existingAll = readIdsWith(spark, sinkDir, idCol, pruneCol)
+    val existing = pruneCol match {
+      case Some(c) if batch.columns.contains(c) && existingAll.columns.contains(c) =>
+        val bounds = batch.agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
+        if (bounds.isNullAt(0)) existingAll.select(idCol)
+        else existingAll
+          .where(col(c) >= lit(bounds.get(0)) && col(c) <= lit(bounds.get(1)))
+          .select(idCol)
+      case _ => existingAll.select(idCol)
+    }
     val fresh = batch.join(existing, Seq(idCol), "left_anti").cache()
     try {
       val n = fresh.count()
@@ -48,17 +56,35 @@ object IdempotentSink {
     } finally fresh.unpersist()
   }
 
+  private def readIdsWith(spark: SparkSession, dir: String, idCol: String,
+                          pruneCol: Option[String]): DataFrame =
+    try {
+      val df = spark.read.parquet(dir)
+      pruneCol match {
+        case Some(c) if df.columns.contains(c) => df.select(idCol, c)
+        case _ => df.select(idCol)
+      }
+    } catch {
+      case _: AnalysisException =>
+        import org.apache.spark.sql.types._
+        val fields = StructField(idCol, StringType) ::
+          pruneCol.map(StructField(_, StringType)).toList
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(fields))
+    }
+
   /** appendDedup with retry/backoff and dead-letter fallback
     * (write_pipeline.py:199-285). Backoff base is in millis so tests run
     * fast; the reference uses 1/2/4/8/16 s.
     */
   def appendWithRetry(batch: DataFrame, sinkDir: String, deadLetterDir: String,
                       idCol: String = "id", maxRetries: Int = 5,
-                      baseDelayMs: Long = 1000L): Either[Throwable, Long] = {
+                      baseDelayMs: Long = 1000L,
+                      pruneCol: Option[String] = None): Either[Throwable, Long] = {
     var attempt = 0
     var last: Throwable = null
     while (attempt < maxRetries) {
-      try return Right(appendDedup(batch, sinkDir, idCol))
+      try return Right(appendDedup(batch, sinkDir, idCol, pruneCol))
       catch {
         case e: Throwable =>
           last = e

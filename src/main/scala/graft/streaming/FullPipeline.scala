@@ -130,7 +130,7 @@ object FullPipeline {
           val rows = EdgeFormat.sheetRows(enriched,
             createdAt = java.time.Instant.now.toString)
           IdempotentSink.appendWithRetry(rows, sinkDir, deadLetterDir,
-            maxRetries = 3, baseDelayMs = 100L)
+            maxRetries = 3, baseDelayMs = 100L, pruneCol = Some("timestamp"))
           // last-close snapshot includes synthesized closes (gap_fill.py:77-79)
           val w = Window.partitionBy(col("symbol")).orderBy(col("window_start").desc)
           val newLastClose = filled

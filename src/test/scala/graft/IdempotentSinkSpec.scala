@@ -29,6 +29,21 @@ class IdempotentSinkSpec extends AnyFunSuite {
     assert(all === Array(("a_1", 1.0), ("b_1", 2.0), ("c_1", 3.0)))
   }
 
+  test("pruned dedup scan still rejects replays inside the range") {
+    val sink = tmp() + "/sink"
+    def b(rows: (String, String, Double)*) = rows.toSeq.toDF("id", "timestamp", "v")
+    val day1 = b(("a_0915", "2026-02-02T09:15:00", 1.0), ("a_0920", "2026-02-02T09:20:00", 2.0))
+    assert(IdempotentSink.appendDedup(day1, sink, pruneCol = Some("timestamp")) === 2L)
+    // replay overlapping range: one dup, one new
+    val day1b = b(("a_0920", "2026-02-02T09:20:00", 2.0), ("a_0925", "2026-02-02T09:25:00", 3.0))
+    assert(IdempotentSink.appendDedup(day1b, sink, pruneCol = Some("timestamp")) === 1L)
+    // disjoint later range: prune filter keeps scan away from day 1 but appends all
+    val day2 = b(("a_next_0915", "2026-02-03T09:15:00", 4.0))
+    assert(IdempotentSink.appendDedup(day2, sink, pruneCol = Some("timestamp")) === 1L)
+    assert(spark.read.parquet(sink).count() === 4L)
+    assert(spark.read.parquet(sink).select("id").distinct().count() === 4L)
+  }
+
   test("dead letters drain idempotently into the sink") {
     val root = tmp(); val sink = root + "/sink"; val dead = root + "/dead"
     val parked = Seq(("x_1", 1.0), ("y_1", 2.0)).toDF("id", "v")
