@@ -327,6 +327,11 @@ object SparkEntry {
     "q43_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, dir)))
         .toDF().orderBy("media_id")),
+    "q45_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(Tables.documents(s, dir))
+        .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fingerprints"),
+          col("fingerprints"))
+        .orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(

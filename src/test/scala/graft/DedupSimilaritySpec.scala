@@ -93,6 +93,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((brute intersect ivf).nonEmpty)
   }
 
+  test("winnowing fingerprints: shared substrings collide, guarantee holds") {
+    val f = TextAnalysis.winnowingFingerprints(docs)
+      .select("doc_id", "fingerprints").as[(Long, Seq[Long])].collect().toMap
+    assert(f(1L) === f(4L))                      // identical docs
+    val shared12 = f(1L).toSet intersect f(2L).toSet
+    val shared13 = f(1L).toSet intersect f(3L).toSet
+    // near-dup shares a long prefix/suffix → many common fingerprints;
+    // unrelated text shares (almost) none
+    assert(shared12.size > f(1L).size / 2)
+    assert(shared13.size < f(1L).size / 10)
+  }
+
   test("token stats and fingerprint normalization") {
     val stats = TextAnalysis.tokenStats(Seq((1L, "a bb  ccc ")).toDF("doc_id", "text"))
       .as[(Long, Long, Long, Long, Double)].head()
