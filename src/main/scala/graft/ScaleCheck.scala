@@ -41,9 +41,11 @@ object ScaleCheck {
       r
     }
 
-    val candles = Ohlc.candles(expanded)
+    // cache stage inputs so each timing is the stage's marginal cost, not a
+    // recompute of the whole upstream chain
+    val candles = Ohlc.candles(expanded).cache()
     val nCandles = time(s"OHLC over $nTicks ticks")(candles.count())
-    val filled = GapFill.fill(candles)
+    val filled = GapFill.fill(candles).cache()
     val nFilled = time("gap-fill (dense grid)")(filled.count())
     val nEnriched = time("Wilder ATR over gap-filled")(Atr.enrich(filled).toDF().count())
     println(s"[scale] ticks=$nTicks candles=$nCandles filled=$nFilled enriched=$nEnriched " +

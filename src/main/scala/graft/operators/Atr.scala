@@ -118,9 +118,23 @@ object Atr {
       col("low").cast("double"), col("close").cast("double"),
       col("tick_count").cast("long"), col("gap_filled")
     ).as[Candle]
-    ds.groupByKey(_.symbol)
-      .flatMapGroups { (_, it) =>
-        enrichSeries(it.toIndexedSeq.sortBy(_.wkey)).iterator
+    // hash-partition by symbol, sort (symbol, wkey) inside each partition,
+    // then stream one sequential fold per partition resetting state at
+    // symbol boundaries: same semantics as groupByKey+flatMapGroups but
+    // without buffering/sorting each group in memory — the shuffle's sort
+    // machinery does the ordering, and the fold is a pure iterator pass
+    ds.repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("wkey"))
+      .mapPartitions { it =>
+        var state = AtrState.empty
+        var cur: String = null
+        it.map { c =>
+          if (c.symbol != cur) { cur = c.symbol; state = AtrState.empty }
+          val (next, tr, atr) = step(state, c.high, c.low, c.close)
+          state = next
+          EnrichedCandle(c.symbol, c.wkey, c.window_start, c.open, c.high,
+            c.low, c.close, c.tick_count, c.gap_filled, Some(tr), atr)
+        }
       }
   }
 }
