@@ -114,6 +114,53 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint: file source, kill mid-day, no dupes, state continuity") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft-restart").toString
+    val dim = instruments.toDS()
+    val srcDir = s"$root/src"
+
+    // batch truth over the full day
+    val batchSink = s"$root/batch_sink"
+    graft.app.BatchReplay.run(rawDf(), dim, batchSink, "x")
+    val want = spark.read.parquet(batchSink).drop("created_at")
+      .collect().map(_.toSeq).toSet
+
+    val day = syntheticDay()
+    val (first, second) = day.splitAt(day.length / 2)
+    val sentinel = Seq(("2885", Some(2000.0), Timestamp.valueOf("2026-02-02 12:00:10"), 99999L))
+    first.toDF("tk", "ltp", "exchange_timestamp", "seq")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    val schema = StructType(Seq(
+      StructField("tk", StringType), StructField("ltp", DoubleType),
+      StructField("exchange_timestamp", TimestampType), StructField("seq", LongType)))
+    def startQuery() = {
+      val ticks = graft.ingest.TickIngest.ingest(
+        spark.readStream.schema(schema).parquet(srcDir), dim)
+      val candles = StreamingPipeline.ohlcCandles(ticks, tsCol = "event_ts",
+        symCol = "symbol", priceCol = "ltp", seqCol = "seq", watermarkDelay = "1 seconds")
+      FullPipeline.start(candles, instruments.map(_.symbol),
+        s"$root/sink", s"$root/dead", s"$root/ckpt", s"$root/state")
+    }
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // "crash" mid-day
+
+    (second ++ sentinel).toDF("tk", "ltp", "exchange_timestamp", "seq")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = startQuery() // same checkpoint → resumes offsets, watermark, state
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(s"$root/sink").drop("created_at")
+        .collect().map(_.toSeq).toSet
+      assert((want -- got).isEmpty, s"missing ${(want -- got).size} rows after restart")
+      val ids = spark.read.parquet(s"$root/sink").select("id").as[String].collect()
+      assert(ids.length === ids.distinct.length)
+    } finally q2.stop()
+  }
+
   test("streaming pipeline matches batch enrichment and sinks idempotently") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft-stream").toString
