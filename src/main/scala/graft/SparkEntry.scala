@@ -305,6 +305,10 @@ object SparkEntry {
       Dedup.exactGroups(Tables.documents(s, dir)).orderBy("fingerprint")),
     "q35_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    "q38_minhash_portable" -> ((s, dir) =>
+      Dedup.minhashPortable(Tables.documents(s, dir)).orderBy("doc_id", "perm")),
+    "q39_simhash_portable" -> ((s, dir) =>
+      Dedup.simhashPortable(Tables.documents(s, dir)).orderBy("doc_id")),
     "q36_knn_cosine" -> ((s, dir) =>
       Similarity.knnCosineBrute(Tables.embeddings(s, dir), pmod(col("vec_id"), lit(100)) === 0)
         .orderBy("query_id", "rnk")),
@@ -744,6 +748,38 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = p.doc_b
         |WHERE round(p.n_common / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.4
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q38_minhash_portable" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 3),
+        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 5) t),
+        |perms AS (SELECT unnest(range(0, 16)) AS perm)
+        |SELECT doc_id, perm,
+        |       min(('0x' || substr(md5(shingle || '#' || CAST(perm AS VARCHAR)), 1, 8))::BIGINT) AS minhash
+        |FROM sh CROSS JOIN perms
+        |GROUP BY doc_id, perm ORDER BY doc_id, perm""".stripMargin,
+    "q39_simhash_portable" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS cnt,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+        |        FROM documents) t
+        |  GROUP BY doc_id, tok),
+        |bits AS (SELECT unnest(range(0, 32)) AS b),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+        |  FROM tf CROSS JOIN bits GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q36_knn_cosine" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),

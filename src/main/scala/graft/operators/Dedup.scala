@@ -85,6 +85,22 @@ object Dedup {
         i => array_min(transform(col("sh"), s => xxhash64(s, i)))).as("sig"))
   }
 
+  /** Portable MinHash signatures: permutation hashes derived from md5
+    * (`int(md5(shingle + '#' + perm)[0:8], 16)`) instead of xxhash64, so the
+    * exact signatures are reproducible in any engine with md5 — this is the
+    * oracle-checkable variant; [[minhashSignatures]] (xxhash64) is the fast
+    * path for LSH banding. Output: (doc_id, perm, minhash) rows.
+    */
+  def minhashPortable(docs: DataFrame, n: Int = 5, numPerms: Int = 16): DataFrame =
+    shingles(docs, n)
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(numPerms - 1))).as("perm"))
+      .groupBy(col("doc_id"), col("perm"))
+      .agg(min(conv(substring(md5(
+        concat(col("shingle"), lit("#"), col("perm").cast("string"))), 1, 8), 16, 10)
+        .cast("long")).as("minhash"))
+      .select(col("doc_id"), col("perm").cast("long").as("perm"), col("minhash"))
+
   /** MinHash + LSH near-dup pairs: band the signature (bands × rowsPerBand =
     * numPerms), bucket-join on (band index, band slice), then verify each
     * candidate pair's estimated Jaccard = fraction of matching signature
@@ -114,6 +130,29 @@ object Dedup {
           .cast("double") / lit(numPerms.toDouble), 4))
       .where(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Portable 32-bit SimHash: token hash = int(md5(token)[0:8], 16), bit b
+    * votes ±tf, bit set when the vote sum is positive — fully reproducible
+    * in any md5-capable engine (the oracle-checkable variant of [[simhash]]).
+    * Output: (doc_id, simhash32).
+    */
+  def simhashPortable(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val votes = tf
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("vote",
+        when(call_function("shiftright", col("h"), col("b")).bitwiseAND(1) === 1, col("cnt"))
+          .otherwise(-col("cnt")))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("vote")).as("v"))
+    votes
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0,
+        pow(lit(2.0), col("b")).cast("long")).otherwise(0L)).as("simhash32"))
   }
 
   /** 64-bit SimHash over whitespace tokens weighted by term frequency. */
