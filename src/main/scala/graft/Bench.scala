@@ -31,9 +31,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup: touch every table + JIT the scan/agg path once
+    // warmup: run every query once at the smallest SF — generated code is
+    // identical across input paths, so Janino's compile cache is hot and the
+    // timed pass measures steady-state execution, not per-plan codegen
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     try Tables.names.foreach(n => Tables.load(spark, sfDir, n).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> force(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -142,6 +142,35 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "q25_set_ops" -> ((s, dir) => {
+      // EXCEPT/INTERSECT surface: customers with orders vs customers with
+      // high-value orders
+      val withOrders = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")).distinct()
+      val highValue = Tables.orders(s, dir).where(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      withOrders.except(highValue)
+        .join(Tables.customer(s, dir), "c_custkey")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    "q26_ranking" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("o_orderpriority"), col("rnk"), col("drnk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    }),
+    "q27_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
     // ── reference pipeline on the events stream (SURVEY §2.4-2.8) ──
     "q10_ohlc_candles" -> ((s, dir) => {
       candles(s, dir)
@@ -397,6 +426,28 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q25_set_ops" ->
+      """SELECT c.c_custkey, c.c_name
+        |FROM ((SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+        |      EXCEPT
+        |      (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000.0)) t
+        |JOIN customer c USING (c_custkey)
+        |ORDER BY c.c_custkey""".stripMargin,
+    "q26_ranking" ->
+      """SELECT o_orderpriority, rnk, drnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(rank() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+        |         CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS drnk
+        |  FROM orders) t
+        |WHERE rnk <= 5 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q10_ohlc_candles" ->
       s"""WITH $CandleCte
          |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, symbol,
