@@ -142,6 +142,24 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "q28_count_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type").as("symbol"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("symbol")
+    }),
+    "q29_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"), col("error").as("n_error"),
+          col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+          col("view").as("n_view"))
+        .orderBy("user_id")
+    }),
     "q25_set_ops" -> ((s, dir) => {
       // EXCEPT/INTERSECT surface: customers with orders vs customers with
       // high-value orders
@@ -426,6 +444,17 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q28_count_distinct" ->
+      """SELECT event_type AS symbol, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY symbol""".stripMargin,
+    "q29_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'error') AS n_error,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'view') AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q25_set_ops" ->
       """SELECT c.c_custkey, c.c_name
         |FROM ((SELECT DISTINCT o_custkey AS c_custkey FROM orders)
