@@ -43,10 +43,29 @@ object FullPipeline {
 
   /** Gap-fill one micro-batch of candles against the expected symbol set,
     * seeding forward-fill with the persisted last-close snapshot.
+    *
+    * The window axis is DENSIFIED from `sinceWindow` (exclusive — the
+    * persisted high-watermark of the previous batch) to the batch max: a
+    * window in which NO symbol ticked appears in no micro-batch at all, but
+    * the reference clock-triggers every window and synthesizes flat candles
+    * for the whole universe (main.py:231-265 + gap_fill.py). Sequencing
+    * over the persisted watermark reproduces that — including empty windows
+    * that fall between micro-batches.
     */
   private[streaming] def gapFillBatch(candles: DataFrame, expectedSymbols: DataFrame,
-                                      lastClose: Option[DataFrame]): DataFrame = {
-    val wins = candles.select(col("window_start")).distinct()
+                                      lastClose: Option[DataFrame],
+                                      sinceWindow: Option[java.sql.Timestamp] = None,
+                                      intervalMinutes: Int = 5): DataFrame = {
+    val bounds = candles.agg(min(col("window_start")).as("bmin"),
+      max(col("window_start")).as("bmax"))
+    // start at prev-watermark+interval (to cover globally-empty windows
+    // between batches) but never later than the batch's own min, in case a
+    // window finalizes out of order
+    val lo = sinceWindow
+      .map(t => least(lit(t) + expr(s"interval $intervalMinutes minutes"), col("bmin")))
+      .getOrElse(col("bmin"))
+    val wins = bounds.select(explode(sequence(
+      lo, col("bmax"), expr(s"interval $intervalMinutes minutes"))).as("window_start"))
     val grid = wins.crossJoin(broadcast(expectedSymbols))
     val seeded = grid
       .join(candles, Seq("window_start", "symbol"), "left_outer")
@@ -123,8 +142,10 @@ object FullPipeline {
           import spark.implicits._
           IdempotentSink.drainDeadLetters(spark, deadLetterDir, sinkDir)
           val expected = expectedSymbols.toDF("symbol")
+          val prevWindow = readOpt(spark, s"$stateRoot/meta")
+            .flatMap(df => Option(df.agg(max(col("last_window"))).head().getTimestamp(0)))
           val filled = gapFillBatch(batch, expected,
-            readOpt(spark, s"$stateRoot/last_close")).cache()
+            readOpt(spark, s"$stateRoot/last_close"), prevWindow).cache()
           val (enriched, newAtrState) =
             atrWithState(filled, readOpt(spark, s"$stateRoot/atr_state"))
           val rows = EdgeFormat.sheetRows(enriched,
@@ -144,6 +165,13 @@ object FullPipeline {
           newAtrState.write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/atr_state.tmp")
           spark.read.parquet(s"$stateRoot/atr_state.tmp").write
             .mode(SaveMode.Overwrite).parquet(s"$stateRoot/atr_state")
+          // window high-watermark: lets the next batch densify over
+          // globally-empty windows between batches
+          val newMax = filled.agg(max(col("window_start"))).head().getTimestamp(0)
+          Seq(Tuple1(newMax)).toDF("last_window")
+            .write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/meta.tmp")
+          spark.read.parquet(s"$stateRoot/meta.tmp").write
+            .mode(SaveMode.Overwrite).parquet(s"$stateRoot/meta")
           filled.unpersist()
         }
         ()

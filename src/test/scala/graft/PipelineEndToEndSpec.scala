@@ -23,16 +23,18 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     Instrument("TCS", "11536", "nse_cm"),
     Instrument("NIFTY", "26000", "nse_cm"))
 
-  /** 16 windows from 09:15; RELIANCE ticks every window (warmup + 2 Wilder
-    * steps), TCS silent in windows 3-4 (gap-fill), NIFTY never ticks
-    * (unfillable); plus one unknown-token and one null-price tick.
+  /** 17 windows from 09:15; RELIANCE ticks every window except w5 (warmup +
+    * Wilder steps), TCS silent in windows 2-3 (per-symbol gap-fill), window
+    * 5 is GLOBALLY silent (no symbol ticks — the clock-tick case), NIFTY
+    * never ticks (unfillable); plus one unknown-token and one null-price
+    * tick.
     */
   private def syntheticDay(): Seq[(String, Option[Double], Timestamp, Long)] = {
     val rnd = new Random(7)
     val base = Timestamp.valueOf("2026-02-02 09:15:00").getTime
     var seq = 0L
     val rows = scala.collection.mutable.Buffer[(String, Option[Double], Timestamp, Long)]()
-    for (w <- 0 until 16) {
+    for (w <- 0 until 17 if w != 5) {
       val wstart = base + w * 300000L
       // boundary tick at exactly the window start
       seq += 1; rows += (("2885", Some(2000.0 + rnd.nextInt(100)), new Timestamp(wstart), seq))
@@ -60,10 +62,12 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     val dim = instruments.toDS()
     val written = BatchReplay.run(rawDf(), dim, sink, "2026-02-02T16:00:00")
     val table = spark.read.parquet(sink)
-    // RELIANCE 16 windows + TCS 16 (14 real + 2 gap-filled); NIFTY unfillable → absent
-    assert(written === 32L)
-    assert(table.count() === 32L)
-    assert(table.where($"ticker" === "TCS" && $"gap_filled" === "TRUE").count() === 2)
+    // 17 windows × 2 symbols: RELIANCE 16 real + 1 gap (w5), TCS 14 real +
+    // 3 gaps (w2, w3, w5 globally silent); NIFTY unfillable → absent
+    assert(written === 34L)
+    assert(table.count() === 34L)
+    assert(table.where($"ticker" === "TCS" && $"gap_filled" === "TRUE").count() === 3)
+    assert(table.where($"ticker" === "RELIANCE" && $"gap_filled" === "TRUE").count() === 1)
     assert(table.where($"ticker" === "NIFTY").count() === 0)
     // ATR: null (edge "") through candle 13, populated from candle 14 on
     val relAtr = table.where($"ticker" === "RELIANCE").orderBy($"timestamp")
@@ -72,8 +76,8 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     assert(relAtr.drop(13).forall(_.nonEmpty))
     // replay the whole day → zero new rows, zero duplicates (🔒3)
     assert(BatchReplay.run(rawDf(), dim, sink, "2026-02-02T17:00:00") === 0L)
-    assert(spark.read.parquet(sink).count() === 32L)
-    assert(spark.read.parquet(sink).select("id").distinct().count() === 32L)
+    assert(spark.read.parquet(sink).count() === 34L)
+    assert(spark.read.parquet(sink).select("id").distinct().count() === 34L)
   }
 
   test("full streaming pipeline (gap-fill + ATR + edge sink) matches batch replay") {
@@ -109,6 +113,11 @@ class PipelineEndToEndSpec extends AnyFunSuite {
       // except rows the sentinel itself created (RELIANCE @ 12:00 window)
       val missing = want -- got
       assert(missing.isEmpty, s"missing ${missing.size} rows: ${missing.take(3)}")
+      // the globally-silent window (09:40) was synthesized for BOTH symbols
+      // even though it appeared in no micro-batch — clock-tick semantics
+      assert(spark.read.parquet(s"$root/sink")
+        .where($"timestamp" === "2026-02-02T09:40:00" && $"gap_filled" === "TRUE")
+        .count() === 2)
       val ids = spark.read.parquet(s"$root/sink").select("id").as[String].collect()
       assert(ids.length === ids.distinct.length)
     } finally q.stop()
