@@ -76,14 +76,16 @@ object Similarity {
   private def planeComponent(p: Column, j: Column): Column =
     when(xxhash64(lit("plane"), p, j).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Sign-pattern LSH bucket id for a vector: numPlanes sign bits packed into
-    * a long. Cosine-similar vectors agree on most sign bits, so they collide.
+  /** Sign-pattern LSH bucket id for a vector: numPlanes sign bits packed
+    * into a long; `planeOffset` salts the plane family (used for
+    * independent hash tables). Cosine-similar vectors agree on most sign
+    * bits, so they collide.
     */
-  def lshBucket(v: Column, numPlanes: Int): Column =
+  def lshBucket(v: Column, numPlanes: Int, planeOffset: Column = lit(0)): Column =
     aggregate(
       transform(sequence(lit(0), lit(numPlanes - 1)), p =>
         when(aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => x * planeComponent(p, j)), lit(0.0), (a, x) => a + x) > 0,
+          (x, j) => x * planeComponent(p + planeOffset, j)), lit(0.0), (a, x) => a + x) > 0,
           call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
 
@@ -101,10 +103,14 @@ object Similarity {
                  nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
+    // TakeOrderedAndProject (per-partition top-k, no global shuffle) picks
+    // the centroid rows; the row_number window then runs over only nLists
+    // rows — a global-ordered window over the full corpus would funnel
+    // every embedding through one task
     val centW = Window.orderBy(col("vec_id"))
-    val centroids = base
-      .withColumn("crn", row_number().over(centW)).where(col("crn") <= nLists)
-      .select(col("crn").as("list_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val centroids = base.orderBy(col("vec_id")).limit(nLists)
+      .withColumn("list_id", row_number().over(centW))
+      .select(col("list_id"), col("v").as("cv"), col("norm").as("cnorm"))
     def nearestLists(df: DataFrame, keep: Int, idCol: String): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("list_id"))
       df.join(broadcast(centroids), lit(true))
@@ -141,13 +147,7 @@ object Similarity {
     val tabled = base.select(col("vec_id"), col("v"), col("norm"),
       explode(transform(sequence(lit(0), lit(numTables - 1)), t =>
         struct(t.as("table"),
-          aggregate(
-            transform(sequence(lit(0), lit(numPlanes - 1)), p =>
-              when(aggregate(zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-                (x, j) => x * planeComponent(p + t * numPlanes, j)), lit(0.0),
-                (a, x) => a + x) > 0,
-                call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
-            lit(0L), (acc, x) => acc.bitwiseOR(x)).as("bucket")))).as("tb"))
+          lshBucket(col("v"), numPlanes, t * numPlanes).as("bucket")))).as("tb"))
       .select(col("vec_id"), col("v"), col("norm"),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val queries = tabled.where(queryPred)

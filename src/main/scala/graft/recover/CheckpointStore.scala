@@ -145,10 +145,13 @@ object CheckpointStore {
   def save(dir: String, cp: Checkpoint, keep: Int = 3): Unit = {
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, "checkpoint.json.tmp")
-    val ch = Files.newByteChannel(tmp, StandardOpenOption.CREATE,
+    val ch = java.nio.channels.FileChannel.open(tmp, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
-    try ch.write(java.nio.ByteBuffer.wrap(render(cp).getBytes(StandardCharsets.UTF_8)))
-    finally ch.close()
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(render(cp).getBytes(StandardCharsets.UTF_8)))
+      ch.force(true) // fsync before rename — a crash must not lose both the
+                     // new and (rotated) previous generation
+    } finally ch.close()
     // rotate: N-1 → N, …, 0 → 1 (oldest beyond `keep` falls off)
     for (g <- (keep - 2) to 0 by -1)
       if (Files.exists(path(dir, g)))

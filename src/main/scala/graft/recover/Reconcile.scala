@@ -71,8 +71,15 @@ object Reconcile {
             Decision(FromLocal, s"local ahead ($lw > $sw): sink write was lost mid-flight", d)
           case (Some(lw), Some(sw)) if lw < sw =>
             Decision(FromSink, s"sink ahead ($sw > $lw): local checkpoint stale", d)
-          case _ =>
+          case (Some(_), Some(_)) =>
             Decision(FromLocal, "consistent: windows equal", d)
+          // only one side knows its window → the side with evidence wins
+          case (None, Some(sw)) =>
+            Decision(FromSink, s"local has no window, sink at $sw", d)
+          case (Some(lw), None) =>
+            Decision(FromLocal, s"sink has no window, local at $lw", d)
+          case (None, None) =>
+            Decision(FromLocal, "neither side has a window: keep local", d)
         }
     }
 

@@ -92,9 +92,10 @@ object FullPipeline {
   }
 
   /** ATR enrichment continuing from persisted per-symbol state. Returns the
-    * enriched rows and the updated state, computed in one grouped pass.
+    * enriched rows, the updated state, and a release handle that unpersists
+    * the shared cached pass once both outputs have been materialized.
     */
-  private[streaming] def atrWithState(filled: DataFrame, state: Option[DataFrame]): (DataFrame, DataFrame) = {
+  private[streaming] def atrWithState(filled: DataFrame, state: Option[DataFrame]): (DataFrame, DataFrame, () => Unit) = {
     val spark = filled.sparkSession
     import spark.implicits._
     val st = state.getOrElse(Seq.empty[AtrStateRow].toDF())
@@ -125,7 +126,7 @@ object FullPipeline {
           AtrStateRow(sym, state.prevClose, state.prevAtr, state.trHistory, state.candleCount))
       }
       .cache()
-    (out.flatMap(_.rows).toDF(), out.map(_.state).toDF())
+    (out.flatMap(_.rows).toDF(), out.map(_.state).toDF(), () => { out.unpersist(); () })
   }
 
   /** Wire the full pipeline onto a finalized-candle stream.
@@ -146,7 +147,7 @@ object FullPipeline {
             .flatMap(df => Option(df.agg(max(col("last_window"))).head().getTimestamp(0)))
           val filled = gapFillBatch(batch, expected,
             readOpt(spark, s"$stateRoot/last_close"), prevWindow).cache()
-          val (enriched, newAtrState) =
+          val (enriched, newAtrState, releaseAtr) =
             atrWithState(filled, readOpt(spark, s"$stateRoot/atr_state"))
           val rows = EdgeFormat.sheetRows(enriched,
             createdAt = java.time.Instant.now.toString)
@@ -172,6 +173,7 @@ object FullPipeline {
             .write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/meta.tmp")
           spark.read.parquet(s"$stateRoot/meta.tmp").write
             .mode(SaveMode.Overwrite).parquet(s"$stateRoot/meta")
+          releaseAtr()
           filled.unpersist()
         }
         ()

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
-import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Operational monitors for the streaming pipeline, mirroring the
   * reference's ops surface on Spark's listener bus:
@@ -50,16 +50,13 @@ object Monitors {
   def listener(hb: HeartbeatMonitor,
                onTerminated: Option[String] => Unit = _ => ()): StreamingQueryListener =
     new StreamingQueryListener {
-      private val lastError = new AtomicReference[Option[String]](None)
       override def onQueryStarted(event: QueryStartedEvent): Unit = ()
       override def onQueryProgress(event: QueryProgressEvent): Unit = {
         val dropped = event.progress.stateOperators
           .map(op => op.numRowsDroppedByWatermark).sum
         hb.recordProgress(event.progress.batchId, dropped)
       }
-      override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
-        lastError.set(event.exception)
+      override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
         onTerminated(event.exception)
-      }
     }
 }

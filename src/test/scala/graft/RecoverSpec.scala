@@ -22,6 +22,11 @@ class RecoverSpec extends AnyFunSuite {
     assert(Reconcile.decide(Some(local), Some(sinkBehind)).source === Reconcile.FromLocal)
     assert(Reconcile.decide(Some(local), Some(sinkAhead)).source === Reconcile.FromSink)
     assert(Reconcile.decide(Some(local), Some(local)).source === Reconcile.FromLocal) // consistent
+    // one-sided window knowledge: the side with evidence wins
+    val noWindowLocal = Reconcile.Snapshot(None, state(("A", 1.0, 1.0)))
+    assert(Reconcile.decide(Some(noWindowLocal), Some(sinkAhead)).source === Reconcile.FromSink)
+    val noWindowSink = Reconcile.Snapshot(None, state(("A", 2.0, 2.0)))
+    assert(Reconcile.decide(Some(local), Some(noWindowSink)).source === Reconcile.FromLocal)
   }
 
   test("divergence audit counts |Δatr| > 1e-4 only") {
