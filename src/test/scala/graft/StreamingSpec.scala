@@ -40,6 +40,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window closes sessions past the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TickRow]
+    val sessions = stream.toDF()
+      .withWatermark("ts", "1 seconds")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", $"sw.start".cast("string").as("start"),
+        $"sw.end".cast("string").as("end"), $"n")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      stream.addData(
+        TickRow(1, ts("2026-02-02 09:00:00"), "A", 1.0),
+        TickRow(2, ts("2026-02-02 09:20:00"), "A", 1.0), // merges: gap 20m < 30m
+        TickRow(3, ts("2026-02-02 11:00:00"), "A", 1.0)) // new session
+      q.processAllAvailable()
+      stream.addData(TickRow(4, ts("2026-02-02 13:00:00"), "A", 1.0)) // advances watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[(String, String, String, Long)]
+        .collect().sortBy(_._2)
+      assert(rows.toSeq === Seq(
+        ("A", "2026-02-02 09:00:00", "2026-02-02 09:50:00", 2L), // merged, end = last+30m
+        ("A", "2026-02-02 11:00:00", "2026-02-02 11:30:00", 1L)))
+    } finally q.stop()
+  }
+
   test("monitor listener counts watermark-dropped late ticks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
