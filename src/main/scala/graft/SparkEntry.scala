@@ -356,6 +356,8 @@ object SparkEntry {
       Dedup.minhashPortable(Tables.documents(s, dir)).orderBy("doc_id", "perm")),
     "q39_simhash_portable" -> ((s, dir) =>
       Dedup.simhashPortable(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q46_minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairsPortable(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     "q36_knn_cosine" -> ((s, dir) =>
       Similarity.knnCosineBrute(Tables.embeddings(s, dir), pmod(col("vec_id"), lit(100)) === 0)
         .orderBy("query_id", "rnk")),
@@ -860,6 +862,84 @@ object SparkEntry {
         |SELECT doc_id,
         |       CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q46_minhash_lsh_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 3),
+        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 5) t),
+        |perms AS (SELECT unnest(range(0, 16)) AS perm),
+        |sig AS (
+        |  SELECT doc_id, perm,
+        |         min(('0x' || substr(md5(shingle || '#' || CAST(perm AS VARCHAR)), 1, 8))::BIGINT) AS minhash
+        |  FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+        |banded AS (
+        |  SELECT doc_id, perm // 2 AS band,
+        |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key
+        |  FROM sig GROUP BY doc_id, perm // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |                              AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    "q42_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
+        |idx AS (SELECT unnest(range(0, (SELECT d FROM dims))) AS j),
+        |comp AS (SELECT vec_id, j, CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS x
+        |         FROM e CROSS JOIN idx),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |tp AS (SELECT t, p FROM (SELECT unnest(range(0, 4)) AS t) a
+        |       CROSS JOIN (SELECT unnest(range(0, 12)) AS p) b),
+        |planes AS (
+        |  SELECT t, p, j,
+        |         CASE WHEN ('0x' || substr(md5('plane#' || CAST(p + t * 12 AS VARCHAR)
+        |                       || '#' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 2 = 1
+        |              THEN 1.0 ELSE -1.0 END AS c
+        |  FROM tp CROSS JOIN idx),
+        |proj AS (
+        |  SELECT comp.vec_id, planes.t, planes.p, sum(comp.x * planes.c) AS s
+        |  FROM comp JOIN planes ON planes.j = comp.j
+        |  GROUP BY comp.vec_id, planes.t, planes.p),
+        |buckets AS (
+        |  SELECT vec_id, t,
+        |         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id, t),
+        |qb AS (SELECT vec_id AS query_id, t, bucket FROM buckets WHERE vec_id % 100 = 0),
+        |cand AS (
+        |  SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+        |  FROM buckets b JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+        |                         AND b.vec_id <> qb.query_id),
+        |dots AS (
+        |  SELECT c.query_id, c.neighbor_id, sum(ca.x * cb.x) AS dp
+        |  FROM cand c
+        |  JOIN comp ca ON ca.vec_id = c.neighbor_id
+        |  JOIN comp cb ON cb.vec_id = c.query_id AND cb.j = ca.j
+        |  GROUP BY c.query_id, c.neighbor_id),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id, round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
+        |  FROM dots d
+        |  JOIN norms nn ON nn.vec_id = d.neighbor_id
+        |  JOIN norms nq ON nq.vec_id = d.query_id)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q36_knn_cosine" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),

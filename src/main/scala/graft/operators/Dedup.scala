@@ -101,6 +101,38 @@ object Dedup {
         .cast("long")).as("minhash"))
       .select(col("doc_id"), col("perm").cast("long").as("perm"), col("minhash"))
 
+  /** Portable MinHash + LSH pairs over [[minhashPortable]] signatures:
+    * band keys are the ordered concatenation of each band's minhashes,
+    * candidates share a full band, and the estimated Jaccard is the
+    * matching-permutation fraction — every step md5-reproducible, so the
+    * whole sub-quadratic dedup path is oracle-checkable.
+    */
+  def minhashLshPairsPortable(docs: DataFrame, n: Int = 5, numPerms: Int = 16,
+                              bands: Int = 8, threshold: Double = 0.2): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val rows = numPerms / bands
+    val sig = minhashPortable(docs, n, numPerms)
+    val banded = sig
+      .withColumn("band", (col("perm") / lit(rows)).cast("long"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("perm"), col("minhash")))),
+          x => x.getField("minhash").cast("string"))).as("key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("perm"), col("minhash").as("mh_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("perm"), col("minhash").as("mh_b")), Seq("doc_b", "perm"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(round(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)) / lit(numPerms), 4)
+        .as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
   /** MinHash + LSH near-dup pairs: band the signature (bands × rowsPerBand =
     * numPerms), bucket-join on (band index, band slice), then verify each
     * candidate pair's estimated Jaccard = fraction of matching signature

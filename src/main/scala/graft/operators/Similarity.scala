@@ -70,11 +70,14 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
-    * signed unit derived from xxhash64(p, j) — reproducible with no RNG state
-    * and computable inside codegen.
+    * signed unit derived from an md5-prefix hash — reproducible with no RNG
+    * state AND portable to any md5-capable engine, so the LSH bucketing
+    * itself is oracle-checkable (q42).
     */
   private def planeComponent(p: Column, j: Column): Column =
-    when(xxhash64(lit("plane"), p, j).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+    when(conv(substring(md5(concat(lit("plane#"), p.cast("string"),
+      lit("#"), j.cast("string"))), 1, 8), 16, 10).cast("long") % 2 === 1,
+      lit(1.0)).otherwise(lit(-1.0))
 
   /** Sign-pattern LSH bucket id for a vector: numPlanes sign bits packed
     * into a long; `planeOffset` salts the plane family (used for
