@@ -940,6 +940,54 @@ object SparkEntry {
         |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q44_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
+        |idx AS (SELECT unnest(range(0, (SELECT d FROM dims))) AS j),
+        |comp AS (SELECT vec_id, j, CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS x
+        |         FROM e CROSS JOIN idx),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |cent AS (
+        |  SELECT vec_id AS cvid, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS list_id
+        |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16) t),
+        |cdots AS (
+        |  SELECT c.vec_id, ct.list_id, ct.cvid, sum(c.x * cc.x) AS dp
+        |  FROM comp c CROSS JOIN cent ct
+        |  JOIN comp cc ON cc.vec_id = ct.cvid AND cc.j = c.j
+        |  GROUP BY c.vec_id, ct.list_id, ct.cvid),
+        |csims AS (
+        |  SELECT d.vec_id, d.list_id, d.dp / (nv.nrm * nc.nrm) AS csim
+        |  FROM cdots d
+        |  JOIN norms nv ON nv.vec_id = d.vec_id
+        |  JOIN norms nc ON nc.vec_id = d.cvid),
+        |cranked AS (
+        |  SELECT vec_id, list_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+        |  FROM csims),
+        |assigned AS (SELECT vec_id, list_id FROM cranked WHERE crank = 1),
+        |probes AS (SELECT vec_id AS query_id, list_id FROM cranked
+        |           WHERE crank <= 4 AND vec_id % 100 = 0),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+        |                               AND a.vec_id <> p.query_id),
+        |dots AS (
+        |  SELECT c.query_id, c.neighbor_id, sum(ca.x * cb.x) AS dp
+        |  FROM cand c
+        |  JOIN comp ca ON ca.vec_id = c.neighbor_id
+        |  JOIN comp cb ON cb.vec_id = c.query_id AND cb.j = ca.j
+        |  GROUP BY c.query_id, c.neighbor_id),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id, round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
+        |  FROM dots d
+        |  JOIN norms nn ON nn.vec_id = d.neighbor_id
+        |  JOIN norms nq ON nq.vec_id = d.query_id)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q36_knn_cosine" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
