@@ -70,27 +70,33 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
-    * signed unit derived from an md5-prefix hash — reproducible with no RNG
-    * state AND portable to any md5-capable engine, so the LSH bucketing
-    * itself is oracle-checkable (q42).
+    * signed unit derived from an md5-prefix hash (`int(md5("plane#p#j")
+    * [0:8],16) % 2`) — reproducible with no RNG state AND portable to any
+    * md5-capable engine, so the LSH bucketing itself is oracle-checkable
+    * (q42). The components are data-independent, so they're computed ONCE
+    * driver-side and embedded as literal arrays — an in-expression hash
+    * would recompute planes·dims md5 digests per input row.
     */
-  private def planeComponent(p: Column, j: Column): Column =
-    when(conv(substring(md5(concat(lit("plane#"), p.cast("string"),
-      lit("#"), j.cast("string"))), 1, 8), 16, 10).cast("long") % 2 === 1,
-      lit(1.0)).otherwise(lit(-1.0))
+  private def planeSign(globalPlane: Int, j: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane#$globalPlane#$j".getBytes("UTF-8"))
+    val prefix = digest.take(4).map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(prefix, 16) % 2 == 1) 1.0 else -1.0
+  }
+
+  private def planeLit(globalPlane: Int, dim: Int): Column =
+    typedLit((0 until dim).map(planeSign(globalPlane, _)))
 
   /** Sign-pattern LSH bucket id for a vector: numPlanes sign bits packed
     * into a long; `planeOffset` salts the plane family (used for
     * independent hash tables). Cosine-similar vectors agree on most sign
-    * bits, so they collide.
+    * bits, so they collide. `dim` is the embedding dimensionality (plane
+    * literals are materialized at plan time).
     */
-  def lshBucket(v: Column, numPlanes: Int, planeOffset: Column = lit(0)): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(numPlanes - 1)), p =>
-        when(aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => x * planeComponent(p + planeOffset, j)), lit(0.0), (a, x) => a + x) > 0,
-          call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  def lshBucket(v: Column, numPlanes: Int, planeOffset: Int = 0, dim: Int = 64): Column =
+    (0 until numPlanes).map { p =>
+      when(dot(v, planeLit(p + planeOffset, dim)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** IVF (inverted-file) ANN: partition the corpus into `nLists` Voronoi
     * cells around centroid vectors, then search only the `nProbe` cells
@@ -143,14 +149,14 @@ object Similarity {
     * [[knnCosineBrute]] (rank within retrieved candidates).
     */
   def annLshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
-                 numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
+                 numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
     // one bucket id per table, with the table index salted into the planes
     val tabled = base.select(col("vec_id"), col("v"), col("norm"),
-      explode(transform(sequence(lit(0), lit(numTables - 1)), t =>
-        struct(t.as("table"),
-          lshBucket(col("v"), numPlanes, t * numPlanes).as("bucket")))).as("tb"))
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("table"),
+          lshBucket(col("v"), numPlanes, t * numPlanes, dim).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("norm"),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val queries = tabled.where(queryPred)
