@@ -381,10 +381,11 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, dir)))
         .toDF().orderBy("media_id")),
     "q45_winnowing" -> ((s, dir) =>
+      // exploded to scalar (doc_id, fingerprint) rows so the driver's
+      // column-sorting compare can hash them (arrays are unhashable there)
       TextAnalysis.winnowingFingerprints(Tables.documents(s, dir))
-        .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fingerprints"),
-          col("fingerprints"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), explode(col("fingerprints")).as("fingerprint"))
+        .orderBy("doc_id", "fingerprint")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1012,6 +1013,22 @@ object SparkEntry {
         |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q45_winnowing" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(norm) - 6),
+        |           i -> ('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 8))::BIGINT) AS hs
+        |  FROM n WHERE length(norm) >= 11),
+        |wins AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(list_transform(range(0, len(hs) - 3),
+        |           j -> least(hs[CAST(j + 1 AS INT)], hs[CAST(j + 2 AS INT)],
+        |                      hs[CAST(j + 3 AS INT)], hs[CAST(j + 4 AS INT)])))) AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fingerprint FROM wins ORDER BY doc_id, fingerprint""".stripMargin,
     "q37_embedding_dups" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),

@@ -20,4 +20,10 @@ package object functions {
     */
   def wilder_atr(c: Column): Column =
     org.apache.spark.sql.graftshim.WilderAtrAgg.wilder_atr(c)
+
+  /** Winnowing fingerprints (md5-portable k-gram hashes, distinct sorted
+    * window minima) as one native codegen expression → array<long>.
+    */
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graftshim.WinnowFunctions.winnow_fingerprints(text, k, w)
 }

@@ -113,23 +113,17 @@ object TextAnalysis {
     * hashes. Guarantees any shared substring ≥ w+k−1 chars yields a shared
     * fingerprint, with ~2/(w+1) selection density — the standard
     * scalable local-similarity fingerprint for plagiarism/near-dup.
+    *
+    * The per-row computation is one native codegen expression
+    * ([[graft.functions.winnow_fingerprints]]) with md5-portable k-gram
+    * hashes, so the output is oracle-reproducible and the plan stays inside
+    * WholeStageCodegen (the round-1 HOF formulation was interpreter-bound).
     * Output: doc_id, fingerprints array<long> (distinct, sorted).
     */
   def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
     docs
-      // staged projections: materialize the normalized string once, then the
-      // k-gram hash array, then the window minima — inlining everything into
-      // one nested HOF re-evaluates the regex normalization per k-gram and
-      // produces an interpreter-bound expression tree
       .select(col("doc_id"), normalized(col("text")).as("norm"))
       .where(length(col("norm")) >= k + w - 1)
       .select(col("doc_id"),
-        transform(sequence(lit(1), length(col("norm")) - (k - 1)),
-          i => xxhash64(col("norm").substr(i, lit(k)))).as("h"))
-      .select(col("doc_id"),
-        // rolling min as a fixed-width least() over element_at — no
-        // per-window array copy (w is a compile-time constant)
-        array_sort(array_distinct(transform(
-          sequence(lit(0), size(col("h")) - w),
-          j => least(Seq.tabulate(w)(o => element_at(col("h"), j + o + 1)): _*)))).as("fingerprints"))
+        graft.functions.winnow_fingerprints(col("norm"), k, w).as("fingerprints"))
 }
