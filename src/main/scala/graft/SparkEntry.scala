@@ -362,7 +362,10 @@ object SparkEntry {
       Similarity.knnCosineBrute(Tables.embeddings(s, dir), pmod(col("vec_id"), lit(100)) === 0)
         .orderBy("query_id", "rnk")),
     "q37_embedding_dups" -> ((s, dir) =>
-      Similarity.cosineDupPairs(Tables.embeddings(s, dir), threshold = 0.3)
+      Similarity.cosineDupPairsBlocked(Tables.embeddings(s, dir), threshold = 0.3)
+        .orderBy("vec_a", "vec_b")),
+    "q47_embedding_dups_lsh" -> ((s, dir) =>
+      Similarity.cosineDupPairsLsh(Tables.embeddings(s, dir), threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
 
     // ── Spark-only operators (no SQL-expressible oracle → rows-only check) ──
@@ -1013,6 +1016,46 @@ object SparkEntry {
         |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q47_embedding_dups_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
+        |idx AS (SELECT unnest(range(0, (SELECT d FROM dims))) AS j),
+        |comp AS (SELECT vec_id, j, CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS x
+        |         FROM e CROSS JOIN idx),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |tp AS (SELECT t, p FROM (SELECT unnest(range(0, 4)) AS t) a
+        |       CROSS JOIN (SELECT unnest(range(0, 8)) AS p) b),
+        |planes AS (
+        |  SELECT t, p, j,
+        |         CASE WHEN ('0x' || substr(md5('plane#' || CAST(p + t * 8 AS VARCHAR)
+        |                       || '#' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 2 = 1
+        |              THEN 1.0 ELSE -1.0 END AS c
+        |  FROM tp CROSS JOIN idx),
+        |proj AS (
+        |  SELECT comp.vec_id, planes.t, planes.p, sum(comp.x * planes.c) AS s
+        |  FROM comp JOIN planes ON planes.j = comp.j
+        |  GROUP BY comp.vec_id, planes.t, planes.p),
+        |buckets AS (
+        |  SELECT vec_id, t,
+        |         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+        |                              AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT c.vec_a, c.vec_b, sum(ca.x * cb.x) AS dp
+        |  FROM cand c
+        |  JOIN comp ca ON ca.vec_id = c.vec_a
+        |  JOIN comp cb ON cb.vec_id = c.vec_b AND cb.j = ca.j
+        |  GROUP BY c.vec_a, c.vec_b),
+        |scored AS (
+        |  SELECT d.vec_a, d.vec_b, round(d.dp / (na.nrm * nb.nrm), 6) AS cosine
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.vec_a
+        |  JOIN norms nb ON nb.vec_id = d.vec_b)
+        |SELECT vec_a, vec_b, cosine FROM scored
+        |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
     "q45_winnowing" ->
       """WITH n AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm

@@ -56,9 +56,9 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine ≥
-    * threshold. This exact formulation is the correctness baseline — at
-    * corpus scale, run [[annLshTopK]]-style bucketing first and verify only
-    * candidates (same output contract, sub-quadratic candidates).
+    * threshold, as a naive non-equi self-join (BroadcastNestedLoopJoin).
+    * Test-oracle baseline ONLY — the shipped path is
+    * [[cosineDupPairsBlocked]] (same output, block-partitioned equi-join).
     */
   def cosineDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -66,6 +66,86 @@ object Similarity {
     base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Exact cosine-threshold pair join, block-partitioned: vectors are
+    * assigned to `blocks` buckets by vec_id, every unordered block pair
+    * (i ≤ j) becomes one equi-join key, and each input row is replicated to
+    * exactly the block pairs it participates in (B+1 copies total). The
+    * cross product then happens inside shuffle partitions of bounded size —
+    * a SortMerge/ShuffledHash equi-join, never a BroadcastNestedLoopJoin
+    * that ships one whole side to every executor.
+    *
+    * Exact all-pairs is inherently O(n²·dim); this is the standard way to
+    * *distribute* that work. (An LSH pre-filter cannot replace it here
+    * without changing answers: sign-LSH collision probability at cosine 0.3
+    * is 1 − acos(0.3)/π ≈ 0.6 per plane, so banded recall at the threshold
+    * is far below 1 on isotropic data — see [[cosineDupPairsLsh]] for the
+    * recall-bounded sub-quadratic variant with its own contract.)
+    * Output matches [[cosineDupPairs]] bit-for-bit: vec_a < vec_b, cosine
+    * (rounded 6dp) ≥ threshold.
+    *
+    * @param blocks block count; per-task work is (n/blocks)²·dim, so at
+    *               corpus scale pick blocks ≈ n·dim / flops-per-task. Block
+    *               pair count B(B+1)/2 should be ≥ shuffle parallelism.
+    */
+  def cosineDupPairsBlocked(embeddings: DataFrame, threshold: Double,
+                            blocks: Int = 8): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+    // row in block b joins pairs (b, j) j ≥ b on the left, (i, b) i ≤ b on
+    // the right — each unordered block pair meets exactly once
+    val lhs = base.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+      col("norm").as("a_norm"), col("blk").as("a_blk"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("pj"))
+      .withColumn("pi", col("a_blk"))
+    val rhs = base.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+      col("norm").as("b_norm"), col("blk").as("b_blk"),
+      explode(sequence(lit(0), col("blk"))).as("pi"))
+      .withColumn("pj", col("b_blk"))
+    lhs.join(rhs, Seq("pi", "pj"))
+      // same-block pairs arrive in both orders; cross-block pairs once
+      .where(col("a_blk") < col("b_blk") || col("a_id") < col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("vec_a"),
+        greatest(col("a_id"), col("b_id")).as("vec_b"),
+        round(dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Recall-bounded sub-quadratic near-dup pairs: md5-portable sign-LSH
+    * buckets generate candidates (only same-bucket pairs in any of
+    * `numTables` tables), then candidates are exactly verified against the
+    * cosine threshold. The candidate step makes this approximate — recall
+    * per pair is 1 − (1 − p^numPlanes)^numTables with p = 1 − θ/π — but
+    * every emitted pair is exact, and the whole path (buckets included) is
+    * reproducible in any md5-capable engine, so it carries its own DuckDB
+    * oracle. This is the 100 TB near-dup path; [[cosineDupPairsBlocked]] is
+    * the exact (quadratic-work) fallback.
+    */
+  def cosineDupPairsLsh(embeddings: DataFrame, threshold: Double,
+                        numPlanes: Int = 8, numTables: Int = 4, dim: Int = 64): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val tabled = base.select(col("vec_id"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("table"),
+          lshBucket(col("v"), numPlanes, t * numPlanes, dim).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    // candidate ids only — vectors re-join after the dedup so the
+    // dropDuplicates shuffle doesn't carry dim-sized payloads
+    val cand = tabled.as("a")
+      .join(tabled.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(base.select(col("vec_id").as("vec_a"), col("v").as("av"), col("norm").as("an")), Seq("vec_a"))
+      .join(base.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("norm").as("bn")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

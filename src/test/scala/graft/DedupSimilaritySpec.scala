@@ -93,6 +93,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((brute intersect ivf).nonEmpty)
   }
 
+  test("blocked cosine pair join matches the brute-force baseline exactly") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 50).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val brute = asSet(Similarity.cosineDupPairs(emb, threshold = 0.3))
+    val blocked = asSet(Similarity.cosineDupPairsBlocked(emb, threshold = 0.3, blocks = 4))
+    assert(brute.nonEmpty)
+    assert(blocked === brute)
+  }
+
+  test("LSH cosine pairs are an exact-verified subset of the brute pairs") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 50).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val emb = (vecs :+ (99L, vecs.head._2)).toDF("vec_id", "embedding")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val brute = asSet(Similarity.cosineDupPairs(emb, threshold = 0.5))
+    val lsh = asSet(Similarity.cosineDupPairsLsh(emb, threshold = 0.5,
+      numPlanes = 6, numTables = 6, dim = 8))
+    assert(lsh.subsetOf(brute))
+    // the identical pair survives bucketing in every table → always recalled
+    assert(lsh.exists { case (a, b, c) => a == 0L && b == 99L && c == 1.0 })
+  }
+
   test("winnowing fingerprints: shared substrings collide, guarantee holds") {
     val f = TextAnalysis.winnowingFingerprints(docs)
       .select("doc_id", "fingerprints").as[(Long, Seq[Long])].collect().toMap
