@@ -368,12 +368,20 @@ object SparkEntry {
       Similarity.cosineDupPairsLsh(Tables.embeddings(s, dir), threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
 
-    // ── Spark-only operators (no SQL-expressible oracle → rows-only check) ──
+    // the production LSH code path (banding/candidate-join/estimation) at
+    // production parameters (64 perms × 16 bands), instantiated with the
+    // md5-portable permutation hash so the whole path is oracle-checked;
+    // the xxhash64 instantiation of the SAME code is spec-covered
     "q40_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.2)
+      Dedup.minhashLshPairs(Tables.documents(s, dir), numPerms = 64, bands = 16,
+        threshold = 0.2, hashFn = Dedup.md5PermHash)
         .orderBy("doc_a", "doc_b")),
     "q41_simhash" -> ((s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+      Dedup.simhash64Portable(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q48_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairsPortable(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // ── Spark-only operators (no SQL-expressible oracle → rows-only check) ──
     "q42_ann_lsh" -> ((s, dir) =>
       Similarity.annLshTopK(Tables.embeddings(s, dir), pmod(col("vec_id"), lit(100)) === 0)
         .orderBy("query_id", "rnk")),
@@ -1016,6 +1024,95 @@ object SparkEntry {
         |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q40_minhash_lsh" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 3),
+        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 5) t),
+        |perms AS (SELECT unnest(range(0, 64)) AS perm),
+        |sig AS (
+        |  SELECT doc_id, perm,
+        |         min(('0x' || substr(md5(shingle || '#' || CAST(perm AS VARCHAR)), 1, 8))::BIGINT) AS minhash
+        |  FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+        |banded AS (
+        |  SELECT doc_id, perm // 4 AS band,
+        |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key
+        |  FROM sig GROUP BY doc_id, perm // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |                              AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 64, 4) AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    "q41_simhash" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS cnt,
+        |         ('0x' || substr(md5(tok || '#lo'), 1, 8))::BIGINT AS hlo,
+        |         ('0x' || substr(md5(tok || '#hi'), 1, 8))::BIGINT AS hhi
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+        |        FROM documents) t
+        |  GROUP BY doc_id, tok),
+        |bits AS (SELECT unnest(range(0, 64)) AS b),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN ((CASE WHEN b < 32 THEN hlo >> CAST(b AS INT)
+        |                              ELSE hhi >> CAST(b - 32 AS INT) END) & 1) = 1
+        |             THEN cnt ELSE -cnt END) AS v
+        |  FROM tf CROSS JOIN bits GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN v > 0 AND b < 32 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo,
+        |       CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN CAST(pow(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q48_simhash_pairs" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS cnt,
+        |         ('0x' || substr(md5(tok || '#lo'), 1, 8))::BIGINT AS hlo,
+        |         ('0x' || substr(md5(tok || '#hi'), 1, 8))::BIGINT AS hhi
+        |  FROM (SELECT doc_id,
+        |               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+        |        FROM documents) t
+        |  GROUP BY doc_id, tok),
+        |bits AS (SELECT unnest(range(0, 64)) AS b),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN ((CASE WHEN b < 32 THEN hlo >> CAST(b AS INT)
+        |                              ELSE hhi >> CAST(b - 32 AS INT) END) & 1) = 1
+        |             THEN cnt ELSE -cnt END) AS v
+        |  FROM tf CROSS JOIN bits GROUP BY doc_id, b),
+        |sim AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN v > 0 AND b < 32 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo,
+        |         CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN CAST(pow(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi
+        |  FROM votes GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, simhash_lo, simhash_hi, band,
+        |         CASE band WHEN 0 THEN simhash_lo & 65535
+        |                   WHEN 1 THEN (simhash_lo >> 16) & 65535
+        |                   WHEN 2 THEN simhash_hi & 65535
+        |                   ELSE (simhash_hi >> 16) & 65535 END AS key
+        |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         bit_count(xor(a.simhash_lo, b.simhash_lo))
+        |           + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS hamming
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |                             AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "q47_embedding_dups_lsh" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),

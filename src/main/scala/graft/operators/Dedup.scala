@@ -72,17 +72,29 @@ object Dedup {
       .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
   }
 
-  /** MinHash signature: numPerms minima of seeded xxhash64 over the doc's
-    * shingle set, computed with higher-order functions (no UDF, no extra
-    * explode — O(perms · shingles) inside one projection).
+  /** Per-(shingle, permutation) hash families for the MinHash paths. The
+    * LSH machinery is hash-agnostic: production uses [[xxhashPermHash]]
+    * (codegen'd, cheap), the oracle-checked instantiation uses
+    * [[md5PermHash]] (`int(md5(shingle + '#' + perm)[0:8], 16)`, exactly
+    * reproducible in any md5-capable engine). Both run the SAME banding /
+    * candidate-join / estimation code below.
     */
-  def minhashSignatures(docs: DataFrame, n: Int = 5, numPerms: Int = 64): DataFrame = {
+  val xxhashPermHash: (Column, Column) => Column = (s, i) => xxhash64(s, i)
+  val md5PermHash: (Column, Column) => Column = (s, i) =>
+    conv(substring(md5(concat(s, lit("#"), i.cast("string"))), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature: numPerms minima of the permutation hash over the
+    * doc's shingle set, computed with higher-order functions (no UDF, no
+    * extra explode — O(perms · shingles) inside one projection).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 5, numPerms: Int = 64,
+                        hashFn: (Column, Column) => Column = xxhashPermHash): DataFrame = {
     val sh = shingles(docs, n)
       .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("sh"))
     sh.select(
       col("doc_id"),
       transform(sequence(lit(0), lit(numPerms - 1)),
-        i => array_min(transform(col("sh"), s => xxhash64(s, i)))).as("sig"))
+        i => array_min(transform(col("sh"), s => hashFn(s, i)))).as("sig"))
   }
 
   /** Portable MinHash signatures: permutation hashes derived from md5
@@ -140,10 +152,11 @@ object Dedup {
     * Output: doc_a < doc_b, est_jaccard (≥ threshold).
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 5, numPerms: Int = 64,
-                      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+                      bands: Int = 16, threshold: Double = 0.5,
+                      hashFn: (Column, Column) => Column = xxhashPermHash): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rows = numPerms / bands
-    val sigs = minhashSignatures(docs, n, numPerms)
+    val sigs = minhashSignatures(docs, n, numPerms, hashFn)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -185,6 +198,68 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("v") > 0,
         pow(lit(2.0), col("b")).cast("long")).otherwise(0L)).as("simhash32"))
+  }
+
+  /** Portable 64-bit SimHash emitted as two unsigned 32-bit halves
+    * (`simhash_lo` = bits 0–31, `simhash_hi` = bits 32–63). The per-token
+    * 64-bit hash is two md5-prefix halves (`md5(tok + "#lo")` /
+    * `md5(tok + "#hi")`), and the split output avoids signed-64 overflow in
+    * engines with checked arithmetic — so the full 64-bit sketch is exactly
+    * reproducible in DuckDB (the oracle-checked variant of [[simhash]]).
+    * Output: (doc_id, simhash_lo, simhash_hi).
+    */
+  def simhash64Portable(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("hlo", conv(substring(md5(concat(col("tok"), lit("#lo"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("hhi", conv(substring(md5(concat(col("tok"), lit("#hi"))), 1, 8), 16, 10).cast("long"))
+    val votes = tf
+      .select(col("doc_id"), col("cnt"), col("hlo"), col("hhi"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .withColumn("bit",
+        when(col("b") < 32, call_function("shiftright", col("hlo"), col("b")))
+          .otherwise(call_function("shiftright", col("hhi"), col("b") - 32))
+          .bitwiseAND(1))
+      .withColumn("vote", when(col("bit") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("vote")).as("v"))
+    votes.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("v") > 0 && col("b") < 32,
+          pow(lit(2.0), col("b")).cast("long")).otherwise(0L)).as("simhash_lo"),
+        sum(when(col("v") > 0 && col("b") >= 32,
+          pow(lit(2.0), col("b") - 32).cast("long")).otherwise(0L)).as("simhash_hi"))
+  }
+
+  /** Banded Hamming-distance near-dup pairs over the portable 64-bit
+    * SimHash: 4 bands of 16 bits (pigeonhole ⇒ any pair with ≤ 3 differing
+    * bits shares a band — guaranteed recall at maxHamming ≤ 3), candidates
+    * verified with exact bit counts. Band keys and the distance are pure
+    * 32-bit arithmetic on the two halves, so the whole sub-quadratic path
+    * carries a DuckDB oracle. Output: doc_a < doc_b, hamming ≤ maxHamming.
+    */
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash64Portable(docs)
+    val banded = sh.select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+      explode(array(
+        struct(lit(0).as("band"), col("simhash_lo").bitwiseAND(0xFFFFL).as("key")),
+        struct(lit(1).as("band"),
+          call_function("shiftright", col("simhash_lo"), lit(16)).bitwiseAND(0xFFFFL).as("key")),
+        struct(lit(2).as("band"), col("simhash_hi").bitwiseAND(0xFFFFL).as("key")),
+        struct(lit(3).as("band"),
+          call_function("shiftright", col("simhash_hi"), lit(16)).bitwiseAND(0xFFFFL).as("key"))
+      )).as("bk"))
+      .select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo"))) +
+          bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi")))).cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .where(col("hamming") <= maxHamming)
   }
 
   /** 64-bit SimHash over whitespace tokens weighted by term frequency. */

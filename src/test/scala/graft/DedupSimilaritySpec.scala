@@ -50,6 +50,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("portable 64-bit simhash halves behave like the fast 64-bit sketch") {
+    val h = Dedup.simhash64Portable(docs)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // halves stay within unsigned 32-bit range (DuckDB-safe)
+    h.values.foreach { case (lo, hi) =>
+      assert(lo >= 0L && lo < (1L << 32) && hi >= 0L && hi < (1L << 32))
+    }
+    assert(h(1L) === h(4L)) // identical docs collide
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
+    val pairs = Dedup.simhashPairsPortable(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("minhash LSH code path is hash-agnostic: md5 instantiation finds the same near-dup") {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.3, hashFn = Dedup.md5PermHash)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("brute-force cosine top-k ranks an exact duplicate vector first") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
