@@ -388,9 +388,15 @@ object SparkEntry {
     "q44_ann_ivf" -> ((s, dir) =>
       Similarity.annIvfTopK(Tables.embeddings(s, dir), pmod(col("vec_id"), lit(100)) === 0)
         .orderBy("query_id", "rnk")),
+    // real ImageIO pixel decode of fixture PNGs; the oracle recomputes
+    // width/height/brightness from the same md5-derived pixel bytes, so a
+    // faithful PNG round-trip is what hash-matching proves (n_bytes and
+    // checksum are encoder-dependent → left out of the oracle projection)
     "q43_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, dir)))
-        .toDF().orderBy("media_id")),
+        .toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"), col("brightness"))
+        .orderBy("media_id")),
     "q45_winnowing" -> ((s, dir) =>
       // exploded to scalar (doc_id, fingerprint) rows so the driver's
       // column-sorting compare can hash them (arrays are unhashable there)
@@ -1024,6 +1030,22 @@ object SparkEntry {
         |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q43_media_features" ->
+      """WITH idx AS (SELECT unnest(range(0, 192)) AS i),
+        |m AS (SELECT doc_id AS media_id, text,
+        |             CAST(4 + (doc_id % 5) * 2 AS INT) AS w,
+        |             CAST(4 + (doc_id % 7) * 2 AS INT) AS h
+        |      FROM documents),
+        |px AS (
+        |  SELECT media_id, w, h,
+        |         ('0x' || substr(md5(text || '#' || CAST(i // 16 AS VARCHAR)),
+        |                         CAST((i % 16) * 2 + 1 AS INT), 2))::BIGINT AS v
+        |  FROM m JOIN idx ON idx.i < m.w * m.h),
+        |s AS (SELECT media_id, w, h, sum(v) AS sv, count(*) AS n
+        |      FROM px GROUP BY media_id, w, h)
+        |SELECT media_id, 'png' AS format, w AS width, h AS height,
+        |       round(sv / (n * 255.0), 6) AS brightness
+        |FROM s ORDER BY media_id""".stripMargin,
     "q40_minhash_lsh" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -1,5 +1,9 @@
 package graft.sources
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -7,11 +11,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus batched per-partition feature
   * extraction.
   *
-  * The Spark-side mechanics (schema, partitioning, batch shape, deterministic
-  * outputs) are real and tested; the actual media decode is STUBBED — the
-  * container has no image/audio codecs — behind [[StubCodec]], which derives
-  * deterministic fake features from the bytes. Swapping in a real codec
-  * changes only that object.
+  * The decode is REAL: [[ImageCodec]] pixel-decodes PNG/JPEG/BMP/GIF via the
+  * JDK's `javax.imageio` (no external codec dependency) and derives
+  * width/height/brightness from the decoded raster. The synthetic fixture
+  * writes genuine PNGs whose pixels are md5-derived from the document text,
+  * so a faithful encode→decode round-trip is exactly what the oracle checks
+  * (the expected brightness is recomputable from the same md5 bytes in any
+  * engine, without a PNG decoder). Payloads that are not decodable images
+  * (audio/video containers) fall back to declared metadata + byte-mean
+  * brightness, keeping the operator total.
   */
 object Multimodal {
 
@@ -31,35 +39,91 @@ object Multimodal {
       height: Int,
       brightness: Double)
 
-  /** STUB decode: deterministic pseudo-features from raw bytes. A real
-    * implementation would decode pixels/samples here; everything upstream
-    * and downstream of this call is production-shaped.
+  /** Deterministic pixel bytes for the synthetic fixture: the concatenation
+    * of md5(text + "#0"), md5(text + "#1"), … truncated to n bytes — an
+    * engine-portable pseudo-random pixel source.
     */
-  object StubCodec {
-    def decode(format: String, payload: Array[Byte], w: Int, h: Int): (Int, Int, Double) = {
-      val brightness =
-        if (payload.isEmpty) 0.0
-        else payload.map(b => (b & 0xff).toDouble).sum / (payload.length * 255.0)
-      (w, h, BigDecimal(brightness).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  def pixelBytes(text: String, n: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Byte](n)
+    var off = 0
+    var c = 0
+    while (off < n) {
+      md.reset()
+      val d = md.digest((text + "#" + c).getBytes("UTF-8"))
+      val take = math.min(16, n - off)
+      System.arraycopy(d, 0, out, off, take)
+      off += take
+      c += 1
     }
+    out
   }
 
-  /** Build a synthetic media table from the documents table: payload =
-    * UTF-8 bytes of the text, metadata derived deterministically. Stands in
-    * for `spark.read.format("binaryFile")` over a media lake.
+  /** Fixture image dimensions vary by id so decoded width/height are a real
+    * check, not a constant. */
+  def mediaWidth(id: Long): Int = (4 + (id % 5) * 2).toInt
+  def mediaHeight(id: Long): Int = (4 + (id % 7) * 2).toInt
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Real pixel decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF readers ship
+    * with the JRE). Returns (width, height, mean sample brightness in [0,1]
+    * over all bands, rounded 6dp), or None when the payload is not a
+    * decodable image.
     */
-  def fromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
-      encode(col("text"), "UTF-8").as("payload"),
-      (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int").as("declared_width"),
-      (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("declared_height"))
+  object ImageCodec {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Double)] =
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var b = 0
+              while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, round6(s.toDouble / (w.toLong * h * bands * 255.0))))
+        }
+      } catch { case _: java.io.IOException => None }
+  }
+
+  /** Build a synthetic media table from the documents table: payload = a
+    * genuine 8-bit-grayscale PNG whose raster is [[pixelBytes]] of the text,
+    * dimensions varying by id. Stands in for
+    * `spark.read.format("binaryFile")` over a media lake; PNG gray is
+    * lossless, so decoded features are exactly predictable from the text.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val w = mediaWidth(id)
+        val h = mediaHeight(id)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, w, h, pixelBytes(text, w * h))
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        MediaRow(id, "png", bos.toByteArray, w, h)
+      }
+    }.toDF()
+  }
 
   /** Batched per-partition feature extraction — the Scala analogue of a
     * `mapInPandas` decode stage: one codec invocation per row, amortized
     * setup per partition, output schema fixed by [[MediaFeatures]].
+    * width/height/brightness come from the REAL pixel decode; undecodable
+    * payloads keep declared metadata and a byte-mean brightness.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -69,8 +133,12 @@ object Multimodal {
       rows.map { r =>
         val crc = new java.util.zip.CRC32
         crc.update(r.payload)
-        val (w, h, brightness) =
-          StubCodec.decode(r.format, r.payload, r.declared_width, r.declared_height)
+        val (w, h, brightness) = ImageCodec.decode(r.payload).getOrElse {
+          val bsum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+          (r.declared_width, r.declared_height,
+            if (r.payload.isEmpty) 0.0
+            else round6(bsum.toDouble / (r.payload.length * 255.0)))
+        }
         MediaFeatures(r.media_id, r.format, r.payload.length.toLong,
           crc.getValue, w, h, brightness)
       }

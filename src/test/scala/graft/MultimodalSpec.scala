@@ -11,24 +11,57 @@ class MultimodalSpec extends AnyFunSuite {
     (0L, "a" * 200), (1L, "b" * 130), (2L, "mixed content 123")
   ).toDF("doc_id", "text")
 
-  test("binary plumbing: schema, determinism, metadata") {
+  test("fixture PNGs decode back to the md5-derived pixels") {
     val media = Multimodal.fromDocuments(docs)
     assert(media.schema("payload").dataType.typeName === "binary")
     val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
     assert(f1.toSeq === f2.toSeq) // decode is deterministic
-    assert(f1(0).n_bytes === 200L)
-    assert(f1(0).format === "png")
-    // 'a' = 0x61 → brightness 97/255 for a uniform payload
-    assert(math.abs(f1(0).brightness - 97.0 / 255.0) < 1e-4)
+    val texts = Map(0L -> "a" * 200, 1L -> "b" * 130, 2L -> "mixed content 123")
+    f1.foreach { f =>
+      val (w, h) = (Multimodal.mediaWidth(f.media_id), Multimodal.mediaHeight(f.media_id))
+      assert(f.width === w)
+      assert(f.height === h)
+      assert(f.format === "png")
+      assert(f.n_bytes > 0)
+      // decoded brightness must equal the mean of the source pixel bytes —
+      // i.e. the PNG round-trip is lossless
+      val px = Multimodal.pixelBytes(texts(f.media_id), w * h)
+      val expected = BigDecimal(px.map(_ & 0xff).map(_.toLong).sum.toDouble / (w * h * 255.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(f.brightness === expected)
+    }
+  }
+
+  test("ImageCodec decodes a hand-built image; rejects non-image bytes") {
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, 2, 1, Array[Byte](0, -1)) // black, white
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((w, h, brightness)) = Multimodal.ImageCodec.decode(bos.toByteArray)
+    assert((w, h) === (2, 1))
+    assert(brightness === 0.5)
+    assert(Multimodal.ImageCodec.decode("not a png".getBytes).isEmpty)
+  }
+
+  test("undecodable payloads fall back to declared metadata") {
+    val media = Seq(Multimodal.MediaRow(7L, "wav", Array[Byte](10, 20, 30), 3, 4))
+      .toDF()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert((f.width, f.height) === (3, 4))
+    assert(f.n_bytes === 3L)
+    assert(f.brightness === BigDecimal(60.0 / (3 * 255.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("frame sampling emits every stride-th fixed-size chunk") {
     val media = Multimodal.fromDocuments(docs)
-    val frames = Multimodal.sampleFrames(media, frameBytes = 50, stride = 2)
+    val payloadLen = media.where($"media_id" === 0L)
+      .select("payload").collect().head.getAs[Array[Byte]](0).length
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
       .where($"media_id" === 0L).collect()
-    // 200 bytes / 50 = 4 frames, stride 2 → frames 0 and 2
-    assert(frames.map(_.getLong(1)).sorted.toSeq === Seq(0L, 2L))
-    assert(frames.forall(_.getAs[Array[Byte]]("frame_payload").length === 50))
+    val expected = (0 until payloadLen / 16 by 2).map(_.toLong)
+    assert(frames.map(_.getLong(1)).sorted.toSeq === expected)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_payload").length === 16))
   }
 }
