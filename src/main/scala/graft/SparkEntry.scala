@@ -690,7 +690,7 @@ object SparkEntry {
          |SELECT a.symbol, strftime(a.window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
          |       p.atr_i / 10000.0 AS prev_atr, a.atr_i / 10000.0 AS atr
          |FROM atr a JOIN atr p ON p.symbol = a.symbol AND p.rn = a.rn - 1
-         |WHERE a.atr_i / 10000.0 > (p.atr_i / 10000.0) * 1.2
+         |WHERE p.atr_i > 0 AND a.atr_i / 10000.0 > (p.atr_i / 10000.0) * 1.2
          |ORDER BY a.symbol, a.window_start""".stripMargin,
     "q23_ohlc_violations" ->
       s"""WITH $CandleCte

@@ -31,7 +31,17 @@ object Atr {
   val Period = 14
   val Precision = 4
 
-  /** Decimal HALF_UP rounding, bit-matching Spark's `round()` on doubles. */
+  /** Decimal HALF_UP rounding, bit-matching Spark's `round()` on doubles.
+    *
+    * NOTE on reference parity: the reference's Python `round()` is banker's
+    * half-EVEN (atr_engine.py:132,176), so at an exact .00005 tie this
+    * engine's TR — and through the recursion, subsequent ATRs — can differ
+    * from the reference by 1e-4. The choice is deliberate (HALF_UP matches
+    * Spark's native `round()`, keeping column-expression and fold paths
+    * bit-identical to each other and to the DuckDB oracle); outputs are
+    * spec-consistent within this engine, not bit-identical to the Python
+    * reference at rounding ties.
+    */
   def round4(x: Double): Double =
     BigDecimal(x).setScale(Precision, BigDecimal.RoundingMode.HALF_UP).toDouble
 
@@ -88,7 +98,9 @@ object Atr {
 
   /** ATR sanity warnings (atr_engine.py:184-189 / 04_ULTRA_ATR_SPEC.md:25-29):
     * rows where ATR jumped more than `factor`× over the previous window's
-    * ATR. Feeds the system_log/warnings path.
+    * ATR. The `prev_atr > 0` guard matches atr_engine.py:185 — a symbol
+    * whose ATR was clamped to 0 must not warn on every later positive ATR.
+    * Feeds the system_log/warnings path.
     */
   def jumpWarnings(enriched: DataFrame, factor: Double = 3.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -96,7 +108,7 @@ object Atr {
     enriched
       .withColumn("prev_atr", lag(col("atr"), 1).over(w))
       .where(col("atr").isNotNull && col("prev_atr").isNotNull &&
-        col("atr") > col("prev_atr") * factor)
+        col("prev_atr") > 0 && col("atr") > col("prev_atr") * factor)
       .select(col("symbol"), col("window_start"), col("prev_atr"), col("atr"))
   }
 

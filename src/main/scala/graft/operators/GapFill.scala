@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   * (`sequence` + `explode` over the observed bounds — no driver-side loop,
   * the grid is generated inside the plan), left-join the candles, and
   * forward-fill with `last(close, ignoreNulls)` over a per-symbol window
-  * (SURVEY.md §2.6). The analytic window partitions by symbol: at 100 TB the
-  * per-partition frame is bounded by windows-per-session (75/day in the
-  * reference), so no executor ever materializes more than one symbol-day.
+  * (SURVEY.md §2.6). The analytic window partitions by symbol, so one
+  * partition holds EVERY window a symbol has over the densified range — the
+  * running-last frame is evaluated incrementally (linear, spillable sort),
+  * but a symbol's full history does flow through one task. For bounded
+  * per-task state at 100 TB, run per-day batches (the reference operates
+  * per session anyway, 75 windows/day) or partition by (symbol, date) with
+  * per-day seeding as [[graft.streaming.FullPipeline]] does with its
+  * persisted last-close snapshot.
   */
 object GapFill {
 

@@ -178,28 +178,88 @@ object Similarity {
       when(dot(v, planeLit(p + planeOffset, dim)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Deterministic sampled k-means (Lloyd's) for IVF centroid training: a
+    * hash-ordered sample of at most `maxSample` vectors is collected and
+    * clustered driver-side, then the centroids are broadcast — the standard
+    * corpus-scale recipe (train on a bounded sample, never shuffle the
+    * corpus for training). Determinism: the sample is the `maxSample`
+    * lowest `xxhash64(vec_id)` rows (TakeOrdered, no RNG), initial centroids
+    * are the first k sample points in that hash order, ties in assignment
+    * break toward the lower list id. Empty clusters keep their previous
+    * centroid. Returns (list_id, unit centroid) rows.
+    */
+  def trainCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 5,
+                     maxSample: Int = 4096): Seq[(Int, Seq[Double])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sample = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(maxSample)
+      .select(col("v")).as[Seq[Double]].collect()
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v.toArray else v.map(_ / n).toArray
+      }
+    require(sample.length >= k, s"need at least $k sample vectors")
+    var cents = sample.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](cents(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { p =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { d += p(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0) old else m.map(_ / n)
+        }
+      }
+    }
+    cents.zipWithIndex.map { case (v, i) => (i + 1, v.toSeq) }.toSeq
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nLists` Voronoi
     * cells around centroid vectors, then search only the `nProbe` cells
     * nearest to each query — the classic sub-linear ANN layout (IVF-Flat).
     *
-    * Centroid selection here is deterministic (the `nLists` lowest vec_ids)
-    * instead of k-means — replaceable without touching the search path; at
-    * corpus scale you'd train centroids on a sample and broadcast them the
-    * same way. Cell assignment is one broadcast join + window argmin; no
-    * shuffle of the corpus beyond the final per-cell candidate join.
+    * Default centroid selection is deterministic (the `nLists` lowest
+    * vec_ids) so the whole query is oracle-reproducible; pass
+    * `centroidsOpt = Some(trainCentroids(...))` for honest ANN quality —
+    * the search path is identical either way. Cell assignment is one
+    * broadcast join + per-id argmin; no shuffle of the corpus beyond the
+    * final per-cell candidate join.
     */
   def annIvfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
-                 nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+                 nLists: Int = 16, nProbe: Int = 4,
+                 centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
     // TakeOrderedAndProject (per-partition top-k, no global shuffle) picks
-    // the centroid rows; the row_number window then runs over only nLists
-    // rows — a global-ordered window over the full corpus would funnel
-    // every embedding through one task
-    val centW = Window.orderBy(col("vec_id"))
-    val centroids = base.orderBy(col("vec_id")).limit(nLists)
-      .withColumn("list_id", row_number().over(centW))
-      .select(col("list_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    // the default centroid rows; list ids are then assigned driver-side over
+    // the collected nLists rows — a window over an unpartitioned frame, even
+    // a tiny one, plans a single-partition WindowExec and spams warnings
+    val spark = base.sparkSession
+    import spark.implicits._
+    val centroidRows: Seq[(Int, Seq[Double], Double)] = centroidsOpt match {
+      case Some(cs) => cs.map { case (id, v) => (id, v, math.sqrt(v.map(x => x * x).sum)) }
+      case None =>
+        base.orderBy(col("vec_id")).limit(nLists)
+          .select(col("v"), col("norm")).as[(Seq[Double], Double)].collect()
+          .zipWithIndex.map { case ((v, n), i) => (i + 1, v, n) }.toSeq
+    }
+    val centroids = broadcast(centroidRows.toDF("list_id", "cv", "cnorm"))
     def nearestLists(df: DataFrame, keep: Int, idCol: String): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("list_id"))
       df.join(broadcast(centroids), lit(true))

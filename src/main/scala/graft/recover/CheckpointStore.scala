@@ -136,11 +136,18 @@ object CheckpointStore {
 
   // ---- atomic write + rotation + newest-valid load ----
 
+  /** Generation file names match the reference layout
+    * (checkpoint_manager.py `_rotate_checkpoints`): primary
+    * `checkpoint.json`, backups `checkpoint_1.json` … `checkpoint_<keep>
+    * .json` — so tooling that reads the reference's checkpoint directory
+    * reads ours unchanged.
+    */
   private def path(dir: String, gen: Int): Path =
-    Paths.get(dir, if (gen == 0) "checkpoint.json" else s"checkpoint.$gen.json")
+    Paths.get(dir, if (gen == 0) "checkpoint.json" else s"checkpoint_$gen.json")
 
   /** Atomic save: write tmp, fsync, rotate older generations, rename into
-    * place. Keeps `keep` generations (checkpoint_manager.py:161-182).
+    * place. `keep` counts BACKUPS (the reference's MAX_BACKUPS): primary +
+    * `keep` rotated copies stay on disk (checkpoint_manager.py:161-182).
     */
   def save(dir: String, cp: Checkpoint, keep: Int = 3): Unit = {
     Files.createDirectories(Paths.get(dir))
@@ -152,8 +159,8 @@ object CheckpointStore {
       ch.force(true) // fsync before rename — a crash must not lose both the
                      // new and (rotated) previous generation
     } finally ch.close()
-    // rotate: N-1 → N, …, 0 → 1 (oldest beyond `keep` falls off)
-    for (g <- (keep - 2) to 0 by -1)
+    // rotate: keep-1 → keep, …, 0 → 1 (oldest backup beyond `keep` falls off)
+    for (g <- (keep - 1) to 0 by -1)
       if (Files.exists(path(dir, g)))
         Files.move(path(dir, g), path(dir, g + 1), StandardCopyOption.REPLACE_EXISTING)
     Files.move(tmp, path(dir, 0), StandardCopyOption.ATOMIC_MOVE,
@@ -164,7 +171,7 @@ object CheckpointStore {
     * generations (checkpoint_manager.py:107-159).
     */
   def load(dir: String, keep: Int = 3): Option[Checkpoint] =
-    (0 until keep).iterator
+    (0 to keep).iterator
       .map(path(dir, _))
       .filter(Files.exists(_))
       .flatMap(p => Try(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).toOption)
@@ -173,5 +180,5 @@ object CheckpointStore {
 
   /** All on-disk generations, newest first (for audits/tests). */
   def generations(dir: String, keep: Int = 3): Seq[Path] =
-    (0 until keep).map(path(dir, _)).filter(Files.exists(_))
+    (0 to keep).map(path(dir, _)).filter(Files.exists(_))
 }

