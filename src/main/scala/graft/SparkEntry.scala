@@ -328,6 +328,19 @@ object SparkEntry {
           col("open"), col("high"), col("low"), col("close"))
         .orderBy("symbol", "window_start")
     }),
+    "q49_salted_agg" -> ((s, dir) => {
+      // two-phase salted aggregation on a 5-key (inherently hot-keyed)
+      // groupBy: same answer as the plain aggregate, but every hot key is
+      // spread over 32 sub-partitions in the first shuffle (Skew.scala)
+      Skew.saltedAgg(
+        Tables.events(s, dir).select(col("event_type").as("symbol"), col("value")),
+        Seq("symbol"), salts = 32)(Seq(
+        ("n_events", count(lit(1)), c => sum(col(c))),
+        ("total_value", sum(dec("value")), c => sum(col(c)))))
+        .select(col("symbol"), col("n_events"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy("symbol")
+    }),
     "q50_full_pipeline" -> ((s, dir) => {
       // one trading day, like the reference's per-session operation — also
       // bounds the oracle's ATR recursion depth to windows-per-day
@@ -699,6 +712,10 @@ object SparkEntry {
          |FROM candles
          |WHERE high < greatest(open, close) OR low > least(open, close)
          |ORDER BY symbol, window_start""".stripMargin,
+    "q49_salted_agg" ->
+      """SELECT event_type AS symbol, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY symbol""".stripMargin,
     "q50_full_pipeline" ->
       s"""WITH RECURSIVE ev AS (
          |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS symbol, value FROM events

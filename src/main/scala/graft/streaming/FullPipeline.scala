@@ -168,6 +168,9 @@ object FullPipeline {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           import spark.implicits._
+          // metadata config table, written once (schema_manager.py:34-43)
+          graft.sink.Schemas.initMetadata(spark, s"$stateRoot/metadata",
+            expectedSymbols.size)
           IdempotentSink.drainDeadLetters(spark, deadLetterDir, sinkDir,
             partitionCol = Some("dt"))
           val expected = expectedSymbols.toDF("symbol")
@@ -180,9 +183,11 @@ object FullPipeline {
           // dt partition column (the window's date) → appends are laid out
           // partitionBy(dt) and the dedup read-back prunes to the batch's
           // date range (sheets_client.py:128-148 narrows the same way)
-          val rows = EdgeFormat.sheetRows(enriched,
+          val edgeRows = EdgeFormat.sheetRows(enriched,
             createdAt = java.time.Instant.now.toString)
-            .withColumn("dt", substring(col("timestamp"), 1, 10))
+          // declared-schema gate before the append (schema_manager.py:104-135)
+          graft.sink.Schemas.validate(edgeRows, graft.sink.Schemas.MarketData, "market_data")
+          val rows = edgeRows.withColumn("dt", substring(col("timestamp"), 1, 10))
           IdempotentSink.appendWithRetry(rows, sinkDir, deadLetterDir,
             maxRetries = 3, baseDelayMs = 100L, pruneCol = Some("timestamp"),
             partitionCol = Some("dt"))
