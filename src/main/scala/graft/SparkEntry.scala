@@ -381,13 +381,14 @@ object SparkEntry {
       Similarity.cosineDupPairsLsh(Tables.embeddings(s, dir), threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
 
-    // the production LSH code path (banding/candidate-join/estimation) at
-    // production parameters (64 perms × 16 bands), instantiated with the
-    // md5-portable permutation hash so the whole path is oracle-checked;
-    // the xxhash64 instantiation of the SAME code is spec-covered
+    // the production LSH code path (linear-permutation signatures +
+    // banding/candidate-join/estimation) at production parameters (64 perms
+    // × 16 bands), instantiated with the md5-portable base hash so the
+    // whole path is oracle-checked; the xxhash64 instantiation of the SAME
+    // code is spec-covered
     "q40_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), numPerms = 64, bands = 16,
-        threshold = 0.2, hashFn = Dedup.md5PermHash)
+        threshold = 0.2, baseHash = Dedup.md5Base)
         .orderBy("doc_a", "doc_b")),
     "q41_simhash" -> ((s, dir) =>
       Dedup.simhash64Portable(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1074,11 +1075,15 @@ object SparkEntry {
         |           unnest(list_transform(range(1, len(words) - 3),
         |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
         |    FROM w WHERE len(words) >= 5) t),
-        |perms AS (SELECT unnest(range(0, 64)) AS perm),
+        |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+        |perms AS (
+        |  SELECT perm,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
+        |  FROM (SELECT unnest(range(0, 64)) AS perm) t),
         |sig AS (
-        |  SELECT doc_id, perm,
-        |         min(('0x' || substr(md5(shingle || '#' || CAST(perm AS VARCHAR)), 1, 8))::BIGINT) AS minhash
-        |  FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+        |  SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
+        |  FROM bh CROSS JOIN perms GROUP BY doc_id, perm),
         |banded AS (
         |  SELECT doc_id, perm // 4 AS band,
         |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key

@@ -72,29 +72,56 @@ object Dedup {
       .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
   }
 
-  /** Per-(shingle, permutation) hash families for the MinHash paths. The
-    * LSH machinery is hash-agnostic: production uses [[xxhashPermHash]]
-    * (codegen'd, cheap), the oracle-checked instantiation uses
-    * [[md5PermHash]] (`int(md5(shingle + '#' + perm)[0:8], 16)`, exactly
-    * reproducible in any md5-capable engine). Both run the SAME banding /
-    * candidate-join / estimation code below.
+  /** Base-hash families for the MinHash paths. The signature/banding
+    * machinery is hash-agnostic: production uses [[xxhashBase]] (codegen'd,
+    * cheap), the oracle-checked instantiation uses [[md5Base]]
+    * (`int(md5(shingle)[0:8], 16)`, exactly reproducible in any md5-capable
+    * engine). Both yield values in [0, 2³²) so the linear permutations
+    * below never overflow a signed 64-bit product in either engine.
     */
-  val xxhashPermHash: (Column, Column) => Column = (s, i) => xxhash64(s, i)
-  val md5PermHash: (Column, Column) => Column = (s, i) =>
-    conv(substring(md5(concat(s, lit("#"), i.cast("string"))), 1, 8), 16, 10).cast("long")
+  val xxhashBase: Column => Column = s => pmod(xxhash64(s), lit(1L << 32))
+  val md5Base: Column => Column = s =>
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signature: numPerms minima of the permutation hash over the
-    * doc's shingle set, computed with higher-order functions (no UDF, no
-    * extra explode — O(perms · shingles) inside one projection).
+  /** Prime > 2³² for the universal-hash permutation family. */
+  val MinhashPrime = 4294967311L
+
+  /** Deterministic permutation coefficients: a_p ∈ [1, 2²⁸], b_p ∈ [0, 2²⁸)
+    * from md5("perm#p") hex prefixes — data-independent, so they are
+    * computed ONCE driver-side and embedded as literal arrays (like the LSH
+    * hyperplanes), and any md5-capable engine derives the same values.
+    * a·h + b < 2⁶⁰ + 2²⁸: no overflow anywhere.
+    */
+  private[operators] def permCoeff(p: Int): (Long, Long) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"perm#$p".getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 7), 16) + 1,
+      java.lang.Long.parseLong(hex.substring(8, 15), 16))
+  }
+
+  /** MinHash signature via the standard linear-permutation construction:
+    * ONE base hash per shingle, then numPerms permutations
+    * `h_p(s) = (a_p · h(s) + b_p) mod P` as pure integer arithmetic —
+    * O(shingles) digests + O(perms · shingles) multiply-adds, instead of a
+    * digest per (shingle, permutation).
+    *
+    * Physically this is one projection + one hash aggregate with numPerms
+    * `min` expressions: everything stays inside WholeStageCodegen with
+    * map-side partial mins (a higher-order `transform`/`array_min`
+    * formulation evaluates interpreted lambdas per element — measured ~5×
+    * slower at 5k docs × 64 perms).
     */
   def minhashSignatures(docs: DataFrame, n: Int = 5, numPerms: Int = 64,
-                        hashFn: (Column, Column) => Column = xxhashPermHash): DataFrame = {
-    val sh = shingles(docs, n)
-      .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("sh"))
-    sh.select(
-      col("doc_id"),
-      transform(sequence(lit(0), lit(numPerms - 1)),
-        i => array_min(transform(col("sh"), s => hashFn(s, i)))).as("sig"))
+                        baseHash: Column => Column = xxhashBase): DataFrame = {
+    val h = shingles(docs, n).select(col("doc_id"), baseHash(col("shingle")).as("h"))
+    val aggs = (0 until numPerms).map { p =>
+      val (a, b) = permCoeff(p)
+      min((col("h") * a + b) % MinhashPrime).as(s"m$p")
+    }
+    h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerms).map(p => col(s"m$p")): _*).as("sig"))
   }
 
   /** Portable MinHash signatures: permutation hashes derived from md5
@@ -153,10 +180,10 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 5, numPerms: Int = 64,
                       bands: Int = 16, threshold: Double = 0.5,
-                      hashFn: (Column, Column) => Column = xxhashPermHash): DataFrame = {
+                      baseHash: Column => Column = xxhashBase): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rows = numPerms / bands
-    val sigs = minhashSignatures(docs, n, numPerms, hashFn)
+    val sigs = minhashSignatures(docs, n, numPerms, baseHash)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),

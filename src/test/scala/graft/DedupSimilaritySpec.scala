@@ -66,8 +66,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
-  test("minhash LSH code path is hash-agnostic: md5 instantiation finds the same near-dup") {
-    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.3, hashFn = Dedup.md5PermHash)
+  test("minhash LSH code path is hash-agnostic: md5-base instantiation finds the same near-dup") {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.3, baseHash = Dedup.md5Base)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
