@@ -877,10 +877,14 @@ object SparkEntry {
         |           unnest(list_transform(range(1, len(words) - 3),
         |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
         |    FROM w WHERE len(words) >= 5) t),
-        |perms AS (SELECT unnest(range(0, 16)) AS perm)
-        |SELECT doc_id, perm,
-        |       min(('0x' || substr(md5(shingle || '#' || CAST(perm AS VARCHAR)), 1, 8))::BIGINT) AS minhash
-        |FROM sh CROSS JOIN perms
+        |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+        |perms AS (
+        |  SELECT perm,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS perm) t)
+        |SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
+        |FROM bh CROSS JOIN perms
         |GROUP BY doc_id, perm ORDER BY doc_id, perm""".stripMargin,
     "q39_simhash_portable" ->
       """WITH tf AS (
@@ -909,11 +913,15 @@ object SparkEntry {
         |           unnest(list_transform(range(1, len(words) - 3),
         |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
         |    FROM w WHERE len(words) >= 5) t),
-        |perms AS (SELECT unnest(range(0, 16)) AS perm),
+        |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+        |perms AS (
+        |  SELECT perm,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS perm) t),
         |sig AS (
-        |  SELECT doc_id, perm,
-        |         min(('0x' || substr(md5(shingle || '#' || CAST(perm AS VARCHAR)), 1, 8))::BIGINT) AS minhash
-        |  FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+        |  SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
+        |  FROM bh CROSS JOIN perms GROUP BY doc_id, perm),
         |banded AS (
         |  SELECT doc_id, perm // 2 AS band,
         |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key

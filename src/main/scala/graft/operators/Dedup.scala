@@ -124,53 +124,24 @@ object Dedup {
         array((0 until numPerms).map(p => col(s"m$p")): _*).as("sig"))
   }
 
-  /** Portable MinHash signatures: permutation hashes derived from md5
-    * (`int(md5(shingle + '#' + perm)[0:8], 16)`) instead of xxhash64, so the
-    * exact signatures are reproducible in any engine with md5 — this is the
-    * oracle-checkable variant; [[minhashSignatures]] (xxhash64) is the fast
-    * path for LSH banding. Output: (doc_id, perm, minhash) rows.
+  /** Portable MinHash signatures as (doc_id, perm, minhash) rows: the
+    * linear-permutation family over the md5 base hash, fully reproducible
+    * in any engine with md5 ([[minhashSignatures]] with [[md5Base]],
+    * row-shaped for the oracle compare).
     */
   def minhashPortable(docs: DataFrame, n: Int = 5, numPerms: Int = 16): DataFrame =
-    shingles(docs, n)
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(numPerms - 1))).as("perm"))
-      .groupBy(col("doc_id"), col("perm"))
-      .agg(min(conv(substring(md5(
-        concat(col("shingle"), lit("#"), col("perm").cast("string"))), 1, 8), 16, 10)
-        .cast("long")).as("minhash"))
+    minhashSignatures(docs, n, numPerms, md5Base)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "minhash")))
       .select(col("doc_id"), col("perm").cast("long").as("perm"), col("minhash"))
 
-  /** Portable MinHash + LSH pairs over [[minhashPortable]] signatures:
-    * band keys are the ordered concatenation of each band's minhashes,
-    * candidates share a full band, and the estimated Jaccard is the
-    * matching-permutation fraction — every step md5-reproducible, so the
-    * whole sub-quadratic dedup path is oracle-checkable.
+  /** Portable MinHash + LSH pairs: the SAME banding/candidate/estimation
+    * code as the production path ([[minhashLshPairs]]), instantiated with
+    * the md5 base hash at a second parameter point (16 perms × 8 bands) —
+    * every step reproducible in DuckDB.
     */
   def minhashLshPairsPortable(docs: DataFrame, n: Int = 5, numPerms: Int = 16,
-                              bands: Int = 8, threshold: Double = 0.2): DataFrame = {
-    require(numPerms % bands == 0, "bands must divide numPerms")
-    val rows = numPerms / bands
-    val sig = minhashPortable(docs, n, numPerms)
-    val banded = sig
-      .withColumn("band", (col("perm") / lit(rows)).cast("long"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("perm"), col("minhash")))),
-          x => x.getField("minhash").cast("string"))).as("key"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("perm"), col("minhash").as("mh_a")), Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col("perm"), col("minhash").as("mh_b")), Seq("doc_b", "perm"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(round(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)) / lit(numPerms), 4)
-        .as("est_jaccard"))
-      .where(col("est_jaccard") >= threshold)
-  }
+                              bands: Int = 8, threshold: Double = 0.2): DataFrame =
+    minhashLshPairs(docs, n, numPerms, bands, threshold, md5Base)
 
   /** MinHash + LSH near-dup pairs: band the signature (bands × rowsPerBand =
     * numPerms), bucket-join on (band index, band slice), then verify each
@@ -204,6 +175,23 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Per-bit ±tf vote sums as `bits` codegen'd sum aggregates over the
+    * term-frequency rows — one hash aggregate, no per-bit explode (which
+    * multiplies the tf rows ×bits through the shuffle). `hashBit(b)` gives
+    * the bit-b source column.
+    */
+  private def voteBits(tf: DataFrame, bits: Int, hashBit: Int => Column): DataFrame = {
+    val aggs = (0 until bits).map { b =>
+      sum(when(hashBit(b).bitwiseAND(1) === 1, col("cnt")).otherwise(-col("cnt"))).as(s"v$b")
+    }
+    tf.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def packBits(votes: DataFrame, from: Int, until: Int): Column =
+    (from until until).map(b =>
+      when(col(s"v$b") > 0, lit(1L << (b - from))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
   /** Portable 32-bit SimHash: token hash = int(md5(token)[0:8], 16), bit b
     * votes ±tf, bit set when the vote sum is positive — fully reproducible
     * in any md5-capable engine (the oracle-checkable variant of [[simhash]]).
@@ -214,17 +202,8 @@ object Dedup {
       .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    val votes = tf
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("b"))
-      .withColumn("vote",
-        when(call_function("shiftright", col("h"), col("b")).bitwiseAND(1) === 1, col("cnt"))
-          .otherwise(-col("cnt")))
-      .groupBy(col("doc_id"), col("b")).agg(sum(col("vote")).as("v"))
-    votes
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0,
-        pow(lit(2.0), col("b")).cast("long")).otherwise(0L)).as("simhash32"))
+    val votes = voteBits(tf, 32, b => shiftright(col("h"), b))
+    votes.select(col("doc_id"), packBits(votes, 0, 32).as("simhash32"))
   }
 
   /** Portable 64-bit SimHash emitted as two unsigned 32-bit halves
@@ -241,21 +220,11 @@ object Dedup {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("hlo", conv(substring(md5(concat(col("tok"), lit("#lo"))), 1, 8), 16, 10).cast("long"))
       .withColumn("hhi", conv(substring(md5(concat(col("tok"), lit("#hi"))), 1, 8), 16, 10).cast("long"))
-    val votes = tf
-      .select(col("doc_id"), col("cnt"), col("hlo"), col("hhi"),
-        explode(sequence(lit(0), lit(63))).as("b"))
-      .withColumn("bit",
-        when(col("b") < 32, call_function("shiftright", col("hlo"), col("b")))
-          .otherwise(call_function("shiftright", col("hhi"), col("b") - 32))
-          .bitwiseAND(1))
-      .withColumn("vote", when(col("bit") === 1, col("cnt")).otherwise(-col("cnt")))
-      .groupBy(col("doc_id"), col("b")).agg(sum(col("vote")).as("v"))
-    votes.groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("v") > 0 && col("b") < 32,
-          pow(lit(2.0), col("b")).cast("long")).otherwise(0L)).as("simhash_lo"),
-        sum(when(col("v") > 0 && col("b") >= 32,
-          pow(lit(2.0), col("b") - 32).cast("long")).otherwise(0L)).as("simhash_hi"))
+    val votes = voteBits(tf, 64,
+      b => if (b < 32) shiftright(col("hlo"), b) else shiftright(col("hhi"), b - 32))
+    votes.select(col("doc_id"),
+      packBits(votes, 0, 32).as("simhash_lo"),
+      packBits(votes, 32, 64).as("simhash_hi"))
   }
 
   /** Banded Hamming-distance near-dup pairs over the portable 64-bit
@@ -289,25 +258,19 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** 64-bit SimHash over whitespace tokens weighted by term frequency. */
+  /** 64-bit SimHash over whitespace tokens weighted by term frequency
+    * (xxhash64 fast path — same vote/pack structure as the portable
+    * variants, single long output). */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-    // per-token ±cnt vote vector over 64 bit positions, summed element-wise
-    val votes = tf.select(col("doc_id"),
-      transform(sequence(lit(0), lit(63)),
-        b => when(call_function("shiftright", xxhash64(col("tok")), b).bitwiseAND(1) === 1,
-          col("cnt")).otherwise(-col("cnt"))).as("v"))
-    val summed = votes.groupBy(col("doc_id"))
-      .agg(aggregate(collect_list(col("v")),
-        transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("v"))
-    summed.select(col("doc_id"),
-      aggregate(
-        zip_with(col("v"), sequence(lit(0), lit(63)),
-          (vote, b) => when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc.bitwiseOR(x)).as("simhash"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = voteBits(tf, 64, b => shiftright(col("h"), b))
+    votes.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via

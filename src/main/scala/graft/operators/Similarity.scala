@@ -292,23 +292,27 @@ object Similarity {
                  numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
-    // one bucket id per table, with the table index salted into the planes
-    val tabled = base.select(col("vec_id"), col("v"), col("norm"),
+    // one bucket id per table, with the table index salted into the planes;
+    // only (vec_id, table, bucket) flows into the candidate join — vectors
+    // re-join AFTER the distinct, so the dedup shuffle moves ids, not
+    // dim-sized payloads
+    val tabled = base.select(col("vec_id"),
       explode(array((0 until numTables).map(t =>
         struct(lit(t).as("table"),
           lshBucket(col("v"), numPlanes, t * numPlanes, dim).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("norm"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val queries = tabled.where(queryPred)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"),
-        col("table"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
     val cand = tabled.join(queries, Seq("table", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("v"), col("qv"),
-        col("norm"), col("qnorm"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(base.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), Seq("neighbor_id"))
+      .join(base.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm")),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
