@@ -1,13 +1,14 @@
 package graft
 
-import graft.operators.{Atr, GapFill, Ohlc}
+import graft.operators.{Atr, Dedup, GapFill, Ohlc, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool: in-plan scale expansion of the tick stream (no files written) —
-  * replicate events ×FACTOR with per-replica symbol salting, then drive
-  * candles → gap-fill → ATR end-to-end and report rows/sec. Surfaces
-  * shuffle/skew/spill pathologies the tiny SFs hide.
+/** Dev tool: in-plan scale expansion (no files written) — replicate inputs
+  * ×FACTOR with per-replica salting, then drive the core pipeline
+  * (candles → gap-fill → ATR) plus the dedup/similarity scale paths and
+  * report marginal per-stage seconds. Surfaces shuffle/skew/spill
+  * pathologies the tiny SFs hide.
   * Usage: runMain graft.ScaleCheck [sfDir] [factor]
   */
 object ScaleCheck {
@@ -50,6 +51,49 @@ object ScaleCheck {
     val nEnriched = time("Wilder ATR over gap-filled")(Atr.enrich(filled).toDF().count())
     println(s"[scale] ticks=$nTicks candles=$nCandles filled=$nFilled enriched=$nEnriched " +
       f"symbols=${factor * 5} tickRate=${nTicks / 1e6}%.1fM")
+    // release the core-pipeline caches before the dedup/similarity section —
+    // lingering multi-GB cached stages turn the later timings into GC noise
+    filled.unpersist()
+    candles.unpersist()
+
+    // ── dedup / similarity scale paths ──
+    // documents ×docFactor with per-replica token salting (so replicas are
+    // near-dups of each other only within a replica family, keeping pair
+    // counts sane while scaling the corpus)
+    val docFactor = math.max(4, factor / 5)
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("rep", explode(sequence(lit(0), lit(docFactor - 1))))
+      .select((col("doc_id") * docFactor + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      .repartition(cpus.toInt).cache()
+    val nDocs = docs.count()
+    time(s"linear-perm MinHash-LSH pairs over $nDocs docs")(
+      Dedup.minhashLshPairs(docs, numPerms = 64, bands = 16, threshold = 0.5).count())
+    time(s"SimHash banded Hamming pairs over $nDocs docs")(
+      Dedup.simhashPairsPortable(docs).count())
+    time(s"winnowing fingerprints over $nDocs docs")(
+      graft.operators.TextAnalysis.winnowingFingerprints(docs)
+        .select(explode(col("fingerprints"))).count())
+    docs.unpersist()
+
+    val vecFactor = math.max(4, factor / 5)
+    val embs = Tables.embeddings(spark, sfDir)
+      .withColumn("rep", explode(sequence(lit(0), lit(vecFactor - 1))))
+      .select((col("vec_id") * vecFactor + col("rep")).as("vec_id"),
+        // per-replica sign flip on one component: replicas stay similar but
+        // not identical, so candidate counts scale realistically
+        transform(col("embedding"), (x, i) =>
+          when(i === pmod(col("rep"), lit(64)), -x).otherwise(x)).as("embedding"))
+      .repartition(cpus.toInt).cache()
+    val nVecs = embs.count()
+    time(s"blocked exact cosine pairs over $nVecs vectors")(
+      Similarity.cosineDupPairsBlocked(embs, threshold = 0.9,
+        blocks = math.max(8, vecFactor)).count())
+    time(s"LSH candidate+verify cosine pairs over $nVecs vectors")(
+      Similarity.cosineDupPairsLsh(embs, threshold = 0.9).count())
+    time(s"LSH ANN top-k over $nVecs vectors")(
+      Similarity.annLshTopK(embs, pmod(col("vec_id"), lit(1000)) === 0).count())
+    embs.unpersist()
     spark.stop()
   }
 }

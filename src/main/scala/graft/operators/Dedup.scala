@@ -53,7 +53,9 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.4,
                    maxDf: Int = 100): DataFrame = {
-    val sh = shingles(docs, n)
+    // pinch-point exchange: the shingle explode feeds doc sizes, the df
+    // cap, and both sides of the inverted-index join — compute it once
+    val sh = shingles(docs, n).repartition(col("doc_id"), col("shingle"))
     val docSizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select("shingle")
@@ -154,23 +156,35 @@ object Dedup {
                       baseHash: Column => Column = xxhashBase): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rows = numPerms / bands
+    // the explicit repartition is a shared pinch-point: the signature
+    // pipeline (shingles → base hashes → 64 min-aggs) feeds three
+    // consumers (both sides of the band join + the estimate re-join), and
+    // an identical exchange lets Spark compute it ONCE and reuse the
+    // shuffle output instead of re-running the pipeline per consumer
     val sigs = minhashSignatures(docs, n, numPerms, baseHash)
+      .repartition(col("doc_id"))
+    // candidates carry IDS ONLY — signatures re-join after the distinct,
+    // so the dedup shuffle moves 16-byte pairs, not 2×numPerms-long arrays
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("key")))).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // matching-permutation count as numPerms codegen'd comparisons (a
+    // zip_with/filter HOF would interpret a lambda per element)
+    val matches = (0 until numPerms).map(p =>
+      when(element_at(col("sig_a"), p + 1) === element_at(col("sig_b"), p + 1), 1)
+        .otherwise(0)).reduce(_ + _)
     cand
-      .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / lit(numPerms.toDouble), 4))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_jaccard", round(matches.cast("double") / lit(numPerms.toDouble), 4))
       .where(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
   }
@@ -235,7 +249,9 @@ object Dedup {
     * carries a DuckDB oracle. Output: doc_a < doc_b, hamming ≤ maxHamming.
     */
   def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash64Portable(docs)
+    // pinch-point exchange: the sketch pipeline feeds both sides of the
+    // band self-join — one computation, reused shuffle output
+    val sh = simhash64Portable(docs).repartition(col("doc_id"))
     val banded = sh.select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
       explode(array(
         struct(lit(0).as("band"), col("simhash_lo").bitwiseAND(0xFFFFL).as("key")),

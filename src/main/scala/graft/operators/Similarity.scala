@@ -133,6 +133,8 @@ object Similarity {
         struct(lit(t).as("table"),
           lshBucket(col("v"), numPlanes, t * numPlanes, dim).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      // pinch-point: bucket hashing feeds both sides of the self-join
+      .repartition(col("vec_id"))
     // candidate ids only — vectors re-join after the dedup so the
     // dropDuplicates shuffle doesn't carry dim-sized payloads
     val cand = tabled.as("a")
@@ -301,6 +303,9 @@ object Similarity {
         struct(lit(t).as("table"),
           lshBucket(col("v"), numPlanes, t * numPlanes, dim).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      // pinch-point: bucket hashing (numTables × numPlanes dot products per
+      // vector) feeds both the corpus and query sides — compute once
+      .repartition(col("vec_id"))
     val queries = tabled.where(queryPred)
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
     val cand = tabled.join(queries, Seq("table", "bucket"))
