@@ -238,6 +238,12 @@ object SparkEntry {
         .select(col("id"), col("symbol"), wstr(col("window_start")).as("window_start"), col("close"))
         .orderBy("id")
     }),
+    "q51_gap_fill_sessions" -> ((s, dir) =>
+      GapFill.fillSessions(candles(s, dir))
+        .select(wstr(col("window_start")).as("window_start"), col("symbol"),
+          col("open"), col("high"), col("low"), col("close"), col("tick_count"),
+          col("gap_filled"))
+        .orderBy("symbol", "window_start")),
     "q16_missing_census" -> ((s, dir) => {
       GapFill.missingCensus(candles(s, dir))
         .select(wstr(col("window_start")).as("window_start"), col("symbol"))
@@ -596,6 +602,37 @@ object SparkEntry {
          |SELECT i.id, i.symbol, strftime(i.window_start, '%Y-%m-%d %H:%M:%S') AS window_start, i.close
          |FROM ids i WHERE NOT EXISTS (SELECT 1 FROM sink s WHERE s.id = i.id)
          |ORDER BY i.id""".stripMargin,
+    "q51_gap_fill_sessions" ->
+      s"""WITH $CandleCte,
+         |cd AS (SELECT *, CAST(window_start AS DATE) AS d FROM candles),
+         |db AS (SELECT d, min(window_start) AS wmin, max(window_start) AS wmax FROM cd GROUP BY d),
+         |wins AS (SELECT d, unnest(generate_series(wmin, wmax, INTERVAL 5 MINUTE)) AS window_start FROM db),
+         |syms AS (SELECT DISTINCT symbol FROM candles),
+         |grid AS (SELECT w.d, w.window_start, s.symbol FROM wins w CROSS JOIN syms s),
+         |j AS (SELECT g.d, g.window_start, g.symbol, c.open, c.high, c.low, c.close, c.tick_count
+         |      FROM grid g LEFT JOIN cd c ON c.window_start = g.window_start AND c.symbol = g.symbol),
+         |dl AS (SELECT symbol, d, arg_max(close, window_start) AS day_close
+         |       FROM cd GROUP BY symbol, d),
+         |seeds AS (
+         |  SELECT sg.symbol, sg.d,
+         |         last_value(dl.day_close IGNORE NULLS) OVER (PARTITION BY sg.symbol ORDER BY sg.d
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seed
+         |  FROM (SELECT db.d, s.symbol FROM db CROSS JOIN syms s) sg
+         |  LEFT JOIN dl ON dl.symbol = sg.symbol AND dl.d = sg.d),
+         |intr AS (
+         |  SELECT j.*, coalesce(
+         |      last_value(j.close IGNORE NULLS) OVER (PARTITION BY j.symbol, j.d ORDER BY j.window_start
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      se.seed) AS prev_close
+         |  FROM j JOIN seeds se ON se.symbol = j.symbol AND se.d = j.d)
+         |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, symbol,
+         |       coalesce(open, prev_close) AS open, coalesce(high, prev_close) AS high,
+         |       coalesce(low, prev_close) AS low, coalesce(close, prev_close) AS close,
+         |       coalesce(tick_count, 0) AS tick_count,
+         |       (tick_count IS NULL AND prev_close IS NOT NULL) AS gap_filled
+         |FROM intr
+         |WHERE tick_count IS NOT NULL OR prev_close IS NOT NULL
+         |ORDER BY symbol, window_start""".stripMargin,
     "q16_missing_census" ->
       s"""WITH $CandleCte,
          |bounds AS (SELECT min(window_start) AS wmin, max(window_start) AS wmax FROM candles),

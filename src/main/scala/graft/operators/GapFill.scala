@@ -59,6 +59,59 @@ object GapFill {
         col("gap_filled"))
   }
 
+  /** Session-aware gap-fill with BOUNDED per-task state — the 100 TB
+    * formulation of [[fill]]. The dense grid is built per trading day (the
+    * day's observed [min, max] window range, shared across symbols, like
+    * the reference's common session bounds), the forward-fill window
+    * partitions by (symbol, day) — so a task holds at most one symbol-day
+    * (≤ a few hundred windows) — and days chain through a DAY-granularity
+    * window over one row per (symbol, day): the previous observed day-close
+    * seeds the next day, across any run of fully-silent days. Output
+    * contract matches [[fill]] (+ cold-start drop), restricted to observed
+    * days' session ranges.
+    */
+  def fillSessions(candles: DataFrame, intervalMinutes: Int = 5): DataFrame = {
+    val cd = candles.withColumn("d", to_date(col("window_start")))
+    // per-day session bounds over ALL symbols (tiny: one row per day)
+    val dayBounds = cd.groupBy(col("d")).agg(
+      min(col("window_start")).as("wmin"), max(col("window_start")).as("wmax"))
+    val wins = dayBounds.select(col("d"),
+      explode(sequence(col("wmin"), col("wmax"),
+        expr(s"interval $intervalMinutes minutes"))).as("window_start"))
+    val syms = cd.select(col("symbol")).distinct()
+    val grid = wins.crossJoin(broadcast(syms))
+    val joined = grid.join(cd, Seq("window_start", "symbol", "d"), "left_outer")
+    // last observed close per (symbol, day) — from real candles only
+    val dayLast = cd.groupBy(col("symbol"), col("d"))
+      .agg(max_by(col("close"), col("window_start")).as("day_close"))
+    // previous-day seed: day-level forward fill over one row per
+    // (symbol, day) — symbols × days rows, trivially small at any scale
+    val dayGrid = dayBounds.select(col("d")).crossJoin(broadcast(syms))
+      .join(dayLast, Seq("symbol", "d"), "left_outer")
+    val dw = Window.partitionBy(col("symbol")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = dayGrid
+      .withColumn("seed", last(col("day_close"), ignoreNulls = true).over(dw))
+      .select(col("symbol"), col("d"), col("seed"))
+    // intraday forward fill: frame bounded by windows-per-session
+    val iw = Window.partitionBy(col("symbol"), col("d")).orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    joined
+      .join(seeds, Seq("symbol", "d"))
+      .withColumn("prev_close",
+        coalesce(last(col("close"), ignoreNulls = true).over(iw), col("seed")))
+      .withColumn("gap_filled", col("tick_count").isNull && col("prev_close").isNotNull)
+      .where(col("tick_count").isNotNull || col("prev_close").isNotNull)
+      .select(
+        col("window_start"), col("symbol"),
+        coalesce(col("open"), col("prev_close")).as("open"),
+        coalesce(col("high"), col("prev_close")).as("high"),
+        coalesce(col("low"), col("prev_close")).as("low"),
+        coalesce(col("close"), col("prev_close")).as("close"),
+        coalesce(col("tick_count"), lit(0L)).as("tick_count"),
+        col("gap_filled"))
+  }
+
   /** Missing-ticker census (candle_aggregator.py:193-203): expected grid slots
     * with no candle at all — the validation-log complement of [[fill]].
     */

@@ -31,6 +31,32 @@ class GapFillSpec extends AnyFunSuite {
       ("B", "2026-02-02 09:25:00.0", 50.0, 50.0, 50.0, 50.0, 1L, false)))
   }
 
+  test("session gap-fill seeds a silent day from the previous day's close") {
+    // day 1: A and B trade; day 2: only B trades (A fully silent);
+    // day 3: both trade. C appears only on day 3 (cold start before that).
+    val multiDay = Seq(
+      (ts("2026-02-02 09:15:00"), "A", 10.0, 12.0, 9.0, 11.0, 5L),
+      (ts("2026-02-02 09:20:00"), "B", 50.0, 50.0, 50.0, 50.0, 1L),
+      (ts("2026-02-03 09:15:00"), "B", 51.0, 51.0, 51.0, 51.0, 2L),
+      (ts("2026-02-04 09:15:00"), "A", 14.0, 14.0, 14.0, 14.0, 1L),
+      (ts("2026-02-04 09:15:00"), "C", 7.0, 7.0, 7.0, 7.0, 1L)
+    ).toDF("window_start", "symbol", "open", "high", "low", "close", "tick_count")
+    val out = GapFill.fillSessions(multiDay).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).toString, r.getDouble(5),
+        r.getLong(6), r.getBoolean(7)))
+      .sortBy(t => (t._1, t._2))
+    // A on silent day 2 is synthesized flat at day-1 close 11.0
+    assert(out.contains(("A", "2026-02-03 09:15:00.0", 11.0, 0L, true)))
+    // A's day-1 09:20 slot (grid from B's candle) fills intraday
+    assert(out.contains(("A", "2026-02-02 09:20:00.0", 11.0, 0L, true)))
+    // C before its first candle is cold-start dropped
+    assert(!out.exists(t => t._1 == "C" && t._2 < "2026-02-04"))
+    // intra-task frames never cross days: every filled value matches the
+    // chain of observed closes, so real candles pass through untouched
+    assert(out.contains(("A", "2026-02-04 09:15:00.0", 14.0, 1L, false)))
+    assert(out.contains(("B", "2026-02-04 09:15:00.0", 51.0, 0L, true)))
+  }
+
   test("missing census lists exactly the empty grid slots") {
     val missing = GapFill.missingCensus(candles).collect()
       .map(r => (r.getString(1), r.getTimestamp(0).toString)).sorted
