@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.DedupStream
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the quiet river bank today " +
+    "while morning light spreads across the valley and distant hills glow softly under a pale winter sun " +
+    "as birds begin their familiar songs in the tall oak trees beside the old stone bridge"
+  private val nearDup = base.replace("quiet", "silent")
+  private val other = "completely different words about spark catalyst optimizer plans and shuffles everywhere"
+
+  test("incremental index catches cross-batch near-dups; replays are idempotent") {
+    val root = Files.createTempDirectory("graft-dstream").toString
+    val (indexDir, pairsDir) = (s"$root/index", s"$root/pairs")
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    // batch 1: base + unrelated — no pairs yet, index gets 2 docs
+    val w1 = DedupStream.processBatch(batch(1L -> base, 3L -> other),
+      indexDir, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
+    assert(w1 === 0L)
+    assert(spark.read.parquet(s"$indexDir/sigs").count() === 2L)
+
+    // batch 2: the near-dup of doc 1 arrives later → cross-batch pair found
+    // via the persisted band index, plus an exact duplicate of doc 3
+    val w2 = DedupStream.processBatch(batch(2L -> nearDup, 4L -> other),
+      indexDir, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
+    assert(w2 === 2L)
+    val pairs = spark.read.parquet(pairsDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+
+    // replay of batch 2 (checkpoint recovery): nothing recomputed, nothing
+    // duplicated — docs are already indexed, pairs already written
+    val w3 = DedupStream.processBatch(batch(2L -> nearDup, 4L -> other),
+      indexDir, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
+    assert(w3 === 0L)
+    assert(spark.read.parquet(pairsDir).count() === 2L)
+    assert(spark.read.parquet(s"$indexDir/sigs").count() === 4L)
+    // band index is partitioned for pruned probes
+    val bandDirs = new java.io.File(s"$indexDir/bands").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(bandDirs.nonEmpty && bandDirs.forall(_.startsWith("band=")))
+  }
+
+  test("streaming wiring: two micro-batches through foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-dstream2").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = DedupStream.start(stream.toDF().toDF("doc_id", "text"),
+      s"$root/index", s"$root/pairs", s"$root/ckpt", threshold = 0.3)
+    try {
+      stream.addData(1L -> base, 3L -> other)
+      q.processAllAvailable()
+      stream.addData(2L -> nearDup)
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$root/pairs")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 2L)))
+    } finally q.stop()
+  }
+}
