@@ -334,6 +334,8 @@ object SparkEntry {
           col("open"), col("high"), col("low"), col("close"))
         .orderBy("symbol", "window_start")
     }),
+    "q52_corpus_prep" -> ((s, dir) =>
+      CorpusPrep.prepare(Tables.documents(s, dir)).orderBy("doc_id")),
     "q49_salted_agg" -> ((s, dir) => {
       // two-phase salted aggregation on a 5-key (inherently hot-keyed)
       // groupBy: same answer as the plain aggregate, but every hot key is
@@ -750,6 +752,84 @@ object SparkEntry {
          |FROM candles
          |WHERE high < greatest(open, close) OR low > least(open, close)
          |ORDER BY symbol, window_start""".stripMargin,
+    "q52_corpus_prep" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
+        |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|on|for|with)\b')) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+        |    round(least(n_toks / 200.0, 1.0) * 0.5
+        |        + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
+        |        + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
+        |        4) AS quality
+        |  FROM t),
+        |ls AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT) AS s_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT) AS s_zh
+        |  FROM documents),
+        |lang AS (
+        |  SELECT doc_id, CASE
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS predicted_lang
+        |  FROM ls),
+        |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |       FROM documents),
+        |canon AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint),
+        |w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 3),
+        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 5) t),
+        |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+        |perms AS (
+        |  SELECT perm,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS perm) t),
+        |sig AS (
+        |  SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
+        |  FROM bh CROSS JOIN perms GROUP BY doc_id, perm),
+        |banded AS (
+        |  SELECT doc_id, perm // 2 AS band,
+        |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key
+        |  FROM sig GROUP BY doc_id, perm // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |                              AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+        |  GROUP BY c.doc_a, c.doc_b),
+        |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE est_jaccard >= 0.5)
+        |SELECT q.doc_id, q.n_tokens, q.quality
+        |FROM qual q
+        |JOIN lang l ON l.doc_id = q.doc_id AND l.predicted_lang = 'en'
+        |JOIN fp ON fp.doc_id = q.doc_id
+        |JOIN canon c ON c.fingerprint = fp.fingerprint AND c.keep_id = q.doc_id
+        |WHERE q.quality >= 0.4
+        |  AND NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = q.doc_id)
+        |ORDER BY q.doc_id""".stripMargin,
     "q49_salted_agg" ->
       """SELECT event_type AS symbol, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

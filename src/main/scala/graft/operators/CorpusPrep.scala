@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation — the composition a data pipeline
+  * actually runs, built entirely from this library's operators:
+  *
+  *   quality gate ([[TextAnalysis.qualityScore]]) →
+  *   language gate ([[TextAnalysis.languageId]]) →
+  *   exact dedup (keep the lowest doc_id per normalized fingerprint,
+  *   [[TextAnalysis.fingerprint]]) →
+  *   near-dup removal (drop the higher id of every MinHash-LSH pair,
+  *   [[Dedup.minhashLshPairsPortable]] — the greedy canonical-survivor rule).
+  *
+  * Every stage is independently oracle-checked (q31/q32/q33/q46); the
+  * composition is oracle-checked as q52. All joins are on doc_id (or the
+  * tiny fingerprint aggregate) — no stage is quadratic, so the pipeline
+  * scales exactly as far as its dedup stage does.
+  */
+object CorpusPrep {
+
+  /** @return surviving (doc_id, n_tokens, quality) rows. */
+  def prepare(docs: DataFrame, minQuality: Double = 0.4, lang: String = "en",
+              nearDupThreshold: Double = 0.5): DataFrame = {
+    val quality = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    val language = TextAnalysis.languageId(docs)
+      .select(col("doc_id"), col("predicted_lang"))
+    val gated = docs.select("doc_id")
+      .join(quality.where(col("quality") >= minQuality), Seq("doc_id"))
+      .join(language.where(col("predicted_lang") === lang), Seq("doc_id"))
+    // exact dedup: lowest doc_id per normalized-text fingerprint survives
+    val fp = TextAnalysis.fingerprint(docs).select(col("doc_id"), col("fingerprint"))
+    val canon = fp.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
+    val exactKept = fp.join(canon, Seq("fingerprint"))
+      .where(col("doc_id") === col("keep_id")).select("doc_id")
+    // near-dup removal: the higher id of every LSH pair is dropped
+    val nearDropped = Dedup.minhashLshPairsPortable(docs, threshold = nearDupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    gated
+      .join(exactKept, Seq("doc_id"))
+      .join(nearDropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+  }
+}
