@@ -151,11 +151,38 @@ object Dedup {
     * components. Sub-quadratic: only docs sharing a band bucket ever meet.
     * Output: doc_a < doc_b, est_jaccard (≥ threshold).
     */
+  /** Matching-permutation fraction of two signature arrays (`sig_a`,
+    * `sig_b`) as numPerms codegen'd comparisons, rounded 4dp — shared by
+    * the batch and streaming LSH verifiers (a zip_with/filter HOF would
+    * interpret a lambda per element).
+    */
+  def estJaccardExpr(numPerms: Int): Column =
+    round((0 until numPerms).map(p =>
+      when(element_at(col("sig_a"), p + 1) === element_at(col("sig_b"), p + 1), 1)
+        .otherwise(0)).reduce(_ + _).cast("double") / lit(numPerms.toDouble), 4)
+
+  /** Explode a signature array into (band, key) rows; `key` is the band's
+    * signature slice (array form for in-plan joins, comma-joined string
+    * form for parquet/partition-friendly persisted indexes).
+    */
+  def bandKeys(sigs: DataFrame, numPerms: Int, bands: Int,
+               stringKey: Boolean = false): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val rows = numPerms / bands
+    def slcKey(b: Column): Column = {
+      val slc = slice(col("sig"), b * rows + 1, lit(rows))
+      if (stringKey) concat_ws(",", transform(slc, _.cast("string"))) else slc
+    }
+    sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), slcKey(b).as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   def minhashLshPairs(docs: DataFrame, n: Int = 5, numPerms: Int = 64,
                       bands: Int = 16, threshold: Double = 0.5,
                       baseHash: Column => Column = xxhashBase): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
-    val rows = numPerms / bands
     // the explicit repartition is a shared pinch-point: the signature
     // pipeline (shingles → base hashes → 64 min-aggs) feeds three
     // consumers (both sides of the band join + the estimate re-join), and
@@ -165,26 +192,17 @@ object Dedup {
       .repartition(col("doc_id"))
     // candidates carry IDS ONLY — signatures re-join after the distinct,
     // so the dedup shuffle moves 16-byte pairs, not 2×numPerms-long arrays
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), slice(col("sig"), b * rows + 1, lit(rows)).as("key")))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandKeys(sigs, numPerms, bands)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // matching-permutation count as numPerms codegen'd comparisons (a
-    // zip_with/filter HOF would interpret a lambda per element)
-    val matches = (0 until numPerms).map(p =>
-      when(element_at(col("sig_a"), p + 1) === element_at(col("sig_b"), p + 1), 1)
-        .otherwise(0)).reduce(_ + _)
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .withColumn("est_jaccard", round(matches.cast("double") / lit(numPerms.toDouble), 4))
+      .withColumn("est_jaccard", estJaccardExpr(numPerms))
       .where(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
   }
@@ -270,8 +288,11 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo"))) +
           bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi")))).cast("long").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // filter BEFORE the pair dedup: hamming is identical for every copy
+      // of a pair, and most band collisions fail the cut — discarding them
+      // first keeps the distinct shuffle to qualifying pairs only
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** 64-bit SimHash over whitespace tokens weighted by term frequency

@@ -149,8 +149,18 @@ object CheckpointStore {
     * place. `keep` counts BACKUPS (the reference's MAX_BACKUPS): primary +
     * `keep` rotated copies stay on disk (checkpoint_manager.py:161-182).
     */
+  /** Pre-rename layout used legacy `checkpoint.<n>.json` backup names;
+    * migrate them on the first save so rotation/load keep seeing them. */
+  private def migrateLegacy(dir: String, keep: Int): Unit =
+    for (g <- 1 to keep) {
+      val legacy = Paths.get(dir, s"checkpoint.$g.json")
+      if (Files.exists(legacy) && !Files.exists(path(dir, g)))
+        Files.move(legacy, path(dir, g))
+    }
+
   def save(dir: String, cp: Checkpoint, keep: Int = 3): Unit = {
     Files.createDirectories(Paths.get(dir))
+    migrateLegacy(dir, keep)
     val tmp = Paths.get(dir, "checkpoint.json.tmp")
     val ch = java.nio.channels.FileChannel.open(tmp, StandardOpenOption.CREATE,
       StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -171,8 +181,9 @@ object CheckpointStore {
     * generations (checkpoint_manager.py:107-159).
     */
   def load(dir: String, keep: Int = 3): Option[Checkpoint] =
-    (0 to keep).iterator
-      .map(path(dir, _))
+    ((0 to keep).map(path(dir, _)) ++
+      // legacy pre-rename backup names still count as fallback generations
+      (1 to keep).map(g => Paths.get(dir, s"checkpoint.$g.json"))).iterator
       .filter(Files.exists(_))
       .flatMap(p => Try(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).toOption)
       .flatMap(parse)

@@ -66,13 +66,19 @@ object IdempotentSink {
     val spark = batch.sparkSession
     val keep = (pruneCol.toSeq ++ partitionCol).distinct
     val existingAll = readIdsWith(spark, sinkDir, idCol, keep)
-    (pruneCol.toSeq ++ partitionCol).distinct.foldLeft(existingAll) { (df, c) =>
-      if (batch.columns.contains(c) && df.columns.contains(c)) {
-        val bounds = batch.agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
-        if (bounds.isNullAt(0)) df
-        else df.where(col(c) >= lit(bounds.get(0)) && col(c) <= lit(bounds.get(1)))
-      } else df
-    }.select(idCol)
+    val cols = keep.filter(c =>
+      batch.columns.contains(c) && existingAll.columns.contains(c))
+    if (cols.isEmpty) existingAll.select(idCol)
+    else {
+      // ONE driver action computes every bound — a per-column agg would
+      // re-execute the batch plan once per prune column
+      val aggExprs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val bounds = batch.agg(aggExprs.head, aggExprs.tail: _*).head()
+      cols.zipWithIndex.foldLeft(existingAll) { case (df, (c, i)) =>
+        if (bounds.isNullAt(2 * i)) df
+        else df.where(col(c) >= lit(bounds.get(2 * i)) && col(c) <= lit(bounds.get(2 * i + 1)))
+      }.select(idCol)
+    }
   }
 
   private def readIdsWith(spark: SparkSession, dir: String, idCol: String,
@@ -111,12 +117,23 @@ object IdempotentSink {
             Thread.sleep(baseDelayMs * (1L << (attempt - 1)))
       }
     }
-    // park the batch for a later drain; the park itself can fail too (e.g.
-    // the batch's own plan is unreadable) — the contract is still Left(last),
-    // so foreachBatch callers get park-and-continue, not a thrown error
-    try batch.write.mode(SaveMode.Append).parquet(deadLetterDir)
-    catch { case e: Throwable => System.err.println(s"[sink] dead-letter park failed: $e") }
-    Left(last)
+    // park the batch for a later drain. Park-and-continue (Left) holds ONLY
+    // when the park succeeded: if the park fails too, the rows exist in
+    // neither the sink nor the dead letter, and returning Left would let a
+    // foreachBatch caller commit offsets over permanently lost data — so a
+    // failed park rethrows, the stream halts, the checkpoint does not
+    // advance, and the batch replays (at-least-once preserved).
+    try {
+      batch.write.mode(SaveMode.Append).parquet(deadLetterDir)
+      Left(last)
+    } catch {
+      case e: Throwable =>
+        val fatal = new RuntimeException(
+          s"sink append failed after $maxRetries retries AND dead-letter park failed: ${e.getMessage}",
+          last)
+        fatal.addSuppressed(e)
+        throw fatal
+    }
   }
 
   /** Drain dead letters into the sink (idempotent re-append), then clear the

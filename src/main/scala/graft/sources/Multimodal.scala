@@ -95,7 +95,10 @@ object Multimodal {
           }
           Some((w, h, round6(s.toDouble / (w.toLong * h * bands * 255.0))))
         }
-      } catch { case _: java.io.IOException => None }
+        // ImageIO plugins throw RuntimeExceptions (IllegalArgument, CMM,
+        // NegativeArraySize…) on malformed payloads, not just IOException —
+        // the operator must stay total over a real media lake
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Build a synthetic media table from the documents table: payload = a

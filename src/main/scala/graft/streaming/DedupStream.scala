@@ -2,51 +2,52 @@ package graft.streaming
 
 import graft.operators.Dedup
 import graft.sink.IdempotentSink
-import org.apache.spark.sql.{AnalysisException, Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 /** Incremental MinHash-LSH near-duplicate detection over a document STREAM —
   * the continuously-running form of [[graft.operators.Dedup.minhashLshPairs]]
   * for a training-data ingest pipeline: every micro-batch of new documents is
-  * checked against everything seen so far, without ever recomputing the
-  * historical corpus.
+  * checked against everything seen so far, without recomputing the
+  * historical corpus's signatures.
   *
-  * State is a persisted band index (doc_id, band, key) partitioned by band,
-  * plus stored signatures — both append-only parquet, deduped by doc_id on
-  * replay, so the stream is idempotent under checkpoint recovery. Per batch:
+  * State layout under `indexDir` (all append-only parquet):
+  *   - `ids/`   — compact ledger of indexed doc_ids, written LAST per batch;
+  *                the replay check reads this narrow table, not the wide
+  *                signature store;
+  *   - `bands/` — (doc_id, band, key) partitioned by band, probed by the
+  *                candidate join;
+  *   - `sigs/`  — (doc_id, sig) for exact estimate verification.
   *
-  *   1. signatures + band keys for the NEW docs only;
-  *   2. candidates = new×new (band self-join) ∪ new×index (probe the
-  *      persisted band index — an equi-join on (band, key) that touches only
-  *      the index partitions the new keys hash into);
-  *   3. exact est_jaccard verify from stored signatures, emit pairs ≥
-  *      threshold to `pairsDir` (idempotent append keyed "a_b");
-  *   4. append the new docs' bands + signatures to the index.
+  * Per batch: signatures + band keys for the NEW docs only; candidates =
+  * new×new ∪ new×index (band-partition-pruned probe); exact est_jaccard
+  * verify; pairs append idempotently (keyed "a_b"); then bands → sigs → ids.
+  * Every append anti-joins its own store's doc_ids first, so a crash between
+  * any two writes replays to exactly the same state — no duplicate rows in
+  * any store, no missed pairs.
   *
-  * At corpus scale the index probe is the whole point: cost is proportional
-  * to the NEW batch and its bucket collisions, never to corpus size.
+  * Scale posture, stated precisely: the band PROBE prunes to the partitions
+  * the new keys hash into; the replay check reads the id ledger (narrow,
+  * but still O(corpus) ids); the estimate fetch scans the signature store
+  * once per batch and shuffles only candidate partners. A production
+  * deployment at the 100 TB mark would back `sigs`/`ids` with a
+  * key-addressable table format (Delta/Iceberg upserts or a KV store) —
+  * the dataflow here is unchanged by that swap.
   */
 object DedupStream {
 
   private def readOpt(spark: SparkSession, dir: String): Option[DataFrame] =
     try Some(spark.read.parquet(dir)) catch { case _: AnalysisException => None }
 
-  /** Band key as a portable string (parquet/partition friendly). */
-  private def bandKeys(sigs: DataFrame, numPerms: Int, bands: Int): DataFrame = {
-    val rows = numPerms / bands
-    sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
-            _.cast("string"))).as("key")))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-  }
-
-  private def estJaccard(numPerms: Int): Column =
-    round((0 until numPerms).map(p =>
-      when(element_at(col("sig_a"), p + 1) === element_at(col("sig_b"), p + 1), 1)
-        .otherwise(0)).reduce(_ + _).cast("double") / lit(numPerms.toDouble), 4)
+  /** Anti-join `rows` against the doc_ids already present in `dir`, making
+    * each store's append individually idempotent under batch replay. */
+  private def notYetIn(spark: SparkSession, rows: DataFrame, dir: String): DataFrame =
+    readOpt(spark, dir) match {
+      case Some(existing) =>
+        rows.join(existing.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      case None => rows
+    }
 
   /** Process one batch of new documents against the persisted index.
     * Returns the number of new near-dup pairs written. Package-visible so
@@ -55,17 +56,19 @@ object DedupStream {
   private[graft] def processBatch(batch: DataFrame, indexDir: String, pairsDir: String,
                                   n: Int, numPerms: Int, bands: Int,
                                   threshold: Double): Long = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
     val spark = batch.sparkSession
+    val idsDir = s"$indexDir/ids"
     val sigsDir = s"$indexDir/sigs"
     val bandsDir = s"$indexDir/bands"
-    // replay safety: drop docs already indexed BEFORE computing anything
-    val seenIds = readOpt(spark, sigsDir).map(_.select("doc_id"))
-    val fresh = seenIds.fold(batch)(s => batch.join(s, Seq("doc_id"), "left_anti"))
+    // replay fast-path: docs in the id ledger are fully indexed — skip them
+    // before computing anything (the ledger is doc_id-only, never the sigs)
+    val fresh = notYetIn(spark, batch, idsDir)
     val newSigs = Dedup.minhashSignatures(fresh, n, numPerms)
       .repartition(col("doc_id")).cache()
     try {
       if (newSigs.isEmpty) return 0L
-      val newBands = bandKeys(newSigs, numPerms, bands)
+      val newBands = Dedup.bandKeys(newSigs, numPerms, bands, stringKey = true)
       // new × new candidates within the batch
       val nn = newBands.as("a").join(newBands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -89,14 +92,19 @@ object DedupStream {
       val pairs = cand
         .join(allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
         .join(allSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-        .withColumn("est_jaccard", estJaccard(numPerms))
+        .withColumn("est_jaccard", Dedup.estJaccardExpr(numPerms))
         .where(col("est_jaccard") >= threshold)
         .select(concat_ws("_", col("doc_a"), col("doc_b")).as("id"),
           col("doc_a"), col("doc_b"), col("est_jaccard"))
       val written = IdempotentSink.appendDedup(pairs, pairsDir)
-      // index updates last: a replayed batch re-dedups against `seenIds`
-      newBands.write.mode(SaveMode.Append).partitionBy("band").parquet(bandsDir)
-      newSigs.write.mode(SaveMode.Append).parquet(sigsDir)
+      // index updates: each append is itself replay-deduped, and the id
+      // ledger lands LAST — a crash between any two writes replays cleanly
+      notYetIn(spark, newBands, bandsDir)
+        .write.mode(SaveMode.Append).partitionBy("band").parquet(bandsDir)
+      notYetIn(spark, newSigs, sigsDir)
+        .write.mode(SaveMode.Append).parquet(sigsDir)
+      notYetIn(spark, newSigs.select("doc_id"), idsDir)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(idsDir)
       written
     } finally { newSigs.unpersist(); () }
   }

@@ -41,14 +41,20 @@ object FullPipeline {
   /** Read a state snapshot, falling back to the `.tmp` staging dir: a crash
     * between [[swapWrite]]'s delete and rename leaves only the tmp copy, and
     * silently cold-starting the ATR recursion from None would diverge from a
-    * continuous run.
+    * continuous run. The fallback trusts tmp ONLY when its `_SUCCESS` marker
+    * exists — a crash mid tmp-write (before the final dir ever existed)
+    * leaves a partial tmp that must not seed state.
     */
   private def readOpt(spark: SparkSession, dir: String): Option[DataFrame] =
     try Some(spark.read.parquet(dir))
     catch {
       case _: AnalysisException =>
-        try Some(spark.read.parquet(dir + ".tmp"))
-        catch { case _: AnalysisException => None }
+        val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp", "_SUCCESS")
+        val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(tmp))
+          try Some(spark.read.parquet(dir + ".tmp"))
+          catch { case _: AnalysisException => None }
+        else None
     }
 
   /** Crash-safe snapshot replacement: materialize into `dir.tmp` (breaking

@@ -42,10 +42,14 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(w3 === 0L)
     assert(spark.read.parquet(pairsDir).count() === 2L)
     assert(spark.read.parquet(s"$indexDir/sigs").count() === 4L)
-    // band index is partitioned for pruned probes
+    // band index is partitioned for pruned probes; the id ledger has one
+    // row per doc and no duplicates even across the replay
     val bandDirs = new java.io.File(s"$indexDir/bands").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(bandDirs.nonEmpty && bandDirs.forall(_.startsWith("band=")))
+    assert(spark.read.parquet(s"$indexDir/ids").distinct().count() === 4L)
+    assert(spark.read.parquet(s"$indexDir/ids").count() === 4L)
+    assert(spark.read.parquet(s"$indexDir/bands").count() === 4L * 16)
   }
 
   test("streaming wiring: two micro-batches through foreachBatch") {

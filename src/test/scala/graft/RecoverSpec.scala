@@ -77,6 +77,18 @@ class RecoverSpec extends AnyFunSuite {
     assert(CheckpointStore.generations(dir).size === 4)
     assert(CheckpointStore.generations(dir).map(_.getFileName.toString) ===
       Seq("checkpoint.json", "checkpoint_1.json", "checkpoint_2.json", "checkpoint_3.json"))
+    // legacy checkpoint.<n>.json backups from the pre-rename layout still
+    // load as fallback generations and migrate on the next save
+    val legacyDir = java.nio.file.Files.createTempDirectory("graft-ckpt-legacy").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(legacyDir, "checkpoint.1.json"),
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "checkpoint_1.json")))
+    assert(CheckpointStore.load(legacyDir).isDefined)
+    CheckpointStore.save(legacyDir, cp("2026-02-02T09:35:00"))
+    val names = new java.io.File(legacyDir).listFiles().map(_.getName).sorted
+    assert(!names.contains("checkpoint.1.json"))
+    assert(names.contains("checkpoint_2.json")) // migrated legacy rotated to gen 2
     val loaded = CheckpointStore.load(dir).get
     assert(loaded.lastWindow.contains("2026-02-02T09:30:00"))
     assert(loaded.atrState("RELIANCE") ===
