@@ -114,6 +114,69 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Persist an LSH ANN index for query serving: `dir/vectors` holds
+    * (vec_id, v, norm), `dir/buckets` holds (vec_id, table, bucket)
+    * PARTITIONED BY (table, bucket) so a query's candidate fetch prunes to
+    * exactly the bucket directories its hash lands in, and `dir/meta`
+    * records the hash-family parameters so [[queryLshIndex]] can never
+    * probe with mismatched planes. Build cost is one pass over the corpus;
+    * queries never touch vectors outside their buckets.
+    */
+  def buildLshIndex(embeddings: DataFrame, dir: String, numPlanes: Int = 12,
+                    numTables: Int = 4, dim: Int = 64): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    base.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/vectors")
+    base.select(col("vec_id"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("table"),
+          lshBucket(col("v"), numPlanes, t * numPlanes, dim).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("table", "bucket").parquet(s"$dir/buckets")
+    Seq((numPlanes, numTables, dim)).toDF("num_planes", "num_tables", "dim")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
+
+  /** Approximate top-k against a persisted [[buildLshIndex]] index. The
+    * query side is hashed in-plan and broadcast, so the bucket-store join
+    * dynamic-partition-prunes to the queries' buckets; only those
+    * candidates' vectors are fetched and scored. Output contract matches
+    * [[annLshTopK]] — running it over the same corpus/parameters returns
+    * identical rows.
+    */
+  def queryLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queries: DataFrame, k: Int = 10): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (numPlanes, numTables, dim) =
+      (meta.getAs[Int]("num_planes"), meta.getAs[Int]("num_tables"), meta.getAs[Int]("dim"))
+    val buckets = spark.read.parquet(s"$dir/buckets")
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qnorm", l2norm(col("qv")))
+    val qb = q.select(col("query_id"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("table"),
+          lshBucket(col("qv"), numPlanes, t * numPlanes, dim).as("bucket"))): _*)).as("tb"))
+      .select(col("query_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val cand = buckets.join(broadcast(qb), Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")),
+        Seq("neighbor_id"))
+      .join(q.select(col("query_id"), col("qv"), col("qnorm")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Recall-bounded sub-quadratic near-dup pairs: md5-portable sign-LSH
     * buckets generate candidates (only same-bucket pairs in any of
     * `numTables` tables), then candidates are exactly verified against the

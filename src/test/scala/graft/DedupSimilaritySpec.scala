@@ -166,6 +166,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((brute intersect ivf).size >= 8)
   }
 
+  test("persisted LSH index serves the same answers as the in-plan ANN") {
+    val vecs = (0 to 40).map { i =>
+      val arr = Array.fill(8)(0f); arr(i % 8) = 1f; arr((i + 3) % 8) = 0.5f
+      (i.toLong, arr)
+    }
+    val emb = (vecs :+ (99L, vecs.head._2)).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString + "/index"
+    graft.operators.Similarity.buildLshIndex(emb, dir, numPlanes = 6, numTables = 6, dim = 8)
+    // bucket store is hive-partitioned by (table, bucket) for pruned probes
+    val tableDirs = new java.io.File(s"$dir/buckets").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(tableDirs.toSet === (0 until 6).map(t => s"table=$t").toSet)
+    val queries = emb.where($"vec_id" === 99L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val served = rows(graft.operators.Similarity.queryLshIndex(spark, dir, queries, k = 5))
+    val inPlan = rows(Similarity.annLshTopK(emb, col("vec_id") === 99,
+      k = 5, numPlanes = 6, numTables = 6, dim = 8))
+    assert(served === inPlan)
+    assert(served.exists { case (_, id, cos, _) => id == 0L && cos == 1.0 })
+  }
+
   test("winnowing fingerprints: shared substrings collide, guarantee holds") {
     val f = TextAnalysis.winnowingFingerprints(docs)
       .select("doc_id", "fingerprints").as[(Long, Seq[Long])].collect().toMap
