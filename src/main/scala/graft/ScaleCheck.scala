@@ -76,14 +76,17 @@ object ScaleCheck {
         .select(explode(col("fingerprints"))).count())
     docs.unpersist()
 
-    val vecFactor = math.max(4, factor / 5)
+    // cap at the embedding dim: each replica flips a DISTINCT component, so
+    // no replica pair is ever identical (a wrap would duplicate vectors and
+    // quadratically inflate the very pair counts being timed)
+    val vecFactor = math.min(64, math.max(4, factor / 5))
     val embs = Tables.embeddings(spark, sfDir)
       .withColumn("rep", explode(sequence(lit(0), lit(vecFactor - 1))))
       .select((col("vec_id") * vecFactor + col("rep")).as("vec_id"),
         // per-replica sign flip on one component: replicas stay similar but
         // not identical, so candidate counts scale realistically
         transform(col("embedding"), (x, i) =>
-          when(i === pmod(col("rep"), lit(64)), -x).otherwise(x)).as("embedding"))
+          when(i === col("rep"), -x).otherwise(x)).as("embedding"))
       .repartition(cpus.toInt).cache()
     val nVecs = embs.count()
     time(s"blocked exact cosine pairs over $nVecs vectors")(

@@ -23,12 +23,12 @@ object CorpusPrep {
   /** @return surviving (doc_id, n_tokens, quality) rows. */
   def prepare(docs: DataFrame, minQuality: Double = 0.4, lang: String = "en",
               nearDupThreshold: Double = 0.5): DataFrame = {
+    // qualityScore is already one row per doc_id — no extra join with docs
     val quality = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("quality"), col("n_tokens"))
     val language = TextAnalysis.languageId(docs)
       .select(col("doc_id"), col("predicted_lang"))
-    val gated = docs.select("doc_id")
-      .join(quality.where(col("quality") >= minQuality), Seq("doc_id"))
+    val gated = quality.where(col("quality") >= minQuality)
       .join(language.where(col("predicted_lang") === lang), Seq("doc_id"))
     // exact dedup: lowest doc_id per normalized-text fingerprint survives
     val fp = TextAnalysis.fingerprint(docs).select(col("doc_id"), col("fingerprint"))

@@ -114,30 +114,59 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** (vec_id, table, bucket) rows: one sign-pattern bucket per hash table,
+    * with the table index salted into the plane family — the shared bucket
+    * hashing for every LSH path (in-plan ANN, pair dedup, persisted index).
+    */
+  private def tableBuckets(base: DataFrame, vecCol: String, numPlanes: Int,
+                           numTables: Int, dim: Int): DataFrame =
+    base.select(col("vec_id"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("table"),
+          lshBucket(col(vecCol), numPlanes, t * numPlanes, dim).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+
+  /** Exact-cosine scoring + per-query top-k — the shared tail of every ANN
+    * path. Expects (query_id, neighbor_id, v, qv, norm, qnorm). */
+  private def topKByCosine(cand: DataFrame, k: Int): DataFrame = {
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Persist an LSH ANN index for query serving: `dir/vectors` holds
     * (vec_id, v, norm), `dir/buckets` holds (vec_id, table, bucket)
     * PARTITIONED BY (table, bucket) so a query's candidate fetch prunes to
     * exactly the bucket directories its hash lands in, and `dir/meta`
     * records the hash-family parameters so [[queryLshIndex]] can never
-    * probe with mismatched planes. Build cost is one pass over the corpus;
-    * queries never touch vectors outside their buckets.
+    * probe with mismatched planes. The whole index is staged into
+    * `dir.tmp` and RENAMED into place, so a crashed rebuild can never
+    * leave new buckets paired with stale meta — a reader either sees a
+    * complete consistent index or a loud missing-directory error.
+    * Build cost is one pass over the corpus.
     */
   def buildLshIndex(embeddings: DataFrame, dir: String, numPlanes: Int = 12,
                     numTables: Int = 4, dim: Int = 64): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val stage = dir + ".tmp"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
-    base.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/vectors")
-    base.select(col("vec_id"),
-      explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("table"),
-          lshBucket(col("v"), numPlanes, t * numPlanes, dim).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    base.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$stage/vectors")
+    tableBuckets(base, "v", numPlanes, numTables, dim)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("table", "bucket").parquet(s"$dir/buckets")
+      .partitionBy("table", "bucket").parquet(s"$stage/buckets")
     Seq((numPlanes, numTables, dim)).toDF("num_planes", "num_tables", "dim")
-      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/meta")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$stage/meta")
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(stage), new org.apache.hadoop.fs.Path(dir))
+    ()
   }
 
   /** Approximate top-k against a persisted [[buildLshIndex]] index. The
@@ -156,25 +185,17 @@ object Similarity {
     val vectors = spark.read.parquet(s"$dir/vectors")
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
       .withColumn("qnorm", l2norm(col("qv")))
-    val qb = q.select(col("query_id"),
-      explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("table"),
-          lshBucket(col("qv"), numPlanes, t * numPlanes, dim).as("bucket"))): _*)).as("tb"))
-      .select(col("query_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val qb = tableBuckets(q.withColumnRenamed("query_id", "vec_id"), "qv",
+      numPlanes, numTables, dim)
+      .withColumnRenamed("vec_id", "query_id")
     val cand = buckets.join(broadcast(qb), Seq("table", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    val scored = cand
+    topKByCosine(cand
       .join(vectors.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")),
         Seq("neighbor_id"))
-      .join(q.select(col("query_id"), col("qv"), col("qnorm")), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
+      .join(q.select(col("query_id"), col("qv"), col("qnorm")), Seq("query_id")), k)
   }
 
   /** Recall-bounded sub-quadratic near-dup pairs: md5-portable sign-LSH
@@ -191,12 +212,8 @@ object Similarity {
                         numPlanes: Int = 8, numTables: Int = 4, dim: Int = 64): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
-    val tabled = base.select(col("vec_id"),
-      explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("table"),
-          lshBucket(col("v"), numPlanes, t * numPlanes, dim).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      // pinch-point: bucket hashing feeds both sides of the self-join
+    // pinch-point: bucket hashing feeds both sides of the self-join
+    val tabled = tableBuckets(base, "v", numPlanes, numTables, dim)
       .repartition(col("vec_id"))
     // candidate ids only — vectors re-join after the dedup so the
     // dropDuplicates shuffle doesn't carry dim-sized payloads
@@ -361,13 +378,9 @@ object Similarity {
     // only (vec_id, table, bucket) flows into the candidate join — vectors
     // re-join AFTER the distinct, so the dedup shuffle moves ids, not
     // dim-sized payloads
-    val tabled = base.select(col("vec_id"),
-      explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("table"),
-          lshBucket(col("v"), numPlanes, t * numPlanes, dim).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      // pinch-point: bucket hashing (numTables × numPlanes dot products per
-      // vector) feeds both the corpus and query sides — compute once
+    // pinch-point: bucket hashing (numTables × numPlanes dot products per
+    // vector) feeds both the corpus and query sides — compute once
+    val tabled = tableBuckets(base, "v", numPlanes, numTables, dim)
       .repartition(col("vec_id"))
     val queries = tabled.where(queryPred)
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
@@ -375,15 +388,9 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    val scored = cand
+    topKByCosine(cand
       .join(base.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), Seq("neighbor_id"))
       .join(base.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm")),
-        Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
+        Seq("query_id")), k)
   }
 }

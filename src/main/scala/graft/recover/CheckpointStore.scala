@@ -189,7 +189,10 @@ object CheckpointStore {
       .flatMap(parse)
       .nextOption()
 
-  /** All on-disk generations, newest first (for audits/tests). */
+  /** All on-disk generations, newest first (for audits/tests) — including
+    * legacy-named backups, which [[load]] also falls back to. */
   def generations(dir: String, keep: Int = 3): Seq[Path] =
-    (0 to keep).map(path(dir, _)).filter(Files.exists(_))
+    ((0 to keep).map(path(dir, _)) ++
+      (1 to keep).map(g => Paths.get(dir, s"checkpoint.$g.json")))
+      .filter(Files.exists(_))
 }

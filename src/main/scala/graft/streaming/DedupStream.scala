@@ -16,16 +16,19 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   *   - `ids/`   — compact ledger of indexed doc_ids, written LAST per batch;
   *                the replay check reads this narrow table, not the wide
   *                signature store;
-  *   - `bands/` — (doc_id, band, key) partitioned by band, probed by the
-  *                candidate join;
+  *   - `bands/` — (doc_id, band, kb, key) partitioned by (band, kb) where
+  *                kb is a hash bucket of the key — the probe join includes
+  *                both partition columns, so candidate fetches prune to the
+  *                key buckets the batch actually hashes into;
   *   - `sigs/`  — (doc_id, sig) for exact estimate verification.
   *
   * Per batch: signatures + band keys for the NEW docs only; candidates =
-  * new×new ∪ new×index (band-partition-pruned probe); exact est_jaccard
-  * verify; pairs append idempotently (keyed "a_b"); then bands → sigs → ids.
-  * Every append anti-joins its own store's doc_ids first, so a crash between
-  * any two writes replays to exactly the same state — no duplicate rows in
-  * any store, no missed pairs.
+  * new×new ∪ new×index probe; exact est_jaccard verify; pairs append
+  * idempotently (keyed "a_b"); then bands → sigs → ids. Every append
+  * anti-joins its own store at ROW granularity first — bands by
+  * (doc_id, band), sigs by doc_id — so a crash between or even inside
+  * writes replays to exactly the same state: no duplicate rows, no missed
+  * band rows, no missed pairs.
   *
   * Scale posture, stated precisely: the band PROBE prunes to the partitions
   * the new keys hash into; the replay check reads the id ledger (narrow,
@@ -37,15 +40,24 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   */
 object DedupStream {
 
+  /** Key-hash partition fan-out of the band store (partitions = bands ×
+    * KeyBuckets); the probe's DPP pruning granularity. */
+  val KeyBuckets = 64
+
   private def readOpt(spark: SparkSession, dir: String): Option[DataFrame] =
     try Some(spark.read.parquet(dir)) catch { case _: AnalysisException => None }
 
-  /** Anti-join `rows` against the doc_ids already present in `dir`, making
-    * each store's append individually idempotent under batch replay. */
-  private def notYetIn(spark: SparkSession, rows: DataFrame, dir: String): DataFrame =
+  /** Anti-join `rows` against the `keys` already present in `dir`, making
+    * each store's append individually idempotent under batch replay. The
+    * keys must be ROW-granular for the store (one stored row per key):
+    * a coarser key would let a crash mid-append leave a key partially
+    * written yet judged complete on replay.
+    */
+  private def notYetIn(spark: SparkSession, rows: DataFrame, dir: String,
+                       keys: Seq[String] = Seq("doc_id")): DataFrame =
     readOpt(spark, dir) match {
       case Some(existing) =>
-        rows.join(existing.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        rows.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
       case None => rows
     }
 
@@ -68,20 +80,25 @@ object DedupStream {
       .repartition(col("doc_id")).cache()
     try {
       if (newSigs.isEmpty) return 0L
+      // kb = hash bucket of the band key: the store partitions by
+      // (band, kb), and the probe joins on kb too, so a batch's candidate
+      // fetch dynamic-partition-prunes to the key buckets it actually
+      // hashes into instead of scanning every band's full partition
       val newBands = Dedup.bandKeys(newSigs, numPerms, bands, stringKey = true)
+        .withColumn("kb", pmod(xxhash64(col("key")), lit(KeyBuckets)))
       // new × new candidates within the batch
       val nn = newBands.as("a").join(newBands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      // new × history candidates via the persisted band index; the join key
-      // includes the partition column `band`, so the probe prunes to the
-      // band partitions the new keys live in
+      // new × history candidates via the persisted band index; the join
+      // keys include BOTH partition columns (band, kb), so the probe prunes
+      // to the key buckets the batch's band keys hash into
       val nh = readOpt(spark, bandsDir) match {
         case Some(idx) =>
           newBands.as("a").join(idx.as("b"),
-            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-              col("a.doc_id") =!= col("b.doc_id"))
+            col("a.band") === col("b.band") && col("a.kb") === col("b.kb") &&
+              col("a.key") === col("b.key") && col("a.doc_id") =!= col("b.doc_id"))
             .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
               greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
         case None => nn.limit(0)
@@ -97,13 +114,17 @@ object DedupStream {
         .select(concat_ws("_", col("doc_a"), col("doc_b")).as("id"),
           col("doc_a"), col("doc_b"), col("est_jaccard"))
       val written = IdempotentSink.appendDedup(pairs, pairsDir)
-      // index updates: each append is itself replay-deduped, and the id
-      // ledger lands LAST — a crash between any two writes replays cleanly
-      notYetIn(spark, newBands, bandsDir)
-        .write.mode(SaveMode.Append).partitionBy("band").parquet(bandsDir)
+      // index updates: every append is replay-deduped at ROW granularity —
+      // bands by (doc_id, band), sigs/ids by doc_id (one row per doc) — so
+      // a crash mid-commit that leaves a doc's bands partially visible is
+      // healed on replay (only the missing band rows are re-appended). The
+      // id ledger lands LAST; `fresh` was already anti-joined against it,
+      // so its write needs no second check.
+      notYetIn(spark, newBands, bandsDir, Seq("doc_id", "band"))
+        .write.mode(SaveMode.Append).partitionBy("band", "kb").parquet(bandsDir)
       notYetIn(spark, newSigs, sigsDir)
         .write.mode(SaveMode.Append).parquet(sigsDir)
-      notYetIn(spark, newSigs.select("doc_id"), idsDir)
+      newSigs.select("doc_id")
         .coalesce(1).write.mode(SaveMode.Append).parquet(idsDir)
       written
     } finally { newSigs.unpersist(); () }
