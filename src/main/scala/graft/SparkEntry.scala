@@ -402,6 +402,11 @@ object SparkEntry {
       Dedup.simhash64Portable(Tables.documents(s, dir)).orderBy("doc_id")),
     "q48_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairsPortable(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    "q53_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.minhashLshPairs(Tables.documents(s, dir), numPerms = 16, bands = 8,
+          threshold = 0.2, baseHash = Dedup.md5Base))
+        .orderBy("doc_id")),
 
     // ── Spark-only operators (no SQL-expressible oracle → rows-only check) ──
     "q42_ann_lsh" -> ((s, dir) =>
@@ -1282,6 +1287,50 @@ object SparkEntry {
         |                             AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
         |FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q53_dup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 3),
+        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 5) t),
+        |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+        |perms AS (
+        |  SELECT perm,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS perm) t),
+        |sig AS (
+        |  SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
+        |  FROM bh CROSS JOIN perms GROUP BY doc_id, perm),
+        |banded AS (
+        |  SELECT doc_id, perm // 2 AS band,
+        |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key
+        |  FROM sig GROUP BY doc_id, perm // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |                              AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pr AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION SELECT doc_b, doc_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q47_embedding_dups_lsh" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),

@@ -310,6 +310,54 @@ object Dedup {
         .reduce(_ bitwiseOR _).as("simhash"))
   }
 
+  /** Duplicate-cluster canonicalization: connected components over a
+    * near-dup pair graph, labeling every document with the minimum doc_id
+    * reachable through any chain of pairs. A greedy "drop the higher id of
+    * each pair" rule is not transitive (A~B, B~C with A≁C keeps A, drops B
+    * and C — but C's canonical should be A's cluster); the component label
+    * is.
+    *
+    * Implementation is hash-to-min label propagation: per round, every doc
+    * takes the min of its own label and its neighbors' labels — a join +
+    * hash aggregate per round, converging in O(component diameter) rounds
+    * (near-dup components are shallow: dup clusters, not long chains).
+    * This is the standard distributed connected-components loop; each round
+    * is one shuffle, and the driver only checks the convergence counter.
+    *
+    * @param pairs (doc_a, doc_b) near-dup pairs, e.g. [[minhashLshPairs]]
+    * @return (doc_id, cluster_id) for every doc appearing in some pair
+    */
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    // localCheckpoint (eager) per round TRUNCATES LINEAGE — each round's
+    // plan references the previous round's twice (neighbor-min + self
+    // join), so without truncation the logical plan doubles per round and
+    // the driver dies analyzing a 2^rounds tree long before the data hurts
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
+        .where(col("u.label") =!= col("l.label")).count()
+      labels = updated
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
     * 16-bit band buckets (4 bands ⇒ any pair with ≤ 3 differing bits shares
     * a band — pigeonhole), then exact bit_count verification.

@@ -116,6 +116,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((brute intersect ivf).nonEmpty)
   }
 
+  test("dup clusters: chained pairs collapse transitively to the min id") {
+    // components: {1,2,5,9} via chain 1-2, 2-5, 5-9; {3,7}; 8 isolated (no pair)
+    val pairs = Seq((1L, 2L), (2L, 5L), (5L, 9L), (3L, 7L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L, 3L -> 3L, 7L -> 3L))
+    // a longer chain still converges (diameter > 2 needs multiple rounds)
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val out2 = Dedup.dupClusters(chain).as[(Long, Long)].collect().toMap
+    assert(out2.values.toSet === Set(1L))
+    assert(out2.keySet === (1L to 12L).toSet)
+  }
+
   test("blocked cosine pair join matches the brute-force baseline exactly") {
     val rnd = new scala.util.Random(7)
     val emb = (0 until 50).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
