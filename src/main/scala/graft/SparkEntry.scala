@@ -758,7 +758,7 @@ object SparkEntry {
          |WHERE high < greatest(open, close) OR low > least(open, close)
          |ORDER BY symbol, window_start""".stripMargin,
     "q52_corpus_prep" ->
-      """WITH t AS (
+      """WITH RECURSIVE t AS (
         |  SELECT doc_id,
         |    CAST(length(text) AS DOUBLE) AS n_chars,
         |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
@@ -826,7 +826,16 @@ object SparkEntry {
         |  JOIN sig sa ON sa.doc_id = c.doc_a
         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
         |  GROUP BY c.doc_a, c.doc_b),
-        |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE est_jaccard >= 0.5)
+        |pr AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION SELECT doc_b, doc_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        |dropped AS (
+        |  SELECT src AS doc_id FROM reach GROUP BY src
+        |  HAVING least(src, min(dst)) < src)
         |SELECT q.doc_id, q.n_tokens, q.quality
         |FROM qual q
         |JOIN lang l ON l.doc_id = q.doc_id AND l.predicted_lang = 'en'

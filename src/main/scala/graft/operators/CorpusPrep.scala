@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   *   language gate ([[TextAnalysis.languageId]]) →
   *   exact dedup (keep the lowest doc_id per normalized fingerprint,
   *   [[TextAnalysis.fingerprint]]) →
-  *   near-dup removal (drop the higher id of every MinHash-LSH pair,
-  *   [[Dedup.minhashLshPairsPortable]] — the greedy canonical-survivor rule).
+  *   near-dup removal (connected components over the MinHash-LSH pair
+  *   graph, [[Dedup.dupClusters]]: only each cluster's minimum doc_id
+  *   survives — transitively canonical, unlike a greedy per-pair drop).
   *
-  * Every stage is independently oracle-checked (q31/q32/q33/q46); the
+  * Every stage is independently oracle-checked (q31/q32/q33/q46/q53); the
   * composition is oracle-checked as q52. All joins are on doc_id (or the
   * tiny fingerprint aggregate) — no stage is quadratic, so the pipeline
   * scales exactly as far as its dedup stage does.
@@ -35,9 +36,12 @@ object CorpusPrep {
     val canon = fp.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
     val exactKept = fp.join(canon, Seq("fingerprint"))
       .where(col("doc_id") === col("keep_id")).select("doc_id")
-    // near-dup removal: the higher id of every LSH pair is dropped
-    val nearDropped = Dedup.minhashLshPairsPortable(docs, threshold = nearDupThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // near-dup removal: non-canonical members of every dup CLUSTER drop
+    // (cluster label = min reachable doc_id through any chain of pairs)
+    val nearDropped = Dedup.dupClusters(
+      Dedup.minhashLshPairsPortable(docs, threshold = nearDupThreshold))
+      .where(col("cluster_id") =!= col("doc_id"))
+      .select("doc_id")
     gated
       .join(exactKept, Seq("doc_id"))
       .join(nearDropped, Seq("doc_id"), "left_anti")
