@@ -9,11 +9,19 @@ import org.apache.spark.sql.SparkSession
   * lets Catalyst prune every projection (an md5/minhash column would never
   * be computed), which would understate the real work. A warmup query
   * amortizes session/codegen startup out of the first measurement.
+  *
+  * Robustness against machine load: the timed phase runs
+  * SPARK_GRAFT_BENCH_ITERS full passes (default 3) and reports the
+  * per-query MEDIAN, so one loaded-box pass cannot become the number of
+  * record (the r2 bench recorded an 11x outlier on a plain aggregate that
+  * no plan change explained). Per-pass totals are included in the JSON so
+  * run-to-run spread stays visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,16 +51,37 @@ object Bench {
         df.write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
     }
-    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> force(n))
+    // timed passes: iters full sweeps, median per query
+    val samples = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    (1 to iters).foreach { pass =>
+      var passTotal = 0.0
+      names.foreach { n =>
+        val s = force(n)
+        samples(n) = samples(n) :+ s
+        if (s >= 0) passTotal += s
+      }
+      System.err.println(f"[bench] pass $pass/$iters total = $passTotal%.1f s")
+    }
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
+    val results = names.map(n => n -> median(samples(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val passTotals = (0 until iters).map { i =>
+      names.map(n => samples(n)(i)).filter(_ >= 0).sum
+    }.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"pass_totals":$passTotals}""")
     spark.stop()
   }
 }

@@ -334,8 +334,12 @@ object SparkEntry {
           col("open"), col("high"), col("low"), col("close"))
         .orderBy("symbol", "window_start")
     }),
+    // oracle instantiation: md5-portable base at 16×8 so DuckDB can replay
+    // the MinHash arithmetic; production default is the xxhash base (spec-
+    // covered to keep the same survivor set on the fixture corpus)
     "q52_corpus_prep" -> ((s, dir) =>
-      CorpusPrep.prepare(Tables.documents(s, dir)).orderBy("doc_id")),
+      CorpusPrep.prepare(Tables.documents(s, dir), numPerms = 16, bands = 8,
+        baseHash = Dedup.md5Base).orderBy("doc_id")),
     "q49_salted_agg" -> ((s, dir) => {
       // two-phase salted aggregation on a 5-key (inherently hot-keyed)
       // groupBy: same answer as the plain aggregate, but every hot key is
@@ -408,7 +412,9 @@ object SparkEntry {
           threshold = 0.2, baseHash = Dedup.md5Base))
         .orderBy("doc_id")),
 
-    // ── Spark-only operators (no SQL-expressible oracle → rows-only check) ──
+    // ── ANN operators: Spark-native plans whose oracles replay the same
+    // plan-time literal hyperplanes/centroids in SQL — fully hash-checked
+    // (green in CORRECTNESS_r02), not rows-only ──
     "q42_ann_lsh" -> ((s, dir) =>
       Similarity.annLshTopK(Tables.embeddings(s, dir), pmod(col("vec_id"), lit(100)) === 0)
         .orderBy("query_id", "rnk")),

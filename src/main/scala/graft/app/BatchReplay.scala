@@ -33,15 +33,24 @@ object BatchReplay {
   }
 
   /** Full replay: enrich + edge-format + idempotent append.
+    *
+    * The sink layout is IDENTICAL to the streaming pipeline's (declared
+    * market_data schema, `dt` partition column, timestamp-pruned dedup
+    * scan) — a day replayed in batch and a day written live land in the
+    * same directory shape, so either path can dedup against the other.
+    *
     * @return rows actually written (0 on a pure replay)
     */
   def run(rawTicks: DataFrame, instruments: Dataset[Instrument],
           sinkDir: String, createdAt: String): Long = {
-    val rows = EdgeFormat.sheetRows(
+    val edge = EdgeFormat.sheetRows(
       enrich(rawTicks, instruments)
         // re-join segment from the dimension for the edge row
         .join(broadcast(instruments.toDF().select(col("symbol"), col("segment"))), Seq("symbol"), "left_outer"),
       createdAt)
-    IdempotentSink.appendDedup(rows, sinkDir)
+    graft.sink.Schemas.validate(edge, graft.sink.Schemas.MarketData, "market_data")
+    val rows = edge.withColumn("dt", substring(col("timestamp"), 1, 10))
+    IdempotentSink.appendDedup(rows, sinkDir,
+      pruneCol = Some("timestamp"), partitionCol = Some("dt"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus preparation — the composition a data pipeline
@@ -21,9 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPrep {
 
-  /** @return surviving (doc_id, n_tokens, quality) rows. */
+  /** @return surviving (doc_id, n_tokens, quality) rows.
+    *
+    * The MinHash stage is parameterized on its base hash because at corpus
+    * scale the per-shingle digest dominates the whole pipeline's cost: the
+    * production default is [[Dedup.xxhashBase]] (codegen'd, digest-free);
+    * the md5-portable base ([[Dedup.md5Base]], 16 perms × 8 bands) exists
+    * only so the q52 oracle can replay the identical arithmetic in DuckDB.
+    */
   def prepare(docs: DataFrame, minQuality: Double = 0.4, lang: String = "en",
-              nearDupThreshold: Double = 0.5): DataFrame = {
+              nearDupThreshold: Double = 0.5,
+              numPerms: Int = 64, bands: Int = 16,
+              baseHash: Column => Column = Dedup.xxhashBase): DataFrame = {
     // qualityScore is already one row per doc_id — no extra join with docs
     val quality = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("quality"), col("n_tokens"))
@@ -39,7 +48,8 @@ object CorpusPrep {
     // near-dup removal: non-canonical members of every dup CLUSTER drop
     // (cluster label = min reachable doc_id through any chain of pairs)
     val nearDropped = Dedup.dupClusters(
-      Dedup.minhashLshPairsPortable(docs, threshold = nearDupThreshold))
+      Dedup.minhashLshPairs(docs, numPerms = numPerms, bands = bands,
+        threshold = nearDupThreshold, baseHash = baseHash))
       .where(col("cluster_id") =!= col("doc_id"))
       .select("doc_id")
     gated

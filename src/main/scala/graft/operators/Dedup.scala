@@ -343,18 +343,27 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("nbr_label")), Seq("dst"))
         .groupBy(col("src").as("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))
+      // the update pass carries a `changed` flag so convergence is read off
+      // the already-checkpointed result (a cache-local scan) instead of a
+      // second shuffle join against the previous round's labels — one
+      // shuffle job per round, not two
       val updated = labels.join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("changed"))
         .localCheckpoint(true)
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
-        .where(col("u.label") =!= col("l.label")).count()
-      labels = updated
-      converged = changed == 0
+      labels = updated.select(col("doc_id"), col("label"))
+      converged = updated.where(col("changed")).isEmpty
       rounds += 1
     }
     edges.unpersist()
+    // a component whose diameter exceeds maxRounds would otherwise return
+    // silently-wrong (non-canonical) labels; real dup clusters are shallow,
+    // so hitting this means the pair graph is pathological — fail loudly
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge within $maxRounds rounds; " +
+          "raise maxRounds or inspect the pair graph for long chains")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

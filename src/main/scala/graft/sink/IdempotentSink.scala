@@ -42,6 +42,7 @@ object IdempotentSink {
   def appendDedup(batch: DataFrame, sinkDir: String, idCol: String = "id",
                   pruneCol: Option[String] = None,
                   partitionCol: Option[String] = None): Long = {
+    assertLayout(batch.sparkSession, sinkDir, partitionCol)
     val existing = existingIds(batch, sinkDir, idCol, pruneCol, partitionCol)
     val fresh = batch.join(existing, Seq(idCol), "left_anti").cache()
     try {
@@ -55,6 +56,65 @@ object IdempotentSink {
       }
       n
     } finally fresh.unpersist()
+  }
+
+  /** Guard against mixing flat and hive-partitioned layouts in one sink
+    * directory: Spark cannot read a dir holding both loose parquet files
+    * and `col=value/` subdirs, so an append that would create the mix
+    * breaks every LATER read-back (and hence every later append's dedup
+    * scan) — fail the write now with the migration path spelled out,
+    * instead of poisoning the sink. One driver-side listStatus; no data
+    * is read.
+    */
+  private[graft] def assertLayout(spark: SparkSession, sinkDir: String,
+                                  partitionCol: Option[String]): Unit = {
+    val path = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val entries = fs.listStatus(path)
+    val flat = entries.exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val onDiskCols = entries.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.contains("="))
+      .map(_.split("=", 2).head).distinct
+    partitionCol match {
+      case Some(pc) =>
+        if (flat) throw new IllegalStateException(
+          s"sink $sinkDir holds flat parquet files but this append is partitioned by $pc; " +
+            s"run IdempotentSink.migrateToPartitioned first (a mixed layout is unreadable)")
+        onDiskCols.find(_ != pc).foreach(other =>
+          throw new IllegalStateException(
+            s"sink $sinkDir is partitioned by $other but this append partitions by $pc"))
+      case None =>
+        onDiskCols.headOption.foreach(pc =>
+          throw new IllegalStateException(
+            s"sink $sinkDir is partitioned by $pc but this append is unpartitioned; " +
+              s"pass partitionCol=Some(\"$pc\") (a mixed layout is unreadable)"))
+    }
+  }
+
+  /** One-time sink migration flat → `partitionBy(partitionCol)`: rewrite
+    * into a staging dir, then swap (old dir is renamed aside, not deleted,
+    * so a crash mid-swap never destroys the only copy). `derive` supplies
+    * the partition column when the flat rows lack it (e.g. market_data v1
+    * → v2: dt = substring(timestamp, 1, 10)).
+    */
+  def migrateToPartitioned(spark: SparkSession, sinkDir: String, partitionCol: String,
+                           derive: DataFrame => DataFrame = identity): Unit = {
+    val df = derive(
+      try spark.read.parquet(sinkDir)
+      catch { case _: AnalysisException => return })
+    require(df.columns.contains(partitionCol),
+      s"derive must produce the $partitionCol column for the migration")
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(sinkDir + ".stage")
+    val path = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(sinkDir + ".premigration")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(path, old)
+    fs.rename(new org.apache.hadoop.fs.Path(sinkDir + ".stage"), path)
+    fs.delete(old, true)
+    ()
   }
 
   /** The pruned existing-ids scan used by [[appendDedup]] — package-visible

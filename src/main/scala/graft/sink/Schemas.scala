@@ -39,6 +39,20 @@ object Schemas {
   val Metadata: StructType = StructType(Seq(
     StructField("key", StringType), StructField("value", StringType)))
 
+  /** Declared schema history per sink table — the evolution ledger. Each
+    * entry is (version, schema); the current declaration is the last one.
+    * market_data v1 was the flat 13-column edge shape; v2 added the `dt`
+    * partition column (a real, additive evolution this engine shipped).
+    */
+  val Versions: Map[String, Seq[(Int, StructType)]] = Map(
+    "market_data" -> Seq(1 -> MarketData, 2 -> MarketData.add(StructField("dt", StringType))),
+    "atr_state" -> Seq(1 -> AtrState),
+    "system_log" -> Seq(1 -> SystemLog),
+    "metadata" -> Seq(1 -> Metadata))
+
+  /** Current declared schema + version for a sink table. */
+  def current(table: String): (Int, StructType) = Versions(table).last
+
   /** The reference's 4 metadata rows, with tickers_count parameterized by
     * the actual universe instead of the hard-coded 178. */
   def metadataRows(tickersCount: Int): Seq[(String, String)] = Seq(
@@ -80,6 +94,50 @@ object Schemas {
     val diffs = mismatches(df.schema, expected)
     require(diffs.isEmpty,
       s"schema mismatch for $table: ${diffs.mkString("; ")}")
+  }
+
+  /** Type-level drift only: columns present in both schemas whose types
+    * differ. Additive columns (either direction) are NOT drift — they are
+    * the supported evolution path.
+    */
+  def typeDrift(onDisk: StructType, declared: StructType): Seq[String] =
+    declared.fields.flatMap { ef =>
+      onDisk.fields.find(_.name == ef.name).collect {
+        case af if af.dataType != ef.dataType =>
+          s"column ${ef.name}: on-disk ${af.dataType.simpleString} != declared ${ef.dataType.simpleString}"
+      }
+    }.toSeq
+
+  /** Schema-evolution read of a sink written across engine versions
+    * (schema_manager.py:104-135's startup header validation, extended with
+    * an evolution policy instead of a pure fail-fast):
+    *
+    *   - ADDITIVE columns evolve automatically, both directions: files
+    *     written before a column was declared read as typed nulls, and
+    *     on-disk columns a newer engine added are dropped to the declared
+    *     projection — read-back always yields exactly the declared shape.
+    *   - TYPE changes fail fast with every drifted column listed; silent
+    *     casts would corrupt the sink contract, so they require an explicit
+    *     migration.
+    *
+    * The drift check merges footers across files (`mergeSchema`) so a
+    * drifted file anywhere in the read set is caught, not just the first
+    * file's schema. At large sink sizes callers should point this at a
+    * partition-pruned subdirectory scope, not the whole history.
+    */
+  def readEvolved(spark: SparkSession, dir: String, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val declared = current(table)._2
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    val drift = typeDrift(merged.schema, declared)
+    require(drift.isEmpty,
+      s"incompatible schema drift reading $table at $dir: ${drift.mkString("; ")} " +
+        "— additive columns evolve automatically; type changes need an explicit migration")
+    val aligned = declared.fields.toSeq.map { f =>
+      if (merged.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    merged.select(aligned: _*)
   }
 
   /** Write the metadata table once (initialize_if_empty semantics): a

@@ -38,40 +38,74 @@ object FullPipeline {
 
   final case class SymbolOut(rows: Seq[EnrichedCandle], state: AtrStateRow)
 
-  /** Read a state snapshot, falling back to the `.tmp` staging dir: a crash
-    * between [[swapWrite]]'s delete and rename leaves only the tmp copy, and
-    * silently cold-starting the ATR recursion from None would diverge from a
-    * continuous run. The fallback trusts tmp ONLY when its `_SUCCESS` marker
-    * exists — a crash mid tmp-write (before the final dir ever existed)
-    * leaves a partial tmp that must not seed state.
+  /** The per-cycle snapshots (`last_close`, `atr_state`, `meta`) commit as
+    * ONE staged epoch under `stateRoot/state/e<n>/`: every part is written
+    * into the new epoch directory, then a `_COMMIT` marker (one atomic file
+    * create) publishes all of them together. A replayed batch therefore
+    * seeds from either ALL of the previous cycle's state or NONE of it —
+    * never a mix, and never the post-batch state of a half-finished cycle
+    * (the divergence the old per-dir delete+rename swap could expose). A
+    * crash mid-epoch leaves an unmarked directory that readers ignore and
+    * the next commit sweeps. Epochs never overwrite the directory a live
+    * plan is reading, so no tmp materialization dance is needed either.
     */
-  private def readOpt(spark: SparkSession, dir: String): Option[DataFrame] =
-    try Some(spark.read.parquet(dir))
-    catch {
-      case _: AnalysisException =>
-        val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp", "_SUCCESS")
-        val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(tmp))
-          try Some(spark.read.parquet(dir + ".tmp"))
-          catch { case _: AnalysisException => None }
-        else None
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def epochNum(name: String): Option[Long] =
+    if (name.startsWith("e")) name.drop(1).toLongOption else None
+
+  private def committedEpochs(spark: SparkSession, stateRoot: String): Seq[(Long, String)] = {
+    val (fs, root) = hadoopFs(spark, s"$stateRoot/state")
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).filter(_.isDirectory).toSeq
+      .flatMap(s => epochNum(s.getPath.getName).map(_ -> s.getPath.toString))
+      .filter { case (_, dir) =>
+        fs.exists(new org.apache.hadoop.fs.Path(dir, "_COMMIT"))
+      }
+      .sortBy(_._1)
+  }
+
+  /** Read one state part from the newest committed epoch; pre-epoch layouts
+    * (a bare `stateRoot/<part>` dir from an older engine version) are read
+    * as a legacy fallback so existing state roots keep working.
+    */
+  private[graft] def readState(spark: SparkSession, stateRoot: String,
+                                   part: String): Option[DataFrame] =
+    committedEpochs(spark, stateRoot).lastOption match {
+      case Some((_, dir)) =>
+        try Some(spark.read.parquet(s"$dir/$part"))
+        catch { case _: AnalysisException => None }
+      case None =>
+        try Some(spark.read.parquet(s"$stateRoot/$part"))
+        catch { case _: AnalysisException => None }
     }
 
-  /** Crash-safe snapshot replacement: materialize into `dir.tmp` (breaking
-    * lineage against the old snapshot the df may be reading), then delete
-    * the old dir and RENAME tmp into place — rename is a metadata op, so
-    * there is no window where the final dir exists half-written. A crash
-    * mid-swap is covered by [[readOpt]]'s tmp fallback.
+  /** Stage and publish one state epoch; keeps the latest `retain` committed
+    * epochs and sweeps older ones plus any unmarked (crashed) stage dirs.
     */
-  private def swapWrite(df: DataFrame, dir: String): Unit = {
-    val spark = df.sparkSession
-    df.write.mode(SaveMode.Overwrite).parquet(dir + ".tmp")
-    val fin = new org.apache.hadoop.fs.Path(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp")
-    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(fin)) fs.delete(fin, true)
-    fs.rename(tmp, fin)
-    ()
+  private[graft] def commitState(spark: SparkSession, stateRoot: String,
+                                     parts: Map[String, DataFrame],
+                                     retain: Int = 2): Unit = {
+    val (fs, root) = hadoopFs(spark, s"$stateRoot/state")
+    val all =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).filter(_.isDirectory).toSeq
+        .flatMap(s => epochNum(s.getPath.getName).map(_ -> s.getPath.toString))
+    val next = (0L +: all.map(_._1)).max + 1
+    val dir = s"$stateRoot/state/e$next"
+    parts.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_COMMIT"), false).close()
+    val committed = committedEpochs(spark, stateRoot).map(_._1).toSet
+    val keep = committed.toSeq.sorted.takeRight(retain).toSet + next
+    all.foreach { case (n, d) =>
+      if (!keep.contains(n) && n < next)
+        fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    }
   }
 
   /** Gap-fill one micro-batch of candles against the expected symbol set,
@@ -180,12 +214,12 @@ object FullPipeline {
           IdempotentSink.drainDeadLetters(spark, deadLetterDir, sinkDir,
             partitionCol = Some("dt"))
           val expected = expectedSymbols.toDF("symbol")
-          val prevWindow = readOpt(spark, s"$stateRoot/meta")
+          val prevWindow = readState(spark, stateRoot, "meta")
             .flatMap(df => Option(df.agg(max(col("last_window"))).head().getTimestamp(0)))
           val filled = gapFillBatch(batch, expected,
-            readOpt(spark, s"$stateRoot/last_close"), prevWindow).cache()
+            readState(spark, stateRoot, "last_close"), prevWindow).cache()
           val (enriched, newAtrState, releaseAtr) =
-            atrWithState(filled, readOpt(spark, s"$stateRoot/atr_state"))
+            atrWithState(filled, readState(spark, stateRoot, "atr_state"))
           // dt partition column (the window's date) → appends are laid out
           // partitionBy(dt) and the dedup read-back prunes to the batch's
           // date range (sheets_client.py:128-148 narrows the same way)
@@ -202,12 +236,13 @@ object FullPipeline {
           val newLastClose = filled
             .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
             .select(col("symbol"), col("close").as("seed_close"))
-          swapWrite(newLastClose, s"$stateRoot/last_close")
-          swapWrite(newAtrState, s"$stateRoot/atr_state")
           // window high-watermark: lets the next batch densify over
           // globally-empty windows between batches
           val newMax = filled.agg(max(col("window_start"))).head().getTimestamp(0)
-          swapWrite(Seq(Tuple1(newMax)).toDF("last_window"), s"$stateRoot/meta")
+          commitState(spark, stateRoot, Map(
+            "last_close" -> newLastClose,
+            "atr_state" -> newAtrState,
+            "meta" -> Seq(Tuple1(newMax)).toDF("last_window")))
           releaseAtr()
           filled.unpersist()
         }

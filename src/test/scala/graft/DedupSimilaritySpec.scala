@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{CorpusPrep, Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -128,6 +128,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val out2 = Dedup.dupClusters(chain).as[(Long, Long)].collect().toMap
     assert(out2.values.toSet === Set(1L))
     assert(out2.keySet === (1L to 12L).toSet)
+  }
+
+  test("corpus prep: production xxhash base keeps the same survivor set as the oracle base") {
+    val portable = CorpusPrep.prepare(docs, minQuality = 0.0,
+      numPerms = 16, bands = 8, baseHash = Dedup.md5Base)
+      .select("doc_id").as[Long].collect().toSet
+    val prod = CorpusPrep.prepare(docs, minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prod.nonEmpty)
+    assert(prod === portable)
+  }
+
+  test("dup clusters raise loudly instead of returning unconverged labels") {
+    // an 8-hop chain cannot converge in 2 rounds of neighbor-min propagation
+    val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("blocked cosine pair join matches the brute-force baseline exactly") {

@@ -79,6 +79,41 @@ class IdempotentSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() === 4L)
   }
 
+  test("a v2 batch with an added column dedups against a v1 sink") {
+    val sink = tmp() + "/sink"
+    assert(IdempotentSink.appendDedup(Seq(("a_1", 1.0)).toDF("id", "v"), sink) === 1L)
+    // engine upgrade adds a column: the anti-join still sees v1 ids, only
+    // the genuinely-new row lands, and mixed additive files stay readable
+    val v2 = Seq(("a_1", 1.0, "src1"), ("b_1", 2.0, "src1")).toDF("id", "v", "source")
+    assert(IdempotentSink.appendDedup(v2, sink) === 1L)
+    val back = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert(back.count() === 2L)
+    val bySrc = back.select("id", "source").as[(String, Option[String])].collect().toMap
+    assert(bySrc === Map("a_1" -> None, "b_1" -> Some("src1")))
+  }
+
+  test("mixed flat/partitioned layouts are rejected before they poison the sink") {
+    val sink = tmp() + "/sink"
+    IdempotentSink.appendDedup(
+      Seq(("a_1", "2026-02-02", 1.0)).toDF("id", "dt", "v"), sink)
+    // flat sink + partitioned append → loud failure naming the migration
+    val e1 = intercept[IllegalStateException](IdempotentSink.appendDedup(
+      Seq(("b_1", "2026-02-03", 2.0)).toDF("id", "dt", "v"), sink,
+      partitionCol = Some("dt")))
+    assert(e1.getMessage.contains("migrateToPartitioned"))
+    // after the one-time migration the partitioned append works and dedups
+    IdempotentSink.migrateToPartitioned(spark, sink, "dt")
+    assert(IdempotentSink.appendDedup(
+      Seq(("a_1", "2026-02-02", 1.0), ("b_1", "2026-02-03", 2.0)).toDF("id", "dt", "v"),
+      sink, partitionCol = Some("dt")) === 1L)
+    assert(spark.read.parquet(sink).count() === 2L)
+    // and the reverse mix (unpartitioned append into a partitioned sink)
+    // is rejected too
+    val e2 = intercept[IllegalStateException](IdempotentSink.appendDedup(
+      Seq(("c_1", "2026-02-04", 3.0)).toDF("id", "dt", "v"), sink))
+    assert(e2.getMessage.contains("partitioned by dt"))
+  }
+
   test("dead letters drain idempotently into the sink") {
     val root = tmp(); val sink = root + "/sink"; val dead = root + "/dead"
     val parked = Seq(("x_1", 1.0), ("y_1", 2.0)).toDF("id", "v")

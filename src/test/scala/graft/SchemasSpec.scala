@@ -40,6 +40,41 @@ class SchemasSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("column order"))
   }
 
+  test("schema evolution: additive columns read both directions, type drift rejects") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString + "/atr_state"
+    // a v0 engine wrote the table before `updated_at` existed
+    val v0 = Seq(("T", 1.0, 0.5, "2026-02-02T09:15:00"))
+      .toDF("ticker", "last_close", "last_atr", "last_timestamp")
+    v0.write.parquet(dir)
+    // a newer engine appended files carrying an extra on-disk column too
+    val v9 = Seq(("U", 2.0, 0.6, "2026-02-02T09:20:00", "2026-02-02T16:00:00", "rogue"))
+      .toDF("ticker", "last_close", "last_atr", "last_timestamp", "updated_at", "extra")
+    v9.write.mode("append").parquet(dir)
+    val back = Schemas.readEvolved(spark, dir, "atr_state")
+    // read-back is exactly the declared shape: missing column as nulls,
+    // undeclared extras dropped
+    assert(back.columns.toSeq === Schemas.AtrState.fieldNames.toSeq)
+    val rows = back.orderBy("ticker")
+      .select("ticker", "updated_at").as[(String, Option[String])].collect()
+    assert(rows === Array(("T", None), ("U", Some("2026-02-02T16:00:00"))))
+
+    // type drift fails fast with the column named
+    val driftDir = java.nio.file.Files.createTempDirectory("graft-evo").toString + "/atr_state"
+    v0.withColumn("last_close", col("last_close").cast("string")).write.parquet(driftDir)
+    val e = intercept[IllegalArgumentException](
+      Schemas.readEvolved(spark, driftDir, "atr_state"))
+    assert(e.getMessage.contains("last_close"))
+    assert(e.getMessage.contains("explicit migration"))
+  }
+
+  test("schema versions: current market_data declaration is the dt-partitioned v2") {
+    val (v, schema) = Schemas.current("market_data")
+    assert(v === 2)
+    assert(schema.fieldNames.last === "dt")
+    assert(Schemas.Versions("market_data").head._2 === Schemas.MarketData)
+  }
+
   test("metadata table writes once with the reference's 4 rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-meta").toString + "/metadata"
     Schemas.initMetadata(spark, dir, tickersCount = 2)
