@@ -56,7 +56,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val c = candles(spark, "/root/testdata/sf0.001")
-    Atr.enrich(GapFill.fill(c)).toDF()
+    Atr.enrich(GapFill.fillSessions(c)).toDF()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -359,7 +359,7 @@ object SparkEntry {
       val day = Tables.events(s, dir)
         .where(col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-06"))
       graft.sink.EdgeFormat.sheetRows(
-        Atr.enrich(GapFill.fill(Ohlc.candles(day))).toDF(),
+        Atr.enrich(GapFill.fillSessions(Ohlc.candles(day))).toDF(),
         createdAt = "2026-01-01T00:00:00")
         .orderBy("id")
     }),

@@ -28,7 +28,7 @@ object BatchReplay {
     val ticks = TickIngest.ingest(rawTicks, instruments)
     val candles = Ohlc.candles(ticks, tsCol = "event_ts", symCol = "symbol",
       priceCol = "ltp", seqCol = "seq")
-    val filled = GapFill.fill(candles)
+    val filled = GapFill.fillSessions(candles)
     Atr.enrich(filled).toDF()
   }
 

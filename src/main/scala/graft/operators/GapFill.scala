@@ -16,18 +16,26 @@ import org.apache.spark.sql.functions._
   * (`sequence` + `explode` over the observed bounds — no driver-side loop,
   * the grid is generated inside the plan), left-join the candles, and
   * forward-fill with `last(close, ignoreNulls)` over a per-symbol window
-  * (SURVEY.md §2.6). The analytic window partitions by symbol, so one
-  * partition holds EVERY window a symbol has over the densified range — the
-  * running-last frame is evaluated incrementally (linear, spillable sort),
-  * but a symbol's full history does flow through one task. For bounded
-  * per-task state at 100 TB, run per-day batches (the reference operates
-  * per session anyway, 75 windows/day) or partition by (symbol, date) with
-  * per-day seeding as [[graft.streaming.FullPipeline]] does with its
-  * persisted last-close snapshot.
+  * (SURVEY.md §2.6).
+  *
+  * DEFAULT = [[fillSessions]]: bounded per-task state (one symbol-day per
+  * frame, days chained through a tiny per-day seed), which is what the
+  * pipeline entrypoints (BatchReplay, SparkEntry.entry, q50) use. [[fill]]
+  * is the explicitly-GLOBAL variant — one continuous grid across the whole
+  * observed range including overnight/weekend slots, with a per-symbol
+  * full-range frame — kept for small ranges where that semantics (or a
+  * single frame) is actually wanted.
   */
 object GapFill {
 
-  /** @param candles (window_start: timestamp, symbol, open, high, low, close, tick_count)
+  /** Explicitly-global gap-fill: densify on one continuous grid between the
+    * global min and max observed window (overnight slots included), with an
+    * unbounded per-symbol forward-fill frame. A symbol's FULL range flows
+    * through one task — fine for a session or a few days of 5-minute
+    * candles, wrong at tick granularity or long histories; the default
+    * scale-safe formulation is [[fillSessions]].
+    *
+    * @param candles (window_start: timestamp, symbol, open, high, low, close, tick_count)
     * @return same schema + gap_filled, densified on the 5-minute grid between
     *         the global min and max observed window.
     */

@@ -46,17 +46,54 @@ object Monitors {
     def latestBatchId: Long = lastBatchId.get()
   }
 
-  /** Attachable listener: spark.streams.addListener(Monitors.listener(hb, onTerm)). */
+  /** The reconnect alert ladder as listener-driveable state: consecutive
+    * failures escalate WARNING → CRITICAL → CRITICAL(exhausted) per
+    * [[graft.recover.RetryPolicy.alertFor]], and the first progress after
+    * any failure (or a heartbeat stall) emits the INFO recovery row —
+    * every row dispatched through the dual-channel [[Alerts.AlertManager]]
+    * so a dead system_log sink can never take down the stream it monitors.
+    * Factored out of the listener so the ladder is unit-testable (Spark's
+    * listener events have private constructors).
+    */
+  private[graft] final class AlertLadder(
+      alerts: Alerts.AlertManager,
+      cfg: graft.recover.RetryPolicy.Config = graft.recover.RetryPolicy.Config()) {
+    private val failures = new AtomicLong(0L)
+
+    def onFailure(window: String, details: String): Unit = {
+      val n = failures.incrementAndGet().toInt
+      val level = Alerts.levelOf(graft.recover.RetryPolicy.alertFor(cfg, n))
+      alerts.dispatch(level, "query_terminated", window, details)
+    }
+
+    def onProgress(window: String, wasStalled: Boolean): Unit =
+      if (failures.getAndSet(0L) > 0 || wasStalled)
+        alerts.dispatch("INFO", "recovered", window, "progress resumed")
+
+    def consecutiveFailures: Long = failures.get()
+  }
+
+  /** Attachable listener: spark.streams.addListener(Monitors.listener(hb, onTerm)).
+    * With an [[Alerts.AlertManager]], termination/recovery events also land
+    * as system_log rows via the alert ladder.
+    */
   def listener(hb: HeartbeatMonitor,
-               onTerminated: Option[String] => Unit = _ => ()): StreamingQueryListener =
+               onTerminated: Option[String] => Unit = _ => (),
+               alerts: Option[Alerts.AlertManager] = None): StreamingQueryListener =
     new StreamingQueryListener {
+      private val ladder = alerts.map(new AlertLadder(_))
       override def onQueryStarted(event: QueryStartedEvent): Unit = ()
       override def onQueryProgress(event: QueryProgressEvent): Unit = {
+        val wasStalled = hb.isStalled
         val dropped = event.progress.stateOperators
           .map(op => op.numRowsDroppedByWatermark).sum
         hb.recordProgress(event.progress.batchId, dropped)
+        ladder.foreach(_.onProgress(event.progress.batchId.toString, wasStalled))
       }
-      override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+      override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+        event.exception.foreach(err =>
+          ladder.foreach(_.onFailure("-", err.take(500))))
         onTerminated(event.exception)
+      }
     }
 }

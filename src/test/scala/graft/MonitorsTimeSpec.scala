@@ -22,6 +22,44 @@ class MonitorsTimeSpec extends AnyFunSuite {
     assert(hb.latestBatchId === 2L)
   }
 
+  test("alert ladder lands system_log rows and escalates WARNING → CRITICAL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-alerts").toString + "/system_log"
+    val ladder = new graft.streaming.Monitors.AlertLadder(
+      graft.streaming.Alerts.manager(spark, dir))
+    ladder.onFailure("-", "boom 1")
+    ladder.onFailure("-", "boom 2")
+    ladder.onFailure("-", "boom 3") // criticalAt = 3
+    ladder.onProgress("7", wasStalled = false)
+    val rows = spark.read.parquet(dir)
+      .select("level", "event", "window").as[(String, String, String)]
+      .collect().sortBy(_._1)
+    assert(rows.count(r => r._1 == "WARNING" && r._2 == "query_terminated") === 2)
+    assert(rows.count(r => r._1 == "CRITICAL" && r._2 == "query_terminated") === 1)
+    assert(rows.toSeq.contains(("INFO", "recovered", "7")))
+    assert(ladder.consecutiveFailures === 0L)
+    // progress without a preceding failure or stall emits nothing new
+    ladder.onProgress("8", wasStalled = false)
+    assert(spark.read.parquet(dir).count() === 4L)
+    // a stall recovery alone also lands the INFO row
+    ladder.onProgress("9", wasStalled = true)
+    assert(spark.read.parquet(dir).count() === 5L)
+  }
+
+  test("a throwing alert channel is isolated: the other channel still fires") {
+    val consoleSeen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m1 = new graft.streaming.Alerts.AlertManager(
+      consoleSeen += _,
+      (_, _, _, _) => throw new RuntimeException("sink down"))
+    m1.dispatch("WARNING", "e", "w", "d") // must not propagate
+    assert(consoleSeen.size === 1)
+    val sinkSeen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m2 = new graft.streaming.Alerts.AlertManager(
+      _ => throw new RuntimeException("console down"),
+      (lvl, _, _, _) => sinkSeen += lvl)
+    m2.dispatch("CRITICAL", "e", "w", "d")
+    assert(sinkSeen.toSeq === Seq("CRITICAL"))
+  }
+
   test("IST conversions: epoch, wall-clock, session minutes") {
     // 2026-02-02 03:45:00 UTC == 09:15:00 IST (+5:30)
     val df = Seq(1770003900L).toDF("epoch")
