@@ -137,37 +137,72 @@ object Similarity {
       .where(col("rnk") <= k)
   }
 
-  /** Persist an LSH ANN index for query serving: `dir/vectors` holds
-    * (vec_id, v, norm), `dir/buckets` holds (vec_id, table, bucket)
-    * PARTITIONED BY (table, bucket) so a query's candidate fetch prunes to
-    * exactly the bucket directories its hash lands in, and `dir/meta`
-    * records the hash-family parameters so [[queryLshIndex]] can never
-    * probe with mismatched planes. The whole index is staged into
-    * `dir.tmp` and RENAMED into place, so a crashed rebuild can never
-    * leave new buckets paired with stale meta — a reader either sees a
-    * complete consistent index or a loud missing-directory error.
-    * Build cost is one pass over the corpus.
+  /** Persist an LSH ANN index for query serving. Each build lands as a new
+    * VERSION `dir/v<n>/` holding `vectors` (vec_id, v, norm), `buckets`
+    * ((vec_id, table, bucket), PARTITIONED BY (table, bucket) so a query's
+    * candidate fetch prunes to exactly the bucket directories its hash
+    * lands in) and `meta` (the hash-family parameters, so [[queryLshIndex]]
+    * can never probe with mismatched planes) — then a `_COMMIT` marker
+    * (one atomic file create) publishes the version. Readers always
+    * resolve the newest COMMITTED version ([[currentIndexDir]]): a crashed
+    * rebuild leaves an unmarked directory that readers ignore and the next
+    * build sweeps, the previous good index stays recoverable throughout,
+    * and concurrent readers mid-rebuild keep serving the old version —
+    * directory renames (not atomic on object stores) are never relied on.
+    * Build cost is one pass over the corpus; the latest two committed
+    * versions are retained.
     */
   def buildLshIndex(embeddings: DataFrame, dir: String, numPlanes: Int = 12,
                     numTables: Int = 4, dim: Int = 64): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val stage = dir + ".tmp"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val all = indexVersions(spark, dir, committedOnly = false)
+    val next = (0L +: all.map(_._1)).max + 1
+    val vdir = s"$dir/v$next"
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
-    base.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$stage/vectors")
+    base.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$vdir/vectors")
     tableBuckets(base, "v", numPlanes, numTables, dim)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("table", "bucket").parquet(s"$stage/buckets")
+      .partitionBy("table", "bucket").parquet(s"$vdir/buckets")
     Seq((numPlanes, numTables, dim)).toDF("num_planes", "num_tables", "dim")
-      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$stage/meta")
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(stage), new org.apache.hadoop.fs.Path(dir))
-    ()
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$vdir/meta")
+    fs.create(new org.apache.hadoop.fs.Path(vdir, "_COMMIT"), false).close()
+    // retention: newest 2 committed versions; older ones and crashed
+    // (unmarked) stages below the new version are swept
+    val committed = indexVersions(spark, dir, committedOnly = true).map(_._1)
+    val keep = committed.sorted.takeRight(2).toSet + next
+    all.foreach { case (n, d) =>
+      if (!keep.contains(n) && n < next)
+        fs.delete(new org.apache.hadoop.fs.Path(d), true)
+    }
   }
+
+  private def indexVersions(spark: org.apache.spark.sql.SparkSession, dir: String,
+                            committedOnly: Boolean): Seq[(Long, String)] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).filter(_.isDirectory).toSeq
+      .flatMap { s =>
+        val name = s.getPath.getName
+        (if (name.startsWith("v")) name.drop(1).toLongOption else None)
+          .map(_ -> s.getPath.toString)
+      }
+      .filter { case (_, d) =>
+        !committedOnly || fs.exists(new org.apache.hadoop.fs.Path(d, "_COMMIT"))
+      }
+      .sortBy(_._1)
+  }
+
+  /** Resolve the directory the newest committed index version lives in;
+    * a pre-versioning flat layout (vectors/buckets/meta directly under
+    * `dir`) resolves to `dir` itself as a legacy fallback.
+    */
+  def currentIndexDir(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    indexVersions(spark, dir, committedOnly = true).lastOption.map(_._2).getOrElse(dir)
 
   /** Approximate top-k against a persisted [[buildLshIndex]] index. The
     * query side is hashed in-plan and broadcast, so the bucket-store join
@@ -176,8 +211,9 @@ object Similarity {
     * [[annLshTopK]] — running it over the same corpus/parameters returns
     * identical rows.
     */
-  def queryLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+  def queryLshIndex(spark: org.apache.spark.sql.SparkSession, rootDir: String,
                     queries: DataFrame, k: Int = 10): DataFrame = {
+    val dir = currentIndexDir(spark, rootDir)
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (numPlanes, numTables, dim) =
       (meta.getAs[Int]("num_planes"), meta.getAs[Int]("num_tables"), meta.getAs[Int]("dim"))

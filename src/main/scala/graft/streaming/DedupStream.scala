@@ -1,8 +1,8 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import graft.sink.IdempotentSink
-import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import graft.sink.{IdempotentSink, KeyedStore, ParquetKeyedStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
@@ -44,38 +44,47 @@ object DedupStream {
     * KeyBuckets); the probe's DPP pruning granularity. */
   val KeyBuckets = 64
 
-  private def readOpt(spark: SparkSession, dir: String): Option[DataFrame] =
-    try Some(spark.read.parquet(dir)) catch { case _: AnalysisException => None }
-
-  /** Anti-join `rows` against the `keys` already present in `dir`, making
-    * each store's append individually idempotent under batch replay. The
-    * keys must be ROW-granular for the store (one stored row per key):
-    * a coarser key would let a crash mid-append leave a key partially
-    * written yet judged complete on replay.
+  /** The three index state tables behind [[KeyedStore]]: swapping the
+    * backend (parquet emulation ↔ a Delta/Iceberg-shaped upsert table)
+    * does not touch the dataflow in [[processBatch]].
     */
-  private def notYetIn(spark: SparkSession, rows: DataFrame, dir: String,
-                       keys: Seq[String] = Seq("doc_id")): DataFrame =
-    readOpt(spark, dir) match {
-      case Some(existing) =>
-        rows.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+  final case class IndexStores(ids: KeyedStore, bands: KeyedStore, sigs: KeyedStore)
+
+  /** Default parquet-backed stores under `indexDir` — the layout documented
+    * in the object scaladoc. */
+  def parquetStores(indexDir: String): IndexStores = IndexStores(
+    ids = new ParquetKeyedStore(s"$indexDir/ids", coalesceTo = Some(1)),
+    bands = new ParquetKeyedStore(s"$indexDir/bands", partitionCols = Seq("band", "kb")),
+    sigs = new ParquetKeyedStore(s"$indexDir/sigs"))
+
+  private def antiJoin(rows: DataFrame, existing: Option[DataFrame],
+                       keys: Seq[String]): DataFrame =
+    existing match {
+      case Some(ex) =>
+        rows.join(ex.select(keys.map(col): _*).distinct(), keys, "left_anti")
       case None => rows
     }
 
+  /** Process one batch against the parquet-backed index under `indexDir`. */
+  private[graft] def processBatch(batch: DataFrame, indexDir: String, pairsDir: String,
+                                  n: Int, numPerms: Int, bands: Int,
+                                  threshold: Double): Long =
+    processBatch(batch, parquetStores(indexDir), pairsDir, n, numPerms, bands, threshold)
+
   /** Process one batch of new documents against the persisted index.
     * Returns the number of new near-dup pairs written. Package-visible so
-    * the spec can drive it without a streaming harness.
+    * the spec can drive it without a streaming harness — and backend-
+    * parameterized so the spec proves the dataflow against both the
+    * parquet emulation and a true-upsert store.
     */
-  private[graft] def processBatch(batch: DataFrame, indexDir: String, pairsDir: String,
+  private[graft] def processBatch(batch: DataFrame, stores: IndexStores, pairsDir: String,
                                   n: Int, numPerms: Int, bands: Int,
                                   threshold: Double): Long = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val spark = batch.sparkSession
-    val idsDir = s"$indexDir/ids"
-    val sigsDir = s"$indexDir/sigs"
-    val bandsDir = s"$indexDir/bands"
     // replay fast-path: docs in the id ledger are fully indexed — skip them
     // before computing anything (the ledger is doc_id-only, never the sigs)
-    val fresh = notYetIn(spark, batch, idsDir)
+    val fresh = antiJoin(batch, stores.ids.read(spark), Seq("doc_id"))
     val newSigs = Dedup.minhashSignatures(fresh, n, numPerms)
       .repartition(col("doc_id")).cache()
     try {
@@ -94,7 +103,7 @@ object DedupStream {
       // new × history candidates via the persisted band index; the join
       // keys include BOTH partition columns (band, kb), so the probe prunes
       // to the key buckets the batch's band keys hash into
-      val nh = readOpt(spark, bandsDir) match {
+      val nh = stores.bands.read(spark) match {
         case Some(idx) =>
           newBands.as("a").join(idx.as("b"),
             col("a.band") === col("b.band") && col("a.kb") === col("b.kb") &&
@@ -104,7 +113,7 @@ object DedupStream {
         case None => nn.limit(0)
       }
       val cand = nn.union(nh).distinct()
-      val allSigs = readOpt(spark, sigsDir).fold(newSigs)(old =>
+      val allSigs = stores.sigs.read(spark).fold(newSigs)(old =>
         newSigs.unionByName(old.select("doc_id", "sig")))
       val pairs = cand
         .join(allSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
@@ -114,18 +123,15 @@ object DedupStream {
         .select(concat_ws("_", col("doc_a"), col("doc_b")).as("id"),
           col("doc_a"), col("doc_b"), col("est_jaccard"))
       val written = IdempotentSink.appendDedup(pairs, pairsDir)
-      // index updates: every append is replay-deduped at ROW granularity —
-      // bands by (doc_id, band), sigs/ids by doc_id (one row per doc) — so
-      // a crash mid-commit that leaves a doc's bands partially visible is
-      // healed on replay (only the missing band rows are re-appended). The
-      // id ledger lands LAST; `fresh` was already anti-joined against it,
-      // so its write needs no second check.
-      notYetIn(spark, newBands, bandsDir, Seq("doc_id", "band"))
-        .write.mode(SaveMode.Append).partitionBy("band", "kb").parquet(bandsDir)
-      notYetIn(spark, newSigs, sigsDir)
-        .write.mode(SaveMode.Append).parquet(sigsDir)
-      newSigs.select("doc_id")
-        .coalesce(1).write.mode(SaveMode.Append).parquet(idsDir)
+      // index updates: every upsert is replay-idempotent at ROW granularity
+      // — bands by (doc_id, band), sigs/ids by doc_id (one row per doc) —
+      // so a crash mid-commit that leaves a doc's bands partially visible
+      // is healed on replay (only the missing band rows land again). The
+      // id ledger lands LAST: a doc enters it only after its bands and
+      // sigs are fully durable.
+      stores.bands.upsert(newBands, Seq("doc_id", "band"))
+      stores.sigs.upsert(newSigs, Seq("doc_id"))
+      stores.ids.upsert(newSigs.select("doc_id"), Seq("doc_id"))
       written
     } finally { newSigs.unpersist(); () }
   }

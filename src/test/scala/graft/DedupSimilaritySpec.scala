@@ -208,8 +208,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val emb = (vecs :+ (99L, vecs.head._2)).toDF("vec_id", "embedding")
     val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString + "/index"
     graft.operators.Similarity.buildLshIndex(emb, dir, numPlanes = 6, numTables = 6, dim = 8)
-    // bucket store is hive-partitioned by (table, bucket) for pruned probes
-    val tableDirs = new java.io.File(s"$dir/buckets").listFiles()
+    // bucket store is hive-partitioned by (table, bucket) for pruned probes,
+    // inside the committed version dir
+    val vdir = graft.operators.Similarity.currentIndexDir(spark, dir)
+      .stripPrefix("file:")
+    assert(vdir.endsWith("/v1"))
+    val tableDirs = new java.io.File(s"$vdir/buckets").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(tableDirs.toSet === (0 until 6).map(t => s"table=$t").toSet)
     val queries = emb.where($"vec_id" === 99L)
@@ -221,6 +225,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       k = 5, numPlanes = 6, numTables = 6, dim = 8))
     assert(served === inPlan)
     assert(served.exists { case (_, id, cos, _) => id == 0L && cos == 1.0 })
+  }
+
+  test("index rebuilds are versioned: a crashed rebuild never destroys the serving index") {
+    val vecs = (0 to 20).map { i =>
+      val arr = Array.fill(8)(0f); arr(i % 8) = 1f
+      (i.toLong, arr)
+    }
+    val emb = (vecs :+ (99L, vecs.head._2)).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx2").toString + "/index"
+    graft.operators.Similarity.buildLshIndex(emb, dir, numPlanes = 6, numTables = 4, dim = 8)
+    val served1 = graft.operators.Similarity
+      .queryLshIndex(spark, dir, emb.where($"vec_id" === 99L), k = 3).count()
+    assert(served1 > 0)
+    // simulate a rebuild that crashed before committing: unmarked v-dir
+    Seq(Tuple1(1)).toDF("x").write.parquet(s"$dir/v7/meta")
+    assert(graft.operators.Similarity.currentIndexDir(spark, dir).endsWith("/v1"))
+    assert(graft.operators.Similarity
+      .queryLshIndex(spark, dir, emb.where($"vec_id" === 99L), k = 3).count() === served1)
+    // the next successful build commits ABOVE the crashed stage and sweeps it
+    graft.operators.Similarity.buildLshIndex(emb, dir, numPlanes = 6, numTables = 4, dim = 8)
+    assert(graft.operators.Similarity.currentIndexDir(spark, dir).endsWith("/v8"))
+    assert(!new java.io.File(s"$dir/v7").exists())
+    // previous good version is retained for recovery
+    assert(new java.io.File(s"$dir/v1/_COMMIT").exists())
   }
 
   test("winnowing fingerprints: shared substrings collide, guarantee holds") {

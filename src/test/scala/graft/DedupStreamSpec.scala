@@ -52,6 +52,31 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$indexDir/bands").count() === 4L * 16)
   }
 
+  test("the dataflow is backend-agnostic: true-upsert stores behave like parquet") {
+    val root = Files.createTempDirectory("graft-dstream3").toString
+    val pairsDir = s"$root/pairs"
+    val stores = DedupStream.IndexStores(
+      ids = new graft.sink.InMemoryKeyedStore,
+      bands = new graft.sink.InMemoryKeyedStore,
+      sigs = new graft.sink.InMemoryKeyedStore)
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    assert(DedupStream.processBatch(batch(1L -> base, 3L -> other),
+      stores, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3) === 0L)
+    assert(DedupStream.processBatch(batch(2L -> nearDup, 4L -> other),
+      stores, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3) === 2L)
+    val pairs = spark.read.parquet(pairsDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+    // replay is a no-op against the upsert backend too
+    assert(DedupStream.processBatch(batch(2L -> nearDup, 4L -> other),
+      stores, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3) === 0L)
+    assert(spark.read.parquet(pairsDir).count() === 2L)
+    assert(stores.sigs.read(spark).get.count() === 4L)
+    assert(stores.ids.read(spark).get.distinct().count() === 4L)
+    assert(stores.ids.read(spark).get.count() === 4L)
+    assert(stores.bands.read(spark).get.count() === 4L * 16)
+  }
+
   test("streaming wiring: two micro-batches through foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft-dstream2").toString
