@@ -74,6 +74,28 @@ object ScaleCheck {
     time(s"winnowing fingerprints over $nDocs docs")(
       graft.operators.TextAnalysis.winnowingFingerprints(docs)
         .select(explode(col("fingerprints"))).count())
+    // the base-hash lever in isolation: identical signature pipeline, only
+    // the per-shingle hash differs (noop write so the min-aggs aren't pruned)
+    time(s"minhash signatures 64p (xxhash base) over $nDocs docs")(
+      Dedup.minhashSignatures(docs, 5, 64, Dedup.xxhashBase)
+        .write.format("noop").mode("overwrite").save())
+    time(s"minhash signatures 64p (md5-portable base) over $nDocs docs")(
+      Dedup.minhashSignatures(docs, 5, 64, Dedup.md5Base)
+        .write.format("noop").mode("overwrite").save())
+    // q53 scale path: CC label propagation over the near-dup pair graph
+    time(s"dup clusters (connected components) over $nDocs docs")(
+      Dedup.dupClusters(
+        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2)).count())
+    // q52 scale path + the base-hash lever: same params, only the per-
+    // shingle hash differs — the md5 digest is the dominant corpus-prep
+    // cost, which is why production defaults to the xxhash base
+    time(s"corpus prep (xxhash base, 16x8) over $nDocs docs")(
+      graft.operators.CorpusPrep.prepare(docs, numPerms = 16, bands = 8).count())
+    time(s"corpus prep (md5-portable base, 16x8) over $nDocs docs")(
+      graft.operators.CorpusPrep.prepare(docs, numPerms = 16, bands = 8,
+        baseHash = Dedup.md5Base).count())
+    time(s"corpus prep (production 64x16 xxhash) over $nDocs docs")(
+      graft.operators.CorpusPrep.prepare(docs).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

@@ -24,6 +24,49 @@ class SourcesTimeSpec extends AnyFunSuite {
     assert(scoped.map(_.symbol).toSeq === Seq("TCS"))
   }
 
+  test("subscribe batching: 50-per-batch spacing plan, failed batch isolated") {
+    import graft.ingest.Subscriptions
+    val universe = (1 to 120).map(t => s"tok$t")
+    val plan = Subscriptions.plan(universe)
+    assert(plan.map(_.items.size) === Seq(50, 50, 20))
+    assert(plan.map(_.startIndex) === Seq(0, 50, 100))
+    assert(plan.map(_.delayMsBefore) === Seq(0L, 500L, 500L)) // no sleep before first
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val subscribed = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // batch 2 fails → isolated, batch 3 still subscribes
+    val failedBatches = Subscriptions.run(plan)(
+      items => { if (items.head == "tok51") throw new RuntimeException("throttled")
+                 else subscribed += items.size },
+      sleep = slept += _)
+    assert(subscribed.toSeq === Seq(50, 20))
+    assert(slept.toSeq === Seq(500L, 500L))
+    assert(failedBatches.map(_.startIndex) === Seq(50)) // comes back for retry
+  }
+
+  test("session runner: calendar-gated multi-day loop with per-day failure isolation") {
+    import graft.app.SessionRunner
+    val cal = TradingCalendar.load(spark, res("calendar_fixture.json"))
+    // 02-04 is a holiday, 02-07 Sat runs special hours, 02-08 Sun never runs
+    val sessions = SessionRunner.tradingSessions(cal, "2026-02-02", "2026-02-08")
+    assert(sessions.map(_.date) ===
+      Seq("2026-02-02", "2026-02-03", "2026-02-05", "2026-02-06", "2026-02-07"))
+    assert(sessions.last.open.toString === "2026-02-07 18:15:00.0")
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val report = SessionRunner.runRange(cal, "2026-02-02", "2026-02-08",
+      onError = (s, _) => errs += s.date) { s =>
+      if (s.date == "2026-02-03") throw new RuntimeException("bad day")
+    }
+    assert(report.ran === Seq("2026-02-02", "2026-02-05", "2026-02-06", "2026-02-07"))
+    assert(report.failed.map(_._1) === Seq("2026-02-03"))
+    assert(errs.toSeq === Seq("2026-02-03"))
+    // failFast propagates instead
+    intercept[RuntimeException] {
+      SessionRunner.runRange(cal, "2026-02-02", "2026-02-08", failFast = true) { s =>
+        if (s.date == "2026-02-03") throw new RuntimeException("bad day")
+      }
+    }
+  }
+
   test("calendar: weekday/holiday/special-session resolution and window dim") {
     val cal = TradingCalendar.load(spark, res("calendar_fixture.json"))
     assert(TradingCalendar.holidays(cal).count() === 1)
