@@ -29,9 +29,9 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     * never ticks (unfillable); plus one unknown-token and one null-price
     * tick.
     */
-  private def syntheticDay(): Seq[(String, Option[Double], Timestamp, Long)] = {
+  private def syntheticDay(date: String = "2026-02-02"): Seq[(String, Option[Double], Timestamp, Long)] = {
     val rnd = new Random(7)
-    val base = Timestamp.valueOf("2026-02-02 09:15:00").getTime
+    val base = Timestamp.valueOf(s"$date 09:15:00").getTime
     var seq = 0L
     val rows = scala.collection.mutable.Buffer[(String, Option[Double], Timestamp, Long)]()
     for (w <- 0 until 17 if w != 5) {
@@ -54,8 +54,9 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     rows.toSeq
   }
 
-  private def rawDf() = syntheticDay().toDF("tk", "ltp", "exchange_timestamp", "seq")
-    .withColumn("exchange_timestamp", $"exchange_timestamp") // already timestamp
+  private def rawDf(date: String = "2026-02-02") =
+    syntheticDay(date).toDF("tk", "ltp", "exchange_timestamp", "seq")
+      .withColumn("exchange_timestamp", $"exchange_timestamp") // already timestamp
 
   test("batch replay: completeness, gap-fill, ATR warmup, idempotent re-run") {
     val sink = Files.createTempDirectory("graft-e2e").toString + "/market_data"
@@ -78,6 +79,35 @@ class PipelineEndToEndSpec extends AnyFunSuite {
     assert(BatchReplay.run(rawDf(), dim, sink, "2026-02-02T17:00:00") === 0L)
     assert(spark.read.parquet(sink).count() === 34L)
     assert(spark.read.parquet(sink).select("id").distinct().count() === 34L)
+  }
+
+  test("session runner drives calendar-gated multi-day replays into one partitioned sink") {
+    val root = Files.createTempDirectory("graft-mday").toString
+    val sink = s"$root/market_data"
+    val dim = instruments.toDS()
+    val cal = graft.time.TradingCalendar.load(spark,
+      getClass.getResource("/calendar_fixture.json").getPath)
+    def runDay(date: String): Long =
+      BatchReplay.run(rawDf(date), dim, sink, s"${date}T16:00:00")
+    // Mon 02-02 .. Wed 02-04 (02-04 is the fixture holiday → never runs)
+    val report = graft.app.SessionRunner.runRange(cal, "2026-02-02", "2026-02-04") { s =>
+      runDay(s.date); ()
+    }
+    assert(report.ran === Seq("2026-02-02", "2026-02-03"))
+    assert(report.failed.isEmpty)
+    val table = spark.read.parquet(sink)
+    assert(table.count() === 68L) // 34 rows per day × 2 trading days
+    // one dt partition per session day, none for the holiday
+    val dts = new java.io.File(sink).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(dts === Seq("dt=2026-02-02", "dt=2026-02-03"))
+    // replaying the whole range is calendar-gated AND sink-idempotent
+    val replay = graft.app.SessionRunner.runRange(cal, "2026-02-02", "2026-02-04") { s =>
+      assert(runDay(s.date) === 0L)
+    }
+    assert(replay.ran === Seq("2026-02-02", "2026-02-03"))
+    assert(spark.read.parquet(sink).count() === 68L)
+    assert(spark.read.parquet(sink).select("id").distinct().count() === 68L)
   }
 
   test("full streaming pipeline (gap-fill + ATR + edge sink) matches batch replay") {
