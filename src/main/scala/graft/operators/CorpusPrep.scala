@@ -33,18 +33,27 @@ object CorpusPrep {
               nearDupThreshold: Double = 0.5,
               numPerms: Int = 64, bands: Int = 16,
               baseHash: Column => Column = Dedup.xxhashBase): DataFrame = {
-    // qualityScore is already one row per doc_id — no extra join with docs
-    val quality = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("quality"), col("n_tokens"))
-    val language = TextAnalysis.languageId(docs)
-      .select(col("doc_id"), col("predicted_lang"))
-    val gated = quality.where(col("quality") >= minQuality)
-      .join(language.where(col("predicted_lang") === lang), Seq("doc_id"))
-    // exact dedup: lowest doc_id per normalized-text fingerprint survives
-    val fp = TextAnalysis.fingerprint(docs).select(col("doc_id"), col("fingerprint"))
-    val canon = fp.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
-    val exactKept = fp.join(canon, Seq("fingerprint"))
-      .where(col("doc_id") === col("keep_id")).select("doc_id")
+    // every per-document signal (token count, quality composite, language
+    // scores, exact-dedup fingerprint) is a row-local column expression —
+    // compute them all in ONE scan of the corpus instead of one scan plus
+    // one shuffle join per signal (at corpus scale the extra full-table
+    // reads and doc_id exchanges were the dominant cost of the gates)
+    val scored = docs.select(Seq(
+      col("doc_id"),
+      TextAnalysis.nTokensExpr(col("text")).as("n_tokens"),
+      TextAnalysis.qualityExpr(col("text")).as("quality"),
+      md5(TextAnalysis.normalized(col("text"))).as("fingerprint")) ++
+      TextAnalysis.langScoreCols(col("text")): _*)
+    val perDoc = scored.select(col("doc_id"), col("n_tokens"), col("quality"),
+      col("fingerprint"), TextAnalysis.predictedFromScores.as("predicted_lang"))
+    // exact dedup: lowest doc_id per normalized-text fingerprint survives.
+    // Canonicals are resolved over the FULL corpus (a group whose canonical
+    // fails a gate drops entirely — same semantics as the staged form),
+    // then the gates filter the join output
+    val canon = perDoc.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
+    val gatedKept = perDoc.join(canon, Seq("fingerprint"))
+      .where(col("doc_id") === col("keep_id") &&
+        col("quality") >= minQuality && col("predicted_lang") === lang)
     // near-dup removal: non-canonical members of every dup CLUSTER drop
     // (cluster label = min reachable doc_id through any chain of pairs)
     val nearDropped = Dedup.dupClusters(
@@ -52,8 +61,7 @@ object CorpusPrep {
         threshold = nearDupThreshold, baseHash = baseHash))
       .where(col("cluster_id") =!= col("doc_id"))
       .select("doc_id")
-    gated
-      .join(exactKept, Seq("doc_id"))
+    gatedKept
       .join(nearDropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"), col("quality"))
   }

@@ -37,6 +37,31 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  /** Whitespace token count as a pure column over `text`. */
+  def nTokensExpr(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** The composite quality score in [0, 1] as a pure column over `text` —
+    * exactly the formula [[qualityScore]] emits, exposed so composed
+    * pipelines ([[CorpusPrep]]) can fuse the gate into a single scan
+    * instead of re-reading the corpus per signal. Codegen's subexpression
+    * elimination dedupes the shared regex counts within one projection.
+    */
+  def qualityExpr(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nToks = size(tokens(text)).cast("double")
+    val nPunct = size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0))).cast("double")
+    val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double")
+    val stopRe = "\\b(" + stopwords.mkString("|") + ")\\b"
+    val nStop = size(regexp_extract_all(lower(text), lit(stopRe), lit(0))).cast("double")
+    // composite: reward length (saturating at 200 tokens) + stopword presence,
+    // penalize digit/punct noise
+    round(
+      least(nToks / 200.0, lit(1.0)) * 0.5 +
+        least(when(nToks > 0, nStop / nToks).otherwise(0.0) * 5.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - least(when(nChars > 0, (nPunct + nDigit) / nChars).otherwise(0.0) * 4.0, lit(1.0))) * 0.2,
+      4)
+  }
+
   /** Per-document quality signals (length, punctuation ratio, stopword ratio,
     * digit ratio) and a deterministic composite score in [0, 1].
     * Mirrors the heuristics large text-corpus filters apply (C4/Gopher-style),
@@ -56,13 +81,7 @@ object TextAnalysis {
       round(when(nChars > 0, nDigit / nChars).otherwise(0.0), 4).as("digit_ratio"),
       round(when(nToks > 0, nStop / nToks).otherwise(0.0), 4).as("stopword_ratio"),
       size(toks).cast("long").as("n_tokens"),
-      // composite: reward length (saturating at 200 tokens) + stopword presence,
-      // penalize digit/punct noise
-      round(
-        least(nToks / 200.0, lit(1.0)) * 0.5 +
-          least(when(nToks > 0, nStop / nToks).otherwise(0.0) * 5.0, lit(1.0)) * 0.3 +
-          (lit(1.0) - least(when(nChars > 0, (nPunct + nDigit) / nChars).otherwise(0.0) * 4.0, lit(1.0))) * 0.2,
-        4).as("quality"))
+      qualityExpr(col("text")).as("quality"))
   }
 
   /** Marker-word lists per language for the n-gram heuristic language ID. */
@@ -73,28 +92,35 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "est", "une", "des", "dans"),
     "zh" -> Seq("de", "shi", "bu", "le", "zai", "wo", "you"))
 
-  /** Heuristic language ID: count marker-word hits per language, argmax with
-    * alphabetical tie-break. Output: doc_id, plus one s_<lang> score column
-    * and the predicted language.
-    */
-  def languageId(docs: DataFrame): DataFrame = {
-    val lowered = lower(col("text"))
-    val scores: Seq[(String, Column)] = langMarkers.map { case (lang, words) =>
+  /** Marker-hit score columns `s_<lang>` over `text` — the first projection
+    * of [[languageId]], exposed for fused pipelines. */
+  private[operators] def langScoreCols(text: Column): Seq[Column] =
+    langMarkers.map { case (lang, words) =>
       val re = "\\b(" + words.mkString("|") + ")\\b"
-      lang -> size(regexp_extract_all(lowered, lit(re), lit(0))).cast("long")
+      size(regexp_extract_all(lower(text), lit(re), lit(0))).cast("long").as(s"s_$lang")
     }
-    val scoreCols = scores.map { case (lang, c) => c.as(s"s_$lang") }
-    val scored = docs.select(col("doc_id") +: scoreCols: _*)
-    // argmax with deterministic alphabetical tie-break: fold langs in order,
-    // strictly-greater beats, so the first (alphabetically smallest) wins ties
-    val pred = langMarkers.map(_._1).foldLeft((lit(""), lit(-1L))) {
+
+  /** Argmax over the `s_<lang>` columns with deterministic alphabetical
+    * tie-break: fold langs in order, strictly-greater beats, so the first
+    * (alphabetically smallest) wins ties. Evaluate over a projection that
+    * already computed [[langScoreCols]] (the scores are attribute refs, so
+    * the fold never recomputes a regex).
+    */
+  private[operators] def predictedFromScores: Column =
+    langMarkers.map(_._1).foldLeft((lit(""), lit(-1L))) {
       case ((bestLang, bestScore), lang) =>
         val s = col(s"s_$lang")
         (when(s > bestScore, lit(lang)).otherwise(bestLang),
          when(s > bestScore, s).otherwise(bestScore))
     }._1
-    scored.withColumn("predicted_lang", pred)
-  }
+
+  /** Heuristic language ID: count marker-word hits per language, argmax with
+    * alphabetical tie-break. Output: doc_id, plus one s_<lang> score column
+    * and the predicted language.
+    */
+  def languageId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: langScoreCols(col("text")): _*)
+      .withColumn("predicted_lang", predictedFromScores)
 
   /** Canonical text normalization: lowercase, collapse whitespace, trim. */
   def normalized(text: Column): Column =
