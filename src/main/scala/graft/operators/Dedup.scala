@@ -317,20 +317,63 @@ object Dedup {
     * and C — but C's canonical should be A's cluster); the component label
     * is.
     *
-    * Implementation is hash-to-min label propagation: per round, every doc
-    * takes the min of its own label and its neighbors' labels — a join +
-    * hash aggregate per round, converging in O(component diameter) rounds
-    * (near-dup components are shallow: dup clusters, not long chains).
-    * This is the standard distributed connected-components loop; each round
-    * is one shuffle, and the driver only checks the convergence counter.
+    * Two execution paths behind one contract, picked by edge count — the
+    * same small-side shortcut logic as a broadcast join threshold:
+    *
+    *   - pair graphs at or under `driverThreshold` edges (the common case:
+    *     LSH already collapsed the corpus to actual near-dup pairs, and a
+    *     million-edge graph is a few MB) run a driver-side union-find with
+    *     path compression — ONE pass, no per-round job fixed cost;
+    *   - larger graphs run hash-to-min label propagation: per round, every
+    *     doc takes the min of its own label and its neighbors' labels — a
+    *     join + hash aggregate per round, converging in O(component
+    *     diameter) rounds (near-dup components are shallow). This is the
+    *     standard distributed connected-components loop; each round is one
+    *     shuffle, and the driver only checks the convergence counter.
+    *
+    * Both paths produce identical labels (min reachable doc_id).
     *
     * @param pairs (doc_a, doc_b) near-dup pairs, e.g. [[minhashLshPairs]]
+    * @param driverThreshold max edges for the driver union-find; 0 forces
+    *   the distributed loop (specs use this to exercise it)
     * @return (doc_id, cluster_id) for every doc appearing in some pair
     */
-  def dupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 20,
+                  driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    // one undirected edge per pair, cached: the decision count, the driver
+    // collect, and the distributed loop all reuse this materialization
+    // (without it the expensive LSH subtree would recompute per consumer)
+    val undirected = pairs.select(
+      least(col("doc_a"), col("doc_b")).cast("long").as("src"),
+      greatest(col("doc_a"), col("doc_b")).cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct().cache()
+    val nEdges = undirected.count()
+    if (nEdges <= driverThreshold) {
+      // union-find with path compression, roots keyed to the MIN id of the
+      // component (union always attaches the larger root under the smaller)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      undirected.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      undirected.unpersist()
+      val labels = parent.keys.toSeq.sorted.map(d => (d, find(d)))
+      import spark.implicits._
+      return labels.toDF("doc_id", "cluster_id")
+    }
+    val edges = undirected
+      .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
     // localCheckpoint (eager) per round TRUNCATES LINEAGE — each round's
     // plan references the previous round's twice (neighbor-min + self
     // join), so without truncation the logical plan doubles per round and
@@ -357,6 +400,7 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    undirected.unpersist()
     // a component whose diameter exceeds maxRounds would otherwise return
     // silently-wrong (non-canonical) labels; real dup clusters are shallow,
     // so hitting this means the pair graph is pathological — fail loudly

@@ -116,18 +116,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((brute intersect ivf).nonEmpty)
   }
 
-  test("dup clusters: chained pairs collapse transitively to the min id") {
+  test("dup clusters: chained pairs collapse transitively to the min id (both paths)") {
     // components: {1,2,5,9} via chain 1-2, 2-5, 5-9; {3,7}; 8 isolated (no pair)
     val pairs = Seq((1L, 2L), (2L, 5L), (5L, 9L), (3L, 7L))
       .toDF("doc_a", "doc_b")
-    val out = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
-    assert(out === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L, 3L -> 3L, 7L -> 3L))
+    val want = Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 9L -> 1L, 3L -> 3L, 7L -> 3L)
+    // driver union-find path (default threshold)
+    val uf = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(uf === want)
+    // distributed label-propagation path (threshold 0 forces it)
+    val lp = Dedup.dupClusters(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(lp === want)
     // a longer chain still converges (diameter > 2 needs multiple rounds)
     val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("doc_a", "doc_b")
-    val out2 = Dedup.dupClusters(chain).as[(Long, Long)].collect().toMap
-    assert(out2.values.toSet === Set(1L))
-    assert(out2.keySet === (1L to 12L).toSet)
+    Seq(0L, 1000000L).foreach { thr =>
+      val out2 = Dedup.dupClusters(chain, driverThreshold = thr)
+        .as[(Long, Long)].collect().toMap
+      assert(out2.values.toSet === Set(1L))
+      assert(out2.keySet === (1L to 12L).toSet)
+    }
   }
 
   test("corpus prep: production xxhash base keeps the same survivor set as the oracle base") {
@@ -145,7 +154,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.dupClusters(chain, maxRounds = 2).collect()
+      // threshold 0: the guard lives on the distributed loop (the driver
+      // union-find has no rounds to run out of)
+      Dedup.dupClusters(chain, maxRounds = 2, driverThreshold = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
