@@ -149,6 +149,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(prod === portable)
   }
 
+  test("dup clusters: union-find and label propagation agree on random graphs") {
+    // property check: both execution paths produce identical labels on
+    // arbitrary pair graphs (chains, cliques, stars, isolated pairs)
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 30 + trial * 10
+      val edges = (0 until n).map { _ =>
+        val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val uf = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+      val lp = Dedup.dupClusters(pairs, driverThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(uf === lp, s"trial $trial: paths diverged")
+      // labels are canonical: every cluster id is a member of its own cluster
+      assert(uf.values.toSet.subsetOf(uf.keySet))
+      assert(uf.forall { case (d, c) => c <= d })
+    }
+  }
+
   test("dup clusters raise loudly instead of returning unconverged labels") {
     // an 8-hop chain cannot converge in 2 rounds of neighbor-min propagation
     val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
