@@ -65,6 +65,22 @@ object DedupStream {
       case None => rows
     }
 
+  /** Static partition pruning for the history probe: the batch's distinct
+    * (band, kb) combinations are bounded by bands × [[KeyBuckets]] (≤ ~1k),
+    * so collecting them and pushing an explicit partition-column predicate
+    * prunes the band store's directories at PLAN time — deterministic,
+    * instead of hoping dynamic partition pruning fires for this join
+    * shape. One tiny driver collect per batch.
+    */
+  private[graft] def pruneToBatchCombos(idx: DataFrame, newBands: DataFrame): DataFrame = {
+    def combo(band: org.apache.spark.sql.Column, kb: org.apache.spark.sql.Column) =
+      band.cast("long") * KeyBuckets + kb.cast("long")
+    val combos = newBands.select(combo(col("band"), col("kb")).as("c"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (combos.isEmpty) idx.limit(0)
+    else idx.where(combo(col("band"), col("kb")).isin(combos: _*))
+  }
+
   /** Process one batch against the parquet-backed index under `indexDir`. */
   private[graft] def processBatch(batch: DataFrame, indexDir: String, pairsDir: String,
                                   n: Int, numPerms: Int, bands: Int,
@@ -100,11 +116,13 @@ object DedupStream {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      // new × history candidates via the persisted band index; the join
-      // keys include BOTH partition columns (band, kb), so the probe prunes
-      // to the key buckets the batch's band keys hash into
+      // new × history candidates via the persisted band index: the index
+      // side is pre-filtered to the batch's (band, kb) combinations — a
+      // static partition-column predicate that directory-prunes the store
+      // — and the join keys still include both partition columns
       val nh = stores.bands.read(spark) match {
-        case Some(idx) =>
+        case Some(idx0) =>
+          val idx = pruneToBatchCombos(idx0, newBands)
           newBands.as("a").join(idx.as("b"),
             col("a.band") === col("b.band") && col("a.kb") === col("b.kb") &&
               col("a.key") === col("b.key") && col("a.doc_id") =!= col("b.doc_id"))

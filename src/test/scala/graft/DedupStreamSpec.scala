@@ -52,6 +52,34 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$indexDir/bands").count() === 4L * 16)
   }
 
+  test("band-store probe scans only the batch's (band, kb) partitions") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-dprune").toString
+    val (indexDir, pairsDir) = (s"$root/index", s"$root/pairs")
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    DedupStream.processBatch(batch(1L -> base, 3L -> other),
+      indexDir, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
+    val totalFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$indexDir/bands"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    // probe with a copy of doc 1: its (band, kb) combos miss most of the
+    // unrelated doc 3's buckets, so the pruned scan must list fewer files
+    val sigs = graft.operators.Dedup.minhashSignatures(batch(5L -> base), 5, 64)
+    val nb = graft.operators.Dedup.bandKeys(sigs, 64, 16, stringKey = true)
+      .withColumn("kb", pmod(xxhash64(col("key")), lit(DedupStream.KeyBuckets)))
+    val pruned = DedupStream.pruneToBatchCombos(
+      spark.read.parquet(s"$indexDir/bands"), nb)
+    // collect() (not count()) so the metrics below come from THIS plan
+    val hits = pruned.collect()
+    assert(hits.length >= 16) // doc 1's 16 identical band rows are all retained
+    val scans = pruned.queryExecution.executedPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val scanned = scans.head.metrics("numFiles").value
+    assert(scanned > 0 && scanned < totalFiles,
+      s"scanned $scanned of $totalFiles files — partition pruning did not engage")
+  }
+
   test("the dataflow is backend-agnostic: true-upsert stores behave like parquet") {
     val root = Files.createTempDirectory("graft-dstream3").toString
     val pairsDir = s"$root/pairs"
