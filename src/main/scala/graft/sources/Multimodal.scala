@@ -148,6 +148,51 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+      media_id: Long,
+      format: String,
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      resized: Boolean)
+
+  /** Real image resize: decode via ImageIO, scale so the longest edge is
+    * `maxDim` (aspect preserved, never upscaled), re-encode PNG — the
+    * normalize-before-embedding step of a multimodal training pipeline,
+    * with the same per-partition batch shape as [[extractFeatures]].
+    * Undecodable payloads pass through untouched (`resized = false`);
+    * the operator stays total over a real media lake.
+    */
+  def resizeImages(media: DataFrame, maxDim: Int = 256): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val out =
+          try {
+            val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+            if (img == null || math.max(img.getWidth, img.getHeight) <= maxDim) None
+            else {
+              val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+              val (nw, nh) = (math.max(1, (img.getWidth * scale).round.toInt),
+                math.max(1, (img.getHeight * scale).round.toInt))
+              val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_BYTE_GRAY)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, nw, nh, null)
+              } finally g.dispose()
+              val bos = new ByteArrayOutputStream()
+              ImageIO.write(dst, "png", bos)
+              Some(ResizedMedia(r.media_id, "png", bos.toByteArray, nw, nh, resized = true))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        out.getOrElse(ResizedMedia(r.media_id, r.format, r.payload,
+          r.declared_width, r.declared_height, resized = false))
+      }
+    }
+  }
+
   /** Deterministic frame sampling plumbing for video-like payloads: emit
     * every `stride`-th chunk of `frameBytes` bytes as its own row —
     * the schema/partitioning shape of real frame extraction.

@@ -54,6 +54,36 @@ class MultimodalSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("resize caps the longest edge, preserves aspect, passes non-images through") {
+    // a 16x8 gradient PNG → maxDim 8 should give 8x4
+    val img = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, 16, 8,
+      Array.tabulate[Byte](16 * 8)(i => (i * 2).toByte))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "png", bos.toByteArray, 16, 8),
+      Multimodal.MediaRow(2L, "wav", Array[Byte](1, 2, 3), 0, 0)).toDF()
+    val out = Multimodal.resizeImages(media, maxDim = 8).collect().sortBy(_.media_id)
+    val r1 = out(0)
+    assert(r1.resized)
+    assert((r1.width, r1.height) === (8, 4))
+    // the resized payload is a real decodable PNG of the new dims with a
+    // brightness close to the source's (bilinear downscale preserves mean)
+    val Some((w2, h2, b2)) = Multimodal.ImageCodec.decode(r1.payload)
+    assert((w2, h2) === (8, 4))
+    val Some((_, _, b1)) = Multimodal.ImageCodec.decode(bos.toByteArray)
+    assert(math.abs(b1 - b2) < 0.05)
+    // non-image passes through untouched
+    val r2 = out(1)
+    assert(!r2.resized && r2.format === "wav" && r2.payload.length === 3)
+    // already-small images are not upscaled
+    val small = Multimodal.resizeImages(
+      Seq(Multimodal.MediaRow(1L, "png", bos.toByteArray, 16, 8)).toDF(),
+      maxDim = 64).collect().head
+    assert(!small.resized && small.payload.sameElements(bos.toByteArray))
+  }
+
   test("frame sampling emits every stride-th fixed-size chunk") {
     val media = Multimodal.fromDocuments(docs)
     val payloadLen = media.where($"media_id" === 0L)
