@@ -82,10 +82,16 @@ object ScaleCheck {
     time(s"minhash signatures 64p (md5-portable base) over $nDocs docs")(
       Dedup.minhashSignatures(docs, 5, 64, Dedup.md5Base)
         .write.format("noop").mode("overwrite").save())
-    // q53 scale path: CC label propagation over the near-dup pair graph
-    time(s"dup clusters (connected components) over $nDocs docs")(
+    // q53 scale path, BOTH execution strategies (pairs ≪ threshold here, so
+    // the default takes the driver union-find; threshold 0 pins the
+    // distributed label-propagation loop that runs at real corpus scale)
+    time(s"dup clusters (driver union-find) over $nDocs docs")(
       Dedup.dupClusters(
         Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2)).count())
+    time(s"dup clusters (distributed label-prop) over $nDocs docs")(
+      Dedup.dupClusters(
+        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2),
+        driverThreshold = 0L).count())
     // q52 scale path + the base-hash lever: same params, only the per-
     // shingle hash differs — the md5 digest is the dominant corpus-prep
     // cost, which is why production defaults to the xxhash base

@@ -48,10 +48,13 @@ object CorpusPrep {
       col("fingerprint"), TextAnalysis.predictedFromScores.as("predicted_lang"))
     // exact dedup: lowest doc_id per normalized-text fingerprint survives.
     // Canonicals are resolved over the FULL corpus (a group whose canonical
-    // fails a gate drops entirely — same semantics as the staged form),
-    // then the gates filter the join output
-    val canon = perDoc.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
-    val gatedKept = perDoc.join(canon, Seq("fingerprint"))
+    // fails a gate drops entirely — same semantics as the staged form). A
+    // whole-partition window min does it in ONE pass over perDoc; an
+    // agg-then-self-join would run the regex-heavy projection twice (no
+    // exchange reuse across the aggregate and the join side)
+    val keepW = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+    val gatedKept = perDoc
+      .withColumn("keep_id", min(col("doc_id")).over(keepW))
       .where(col("doc_id") === col("keep_id") &&
         col("quality") >= minQuality && col("predicted_lang") === lang)
     // near-dup removal: non-canonical members of every dup CLUSTER drop
