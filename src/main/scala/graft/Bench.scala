@@ -80,7 +80,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val passTotals = (0 until iters).map { i =>
       names.map(n => samples(n)(i)).filter(_ >= 0).sum
-    }.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"pass_totals":$passTotals}""")
     spark.stop()
   }

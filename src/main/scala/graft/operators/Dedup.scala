@@ -333,23 +333,32 @@ object Dedup {
     *
     * Both paths produce identical labels (min reachable doc_id).
     *
-    * @param pairs (doc_a, doc_b) near-dup pairs, e.g. [[minhashLshPairs]]
+    * @param pairs (doc_a, doc_b) near-dup pairs, e.g. [[minhashLshPairs]];
+    *   any orderable id type works — the driver shortcut only engages for
+    *   integral ids (the distributed loop serves the rest)
     * @param driverThreshold max edges for the driver union-find; 0 forces
     *   the distributed loop (specs use this to exercise it)
-    * @return (doc_id, cluster_id) for every doc appearing in some pair
+    * @return (doc_id, cluster_id) for every doc appearing in some pair,
+    *   typed as the input ids are
     */
   def dupClusters(pairs: DataFrame, maxRounds: Int = 20,
                   driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
+    import org.apache.spark.sql.types._
+    val idType = pairs.schema("doc_a").dataType
+    val integralId = idType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
     // one undirected edge per pair, cached: the decision count, the driver
     // collect, and the distributed loop all reuse this materialization
     // (without it the expensive LSH subtree would recompute per consumer)
     val undirected = pairs.select(
-      least(col("doc_a"), col("doc_b")).cast("long").as("src"),
-      greatest(col("doc_a"), col("doc_b")).cast("long").as("dst"))
+      least(col("doc_a"), col("doc_b")).as("src"),
+      greatest(col("doc_a"), col("doc_b")).as("dst"))
       .where(col("src") =!= col("dst")).distinct().cache()
     val nEdges = undirected.count()
-    if (nEdges <= driverThreshold) {
+    if (integralId && nEdges <= driverThreshold) {
       // union-find with path compression, roots keyed to the MIN id of the
       // component (union always attaches the larger root under the smaller)
       val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -360,16 +369,19 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      undirected.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
+      undirected.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
       undirected.unpersist()
       val labels = parent.keys.toSeq.sorted.map(d => (d, find(d)))
       import spark.implicits._
       return labels.toDF("doc_id", "cluster_id")
+        .select(col("doc_id").cast(idType).as("doc_id"),
+          col("cluster_id").cast(idType).as("cluster_id"))
     }
     val edges = undirected
       .union(undirected.select(col("dst").as("src"), col("src").as("dst")))

@@ -95,24 +95,52 @@ object IdempotentSink {
 
   /** One-time sink migration flat → `partitionBy(partitionCol)`: rewrite
     * into a staging dir, then swap (old dir is renamed aside, not deleted,
-    * so a crash mid-swap never destroys the only copy). `derive` supplies
-    * the partition column when the flat rows lack it (e.g. market_data v1
-    * → v2: dt = substring(timestamp, 1, 10)).
+    * so a crash mid-swap never destroys the only copy). Re-running after a
+    * crash RESUMES the swap instead of silently returning: a missing sink
+    * with a completed stage finishes the rename; a missing sink with only
+    * the renamed-aside original restores it and migrates again. Without
+    * that, the next append would recreate an empty sink, anti-join against
+    * nothing, and fork the dedup history. `derive` supplies the partition
+    * column when the flat rows lack it (e.g. market_data v1 → v2:
+    * dt = substring(timestamp, 1, 10)).
     */
   def migrateToPartitioned(spark: SparkSession, sinkDir: String, partitionCol: String,
                            derive: DataFrame => DataFrame = identity): Unit = {
+    val path = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(sinkDir + ".stage")
+    val old = new org.apache.hadoop.fs.Path(sinkDir + ".premigration")
+    if (!fs.exists(path)) {
+      // torn previous migration: the stage (if complete, i.e. _SUCCESS'd)
+      // IS the migrated sink — finish the swap; else restore the original
+      // and fall through to a clean re-migration
+      if (fs.exists(stage) &&
+        fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
+        fs.rename(stage, path)
+        fs.delete(old, true)
+        return
+      } else if (fs.exists(old)) {
+        fs.delete(stage, true)
+        fs.rename(old, path)
+      } else return // nothing to migrate
+    }
+    // already migrated (e.g. re-run after a crash between the final rename
+    // and the cleanup): just sweep the strays
+    if (fs.listStatus(path).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))) {
+      fs.delete(old, true)
+      fs.delete(stage, true)
+      return
+    }
     val df = derive(
       try spark.read.parquet(sinkDir)
       catch { case _: AnalysisException => return })
     require(df.columns.contains(partitionCol),
       s"derive must produce the $partitionCol column for the migration")
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(sinkDir + ".stage")
-    val path = new org.apache.hadoop.fs.Path(sinkDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(sinkDir + ".premigration")
     if (fs.exists(old)) fs.delete(old, true)
     fs.rename(path, old)
-    fs.rename(new org.apache.hadoop.fs.Path(sinkDir + ".stage"), path)
+    fs.rename(stage, path)
     fs.delete(old, true)
     ()
   }

@@ -31,6 +31,13 @@ trait KeyedStore {
     * partially written yet judged complete on replay.
     */
   def upsert(rows: DataFrame, keys: Seq[String]): Unit
+
+  /** Unchecked append for rows the CALLER already proved fresh (e.g. the
+    * batch was anti-joined against this store's keys at the top of the
+    * dataflow): skips the per-upsert existing-keys scan. Using it with
+    * possibly-present keys breaks the store's key-uniqueness contract.
+    */
+  def append(rows: DataFrame): Unit
 }
 
 /** Parquet-append emulation of a keyed store.
@@ -51,16 +58,23 @@ final class ParquetKeyedStore(dir: String,
         rows.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
       case None => rows
     }
-    val shaped = coalesceTo.fold(fresh)(fresh.coalesce)
+    append(fresh)
+  }
+
+  override def append(rows: DataFrame): Unit = {
+    val shaped = coalesceTo.fold(rows)(rows.coalesce)
     val w = shaped.write.mode(SaveMode.Append)
     if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*).parquet(dir)
     else w.parquet(dir)
   }
 }
 
-/** True-upsert in-memory store — the Delta/Iceberg MERGE shape. Each upsert
-  * materializes (localCheckpoint) so lineage never grows across batches.
-  * Spec/backing-template use; not for production state.
+/** True-upsert in-memory store — the Delta/Iceberg MERGE shape: on key
+  * collision the NEW row wins (old rows with colliding keys are dropped
+  * before the union; a bare dropDuplicates over the union would keep an
+  * arbitrary side). Each upsert materializes (localCheckpoint) so lineage
+  * never grows across batches. Spec/backing-template use; not for
+  * production state.
   */
 final class InMemoryKeyedStore extends KeyedStore {
   private var data: Option[DataFrame] = None
@@ -68,8 +82,19 @@ final class InMemoryKeyedStore extends KeyedStore {
   override def read(spark: SparkSession): Option[DataFrame] = synchronized(data)
 
   override def upsert(rows: DataFrame, keys: Seq[String]): Unit = synchronized {
+    val deduped = rows.dropDuplicates(keys)
     val merged = data match {
-      case Some(old) => rows.unionByName(old).dropDuplicates(keys)
+      case Some(old) =>
+        deduped.unionByName(
+          old.join(deduped.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+      case None => deduped
+    }
+    data = Some(merged.localCheckpoint(true))
+  }
+
+  override def append(rows: DataFrame): Unit = synchronized {
+    val merged = data match {
+      case Some(old) => rows.unionByName(old)
       case None => rows
     }
     data = Some(merged.localCheckpoint(true))

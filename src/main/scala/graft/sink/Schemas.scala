@@ -43,9 +43,15 @@ object Schemas {
     * entry is (version, schema); the current declaration is the last one.
     * market_data v1 was the flat 13-column edge shape; v2 added the `dt`
     * partition column (a real, additive evolution this engine shipped).
+    *
+    * `dt` is declared DATE: the writers supply it as a yyyy-MM-dd string,
+    * but `partitionBy` stores it only in directory names, and Spark's
+    * partition-column type inference reads those back as DateType — the
+    * declared READ-BACK schema must match what a real sink yields, or
+    * [[readEvolved]] would reject every sink this engine itself wrote.
     */
   val Versions: Map[String, Seq[(Int, StructType)]] = Map(
-    "market_data" -> Seq(1 -> MarketData, 2 -> MarketData.add(StructField("dt", StringType))),
+    "market_data" -> Seq(1 -> MarketData, 2 -> MarketData.add(StructField("dt", DateType))),
     "atr_state" -> Seq(1 -> AtrState),
     "system_log" -> Seq(1 -> SystemLog),
     "metadata" -> Seq(1 -> Metadata))

@@ -160,8 +160,12 @@ object Multimodal {
     * `maxDim` (aspect preserved, never upscaled), re-encode PNG — the
     * normalize-before-embedding step of a multimodal training pipeline,
     * with the same per-partition batch shape as [[extractFeatures]].
-    * Undecodable payloads pass through untouched (`resized = false`);
-    * the operator stays total over a real media lake.
+    * Color is preserved (the destination buffer matches the source's
+    * color/gray model). Decodable images that are already small pass
+    * through with their DECODED dimensions; undecodable payloads pass
+    * through with the declared ones — the operator stays total over a
+    * real media lake, and `resized` tells the two pass-throughs apart
+    * from real work.
     */
   def resizeImages(media: DataFrame, maxDim: Int = 256): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
@@ -170,12 +174,23 @@ object Multimodal {
         val out =
           try {
             val img = ImageIO.read(new ByteArrayInputStream(r.payload))
-            if (img == null || math.max(img.getWidth, img.getHeight) <= maxDim) None
+            if (img == null)
+              ResizedMedia(r.media_id, r.format, r.payload,
+                r.declared_width, r.declared_height, resized = false)
+            else if (math.max(img.getWidth, img.getHeight) <= maxDim)
+              ResizedMedia(r.media_id, r.format, r.payload,
+                img.getWidth, img.getHeight, resized = false)
             else {
               val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
               val (nw, nh) = (math.max(1, (img.getWidth * scale).round.toInt),
                 math.max(1, (img.getHeight * scale).round.toInt))
-              val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_BYTE_GRAY)
+              // keep the source color model: a gray source stays gray, a
+              // color source stays color (a fixed gray canvas would
+              // silently destroy all chroma in a real media lake)
+              val dstType =
+                if (img.getColorModel.getNumColorComponents == 1) BufferedImage.TYPE_BYTE_GRAY
+                else BufferedImage.TYPE_INT_RGB
+              val dst = new BufferedImage(nw, nh, dstType)
               val g = dst.createGraphics()
               try {
                 g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
@@ -184,11 +199,14 @@ object Multimodal {
               } finally g.dispose()
               val bos = new ByteArrayOutputStream()
               ImageIO.write(dst, "png", bos)
-              Some(ResizedMedia(r.media_id, "png", bos.toByteArray, nw, nh, resized = true))
+              ResizedMedia(r.media_id, "png", bos.toByteArray, nw, nh, resized = true)
             }
-          } catch { case scala.util.control.NonFatal(_) => None }
-        out.getOrElse(ResizedMedia(r.media_id, r.format, r.payload,
-          r.declared_width, r.declared_height, resized = false))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ResizedMedia(r.media_id, r.format, r.payload,
+                r.declared_width, r.declared_height, resized = false)
+          }
+        out
       }
     }
   }

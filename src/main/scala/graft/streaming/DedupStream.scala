@@ -149,7 +149,10 @@ object DedupStream {
       // sigs are fully durable.
       stores.bands.upsert(newBands, Seq("doc_id", "band"))
       stores.sigs.upsert(newSigs, Seq("doc_id"))
-      stores.ids.upsert(newSigs.select("doc_id"), Seq("doc_id"))
+      // the id ledger lands LAST, and `fresh` was already anti-joined
+      // against it at the top of the batch — unchecked append, no second
+      // full-ledger scan
+      stores.ids.append(newSigs.select("doc_id"))
       written
     } finally { newSigs.unpersist(); () }
   }

@@ -69,8 +69,11 @@ object FullPipeline {
   }
 
   /** Read one state part from the newest committed epoch; pre-epoch layouts
-    * (a bare `stateRoot/<part>` dir from an older engine version) are read
-    * as a legacy fallback so existing state roots keep working.
+    * are read as a legacy fallback so existing state roots keep working —
+    * including a root whose LAST write under the old per-dir swap crashed
+    * between delete and rename, leaving only `<part>.tmp` with a `_SUCCESS`
+    * marker (the old reader's recovery case; dropping it would silently
+    * cold-start the ATR recursion on upgrade).
     */
   private[graft] def readState(spark: SparkSession, stateRoot: String,
                                    part: String): Option[DataFrame] =
@@ -80,7 +83,15 @@ object FullPipeline {
         catch { case _: AnalysisException => None }
       case None =>
         try Some(spark.read.parquet(s"$stateRoot/$part"))
-        catch { case _: AnalysisException => None }
+        catch {
+          case _: AnalysisException =>
+            val tmp = new org.apache.hadoop.fs.Path(s"$stateRoot/$part.tmp", "_SUCCESS")
+            val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(tmp))
+              try Some(spark.read.parquet(s"$stateRoot/$part.tmp"))
+              catch { case _: AnalysisException => None }
+            else None
+        }
     }
 
   /** Stage and publish one state epoch; keeps the latest `retain` committed

@@ -170,6 +170,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dup clusters work for non-numeric ids and preserve the id type") {
+    // string ids: the driver shortcut cannot apply — the distributed loop
+    // must serve them, not silently null them out through a long cast
+    val sp = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("doc_a", "doc_b")
+    val sOut = Dedup.dupClusters(sp).as[(String, String)].collect().toMap
+    assert(sOut === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // int ids stay int on the driver path
+    val ip = Seq((1, 2), (2, 3)).toDF("doc_a", "doc_b")
+    val iOut = Dedup.dupClusters(ip)
+    assert(iOut.schema("cluster_id").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(iOut.as[(Int, Int)].collect().toMap === Map(1 -> 1, 2 -> 1, 3 -> 1))
+  }
+
   test("dup clusters raise loudly instead of returning unconverged labels") {
     // an 8-hop chain cannot converge in 2 rounds of neighbor-min propagation
     val chain = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq

@@ -105,6 +105,16 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(stores.bands.read(spark).get.count() === 4L * 16)
   }
 
+  test("in-memory keyed store: the NEW row wins a key collision") {
+    val s = new graft.sink.InMemoryKeyedStore
+    s.upsert(Seq((1L, "v1")).toDF("k", "v"), Seq("k"))
+    s.upsert(Seq((1L, "v2"), (2L, "w")).toDF("k", "v"), Seq("k"))
+    val got = s.read(spark).get.as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "v2", 2L -> "w")) // MERGE shape: update replaces
+    s.append(Seq((3L, "x")).toDF("k", "v"))
+    assert(s.read(spark).get.count() === 3L)
+  }
+
   test("streaming wiring: two micro-batches through foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val root = Files.createTempDirectory("graft-dstream2").toString

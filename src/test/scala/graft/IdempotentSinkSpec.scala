@@ -114,6 +114,38 @@ class IdempotentSinkSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("partitioned by dt"))
   }
 
+  test("a torn migration resumes instead of forking the dedup history") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    // case 1: crash AFTER the original was renamed aside, BEFORE the stage
+    // swap — sink missing, premigration holds the only copy → restore + migrate
+    val s1 = tmp() + "/sink"
+    IdempotentSink.appendDedup(Seq(("a_1", "2026-02-02", 1.0)).toDF("id", "dt", "v"), s1)
+    fs.rename(path(s1), path(s1 + ".premigration"))
+    IdempotentSink.migrateToPartitioned(spark, s1, "dt")
+    assert(spark.read.parquet(s1).count() === 1L)
+    assert(new java.io.File(s1).listFiles().exists(_.getName == "dt=2026-02-02"))
+    // and the dedup history survived: the same row is still a dup
+    assert(IdempotentSink.appendDedup(
+      Seq(("a_1", "2026-02-02", 1.0)).toDF("id", "dt", "v"), s1,
+      partitionCol = Some("dt")) === 0L)
+    // case 2: crash BETWEEN the two renames — sink missing, stage complete
+    // → re-run finishes the swap
+    val s2 = tmp() + "/sink"
+    IdempotentSink.appendDedup(Seq(("b_1", "2026-02-03", 2.0)).toDF("id", "dt", "v"), s2)
+    IdempotentSink.migrateToPartitioned(spark, s2, "dt")
+    fs.rename(path(s2), path(s2 + ".stage"))         // stage complete (has _SUCCESS)
+    IdempotentSink.migrateToPartitioned(spark, s2, "dt")
+    assert(spark.read.parquet(s2).count() === 1L)
+    assert(IdempotentSink.appendDedup(
+      Seq(("b_1", "2026-02-03", 2.0)).toDF("id", "dt", "v"), s2,
+      partitionCol = Some("dt")) === 0L)
+    // case 3: re-running on an already-partitioned sink is a cheap no-op
+    IdempotentSink.migrateToPartitioned(spark, s2, "dt")
+    assert(spark.read.parquet(s2).count() === 1L)
+  }
+
   test("dead letters drain idempotently into the sink") {
     val root = tmp(); val sink = root + "/sink"; val dead = root + "/dead"
     val parked = Seq(("x_1", 1.0), ("y_1", 2.0)).toDF("id", "v")

@@ -77,11 +77,28 @@ class MultimodalSpec extends AnyFunSuite {
     // non-image passes through untouched
     val r2 = out(1)
     assert(!r2.resized && r2.format === "wav" && r2.payload.length === 3)
-    // already-small images are not upscaled
+    // already-small images are not upscaled, and report their DECODED dims
+    // even when the declared metadata lies
     val small = Multimodal.resizeImages(
-      Seq(Multimodal.MediaRow(1L, "png", bos.toByteArray, 16, 8)).toDF(),
+      Seq(Multimodal.MediaRow(1L, "png", bos.toByteArray, 0, 0)).toDF(),
       maxDim = 64).collect().head
     assert(!small.resized && small.payload.sameElements(bos.toByteArray))
+    assert((small.width, small.height) === (16, 8))
+  }
+
+  test("resize preserves color: an RGB source does not come back grayscale") {
+    val img = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(x => (0 until 8).foreach(y => img.setRGB(x, y, 0xFF0000))) // pure red
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.resizeImages(
+      Seq(Multimodal.MediaRow(1L, "png", bos.toByteArray, 16, 8)).toDF(),
+      maxDim = 8).collect().head
+    assert(out.resized && (out.width, out.height) === (8, 4))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(back.getColorModel.getNumColorComponents === 3)
+    val rgb = back.getRGB(4, 2)
+    assert(((rgb >> 16) & 0xff) > 200 && ((rgb >> 8) & 0xff) < 50) // still red
   }
 
   test("frame sampling emits every stride-th fixed-size chunk") {

@@ -72,7 +72,24 @@ class SchemasSpec extends AnyFunSuite {
     val (v, schema) = Schemas.current("market_data")
     assert(v === 2)
     assert(schema.fieldNames.last === "dt")
+    // dt is declared DATE — partition-dir values read back type-inferred
+    assert(schema("dt").dataType === org.apache.spark.sql.types.DateType)
     assert(Schemas.Versions("market_data").head._2 === Schemas.MarketData)
+  }
+
+  test("readEvolved accepts the engine's own dt-partitioned market_data sink") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo2").toString + "/market_data"
+    val edge = Seq(Tuple1(0)).toDF("z").select(
+      EdgeFormat.Header.map(n => lit("x").as(n)): _*)
+      .withColumn("id", lit("SYM_20260202_0915"))
+      .withColumn("dt", lit("2026-02-02"))
+    graft.sink.IdempotentSink.appendDedup(edge, dir, partitionCol = Some("dt"))
+    val back = Schemas.readEvolved(spark, dir, "market_data")
+    assert(back.columns.toSeq === Schemas.current("market_data")._2.fieldNames.toSeq)
+    assert(back.schema("dt").dataType === org.apache.spark.sql.types.DateType)
+    assert(back.count() === 1L)
+    assert(back.select("dt").head().getDate(0).toString === "2026-02-02")
   }
 
   test("metadata table writes once with the reference's 4 rows") {
