@@ -60,6 +60,14 @@ object Bench {
 
     // timed passes: iters full sweeps, median per query
     val samples = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0
+      else if (ok.size % 2 == 1) ok(ok.size / 2)
+      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+    }
+    def qsJson(): String =
+      names.map(n => "\"" + n + "\":" + median(samples(n))).mkString("{", ",", "}")
     (1 to iters).foreach { pass =>
       var passTotal = 0.0
       names.foreach { n =>
@@ -68,12 +76,12 @@ object Bench {
         if (s >= 0) passTotal += s
       }
       System.err.println(f"[bench] pass $pass/$iters total = $passTotal%.1f s")
-    }
-    def median(xs: Seq[Double]): Double = {
-      val ok = xs.filter(_ >= 0).sorted
-      if (ok.isEmpty) -1.0
-      else if (ok.size % 2 == 1) ok(ok.size / 2)
-      else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+      // cumulative-medians line to stderr after EVERY pass: a run killed
+      // before the last pass still leaves a parseable result in the log
+      // ("partial_total" so only the completed run's line matches "total")
+      val t = names.map(n => median(samples(n))).filter(_ >= 0).sum
+      System.err.println(
+        s"""{"metric":"partial_total","value":$t,"unit":"sec","queries":${qsJson()},"sf":"$sfDir","iters":$pass}""")
     }
     val results = names.map(n => n -> median(samples(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
