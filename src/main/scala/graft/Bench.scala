@@ -83,14 +83,12 @@ object Bench {
       System.err.println(
         s"""{"metric":"partial_total","value":$t,"unit":"sec","queries":${qsJson()},"sf":"$sfDir","iters":$pass}""")
     }
-    val results = names.map(n => n -> median(samples(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = names.map(n => median(samples(n))).filter(_ >= 0).sum
     val passTotals = (0 until iters).map { i =>
       names.map(n => samples(n)(i)).filter(_ >= 0).sum
     }.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"pass_totals":$passTotals}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson()},"sf":"$sfDir","iters":$iters,"pass_totals":$passTotals}""")
     spark.stop()
   }
 }

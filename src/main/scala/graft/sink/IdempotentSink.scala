@@ -70,7 +70,20 @@ object IdempotentSink {
                                   partitionCol: Option[String]): Unit = {
     val path = new org.apache.hadoop.fs.Path(sinkDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return
+    if (!fs.exists(path)) {
+      // a missing sink whose migration stage/backup sibling exists is a
+      // TORN migration, not a fresh sink: appending now would create a
+      // new history that the resumed migration's sweep would then treat
+      // as the migrated sink — refuse until the migration is resumed
+      val stageOk = fs.exists(new org.apache.hadoop.fs.Path(sinkDir + ".stage", "_SUCCESS"))
+      val backup = fs.exists(new org.apache.hadoop.fs.Path(sinkDir + ".premigration"))
+      if (stageOk || backup)
+        throw new IllegalStateException(
+          s"sink $sinkDir is missing but a migration stage/backup sibling exists — " +
+            "run IdempotentSink.migrateToPartitioned to resume the migration before appending " +
+            "(a fresh append here would fork the dedup history)")
+      return
+    }
     val entries = fs.listStatus(path)
     val flat = entries.exists(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -110,18 +123,25 @@ object IdempotentSink {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(sinkDir + ".stage")
     val old = new org.apache.hadoop.fs.Path(sinkDir + ".premigration")
+    // Hadoop rename reports failure by RETURNING false — every swap step
+    // must be checked or a failed rename would be followed by cleanup
+    // deletes (destroying the only copy) or a silent no-op "success"
+    def renameOrThrow(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new IllegalStateException(s"migration rename $src -> $dst failed; " +
+          "sink left as-is — resolve the filesystem state and re-run")
     if (!fs.exists(path)) {
       // torn previous migration: the stage (if complete, i.e. _SUCCESS'd)
       // IS the migrated sink — finish the swap; else restore the original
       // and fall through to a clean re-migration
       if (fs.exists(stage) &&
         fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
-        fs.rename(stage, path)
+        renameOrThrow(stage, path)
         fs.delete(old, true)
         return
       } else if (fs.exists(old)) {
         fs.delete(stage, true)
-        fs.rename(old, path)
+        renameOrThrow(old, path)
       } else return // nothing to migrate
     }
     // already migrated (e.g. re-run after a crash between the final rename
@@ -139,8 +159,8 @@ object IdempotentSink {
       s"derive must produce the $partitionCol column for the migration")
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(sinkDir + ".stage")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(path, old)
-    fs.rename(stage, path)
+    renameOrThrow(path, old)
+    renameOrThrow(stage, path)
     fs.delete(old, true)
     ()
   }

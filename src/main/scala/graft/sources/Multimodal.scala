@@ -184,11 +184,14 @@ object Multimodal {
               val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
               val (nw, nh) = (math.max(1, (img.getWidth * scale).round.toInt),
                 math.max(1, (img.getHeight * scale).round.toInt))
-              // keep the source color model: a gray source stays gray, a
-              // color source stays color (a fixed gray canvas would
-              // silently destroy all chroma in a real media lake)
+              // keep the source color model: alpha sources keep alpha (an
+              // RGB canvas would composite transparent pixels onto opaque
+              // black), gray stays gray, color stays color (a fixed gray
+              // canvas would silently destroy all chroma)
+              val cm = img.getColorModel
               val dstType =
-                if (img.getColorModel.getNumColorComponents == 1) BufferedImage.TYPE_BYTE_GRAY
+                if (cm.hasAlpha) BufferedImage.TYPE_INT_ARGB
+                else if (cm.getNumColorComponents == 1) BufferedImage.TYPE_BYTE_GRAY
                 else BufferedImage.TYPE_INT_RGB
               val dst = new BufferedImage(nw, nh, dstType)
               val g = dst.createGraphics()

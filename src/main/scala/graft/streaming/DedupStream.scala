@@ -24,11 +24,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   *
   * Per batch: signatures + band keys for the NEW docs only; candidates =
   * new×new ∪ new×index probe; exact est_jaccard verify; pairs append
-  * idempotently (keyed "a_b"); then bands → sigs → ids. Every append
-  * anti-joins its own store at ROW granularity first — bands by
-  * (doc_id, band), sigs by doc_id — so a crash between or even inside
-  * writes replays to exactly the same state: no duplicate rows, no missed
-  * band rows, no missed pairs.
+  * idempotently (keyed "a_b"); then bands → sigs → ids. Bands and sigs
+  * upsert keyed at ROW granularity — bands by (doc_id, band), sigs by
+  * doc_id — so a crash between or even inside writes replays to exactly
+  * the same state. The id LEDGER is different: it lands LAST via an
+  * unchecked append, and its replay safety comes from the anti-join at
+  * the TOP of the batch (a doc reaches the ledger write only if it was
+  * absent when the batch started) plus the write ordering — do not
+  * reorder the three writes or reuse the ledger append elsewhere.
   *
   * Scale posture, stated precisely: the band PROBE prunes to the partitions
   * the new keys hash into; the replay check reads the id ledger (narrow,
@@ -141,12 +144,13 @@ object DedupStream {
         .select(concat_ws("_", col("doc_a"), col("doc_b")).as("id"),
           col("doc_a"), col("doc_b"), col("est_jaccard"))
       val written = IdempotentSink.appendDedup(pairs, pairsDir)
-      // index updates: every upsert is replay-idempotent at ROW granularity
-      // — bands by (doc_id, band), sigs/ids by doc_id (one row per doc) —
-      // so a crash mid-commit that leaves a doc's bands partially visible
-      // is healed on replay (only the missing band rows land again). The
-      // id ledger lands LAST: a doc enters it only after its bands and
-      // sigs are fully durable.
+      // index updates: bands/sigs upsert replay-idempotently at ROW
+      // granularity — bands by (doc_id, band), sigs by doc_id — so a
+      // crash mid-commit that leaves a doc's bands partially visible is
+      // healed on replay (only the missing band rows land again). The id
+      // ledger lands LAST as an UNCHECKED append: `fresh` was anti-joined
+      // against it at the top of the batch, so no doc can reach this
+      // write twice — reordering these three writes breaks that contract.
       stores.bands.upsert(newBands, Seq("doc_id", "band"))
       stores.sigs.upsert(newSigs, Seq("doc_id"))
       // the id ledger lands LAST, and `fresh` was already anti-joined

@@ -144,6 +144,17 @@ class IdempotentSinkSpec extends AnyFunSuite {
     // case 3: re-running on an already-partitioned sink is a cheap no-op
     IdempotentSink.migrateToPartitioned(spark, s2, "dt")
     assert(spark.read.parquet(s2).count() === 1L)
+    // case 4: while the sink is torn (missing, backup exists), appends are
+    // REFUSED — a fresh append here would fork the dedup history and the
+    // later resume would sweep the only full copy
+    val s3 = tmp() + "/sink"
+    IdempotentSink.appendDedup(Seq(("c_1", "2026-02-04", 3.0)).toDF("id", "dt", "v"), s3)
+    fs.rename(path(s3), path(s3 + ".premigration"))
+    val e = intercept[IllegalStateException](IdempotentSink.appendDedup(
+      Seq(("d_1", "2026-02-05", 4.0)).toDF("id", "dt", "v"), s3))
+    assert(e.getMessage.contains("resume the migration"))
+    IdempotentSink.migrateToPartitioned(spark, s3, "dt")
+    assert(spark.read.parquet(s3).count() === 1L) // history intact
   }
 
   test("dead letters drain idempotently into the sink") {

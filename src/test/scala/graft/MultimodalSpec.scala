@@ -101,6 +101,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(((rgb >> 16) & 0xff) > 200 && ((rgb >> 8) & 0xff) < 50) // still red
   }
 
+  test("resize preserves alpha: transparent pixels do not composite onto black") {
+    val img = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    // left half opaque white, right half fully transparent
+    (0 until 16).foreach(x => (0 until 8).foreach(y =>
+      img.setRGB(x, y, if (x < 8) 0xFFFFFFFF else 0x00000000)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.resizeImages(
+      Seq(Multimodal.MediaRow(1L, "png", bos.toByteArray, 16, 8)).toDF(),
+      maxDim = 8).collect().head
+    assert(out.resized)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.payload))
+    assert(back.getColorModel.hasAlpha)
+    // a pixel in the transparent half is still transparent, not opaque black
+    assert(((back.getRGB(6, 2) >> 24) & 0xff) < 50)
+    // and the opaque half is still white
+    val w = back.getRGB(1, 2)
+    assert(((w >> 24) & 0xff) > 200 && ((w >> 16) & 0xff) > 200)
+  }
+
   test("frame sampling emits every stride-th fixed-size chunk") {
     val media = Multimodal.fromDocuments(docs)
     val payloadLen = media.where($"media_id" === 0L)
