@@ -440,7 +440,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // filter BEFORE the pair dedup (same plan as [[simhashPairsPortable]]):
+      // hamming is identical for every copy of a pair, and most band
+      // collisions fail the cut — discarding them first keeps the distinct
+      // shuffle to qualifying pairs only
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
   }
 }

@@ -122,12 +122,35 @@ object GapFill {
 
   /** Missing-ticker census (candle_aggregator.py:193-203): expected grid slots
     * with no candle at all — the validation-log complement of [[fill]].
+    * GLOBAL grid (min–max across the whole range, overnight slots included)
+    * — kept for the single-session oracle shape; multi-day histories should
+    * use the day-bounded [[missingCensusSessions]].
     */
   def missingCensus(candles: DataFrame, intervalMinutes: Int = 5): DataFrame = {
     val bounds = candles.agg(
       min(col("window_start")).as("wmin"),
       max(col("window_start")).as("wmax"))
     val wins = bounds.select(
+      explode(sequence(col("wmin"), col("wmax"),
+        expr(s"interval $intervalMinutes minutes"))).as("window_start"))
+    val syms = candles.select(col("symbol")).distinct()
+    wins.crossJoin(broadcast(syms))
+      .join(candles.select("window_start", "symbol"), Seq("window_start", "symbol"), "left_anti")
+  }
+
+  /** Day-bounded missing-ticker census — the [[fillSessions]]-consistent
+    * formulation of [[missingCensus]]: the expected grid is built per
+    * observed trading day (that day's [min, max] window range shared across
+    * symbols), so a long history's census grid grows with sessions actually
+    * traded, never with overnight/weekend slots. The anti-join itself is
+    * per-slot (no window frame), so on a single session the output equals
+    * the global variant's exactly.
+    */
+  def missingCensusSessions(candles: DataFrame, intervalMinutes: Int = 5): DataFrame = {
+    val cd = candles.withColumn("d", to_date(col("window_start")))
+    val dayBounds = cd.groupBy(col("d")).agg(
+      min(col("window_start")).as("wmin"), max(col("window_start")).as("wmax"))
+    val wins = dayBounds.select(
       explode(sequence(col("wmin"), col("wmax"),
         expr(s"interval $intervalMinutes minutes"))).as("window_start"))
     val syms = candles.select(col("symbol")).distinct()

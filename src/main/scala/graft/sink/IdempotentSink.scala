@@ -269,13 +269,50 @@ object IdempotentSink {
 
   /** Append-only event log (`system_log`, schema_manager.py:137-164);
     * failures are swallowed — logging must never take down the pipeline.
+    * One file per call: chatty callers should batch through [[logEvents]]
+    * (the [[graft.streaming.Alerts.buffered]] channel does).
     */
   def logEvent(spark: SparkSession, dir: String, level: String, event: String,
                window: String, details: String): Unit =
-    try {
+    logEvents(spark, dir,
+      Seq((java.time.Instant.now.toString, level, event, window, details)))
+
+  /** Batched event-log append: every row (timestamp, level, event, window,
+    * details) lands in ONE parquet file per call — the per-micro-batch
+    * shape, instead of one file per event. Timestamps are caller-stamped
+    * (at dispatch time, not flush time). Failures are swallowed.
+    */
+  def logEvents(spark: SparkSession, dir: String,
+                rows: Seq[(String, String, String, String, String)]): Unit =
+    if (rows.nonEmpty) try {
       import spark.implicits._
-      Seq((java.time.Instant.now.toString, level, event, window, details))
-        .toDF("timestamp", "level", "event", "window", "details")
+      rows.toDF("timestamp", "level", "event", "window", "details")
         .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+    } catch { case _: Throwable => () }
+
+  /** Size-triggered compaction sweep for the event log: once the dir holds
+    * more than `maxFiles` part files, rewrite that snapshot of files as
+    * one. The compacted file lands BEFORE the originals are deleted, so a
+    * crash mid-sweep can duplicate log rows but never lose them — the
+    * right failure side for a diagnostic log (and the reason this sweep is
+    * only for system_log: the dedup sink's id contract forbids duplicate
+    * rows). Files appended concurrently with the sweep are untouched —
+    * only the snapshotted list is compacted and deleted. Failures
+    * swallowed, like every other log-channel operation.
+    */
+  def compactLog(spark: SparkSession, dir: String, maxFiles: Int = 64): Unit =
+    try {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) {
+        val parts = fs.listStatus(path)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+        if (parts.length > maxFiles) {
+          spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+            .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+          parts.foreach(p => fs.delete(p, false))
+        }
+      }
     } catch { case _: Throwable => () }
 }

@@ -59,10 +59,24 @@ object Schemas {
   /** Current declared schema + version for a sink table. */
   def current(table: String): (Int, StructType) = Versions(table).last
 
-  /** The reference's 4 metadata rows, with tickers_count parameterized by
-    * the actual universe instead of the hard-coded 178. */
-  def metadataRows(tickersCount: Int): Seq[(String, String)] = Seq(
-    "schema_version" -> "1.0",
+  /** schema_version as reported by the metadata table: the per-table
+    * evolution ledger rendered as `table=version` pairs (sorted by table
+    * name), so the sink's self-description tracks [[Versions]] instead of
+    * a literal that silently goes stale as tables evolve.
+    */
+  def ledgerVersion: String =
+    Versions.toSeq.sortBy(_._1)
+      .map { case (t, vs) => s"$t=${vs.last._1}" }.mkString(",")
+
+  /** The reference's 4 metadata rows (schema_manager.py:34-43), with
+    * tickers_count parameterized by the actual universe instead of the
+    * hard-coded 178, and schema_version reporting the [[Versions]] ledger.
+    * @param legacySchemaVersion report the reference's literal "1.0"
+    *   instead — only for byte-compatibility with consumers that pin it
+    */
+  def metadataRows(tickersCount: Int,
+                   legacySchemaVersion: Boolean = false): Seq[(String, String)] = Seq(
+    "schema_version" -> (if (legacySchemaVersion) "1.0" else ledgerVersion),
     "atr_period" -> graft.operators.Atr.Period.toString,
     "timezone" -> "IST",
     "tickers_count" -> tickersCount.toString)

@@ -89,10 +89,14 @@ object Monitors {
           .map(op => op.numRowsDroppedByWatermark).sum
         hb.recordProgress(event.progress.batchId, dropped)
         ladder.foreach(_.onProgress(event.progress.batchId.toString, wasStalled))
+        // micro-batch cadence for a buffered system_log channel: one sink
+        // append per progress event, however many alerts fired inside it
+        alerts.foreach(_.flush())
       }
       override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
         event.exception.foreach(err =>
           ladder.foreach(_.onFailure("-", err.take(500))))
+        alerts.foreach(_.flush())
         onTerminated(event.exception)
       }
     }

@@ -50,6 +50,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("simhashPairs filter-first plan returns exactly the banded pairs within the cut") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute-force reference: every id pair sharing a 16-bit band whose
+    // exact Hamming distance makes the cut — the filter/dedup order in the
+    // plan must not change this set
+    val h = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    def bands(x: Long) = (0 until 4).map(b => (b, (x >>> (b * 16)) & 0xFFFFL)).toSet
+    val ids = h.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids
+      if a < b
+      if bands(h(a)).intersect(bands(h(b))).nonEmpty
+      if java.lang.Long.bitCount(h(a) ^ h(b)) <= 3
+    } yield (a, b)).toSet
+    assert(pairs === expected)
+    assert(pairs.contains((1L, 4L)))
+  }
+
   test("portable 64-bit simhash halves behave like the fast 64-bit sketch") {
     val h = Dedup.simhash64Portable(docs)
       .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap

@@ -64,5 +64,35 @@ class GapFillSpec extends AnyFunSuite {
       ("A", "2026-02-02 09:20:00.0"),
       ("B", "2026-02-02 09:15:00.0"),
       ("B", "2026-02-02 09:20:00.0")))
+    // single session: the day-bounded variant is slot-identical
+    val bounded = GapFill.missingCensusSessions(candles).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).toString)).sorted
+    assert(bounded === missing)
+  }
+
+  test("day-bounded census never materializes overnight slots") {
+    // two sessions a day apart: the global grid spans the overnight gap
+    // (~287 five-minute slots), the session grid only the traded ranges
+    val twoDays = Seq(
+      (ts("2026-02-02 09:15:00"), "A", 10.0, 10.0, 10.0, 10.0, 1L),
+      (ts("2026-02-02 09:25:00"), "A", 11.0, 11.0, 11.0, 11.0, 1L),
+      (ts("2026-02-03 09:15:00"), "A", 12.0, 12.0, 12.0, 12.0, 1L),
+      (ts("2026-02-03 09:25:00"), "B", 50.0, 50.0, 50.0, 50.0, 1L)
+    ).toDF("window_start", "symbol", "open", "high", "low", "close", "tick_count")
+    val bounded = GapFill.missingCensusSessions(twoDays).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).toString)).sorted
+    // day 1 session = 09:15..09:25 (3 slots × {A,B}), day 2 likewise:
+    // missing = A@d1 09:20, B@d1 all 3, A@d2 {09:20, 09:25}, B@d2 {09:15, 09:20}
+    assert(bounded === Array(
+      ("A", "2026-02-02 09:20:00.0"),
+      ("A", "2026-02-03 09:20:00.0"),
+      ("A", "2026-02-03 09:25:00.0"),
+      ("B", "2026-02-02 09:15:00.0"),
+      ("B", "2026-02-02 09:20:00.0"),
+      ("B", "2026-02-02 09:25:00.0"),
+      ("B", "2026-02-03 09:15:00.0"),
+      ("B", "2026-02-03 09:20:00.0")))
+    // and the global variant would have materialized the overnight span
+    assert(GapFill.missingCensus(twoDays).count() > bounded.length)
   }
 }

@@ -45,6 +45,35 @@ class MonitorsTimeSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === 5L)
   }
 
+  test("buffered alert channel: one sink file per flush, compaction bounds the file count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-alerts-buf").toString + "/system_log"
+    def partFiles() = {
+      val f = new java.io.File(dir)
+      if (!f.exists()) Array.empty[java.io.File]
+      else f.listFiles().filter(p => p.isFile && p.getName.endsWith(".parquet"))
+    }
+    val m = graft.streaming.Alerts.buffered(spark, dir, compactAfterFiles = 5)
+    (1 to 5).foreach(i => m.dispatch("WARNING", s"e$i", "w", "d"))
+    // nothing lands until the micro-batch flush...
+    assert(partFiles().isEmpty)
+    m.flush()
+    // ...then all five alerts land as ONE file
+    assert(partFiles().length === 1)
+    assert(spark.read.parquet(dir).count() === 5L)
+    // an empty flush appends nothing
+    m.flush()
+    assert(partFiles().length === 1)
+    // size-triggered sweep: each cycle appends one file; crossing the
+    // 5-file threshold compacts the snapshot back to one
+    (1 to 6).foreach { i => m.dispatch("INFO", s"x$i", "w", "d"); m.flush() }
+    // 1+5 appends hit 6 > 5 at the 5th cycle → compact to 1, 6th appends → 2
+    assert(partFiles().length === 2)
+    assert(spark.read.parquet(dir).count() === 11L)
+    // rows survive the sweep intact
+    assert(spark.read.parquet(dir)
+      .where(org.apache.spark.sql.functions.col("event") === "x3").count() === 1L)
+  }
+
   test("a throwing alert channel is isolated: the other channel still fires") {
     val consoleSeen = scala.collection.mutable.ArrayBuffer.empty[String]
     val m1 = new graft.streaming.Alerts.AlertManager(

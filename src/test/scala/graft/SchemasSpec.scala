@@ -96,8 +96,14 @@ class SchemasSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-meta").toString + "/metadata"
     Schemas.initMetadata(spark, dir, tickersCount = 2)
     val rows = spark.read.parquet(dir).as[(String, String)].collect().toMap
-    assert(rows === Map("schema_version" -> "1.0", "atr_period" -> "14",
+    assert(rows === Map("schema_version" -> Schemas.ledgerVersion, "atr_period" -> "14",
       "timezone" -> "IST", "tickers_count" -> "2"))
+    // the ledger value tracks Versions — market_data is at v2 (dt column)
+    assert(Schemas.ledgerVersion ===
+      "atr_state=1,market_data=2,metadata=1,system_log=1")
+    // the reference's literal stays available behind the compat flag
+    assert(Schemas.metadataRows(2, legacySchemaVersion = true).toMap
+      .apply("schema_version") === "1.0")
     // second init is a no-op, not an overwrite
     Schemas.initMetadata(spark, dir, tickersCount = 99)
     assert(spark.read.parquet(dir).as[(String, String)].collect().toMap
