@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions.col
   * contract the reference's read-modify-write sheet protocol provides
   * (write_pipeline.py:151-183) and a Delta/Iceberg MERGE provides natively.
   *
-  * Two shipped implementations:
+  * Three shipped implementations:
+  *   - [[EpochKeyedStore]] (the durable DEFAULT): true-upsert MERGE store
+  *     over epoch-versioned base+delta parquet — O(batch) writes with no
+  *     existing-keys scan, newest-epoch-wins reads, auto-compaction;
   *   - [[ParquetKeyedStore]]: plain parquet-append emulation — an anti-join
   *     against the existing keys before every append (the ledger dance;
   *     works on any filesystem, O(store) key scan per upsert);
-  *   - [[InMemoryKeyedStore]]: true upsert semantics, the MERGE shape a
-  *     table format would give — used by specs to prove the dataflow is
-  *     backend-agnostic, and the template for a Delta/Iceberg binding.
+  *   - [[InMemoryKeyedStore]]: true upsert semantics in memory — used by
+  *     specs to prove the dataflow is backend-agnostic, and the template
+  *     for a Delta/Iceberg binding.
   *
   * Swapping backends must not touch the dataflow: [[graft.streaming.DedupStream]]
   * takes its three stores as parameters.

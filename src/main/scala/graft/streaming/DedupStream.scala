@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import graft.sink.{IdempotentSink, KeyedStore, ParquetKeyedStore}
+import graft.sink.{EpochKeyedStore, IdempotentSink, KeyedStore, ParquetKeyedStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
@@ -12,14 +12,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   * checked against everything seen so far, without recomputing the
   * historical corpus's signatures.
   *
-  * State layout under `indexDir` (all append-only parquet):
+  * State layout under `indexDir` — three [[KeyedStore]] tables, by default
+  * the durable true-upsert [[EpochKeyedStore]] (base + delta parquet
+  * epochs, `_COMMIT`-published, auto-compacting — [[epochStores]]):
   *   - `ids/`   — compact ledger of indexed doc_ids, written LAST per batch;
   *                the replay check reads this narrow table, not the wide
   *                signature store;
   *   - `bands/` — (doc_id, band, kb, key) partitioned by (band, kb) where
   *                kb is a hash bucket of the key — the probe join includes
   *                both partition columns, so candidate fetches prune to the
-  *                key buckets the batch actually hashes into;
+  *                key buckets the batch actually hashes into (the pruning
+  *                predicate pushes through the epoch store's merge window
+  *                because (band, kb) are merge-key columns);
   *   - `sigs/`  — (doc_id, sig) for exact estimate verification.
   *
   * Per batch: signatures + band keys for the NEW docs only; candidates =
@@ -33,13 +37,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   * absent when the batch started) plus the write ordering — do not
   * reorder the three writes or reuse the ledger append elsewhere.
   *
-  * Scale posture, stated precisely: the band PROBE prunes to the partitions
-  * the new keys hash into; the replay check reads the id ledger (narrow,
-  * but still O(corpus) ids); the estimate fetch scans the signature store
-  * once per batch and shuffles only candidate partners. A production
-  * deployment at the 100 TB mark would back `sigs`/`ids` with a
-  * key-addressable table format (Delta/Iceberg upserts or a KV store) —
-  * the dataflow here is unchanged by that swap.
+  * Scale posture, stated precisely: index WRITES are O(batch) — one delta
+  * epoch per store per batch, no existing-keys scan (the epoch store
+  * resolves key collisions at read; the old parquet-append emulation's
+  * O(store) anti-join per upsert is gone). The band PROBE prunes to the
+  * partitions the new keys hash into; the replay check reads the id
+  * ledger (narrow, but still O(corpus) ids); the estimate fetch scans the
+  * signature store once per batch and shuffles only candidate partners.
+  * Swapping in a table format (Delta/Iceberg) or a KV store remains a
+  * [[KeyedStore]] binding, not a dataflow change.
   */
 object DedupStream {
 
@@ -53,8 +59,24 @@ object DedupStream {
     */
   final case class IndexStores(ids: KeyedStore, bands: KeyedStore, sigs: KeyedStore)
 
-  /** Default parquet-backed stores under `indexDir` — the layout documented
-    * in the object scaladoc. */
+  /** DEFAULT stores under `indexDir`: the durable true-upsert
+    * [[EpochKeyedStore]] per table. The bands store's merge key extends
+    * the logical (doc_id, band) key with the functionally-dependent kb
+    * bucket so the probe's (band, kb) pruning predicate pushes through
+    * the merge window to the partitioned scan. A directory previously
+    * written by [[parquetStores]] reads as the epoch-0 legacy tier and is
+    * folded in by the first compaction.
+    */
+  def epochStores(indexDir: String): IndexStores = IndexStores(
+    ids = new EpochKeyedStore(s"$indexDir/ids", mergeKeys = Seq("doc_id")),
+    bands = new EpochKeyedStore(s"$indexDir/bands",
+      mergeKeys = Seq("doc_id", "band", "kb"), partitionCols = Seq("band", "kb"),
+      coalesceTo = None),
+    sigs = new EpochKeyedStore(s"$indexDir/sigs", mergeKeys = Seq("doc_id")))
+
+  /** Plain parquet-append emulation stores — the pre-epoch layout; kept
+    * for existing state roots and as the [[KeyedStore]] contract's
+    * simplest durable backend. */
   def parquetStores(indexDir: String): IndexStores = IndexStores(
     ids = new ParquetKeyedStore(s"$indexDir/ids", coalesceTo = Some(1)),
     bands = new ParquetKeyedStore(s"$indexDir/bands", partitionCols = Seq("band", "kb")),
@@ -84,11 +106,11 @@ object DedupStream {
     else idx.where(combo(col("band"), col("kb")).isin(combos: _*))
   }
 
-  /** Process one batch against the parquet-backed index under `indexDir`. */
+  /** Process one batch against the default epoch-store index under `indexDir`. */
   private[graft] def processBatch(batch: DataFrame, indexDir: String, pairsDir: String,
                                   n: Int, numPerms: Int, bands: Int,
                                   threshold: Double): Long =
-    processBatch(batch, parquetStores(indexDir), pairsDir, n, numPerms, bands, threshold)
+    processBatch(batch, epochStores(indexDir), pairsDir, n, numPerms, bands, threshold)
 
   /** Process one batch of new documents against the persisted index.
     * Returns the number of new near-dup pairs written. Package-visible so

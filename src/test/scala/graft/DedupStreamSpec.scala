@@ -15,21 +15,20 @@ class DedupStreamSpec extends AnyFunSuite {
   private val nearDup = base.replace("quiet", "silent")
   private val other = "completely different words about spark catalyst optimizer plans and shuffles everywhere"
 
-  test("incremental index catches cross-batch near-dups; replays are idempotent") {
-    val root = Files.createTempDirectory("graft-dstream").toString
-    val (indexDir, pairsDir) = (s"$root/index", s"$root/pairs")
-    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+  private def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
 
-    // batch 1: base + unrelated — no pairs yet, index gets 2 docs
+  /** The cross-batch + replay scenario every backend must pass identically:
+    * batch 1 indexes two docs; batch 2 finds a cross-batch near-dup pair
+    * via the persisted index; a replay of batch 2 is a complete no-op.
+    */
+  private def runScenario(stores: DedupStream.IndexStores, pairsDir: String): Unit = {
     val w1 = DedupStream.processBatch(batch(1L -> base, 3L -> other),
-      indexDir, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
+      stores, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
     assert(w1 === 0L)
-    assert(spark.read.parquet(s"$indexDir/sigs").count() === 2L)
+    assert(stores.sigs.read(spark).get.count() === 2L)
 
-    // batch 2: the near-dup of doc 1 arrives later → cross-batch pair found
-    // via the persisted band index, plus an exact duplicate of doc 3
     val w2 = DedupStream.processBatch(batch(2L -> nearDup, 4L -> other),
-      indexDir, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
+      stores, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
     assert(w2 === 2L)
     val pairs = spark.read.parquet(pairsDir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -38,71 +37,103 @@ class DedupStreamSpec extends AnyFunSuite {
     // replay of batch 2 (checkpoint recovery): nothing recomputed, nothing
     // duplicated — docs are already indexed, pairs already written
     val w3 = DedupStream.processBatch(batch(2L -> nearDup, 4L -> other),
-      indexDir, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
+      stores, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
     assert(w3 === 0L)
     assert(spark.read.parquet(pairsDir).count() === 2L)
-    assert(spark.read.parquet(s"$indexDir/sigs").count() === 4L)
-    // band index is partitioned for pruned probes; the id ledger has one
-    // row per doc and no duplicates even across the replay
+    assert(stores.sigs.read(spark).get.count() === 4L)
+    assert(stores.ids.read(spark).get.distinct().count() === 4L)
+    assert(stores.ids.read(spark).get.count() === 4L)
+    assert(stores.bands.read(spark).get.count() === 4L * 16)
+  }
+
+  test("incremental dedup dataflow: epoch-store default backend") {
+    val root = Files.createTempDirectory("graft-dstream-e").toString
+    val indexDir = s"$root/index"
+    runScenario(DedupStream.epochStores(indexDir), s"$root/pairs")
+    // durable layout: per-batch delta epochs, each published by _COMMIT
+    val deltas = new java.io.File(s"$indexDir/sigs/delta").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(deltas.nonEmpty && deltas.forall(_.startsWith("epoch=")))
+    assert(deltas.forall(d =>
+      new java.io.File(s"$indexDir/sigs/delta/$d/_COMMIT").exists()))
+    // band deltas carry the (band, kb) hive layout beneath the epoch
+    val bandDelta = new java.io.File(s"$indexDir/bands/delta").listFiles()
+      .filter(_.isDirectory).head
+    assert(bandDelta.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("band=")))
+  }
+
+  test("incremental dedup dataflow: parquet-append emulation backend") {
+    val root = Files.createTempDirectory("graft-dstream-p").toString
+    val indexDir = s"$root/index"
+    runScenario(DedupStream.parquetStores(indexDir), s"$root/pairs")
+    // flat layout: band index partitioned for pruned probes
     val bandDirs = new java.io.File(s"$indexDir/bands").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(bandDirs.nonEmpty && bandDirs.forall(_.startsWith("band=")))
-    assert(spark.read.parquet(s"$indexDir/ids").distinct().count() === 4L)
-    assert(spark.read.parquet(s"$indexDir/ids").count() === 4L)
-    assert(spark.read.parquet(s"$indexDir/bands").count() === 4L * 16)
+  }
+
+  test("incremental dedup dataflow: in-memory true-upsert backend") {
+    val root = Files.createTempDirectory("graft-dstream-m").toString
+    runScenario(DedupStream.IndexStores(
+      ids = new graft.sink.InMemoryKeyedStore,
+      bands = new graft.sink.InMemoryKeyedStore,
+      sigs = new graft.sink.InMemoryKeyedStore), s"$root/pairs")
   }
 
   test("band-store probe scans only the batch's (band, kb) partitions") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft-dprune").toString
     val (indexDir, pairsDir) = (s"$root/index", s"$root/pairs")
-    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val stores = DedupStream.epochStores(indexDir)
     DedupStream.processBatch(batch(1L -> base, 3L -> other),
-      indexDir, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
+      stores, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
     val totalFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$indexDir/bands"))
       .filter(p => p.toString.endsWith(".parquet")).count()
     // probe with a copy of doc 1: its (band, kb) combos miss most of the
-    // unrelated doc 3's buckets, so the pruned scan must list fewer files
+    // unrelated doc 3's buckets, so the pruned scan must list fewer files —
+    // THROUGH the epoch store's merge window (band, kb are merge keys, so
+    // the partition predicate pushes below it)
     val sigs = graft.operators.Dedup.minhashSignatures(batch(5L -> base), 5, 64)
     val nb = graft.operators.Dedup.bandKeys(sigs, 64, 16, stringKey = true)
       .withColumn("kb", pmod(xxhash64(col("key")), lit(DedupStream.KeyBuckets)))
-    val pruned = DedupStream.pruneToBatchCombos(
-      spark.read.parquet(s"$indexDir/bands"), nb)
-    // collect() (not count()) so the metrics below come from THIS plan
-    val hits = pruned.collect()
-    assert(hits.length >= 16) // doc 1's 16 identical band rows are all retained
-    val scans = pruned.queryExecution.executedPlan.collectWithSubqueries {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }
-    assert(scans.nonEmpty)
-    val scanned = scans.head.metrics("numFiles").value
-    assert(scanned > 0 && scanned < totalFiles,
-      s"scanned $scanned of $totalFiles files — partition pruning did not engage")
+    // AQE off: the merge window's exchange would wrap the scan in a query
+    // stage the metric collection below cannot see
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pruned = DedupStream.pruneToBatchCombos(stores.bands.read(spark).get, nb)
+      // collect() (not count()) so the metrics below come from THIS plan
+      val hits = pruned.collect()
+      assert(hits.length >= 16) // doc 1's 16 identical band rows are all retained
+      val scans = pruned.queryExecution.executedPlan.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val scanned = scans.map(_.metrics("numFiles").value).sum
+      assert(scanned > 0 && scanned < totalFiles,
+        s"scanned $scanned of $totalFiles files — partition pruning did not engage")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
-  test("the dataflow is backend-agnostic: true-upsert stores behave like parquet") {
-    val root = Files.createTempDirectory("graft-dstream3").toString
-    val pairsDir = s"$root/pairs"
-    val stores = DedupStream.IndexStores(
-      ids = new graft.sink.InMemoryKeyedStore,
-      bands = new graft.sink.InMemoryKeyedStore,
-      sigs = new graft.sink.InMemoryKeyedStore)
-    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
-    assert(DedupStream.processBatch(batch(1L -> base, 3L -> other),
-      stores, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3) === 0L)
-    assert(DedupStream.processBatch(batch(2L -> nearDup, 4L -> other),
-      stores, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3) === 2L)
-    val pairs = spark.read.parquet(pairsDir)
-      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(pairs === Set((1L, 2L), (3L, 4L)))
-    // replay is a no-op against the upsert backend too
-    assert(DedupStream.processBatch(batch(2L -> nearDup, 4L -> other),
-      stores, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3) === 0L)
-    assert(spark.read.parquet(pairsDir).count() === 2L)
-    assert(stores.sigs.read(spark).get.count() === 4L)
-    assert(stores.ids.read(spark).get.distinct().count() === 4L)
-    assert(stores.ids.read(spark).get.count() === 4L)
-    assert(stores.bands.read(spark).get.count() === 4L * 16)
+  test("the epoch backend reads a legacy parquet-emulation index in place") {
+    val root = Files.createTempDirectory("graft-dlegacy").toString
+    val (indexDir, pairsDir) = (s"$root/index", s"$root/pairs")
+    // batch 1 written by the OLD backend (pre-epoch flat layout)
+    DedupStream.processBatch(batch(1L -> base, 3L -> other),
+      DedupStream.parquetStores(indexDir), pairsDir,
+      n = 5, numPerms = 64, bands = 16, threshold = 0.3)
+    // batch 2 through the epoch default: history still probes, pair found
+    val w2 = DedupStream.processBatch(batch(2L -> nearDup),
+      DedupStream.epochStores(indexDir), pairsDir,
+      n = 5, numPerms = 64, bands = 16, threshold = 0.3)
+    assert(w2 === 1L)
+    assert(spark.read.parquet(pairsDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+    // and the replay stays a no-op across the backend swap
+    assert(DedupStream.processBatch(batch(2L -> nearDup),
+      DedupStream.epochStores(indexDir), pairsDir,
+      n = 5, numPerms = 64, bands = 16, threshold = 0.3) === 0L)
   }
 
   test("in-memory keyed store: the NEW row wins a key collision") {

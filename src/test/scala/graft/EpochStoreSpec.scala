@@ -1,0 +1,131 @@
+package graft
+
+import graft.sink.{EpochKeyedStore, ParquetKeyedStore}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class EpochStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-epoch").toString + "/store"
+
+  /** Run `body` with AQE off: the merge-window plan gains an exchange, and
+    * AQE wraps executed scans in query stages `collectWithSubqueries`
+    * cannot see — the scan-metric assertions need the plain plan. */
+  private def withoutAqe[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def deltaDirs(dir: String) = {
+    val f = new java.io.File(s"$dir/delta")
+    if (!f.exists()) Array.empty[String] else f.listFiles().filter(_.isDirectory).map(_.getName)
+  }
+  private def baseDirs(dir: String) = {
+    val f = new java.io.File(s"$dir/base")
+    if (!f.exists()) Array.empty[String] else f.listFiles().filter(_.isDirectory).map(_.getName)
+  }
+
+  test("MERGE semantics: the NEW row wins a key collision, appends accumulate") {
+    val dir = tmp()
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"))
+    s.upsert(Seq((1L, "v1")).toDF("k", "v"), Seq("k"))
+    s.upsert(Seq((1L, "v2"), (2L, "w")).toDF("k", "v"), Seq("k"))
+    val got = s.read(spark).get.as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "v2", 2L -> "w")) // same contract InMemoryKeyedStore pins
+    s.append(Seq((3L, "x")).toDF("k", "v"))
+    assert(s.read(spark).get.count() === 3L)
+    // each write is one committed delta epoch; no base until compaction
+    assert(deltaDirs(dir).sorted === Array("epoch=1", "epoch=2", "epoch=3"))
+    assert(baseDirs(dir).isEmpty)
+  }
+
+  test("uncommitted epochs are invisible: a crashed write never surfaces") {
+    val dir = tmp()
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"))
+    s.upsert(Seq((1L, "v1")).toDF("k", "v"), Seq("k"))
+    // simulate a crash mid-write: stage a delta WITHOUT its _COMMIT marker
+    Seq((9L, "ghost")).toDF("k", "v").write.parquet(s"$dir/delta/epoch=99")
+    assert(s.read(spark).get.as[(Long, String)].collect().toMap === Map(1L -> "v1"))
+    // the next real write allocates ABOVE the crashed stage (no collision)
+    s.upsert(Seq((2L, "w")).toDF("k", "v"), Seq("k"))
+    assert(deltaDirs(dir).contains("epoch=100"))
+    assert(s.read(spark).get.count() === 2L)
+  }
+
+  test("auto-compaction folds deltas into a base and bounds the files a read scans") {
+    val dir = tmp()
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"), compactAfterDeltas = 3)
+    (1 to 5).foreach(i => s.upsert(Seq((i.toLong, s"v$i")).toDF("k", "v"), Seq("k")))
+    // 4th delta crossed the threshold → compacted at epoch 4; 5th is a new delta
+    assert(baseDirs(dir) === Array("epoch=4"))
+    assert(deltaDirs(dir) === Array("epoch=5"))
+    withoutAqe {
+      val merged = s.read(spark).get
+      val rows = merged.collect()
+      assert(rows.length === 5)
+      // the read's scans list base + one delta — NOT one file per historical batch
+      val scans = merged.queryExecution.executedPlan.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val scanned = scans.map(_.metrics("numFiles").value).sum
+      assert(scanned === 2L, s"read listed $scanned files; compaction should bound it at 2")
+    }
+    // update an already-compacted key: the delta must beat the base
+    s.upsert(Seq((1L, "v1b")).toDF("k", "v"), Seq("k"))
+    assert(s.read(spark).get.as[(Long, String)].collect().toMap.apply(1L) === "v1b")
+  }
+
+  test("a ParquetKeyedStore layout reads as the legacy tier and compaction folds it") {
+    val dir = tmp()
+    val old = new ParquetKeyedStore(dir, coalesceTo = Some(1))
+    old.upsert(Seq((1L, "v1"), (2L, "w")).toDF("k", "v"), Seq("k"))
+    // rebind the same directory to the epoch store: content visible as-is
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"))
+    assert(s.read(spark).get.as[(Long, String)].collect().toMap ===
+      Map(1L -> "v1", 2L -> "w"))
+    // first write folds the legacy files into a real base and sweeps them
+    s.upsert(Seq((1L, "v2")).toDF("k", "v"), Seq("k"))
+    assert(baseDirs(dir).nonEmpty)
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet"))) // legacy files swept
+    assert(s.read(spark).get.as[(Long, String)].collect().toMap ===
+      Map(1L -> "v2", 2L -> "w"))
+  }
+
+  test("partitioned epoch store: pruning predicates push through the merge window") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("id", "band", "kb"),
+      partitionCols = Seq("band", "kb"), coalesceTo = None)
+    val rows = (0 until 64).map(i => (i.toLong, i % 4, i % 8, s"payload$i"))
+    s.upsert(rows.toDF("id", "band", "kb", "payload"), Seq("id", "band"))
+    val totalFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    withoutAqe {
+      val probe = s.read(spark).get.where(col("band") === 1 && col("kb") === 1)
+      val hits = probe.collect()
+      assert(hits.length === 8 && hits.forall(_.getAs[Int]("band") === 1))
+      val scans = probe.queryExecution.executedPlan.collectWithSubqueries {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val scanned = scans.map(_.metrics("numFiles").value).sum
+      assert(scanned > 0 && scanned < totalFiles,
+        s"scanned $scanned of $totalFiles — (band, kb) pruning did not push through the merge")
+    }
+  }
+
+  test("mergeKeys must cover partitionCols and upsert keys") {
+    intercept[IllegalArgumentException] {
+      new EpochKeyedStore("/tmp/x", mergeKeys = Seq("a"), partitionCols = Seq("b"))
+    }
+    val s = new EpochKeyedStore(tmp(), mergeKeys = Seq("a"))
+    intercept[IllegalArgumentException] {
+      s.upsert(Seq((1L, 2L)).toDF("a", "b"), Seq("b"))
+    }
+  }
+}
