@@ -1,0 +1,212 @@
+package graft.streaming
+
+import graft.model.{AtrState, Candle, EnrichedCandle}
+import graft.operators.Atr
+import graft.sink.{EdgeFormat, IdempotentSink}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
+  StatefulProcessor, StreamingQuery, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Streaming-NATIVE chained enrich: candle finalize → gap-fill → Wilder ATR
+  * runs entirely inside the state store via Spark 4's `transformWithState`,
+  * with zero per-batch driver round-trips — the streaming-first alternative
+  * to [[FullPipeline]]'s run-a-batch-job-per-micro-batch design (which
+  * stays maintained as the documented fallback for the default HDFS state
+  * store; this path requires RocksDB).
+  *
+  * The structural problem ([[FullPipeline]] scaladoc): gap-fill needs
+  * per-window completeness across the WHOLE symbol universe — a silent
+  * symbol contributes no input row, and a globally-silent window appears in
+  * no micro-batch at all. Solved here with two standard streaming tools:
+  *
+  *   - '''universe sharding''': the processor keys by `hash(symbol) %
+  *     numShards`, and each shard owns the slice of the expected-symbol
+  *     list that hashes to it. A shard sees every candle of its symbols
+  *     and KNOWS which of its symbols stayed silent — completeness becomes
+  *     a per-shard property. State per shard = one [[AtrState]] per owned
+  *     symbol (the ATR recursion state doubles as the gap-fill last-close
+  *     seed, exactly the reference's pairing of gap_fill.py:29-88 with
+  *     atr_engine.py:194-242). Parallelism scales with `numShards`;
+  *     per-task state stays a few hundred symbols regardless of volume.
+  *   - '''timer-driven sweeps''': window finalization is read off the
+  *     event-time watermark. Each invocation sweeps every still-unswept
+  *     window whose end the watermark has passed — folding the window's
+  *     real candles and synthesizing flat gap candles (o=h=l=c=prev close,
+  *     tick_count=0) for seeded-but-silent symbols — then registers an
+  *     event-time timer for the next window boundary, so fully-silent
+  *     shards (and globally-silent windows, the reference's clock-tick
+  *     case, main.py:231-265) keep sweeping as the watermark advances.
+  *
+  * Windows arrive already-finalized (append-mode window aggregation emits a
+  * window exactly once, when the watermark closes it), so a swept window
+  * can never receive a late real candle; Spark delivers input rows before
+  * expired timers within a batch, so the data path always folds before the
+  * sweep path synthesizes.
+  *
+  * Semantics vs [[FullPipeline]], verified byte-identical on the fixture
+  * day by ChainedPipelineSpec: the one deliberate difference is the sweep
+  * bound — this path synthesizes through the WATERMARK (the reference's
+  * clock semantics: every elapsed window gets a row), where foreachBatch
+  * densifies only to the batch's max observed window. On cold start both
+  * paths drop unseeded symbols (gap_fill.py:70-75), so the first swept
+  * window per shard is its first observed candle window.
+  *
+  * Restart story: the whole chain (offsets, window-agg state, per-shard
+  * ATR/seed state, timers) lives in the streaming checkpoint — the
+  * external snapshot dirs and epoch-commit machinery FullPipeline needs
+  * are simply absent; the sink's id anti-join absorbs replayed batches.
+  */
+object ChainedPipeline {
+
+  /** Stable symbol → shard routing (also how the expected-symbol list is
+    * sliced, so routing and ownership can never disagree). */
+  def shardOf(symbol: String, numShards: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(symbol), numShards)
+
+  /** Gap-fill + ATR over one universe shard; see object scaladoc. */
+  class ChainedProcessor(expectedSymbols: Seq[String], numShards: Int,
+                         zoneId: String, intervalMinutes: Int)
+      extends StatefulProcessor[Int, Candle, EnrichedCandle] {
+
+    private val intervalMs = intervalMinutes * 60000L
+
+    @transient private var atr: MapState[String, AtrState] = _
+    @transient private var lastSwept: ValueState[Long] = _ // window-start ms
+    @transient private var nextTimer: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      atr = getHandle.getMapState[String, AtrState]("atr",
+        Encoders.STRING, Encoders.product[AtrState], TTLConfig.NONE)
+      lastSwept = getHandle.getValueState[Long]("lastSwept",
+        Encoders.scalaLong, TTLConfig.NONE)
+      nextTimer = getHandle.getValueState[Long]("nextTimer",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def owned(shard: Int): Seq[String] =
+      expectedSymbols.filter(shardOf(_, numShards) == shard).sorted
+
+    private def fmt(wMs: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneId.of(zoneId))
+        .format(java.time.Instant.ofEpochMilli(wMs))
+
+    /** Process every unswept window with end ≤ watermark, in order:
+      * fold the window's real candles, synthesize for seeded silents.
+      */
+    private def sweep(shard: Int, incoming: IndexedSeq[Candle],
+                      watermarkMs: Long): Iterator[EnrichedCandle] = {
+      val syms = owned(shard)
+      val real: Map[(String, Long), Candle] =
+        incoming.map(c => (c.symbol, c.wkey / 1000L) -> c).toMap
+      // largest grid-aligned window start whose window the watermark closed
+      val maxClosed = Math.floorDiv(watermarkMs - intervalMs, intervalMs) * intervalMs
+      val through = (maxClosed +: incoming.map(_.wkey / 1000L)).max
+      val from =
+        if (lastSwept.exists()) lastSwept.get() + intervalMs
+        else if (incoming.nonEmpty) incoming.map(_.wkey / 1000L).min
+        else return Iterator.empty // timer on a shard that never saw data
+      if (from > through) return Iterator.empty
+      val out = IndexedSeq.newBuilder[EnrichedCandle]
+      var w = from
+      while (w <= through) {
+        syms.foreach { sym =>
+          real.get((sym, w)) match {
+            case Some(c) =>
+              val st = Option(atr.getValue(sym)).getOrElse(AtrState.empty)
+              val (next, tr, a) = Atr.step(st, c.high, c.low, c.close)
+              atr.updateValue(sym, next)
+              out += EnrichedCandle(c.symbol, c.wkey, c.window_start, c.open,
+                c.high, c.low, c.close, c.tick_count, c.gap_filled, Some(tr), a)
+            case None =>
+              Option(atr.getValue(sym)).flatMap(st => st.prevClose.map(_ -> st))
+                .foreach { case (pc, st) =>
+                  val (next, tr, a) = Atr.step(st, pc, pc, pc)
+                  atr.updateValue(sym, next)
+                  out += EnrichedCandle(sym, w * 1000L, fmt(w), pc, pc, pc, pc,
+                    0L, gap_filled = true, Some(tr), a)
+                }
+          }
+        }
+        w += intervalMs
+      }
+      lastSwept.update(through)
+      out.result().iterator
+    }
+
+    /** Keep exactly one pending timer: the end of the first unswept window
+      * (`through` + 2×interval = next window's close). */
+    private def armTimer(throughMs: Long): Unit = {
+      val desired = throughMs + 2 * intervalMs
+      val current = if (nextTimer.exists()) nextTimer.get() else -1L
+      if (current != desired) {
+        if (current > 0) getHandle.deleteTimer(current)
+        getHandle.registerTimer(desired)
+        nextTimer.update(desired)
+      }
+    }
+
+    override def handleInputRows(shard: Int, rows: Iterator[Candle],
+                                 timerValues: TimerValues): Iterator[EnrichedCandle] = {
+      val out = sweep(shard, rows.toIndexedSeq, timerValues.getCurrentWatermarkInMs)
+      if (lastSwept.exists()) armTimer(lastSwept.get())
+      out
+    }
+
+    override def handleExpiredTimer(shard: Int, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[EnrichedCandle] = {
+      if (nextTimer.exists() && nextTimer.get() == expiredTimerInfo.getExpiryTimeInMs)
+        nextTimer.clear() // this timer is spent; armTimer must not delete it
+      val out = sweep(shard, IndexedSeq.empty, timerValues.getCurrentWatermarkInMs)
+      if (lastSwept.exists()) armTimer(lastSwept.get())
+      out
+    }
+  }
+
+  /** Finalized-candle stream → gap-filled, ATR-enriched stream, all state
+    * in the store. Requires the RocksDB state-store provider.
+    */
+  def enrich(candles: DataFrame, expectedSymbols: Seq[String],
+             numShards: Int = 8, intervalMinutes: Int = 5): Dataset[EnrichedCandle] = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val zone = spark.conf.get("spark.sql.session.timeZone")
+    StreamingPipeline.toCandleDS(candles)
+      .groupByKey(c => shardOf(c.symbol, numShards))
+      .transformWithState(
+        new ChainedProcessor(expectedSymbols, numShards, zone, intervalMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Full assembly: enrich chain in the state store, then a STATELESS
+    * idempotent sink per micro-batch (edge format → declared-schema gate →
+    * dt-partitioned dedup append) — no snapshot reads, no driver `head()`s,
+    * no state commit: the contrast to [[FullPipeline.start]]'s batch body.
+    */
+  def start(candles: DataFrame, expectedSymbols: Seq[String], sinkDir: String,
+            deadLetterDir: String, checkpointDir: String,
+            numShards: Int = 8): StreamingQuery =
+    enrich(candles, expectedSymbols, numShards).toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.sink.Schemas.initMetadata(spark, s"$sinkDir/../metadata",
+            expectedSymbols.size)
+          IdempotentSink.drainDeadLetters(spark, deadLetterDir, sinkDir,
+            partitionCol = Some("dt"))
+          val edgeRows = EdgeFormat.sheetRows(batch,
+            createdAt = java.time.Instant.now.toString)
+          graft.sink.Schemas.validate(edgeRows, graft.sink.Schemas.MarketData, "market_data")
+          val rows = edgeRows.withColumn("dt", substring(col("timestamp"), 1, 10))
+          IdempotentSink.appendWithRetry(rows, sinkDir, deadLetterDir,
+            maxRetries = 3, baseDelayMs = 100L, pruneCol = Some("timestamp"),
+            partitionCol = Some("dt"))
+        }
+        ()
+      }
+      .start()
+}
