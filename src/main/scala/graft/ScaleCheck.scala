@@ -9,12 +9,18 @@ import org.apache.spark.sql.functions._
   * (candles → gap-fill → ATR) plus the dedup/similarity scale paths and
   * report marginal per-stage seconds. Surfaces shuffle/skew/spill
   * pathologies the tiny SFs hide.
-  * Usage: runMain graft.ScaleCheck [sfDir] [factor]
+  * Usage: runMain graft.ScaleCheck [sfDir] [factor] [docFactor]
+  * (docFactor defaults to max(4, factor/5); pass it explicitly to probe
+  * the dedup/CC section at a different corpus scale than the tick paths —
+  * e.g. a large docFactor pushes the dup-pair graph past the hybrid CC's
+  * 1M-edge driver threshold so the DEFAULT path crosses into the
+  * distributed loop organically.)
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(50)
+    val docFactorArg = args.lift(2).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,7 +66,7 @@ object ScaleCheck {
     // documents ×docFactor with per-replica token salting (so replicas are
     // near-dups of each other only within a replica family, keeping pair
     // counts sane while scaling the corpus)
-    val docFactor = math.max(4, factor / 5)
+    val docFactor = docFactorArg.getOrElse(math.max(4, factor / 5))
     val docs = Tables.documents(spark, sfDir)
       .withColumn("rep", explode(sequence(lit(0), lit(docFactor - 1))))
       .select((col("doc_id") * docFactor + col("rep")).as("doc_id"),
@@ -82,16 +88,20 @@ object ScaleCheck {
     time(s"minhash signatures 64p (md5-portable base) over $nDocs docs")(
       Dedup.minhashSignatures(docs, 5, 64, Dedup.md5Base)
         .write.format("noop").mode("overwrite").save())
-    // q53 scale path, BOTH execution strategies (pairs ≪ threshold here, so
-    // the default takes the driver union-find; threshold 0 pins the
-    // distributed label-propagation loop that runs at real corpus scale)
-    time(s"dup clusters (driver union-find) over $nDocs docs")(
-      Dedup.dupClusters(
-        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2)).count())
-    time(s"dup clusters (distributed label-prop) over $nDocs docs")(
-      Dedup.dupClusters(
-        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2),
-        driverThreshold = 0L).count())
+    // q53 scale path, BOTH execution strategies. The pair graph is cached
+    // and counted first so (a) the timings are pure-CC marginal cost and
+    // (b) the hybrid's path choice is visible — past ~1M edges the DEFAULT
+    // crosses into the distributed label-prop loop organically
+    val ccPairs = Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+      threshold = 0.2).cache()
+    val nPairs = ccPairs.count()
+    println(s"[scale] cc pair graph: $nPairs edges -> default path = " +
+      (if (nPairs <= 1000000L) "driver union-find" else "distributed label-prop"))
+    time(s"dup clusters (default hybrid, $nPairs edges) over $nDocs docs")(
+      Dedup.dupClusters(ccPairs).count())
+    time(s"dup clusters (distributed label-prop, $nPairs edges) over $nDocs docs")(
+      Dedup.dupClusters(ccPairs, driverThreshold = 0L).count())
+    ccPairs.unpersist()
     // q52 scale path + the base-hash lever: same params, only the per-
     // shingle hash differs — the md5 digest is the dominant corpus-prep
     // cost, which is why production defaults to the xxhash base

@@ -249,6 +249,11 @@ object SparkEntry {
         .select(wstr(col("window_start")).as("window_start"), col("symbol"))
         .orderBy("symbol", "window_start")
     }),
+    "q54_missing_census_sessions" -> ((s, dir) => {
+      GapFill.missingCensusSessions(candles(s, dir))
+        .select(wstr(col("window_start")).as("window_start"), col("symbol"))
+        .orderBy("symbol", "window_start")
+    }),
     "q17_sink_readback_max" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("event_type").as("symbol"))
@@ -650,6 +655,18 @@ object SparkEntry {
       s"""WITH $CandleCte,
          |bounds AS (SELECT min(window_start) AS wmin, max(window_start) AS wmax FROM candles),
          |wins AS (SELECT unnest(generate_series(wmin, wmax, INTERVAL 5 MINUTE)) AS window_start FROM bounds),
+         |grid AS (SELECT w.window_start, s.symbol
+         |         FROM wins w CROSS JOIN (SELECT DISTINCT symbol FROM candles) s)
+         |SELECT strftime(g.window_start, '%Y-%m-%d %H:%M:%S') AS window_start, g.symbol
+         |FROM grid g
+         |WHERE NOT EXISTS (SELECT 1 FROM candles c
+         |                  WHERE c.window_start = g.window_start AND c.symbol = g.symbol)
+         |ORDER BY g.symbol, g.window_start""".stripMargin,
+    "q54_missing_census_sessions" ->
+      s"""WITH $CandleCte,
+         |cd AS (SELECT *, CAST(window_start AS DATE) AS d FROM candles),
+         |db AS (SELECT d, min(window_start) AS wmin, max(window_start) AS wmax FROM cd GROUP BY d),
+         |wins AS (SELECT unnest(generate_series(wmin, wmax, INTERVAL 5 MINUTE)) AS window_start FROM db),
          |grid AS (SELECT w.window_start, s.symbol
          |         FROM wins w CROSS JOIN (SELECT DISTINCT symbol FROM candles) s)
          |SELECT strftime(g.window_start, '%Y-%m-%d %H:%M:%S') AS window_start, g.symbol
