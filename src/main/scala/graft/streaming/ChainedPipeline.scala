@@ -84,8 +84,15 @@ object ChainedPipeline {
         Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    private def owned(shard: Int): Seq[String] =
-      expectedSymbols.filter(shardOf(_, numShards) == shard).sorted
+    /** shard → owned symbols, precomputed once at construction: sweeps run
+      * per input batch AND per timer per shard, so ownership must not
+      * re-filter (O(universe)) or re-sort the full symbol list per call.
+      */
+    private val ownedByShard: Map[Int, IndexedSeq[String]] =
+      expectedSymbols.sorted.toIndexedSeq.groupBy(shardOf(_, numShards))
+
+    private def owned(shard: Int): IndexedSeq[String] =
+      ownedByShard.getOrElse(shard, IndexedSeq.empty)
 
     private def fmt(wMs: Long): String =
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
@@ -179,6 +186,34 @@ object ChainedPipeline {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** The per-micro-batch sink body, factored out so specs can drive it
+    * directly. The enriched batch is PERSISTED once up front: a foreachBatch
+    * DataFrame re-executes the whole incremental plan on every action, and
+    * this body takes several (the empty gate, the dedup scan's prune-bounds
+    * agg, the anti-join count) — uncached, the stateful chain would
+    * re-execute per action. With the cache, an empty batch costs exactly one
+    * take(1)-shaped job and issues no writes.
+    */
+  private[graft] def sinkBatch(batch: DataFrame, nSymbols: Int,
+                                   sinkDir: String, deadLetterDir: String): Unit = {
+    val persisted = batch.persist()
+    try {
+      if (!persisted.isEmpty) {
+        val spark = batch.sparkSession
+        graft.sink.Schemas.initMetadata(spark, s"$sinkDir/../metadata", nSymbols)
+        IdempotentSink.drainDeadLetters(spark, deadLetterDir, sinkDir,
+          partitionCol = Some("dt"))
+        val edgeRows = EdgeFormat.sheetRows(persisted,
+          createdAt = java.time.Instant.now.toString)
+        graft.sink.Schemas.validate(edgeRows, graft.sink.Schemas.MarketData, "market_data")
+        val rows = edgeRows.withColumn("dt", substring(col("timestamp"), 1, 10))
+        IdempotentSink.appendWithRetry(rows, sinkDir, deadLetterDir,
+          maxRetries = 3, baseDelayMs = 100L, pruneCol = Some("timestamp"),
+          partitionCol = Some("dt"))
+      }
+    } finally { persisted.unpersist(); () }
+  }
+
   /** Full assembly: enrich chain in the state store, then a STATELESS
     * idempotent sink per micro-batch (edge format → declared-schema gate →
     * dt-partitioned dedup append) — no snapshot reads, no driver `head()`s,
@@ -192,21 +227,7 @@ object ChainedPipeline {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          graft.sink.Schemas.initMetadata(spark, s"$sinkDir/../metadata",
-            expectedSymbols.size)
-          IdempotentSink.drainDeadLetters(spark, deadLetterDir, sinkDir,
-            partitionCol = Some("dt"))
-          val edgeRows = EdgeFormat.sheetRows(batch,
-            createdAt = java.time.Instant.now.toString)
-          graft.sink.Schemas.validate(edgeRows, graft.sink.Schemas.MarketData, "market_data")
-          val rows = edgeRows.withColumn("dt", substring(col("timestamp"), 1, 10))
-          IdempotentSink.appendWithRetry(rows, sinkDir, deadLetterDir,
-            maxRetries = 3, baseDelayMs = 100L, pruneCol = Some("timestamp"),
-            partitionCol = Some("dt"))
-        }
-        ()
+        sinkBatch(batch, expectedSymbols.size, sinkDir, deadLetterDir)
       }
       .start()
 }

@@ -215,8 +215,12 @@ object FullPipeline {
     candles.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // persist once: a foreachBatch frame re-executes its incremental
+        // plan per action, and this body takes several (empty gate + the
+        // gap-fill grid join's scan)
+        val batch = b.persist()
+        try if (!batch.isEmpty) {
           val spark = batch.sparkSession
           import spark.implicits._
           // metadata config table, written once (schema_manager.py:34-43)
@@ -256,8 +260,8 @@ object FullPipeline {
             "meta" -> Seq(Tuple1(newMax)).toDF("last_window")))
           releaseAtr()
           filled.unpersist()
-        }
-        ()
+          ()
+        } finally { batch.unpersist(); () }
       }
       .start()
 }

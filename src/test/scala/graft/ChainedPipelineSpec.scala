@@ -127,6 +127,25 @@ class ChainedPipelineSpec extends AnyFunSuite {
     assert(ids.length === ids.distinct.length)
   }
 
+  test("sink body on an empty batch: no writes, at most the single gate job") {
+    val root = Files.createTempDirectory("graft-chained-empty").toString
+    val empty = spark.emptyDataset[graft.model.EnrichedCandle].toDF()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ChainedPipeline.sinkBatch(empty, 3, s"$root/sink", s"$root/dead")
+      Thread.sleep(1000) // listener bus is async; settle before counting
+      assert(jobs.get() <= 1, s"empty batch issued ${jobs.get()} jobs")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/sink")))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/dead")))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("chained pipeline restart: checkpoint-only state continuity, no dupes") {
     import org.apache.spark.sql.types._
     val root = Files.createTempDirectory("graft-chained-restart").toString
