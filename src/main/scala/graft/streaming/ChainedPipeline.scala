@@ -64,9 +64,23 @@ object ChainedPipeline {
   def shardOf(symbol: String, numShards: Int): Int =
     math.floorMod(scala.util.hashing.MurmurHash3.stringHash(symbol), numShards)
 
-  /** Gap-fill + ATR over one universe shard; see object scaladoc. */
+  /** Gap-fill + ATR over one universe shard; see object scaladoc.
+    *
+    * `schedule` day-bounds the sweep: synthesis happens only for windows
+    * inside a trading session, so a multi-day run never densifies the
+    * overnight/weekend gap (without it, Monday's first tick would advance
+    * the watermark across the weekend and synthesize ~190 flat candles per
+    * seeded symbol per night — the reference gap-filler is an intraday
+    * process, gap_fill.py resets per session). ATR/seed state still
+    * carries ACROSS sessions (the previous day's close seeds the next
+    * day's first gap), matching [[graft.operators.GapFill.fillSessions]]'s
+    * day-chained seeding. With `schedule=None` the sweep densifies every
+    * window through the watermark — the single-session deployment shape
+    * the byte-identical specs pin.
+    */
   class ChainedProcessor(expectedSymbols: Seq[String], numShards: Int,
-                         zoneId: String, intervalMinutes: Int)
+                         zoneId: String, intervalMinutes: Int,
+                         schedule: Option[graft.time.SessionSchedule] = None)
       extends StatefulProcessor[Int, Candle, EnrichedCandle] {
 
     private val intervalMs = intervalMinutes * 60000L
@@ -115,10 +129,14 @@ object ChainedPipeline {
         else if (incoming.nonEmpty) incoming.map(_.wkey / 1000L).min
         else return Iterator.empty // timer on a shard that never saw data
       if (from > through) return Iterator.empty
+      val realWins: Set[Long] = real.keySet.map(_._2)
       val out = IndexedSeq.newBuilder[EnrichedCandle]
       var w = from
       while (w <= through) {
-        syms.foreach { sym =>
+        // synthesis only inside a session; real candles always fold (data
+        // wins over the calendar — an off-schedule candle still enriches)
+        val inSession = schedule.forall(_.windowInSession(w))
+        if (inSession || realWins.contains(w)) syms.foreach { sym =>
           real.get((sym, w)) match {
             case Some(c) =>
               val st = Option(atr.getValue(sym)).getOrElse(AtrState.empty)
@@ -126,7 +144,7 @@ object ChainedPipeline {
               atr.updateValue(sym, next)
               out += EnrichedCandle(c.symbol, c.wkey, c.window_start, c.open,
                 c.high, c.low, c.close, c.tick_count, c.gap_filled, Some(tr), a)
-            case None =>
+            case None if inSession =>
               Option(atr.getValue(sym)).flatMap(st => st.prevClose.map(_ -> st))
                 .foreach { case (pc, st) =>
                   val (next, tr, a) = Atr.step(st, pc, pc, pc)
@@ -134,6 +152,7 @@ object ChainedPipeline {
                   out += EnrichedCandle(sym, w * 1000L, fmt(w), pc, pc, pc, pc,
                     0L, gap_filled = true, Some(tr), a)
                 }
+            case None => ()
           }
         }
         w += intervalMs
@@ -173,17 +192,56 @@ object ChainedPipeline {
 
   /** Finalized-candle stream → gap-filled, ATR-enriched stream, all state
     * in the store. Requires the RocksDB state-store provider.
+    *
+    * @param schedule day-bounds the sweep for multi-day deployments (see
+    *   [[ChainedProcessor]]); None = single-session shape, densify through
+    *   the watermark
     */
   def enrich(candles: DataFrame, expectedSymbols: Seq[String],
-             numShards: Int = 8, intervalMinutes: Int = 5): Dataset[EnrichedCandle] = {
+             numShards: Int = 8, intervalMinutes: Int = 5,
+             schedule: Option[graft.time.SessionSchedule] = None): Dataset[EnrichedCandle] = {
     val spark = candles.sparkSession
     import spark.implicits._
     val zone = spark.conf.get("spark.sql.session.timeZone")
     StreamingPipeline.toCandleDS(candles)
       .groupByKey(c => shardOf(c.symbol, numShards))
       .transformWithState(
-        new ChainedProcessor(expectedSymbols, numShards, zone, intervalMinutes),
+        new ChainedProcessor(expectedSymbols, numShards, zone, intervalMinutes,
+          schedule),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Shard routing (`hash(symbol) % numShards`) is baked into checkpointed
+    * state: each shard's MapState holds its owned symbols' ATR/seed rows.
+    * Restarting a checkpoint with a different `numShards` (or a changed
+    * hash) would silently reassign symbols to shards whose state lacks
+    * them — gap-fill seeds and ATR continuity would reset with no error.
+    * So the routing descriptor is persisted next to the checkpoint on
+    * first start and every later start fails fast on mismatch. Start a
+    * fresh checkpoint to re-shard (the sink's id anti-join absorbs the
+    * replay).
+    */
+  private[graft] def guardRouting(spark: org.apache.spark.sql.SparkSession,
+                                  checkpointDir: String, numShards: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft-routing.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val desc =
+      s"""{"numShards":$numShards,"hash":"murmur3-string/scala-2.13","routingVersion":1}"""
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val existing =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      if (existing != desc)
+        throw new IllegalStateException(
+          s"checkpoint $checkpointDir holds state routed as $existing but this start " +
+            s"routes as $desc — symbols would land on shards missing their ATR/seed " +
+            "state. Keep numShards stable for a checkpoint's lifetime, or start a " +
+            "fresh checkpoint dir.")
+    } else {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      try out.write(desc.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** The per-micro-batch sink body, factored out so specs can drive it
@@ -221,8 +279,10 @@ object ChainedPipeline {
     */
   def start(candles: DataFrame, expectedSymbols: Seq[String], sinkDir: String,
             deadLetterDir: String, checkpointDir: String,
-            numShards: Int = 8): StreamingQuery =
-    enrich(candles, expectedSymbols, numShards).toDF()
+            numShards: Int = 8,
+            schedule: Option[graft.time.SessionSchedule] = None): StreamingQuery = {
+    guardRouting(candles.sparkSession, checkpointDir, numShards)
+    enrich(candles, expectedSymbols, numShards, schedule = schedule).toDF()
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -230,4 +290,5 @@ object ChainedPipeline {
         sinkBatch(batch, expectedSymbols.size, sinkDir, deadLetterDir)
       }
       .start()
+  }
 }

@@ -127,6 +127,57 @@ class ChainedPipelineSpec extends AnyFunSuite {
     assert(ids.length === ids.distinct.length)
   }
 
+  test("day-bounded sweep: two sessions, no overnight synthesis, matches batch truth") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-chained-2day").toString
+    val dim = instruments.toDS()
+
+    // batch truth over BOTH days: fillSessions densifies per-day observed
+    // ranges and chains the seed across the overnight gap
+    val batchSink = s"$root/batch_sink"
+    graft.app.BatchReplay.run(rawDf("2026-02-02").union(rawDf("2026-02-03")),
+      dim, batchSink, "x")
+    val want = sinkRows(batchSink)
+
+    // both days trade 09:15-10:40 (17 windows), nothing in between
+    val sched = graft.time.SessionSchedule("UTC", 555, 930, Set.empty,
+      Map("2026-02-02" -> ((555, 640)), "2026-02-03" -> ((555, 640))))
+    val s = MemoryStream[(String, Option[Double], Timestamp, Long)]
+    val ticks = graft.ingest.TickIngest.ingest(
+      s.toDF().toDF("tk", "ltp", "exchange_timestamp", "seq"), dim)
+    val candles = StreamingPipeline.ohlcCandles(ticks, tsCol = "event_ts",
+      symCol = "symbol", priceCol = "ltp", seqCol = "seq", watermarkDelay = "1 seconds")
+    val q = ChainedPipeline.start(candles, instruments.map(_.symbol),
+      s"$root/sink", s"$root/dead", s"$root/ckpt", schedule = Some(sched))
+    try {
+      s.addData(syntheticDay("2026-02-02")); q.processAllAvailable()
+      // Tuesday's first ticks advance the watermark across the overnight
+      // gap — without the schedule the sweep would synthesize ~274 flat
+      // candles per seeded symbol here and the batch compare would fail
+      s.addData(syntheticDay("2026-02-03")); q.processAllAvailable()
+      s.addData(Seq(("2885", Some(2000.0),
+        Timestamp.valueOf("2026-02-03 10:40:01"), 999999L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = sinkRows(s"$root/sink")
+    assert(got === want,
+      s"2-day chained != batch: missing ${(want -- got).take(2)}, extra ${(got -- want).take(2)}")
+    val ts = spark.read.parquet(s"$root/sink").select("timestamp").as[String].collect()
+    assert(ts.forall(t => t.startsWith("2026-02-02") || t.startsWith("2026-02-03")))
+    assert(ts.forall(_.substring(11, 16) <= "10:35"), "overnight window leaked into the sink")
+  }
+
+  test("routing guard: restarting a checkpoint with different numShards fails fast") {
+    val root = Files.createTempDirectory("graft-chained-routing").toString
+    ChainedPipeline.guardRouting(spark, s"$root/ckpt", 8)
+    ChainedPipeline.guardRouting(spark, s"$root/ckpt", 8) // same routing: fine
+    val e = intercept[IllegalStateException] {
+      ChainedPipeline.guardRouting(spark, s"$root/ckpt", 4)
+    }
+    assert(e.getMessage.contains("numShards"))
+  }
+
   test("sink body on an empty batch: no writes, at most the single gate job") {
     val root = Files.createTempDirectory("graft-chained-empty").toString
     val empty = spark.emptyDataset[graft.model.EnrichedCandle].toDF()

@@ -87,6 +87,22 @@ class SourcesTimeSpec extends AnyFunSuite {
     assert(special.count() === 18) // 18:15..19:40
   }
 
+  test("session schedule: closure-shippable gate matches calendar sessions semantics") {
+    val cal = TradingCalendar.load(spark, res("calendar_fixture.json"))
+    val sched = graft.time.SessionSchedule.fromCalendar(cal, "UTC")
+    def ms(s: String) = java.time.LocalDateTime.parse(s)
+      .atZone(java.time.ZoneId.of("UTC")).toInstant.toEpochMilli
+    assert(sched.windowInSession(ms("2026-02-02T09:15:00")))  // Mon open
+    assert(!sched.windowInSession(ms("2026-02-02T09:10:00"))) // pre-open
+    assert(sched.windowInSession(ms("2026-02-02T15:25:00")))  // last window
+    assert(!sched.windowInSession(ms("2026-02-02T15:30:00"))) // close exclusive
+    assert(!sched.windowInSession(ms("2026-02-04T10:00:00"))) // holiday
+    assert(!sched.windowInSession(ms("2026-02-07T10:00:00"))) // special day off-hours
+    assert(sched.windowInSession(ms("2026-02-07T18:15:00")))  // Sat special hours
+    assert(!sched.windowInSession(ms("2026-02-07T19:45:00")))
+    assert(!sched.windowInSession(ms("2026-02-08T10:00:00"))) // Sunday
+  }
+
   test("tick ingest: alias extraction, invalid drop, unknown-token drop") {
     val raw = Seq(
       ("2885", Some(100.5), 1770022500L, 1L),   // valid RELIANCE tick
