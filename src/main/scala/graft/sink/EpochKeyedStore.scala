@@ -47,12 +47,19 @@ import org.apache.spark.sql.functions._
   * migration; the first compaction folds the legacy files into a real base
   * and sweeps them.
   *
-  * Single-writer, like the reference's sheet protocol — concurrent
-  * upserts would race the epoch counter.
+  * Single-writer, like the reference's sheet protocol, and ENFORCED: a
+  * delta write claims its epoch directory with an exclusive `_STAGE`
+  * create before writing, so a second concurrent writer racing the epoch
+  * counter errors instead of silently colliding.
   *
   * @param mergeKeys  read-side resolution key: one surviving row per tuple,
   *   newest epoch wins. Must cover `partitionCols` so pruning predicates
-  *   push through the merge window.
+  *   push through the merge window. PRECONDITION: any mergeKeys column
+  *   beyond the caller's upsert `keys` (e.g. the band store's `kb`) must be
+  *   functionally dependent on those keys — if the same caller key ever
+  *   arrives with a different extension value, the read-side merge resolves
+  *   on the WIDER tuple and both rows survive where the other backends
+  *   would replace.
   * @param partitionCols hive layout beneath each epoch (e.g. the band
   *   store's (band, kb)) — the probe side's pruning granularity
   * @param compactAfterDeltas committed deltas above the base tolerated
@@ -70,21 +77,14 @@ final class EpochKeyedStore(dir: String,
     s"partitionCols ${partitionCols.mkString(",")} must be covered by mergeKeys " +
       s"${mergeKeys.mkString(",")} or pruning predicates cannot push through the merge")
 
+  private val layout = new EpochLayout("epoch=")
+
   private def fs(spark: SparkSession): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def epochOf(name: String): Option[Long] =
-    if (name.startsWith("epoch=")) name.drop(6).toLongOption else None
-
   /** (epoch, path, committed) for one tier; empty when the tier is absent. */
-  private def listEpochs(fs: FileSystem, tier: String): Seq[(Long, Path, Boolean)] = {
-    val root = new Path(s"$dir/$tier")
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).filter(_.isDirectory).toSeq
-      .flatMap(s => epochOf(s.getPath.getName).map(n =>
-        (n, s.getPath, fs.exists(new Path(s.getPath, "_COMMIT")))))
-      .sortBy(_._1)
-  }
+  private def listEpochs(fs: FileSystem, tier: String): Seq[(Long, Path, Boolean)] =
+    layout.list(fs, new Path(s"$dir/$tier"))
 
   /** Pre-epoch [[ParquetKeyedStore]] content directly under `dir`: data
     * files / hive dirs that are not the base/delta tiers. Read as an
@@ -102,13 +102,36 @@ final class EpochKeyedStore(dir: String,
       .map(_.getPath)
   }
 
-  override def read(spark: SparkSession): Option[DataFrame] = try {
+  /** A committed epoch participates in the read only if it actually holds
+    * data files. The recorded `files=` count (written at commit) makes the
+    * empty case checkable: zero files against a recorded zero (or a legacy
+    * markless count) is a legitimately-empty epoch and is skipped; any
+    * OTHER mismatch is a data file missing under a committed marker —
+    * corruption — and raises instead of reading a populated store as empty
+    * (which would hand a dedup stream an empty index and silently re-admit
+    * its whole history). Schema drift across epochs likewise propagates
+    * from the strict unionByName instead of being swallowed.
+    */
+  private def validMember(f: FileSystem, p: Path): Boolean = {
+    val actual = layout.dataFileCount(f, p)
+    layout.committedCount(f, p) match {
+      case Some(expected) if expected != actual =>
+        throw new IllegalStateException(
+          s"epoch store $dir: $p committed with files=$expected but $actual data " +
+            "files found — refusing to read a corrupt epoch (restore the files or " +
+            "delete the epoch dir to drop its batch)")
+      case _ => actual > 0
+    }
+  }
+
+  override def read(spark: SparkSession): Option[DataFrame] = {
     val f = fs(spark)
     val bases = listEpochs(f, "base").filter(_._3)
-    val baseOpt = bases.lastOption
-    val floor = baseOpt.map(_._1).getOrElse(-1L)
-    val deltas = listEpochs(f, "delta").filter(d => d._3 && d._1 > floor)
-    val legacy = legacyPaths(f)
+    val baseOpt = bases.lastOption.filter(b => validMember(f, b._2))
+    val floor = bases.lastOption.map(_._1).getOrElse(-1L)
+    val deltas = listEpochs(f, "delta")
+      .filter(d => d._3 && d._1 > floor && validMember(f, d._2))
+    val legacy = legacyPaths(f).filter(p => layout.dataFileCount(f, p) > 0)
     val members = Seq.newBuilder[DataFrame]
     // legacy tier = epoch 0; a committed base always supersedes it per key
     // (the base folded it in), so including both is crash-safe, never wrong
@@ -133,26 +156,40 @@ final class EpochKeyedStore(dir: String,
         .where(col("__rn") === 1)
         .drop("__rn", "__epoch"))
     }
-  } catch {
-    // every committed epoch empty (schema-less) reads as an empty store
-    case _: org.apache.spark.sql.AnalysisException => None
   }
 
   private def nextEpoch(f: FileSystem): Long =
-    (0L +: (listEpochs(f, "base") ++ listEpochs(f, "delta")).map(_._1)).max + 1
+    layout.next(f, Seq(new Path(s"$dir/base"), new Path(s"$dir/delta")))
 
-  private def commitMarker(f: FileSystem, epochDir: String): Unit =
-    f.create(new Path(epochDir, "_COMMIT"), false).close()
+  /** Claim an epoch directory with one exclusive `_STAGE` create: two
+    * writers that both computed the same next epoch cannot both win — the
+    * loser errors here instead of silently interleaving part files with
+    * the winner's batch. A crashed claim leaves an uncommitted dir that
+    * stays invisible (and is never renumbered: [[nextEpoch]] allocates
+    * above uncommitted dirs too) until a compaction sweeps it.
+    */
+  private[graft] def claimEpoch(f: FileSystem, target: Path): Unit =
+    try f.create(new Path(target, "_STAGE"), false).close()
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"epoch store $dir: $target is already claimed — a concurrent writer " +
+            "raced this upsert (the store is single-writer, like the reference's " +
+            "sheet protocol); serialize writers and retry", e)
+    }
 
   private def writeDelta(rows: DataFrame): Unit = {
     val spark = rows.sparkSession
     val f = fs(spark)
-    val target = s"$dir/delta/epoch=${nextEpoch(f)}"
+    val target = new Path(s"$dir/delta/${layout.dirName(nextEpoch(f))}")
+    claimEpoch(f, target)
     val shaped = coalesceTo.fold(rows)(rows.coalesce)
-    val w = shaped.write.mode(SaveMode.Overwrite)
-    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*).parquet(target)
-    else w.parquet(target)
-    commitMarker(f, target)
+    // Append, not Overwrite: the claimed dir already exists (holding the
+    // `_STAGE` marker), and an Overwrite would delete the claim mid-write
+    val w = shaped.write.mode(SaveMode.Append)
+    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*).parquet(target.toString)
+    else w.parquet(target.toString)
+    layout.commit(f, target, recordFileCount = true)
     val floor = listEpochs(f, "base").filter(_._3).lastOption.map(_._1).getOrElse(-1L)
     val pending = listEpochs(f, "delta").count(d => d._3 && d._1 > floor)
     if (pending > compactAfterDeltas || (legacyPaths(f).nonEmpty && pending > 0))
@@ -196,20 +233,23 @@ final class EpochKeyedStore(dir: String,
       return
     }
     read(spark).foreach { merged =>
-      val target = s"$dir/base/epoch=$n"
+      val target = new Path(s"$dir/base/${layout.dirName(n)}")
       val shaped = coalesceTo.fold(merged)(merged.coalesce)
+      // Overwrite is safe here: compaction is the single writer's own
+      // maintenance step, and a crashed previous attempt at this epoch
+      // (uncommitted partial dir) should be replaced, not collided with
       val w = shaped.write.mode(SaveMode.Overwrite)
-      if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*).parquet(target)
-      else w.parquet(target)
-      commitMarker(f, target)
+      if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*).parquet(target.toString)
+      else w.parquet(target.toString)
+      layout.commit(f, target, recordFileCount = true)
       sweepBelow(f, n)
     }
   }
 
   /** Delete everything the committed base at epoch `n` supersedes. */
   private def sweepBelow(f: FileSystem, n: Long): Unit = {
-    listEpochs(f, "base").foreach { case (e, p, _) => if (e < n) f.delete(p, true) }
-    listEpochs(f, "delta").foreach { case (e, p, _) => if (e <= n) f.delete(p, true) }
+    layout.sweep(f, new Path(s"$dir/base")) { case (e, _) => e < n }
+    layout.sweep(f, new Path(s"$dir/delta")) { case (e, _) => e <= n }
     legacyPaths(f).foreach(p => f.delete(p, true))
   }
 }

@@ -54,18 +54,16 @@ object FullPipeline {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def epochNum(name: String): Option[Long] =
-    if (name.startsWith("e")) name.drop(1).toLongOption else None
+  /** Same `_COMMIT` plumbing as [[graft.sink.EpochKeyedStore]], different
+    * shape on top: here one epoch is an atomic MULTI-PART snapshot
+    * (last_close + atr_state + meta publish together or not at all), there
+    * it's a per-key MERGE tier.
+    */
+  private val layout = new graft.sink.EpochLayout("e")
 
   private def committedEpochs(spark: SparkSession, stateRoot: String): Seq[(Long, String)] = {
     val (fs, root) = hadoopFs(spark, s"$stateRoot/state")
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).filter(_.isDirectory).toSeq
-      .flatMap(s => epochNum(s.getPath.getName).map(_ -> s.getPath.toString))
-      .filter { case (_, dir) =>
-        fs.exists(new org.apache.hadoop.fs.Path(dir, "_COMMIT"))
-      }
-      .sortBy(_._1)
+    layout.list(fs, root).collect { case (n, p, true) => (n, p.toString) }
   }
 
   /** Read one state part from the newest committed epoch; pre-epoch layouts
@@ -101,22 +99,15 @@ object FullPipeline {
                                      parts: Map[String, DataFrame],
                                      retain: Int = 2): Unit = {
     val (fs, root) = hadoopFs(spark, s"$stateRoot/state")
-    val all =
-      if (!fs.exists(root)) Nil
-      else fs.listStatus(root).filter(_.isDirectory).toSeq
-        .flatMap(s => epochNum(s.getPath.getName).map(_ -> s.getPath.toString))
-    val next = (0L +: all.map(_._1)).max + 1
-    val dir = s"$stateRoot/state/e$next"
+    val next = layout.next(fs, Seq(root))
+    val dir = s"$stateRoot/state/${layout.dirName(next)}"
     parts.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
     }
-    fs.create(new org.apache.hadoop.fs.Path(dir, "_COMMIT"), false).close()
-    val committed = committedEpochs(spark, stateRoot).map(_._1).toSet
-    val keep = committed.toSeq.sorted.takeRight(retain).toSet + next
-    all.foreach { case (n, d) =>
-      if (!keep.contains(n) && n < next)
-        fs.delete(new org.apache.hadoop.fs.Path(d), true)
-    }
+    layout.commit(fs, new org.apache.hadoop.fs.Path(dir))
+    val keep = (committedEpochs(spark, stateRoot).map(_._1).sorted
+      .takeRight(retain).toSet) + next
+    layout.sweep(fs, root) { case (n, _) => !keep.contains(n) && n < next }
   }
 
   /** Gap-fill one micro-batch of candles against the expected symbol set,

@@ -119,6 +119,50 @@ class EpochStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("a data file missing under a committed marker raises instead of reading empty") {
+    val dir = tmp()
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"))
+    s.upsert(Seq((1L, "v1")).toDF("k", "v"), Seq("k"))
+    assert(s.read(spark).get.count() === 1L)
+    // corrupt the committed epoch: delete its data file, keep the marker
+    val part = new java.io.File(s"$dir/delta/epoch=1").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(part.length === 1)
+    part.foreach(_.delete())
+    // a silent None here would hand DedupStream an empty index and
+    // re-admit its whole history — must fail loudly
+    val e = intercept[IllegalStateException] { s.read(spark) }
+    assert(e.getMessage.contains("files=1"))
+  }
+
+  test("a zero-row upsert commits a legitimately-empty epoch, not corruption") {
+    val dir = tmp()
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"))
+    s.upsert(Seq.empty[(Long, String)].toDF("k", "v"), Seq("k"))
+    assert(s.read(spark).map(_.count()).getOrElse(0L) === 0L)
+    s.upsert(Seq((1L, "v1")).toDF("k", "v"), Seq("k"))
+    assert(s.read(spark).get.as[(Long, String)].collect().toMap === Map(1L -> "v1"))
+  }
+
+  test("concurrent writers: the epoch claim is exclusive, second claimer errors") {
+    val dir = tmp()
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"))
+    s.upsert(Seq((1L, "v1")).toDF("k", "v"), Seq("k"))
+    // every delta write goes through the claim: the marker is in the dir
+    assert(new java.io.File(s"$dir/delta/epoch=1/_STAGE").exists())
+    // two writers that raced to the same computed epoch: second create fails
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(s"$dir/delta/epoch=2")
+    s.claimEpoch(f, target)
+    val e = intercept[IllegalStateException] { s.claimEpoch(f, target) }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the loser's crashed claim stays invisible and is never renumbered
+    s.upsert(Seq((2L, "w")).toDF("k", "v"), Seq("k"))
+    assert(deltaDirs(dir).sorted === Array("epoch=1", "epoch=2", "epoch=3"))
+    assert(s.read(spark).get.count() === 2L)
+  }
+
   test("mergeKeys must cover partitionCols and upsert keys") {
     intercept[IllegalArgumentException] {
       new EpochKeyedStore("/tmp/x", mergeKeys = Seq("a"), partitionCols = Seq("b"))
