@@ -27,17 +27,23 @@ final case class SessionSchedule(
 
   @transient private lazy val zone = java.time.ZoneId.of(zoneId)
 
+  /** The session bounds (openMin, closeMin) trading on `date`
+    * ("yyyy-MM-dd"), if any — the is_trading_day gate plus hours.
+    */
+  def sessionOn(date: String): Option[(Int, Int)] =
+    specials.get(date).orElse {
+      val d = java.time.LocalDate.parse(date)
+      if (d.getDayOfWeek.getValue <= 5 && !holidays.contains(date))
+        Some((defaultOpenMin, defaultCloseMin))
+      else None
+    }
+
   /** open ≤ w < close for the session (if any) on w's local date. */
   def windowInSession(wMs: Long): Boolean = {
     val zdt = java.time.Instant.ofEpochMilli(wMs).atZone(zone)
-    val date = zdt.toLocalDate.toString
     val minuteOfDay = zdt.getHour * 60 + zdt.getMinute
-    specials.get(date) match {
-      case Some((o, c)) => minuteOfDay >= o && minuteOfDay < c
-      case None =>
-        zdt.getDayOfWeek.getValue <= 5 && !holidays.contains(date) &&
-          minuteOfDay >= defaultOpenMin && minuteOfDay < defaultCloseMin
-    }
+    sessionOn(zdt.toLocalDate.toString)
+      .exists { case (o, c) => minuteOfDay >= o && minuteOfDay < c }
   }
 }
 
