@@ -161,14 +161,19 @@ object Schemas {
   }
 
   /** Write the metadata table once (initialize_if_empty semantics): a
-    * no-op when the directory already exists. */
-  def initMetadata(spark: SparkSession, dir: String, tickersCount: Int): Unit = {
+    * no-op when the directory already exists.
+    * @param legacySchemaVersion report the reference's literal "1.0"
+    *   instead of the [[Versions]] ledger (see [[metadataRows]]) — the
+    *   opt-in for consumers byte-pinned to the reference value
+    */
+  def initMetadata(spark: SparkSession, dir: String, tickersCount: Int,
+                   legacySchemaVersion: Boolean = false): Unit = {
     import spark.implicits._
     val exists =
       try { spark.read.parquet(dir).head(1); true }
       catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (!exists) {
-      val df = metadataRows(tickersCount).toDF("key", "value")
+      val df = metadataRows(tickersCount, legacySchemaVersion).toDF("key", "value")
       validate(df, Metadata, "metadata")
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
     }
