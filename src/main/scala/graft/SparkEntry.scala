@@ -441,6 +441,16 @@ object SparkEntry {
       TextAnalysis.winnowingFingerprints(Tables.documents(s, dir))
         .select(col("doc_id"), explode(col("fingerprints")).as("fingerprint"))
         .orderBy("doc_id", "fingerprint")),
+    "q55_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    // pseudo-benchmark split: docs with doc_id % 7 == 0 play the eval set
+    "q56_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contamination(
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(7)) === 0))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1437,5 +1447,53 @@ object SparkEntry {
         |  JOIN norms nb ON nb.vec_id = d.vec_b)
         |SELECT vec_a, vec_b, cosine FROM scored
         |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    "q55_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, words,
+        |         CASE WHEN len(words) >= 3
+        |              THEN list_transform(range(1, len(words) - 1),
+        |                                  i -> array_to_string(words[i:i+2], ' '))
+        |              ELSE CAST([] AS VARCHAR[]) END AS ng
+        |  FROM w),
+        |tops AS (
+        |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+        |    SELECT doc_id, ngram, count(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(ng) AS ngram FROM g) u
+        |    GROUP BY doc_id, ngram) c
+        |  GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  CASE WHEN len(words) > 0
+        |       THEN round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4)
+        |       ELSE 0.0 END AS dup_word_frac,
+        |  CASE WHEN len(ng) > 0
+        |       THEN round(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng), 4)
+        |       ELSE 0.0 END AS dup_ngram_frac,
+        |  CASE WHEN len(ng) > 0
+        |       THEN round(CAST(coalesce(t.top_cnt, 0) AS DOUBLE) / len(ng), 4)
+        |       ELSE 0.0 END AS top_ngram_frac,
+        |  (CASE WHEN len(ng) > 0
+        |        THEN round(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng), 4)
+        |        ELSE 0.0 END) > 0.2 AS repetitive
+        |FROM g LEFT JOIN tops t ON t.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+    "q56_decontamination" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 6),
+        |                                 i -> array_to_string(words[i:i+7], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 8) t)
+        |SELECT a.doc_id, count(*) AS n_shared
+        |FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0) a
+        |JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0) b USING (shingle)
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
   )
 }

@@ -152,4 +152,61 @@ object TextAnalysis {
       .where(length(col("norm")) >= k + w - 1)
       .select(col("doc_id"),
         graft.functions.winnow_fingerprints(col("norm"), k, w).as("fingerprints"))
+
+  /** Gopher-style repetition signals — the standard pre-training quality
+    * gates for pathologically repetitive documents (boilerplate loops,
+    * keyword stuffing, decode glitches). Per document:
+    *
+    *   - `dup_word_frac`  = 1 − distinct words / words
+    *   - `dup_ngram_frac` = 1 − distinct word n-grams / n-grams
+    *   - `top_ngram_frac` = occurrences of the most frequent n-gram / n-grams
+    *   - `repetitive`     = dup_ngram_frac > threshold (on rounded values)
+    *
+    * Documents with fewer than n tokens report 0 n-gram fractions (nothing
+    * long enough to repeat). All pure column expressions over one scan — the
+    * per-row mode is computed with nested higher-order functions
+    * (O(distinct × total) per doc), no UDF, no shuffle.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    def dupFrac(xs: Column): Column =
+      when(size(xs) > 0,
+        round(lit(1.0) - size(array_distinct(xs)).cast("double") /
+          size(xs).cast("double"), 4))
+        .otherwise(0.0)
+    docs
+      .select(col("doc_id"), tokens(lower(col("text"))).as("w"))
+      // CaseWhen evaluates branches lazily per row, so the descending
+      // sequence(1, size-2) for short docs is never constructed
+      .withColumn("ng",
+        when(size(col("w")) >= n,
+          transform(sequence(lit(1), size(col("w")) - (n - 1)),
+            i => array_join(slice(col("w"), i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")))
+      .select(
+        col("doc_id"),
+        dupFrac(col("w")).as("dup_word_frac"),
+        dupFrac(col("ng")).as("dup_ngram_frac"),
+        when(size(col("ng")) > 0,
+          round(array_max(transform(array_distinct(col("ng")),
+            g => size(filter(col("ng"), x => x === g)))).cast("double") /
+            size(col("ng")).cast("double"), 4))
+          .otherwise(0.0).as("top_ngram_frac"))
+      .withColumn("repetitive", col("dup_ngram_frac") > threshold)
+  }
+
+  /** Benchmark decontamination — flag corpus documents sharing any word
+    * n-gram with an eval/benchmark set (the standard overlap check run
+    * before training on scraped corpora). Inverted-shingle equi-join, ids
+    * only; the benchmark side is orders of magnitude smaller than the
+    * corpus, so its distinct shingles broadcast and the 100 TB corpus side
+    * never shuffles.
+    * Output: doc_id, n_shared (distinct shared n-grams), hit docs only.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val benchShingles = Dedup.shingles(benchmark, n).select(col("shingle")).distinct()
+    Dedup.shingles(corpus, n) // distinct per doc by construction
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -337,4 +337,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fp(1L) === fp(5L))        // case/whitespace-insensitive
     assert(fp(1L) !== fp(2L))
   }
+
+  test("repetition stats: dup fractions and top n-gram, hand-computed") {
+    val rep = Seq(
+      (1L, "a a a a"),      // 4 words 1 distinct; 3-grams [aaa, aaa]
+      (2L, "a b c d"),      // all distinct; 3-grams [abc, bcd]
+      (3L, "x y"),          // too short for 3-grams
+      (4L, "spam spam spam spam spam eggs") // 3-grams [sss x3, sse]
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(rep).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(got === Array(
+      (1L, 0.75, 0.5, 1.0, true),
+      (2L, 0.0, 0.0, 0.5, false),
+      (3L, 0.0, 0.0, 0.0, false),
+      (4L, 0.6667, 0.5, 0.75, true)))
+  }
+
+  test("decontamination: corpus docs sharing an 8-gram with the benchmark") {
+    val eight = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"prefix $eight suffix tail"),                        // shares it
+      (2L, "totally different words with no overlap at all ok"), // clean
+      (3L, eight)                                                // IS the 8-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"intro $eight outro")).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(corpus, bench).orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    assert(got === Array((1L, 1L), (3L, 1L)))
+  }
 }
