@@ -66,12 +66,19 @@ import org.apache.spark.sql.functions._
   *   before a write auto-compacts
   * @param coalesceTo small-file control applied to delta AND base writes;
   *   None keeps the plan's natural parallelism (big partitioned stores)
+  * @param verifyMergeDependency debug mode: every upsert re-checks that
+  *   the post-merge view holds exactly one row per CALLER key tuple —
+  *   catches a violated functional-dependency precondition (same caller
+  *   key, different extension value across epochs) at write time instead
+  *   of as silent duplicate survivors. One extra aggregation per upsert;
+  *   leave off in production
   */
 final class EpochKeyedStore(dir: String,
                             mergeKeys: Seq[String],
                             partitionCols: Seq[String] = Nil,
                             compactAfterDeltas: Int = 16,
-                            coalesceTo: Option[Int] = Some(1)) extends KeyedStore {
+                            coalesceTo: Option[Int] = Some(1),
+                            verifyMergeDependency: Boolean = false) extends KeyedStore {
   require(mergeKeys.nonEmpty, "EpochKeyedStore needs at least one merge key")
   require(partitionCols.forall(mergeKeys.contains),
     s"partitionCols ${partitionCols.mkString(",")} must be covered by mergeKeys " +
@@ -204,6 +211,18 @@ final class EpochKeyedStore(dir: String,
     require(keys.forall(mergeKeys.contains),
       s"upsert keys ${keys.mkString(",")} not covered by mergeKeys ${mergeKeys.mkString(",")}")
     writeDelta(rows.dropDuplicates(keys))
+    if (verifyMergeDependency) read(rows.sparkSession).foreach { merged =>
+      val dups = merged.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+      val sample = dups.limit(1).collect()
+      if (sample.nonEmpty)
+        throw new IllegalStateException(
+          s"epoch store $dir: caller key ${keys.mkString(",")} tuple " +
+            s"${sample.head.toSeq.init.mkString("(", ",", ")")} survives the merge " +
+            s"${sample.head.getLong(keys.size)} times — a mergeKeys extension column " +
+            "is not functionally dependent on the upsert keys (the same key arrived " +
+            "with different extension values across epochs)")
+    }
   }
 
   /** Caller-proved-fresh rows: same write path, minus the in-batch dedup. */

@@ -163,6 +163,26 @@ class EpochStoreSpec extends AnyFunSuite {
     assert(s.read(spark).get.count() === 2L)
   }
 
+  test("debug mode catches a violated merge-key functional dependency at write time") {
+    val dir = tmp()
+    // kb pretends to be functionally dependent on k but isn't: the same
+    // caller key arrives with two different kb values across epochs, so
+    // the (k, kb)-wide merge keeps both rows where replace was expected
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k", "kb"),
+      verifyMergeDependency = true)
+    s.upsert(Seq((1L, 10, "v1")).toDF("k", "kb", "v"), Seq("k"))
+    val e = intercept[IllegalStateException] {
+      s.upsert(Seq((1L, 11, "v2")).toDF("k", "kb", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("functionally dependent"))
+    // honest inputs never trip it
+    val ok = new EpochKeyedStore(tmp(), mergeKeys = Seq("k", "kb"),
+      verifyMergeDependency = true)
+    ok.upsert(Seq((1L, 10, "v1")).toDF("k", "kb", "v"), Seq("k"))
+    ok.upsert(Seq((1L, 10, "v2"), (2L, 20, "w")).toDF("k", "kb", "v"), Seq("k"))
+    assert(ok.read(spark).get.count() === 2L)
+  }
+
   test("mergeKeys must cover partitionCols and upsert keys") {
     intercept[IllegalArgumentException] {
       new EpochKeyedStore("/tmp/x", mergeKeys = Seq("a"), partitionCols = Seq("b"))
