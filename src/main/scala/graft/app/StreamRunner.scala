@@ -146,6 +146,66 @@ object StreamRunner {
     }
   }
 
+  /** End-of-session validation summary — the reference's finalize step
+    * (main.py:275-328: close-of-day census + write validation into the
+    * log), over the session's sink partition.
+    */
+  final case class SessionReport(
+      date: String,
+      rows: Long,
+      dupIds: Long,            // MUST be 0: the sink's id contract
+      expectedWindows: Long,   // per the calendar session's hours
+      symbolsComplete: Long,   // symbols with every expected window present
+      symbolsIncomplete: Long, // includes never-seeded symbols (cold start)
+      missingSlots: Long)      // Σ expected−present over the universe
+
+  /** Validate one session's sink output after close. One scan, pruned to
+    * the session's `dt` partition; the summary lands in `system_log`
+    * (WARNING when the dup-id contract is violated, INFO otherwise —
+    * missing slots are normal for never-traded symbols).
+    */
+  def sessionReport(spark: SparkSession, cfg: Config, schedule: SessionSchedule,
+                    date: String, expectedSymbols: Seq[String],
+                    alerts: Option[Alerts.AlertManager] = None,
+                    intervalMinutes: Int = 5): SessionReport = {
+    val expectedWindows = schedule.sessionOn(date)
+      .map { case (o, c) => ((c - o) / intervalMinutes).toLong }.getOrElse(0L)
+    // only the sink-missing case is expected; analysis errors in the
+    // aggregation itself (schema drift) must propagate, not zero out
+    val dayOpt =
+      try Some(spark.read.parquet(cfg.sinkDir).where(col("dt") === date))
+      catch { case _: AnalysisException => None }
+    val report = dayOpt match {
+      case Some(day) =>
+        val head = day.agg(count(lit(1)), count_distinct(col("id"))).head()
+        val rows = head.getLong(0)
+        // edge rows carry the reference's 13-column names: symbol = ticker
+        val perSym = day.groupBy(col("ticker"))
+          .agg(count_distinct(col("timestamp")).as("w")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val complete = expectedSymbols.count(s =>
+          expectedWindows > 0 && perSym.getOrElse(s, 0L) >= expectedWindows)
+        val missing = expectedSymbols
+          .map(s => math.max(0L, expectedWindows - perSym.getOrElse(s, 0L))).sum
+        SessionReport(date, rows, rows - head.getLong(1), expectedWindows,
+          complete.toLong, (expectedSymbols.size - complete).toLong, missing)
+      case None =>
+        SessionReport(date, 0L, 0L, expectedWindows, 0L,
+          expectedSymbols.size.toLong, expectedWindows * expectedSymbols.size)
+    }
+    alerts.foreach { a =>
+      a.dispatch(
+        if (report.dupIds > 0) "WARNING" else "INFO",
+        "session_report", date,
+        s"rows=${report.rows} dup_ids=${report.dupIds} " +
+          s"expected_windows=${report.expectedWindows} " +
+          s"complete=${report.symbolsComplete} incomplete=${report.symbolsIncomplete} " +
+          s"missing_slots=${report.missingSlots}")
+      a.flush()
+    }
+    report
+  }
+
   sealed trait Outcome
   final case class Completed(restarts: Int) extends Outcome
   final case class Exhausted(restarts: Int, last: Throwable) extends Outcome

@@ -191,10 +191,16 @@ object DedupStream {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          processBatch(batch, indexDir, pairsDir, n, numPerms, bands, threshold)
-        ()
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // persist once: the empty gate and the ledger anti-join would
+        // otherwise each re-execute the micro-batch plan
+        val batch = b.persist()
+        try {
+          if (!batch.isEmpty) {
+            processBatch(batch, indexDir, pairsDir, n, numPerms, bands, threshold)
+            ()
+          }
+        } finally { batch.unpersist(); () }
       }
       .start()
 }

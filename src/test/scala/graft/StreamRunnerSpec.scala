@@ -137,6 +137,16 @@ class StreamRunnerSpec extends AnyFunSuite {
       while (r2.heartbeat.latestBatchId < 0 && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       assert(r2.heartbeat.latestBatchId >= 0)
+      // finalize: the close-of-day validation report per session — both
+      // active symbols census-complete (17 windows each after gap-fill),
+      // NIFTY never seeded, zero dup ids; summary rows land in system_log
+      Seq("2026-02-02", "2026-02-03").foreach { d =>
+        val rep = StreamRunner.sessionReport(spark, cfg, r2.schedule, d,
+          instruments.map(_.symbol), Some(r2.alerts))
+        assert(rep === StreamRunner.SessionReport(d, 34L, 0L, 17L, 2L, 1L, 17L))
+      }
+      assert(spark.read.parquet(s"$root/system_log")
+        .where($"event" === "session_report").count() === 2)
     } finally r2.stop()
   }
 
