@@ -1,0 +1,66 @@
+package graft
+
+import graft.streaming.DedupStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: incremental-dedup scale probe — drives [[DedupStream]]'s
+  * batch body over a growing persisted index and reports per-batch wall
+  * time for BOTH KeyedStore backends, making the epoch store's O(batch)
+  * write claim measurable: the parquet-append emulation re-scans the
+  * store's existing keys on every upsert (per-batch cost grows with the
+  * corpus), the epoch store writes one delta per table per batch
+  * (per-batch cost stays flat; reads pay a bounded merge window instead).
+  *
+  * Batches are the sf documents table salted per (batch, replica) so
+  * every batch contributes distinct docs with realistic near-dup
+  * structure inside each replica family.
+  *
+  * Usage: runMain graft.DedupScaleCheck [sfDir] [batches] [docFactor]
+  */
+object DedupScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(12)
+    val docFactor = args.lift(2).map(_.toInt).getOrElse(4) // docs/batch = 500 × this
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, sfDir).cache()
+    val nBase = base.count()
+
+    def batchDf(i: Int) = base
+      .withColumn("rep", explode(sequence(lit(0), lit(docFactor - 1))))
+      .select(
+        (col("doc_id") + lit(i.toLong * docFactor * nBase) + col("rep") * nBase).as("doc_id"),
+        concat(col("text"), lit(s" batch$i rep"), col("rep")).as("text"))
+
+    Seq(
+      "epoch" -> ((d: String) => DedupStream.epochStores(d)),
+      "parquet-emulation" -> ((d: String) => DedupStream.parquetStores(d))
+    ).foreach { case (label, mk) =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-dscale-$label").toString
+      val stores = mk(s"$root/index")
+      val times = (0 until nBatches).map { i =>
+        val t0 = System.nanoTime()
+        val written = DedupStream.processBatch(batchDf(i), stores, s"$root/pairs",
+          n = 5, numPerms = 32, bands = 8, threshold = 0.5)
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[dedup-scale] $label batch=$i docs=${nBase * docFactor} pairs=$written t=$s%.2f s")
+        s
+      }
+      val head3 = times.take(3).sum / 3
+      val tail3 = times.takeRight(3).sum / 3
+      println(f"[dedup-scale] $label SUMMARY: batches=$nBatches docs/batch=${nBase * docFactor} " +
+        f"first3=$head3%.2f s last3=$tail3%.2f s growth=${tail3 / head3}%.2fx " +
+        f"(index grew ${nBatches}x over the run)")
+    }
+    spark.stop()
+  }
+}

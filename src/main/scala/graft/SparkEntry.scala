@@ -451,6 +451,8 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(7)) === 0))
         .orderBy("doc_id")
     }),
+    "q57_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir)).orderBy("vec_id", "i")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1495,5 +1497,18 @@ object SparkEntry {
         |FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0) a
         |JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0) b USING (shingle)
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "q57_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
+        |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
+        |s AS (SELECT vec_id, embedding,
+        |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |      FROM e)
+        |SELECT s.vec_id, round(s.scale, 6) AS scale, CAST(i.i AS BIGINT) AS i,
+        |       CASE WHEN s.scale > 0
+        |            THEN CAST(floor(CAST(s.embedding[CAST(i.i AS INT)] AS DOUBLE) / s.scale + 0.5) AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS q
+        |FROM s CROSS JOIN idx i
+        |ORDER BY s.vec_id, i.i""".stripMargin,
   )
 }

@@ -355,6 +355,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (4L, 0.6667, 0.5, 0.75, true)))
   }
 
+  test("int8 quantization: symmetric scale, deterministic rounding, zero vector") {
+    val embs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)), // maxabs 1.0, scale 1/127
+      (2L, Seq(0.0f, 0.0f, 0.0f))    // zero vector -> scale 0, all q 0
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.quantizeInt8(embs)
+      .orderBy("vec_id", "i")
+      .as[(Long, Double, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 0.007874, 1L, 127L),  // 1.0 / (1/127) = 127
+      (1L, 0.007874, 2L, -63L),  // floor(-63.5 + 0.5) = -63
+      (1L, 0.007874, 3L, 32L),   // floor(31.75 + 0.5) = 32
+      (2L, 0.0, 1L, 0L), (2L, 0.0, 2L, 0L), (2L, 0.0, 3L, 0L)))
+  }
+
   test("decontamination: corpus docs sharing an 8-gram with the benchmark") {
     val eight = "one two three four five six seven eight"
     val corpus = Seq(
