@@ -12,21 +12,30 @@ import org.apache.spark.sql.functions._
   * corpus), the epoch store writes one delta per table per batch
   * (per-batch cost stays flat; reads pay a bounded merge window instead).
   *
-  * Batches are the sf documents table salted per (batch, replica) so
-  * every batch contributes distinct docs with realistic near-dup
-  * structure inside each replica family.
+  * Batches are the sf documents table with a batch token interleaved
+  * after every second word, so every 5-gram shingle carries the token:
+  * batches are mutually DISSIMILAR (cross-batch pair output stays zero,
+  * keeping per-batch verify/write volume constant — the trend then
+  * measures the index machinery, not a growing true-pair flood) while
+  * each batch keeps the base corpus's natural within-batch dup structure.
+  *
+  * Shuffle parallelism is deliberately small: the bands store partitions
+  * by (band, kb) and every delta epoch writes up to
+  * shufflePartitions × activePartitions part files — at probe scale the
+  * local-FS small-file overhead would otherwise drown the trend being
+  * measured. (At production scale the same product is the object-count
+  * knob: bound it with coalesceTo or fewer key buckets.)
   *
   * Usage: runMain graft.DedupScaleCheck [sfDir] [batches] [docFactor]
   */
 object DedupScaleCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val nBatches = args.lift(1).map(_.toInt).getOrElse(12)
-    val docFactor = args.lift(2).map(_.toInt).getOrElse(4) // docs/batch = 500 × this
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
+    val docFactor = args.lift(2).map(_.toInt).getOrElse(1) // docs/batch = 500 × this
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -39,7 +48,9 @@ object DedupScaleCheck {
       .withColumn("rep", explode(sequence(lit(0), lit(docFactor - 1))))
       .select(
         (col("doc_id") + lit(i.toLong * docFactor * nBase) + col("rep") * nBase).as("doc_id"),
-        concat(col("text"), lit(s" batch$i rep"), col("rep")).as("text"))
+        concat(
+          regexp_replace(col("text"), "(\\S+\\s+\\S+)", s"$$1 batch$i"),
+          lit(" rep"), col("rep")).as("text"))
 
     Seq(
       "epoch" -> ((d: String) => DedupStream.epochStores(d)),

@@ -66,13 +66,24 @@ object DedupStream {
     * the merge window to the partitioned scan. A directory previously
     * written by [[parquetStores]] reads as the epoch-0 legacy tier and is
     * folded in by the first compaction.
+    *
+    * `compactAfterDeltas` defaults LOWER than the store's own default
+    * (6 vs 16): this dataflow reads all three stores every batch, and the
+    * measured per-batch cost climbs roughly linearly with the pending
+    * delta count ([[graft.DedupScaleCheck]] — ~30 s at 1 delta to ~150 s
+    * at 16 at probe scale, resetting after each fold), so a read-heavy
+    * access pattern wants frequent small folds. Writes stay O(batch)
+    * either way; the fold itself amortizes to O(corpus / k) per batch —
+    * versus the parquet emulation's O(corpus) anti-join on EVERY batch.
     */
-  def epochStores(indexDir: String): IndexStores = IndexStores(
-    ids = new EpochKeyedStore(s"$indexDir/ids", mergeKeys = Seq("doc_id")),
+  def epochStores(indexDir: String, compactAfterDeltas: Int = 6): IndexStores = IndexStores(
+    ids = new EpochKeyedStore(s"$indexDir/ids", mergeKeys = Seq("doc_id"),
+      compactAfterDeltas = compactAfterDeltas),
     bands = new EpochKeyedStore(s"$indexDir/bands",
       mergeKeys = Seq("doc_id", "band", "kb"), partitionCols = Seq("band", "kb"),
-      coalesceTo = None),
-    sigs = new EpochKeyedStore(s"$indexDir/sigs", mergeKeys = Seq("doc_id")))
+      coalesceTo = None, compactAfterDeltas = compactAfterDeltas),
+    sigs = new EpochKeyedStore(s"$indexDir/sigs", mergeKeys = Seq("doc_id"),
+      compactAfterDeltas = compactAfterDeltas))
 
   /** Plain parquet-append emulation stores — the pre-epoch layout; kept
     * for existing state roots and as the [[KeyedStore]] contract's
