@@ -280,9 +280,10 @@ object ChainedPipeline {
   def start(candles: DataFrame, expectedSymbols: Seq[String], sinkDir: String,
             deadLetterDir: String, checkpointDir: String,
             numShards: Int = 8,
-            schedule: Option[graft.time.SessionSchedule] = None): StreamingQuery = {
+            schedule: Option[graft.time.SessionSchedule] = None,
+            intervalMinutes: Int = 5): StreamingQuery = {
     guardRouting(candles.sparkSession, checkpointDir, numShards)
-    enrich(candles, expectedSymbols, numShards, schedule = schedule).toDF()
+    enrich(candles, expectedSymbols, numShards, intervalMinutes, schedule).toDF()
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
