@@ -183,6 +183,33 @@ class EpochStoreSpec extends AnyFunSuite {
     assert(ok.read(spark).get.count() === 2L)
   }
 
+  test("randomized MERGE-equivalence soak vs the in-memory model (20 ops, compaction crossings)") {
+    import graft.sink.InMemoryKeyedStore
+    val rnd = new scala.util.Random(11)
+    val dir = tmp()
+    // compactAfterDeltas=3: the sequence crosses several folds, so the
+    // equivalence holds across base rewrites, not just delta accumulation
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"), compactAfterDeltas = 3)
+    val m = new InMemoryKeyedStore
+    for (op <- 1 to 20) {
+      // unique keys per batch: within-batch collisions would make the
+      // surviving row backend-arbitrary (dropDuplicates picks one)
+      val batch = Seq.fill(rnd.nextInt(6) + 1)(rnd.nextInt(12).toLong).distinct
+        .map(k => (k, s"v$op-$k-${rnd.nextInt(100)}"))
+      val df = batch.toDF("k", "v")
+      if (op % 5 == 0) {
+        // append of provably-fresh keys (shifted range never collides)
+        val fresh = batch.map { case (k, v) => (k + 1000L * op, v) }.toDF("k", "v")
+        s.append(fresh); m.append(fresh)
+      } else {
+        s.upsert(df, Seq("k")); m.upsert(df, Seq("k"))
+      }
+      val got = s.read(spark).get.as[(Long, String)].collect().toSet
+      val want = m.read(spark).get.as[(Long, String)].collect().toSet
+      assert(got === want, s"diverged after op $op")
+    }
+  }
+
   test("mergeKeys must cover partitionCols and upsert keys") {
     intercept[IllegalArgumentException] {
       new EpochKeyedStore("/tmp/x", mergeKeys = Seq("a"), partitionCols = Seq("b"))
