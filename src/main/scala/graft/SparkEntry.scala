@@ -453,6 +453,8 @@ object SparkEntry {
     }),
     "q57_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir)).orderBy("vec_id", "i")),
+    "q58_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocab(Tables.documents(s, dir)).orderBy(desc("n"), col("token"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1497,6 +1499,16 @@ object SparkEntry {
         |FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0) a
         |JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0) b USING (shingle)
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+    "q58_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+        |SELECT c.token, c.n, round(c.n / t.total, 6) AS freq
+        |FROM c CROSS JOIN t
+        |ORDER BY c.n DESC, c.token LIMIT 100""".stripMargin,
     "q57_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),

@@ -211,6 +211,25 @@ object TextAnalysis {
       .withColumn("repetitive", col("dup_ngram_frac") > threshold)
   }
 
+  /** Corpus vocabulary: the k most frequent whitespace tokens with
+    * counts and corpus frequency — the tokenizer-prep / corpus-inspection
+    * table. One explode + hash aggregate; the top-k is a TakeOrderedAndProject
+    * (no full sort), deterministically tie-broken by token. The total-token
+    * denominator rides the same aggregate via a window-free scalar
+    * subquery-shaped crossJoin of a 1-row frame.
+    */
+  def vocab(docs: DataFrame, k: Int = 100): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("double").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("token"), col("n"),
+        round(col("n") / col("total"), 6).as("freq"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
   /** Benchmark decontamination — flag corpus documents sharing any word
     * n-gram with an eval/benchmark set (the standard overlap check run
     * before training on scraped corpora). Inverted-shingle equi-join, ids

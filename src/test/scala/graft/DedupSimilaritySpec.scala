@@ -370,6 +370,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (2L, 0.0, 1L, 0L), (2L, 0.0, 2L, 0L), (2L, 0.0, 3L, 0L)))
   }
 
+  test("vocab top-k: counts, corpus frequency, deterministic tie-break") {
+    val vdocs = Seq((1L, "b a a"), (2L, "c b A")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocab(vdocs, k = 2)
+      .as[(String, Long, Double)].collect()
+    // 6 tokens total: a×3 (case-folded), b×2, c×1
+    assert(got === Array(("a", 3L, 0.5), ("b", 2L, 0.333333)))
+  }
+
   test("decontamination: corpus docs sharing an 8-gram with the benchmark") {
     val eight = "one two three four five six seven eight"
     val corpus = Seq(
