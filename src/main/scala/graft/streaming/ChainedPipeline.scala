@@ -175,16 +175,16 @@ object ChainedPipeline {
 
     override def handleInputRows(shard: Int, rows: Iterator[Candle],
                                  timerValues: TimerValues): Iterator[EnrichedCandle] = {
-      val out = sweep(shard, rows.toIndexedSeq, timerValues.getCurrentWatermarkInMs)
+      val out = sweep(shard, rows.toIndexedSeq, timerValues.getCurrentWatermarkInMs())
       if (lastSwept.exists()) armTimer(lastSwept.get())
       out
     }
 
     override def handleExpiredTimer(shard: Int, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[EnrichedCandle] = {
-      if (nextTimer.exists() && nextTimer.get() == expiredTimerInfo.getExpiryTimeInMs)
+      if (nextTimer.exists() && nextTimer.get() == expiredTimerInfo.getExpiryTimeInMs())
         nextTimer.clear() // this timer is spent; armTimer must not delete it
-      val out = sweep(shard, IndexedSeq.empty, timerValues.getCurrentWatermarkInMs)
+      val out = sweep(shard, IndexedSeq.empty, timerValues.getCurrentWatermarkInMs())
       if (lastSwept.exists()) armTimer(lastSwept.get())
       out
     }
