@@ -1510,17 +1510,17 @@ object SparkEntry {
         |FROM c CROSS JOIN t
         |ORDER BY c.n DESC, c.token LIMIT 100""".stripMargin,
     "q57_quantize_int8" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
-        |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
-        |s AS (SELECT vec_id, embedding,
+      """WITH s AS (SELECT vec_id, embedding,
         |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-        |      FROM e)
-        |SELECT s.vec_id, round(s.scale, 6) AS scale, CAST(i.i AS BIGINT) AS i,
-        |       CASE WHEN s.scale > 0
-        |            THEN CAST(floor(CAST(s.embedding[CAST(i.i AS INT)] AS DOUBLE) / s.scale + 0.5) AS BIGINT)
+        |      FROM embeddings),
+        |x AS (SELECT vec_id, embedding, scale,
+        |             unnest(range(1, len(embedding) + 1)) AS i
+        |      FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale, CAST(i AS BIGINT) AS i,
+        |       CASE WHEN scale > 0
+        |            THEN CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) / scale + 0.5) AS BIGINT)
         |            ELSE CAST(0 AS BIGINT) END AS q
-        |FROM s CROSS JOIN idx i
-        |ORDER BY s.vec_id, i.i""".stripMargin,
+        |FROM x
+        |ORDER BY vec_id, i""".stripMargin,
   )
 }

@@ -163,13 +163,22 @@ object StreamRunner {
     * the session's `dt` partition; the summary lands in `system_log`
     * (WARNING when the dup-id contract is violated, INFO otherwise —
     * missing slots are normal for never-traded symbols).
+    *
+    * Completeness is aggregated IN Spark — the expected-symbol dim joins
+    * the per-symbol window counts and only the one summary row reaches
+    * the driver, so the driver payload stays O(1) however large the
+    * universe (the reference's 178 symbols would tolerate a per-symbol
+    * collect; a real universe would not).
     */
   def sessionReport(spark: SparkSession, cfg: Config, schedule: SessionSchedule,
                     date: String, expectedSymbols: Seq[String],
                     alerts: Option[Alerts.AlertManager] = None,
                     intervalMinutes: Int = 5): SessionReport = {
+    // ceiling division: a session whose length is not a multiple of the
+    // interval still emits its last partial window (its start is < close)
     val expectedWindows = schedule.sessionOn(date)
-      .map { case (o, c) => ((c - o) / intervalMinutes).toLong }.getOrElse(0L)
+      .map { case (o, c) => ((c - o + intervalMinutes - 1) / intervalMinutes).toLong }
+      .getOrElse(0L)
     // only the sink-missing case is expected; analysis errors in the
     // aggregation itself (schema drift) must propagate, not zero out
     val dayOpt =
@@ -179,16 +188,22 @@ object StreamRunner {
       case Some(day) =>
         val head = day.agg(count(lit(1)), count_distinct(col("id"))).head()
         val rows = head.getLong(0)
+        import spark.implicits._
         // edge rows carry the reference's 13-column names: symbol = ticker
         val perSym = day.groupBy(col("ticker"))
-          .agg(count_distinct(col("timestamp")).as("w")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val complete = expectedSymbols.count(s =>
-          expectedWindows > 0 && perSym.getOrElse(s, 0L) >= expectedWindows)
-        val missing = expectedSymbols
-          .map(s => math.max(0L, expectedWindows - perSym.getOrElse(s, 0L))).sum
+          .agg(count_distinct(col("timestamp")).as("w"))
+        val summary = expectedSymbols.toDF("ticker")
+          .join(perSym, Seq("ticker"), "left")
+          .select(coalesce(col("w"), lit(0L)).as("w"))
+          .agg(
+            sum(when(lit(expectedWindows) > 0 && col("w") >= expectedWindows, 1L)
+              .otherwise(0L)).as("complete"),
+            sum(greatest(lit(0L), lit(expectedWindows) - col("w"))).as("missing"))
+          .head()
+        val complete = if (summary.isNullAt(0)) 0L else summary.getLong(0)
+        val missing = if (summary.isNullAt(1)) 0L else summary.getLong(1)
         SessionReport(date, rows, rows - head.getLong(1), expectedWindows,
-          complete.toLong, (expectedSymbols.size - complete).toLong, missing)
+          complete, expectedSymbols.size - complete, missing)
       case None =>
         SessionReport(date, 0L, 0L, expectedWindows, 0L,
           expectedSymbols.size.toLong, expectedWindows * expectedSymbols.size)

@@ -174,18 +174,31 @@ final class EpochKeyedStore(dir: String,
     * the winner's batch. A crashed claim leaves an uncommitted dir that
     * stays invisible (and is never renumbered: [[nextEpoch]] allocates
     * above uncommitted dirs too) until a compaction sweeps it.
+    *
+    * Exclusivity note: `create(overwrite=false)` is atomic on HDFS, the
+    * local FS, ABFS and GCS; on S3A (without conditional-write support
+    * enabled) it is check-then-act, so there the claim is best-effort
+    * defense in depth — the single-writer contract itself remains the
+    * caller's responsibility on such stores. Implementations also differ
+    * in exception type (`FileAlreadyExistsException` vs a plain
+    * `IOException` naming the existing path), so both map to the
+    * claim-collision error here.
     */
-  private[graft] def claimEpoch(f: FileSystem, target: Path): Unit =
+  private[graft] def claimEpoch(f: FileSystem, target: Path): Unit = {
+    def collision(e: java.io.IOException): Nothing =
+      throw new IllegalStateException(
+        s"epoch store $dir: $target is already claimed — a concurrent writer " +
+          "raced this upsert (the store is single-writer, like the reference's " +
+          "sheet protocol); serialize writers and retry", e)
     try f.create(new Path(target, "_STAGE"), false).close()
     catch {
-      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"epoch store $dir: $target is already claimed — a concurrent writer " +
-            "raced this upsert (the store is single-writer, like the reference's " +
-            "sheet protocol); serialize writers and retry", e)
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException => collision(e)
+      case e: java.io.IOException
+          if f.exists(new Path(target, "_STAGE")) => collision(e)
     }
+  }
 
-  private def writeDelta(rows: DataFrame): Unit = {
+  private def writeDelta(rows: DataFrame): Path = {
     val spark = rows.sparkSession
     val f = fs(spark)
     val target = new Path(s"$dir/delta/${layout.dirName(nextEpoch(f))}")
@@ -201,6 +214,7 @@ final class EpochKeyedStore(dir: String,
     val pending = listEpochs(f, "delta").count(d => d._3 && d._1 > floor)
     if (pending > compactAfterDeltas || (legacyPaths(f).nonEmpty && pending > 0))
       compact(spark)
+    target
   }
 
   /** MERGE write: one delta, deduped within the batch on the caller's key
@@ -210,7 +224,7 @@ final class EpochKeyedStore(dir: String,
   override def upsert(rows: DataFrame, keys: Seq[String]): Unit = {
     require(keys.forall(mergeKeys.contains),
       s"upsert keys ${keys.mkString(",")} not covered by mergeKeys ${mergeKeys.mkString(",")}")
-    writeDelta(rows.dropDuplicates(keys))
+    val delta = writeDelta(rows.dropDuplicates(keys))
     if (verifyMergeDependency) read(rows.sparkSession).foreach { merged =>
       val dups = merged.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
@@ -221,7 +235,8 @@ final class EpochKeyedStore(dir: String,
             s"${sample.head.toSeq.init.mkString("(", ",", ")")} survives the merge " +
             s"${sample.head.getLong(keys.size)} times — a mergeKeys extension column " +
             "is not functionally dependent on the upsert keys (the same key arrived " +
-            "with different extension values across epochs)")
+            s"with different extension values across epochs). The violating batch " +
+            s"was just committed as $delta — delete that epoch directory to drop it")
     }
   }
 

@@ -10,10 +10,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * own layouts and retention policies but share the crash-safety plumbing,
   * so the two implementations cannot drift.
   *
-  * Publication is ONE atomic file create (object-store safe, never a
-  * directory rename): readers see only committed epochs; a crash mid-write
-  * leaves an unmarked directory that readers ignore and a later sweep
-  * deletes.
+  * Publication is ONE file create — never a directory rename, so the
+  * pattern works on object stores where rename is a copy. The create is
+  * atomic-exclusive on HDFS, the local FS, ABFS and GCS; on S3A (without
+  * conditional-write enablement) `create(overwrite=false)` is
+  * check-then-act, so exclusive-create claims there are best-effort and
+  * the single-writer contract falls back to the caller. Readers see only
+  * committed epochs; a crash mid-write leaves an unmarked directory that
+  * readers ignore and a later sweep deletes.
   *
   * The marker optionally records the epoch's data-file count
   * (`files=<n>`), turning "committed but no data files" from an ambiguous

@@ -211,32 +211,51 @@ object ChainedPipeline {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
-  /** Shard routing (`hash(symbol) % numShards`) is baked into checkpointed
-    * state: each shard's MapState holds its owned symbols' ATR/seed rows.
-    * Restarting a checkpoint with a different `numShards` (or a changed
-    * hash) would silently reassign symbols to shards whose state lacks
-    * them — gap-fill seeds and ATR continuity would reset with no error.
-    * So the routing descriptor is persisted next to the checkpoint on
-    * first start and every later start fails fast on mismatch. Start a
-    * fresh checkpoint to re-shard (the sink's id anti-join absorbs the
-    * replay).
+  /** Shard routing (`hash(symbol) % numShards`) AND the sweep's window
+    * grid (interval, session timezone) are baked into checkpointed state:
+    * each shard's MapState holds its owned symbols' ATR/seed rows, and
+    * `lastSwept` / the pending timer / window keys all live on the
+    * `intervalMinutes` grid in the session zone. Restarting a checkpoint
+    * with a different `numShards` (or hash) would silently reassign
+    * symbols to shards whose state lacks them; restarting with a
+    * different `intervalMinutes` or timezone would silently misalign the
+    * sweep grid against `lastSwept` and the checkpointed timers — the
+    * same silent-state-corruption class. So the full descriptor is
+    * persisted next to the checkpoint on first start and every later
+    * start fails fast on any mismatch. Start a fresh checkpoint to
+    * re-shard or re-grid (the sink's id anti-join absorbs the replay).
+    *
+    * A v1 descriptor (numShards+hash only, written before the grid fields
+    * existed) is accepted when its fields match — the grid fields are
+    * treated as unknown-legacy — and left in place; any v1 field mismatch
+    * still fails fast.
     */
   private[graft] def guardRouting(spark: org.apache.spark.sql.SparkSession,
-                                  checkpointDir: String, numShards: Int): Unit = {
+                                  checkpointDir: String, numShards: Int,
+                                  intervalMinutes: Int = 5): Unit = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft-routing.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zone = spark.conf.get("spark.sql.session.timeZone")
     val desc =
-      s"""{"numShards":$numShards,"hash":"murmur3-string/scala-2.13","routingVersion":1}"""
+      s"""{"numShards":$numShards,"intervalMinutes":$intervalMinutes,""" +
+        s""""timeZone":"$zone","hash":"murmur3-string/scala-2.13","routingVersion":2}"""
     if (fs.exists(p)) {
       val in = fs.open(p)
       val existing =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      if (existing != desc)
+      // field-wise compare: a field absent from the persisted descriptor
+      // (v1) is legacy-unknown and accepted; a present field must match
+      def field(json: String, name: String): Option[String] =
+        (s""""$name":("[^"]*"|[^,}]*)""").r.findFirstMatchIn(json).map(_.group(1))
+      val mismatched = Seq("numShards", "intervalMinutes", "timeZone", "hash")
+        .exists(k => field(existing, k).exists(_ != field(desc, k).get))
+      if (mismatched)
         throw new IllegalStateException(
-          s"checkpoint $checkpointDir holds state routed as $existing but this start " +
-            s"routes as $desc — symbols would land on shards missing their ATR/seed " +
-            "state. Keep numShards stable for a checkpoint's lifetime, or start a " +
-            "fresh checkpoint dir.")
+          s"checkpoint $checkpointDir holds state routed/gridded as $existing but " +
+            s"this start is $desc — symbols would land on shards missing their " +
+            "ATR/seed state, or the sweep grid would misalign against lastSwept " +
+            "and the checkpointed timers. Keep numShards/intervalMinutes/timezone " +
+            "stable for a checkpoint's lifetime, or start a fresh checkpoint dir.")
     } else {
       fs.mkdirs(p.getParent)
       val out = fs.create(p, false)
@@ -282,7 +301,7 @@ object ChainedPipeline {
             numShards: Int = 8,
             schedule: Option[graft.time.SessionSchedule] = None,
             intervalMinutes: Int = 5): StreamingQuery = {
-    guardRouting(candles.sparkSession, checkpointDir, numShards)
+    guardRouting(candles.sparkSession, checkpointDir, numShards, intervalMinutes)
     enrich(candles, expectedSymbols, numShards, intervalMinutes, schedule).toDF()
       .writeStream
       .outputMode(OutputMode.Append)
