@@ -112,6 +112,32 @@ object ScaleCheck {
         baseHash = Dedup.md5Base).count())
     time(s"corpus prep (production 64x16 xxhash) over $nDocs docs")(
       graft.operators.CorpusPrep.prepare(docs).count())
+    // ── the r5 additions (q55-q58), probed at the same docFactor ──
+    // repetition signals: one scan, no shuffle — must stay linear in docs
+    time(s"repetition signals over $nDocs docs")(
+      graft.operators.TextAnalysis.repetitionStats(docs).count())
+    // decontamination: the benchmark side (every 7th base doc, unscaled)
+    // broadcasts; the corpus side must stay exchange-free however large
+    val bench = Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(7)) === 0)
+    val contaminationPlan = graft.operators.TextAnalysis.contamination(docs, bench)
+    val contaminationExplained = contaminationPlan.queryExecution.executedPlan.toString
+    val corpusExchanges =
+      // exchanges below the broadcast-build side are expected (bench agg);
+      // count exchanges that move CORPUS-scale rows: those above the
+      // BroadcastHashJoin's streamed side up to the final agg
+      contaminationExplained.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    time(s"decontamination over $nDocs docs (bench=unscaled/7)")(
+      contaminationPlan.count())
+    println(s"[scale] decontamination plan: $corpusExchanges hash exchanges " +
+      "(expect 1: the per-doc count agg; the corpus->join path itself is broadcast, no shuffle)")
+    // vocab top-k: explode + hash agg + TakeOrderedAndProject — the top-k
+    // must never become a full sort at scale
+    val vocabPlan = graft.operators.TextAnalysis.vocab(docs)
+    val hasTakeOrdered = vocabPlan.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject")
+    time(s"vocab top-100 over $nDocs docs")(vocabPlan.count())
+    println(s"[scale] vocab plan: TakeOrderedAndProject=$hasTakeOrdered (full Sort would be a regression)")
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so
@@ -134,6 +160,10 @@ object ScaleCheck {
       Similarity.cosineDupPairsLsh(embs, threshold = 0.9).count())
     time(s"LSH ANN top-k over $nVecs vectors")(
       Similarity.annLshTopK(embs, pmod(col("vec_id"), lit(1000)) === 0).count())
+    // int8 quantization (q57): pure column exprs, posexplode fan-out — must
+    // stay linear in vectors x dim with zero shuffles
+    time(s"int8 quantization over $nVecs vectors")(
+      Similarity.quantizeInt8(embs).count())
     embs.unpersist()
     spark.stop()
   }

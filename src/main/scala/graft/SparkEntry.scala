@@ -455,6 +455,16 @@ object SparkEntry {
       Similarity.quantizeInt8(Tables.embeddings(s, dir)).orderBy("vec_id", "i")),
     "q58_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocab(Tables.documents(s, dir)).orderBy(desc("n"), col("token"))),
+    // real javax.sound.sampled WAV round-trip; the oracle recomputes the
+    // header fields from the id-derived shape and the PCM stats from the
+    // same md5-derived sample bytes (the q43 pattern, second modality;
+    // n_bytes is container-dependent → left out of the oracle projection)
+    "q59_audio_features" -> ((s, dir) =>
+      Multimodal.extractAudioFeatures(Multimodal.audioFromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("media_id"), col("format"), col("sample_rate"), col("channels"),
+          col("frames"), col("duration_sec"), col("mean_abs"), col("peak_abs"))
+        .orderBy("media_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1522,5 +1532,29 @@ object SparkEntry {
         |            ELSE CAST(0 AS BIGINT) END AS q
         |FROM x
         |ORDER BY vec_id, i""".stripMargin,
+    "q59_audio_features" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |                  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate,
+        |                  CAST(1 + (doc_id % 2) AS INT) AS ch,
+        |                  CAST(50 + (doc_id % 10) * 10 AS BIGINT) AS frames
+        |           FROM documents),
+        |idx AS (SELECT unnest(range(0, 280)) AS i),
+        |smp AS (
+        |  SELECT media_id, rate, ch, frames,
+        |         ('0x' || substr(md5(text || '#' || CAST((i*2) // 16 AS VARCHAR)),
+        |                         CAST(((i*2) % 16) * 2 + 1 AS INT), 2))::BIGINT
+        |         + 256 * ('0x' || substr(md5(text || '#' || CAST((i*2+1) // 16 AS VARCHAR)),
+        |                                 CAST(((i*2+1) % 16) * 2 + 1 AS INT), 2))::BIGINT AS u
+        |  FROM m JOIN idx ON idx.i < m.frames * m.ch),
+        |sv AS (SELECT media_id, rate, ch, frames,
+        |              abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a
+        |       FROM smp),
+        |agg AS (SELECT media_id, rate, ch, frames, sum(a) AS sa, max(a) AS pk, count(*) AS n
+        |        FROM sv GROUP BY media_id, rate, ch, frames)
+        |SELECT media_id, 'wav' AS format, rate AS sample_rate, ch AS channels, frames,
+        |       round(frames / (rate * 1.0), 6) AS duration_sec,
+        |       round(sa / (n * 32768.0), 6) AS mean_abs,
+        |       round(pk / 32768.0, 6) AS peak_abs
+        |FROM agg ORDER BY media_id""".stripMargin,
   )
 }

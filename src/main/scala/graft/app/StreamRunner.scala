@@ -229,14 +229,20 @@ object StreamRunner {
     * block on the query; on failure (at start OR mid-run), back off per
     * `policy` and start again — the checkpoint resumes offsets/state and
     * the sink's dedup absorbs replayed batches — until a clean stop
-    * ([[Completed]]) or the ladder exhausts ([[Exhausted]]). Per-attempt
-    * alerting is already wired: the listener's [[Monitors.AlertLadder]]
-    * escalates WARNING → CRITICAL on consecutive terminations and logs
-    * the INFO recovery row on the first progress after a restart.
+    * ([[Completed]]) or the ladder exhausts ([[Exhausted]]).
+    *
+    * Alerting happens at BOTH levels: each attempt's listener carries its
+    * own [[Monitors.AlertLadder]] for in-attempt events, and `alerts`
+    * (when given) is the CROSS-attempt channel — each failure logs a
+    * `supervise_restart` row whose level escalates WARNING → CRITICAL →
+    * exhaustion per [[RetryPolicy.alertFor]] (a per-attempt ladder would
+    * reset with every restart and never escalate), and a clean stop after
+    * restarts logs the INFO recovery row (reconnect_manager.py:63-105).
     */
   def supervise(mk: () => Running,
                 policy: RetryPolicy.Config = RetryPolicy.Config(),
-                sleep: Long => Unit = Thread.sleep): Outcome = {
+                sleep: Long => Unit = Thread.sleep,
+                alerts: Option[Alerts.AlertManager] = None): Outcome = {
     var attempt = 0
     while (true) {
       val started = try Right(mk()) catch { case NonFatal(e) => Left(e) }
@@ -248,9 +254,21 @@ object StreamRunner {
           finally r.detach()
       }
       failure match {
-        case None => return Completed(attempt)
+        case None =>
+          if (attempt > 0) alerts.foreach { a =>
+            a.dispatch("INFO", "supervise_recovered", "-",
+              s"clean stop after $attempt restart(s)")
+            a.flush()
+          }
+          return Completed(attempt)
         case Some(e) =>
           attempt += 1
+          alerts.foreach { a =>
+            a.dispatch(Alerts.levelOf(RetryPolicy.alertFor(policy, attempt)),
+              "supervise_restart", "-",
+              s"attempt=$attempt ${String.valueOf(e.getMessage).take(300)}")
+            a.flush()
+          }
           if (!RetryPolicy.canRetry(policy, attempt)) return Exhausted(attempt, e)
           sleep(RetryPolicy.delayMs(policy, attempt))
       }

@@ -154,15 +154,23 @@ object Similarity {
     */
   def buildLshIndex(embeddings: DataFrame, dir: String, numPlanes: Int = 12,
                     numTables: Int = 4, dim: Int = 64): Unit = {
-    val spark = embeddings.sparkSession
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    writeVersion(base, dir, numPlanes, numTables, dim)
+  }
+
+  /** Write one full index version from prepared (vec_id, v, norm) rows —
+    * the shared tail of [[buildLshIndex]] and [[appendToLshIndex]]'s
+    * threshold-triggered rebuild. */
+  private def writeVersion(base: DataFrame, dir: String, numPlanes: Int,
+                           numTables: Int, dim: Int): Unit = {
+    val spark = base.sparkSession
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = indexVersions(spark, dir, committedOnly = false)
     val next = (0L +: all.map(_._1)).max + 1
     val vdir = s"$dir/v$next"
-    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("norm", l2norm(col("v")))
     base.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$vdir/vectors")
     tableBuckets(base, "v", numPlanes, numTables, dim)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -178,6 +186,67 @@ object Similarity {
       if (!keep.contains(n) && n < next)
         fs.delete(new org.apache.hadoop.fs.Path(d), true)
     }
+  }
+
+  /** Incrementally append new embeddings to the CURRENT committed index
+    * version — a training-data pipeline appends vectors continuously, and
+    * a full [[buildLshIndex]] rebuild per batch would be O(corpus) each
+    * time. The batch lands as one delta epoch `v<n>/delta/epoch=<k>/`
+    * (vectors + bucket-partitioned buckets, hashed with the version's OWN
+    * meta parameters so probes can never mismatch planes), published by
+    * one `_COMMIT` create — a crash before the marker leaves an invisible
+    * delta and the old index keeps serving, the same contract as
+    * [[graft.sink.EpochKeyedStore]]. [[queryLshIndex]] reads base +
+    * committed deltas; once the delta count exceeds `rebuildAfterDeltas`,
+    * the union is folded into a fresh full version (O(corpus), amortized
+    * to O(corpus / rebuildAfterDeltas) per append) and retention sweeps
+    * the delta-carrying version in due course.
+    *
+    * Caller contract: appended vec_ids are NEW (an id re-appended would
+    * surface twice — dedupe upstream, e.g. via the dedup stream's ledger).
+    * With no committed version yet, the append IS the first full build.
+    */
+  def appendToLshIndex(embeddings: DataFrame, dir: String,
+                       rebuildAfterDeltas: Int = 8): Unit = {
+    val spark = embeddings.sparkSession
+    indexVersions(spark, dir, committedOnly = true).lastOption match {
+      case None => buildLshIndex(embeddings, dir)
+      case Some((_, vdir)) =>
+        val meta = spark.read.parquet(s"$vdir/meta").head()
+        val (numPlanes, numTables, dim) =
+          (meta.getAs[Int]("num_planes"), meta.getAs[Int]("num_tables"), meta.getAs[Int]("dim"))
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val layout = new graft.sink.EpochLayout("epoch=")
+        val deltaRoot = new org.apache.hadoop.fs.Path(s"$vdir/delta")
+        val edir = s"$vdir/delta/${layout.dirName(layout.next(fs, Seq(deltaRoot)))}"
+        val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+          .withColumn("norm", l2norm(col("v")))
+        base.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$edir/vectors")
+        tableBuckets(base, "v", numPlanes, numTables, dim)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("table", "bucket").parquet(s"$edir/buckets")
+        layout.commit(fs, new org.apache.hadoop.fs.Path(edir))
+        if (layout.list(fs, deltaRoot).count(_._3) > rebuildAfterDeltas)
+          writeVersion(indexMembers(spark, vdir)._1, dir, numPlanes, numTables, dim)
+    }
+  }
+
+  /** (vectors, buckets) of one version: its base plus every committed
+    * delta epoch appended since — both unioned member-wise, so the bucket
+    * side keeps its per-member (table, bucket) partition pruning. */
+  private def indexMembers(spark: org.apache.spark.sql.SparkSession,
+                           vdir: String): (DataFrame, DataFrame) = {
+    val fs = new org.apache.hadoop.fs.Path(vdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val layout = new graft.sink.EpochLayout("epoch=")
+    val deltas = layout.list(fs, new org.apache.hadoop.fs.Path(s"$vdir/delta"))
+      .filter(_._3).map(_._2.toString)
+    val vectors = (spark.read.parquet(s"$vdir/vectors") +:
+      deltas.map(d => spark.read.parquet(s"$d/vectors"))).reduce(_ unionByName _)
+    val buckets = (spark.read.parquet(s"$vdir/buckets") +:
+      deltas.map(d => spark.read.parquet(s"$d/buckets"))).reduce(_ unionByName _)
+    (vectors, buckets)
   }
 
   private def indexVersions(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -217,8 +286,7 @@ object Similarity {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (numPlanes, numTables, dim) =
       (meta.getAs[Int]("num_planes"), meta.getAs[Int]("num_tables"), meta.getAs[Int]("dim"))
-    val buckets = spark.read.parquet(s"$dir/buckets")
-    val vectors = spark.read.parquet(s"$dir/vectors")
+    val (vectors, buckets) = indexMembers(spark, dir) // base + committed deltas
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
       .withColumn("qnorm", l2norm(col("qv")))
     val qb = tableBuckets(q.withColumnRenamed("query_id", "vec_id"), "qv",

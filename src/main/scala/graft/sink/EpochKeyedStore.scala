@@ -72,13 +72,24 @@ import org.apache.spark.sql.functions._
   *   key, different extension value across epochs) at write time instead
   *   of as silent duplicate survivors. One extra aggregation per upsert;
   *   leave off in production
+  * @param deferCompaction decouple compaction from the write path: writes
+  *   NEVER fold (no write-blocking stall however large the fold grows);
+  *   instead the owner calls [[maintain]] between batches, which runs the
+  *   fold on a background thread while reads keep serving the old
+  *   committed epochs, and publishes/sweeps at the next quiescent point.
+  *   The LSM posture — the reference never blocks its write path on
+  *   maintenance either (write_pipeline.py:120-137 decouples via the
+  *   consumer thread). Requires a LONG-LIVED store instance (the in-flight
+  *   fold handle lives on it; constructing a fresh instance per batch
+  *   could start overlapping folds) and an owner that calls `maintain`
   */
 final class EpochKeyedStore(dir: String,
                             mergeKeys: Seq[String],
                             partitionCols: Seq[String] = Nil,
                             compactAfterDeltas: Int = 16,
                             coalesceTo: Option[Int] = Some(1),
-                            verifyMergeDependency: Boolean = false) extends KeyedStore {
+                            verifyMergeDependency: Boolean = false,
+                            deferCompaction: Boolean = false) extends KeyedStore {
   require(mergeKeys.nonEmpty, "EpochKeyedStore needs at least one merge key")
   require(partitionCols.forall(mergeKeys.contains),
     s"partitionCols ${partitionCols.mkString(",")} must be covered by mergeKeys " +
@@ -131,27 +142,43 @@ final class EpochKeyedStore(dir: String,
     }
   }
 
-  override def read(spark: SparkSession): Option[DataFrame] = {
-    val f = fs(spark)
+  /** The committed members visible at one listing instant: the newest
+    * committed base, the committed deltas above it, the legacy tier.
+    * [[foldOnce]] folds exactly one snapshot, so deltas committed WHILE a
+    * background fold runs are simply not in it — they carry higher epoch
+    * numbers, stay above the published base, and keep winning the merge.
+    */
+  private final case class Snapshot(base: Option[(Long, Path)],
+                                    deltas: Seq[(Long, Path)],
+                                    legacy: Seq[Path]) {
+    def isEmpty: Boolean = base.isEmpty && deltas.isEmpty && legacy.isEmpty
+  }
+
+  private def snapshot(f: FileSystem): Snapshot = {
     val bases = listEpochs(f, "base").filter(_._3)
-    val baseOpt = bases.lastOption.filter(b => validMember(f, b._2))
+    val baseOpt = bases.lastOption.filter(b => validMember(f, b._2)).map(b => (b._1, b._2))
     val floor = bases.lastOption.map(_._1).getOrElse(-1L)
     val deltas = listEpochs(f, "delta")
       .filter(d => d._3 && d._1 > floor && validMember(f, d._2))
-    val legacy = legacyPaths(f).filter(p => layout.dataFileCount(f, p) > 0)
+      .map(d => (d._1, d._2))
+    Snapshot(baseOpt, deltas, legacyPaths(f).filter(p => layout.dataFileCount(f, p) > 0))
+  }
+
+  /** Newest-wins merge over one snapshot's members. */
+  private def mergedFrom(spark: SparkSession, snap: Snapshot): Option[DataFrame] = {
     val members = Seq.newBuilder[DataFrame]
     // legacy tier = epoch 0; a committed base always supersedes it per key
     // (the base folded it in), so including both is crash-safe, never wrong
-    if (legacy.nonEmpty)
+    if (snap.legacy.nonEmpty)
       members += spark.read.option("basePath", dir)
-        .parquet(legacy.map(_.toString): _*)
+        .parquet(snap.legacy.map(_.toString): _*)
         .withColumn("__epoch", lit(0L))
-    baseOpt.foreach { case (n, p, _) =>
+    snap.base.foreach { case (n, p) =>
       members += spark.read.parquet(p.toString).withColumn("__epoch", lit(n))
     }
-    if (deltas.nonEmpty)
+    if (snap.deltas.nonEmpty)
       members += spark.read.option("basePath", s"$dir/delta")
-        .parquet(deltas.map(_._2.toString): _*)
+        .parquet(snap.deltas.map(_._2.toString): _*)
         .withColumn("__epoch", col("epoch").cast("long")).drop("epoch")
     val parts = members.result()
     if (parts.isEmpty) None
@@ -164,6 +191,9 @@ final class EpochKeyedStore(dir: String,
         .drop("__rn", "__epoch"))
     }
   }
+
+  override def read(spark: SparkSession): Option[DataFrame] =
+    mergedFrom(spark, snapshot(fs(spark)))
 
   private def nextEpoch(f: FileSystem): Long =
     layout.next(f, Seq(new Path(s"$dir/base"), new Path(s"$dir/delta")))
@@ -210,11 +240,15 @@ final class EpochKeyedStore(dir: String,
     if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*).parquet(target.toString)
     else w.parquet(target.toString)
     layout.commit(f, target, recordFileCount = true)
+    if (!deferCompaction && foldDue(f)) compact(spark)
+    target
+  }
+
+  /** Delta tier over threshold, or a legacy layout awaiting its fold-in. */
+  private def foldDue(f: FileSystem): Boolean = {
     val floor = listEpochs(f, "base").filter(_._3).lastOption.map(_._1).getOrElse(-1L)
     val pending = listEpochs(f, "delta").count(d => d._3 && d._1 > floor)
-    if (pending > compactAfterDeltas || (legacyPaths(f).nonEmpty && pending > 0))
-      compact(spark)
-    target
+    pending > compactAfterDeltas || (legacyPaths(f).nonEmpty && pending > 0)
   }
 
   /** MERGE write: one delta, deduped within the batch on the caller's key
@@ -243,40 +277,121 @@ final class EpochKeyedStore(dir: String,
   /** Caller-proved-fresh rows: same write path, minus the in-batch dedup. */
   override def append(rows: DataFrame): Unit = writeDelta(rows)
 
-  /** Fold the current merged view into a new base epoch and sweep what it
-    * supersedes: older bases, folded deltas, legacy flat files, and
-    * crashed (uncommitted) stage dirs below the new epoch. Publication is
-    * the `_COMMIT` create, so readers switch atomically and a crash mid-
-    * sweep only leaves already-superseded directories for the next call to
-    * finish sweeping.
+  /** Fold one snapshot of the committed members into a staged base epoch
+    * and publish it with one `_COMMIT` create — NO sweep (the caller owns
+    * that; see [[compact]] and [[maintain]]). Returns the published (or
+    * already-published) base epoch, or -1 when the store is empty.
+    *
+    * Safe under a live write path: the target epoch `n` is fixed from a
+    * committed-epoch listing taken BEFORE the snapshot, so the snapshot
+    * can only contain MORE than the epochs ≤ n (commits are monotone and
+    * sweeps never run concurrently with a fold) — a delta that slips into
+    * the snapshot with epoch > n is folded in early but still wins the
+    * merge window above base n, so the result is identical either way.
+    * The reverse order would be a data-loss bug: a base published as n+1
+    * that never read delta n+1 would supersede it in every later read.
     */
-  def compact(spark: SparkSession): Unit = {
+  private def foldOnce(spark: SparkSession): Long = {
     val f = fs(spark)
     val committed = (listEpochs(f, "base") ++ listEpochs(f, "delta"))
       .filter(_._3).map(_._1)
-    val hasLegacy = legacyPaths(f).nonEmpty
-    if (committed.isEmpty && !hasLegacy) return
+    val snap = snapshot(f)
+    if (committed.isEmpty && snap.legacy.isEmpty) return -1L
     val n = if (committed.isEmpty) 1L else committed.max
     val current = listEpochs(f, "base").filter(_._3).lastOption
     if (current.exists(_._1 == n)) {
       // base n is already published — a previous compact crashed after
       // its _COMMIT but before the sweep. Everything ≤ n (and the legacy
-      // tier, which that base folded in) is superseded: finish the sweep,
-      // never rewrite the directory readers are on.
-      sweepBelow(f, n)
-      return
+      // tier, which that base folded in) is superseded: only the sweep
+      // remains; never rewrite the directory readers are on.
+      return n
     }
-    read(spark).foreach { merged =>
-      val target = new Path(s"$dir/base/${layout.dirName(n)}")
-      val shaped = coalesceTo.fold(merged)(merged.coalesce)
-      // Overwrite is safe here: compaction is the single writer's own
-      // maintenance step, and a crashed previous attempt at this epoch
-      // (uncommitted partial dir) should be replaced, not collided with
-      val w = shaped.write.mode(SaveMode.Overwrite)
-      if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*).parquet(target.toString)
-      else w.parquet(target.toString)
-      layout.commit(f, target, recordFileCount = true)
-      sweepBelow(f, n)
+    mergedFrom(spark, snap) match {
+      case None => -1L
+      case Some(merged) =>
+        val target = new Path(s"$dir/base/${layout.dirName(n)}")
+        val shaped = coalesceTo.fold(merged)(merged.coalesce)
+        // Overwrite is safe here: compaction is the single writer's own
+        // maintenance step, and a crashed previous attempt at this epoch
+        // (uncommitted partial dir) should be replaced, not collided with
+        val w = shaped.write.mode(SaveMode.Overwrite)
+        if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*).parquet(target.toString)
+        else w.parquet(target.toString)
+        layout.commit(f, target, recordFileCount = true)
+        n
+    }
+  }
+
+  /** Fold the current merged view into a new base epoch and sweep what it
+    * supersedes: older bases, folded deltas, legacy flat files, and
+    * crashed (uncommitted) stage dirs below the new epoch. Publication is
+    * the `_COMMIT` create, so readers switch atomically and a crash mid-
+    * sweep only leaves already-superseded directories for the next call to
+    * finish sweeping. Synchronous; drains any background fold first.
+    */
+  def compact(spark: SparkSession): Unit = {
+    awaitMaintenance(spark)
+    val n = foldOnce(spark)
+    if (n >= 0) sweepBelow(fs(spark), n)
+  }
+
+  /** At most one in-flight background fold (deferCompaction mode). */
+  private final class Fold {
+    @volatile var thread: Thread = _
+    @volatile var failure: Option[Throwable] = None
+    @volatile var published: Long = -1L
+  }
+  @volatile private var inFlight: Option[Fold] = None
+
+  /** Harvest a FINISHED background fold: clear the handle, rethrow its
+    * failure, sweep below its published base. The sweep runs only here —
+    * in the owner's thread, at a quiescent point — so no reader that
+    * planned against the old epochs (the fold itself, or the owner's
+    * previous batch) can still be executing when their files vanish.
+    */
+  private def harvest(spark: SparkSession, fold: Fold): Unit = {
+    inFlight = None
+    fold.failure.foreach(e => throw new IllegalStateException(
+      s"epoch store $dir: background compaction failed — the delta tier keeps " +
+        "accumulating (reads stay correct, just wider) until a fold succeeds", e))
+    if (fold.published >= 0) sweepBelow(fs(spark), fold.published)
+  }
+
+  /** Drain any in-flight background fold: block until it finishes, publish
+    * its sweep, rethrow its failure. The owner's clean-shutdown hook (and
+    * how [[compact]] serializes with the background path).
+    */
+  def awaitMaintenance(spark: SparkSession): Unit = synchronized {
+    inFlight.foreach { fold => fold.thread.join(); harvest(spark, fold) }
+  }
+
+  /** Owner-called maintenance step (deferCompaction mode), designed to sit
+    * AFTER each micro-batch commit: never blocks on fold work. If a
+    * background fold finished since the last call, publish its sweep; if
+    * one is still running, return immediately (reads keep serving the old
+    * committed epochs); otherwise start one when the delta tier is over
+    * threshold. The fold runs on a daemon thread owned by THIS instance —
+    * the single-writer contract is preserved because the same owner that
+    * writes deltas schedules the folds, and delta epochs allocated while a
+    * fold runs are always above the fold's target (see [[foldOnce]]).
+    */
+  override def maintain(spark: SparkSession): Unit = synchronized {
+    inFlight match {
+      case Some(fold) if fold.thread.isAlive => return
+      case Some(fold) => harvest(spark, fold)
+      case None => ()
+    }
+    if (foldDue(fs(spark))) {
+      val fold = new Fold
+      fold.thread = new Thread(() => {
+        try {
+          spark.sparkContext.setJobDescription(s"epoch store background compaction: $dir")
+          fold.published = foldOnce(spark)
+        } catch { case scala.util.control.NonFatal(e) => fold.failure = Some(e) }
+      }, s"graft-epoch-compact-${new Path(dir).getName}")
+      fold.thread.setDaemon(true)
+      fold.thread.start()
+      inFlight = Some(fold)
     }
   }
 

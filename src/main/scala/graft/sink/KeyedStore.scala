@@ -41,6 +41,14 @@ trait KeyedStore {
     * possibly-present keys breaks the store's key-uniqueness contract.
     */
   def append(rows: DataFrame): Unit
+
+  /** Owner-called maintenance hook, designed to sit BETWEEN batches — a
+    * quiescent point where no reader planned against the store's current
+    * files is still executing. Backends with deferred housekeeping
+    * (e.g. [[EpochKeyedStore]]'s background compaction) override it;
+    * the default is a no-op so dataflows can call it unconditionally.
+    */
+  def maintain(spark: SparkSession): Unit = ()
 }
 
 /** Parquet-append emulation of a keyed store.

@@ -227,4 +227,130 @@ object Multimodal {
       }
     }.toDF("media_id", "frame_index", "frame_payload")
   }
+
+  // ── audio modality: WAV container parse + PCM stats ──────────────────
+
+  final case class AudioRow(
+      media_id: Long,
+      format: String,
+      payload: Array[Byte],
+      declared_rate: Int,
+      declared_channels: Int)
+
+  final case class AudioFeatures(
+      media_id: Long,
+      format: String,
+      n_bytes: Long,
+      sample_rate: Int,
+      channels: Int,
+      frames: Long,
+      duration_sec: Double,
+      mean_abs: Double,
+      peak_abs: Double)
+
+  /** Fixture audio shape varies by id so every decoded header field is a
+    * real check, not a constant. */
+  def audioRate(id: Long): Int = (8000 + (id % 4) * 4000).toInt
+  def audioChannels(id: Long): Int = (1 + (id % 2)).toInt
+  def audioFrames(id: Long): Int = (50 + (id % 10) * 10).toInt
+
+  /** Signed-16-bit PCM amplitude stats over raw sample bytes:
+    * (sampleCount, mean |s|/32768 rounded 6dp, peak |s|/32768 rounded 6dp).
+    */
+  private def pcmStats(bytes: Array[Byte], bigEndian: Boolean): (Long, Double, Double) = {
+    val n = bytes.length / 2
+    var i = 0
+    var sumAbs = 0L
+    var peak = 0L
+    while (i < n) {
+      val b0 = bytes(2 * i)
+      val b1 = bytes(2 * i + 1)
+      val v = if (bigEndian) (b0 << 8) | (b1 & 0xff) else (b1 << 8) | (b0 & 0xff)
+      val a = math.abs(v.toLong)
+      sumAbs += a
+      if (a > peak) peak = a
+      i += 1
+    }
+    if (n == 0) (0L, 0.0, 0.0)
+    else (n.toLong,
+      round6(sumAbs.toDouble / (n.toDouble * 32768.0)),
+      round6(peak.toDouble / 32768.0))
+  }
+
+  /** Real WAV parse via the JDK's `javax.sound.sampled` (the WAVE reader
+    * ships with the JRE — no external codec dependency): header-decoded
+    * sample rate / channels / frame count plus amplitude stats over the
+    * PCM body. None when the payload is not a parseable 16-bit PCM WAV.
+    */
+  object AudioCodec {
+    import javax.sound.sampled.AudioSystem
+
+    def decode(payload: Array[Byte]): Option[(Int, Int, Long, Double, Double, Double)] =
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        try {
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16) None // engine contract: 16-bit PCM
+          else {
+            val channels = fmt.getChannels
+            val body = ais.readAllBytes()
+            val (samples, meanAbs, peakAbs) = pcmStats(body, fmt.isBigEndian)
+            val frames = samples / channels
+            val rate = fmt.getSampleRate.toInt
+            Some((rate, channels, frames,
+              round6(frames.toDouble / rate.toDouble), meanAbs, peakAbs))
+          }
+        } finally ais.close()
+        // the sound API throws UnsupportedAudioFileException and friends on
+        // malformed containers; the operator must stay total over a lake
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Build a synthetic audio table from the documents table: payload = a
+    * genuine RIFF/WAVE file (written by `AudioSystem.write`) whose 16-bit
+    * little-endian PCM body is [[pixelBytes]] of the text — so the decoded
+    * stats are exactly recomputable from the same md5 bytes in any engine,
+    * without a WAV parser (the q43 pattern, second modality).
+    */
+  def audioFromDocuments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) =>
+        val rate = audioRate(id)
+        val ch = audioChannels(id)
+        val frames = audioFrames(id)
+        val pcm = pixelBytes(text, frames * ch * 2)
+        val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false) // signed 16-bit LE
+        val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        AudioRow(id, "wav", bos.toByteArray, rate, ch)
+      }
+    }.toDF()
+  }
+
+  /** Batched per-partition audio feature extraction — same shape as
+    * [[extractFeatures]]: header fields + amplitude stats from the REAL
+    * WAV parse; unparseable payloads keep declared metadata with the raw
+    * bytes read as little-endian PCM, keeping the operator total.
+    */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.as[AudioRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ch, frames, dur, meanAbs, peakAbs) =
+          AudioCodec.decode(r.payload).getOrElse {
+            val ch = math.max(1, r.declared_channels)
+            val (samples, m, p) = pcmStats(r.payload, bigEndian = false)
+            val frames = samples / ch
+            (r.declared_rate, ch, frames,
+              if (r.declared_rate > 0) round6(frames.toDouble / r.declared_rate) else 0.0,
+              m, p)
+          }
+        AudioFeatures(r.media_id, r.format, r.payload.length.toLong,
+          rate, ch, frames, dur, meanAbs, peakAbs)
+      }
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 import graft.sink.{EpochKeyedStore, IdempotentSink, KeyedStore, ParquetKeyedStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -57,7 +57,13 @@ object DedupStream {
     * backend (parquet emulation ↔ a Delta/Iceberg-shaped upsert table)
     * does not touch the dataflow in [[processBatch]].
     */
-  final case class IndexStores(ids: KeyedStore, bands: KeyedStore, sigs: KeyedStore)
+  final case class IndexStores(ids: KeyedStore, bands: KeyedStore, sigs: KeyedStore) {
+    /** Between-batches maintenance pass over all three stores (no-op for
+      * backends without deferred housekeeping). */
+    def maintain(spark: SparkSession): Unit = {
+      ids.maintain(spark); bands.maintain(spark); sigs.maintain(spark)
+    }
+  }
 
   /** DEFAULT stores under `indexDir`: the durable true-upsert
     * [[EpochKeyedStore]] per table. The bands store's merge key extends
@@ -75,15 +81,24 @@ object DedupStream {
     * access pattern wants frequent small folds. Writes stay O(batch)
     * either way; the fold itself amortizes to O(corpus / k) per batch —
     * versus the parquet emulation's O(corpus) anti-join on EVERY batch.
+    *
+    * `deferCompaction` moves those folds OFF the write path entirely: the
+    * fold runs on a background thread between batches while reads serve
+    * the old committed epochs, so no micro-batch ever stalls on an
+    * O(corpus/k) fold (the 155 s cliff DedupScaleCheck measured at probe
+    * scale). Requires long-lived stores and a caller that invokes
+    * [[IndexStores.maintain]] after each batch — [[start]] does both.
     */
-  def epochStores(indexDir: String, compactAfterDeltas: Int = 6): IndexStores = IndexStores(
+  def epochStores(indexDir: String, compactAfterDeltas: Int = 6,
+                  deferCompaction: Boolean = false): IndexStores = IndexStores(
     ids = new EpochKeyedStore(s"$indexDir/ids", mergeKeys = Seq("doc_id"),
-      compactAfterDeltas = compactAfterDeltas),
+      compactAfterDeltas = compactAfterDeltas, deferCompaction = deferCompaction),
     bands = new EpochKeyedStore(s"$indexDir/bands",
       mergeKeys = Seq("doc_id", "band", "kb"), partitionCols = Seq("band", "kb"),
-      coalesceTo = None, compactAfterDeltas = compactAfterDeltas),
+      coalesceTo = None, compactAfterDeltas = compactAfterDeltas,
+      deferCompaction = deferCompaction),
     sigs = new EpochKeyedStore(s"$indexDir/sigs", mergeKeys = Seq("doc_id"),
-      compactAfterDeltas = compactAfterDeltas))
+      compactAfterDeltas = compactAfterDeltas, deferCompaction = deferCompaction))
 
   /** Plain parquet-append emulation stores — the pre-epoch layout; kept
     * for existing state roots and as the [[KeyedStore]] contract's
@@ -92,6 +107,41 @@ object DedupStream {
     ids = new ParquetKeyedStore(s"$indexDir/ids", coalesceTo = Some(1)),
     bands = new ParquetKeyedStore(s"$indexDir/bands", partitionCols = Seq("band", "kb")),
     sigs = new ParquetKeyedStore(s"$indexDir/sigs"))
+
+  /** Optional ingest-time decontamination gate: a document sharing any
+    * word `n`-gram with the benchmark/eval set is quarantined BEFORE its
+    * signatures are computed — it never reaches the index stores or the
+    * pair output (a real pipeline blocks contaminated docs at ingest, not
+    * in a later batch audit; [[graft.operators.TextAnalysis.contamination]]
+    * is that batch audit). The benchmark side's distinct shingles
+    * broadcast, so the gate adds no shuffle to the corpus side.
+    *
+    * @param benchmark the eval set (doc_id, text) — orders of magnitude
+    *   smaller than the corpus by assumption
+    * @param quarantineDir hits land here (doc columns + n_shared),
+    *   id-deduped so a replayed batch re-quarantines idempotently
+    * @param systemLogDir when set, each batch with hits logs a WARNING
+    *   row (`quarantined=<n>`) to this event-log dir
+    */
+  final case class ContaminationGate(benchmark: DataFrame,
+                                     quarantineDir: String,
+                                     n: Int = 8,
+                                     systemLogDir: Option[String] = None)
+
+  /** Apply the gate: quarantine hits, return the clean remainder. */
+  private def decontaminate(fresh: DataFrame, g: ContaminationGate): DataFrame = {
+    val hits = TextAnalysis.contamination(fresh, g.benchmark, g.n) // (doc_id, n_shared)
+    val quarantined = IdempotentSink.appendDedup(
+      fresh.join(hits, Seq("doc_id"))
+        .withColumn("id", col("doc_id").cast("string")),
+      g.quarantineDir)
+    if (quarantined > 0) g.systemLogDir.foreach { d =>
+      IdempotentSink.logEvents(fresh.sparkSession, d, Seq((
+        java.time.Instant.now.toString, "WARNING", "decontamination_gate", "-",
+        s"quarantined=$quarantined dir=${g.quarantineDir}")))
+    }
+    fresh.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+  }
 
   private def antiJoin(rows: DataFrame, existing: Option[DataFrame],
                        keys: Seq[String]): DataFrame =
@@ -123,6 +173,11 @@ object DedupStream {
                                   threshold: Double): Long =
     processBatch(batch, epochStores(indexDir), pairsDir, n, numPerms, bands, threshold)
 
+  private[graft] def processBatch(batch: DataFrame, stores: IndexStores, pairsDir: String,
+                                  n: Int, numPerms: Int, bands: Int,
+                                  threshold: Double): Long =
+    processBatch(batch, stores, pairsDir, n, numPerms, bands, threshold, gate = None)
+
   /** Process one batch of new documents against the persisted index.
     * Returns the number of new near-dup pairs written. Package-visible so
     * the spec can drive it without a streaming harness — and backend-
@@ -131,12 +186,17 @@ object DedupStream {
     */
   private[graft] def processBatch(batch: DataFrame, stores: IndexStores, pairsDir: String,
                                   n: Int, numPerms: Int, bands: Int,
-                                  threshold: Double): Long = {
+                                  threshold: Double,
+                                  gate: Option[ContaminationGate]): Long = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val spark = batch.sparkSession
     // replay fast-path: docs in the id ledger are fully indexed — skip them
     // before computing anything (the ledger is doc_id-only, never the sigs)
-    val fresh = antiJoin(batch, stores.ids.read(spark), Seq("doc_id"))
+    val seen = antiJoin(batch, stores.ids.read(spark), Seq("doc_id"))
+    // the gate runs AFTER the replay check (quarantine writes are id-deduped
+    // anyway, but no point rehashing docs the ledger already admitted) and
+    // BEFORE signatures: a contaminated doc never reaches index or pairs
+    val fresh = gate.fold(seen)(decontaminate(seen, _))
     val newSigs = Dedup.minhashSignatures(fresh, n, numPerms)
       .repartition(col("doc_id")).cache()
     try {
@@ -195,10 +255,20 @@ object DedupStream {
   }
 
   /** Wire the incremental dedup onto a document stream
-    * (columns: doc_id long, text string). */
+    * (columns: doc_id long, text string).
+    *
+    * Index compaction is DEFERRED here: the stores are built once (long-
+    * lived, holding the in-flight fold handle) and `maintain` runs after
+    * every batch — including empty ones, which are perfect quiescent
+    * points to publish a finished fold's sweep. The write path never
+    * folds, so batch latency stays O(batch) even while an O(corpus/k)
+    * fold is running alongside.
+    */
   def start(docs: DataFrame, indexDir: String, pairsDir: String, checkpointDir: String,
             n: Int = 5, numPerms: Int = 64, bands: Int = 16,
-            threshold: Double = 0.5): StreamingQuery =
+            threshold: Double = 0.5,
+            gate: Option[ContaminationGate] = None): StreamingQuery = {
+    val stores = epochStores(indexDir, deferCompaction = true)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -208,10 +278,12 @@ object DedupStream {
         val batch = b.persist()
         try {
           if (!batch.isEmpty) {
-            processBatch(batch, indexDir, pairsDir, n, numPerms, bands, threshold)
+            processBatch(batch, stores, pairsDir, n, numPerms, bands, threshold, gate)
             ()
           }
         } finally { batch.unpersist(); () }
+        stores.maintain(batch.sparkSession)
       }
       .start()
+  }
 }

@@ -315,6 +315,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/v1/_COMMIT").exists())
   }
 
+  test("incremental index appends serve exactly a fresh full build on the union; crashed appends stay invisible") {
+    def mk(ids: Range) = ids.map { i =>
+      val arr = Array.fill(8)(0f); arr(i % 8) = 1f; arr((i + 3) % 8) = 0.5f
+      (i.toLong, arr)
+    }
+    val (a, b, c) = (mk(0 to 15), mk(16 to 25), mk(26 to 35))
+    val q99 = Seq((99L, a.head._2)).toDF("vec_id", "embedding")
+    def rows(root: String) = graft.operators.Similarity
+      .queryLshIndex(spark, root, q99, k = 5)
+      .select("query_id", "neighbor_id", "cosine", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx3").toString + "/index"
+    graft.operators.Similarity.buildLshIndex(a.toDF("vec_id", "embedding"), dir,
+      numPlanes = 6, numTables = 6, dim = 8)
+    graft.operators.Similarity.appendToLshIndex(b.toDF("vec_id", "embedding"), dir)
+    graft.operators.Similarity.appendToLshIndex(c.toDF("vec_id", "embedding"), dir)
+    // still serving v1, now with two committed delta epochs inside it
+    val vdir = graft.operators.Similarity.currentIndexDir(spark, dir).stripPrefix("file:")
+    assert(vdir.endsWith("/v1"))
+    assert(new java.io.File(s"$vdir/delta").listFiles().count(_.isDirectory) === 2)
+    val incremental = rows(dir)
+    assert(incremental.nonEmpty)
+    // a fresh FULL build over the union answers identically (same planes)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-lshidx4").toString + "/index"
+    graft.operators.Similarity.buildLshIndex((a ++ b ++ c).toDF("vec_id", "embedding"),
+      dir2, numPlanes = 6, numTables = 6, dim = 8)
+    assert(incremental === rows(dir2))
+    // crash between the delta write and its _COMMIT: the uncommitted epoch
+    // is invisible and the index keeps serving the pre-append answers
+    Seq((999L, a.head._2)).toDF("vec_id", "embedding")
+      .write.parquet(s"$vdir/delta/epoch=9/vectors")
+    assert(rows(dir) === incremental)
+    // crossing the rebuild threshold folds base+deltas into a fresh full
+    // version (inheriting v1's hash family), and answers do not move
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-lshidx5").toString + "/index"
+    graft.operators.Similarity.buildLshIndex(a.toDF("vec_id", "embedding"), dir3,
+      numPlanes = 6, numTables = 6, dim = 8)
+    graft.operators.Similarity.appendToLshIndex(b.toDF("vec_id", "embedding"), dir3,
+      rebuildAfterDeltas = 1)
+    graft.operators.Similarity.appendToLshIndex(c.toDF("vec_id", "embedding"), dir3,
+      rebuildAfterDeltas = 1)
+    assert(graft.operators.Similarity.currentIndexDir(spark, dir3).endsWith("/v2"))
+    assert(rows(dir3) === incremental)
+  }
+
   test("winnowing fingerprints: shared substrings collide, guarantee holds") {
     val f = TextAnalysis.winnowingFingerprints(docs)
       .select("doc_id", "fingerprints").as[(Long, Seq[Long])].collect().toMap

@@ -136,6 +136,45 @@ class DedupStreamSpec extends AnyFunSuite {
       n = 5, numPerms = 64, bands = 16, threshold = 0.3) === 0L)
   }
 
+  test("decontamination gate: hits are quarantined, never indexed, and the replay is a no-op") {
+    val root = Files.createTempDirectory("graft-dgate").toString
+    val stores = DedupStream.epochStores(s"$root/index")
+    val benchSpan = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = batch(100L -> s"benchmark question text $benchSpan with answer choices")
+    val contaminated = s"leading words then $benchSpan trailing tail words"
+    val gate = DedupStream.ContaminationGate(bench, s"$root/quarantine",
+      systemLogDir = Some(s"$root/syslog"))
+    val w = DedupStream.processBatch(
+      batch(1L -> base, 2L -> nearDup, 9L -> contaminated),
+      stores, s"$root/pairs", n = 5, numPerms = 64, bands = 16, threshold = 0.3,
+      gate = Some(gate))
+    // the clean near-dup pair still lands; the contaminated doc is out
+    assert(w === 1L)
+    assert(spark.read.parquet(s"$root/pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+    // quarantined with its overlap count, and excluded from EVERY index table
+    val quarantine = spark.read.parquet(s"$root/quarantine")
+    assert(quarantine.select("doc_id").as[Long].collect().toSeq === Seq(9L))
+    assert(quarantine.select("n_shared").as[Long].head() === 1L)
+    assert(stores.ids.read(spark).get.as[Long].collect().toSet === Set(1L, 2L))
+    assert(stores.sigs.read(spark).get.select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(stores.bands.read(spark).get.where($"doc_id" === 9L).count() === 0L)
+    // the gate's WARNING row landed in the system log
+    val log = spark.read.parquet(s"$root/syslog")
+    assert(log.where($"event" === "decontamination_gate").count() === 1L)
+    assert(log.where($"event" === "decontamination_gate")
+      .select("details").as[String].head().contains("quarantined=1"))
+    // replay (checkpoint recovery): indexed docs skip via the ledger; the
+    // contaminated doc re-gates onto the id-deduped quarantine — no-op
+    val w2 = DedupStream.processBatch(
+      batch(1L -> base, 2L -> nearDup, 9L -> contaminated),
+      stores, s"$root/pairs", n = 5, numPerms = 64, bands = 16, threshold = 0.3,
+      gate = Some(gate))
+    assert(w2 === 0L)
+    assert(spark.read.parquet(s"$root/quarantine").count() === 1L)
+    assert(spark.read.parquet(s"$root/pairs").count() === 1L)
+  }
+
   test("in-memory keyed store: the NEW row wins a key collision") {
     val s = new graft.sink.InMemoryKeyedStore
     s.upsert(Seq((1L, "v1")).toDF("k", "v"), Seq("k"))

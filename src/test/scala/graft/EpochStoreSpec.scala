@@ -210,6 +210,70 @@ class EpochStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("deferred compaction: writes never fold; maintain folds in the background while reads serve old epochs") {
+    val dir = tmp()
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"), compactAfterDeltas = 2,
+      deferCompaction = true)
+    (1 to 5).foreach(i => s.upsert(Seq((i.toLong, s"v$i")).toDF("k", "v"), Seq("k")))
+    // inline mode would have folded at the 3rd delta; the deferred write
+    // path NEVER does — that is the decoupling (no fold stall in a batch)
+    assert(baseDirs(dir).isEmpty && deltaDirs(dir).length === 5)
+    s.maintain(spark) // starts the background fold
+    // reads stay correct while the fold runs: old committed epochs serve
+    assert(s.read(spark).get.count() === 5L)
+    // a write racing the fold lands above the fold's target epoch, so it
+    // wins the merge whether or not the fold's snapshot caught it
+    s.upsert(Seq((1L, "v1b"), (6L, "v6")).toDF("k", "v"), Seq("k"))
+    s.awaitMaintenance(spark) // drain the fold, publish its sweep
+    assert(baseDirs(dir).nonEmpty)
+    assert(s.read(spark).get.as[(Long, String)].collect().toMap ===
+      Map(1L -> "v1b", 2L -> "v2", 3L -> "v3", 4L -> "v4", 5L -> "v5", 6L -> "v6"))
+  }
+
+  test("a crash mid-fold leaves an uncommitted staged base: reads ignore it, the next compact recovers") {
+    val dir = tmp()
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"), compactAfterDeltas = 99)
+    (1 to 3).foreach(i => s.upsert(Seq((i.toLong, s"v$i")).toDF("k", "v"), Seq("k")))
+    // simulate a fold killed between its parquet write and its _COMMIT:
+    // a staged base dir holding (stale) data but no marker
+    Seq((1L, "stale"), (9L, "ghost")).toDF("k", "v").write.parquet(s"$dir/base/epoch=3")
+    assert(s.read(spark).get.as[(Long, String)].collect().toMap ===
+      Map(1L -> "v1", 2L -> "v2", 3L -> "v3")) // old epochs still serve
+    s.compact(spark) // Overwrites the crashed attempt, publishes, sweeps
+    assert(baseDirs(dir) === Array("epoch=3") && deltaDirs(dir).isEmpty)
+    assert(s.read(spark).get.as[(Long, String)].collect().toMap ===
+      Map(1L -> "v1", 2L -> "v2", 3L -> "v3"))
+  }
+
+  test("deferred-compaction soak: model equivalence across fold cycles, delta tier stays bounded") {
+    import graft.sink.InMemoryKeyedStore
+    val rnd = new scala.util.Random(23)
+    val dir = tmp()
+    // compactAfterDeltas=3 over 10 ops: several background folds run
+    // CONCURRENTLY with later upserts/reads — the spec-scale version of
+    // DedupScaleCheck's bounded saw-tooth, locked against regressions
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"), compactAfterDeltas = 3,
+      deferCompaction = true)
+    val m = new InMemoryKeyedStore
+    for (op <- 1 to 10) {
+      val batch = Seq.fill(rnd.nextInt(5) + 1)(rnd.nextInt(10).toLong).distinct
+        .map(k => (k, s"v$op-$k"))
+      val df = batch.toDF("k", "v")
+      s.upsert(df, Seq("k")); m.upsert(df, Seq("k"))
+      s.maintain(spark)
+      assert(s.read(spark).get.as[(Long, String)].collect().toSet ===
+        m.read(spark).get.as[(Long, String)].collect().toSet, s"diverged after op $op")
+    }
+    s.awaitMaintenance(spark)
+    // folds actually happened off the write path, and the delta tier is
+    // bounded by one fold cycle's accumulation — not the whole history
+    assert(baseDirs(dir).nonEmpty, "no background fold ever published")
+    assert(deltaDirs(dir).length <= 8,
+      s"delta tier grew unbounded: ${deltaDirs(dir).length} deltas after draining")
+    assert(s.read(spark).get.as[(Long, String)].collect().toSet ===
+      m.read(spark).get.as[(Long, String)].collect().toSet)
+  }
+
   test("mergeKeys must cover partitionCols and upsert keys") {
     intercept[IllegalArgumentException] {
       new EpochKeyedStore("/tmp/x", mergeKeys = Seq("a"), partitionCols = Seq("b"))

@@ -121,6 +121,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(((w >> 24) & 0xff) > 200 && ((w >> 16) & 0xff) > 200)
   }
 
+  test("fixture WAVs decode back to the md5-derived PCM stats") {
+    val media = Multimodal.audioFromDocuments(docs)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val feats = Multimodal.extractAudioFeatures(media).collect().sortBy(_.media_id)
+    val texts = Map(0L -> "a" * 200, 1L -> "b" * 130, 2L -> "mixed content 123")
+    assert(feats.length === 3)
+    feats.foreach { f =>
+      val id = f.media_id
+      val (rate, ch, frames) =
+        (Multimodal.audioRate(id), Multimodal.audioChannels(id), Multimodal.audioFrames(id))
+      assert(f.format === "wav")
+      // header fields survive the real RIFF/WAVE round-trip
+      assert(f.sample_rate === rate)
+      assert(f.channels === ch)
+      assert(f.frames === frames.toLong)
+      assert(f.n_bytes > (frames * ch * 2).toLong) // container header on top of PCM
+      assert(f.duration_sec === BigDecimal(frames.toDouble / rate)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // PCM stats recomputed independently from the same md5 bytes, as
+      // signed 16-bit little-endian samples — proves the body is lossless
+      val pcm = Multimodal.pixelBytes(texts(id), frames * ch * 2)
+      val samples = pcm.grouped(2).map { p =>
+        ((p(1) << 8) | (p(0) & 0xff)).toShort.toInt
+      }.toSeq
+      val expMean = BigDecimal(samples.map(s => math.abs(s.toLong)).sum.toDouble /
+          (samples.size.toDouble * 32768.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expPeak = BigDecimal(samples.map(s => math.abs(s.toLong)).max.toDouble / 32768.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(f.mean_abs === expMean)
+      assert(f.peak_abs === expPeak)
+    }
+  }
+
+  test("AudioCodec parses a hand-built WAV; rejects non-audio bytes; fallback keeps totality") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 4 frames of stereo 16-bit LE: L/R pairs (100,-100), (32767,-32768), ...
+    val samples = Array[Short](100, -100, 32767, -32768, 0, 1000, -2000, 5)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(16000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 4L),
+      AudioFileFormat.Type.WAVE, bos)
+    val Some((rate, ch, frames, dur, meanAbs, peakAbs)) =
+      Multimodal.AudioCodec.decode(bos.toByteArray)
+    assert((rate, ch, frames) === (16000, 2, 4L))
+    assert(dur === BigDecimal(4.0 / 16000.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(peakAbs === 1.0) // |-32768| / 32768
+    val expMean = BigDecimal(samples.map(s => math.abs(s.toLong)).sum.toDouble /
+        (8 * 32768.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(meanAbs === expMean)
+    assert(Multimodal.AudioCodec.decode("not a wav".getBytes).isEmpty)
+    // unparseable payload: declared metadata + raw-bytes-as-PCM fallback
+    val f = Multimodal.extractAudioFeatures(
+      Seq(Multimodal.AudioRow(7L, "mp3", Array[Byte](1, 2, 3, 4), 8000, 2)).toDF())
+      .collect().head
+    assert((f.sample_rate, f.channels, f.frames) === (8000, 2, 1L))
+    assert(f.n_bytes === 4L)
+  }
+
   test("frame sampling emits every stride-th fixed-size chunk") {
     val media = Multimodal.fromDocuments(docs)
     val payloadLen = media.where($"media_id" === 0L)

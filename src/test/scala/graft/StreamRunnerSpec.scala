@@ -18,6 +18,13 @@ import scala.util.Random
   * supervision ladder's backoff — the assembled analog of main.py:107-273.
   * Own session: the runner itself must configure the RocksDB provider.
   */
+object StreamRunnerSpec {
+  /** One-shot fault trap for the crash-injection case: shared JVM-static
+    * state so the executor-side closure (local mode, same JVM) and the
+    * test body see the same flag. */
+  val poisonArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class StreamRunnerSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -175,6 +182,91 @@ class StreamRunnerSpec extends AnyFunSuite {
       spark.conf.set(key, "com.example.CustomProvider")
       intercept[IllegalStateException] { StreamRunner.configureStateStore(spark) }
     } finally spark.conf.set(key, prev)
+  }
+
+  test("crash injection: a poisoned mid-run batch fails the query; supervision recovers byte-identically") {
+    val root = Files.createTempDirectory("graft-runner-crash").toString
+    val dim = instruments.toDS()
+    val cal = TradingCalendar.load(spark, writeCalendar(root))
+    val day1 = syntheticDay("2026-02-02")
+    // sentinel past the close flushes the last in-session windows; its own
+    // window never finalizes (append mode), so it adds no sink row
+    val sentinel = Seq(("2885", Some(2000.0),
+      Timestamp.valueOf("2026-02-02 10:40:01"), 999999L))
+
+    // no-fault truth for byte-identity
+    val batchSink = s"$root/batch_sink"
+    graft.app.BatchReplay.run(
+      day1.toDF("tk", "ltp", "exchange_timestamp", "seq"), dim, batchSink, "x")
+    val want = sinkRows(batchSink)
+
+    val srcDir = s"$root/src"
+    val cfg = StreamRunner.Config(s"$root/sink", s"$root/dead", s"$root/ckpt",
+      s"$root/system_log", numShards = 2)
+    val alerts = graft.streaming.Alerts.buffered(spark, cfg.systemLogDir)
+    val runners = new java.util.concurrent.CopyOnWriteArrayList[StreamRunner.Running]()
+    val mk: () => StreamRunner.Running = () => {
+      val raw = graft.ingest.TickIngest.ingest(
+        spark.readStream.schema(srcSchema).parquet(srcDir), dim)
+      // the poisoned row: the first tick processed while the trap is armed
+      // throws INSIDE the micro-batch (task failure → query failure); the
+      // trap disarms itself, so the checkpoint replay of the same batch
+      // succeeds — a one-shot mid-batch fault, not a permanently bad row
+      val ticks = raw.filter((r: org.apache.spark.sql.Row) => {
+        if (StreamRunnerSpec.poisonArmed.compareAndSet(true, false))
+          throw new RuntimeException("poisoned row: injected mid-batch fault")
+        r != null
+      })
+      val candles = StreamingPipeline.ohlcCandles(ticks, tsCol = "event_ts",
+        symCol = "symbol", priceCol = "ltp", seqCol = "seq", watermarkDelay = "1 seconds")
+      val r = StreamRunner.start(candles, instruments.map(_.symbol), cal, cfg)
+      runners.add(r)
+      r
+    }
+
+    val (first, rest) = day1.splitAt(day1.length / 2)
+    first.toDF("tk", "ltp", "exchange_timestamp", "seq")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val policy = RetryPolicy.Config(baseDelayMs = 1L, maxAttempts = 5)
+    @volatile var outcome: StreamRunner.Outcome = null
+    val t = new Thread(() => {
+      outcome = StreamRunner.supervise(mk, policy, _ => (), Some(alerts))
+    })
+    t.start()
+    val deadline = System.currentTimeMillis() + 30000
+    while (runners.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(!runners.isEmpty, "supervised query never started")
+    runners.get(0).query.processAllAvailable() // first half lands cleanly
+
+    // arm the trap, then deliver the rest: the next micro-batch dies mid-run
+    StreamRunnerSpec.poisonArmed.set(true)
+    (rest ++ sentinel).toDF("tk", "ltp", "exchange_timestamp", "seq")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val deadline2 = System.currentTimeMillis() + 60000
+    while (runners.size() < 2 && System.currentTimeMillis() < deadline2) Thread.sleep(100)
+    assert(runners.size() === 2, "supervision never restarted the failed query")
+    val r2 = runners.get(1)
+    r2.query.processAllAvailable()
+    r2.query.stop() // clean stop → supervise completes
+    t.join(30000)
+    assert(outcome === StreamRunner.Completed(1))
+    assert(!StreamRunnerSpec.poisonArmed.get()) // the fault really fired
+
+    // no lost window, no duplicate ids: byte-identical to the no-fault run
+    val got = sinkRows(s"$root/sink")
+    assert(got === want,
+      s"fault+recovery != batch truth: missing ${(want -- got).take(2)}, extra ${(got -- want).take(2)}")
+    val ids = spark.read.parquet(s"$root/sink").select("id").as[String].collect()
+    assert(ids.length === ids.distinct.length)
+    // the cross-attempt channel logged the restart (WARNING at attempt 1
+    // per RetryPolicy.alertFor) and the post-restart recovery row
+    val log = spark.read.parquet(cfg.systemLogDir)
+    val restarts = log.where($"event" === "supervise_restart")
+      .select("level", "details").collect()
+    assert(restarts.length === 1)
+    assert(restarts.head.getString(0) === "WARNING")
+    assert(restarts.head.getString(1).contains("attempt=1"))
+    assert(log.where($"event" === "supervise_recovered").count() === 1L)
   }
 
   test("supervision: failed starts back off per the ladder, clean stop completes") {
