@@ -122,15 +122,14 @@ object ScaleCheck {
       .where(pmod(col("doc_id"), lit(7)) === 0)
     val contaminationPlan = graft.operators.TextAnalysis.contamination(docs, bench)
     val contaminationExplained = contaminationPlan.queryExecution.executedPlan.toString
-    val corpusExchanges =
-      // exchanges below the broadcast-build side are expected (bench agg);
-      // count exchanges that move CORPUS-scale rows: those above the
-      // BroadcastHashJoin's streamed side up to the final agg
+    val hashExchanges =
       contaminationExplained.linesIterator.count(_.contains("Exchange hashpartitioning"))
     time(s"decontamination over $nDocs docs (bench=unscaled/7)")(
       contaminationPlan.count())
-    println(s"[scale] decontamination plan: $corpusExchanges hash exchanges " +
-      "(expect 1: the per-doc count agg; the corpus->join path itself is broadcast, no shuffle)")
+    println(s"[scale] decontamination plan: $hashExchanges hash exchanges " +
+      "(expect 2: the bench-side distinct under the broadcast build — benchmark-sized — " +
+      "and the per-doc count agg of JOIN HITS; the corpus scan reaches the " +
+      "BroadcastHashJoin with zero exchanges, so the corpus side never shuffles)")
     // vocab top-k: explode + hash agg + TakeOrderedAndProject — the top-k
     // must never become a full sort at scale
     val vocabPlan = graft.operators.TextAnalysis.vocab(docs)
