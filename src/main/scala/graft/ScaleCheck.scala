@@ -137,6 +137,17 @@ object ScaleCheck {
       .contains("TakeOrderedAndProject")
     time(s"vocab top-100 over $nDocs docs")(vocabPlan.count())
     println(s"[scale] vocab plan: TakeOrderedAndProject=$hasTakeOrdered (full Sort would be a regression)")
+    // the r6 additions (q60-q63): all single-scan column ops — must stay
+    // linear with zero shuffles
+    time(s"PII scan over $nDocs docs")(
+      graft.operators.TextAnalysis.piiScan(docs).count())
+    time(s"PII redaction over $nDocs docs")(
+      graft.operators.TextAnalysis.redactPii(docs)
+        .write.format("noop").mode("overwrite").save())
+    time(s"chunking 64/48 over $nDocs docs")(
+      graft.operators.TextAnalysis.chunkDocs(docs).count())
+    time(s"hash split over $nDocs docs")(
+      graft.operators.TextAnalysis.hashSplit(docs).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

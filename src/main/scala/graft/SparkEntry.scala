@@ -465,7 +465,34 @@ object SparkEntry {
         .select(col("media_id"), col("format"), col("sample_rate"), col("channels"),
           col("frames"), col("duration_sec"), col("mean_abs"), col("peak_abs"))
         .orderBy("media_id")),
+    // the synthetic corpus carries no natural PII, so the fixture plants
+    // deterministic id-derived PII spans in-plan (the q43/q59 pattern) and
+    // the oracle plants the same spans in SQL — the scan/redaction regexes
+    // themselves are then genuinely cross-checked against DuckDB's RE2
+    "q60_pii_scan" -> ((s, dir) =>
+      TextAnalysis.piiScan(piiDecorated(Tables.documents(s, dir))).orderBy("doc_id")),
+    "q61_chunking" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, dir)).orderBy("doc_id", "chunk_id")),
+    "q62_hash_split" -> ((s, dir) =>
+      TextAnalysis.hashSplit(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q63_pii_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(piiDecorated(Tables.documents(s, dir))).orderBy("doc_id")),
   )
+
+  /** Deterministic PII decoration for q60/q63: id-selected docs gain an
+    * email / phone / IP span derived from the id, so expected counts and
+    * redactions are recomputable in any engine without real PII data. */
+  private def piiDecorated(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(" call 555-867-5309"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" host 10.0."), pmod(col("doc_id"), lit(250)).cast("string"), lit(".25")))
+          .otherwise(lit(""))).as("text"))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1556,5 +1583,60 @@ object SparkEntry {
         |       round(sa / (n * 32768.0), 6) AS mean_abs,
         |       round(pk / 32768.0, 6) AS peak_abs
         |FROM agg ORDER BY media_id""".stripMargin,
+    "q60_pii_scan" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $PiiDecorateSql AS text FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(lower(text), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
+         |    CAST(len(regexp_extract_all(lower(text), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips
+         |  FROM d)
+         |SELECT doc_id, n_emails, n_phones, n_ips,
+         |       (n_emails > 0 OR n_phones > 0 OR n_ips > 0) AS has_pii
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q61_chunking" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, words, unnest(range(0, (len(words) - 1) // 48 + 1)) AS chunk_id
+        |  FROM w WHERE len(words) > 0),
+        |c AS (
+        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |         words[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS c
+        |  FROM k)
+        |SELECT doc_id, chunk_id, CAST(len(c) AS BIGINT) AS n_tokens,
+        |       array_to_string(c, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q62_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q63_pii_redact" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $PiiDecorateSql AS text FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(lower(text),
+         |        '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
+         |      '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+         |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+         |FROM d ORDER BY doc_id""".stripMargin,
   )
+
+  /** The SQL twin of [[piiDecorated]]'s text expression. */
+  private val PiiDecorateSql: String =
+    "text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.25' ELSE '' END"
 }

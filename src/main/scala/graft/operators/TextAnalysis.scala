@@ -245,4 +245,94 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** PII patterns — deliberately conservative and ENGINE-PORTABLE (no
+    * lookarounds, no backreferences: the same pattern must mean the same
+    * thing to Java's regex and to RE2-based engines, so the scan carries
+    * its own DuckDB oracle). Production deployments extend this table;
+    * the plumbing (count/flag/redact as pure codegen column exprs over
+    * one scan) is what the 100 TB path needs.
+    */
+  private[operators] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+", "<EMAIL>"),
+    ("phones", "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+    ("ips", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** Per-document PII scan — the block-before-training audit every scraped
+    * corpus runs: counts per pattern class plus the composite flag. One
+    * scan, pure column exprs, no shuffle. Patterns match on the lowercased
+    * text (emails are case-insensitive by construction; digits unaffected).
+    * Output: doc_id, n_emails, n_phones, n_ips, has_pii.
+    */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val low = lower(col("text"))
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(low, lit(pat), lit(0))).cast("long").as(s"n_$name")
+    }
+    docs.select(col("doc_id") +: counts: _*)
+      .withColumn("has_pii",
+        piiPatterns.map { case (name, _, _) => col(s"n_$name") > 0 }.reduce(_ || _))
+  }
+
+  /** Redacted copy of the corpus: each PII class replaced by its token.
+    * Emits the lowercased text (the match domain) so redaction is
+    * deterministic and engine-portable; the IP pattern runs LAST so a
+    * phone-like digit run is claimed by the more specific class first.
+    * Output: doc_id, redacted.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted = piiPatterns.foldLeft(lower(col("text"))) {
+      case (acc, (_, pat, token)) => regexp_replace(acc, pat, token)
+    }
+    docs.select(col("doc_id"), redacted.as("redacted"))
+  }
+
+  /** Fixed-size overlapping token chunks — the sequence-packing prep step
+    * of a training pipeline (long documents become training windows of
+    * `chunkTokens` tokens advancing by `stride`). In-plan explode of a
+    * per-document chunk range: no shuffle, output volume = tokens x
+    * (chunkTokens / stride) overlap factor. The final partial chunk is
+    * emitted (standard packing keeps the tail; filter on n_tokens to drop).
+    * Output: doc_id, chunk_id, n_tokens, chunk_text.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens (gaps would drop tokens)")
+    val words = tokens(lower(col("text")))
+    docs
+      .select(col("doc_id"), words.as("w"))
+      .where(size(col("w")) > 0)
+      // chunk k covers 1-based token positions [k*stride + 1, k*stride + chunkTokens]
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), floor((size(col("w")) - 1).cast("double") / stride).cast("int")))
+          .as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("w"), col("chunk_id") * stride + 1, lit(chunkTokens)).as("c"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("c")).cast("long").as("n_tokens"),
+        array_join(col("c"), " ").as("chunk_text"))
+  }
+
+  /** Deterministic hash-based train/val/test assignment — splits must be
+    * stable across runs, partitionings and engines, so the bucket is an
+    * md5 prefix of the doc id (no RNG, no row ordering dependence; the
+    * same doc lands in the same split forever, which is what makes
+    * decontamination and eval-holdout audits possible downstream).
+    * Pure column exprs, no shuffle.
+    * Output: doc_id, bucket (0-99), split (train|val|test).
+    */
+  def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "train/val percentages must fit in 100")
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }

@@ -277,6 +277,19 @@ object IdempotentSink {
     logEvents(spark, dir,
       Seq((java.time.Instant.now.toString, level, event, window, details)))
 
+  /** Per-log-dir write lock: TWO log channels flushing the same dir from
+    * different driver threads (e.g. a query listener's alert ladder and
+    * the supervision loop reacting to the SAME failure) would otherwise
+    * run two concurrent append jobs whose FileOutputCommitter staging
+    * collides under one `_temporary` — the loser's rows vanish into the
+    * swallowed-failure path. The event log is driver-side by design, so a
+    * JVM-level lock (keyed by the dir string both channels share) is the
+    * whole fix; cross-process writers should use distinct log dirs.
+    */
+  private val logLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def logLock(dir: String): Object =
+    logLocks.computeIfAbsent(dir, _ => new Object)
+
   /** Batched event-log append: every row (timestamp, level, event, window,
     * details) lands in ONE parquet file per call — the per-micro-batch
     * shape, instead of one file per event. Timestamps are caller-stamped
@@ -284,11 +297,13 @@ object IdempotentSink {
     */
   def logEvents(spark: SparkSession, dir: String,
                 rows: Seq[(String, String, String, String, String)]): Unit =
-    if (rows.nonEmpty) try {
-      import spark.implicits._
-      rows.toDF("timestamp", "level", "event", "window", "details")
-        .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
-    } catch { case _: Throwable => () }
+    if (rows.nonEmpty) logLock(dir).synchronized {
+      try {
+        import spark.implicits._
+        rows.toDF("timestamp", "level", "event", "window", "details")
+          .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+      } catch { case _: Throwable => () }
+    }
 
   /** Size-triggered compaction sweep for the event log: once the dir holds
     * more than `maxFiles` part files, rewrite that snapshot of files as
@@ -301,18 +316,20 @@ object IdempotentSink {
     * swallowed, like every other log-channel operation.
     */
   def compactLog(spark: SparkSession, dir: String, maxFiles: Int = 64): Unit =
-    try {
-      val path = new org.apache.hadoop.fs.Path(dir)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path)) {
-        val parts = fs.listStatus(path)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath)
-        if (parts.length > maxFiles) {
-          spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
-            .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
-          parts.foreach(p => fs.delete(p, false))
+    logLock(dir).synchronized {
+      try {
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) {
+          val parts = fs.listStatus(path)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath)
+          if (parts.length > maxFiles) {
+            spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+              .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+            parts.foreach(p => fs.delete(p, false))
+          }
         }
-      }
-    } catch { case _: Throwable => () }
+      } catch { case _: Throwable => () }
+    }
 }

@@ -372,6 +372,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(shared13.size < f(1L).size / 10)
   }
 
+  test("PII scan counts each class; redaction removes every match") {
+    val fixture = Seq(
+      (1L, "mail me A@b.co and c.d@e-f.org or ping 10.1.2.3 then call 123-456-7890"),
+      (2L, "a perfectly clean document about spark plans")).toDF("doc_id", "text")
+    val scanned = TextAnalysis.piiScan(fixture)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(scanned(0) === ((1L, 2L, 1L, 1L, true)))
+    assert(scanned(1) === ((2L, 0L, 0L, 0L, false)))
+    val redacted = TextAnalysis.redactPii(fixture)
+      .as[(Long, String)].collect().toMap
+    assert(redacted(1L) ===
+      "mail me <EMAIL> and <EMAIL> or ping <IP> then call <PHONE>")
+    assert(redacted(2L) === "a perfectly clean document about spark plans")
+  }
+
+  test("chunking: fixed windows with stride overlap, partial tail kept") {
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = TextAnalysis.chunkDocs(
+      Seq((1L, ten), (2L, ""), (3L, "only three tokens here")).toDF("doc_id", "text"),
+      chunkTokens = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect().sorted
+    // doc 1: 10 tokens -> chunks at 1,4,7,10 (1-based), last is the tail
+    assert(out.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (1L, 3L, 1L, "t10")))
+    assert(!out.exists(_._1 == 2L)) // empty doc emits nothing
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 4L, "only three tokens here"),
+      (3L, 1L, 1L, "here")))
+    // adjacent chunks overlap by chunkTokens - stride: no token dropped
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocs(Seq((1L, ten)).toDF("doc_id", "text"),
+        chunkTokens = 4, stride = 5)
+    }
+  }
+
+  test("hash split: deterministic, engine-portable buckets, consistent labels") {
+    val fixture = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = TextAnalysis.hashSplit(fixture).as[(Long, Long, String)].collect().sortBy(_._1)
+    val b = TextAnalysis.hashSplit(fixture).as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq) // no RNG, no ordering dependence
+    assert(a.forall { case (_, bucket, _) => bucket >= 0 && bucket < 100 })
+    assert(a.forall { case (_, bucket, split) =>
+      split === (if (bucket < 90) "train" else if (bucket < 95) "val" else "test")
+    })
+    // the md5-prefix bucket is independently recomputable (portability)
+    val id7 = java.security.MessageDigest.getInstance("MD5")
+      .digest("7".getBytes("UTF-8")).take(4).map(x => f"$x%02x").mkString
+    val expected7 = java.lang.Long.parseLong(id7, 16) % 100
+    assert(a.find(_._1 == 7L).get._2 === expected7)
+    // all three splits are populated at this fixture size
+    assert(a.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"))
+  }
+
   test("token stats and fingerprint normalization") {
     val stats = TextAnalysis.tokenStats(Seq((1L, "a bb  ccc ")).toDF("doc_id", "text"))
       .as[(Long, Long, Long, Long, Double)].head()
