@@ -477,6 +477,13 @@ object SparkEntry {
       TextAnalysis.hashSplit(Tables.documents(s, dir)).orderBy("doc_id")),
     "q63_pii_redact" -> ((s, dir) =>
       TextAnalysis.redactPii(piiDecorated(Tables.documents(s, dir))).orderBy("doc_id")),
+    // the memorization-window audit: 13-token spans in ≥2 distinct docs
+    "q64_repeated_ngrams" -> ((s, dir) =>
+      TextAnalysis.repeatedNgrams(Tables.documents(s, dir)).orderBy("shingle")),
+    // vocabSize 16 < the corpus's 31 distinct tokens, so real OOV mass
+    // exists and the boundary tie-break is genuinely exercised
+    "q65_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(Tables.documents(s, dir), vocabSize = 16).orderBy("doc_id")),
   )
 
   /** Deterministic PII decoration for q60/q63: id-selected docs gain an
@@ -1620,6 +1627,38 @@ object SparkEntry {
         |            WHEN bucket < 95 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q64_repeated_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 11),
+        |                                 i -> array_to_string(words[i:i+12], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 13) t)
+        |SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM sh GROUP BY shingle HAVING count(*) >= 2
+        |ORDER BY shingle""".stripMargin,
+    "q65_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS token
+        |  FROM documents),
+        |v AS (SELECT token FROM (
+        |  SELECT token, count(*) AS n FROM tok GROUP BY token
+        |  ORDER BY n DESC, token LIMIT 16) t),
+        |a AS (
+        |  SELECT tok.doc_id, count(*) AS n_tokens,
+        |         sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM tok LEFT JOIN v ON v.token = tok.token
+        |  GROUP BY tok.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_oov AS BIGINT) AS n_oov,
+        |       round(n_oov / (n_tokens * 1.0), 6) AS oov_rate
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q63_pii_redact" ->
       s"""WITH d AS (
          |  SELECT doc_id, $PiiDecorateSql AS text FROM documents)

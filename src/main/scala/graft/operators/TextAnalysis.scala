@@ -246,6 +246,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-document repeated n-grams — the bounded form of exact
+    * substring deduplication (the "repeated 13-token window" audit run on
+    * training corpora to find memorization-prone spans): every word
+    * n-gram appearing in at least `minDocs` DISTINCT documents, with its
+    * document frequency. Shingle explode + one hash aggregate — the same
+    * scale shape as [[contamination]]'s corpus side, no joins at all.
+    * Output: shingle, n_docs (≥ minDocs only).
+    */
+  def repeatedNgrams(docs: DataFrame, n: Int = 13, minDocs: Int = 2): DataFrame =
+    Dedup.shingles(docs, n) // distinct per doc by construction
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Per-document out-of-vocabulary rate against the corpus's own top-k
+    * vocabulary — the tokenizer-coverage audit (how much of each document
+    * a k-entry vocab fails to cover). The vocab side is top-k rows by
+    * construction, so it broadcasts and the corpus token stream never
+    * shuffles for the membership test; the per-doc aggregate is the one
+    * hash agg. Output: doc_id, n_tokens, n_oov, oov_rate.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val v = vocab(docs, vocabSize).select(col("token"), lit(1).as("in_vocab"))
+    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .join(broadcast(v), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** PII patterns — deliberately conservative and ENGINE-PORTABLE (no
     * lookarounds, no backreferences: the same pattern must mean the same
     * thing to Java's regex and to RE2-based engines, so the scan carries

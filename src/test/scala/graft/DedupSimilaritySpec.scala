@@ -409,6 +409,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("repeated n-grams: a 13-token span shared by two docs surfaces, unique spans do not") {
+    val span = (1 to 13).map(i => s"w$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"intro $span tail one"),
+      (2L, s"other prefix words $span"),
+      (3L, "completely different text with no shared window at all here and now then")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repeatedNgrams(fixture)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq((span, 2L)))
+    // raising minDocs filters it out
+    assert(TextAnalysis.repeatedNgrams(fixture, minDocs = 3).count() === 0L)
+  }
+
+  test("OOV rate against the corpus's own top-k vocabulary") {
+    val fixture = Seq((1L, "a a a b c"), (2L, "a b b x y z")).toDF("doc_id", "text")
+    // token counts: a=4 b=3 c=1 x=1 y=1 z=1 -> top-2 vocab = {a, b}
+    val out = TextAnalysis.oovRate(fixture, vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 5L, 1L, 0.2)))   // c is OOV
+    assert(out(1) === ((2L, 6L, 3L, 0.5)))   // x y z are OOV
+  }
+
   test("hash split: deterministic, engine-portable buckets, consistent labels") {
     val fixture = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val a = TextAnalysis.hashSplit(fixture).as[(Long, Long, String)].collect().sortBy(_._1)

@@ -17,6 +17,25 @@ class IdempotentSinkSpec extends AnyFunSuite {
     assert(df.select("id").as[String].head() === "RELIANCE_20260202_0915")
   }
 
+  test("concurrent log channels flushing one dir lose no rows (the listener-vs-supervisor race)") {
+    // two driver-side channels (a query listener's ladder and the
+    // supervision loop) can flush the same system_log dir at the same
+    // instant; unserialized, the append jobs collide under one
+    // FileOutputCommitter _temporary and the loser's rows silently vanish
+    val dir = tmp() + "/syslog"
+    val threads = (0 until 4).map { t =>
+      new Thread(() => (0 until 5).foreach { i =>
+        IdempotentSink.logEvents(spark, dir,
+          Seq((s"ts-$t-$i", "INFO", "race", "-", s"row-$t-$i")))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val got = spark.read.parquet(dir).select("details").as[String].collect().toSet
+    val want = (for { t <- 0 until 4; i <- 0 until 5 } yield s"row-$t-$i").toSet
+    assert(got === want, s"lost ${(want -- got).size} log rows to the append race")
+  }
+
   test("appendDedup writes each id exactly once across replays") {
     val sink = tmp() + "/sink"
     val batch = Seq(("a_1", 1.0), ("b_1", 2.0)).toDF("id", "v")
