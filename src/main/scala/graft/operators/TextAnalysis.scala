@@ -218,10 +218,14 @@ object TextAnalysis {
     * denominator rides the same aggregate via a window-free scalar
     * subquery-shaped crossJoin of a 1-row frame.
     */
-  def vocab(docs: DataFrame, k: Int = 100): DataFrame = {
-    val counts = docs
-      .select(explode(tokens(lower(col("text")))).as("token"))
+  /** (token, n) corpus token counts — one scan + one hash aggregate; the
+    * shared head of [[vocab]] and [[oovRate]]. */
+  private def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(lower(col("text")))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  def vocab(docs: DataFrame, k: Int = 100): DataFrame = {
+    val counts = tokenCounts(docs)
     val total = counts.agg(sum(col("n")).cast("double").as("total"))
     counts.crossJoin(broadcast(total))
       .select(col("token"), col("n"),
@@ -268,7 +272,12 @@ object TextAnalysis {
     * hash agg. Output: doc_id, n_tokens, n_oov, oov_rate.
     */
   def oovRate(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
-    val v = vocab(docs, vocabSize).select(col("token"), lit(1).as("in_vocab"))
+    // top-k from the raw counts, NOT from vocab(): the freq column would
+    // drag in vocab's corpus-total cross-join — a third full corpus scan
+    // the membership test never needs (visible in the q65 plan audit)
+    val v = tokenCounts(docs)
+      .orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
     docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
       .join(broadcast(v), Seq("token"), "left")
       .groupBy(col("doc_id"))
