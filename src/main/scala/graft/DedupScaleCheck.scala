@@ -26,13 +26,16 @@ import org.apache.spark.sql.functions._
   * measured. (At production scale the same product is the object-count
   * knob: bound it with coalesceTo or fewer key buckets.)
   *
-  * Usage: runMain graft.DedupScaleCheck [sfDir] [batches] [docFactor]
+  * Usage: runMain graft.DedupScaleCheck [sfDir] [batches] [docFactor] [backendSubstr]
+  * (backendSubstr filters the backend list by label substring — e.g.
+  * "deferred" probes only the tiered-deferred leg.)
   */
 object DedupScaleCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
     val docFactor = args.lift(2).map(_.toInt).getOrElse(1) // docs/batch = 500 × this
+    val backendFilter = args.lift(3)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -56,7 +59,8 @@ object DedupScaleCheck {
       "epoch" -> ((d: String) => DedupStream.epochStores(d)),
       "epoch-deferred" -> ((d: String) => DedupStream.epochStores(d, deferCompaction = true)),
       "parquet-emulation" -> ((d: String) => DedupStream.parquetStores(d))
-    ).foreach { case (label, mk) =>
+    ).filter { case (label, _) => backendFilter.forall(label.contains) }
+      .foreach { case (label, mk) =>
       val root = java.nio.file.Files.createTempDirectory(s"graft-dscale-$label").toString
       val stores = mk(s"$root/index")
       val times = (0 until nBatches).map { i =>

@@ -14,14 +14,18 @@ import org.apache.spark.sql.functions._
   *
   * Layout (LSM shape):
   * {{{
-  *   dir/base/epoch=<n>/   one compacted snapshot holding every epoch ≤ n
-  *   dir/delta/epoch=<n>/  one upsert/append batch
+  *   dir/base/epoch=<n>/   L2: one compacted snapshot holding every epoch ≤ n
+  *   dir/merge/epoch=<n>/  L1: a partial fold of the deltas in (base, n]
+  *   dir/delta/epoch=<n>/  L0: one upsert/append batch
   * }}}
-  * Both tiers share one increasing epoch sequence; every epoch directory
+  * All tiers share one increasing epoch sequence; every epoch directory
   * publishes via a `_COMMIT` marker (one atomic file create — object-store
   * safe, never a directory rename). Readers see only committed epochs, so
   * a crash mid-write leaves an invisible stage dir that the next
-  * compaction sweeps.
+  * compaction sweeps. The merge tier exists only under tiered compaction
+  * (`fullCompactEvery > 1`): most folds then cost O(pending deltas), not
+  * O(corpus), and the O(corpus) base fold runs every k-th fold instead of
+  * every fold.
   *
   * The contract costs, versus [[ParquetKeyedStore]]'s append emulation:
   *   - `upsert` is WRITE-ONLY — one delta per batch, O(batch) work, no
@@ -29,10 +33,11 @@ import org.apache.spark.sql.functions._
   *     anti-join per batch is gone). Key collisions resolve at READ time:
   *     for each merge-key tuple the row from the newest epoch wins —
   *     exactly the MERGE shape [[InMemoryKeyedStore]] spec-pins.
-  *   - `read` unions the newest committed base with the committed deltas
-  *     above it and resolves newest-wins with one window over `mergeKeys`;
+  *   - `read` unions the newest committed base, the newest committed L1
+  *     merge above it (tiered mode), and the committed deltas above both,
+  *     resolving newest-wins with one window over `mergeKeys`;
   *     [[compact]] (auto-triggered once the delta tier exceeds
-  *     `compactAfterDeltas`) folds deltas into a new base so the file
+  *     `compactAfterDeltas`) folds everything into a new base so the file
   *     count — and the merge window's duplicate work — stays bounded.
   *
   * Filter pushdown survives the merge: predicates over `mergeKeys` columns
@@ -82,6 +87,13 @@ import org.apache.spark.sql.functions._
   *   consumer thread). Requires a LONG-LIVED store instance (the in-flight
   *   fold handle lives on it; constructing a fresh instance per batch
   *   could start overlapping folds) and an owner that calls `maintain`
+  * @param fullCompactEvery tiered-compaction policy for [[maintain]]:
+  *   1 (default) = every fold is a FULL base fold (O(corpus)); k > 1 =
+  *   folds 1..k−1 are PARTIAL — old merge + pending deltas fold into a
+  *   new L1 merge epoch, O(accumulated-since-base) — and every k-th fold
+  *   (or any fold with a legacy layout present) goes to base. Caps the
+  *   read-side member count at merge+pending instead of all pending,
+  *   and divides base-fold frequency by k. [[compact]] is always full
   */
 final class EpochKeyedStore(dir: String,
                             mergeKeys: Seq[String],
@@ -89,7 +101,8 @@ final class EpochKeyedStore(dir: String,
                             compactAfterDeltas: Int = 16,
                             coalesceTo: Option[Int] = Some(1),
                             verifyMergeDependency: Boolean = false,
-                            deferCompaction: Boolean = false) extends KeyedStore {
+                            deferCompaction: Boolean = false,
+                            fullCompactEvery: Int = 1) extends KeyedStore {
   require(mergeKeys.nonEmpty, "EpochKeyedStore needs at least one merge key")
   require(partitionCols.forall(mergeKeys.contains),
     s"partitionCols ${partitionCols.mkString(",")} must be covered by mergeKeys " +
@@ -114,7 +127,8 @@ final class EpochKeyedStore(dir: String,
     else fs.listStatus(root).toSeq
       .filter { s =>
         val n = s.getPath.getName
-        n != "base" && n != "delta" && !n.startsWith("_") && !n.startsWith(".") &&
+        n != "base" && n != "merge" && n != "delta" &&
+          !n.startsWith("_") && !n.startsWith(".") &&
           (s.isDirectory || n.endsWith(".parquet"))
       }
       .map(_.getPath)
@@ -149,19 +163,28 @@ final class EpochKeyedStore(dir: String,
     * numbers, stay above the published base, and keep winning the merge.
     */
   private final case class Snapshot(base: Option[(Long, Path)],
+                                    merge: Option[(Long, Path)],
                                     deltas: Seq[(Long, Path)],
                                     legacy: Seq[Path]) {
-    def isEmpty: Boolean = base.isEmpty && deltas.isEmpty && legacy.isEmpty
+    def isEmpty: Boolean =
+      base.isEmpty && merge.isEmpty && deltas.isEmpty && legacy.isEmpty
   }
 
   private def snapshot(f: FileSystem): Snapshot = {
     val bases = listEpochs(f, "base").filter(_._3)
     val baseOpt = bases.lastOption.filter(b => validMember(f, b._2)).map(b => (b._1, b._2))
     val floor = bases.lastOption.map(_._1).getOrElse(-1L)
+    // newest committed L1 merge above the base; merges the base folded in
+    // are superseded (swept lazily)
+    val mergeOpt = listEpochs(f, "merge")
+      .filter(m => m._3 && m._1 > floor).lastOption
+      .filter(m => validMember(f, m._2)).map(m => (m._1, m._2))
+    val mfloor = math.max(floor, mergeOpt.map(_._1).getOrElse(-1L))
     val deltas = listEpochs(f, "delta")
-      .filter(d => d._3 && d._1 > floor && validMember(f, d._2))
+      .filter(d => d._3 && d._1 > mfloor && validMember(f, d._2))
       .map(d => (d._1, d._2))
-    Snapshot(baseOpt, deltas, legacyPaths(f).filter(p => layout.dataFileCount(f, p) > 0))
+    Snapshot(baseOpt, mergeOpt, deltas,
+      legacyPaths(f).filter(p => layout.dataFileCount(f, p) > 0))
   }
 
   /** Newest-wins merge over one snapshot's members. */
@@ -174,6 +197,9 @@ final class EpochKeyedStore(dir: String,
         .parquet(snap.legacy.map(_.toString): _*)
         .withColumn("__epoch", lit(0L))
     snap.base.foreach { case (n, p) =>
+      members += spark.read.parquet(p.toString).withColumn("__epoch", lit(n))
+    }
+    snap.merge.foreach { case (n, p) =>
       members += spark.read.parquet(p.toString).withColumn("__epoch", lit(n))
     }
     if (snap.deltas.nonEmpty)
@@ -195,8 +221,12 @@ final class EpochKeyedStore(dir: String,
   override def read(spark: SparkSession): Option[DataFrame] =
     mergedFrom(spark, snapshot(fs(spark)))
 
+  // all three tiers participate in allocation: after a partial fold
+  // sweeps the folded deltas, the surviving merge epoch must still keep
+  // new deltas above it or newest-wins resolution would invert
   private def nextEpoch(f: FileSystem): Long =
-    layout.next(f, Seq(new Path(s"$dir/base"), new Path(s"$dir/delta")))
+    layout.next(f, Seq(new Path(s"$dir/base"), new Path(s"$dir/merge"),
+      new Path(s"$dir/delta")))
 
   /** Claim an epoch directory with one exclusive `_STAGE` create: two
     * writers that both computed the same next epoch cannot both win — the
@@ -244,10 +274,14 @@ final class EpochKeyedStore(dir: String,
     target
   }
 
-  /** Delta tier over threshold, or a legacy layout awaiting its fold-in. */
+  /** Delta tier over threshold, or a legacy layout awaiting its fold-in.
+    * Pending counts above the newest committed base OR merge — deltas a
+    * partial fold already absorbed are not pending. */
   private def foldDue(f: FileSystem): Boolean = {
     val floor = listEpochs(f, "base").filter(_._3).lastOption.map(_._1).getOrElse(-1L)
-    val pending = listEpochs(f, "delta").count(d => d._3 && d._1 > floor)
+    val mfloor = math.max(floor,
+      listEpochs(f, "merge").filter(_._3).lastOption.map(_._1).getOrElse(-1L))
+    val pending = listEpochs(f, "delta").count(d => d._3 && d._1 > mfloor)
     pending > compactAfterDeltas || (legacyPaths(f).nonEmpty && pending > 0)
   }
 
@@ -293,8 +327,8 @@ final class EpochKeyedStore(dir: String,
     */
   private def foldOnce(spark: SparkSession): Long = {
     val f = fs(spark)
-    val committed = (listEpochs(f, "base") ++ listEpochs(f, "delta"))
-      .filter(_._3).map(_._1)
+    val committed = (listEpochs(f, "base") ++ listEpochs(f, "merge") ++
+      listEpochs(f, "delta")).filter(_._3).map(_._1)
     val snap = snapshot(f)
     if (committed.isEmpty && snap.legacy.isEmpty) return -1L
     val n = if (committed.isEmpty) 1L else committed.max
@@ -333,19 +367,25 @@ final class EpochKeyedStore(dir: String,
     awaitMaintenance(spark)
     val n = foldOnce(spark)
     if (n >= 0) sweepBelow(fs(spark), n)
+    synchronized { partialsSinceFull = 0 }
   }
 
   /** At most one in-flight background fold (deferCompaction mode). */
-  private final class Fold {
+  private final class Fold(val full: Boolean) {
     @volatile var thread: Thread = _
     @volatile var failure: Option[Throwable] = None
     @volatile var published: Long = -1L
   }
   @volatile private var inFlight: Option[Fold] = None
+  // partial folds since the last base fold — the fullCompactEvery policy
+  // counter; guarded by the store's monitor (maintain/awaitMaintenance/
+  // compact are the only writers). Resets on restart: policy, not state.
+  private var partialsSinceFull = 0
 
   /** Harvest a FINISHED background fold: clear the handle, rethrow its
-    * failure, sweep below its published base. The sweep runs only here —
-    * in the owner's thread, at a quiescent point — so no reader that
+    * failure, sweep below its published epoch (base sweep for a full
+    * fold, merge sweep for a partial one). The sweep runs only here — in
+    * the owner's thread, at a quiescent point — so no reader that
     * planned against the old epochs (the fold itself, or the owner's
     * previous batch) can still be executing when their files vanish.
     */
@@ -354,7 +394,10 @@ final class EpochKeyedStore(dir: String,
     fold.failure.foreach(e => throw new IllegalStateException(
       s"epoch store $dir: background compaction failed — the delta tier keeps " +
         "accumulating (reads stay correct, just wider) until a fold succeeds", e))
-    if (fold.published >= 0) sweepBelow(fs(spark), fold.published)
+    if (fold.published >= 0) {
+      if (fold.full) { sweepBelow(fs(spark), fold.published); partialsSinceFull = 0 }
+      else { sweepBelowMerge(fs(spark), fold.published); partialsSinceFull += 1 }
+    }
   }
 
   /** Drain any in-flight background fold: block until it finishes, publish
@@ -381,12 +424,22 @@ final class EpochKeyedStore(dir: String,
       case Some(fold) => harvest(spark, fold)
       case None => ()
     }
-    if (foldDue(fs(spark))) {
-      val fold = new Fold
+    val f = fs(spark)
+    if (foldDue(f)) {
+      // tiered policy: k−1 partial folds (O(accumulated-since-base)),
+      // then a full base fold. Full also when no base exists yet — with
+      // nothing below it a partial would rewrite the whole index for the
+      // same cost WITHOUT establishing the base that makes later partials
+      // cheap — and when a legacy layout awaits its fold-in
+      val goFull = fullCompactEvery <= 1 || legacyPaths(f).nonEmpty ||
+        listEpochs(f, "base").forall(!_._3) ||
+        partialsSinceFull >= fullCompactEvery - 1
+      val fold = new Fold(goFull)
       fold.thread = new Thread(() => {
         try {
-          spark.sparkContext.setJobDescription(s"epoch store background compaction: $dir")
-          fold.published = foldOnce(spark)
+          spark.sparkContext.setJobDescription(
+            s"epoch store background ${if (goFull) "base" else "partial"} compaction: $dir")
+          fold.published = if (goFull) foldOnce(spark) else partialFoldOnce(spark)
         } catch { case scala.util.control.NonFatal(e) => fold.failure = Some(e) }
       }, s"graft-epoch-compact-${new Path(dir).getName}")
       fold.thread.setDaemon(true)
@@ -398,7 +451,46 @@ final class EpochKeyedStore(dir: String,
   /** Delete everything the committed base at epoch `n` supersedes. */
   private def sweepBelow(f: FileSystem, n: Long): Unit = {
     layout.sweep(f, new Path(s"$dir/base")) { case (e, _) => e < n }
+    layout.sweep(f, new Path(s"$dir/merge")) { case (e, _) => e <= n }
     layout.sweep(f, new Path(s"$dir/delta")) { case (e, _) => e <= n }
     legacyPaths(f).foreach(p => f.delete(p, true))
+  }
+
+  /** Delete everything the committed L1 merge at epoch `n` supersedes:
+    * older merges and the deltas it folded. Base/legacy are untouched. */
+  private def sweepBelowMerge(f: FileSystem, n: Long): Unit = {
+    layout.sweep(f, new Path(s"$dir/merge")) { case (e, _) => e < n }
+    layout.sweep(f, new Path(s"$dir/delta")) { case (e, _) => e <= n }
+  }
+
+  /** Fold the old L1 merge (if any) + the pending deltas into a NEW merge
+    * epoch at the highest pending delta epoch — O(accumulated-since-base)
+    * work that never reads the base or legacy tiers. Same crash contract
+    * as [[foldOnce]]: publication is the single `_COMMIT` create, the
+    * caller owns the sweep ([[sweepBelowMerge]]), and a kill mid-fold
+    * leaves an unmarked dir readers ignore. All members come from ONE
+    * snapshot and the target epoch is their max, so a delta committed
+    * while the fold runs is simply above the target, stays in the read
+    * set, and keeps winning the merge window. With nothing pending,
+    * returns the current merge epoch so an interrupted sweep can finish.
+    */
+  private def partialFoldOnce(spark: SparkSession): Long = {
+    val f = fs(spark)
+    val snap = snapshot(f)
+    if (snap.deltas.isEmpty) return snap.merge.map(_._1).getOrElse(-1L)
+    val n = snap.deltas.map(_._1).max
+    mergedFrom(spark, snap.copy(base = None, legacy = Nil)) match {
+      case None => -1L
+      case Some(merged) =>
+        val target = new Path(s"$dir/merge/${layout.dirName(n)}")
+        val shaped = coalesceTo.fold(merged)(merged.coalesce)
+        // Overwrite: a crashed previous partial attempt at this epoch is
+        // replaced, same as the base fold
+        val w = shaped.write.mode(SaveMode.Overwrite)
+        if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*).parquet(target.toString)
+        else w.parquet(target.toString)
+        layout.commit(f, target, recordFileCount = true)
+        n
+    }
   }
 }

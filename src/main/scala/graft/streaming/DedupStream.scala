@@ -89,16 +89,24 @@ object DedupStream {
     * scale). Requires long-lived stores and a caller that invokes
     * [[IndexStores.maintain]] after each batch — [[start]] does both.
     */
+  /** `fullCompactEvery = 4` makes deferred maintenance TIERED: three
+    * partial folds (old L1 merge + pending deltas, O(index-since-base))
+    * for every O(corpus) base fold — base folds run 4× less often and
+    * the read-side member count stays capped at merge + pending. Inline
+    * mode ignores the knob (writeDelta's auto-compact is always full).
+    */
   def epochStores(indexDir: String, compactAfterDeltas: Int = 6,
                   deferCompaction: Boolean = false): IndexStores = IndexStores(
     ids = new EpochKeyedStore(s"$indexDir/ids", mergeKeys = Seq("doc_id"),
-      compactAfterDeltas = compactAfterDeltas, deferCompaction = deferCompaction),
+      compactAfterDeltas = compactAfterDeltas, deferCompaction = deferCompaction,
+      fullCompactEvery = 4),
     bands = new EpochKeyedStore(s"$indexDir/bands",
       mergeKeys = Seq("doc_id", "band", "kb"), partitionCols = Seq("band", "kb"),
       coalesceTo = None, compactAfterDeltas = compactAfterDeltas,
-      deferCompaction = deferCompaction),
+      deferCompaction = deferCompaction, fullCompactEvery = 4),
     sigs = new EpochKeyedStore(s"$indexDir/sigs", mergeKeys = Seq("doc_id"),
-      compactAfterDeltas = compactAfterDeltas, deferCompaction = deferCompaction))
+      compactAfterDeltas = compactAfterDeltas, deferCompaction = deferCompaction,
+      fullCompactEvery = 4))
 
   /** Plain parquet-append emulation stores — the pre-epoch layout; kept
     * for existing state roots and as the [[KeyedStore]] contract's

@@ -27,6 +27,10 @@ class EpochStoreSpec extends AnyFunSuite {
     val f = new java.io.File(s"$dir/base")
     if (!f.exists()) Array.empty[String] else f.listFiles().filter(_.isDirectory).map(_.getName)
   }
+  private def mergeDirs(dir: String) = {
+    val f = new java.io.File(s"$dir/merge")
+    if (!f.exists()) Array.empty[String] else f.listFiles().filter(_.isDirectory).map(_.getName)
+  }
 
   test("MERGE semantics: the NEW row wins a key collision, appends accumulate") {
     val dir = tmp()
@@ -270,6 +274,46 @@ class EpochStoreSpec extends AnyFunSuite {
     assert(baseDirs(dir).nonEmpty, "no background fold ever published")
     assert(deltaDirs(dir).length <= 8,
       s"delta tier grew unbounded: ${deltaDirs(dir).length} deltas after draining")
+    assert(s.read(spark).get.as[(Long, String)].collect().toSet ===
+      m.read(spark).get.as[(Long, String)].collect().toSet)
+  }
+
+  test("tiered compaction: partial folds build an L1 merge, every k-th fold goes to base") {
+    import graft.sink.InMemoryKeyedStore
+    val dir = tmp()
+    val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"), compactAfterDeltas = 1,
+      deferCompaction = true, fullCompactEvery = 3)
+    val m = new InMemoryKeyedStore
+    def step(op: Int): Unit = {
+      val df = Seq((op.toLong % 5, s"v$op")).toDF("k", "v")
+      s.upsert(df, Seq("k")); m.upsert(df, Seq("k"))
+      s.maintain(spark)         // starts a fold when pending > 1
+      s.awaitMaintenance(spark) // drain + sweep, so the tier state is deterministic
+      assert(s.read(spark).get.as[(Long, String)].collect().toSet ===
+        m.read(spark).get.as[(Long, String)].collect().toSet, s"diverged after op $op")
+    }
+    (1 to 2).foreach(step)
+    // fold #1 goes FULL (no base existed — a partial would cost the same
+    // without establishing the base that makes later partials cheap)
+    assert(baseDirs(dir) === Array("epoch=2") && mergeDirs(dir).isEmpty)
+    assert(deltaDirs(dir).isEmpty)
+    (3 to 4).foreach(step)
+    // fold #2 PARTIAL: deltas 3-4 fold into merge epoch=4 ABOVE the base
+    assert(baseDirs(dir) === Array("epoch=2") && mergeDirs(dir) === Array("epoch=4"))
+    (5 to 6).foreach(step)
+    // fold #3 PARTIAL: old merge + deltas 5-6 -> merge epoch=6, old swept
+    assert(baseDirs(dir) === Array("epoch=2") && mergeDirs(dir) === Array("epoch=6"))
+    (7 to 8).foreach(step)
+    // fold #4 is the k-th since the base: FULL — sweeps the merge tier
+    assert(baseDirs(dir) === Array("epoch=8") && mergeDirs(dir).isEmpty)
+    assert(deltaDirs(dir).isEmpty)
+    // a crashed partial fold (no _COMMIT) is invisible and gets replaced
+    Seq((99L, "ghost")).toDF("k", "v").write.parquet(s"$dir/merge/epoch=11")
+    val before = s.read(spark).get.as[(Long, String)].collect().toSet
+    assert(!before.exists(_._1 == 99L))
+    (9 to 10).foreach(step)
+    // fold #5 PARTIAL above base=8; the ghost dir never surfaced
+    assert(baseDirs(dir) === Array("epoch=8") && mergeDirs(dir).nonEmpty)
     assert(s.read(spark).get.as[(Long, String)].collect().toSet ===
       m.read(spark).get.as[(Long, String)].collect().toSet)
   }
