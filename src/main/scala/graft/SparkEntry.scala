@@ -484,7 +484,45 @@ object SparkEntry {
     // exists and the boundary tie-break is genuinely exercised
     "q65_oov_rate" -> ((s, dir) =>
       TextAnalysis.oovRate(Tables.documents(s, dir), vocabSize = 16).orderBy("doc_id")),
+    // the synthetic corpus has no newlines, so the fixture derives 8-token
+    // lines in-plan (the q43/q59/q60 pattern) — the corpus's real repeated
+    // token spans then surface as genuine boilerplate lines (df >= 2)
+    "q66_line_dedup" -> ((s, dir) =>
+      TextAnalysis.dedupLines(lineified(Tables.documents(s, dir))).orderBy("doc_id")),
+    "q67_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.hashedClassifierScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q68_mixture_sample" -> ((s, dir) =>
+      TextAnalysis.mixtureSample(Tables.documents(s, dir), MixtureRates, defaultRate = 0.1)
+        .orderBy("doc_id")),
+    // threshold 0.3 sits at the corpus's within-cluster p99 cosine, so the
+    // keep verdict splits genuinely (≈1/3 of vectors marked dups at sf0.001)
+    "q69_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), k = 8, threshold = 0.3)
+        .orderBy("vec_id")),
+    // cross-split leakage: the corpus's repeated 13-token spans genuinely
+    // straddle the 90/10 hash split (4 contaminated train docs at sf0.001)
+    "q70_split_contamination" -> ((s, dir) =>
+      TextAnalysis.splitContamination(Tables.documents(s, dir)).orderBy("doc_id")),
   )
+
+  /** q68's mixture config: named-source rates over the corpus's src0..19
+    * with a default for the long tail — integer cuts land on exact
+    * hundredths so the oracle replays them as literals. */
+  private val MixtureRates: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25)
+
+  /** q66's fixture: rebuild each document as newline-delimited 8-token
+    * lines (the corpus carries no natural newlines). The SQL twin is
+    * [[LineifySql]]. */
+  private def lineified(docs: DataFrame): DataFrame = {
+    val w = TextAnalysis.tokens(lower(col("text")))
+    docs.where(size(w) > 0)
+      .select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), floor((size(w) - 1).cast("double") / 8).cast("int")),
+            i => array_join(slice(w, i * 8 + 1, lit(8)), " ")),
+          "\n").as("text"))
+  }
 
   /** Deterministic PII decoration for q60/q63: id-selected docs gain an
     * email / phone / IP span derived from the id, so expected counts and
@@ -1670,7 +1708,127 @@ object SparkEntry {
          |      '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
          |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS redacted
          |FROM d ORDER BY doc_id""".stripMargin,
+    "q66_line_dedup" ->
+      s"""WITH $LineifySql,
+         |l AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+         |         unnest(string_split(text, chr(10))) AS line
+         |  FROM d),
+         |b AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT l.doc_id, l.pos, l.line, (b.line IS NOT NULL) AS boiler
+         |      FROM l LEFT JOIN b ON b.line = l.line)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(sum(CASE WHEN NOT boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       coalesce(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT boiler),
+         |                                chr(10)), '') AS cleaned
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q67_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS token
+        |  FROM documents),
+        |wts AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5('w:' ||
+        |        CAST((('0x' || substr(md5(token), 1, 8))::BIGINT % 1024) AS VARCHAR)),
+        |      1, 8))::BIGINT / 2147483648.0) - 1.0 AS w
+        |  FROM tok),
+        |s AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS raw FROM wts GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       coalesce(round(raw / n_tokens, 6), 0.0) AS score,
+        |       coalesce(round(raw / n_tokens, 6), 0.0) > 0.0 AS keep
+        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q68_mixture_sample" ->
+      """SELECT doc_id, source,
+        |       ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |         % 10000 AS u,
+        |       (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |         % 10000) <
+        |       (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
+        |                    WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500
+        |                    ELSE 1000 END) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q69_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |comp AS (
+        |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+        |         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        |  FROM e),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8) t),
+        |ccomp AS (SELECT cent.j, comp.i, comp.x
+        |          FROM comp JOIN cent ON cent.cvid = comp.vec_id),
+        |cnorm AS (SELECT j, sqrt(sum(x * x)) AS nrm FROM ccomp GROUP BY j),
+        |cos AS (
+        |  SELECT comp.vec_id, cc.j,
+        |         round(sum(comp.x * cc.x) / (n1.nrm * n2.nrm), 6) AS c
+        |  FROM comp JOIN ccomp cc ON cc.i = comp.i
+        |  JOIN norms n1 ON n1.vec_id = comp.vec_id
+        |  JOIN cnorm n2 ON n2.j = cc.j
+        |  GROUP BY comp.vec_id, cc.j, n1.nrm, n2.nrm),
+        |asg AS (SELECT vec_id, j AS cluster FROM (
+        |          SELECT vec_id, j,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, j) AS rn
+        |          FROM cos) t
+        |        WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        |      FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |pd AS (
+        |  SELECT p.va, p.vb,
+        |         round(sum(ca.x * cb.x) / (na.nrm * nb.nrm), 6) AS c
+        |  FROM p JOIN comp ca ON ca.vec_id = p.va
+        |         JOIN comp cb ON cb.vec_id = p.vb AND cb.i = ca.i
+        |         JOIN norms na ON na.vec_id = p.va
+        |         JOIN norms nb ON nb.vec_id = p.vb
+        |  GROUP BY p.va, p.vb, na.nrm, nb.nrm),
+        |dups AS (SELECT DISTINCT vb FROM pd WHERE c >= 0.3)
+        |SELECT asg.vec_id, asg.cluster, (dups.vb IS NULL) AS keep
+        |FROM asg LEFT JOIN dups ON dups.vb = asg.vec_id
+        |ORDER BY asg.vec_id""".stripMargin,
+    "q70_split_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |                     % 100) < 90
+        |              THEN 'train' ELSE 'holdout' END AS split
+        |  FROM w),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 11),
+        |                                 i -> array_to_string(words[i:i+12], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 13) t),
+        |tr AS (SELECT sh.doc_id, sh.shingle
+        |       FROM sh JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+        |h AS (SELECT DISTINCT shingle
+        |      FROM sh JOIN sp USING (doc_id) WHERE sp.split <> 'train')
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN h ON h.shingle = tr.shingle
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
   )
+
+  /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited
+    * 8-token lines (CTE `d`). */
+  private val LineifySql: String =
+    """w AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id,
+      |         array_to_string(list_transform(range(0, (len(words) - 1) // 8 + 1),
+      |           i -> array_to_string(words[i * 8 + 1 : i * 8 + 8], ' ')), chr(10)) AS text
+      |  FROM w WHERE len(words) > 0)""".stripMargin
 
   /** The SQL twin of [[piiDecorated]]'s text expression. */
   private val PiiDecorateSql: String =

@@ -521,4 +521,58 @@ object Similarity {
           floor(col("col").cast("double") / col("scale") + lit(0.5)).cast("long"))
           .otherwise(0L).as("q"))
   }
+
+  /** Cluster-scoped semantic deduplication (the SemDeDup recipe): assign
+    * every embedding to its nearest centroid, then drop any vector with an
+    * EARLIER same-cluster vector at cosine ≥ `threshold` — near-duplicate
+    * meaning is checked only within a cell, so the all-pairs cross product
+    * becomes a per-cluster equi-join with pair volume Σ n_c². `k` is the
+    * scale knob: production runs k ~ 10⁴–10⁵ so cells stay small while the
+    * corpus grows; the centroid side stays a broadcast either way.
+    *
+    * Default centroids are deterministic (the k lowest vec_ids, a bounded
+    * driver collect like [[annIvfTopK]]'s) so the whole operator is
+    * oracle-reproducible; pass `centroidsOpt = Some(trainCentroids(...))`
+    * for honest cells — the dedup path is identical. Assignment and the
+    * pair gate compare cosines ROUNDED to 6dp (argmax ties broken by
+    * cluster id), so float-fold noise below the rounding grid cannot flip
+    * a cluster or a verdict between engines.
+    *
+    * Output: vec_id, cluster (0-based centroid ordinal), keep.
+    */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, threshold: Double = 0.85,
+                    centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val spark = base.sparkSession
+    import spark.implicits._
+    val centroidRows: Seq[(Long, Seq[Double], Double)] = centroidsOpt match {
+      case Some(cs) => cs.map { case (id, v) =>
+        (id.toLong, v, math.sqrt(v.map(x => x * x).sum)) }
+      case None =>
+        base.orderBy(col("vec_id")).limit(k)
+          .select(col("v"), col("norm")).as[(Seq[Double], Double)].collect()
+          .zipWithIndex.map { case ((v, n), j) => (j.toLong, v, n) }.toSeq
+    }
+    require(centroidRows.nonEmpty, "no centroids: empty input")
+    val centroids = broadcast(centroidRows.toDF("cluster", "cv", "cnorm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster"))
+    val assigned = base.join(centroids, lit(true))
+      .withColumn("csim",
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("crank", row_number().over(w))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("cluster"), col("v"), col("norm"))
+    val lhs = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val rhs = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val dups = lhs.join(rhs, Seq("cluster"))
+      .where(col("vec_a") < col("vec_b") &&
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup").isNull.as("keep"))
+  }
 }

@@ -364,16 +364,142 @@ object TextAnalysis {
     * Pure column exprs, no shuffle.
     * Output: doc_id, bucket (0-99), split (train|val|test).
     */
+  private def splitBucket: Column = pmod(
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+    lit(100L))
+
+  private def splitLabel(bucket: Column, trainPct: Int, valPct: Int): Column =
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+
   def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       "train/val percentages must fit in 100")
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(100L))
-    docs.select(col("doc_id"), bucket.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < trainPct, "train")
-          .when(col("bucket") < trainPct + valPct, "val")
-          .otherwise("test"))
+    docs.select(col("doc_id"), splitBucket.as("bucket"))
+      .withColumn("split", splitLabel(col("bucket"), trainPct, valPct))
+  }
+
+  /** Train→holdout leakage audit — after splitting, which TRAINING
+    * documents share a memorization-length n-gram with the held-out
+    * (val/test) split? The cross-split composition of [[hashSplit]] and
+    * the [[contamination]] shingle check, run before training so eval
+    * numbers aren't inflated by verbatim overlap. Unlike
+    * [[contamination]] (benchmark side is tiny → broadcast), the holdout
+    * here is a corpus FRACTION, so both sides shuffle on the shingle —
+    * the distinct and the join co-partition on the same key, and only
+    * (doc_id, shingle) pairs move. The split is recomputed in-plan from
+    * the doc id (pure column, no extra join against [[hashSplit]]).
+    * Output: doc_id (train docs only), n_shared (its distinct shingles
+    * seen anywhere in holdout).
+    */
+  def splitContamination(docs: DataFrame, n: Int = 13,
+                         trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val tagged = docs.withColumn("split", splitLabel(splitBucket, trainPct, valPct))
+    val trainSh = Dedup.shingles(tagged.where(col("split") === "train"), n)
+    val holdSh = Dedup.shingles(tagged.where(col("split") =!= "train"), n)
+      .select(col("shingle")).distinct()
+    trainSh.join(holdSh, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Line-level boilerplate removal — the CCNet/RefinedWeb cleanup step:
+    * a line appearing (near-)verbatim in many documents is template chrome
+    * (nav bars, cookie banners, footers), not content, so every line whose
+    * document frequency reaches `minDf` is dropped from every document and
+    * the survivors are reassembled in original order.
+    *
+    * Shape at 100 TB: one posexplode scan, one hash aggregate for the line
+    * DF table, one equi-join back on the line text (the shuffle is keyed by
+    * the line — exactly how the frequency table is partitioned, so the join
+    * co-locates), one per-doc aggregate. The boilerplate side after the
+    * HAVING filter is a small fraction of distinct lines; Spark's AQE
+    * broadcasts it when it fits. Order restoration is the standard
+    * collect_list-of-struct + array_sort — no window function, one shuffle.
+    *
+    * Output: doc_id, n_lines, n_kept, cleaned (kept lines joined by \n;
+    * empty string when every line was boilerplate).
+    */
+  def dedupLines(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would drop every line")
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("line"), lit(true).as("boiler"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops nulls, so boilerplate lines vanish before the sort
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("boiler").isNull, struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("cleaned"))
+  }
+
+  /** Hashed-feature linear quality classifier — the fastText-style scorer
+    * every scraped-corpus pipeline runs (a linear model over hashed token
+    * features; here the weight table is derived from md5 so the SAME model
+    * is recomputable in any engine and the plumbing carries its own
+    * oracle — production swaps in trained weights via the same bucket
+    * arithmetic). Token t hashes to bucket md5(t)[0,8) mod `numBuckets`;
+    * bucket j carries weight md5("w:"+j)[0,8) / 2^31 - 1 ∈ [-1, 1). The
+    * document score is the mean token weight — every weight is an exact
+    * multiple of 2^-31 and partial sums stay far below 2^53, so the sum is
+    * EXACT in any summation order and the score is engine-portable without
+    * depending on float fold order. One scan, pure column exprs, no
+    * shuffle. Output: doc_id, n_tokens, score (rounded 6dp), keep.
+    */
+  def hashedClassifierScore(docs: DataFrame, numBuckets: Int = 1024,
+                            threshold: Double = 0.0): DataFrame = {
+    require(numBuckets > 0, "need at least one feature bucket")
+    def bucket(t: Column): Column =
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(numBuckets.toLong))
+    def weight(b: Column): Column =
+      conv(substring(md5(concat(lit("w:"), b.cast("string"))), 1, 8), 16, 10)
+        .cast("double") / lit(2147483648.0) - lit(1.0)
+    val toks = tokens(lower(col("text")))
+    docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        round(
+          when(size(col("t")) > 0,
+            aggregate(transform(col("t"), tk => weight(bucket(tk))), lit(0.0), _ + _) /
+              size(col("t")).cast("double"))
+            .otherwise(lit(0.0)), 6).as("score"))
+      .withColumn("keep", col("score") > threshold)
+  }
+
+  /** Deterministic domain-mixture sampling — training corpora are blended
+    * from sources at configured rates (web 10%, code 50%, books 100%, ...).
+    * The keep decision is a hash threshold on the doc id (salted so it is
+    * independent of [[hashSplit]]'s bucket), NOT an RNG: the same doc is
+    * kept or dropped forever, across runs, partitionings and engines —
+    * which is what makes a mixture reproducible and auditable. Rates are
+    * resolved to integer cuts in [0, 10000] at plan time, so the whole
+    * operator is one scan of pure column exprs, no shuffle.
+    * Output: doc_id, source, u (0-9999), kept.
+    */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Double],
+                    defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    def cut(r: Double): Long = math.round(r * 10000)
+    val u = pmod(
+      conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(10000L))
+    // rates is a small config map: a literal when-chain, resolved at plan time
+    val cutCol = rates.toSeq.sortBy(_._1).foldLeft(lit(cut(defaultRate))) {
+      case (acc, (src, r)) => when(col("source") === src, lit(cut(r))).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"), u.as("u"))
+      .withColumn("kept", col("u") < cutCol)
   }
 }

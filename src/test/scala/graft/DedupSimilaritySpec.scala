@@ -513,4 +513,98 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(got === Array((1L, 1L), (3L, 1L)))
   }
+
+  test("line dedup: cross-doc boilerplate dropped, within-doc repeats kept in order") {
+    val fixture = Seq(
+      (1L, "keep one\nshared boiler\nkeep two"),
+      (2L, "shared boiler\nunique line"),
+      (3L, "third doc only\nshared boiler"),
+      (4L, "shared boiler"),            // all boilerplate -> empty cleaned
+      (5L, "twice here\ntwice here")    // repeats in ONE doc: df=1, both kept
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(fixture).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got === Array(
+      (1L, 3L, 2L, "keep one\nkeep two"),
+      (2L, 2L, 1L, "unique line"),
+      (3L, 2L, 1L, "third doc only"),
+      (4L, 1L, 0L, ""),
+      (5L, 2L, 2L, "twice here\ntwice here")))
+  }
+
+  test("hashed classifier: score independently recomputable from md5, empty doc scores 0") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    def weight(tok: String): Double = {
+      val b = java.lang.Long.parseLong(md5hex(tok).take(8), 16) % 1024
+      java.lang.Long.parseLong(md5hex(s"w:$b").take(8), 16).toDouble / 2147483648.0 - 1.0
+    }
+    val toks = Seq("alpha", "beta", "alpha")
+    val expected = BigDecimal(toks.map(weight).sum / toks.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.hashedClassifierScore(
+        Seq((1L, "Alpha beta ALPHA"), (2L, "   ")).toDF("doc_id", "text"))
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect()
+    assert(got(0) === ((1L, 3L, expected, expected > 0.0)))
+    assert(got(1) === ((2L, 0L, 0.0, false)))
+  }
+
+  test("mixture sample: rate-0 source drops all, rate-1 keeps all, cut recomputable from md5") {
+    val fixture = (0L until 100L).map(i => (i, s"src${i % 5}", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.mixtureSample(fixture,
+        Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+    def u(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8")).take(4).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(h, 16) % 10000
+    }
+    got.foreach { case (id, src, uu, kept) =>
+      assert(uu === u(id))
+      val cut = src match { case "src0" => 10000L; case "src1" => 0L; case _ => 5000L }
+      assert(kept === (uu < cut), s"doc $id src $src u $uu")
+    }
+    assert(got.filter(_._2 == "src0").forall(_._4))
+    assert(got.filter(_._2 == "src1").forall(!_._4))
+    val mid = got.filter(r => r._2 != "src0" && r._2 != "src1")
+    assert(mid.exists(_._4) && mid.exists(!_._4)) // 0.5 cut genuinely splits
+  }
+
+  test("split contamination: train docs sharing a 13-gram with holdout are flagged") {
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(h, 16) % 100
+    }
+    val ids = 0L until 60L
+    val trainId = ids.find(bucket(_) < 90).get
+    val trainClean = ids.filter(i => bucket(i) < 90 && i != trainId).head
+    val holdId = ids.find(bucket(_) >= 90).get
+    val span = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (trainId, s"$span extra words here"),
+      (trainClean, "entirely different thirteen token free text with no overlap at all whatsoever okay fine"),
+      (holdId, s"prefix words $span")
+    ).toDF("doc_id", "text")
+    // the only 13-gram present in BOTH a train and a holdout doc is the span
+    val got = TextAnalysis.splitContamination(docs).as[(Long, Long)].collect()
+    assert(got === Array((trainId, 1L)))
+  }
+
+  test("semantic dedup: within-cluster near-dups dropped, earliest kept, argmax tie to cluster 0") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),     // centroid 0
+      (1L, Array(0f, 1f, 0f, 0f)),     // centroid 1
+      (2L, Array(0.9f, 0.1f, 0f, 0f)), // cluster 0, cos(0,2)≈0.994
+      (3L, Array(1f, 0.05f, 0f, 0f)),  // cluster 0, cos(0,3)≈0.999
+      (4L, Array(0.1f, 1f, 0f, 0f)),   // cluster 1, cos(1,4)≈0.995
+      (5L, Array(0f, 0f, 1f, 0f))      // orthogonal to both -> tie -> cluster 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, k = 2, threshold = 0.95)
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect()
+    assert(got === Array(
+      (0L, 0L, true), (1L, 1L, true), (2L, 0L, false),
+      (3L, 0L, false), (4L, 1L, false), (5L, 0L, true)))
+  }
 }
