@@ -555,14 +555,18 @@ object Similarity {
           .zipWithIndex.map { case ((v, n), j) => (j.toLong, v, n) }.toSeq
     }
     require(centroidRows.nonEmpty, "no centroids: empty input")
-    val centroids = broadcast(centroidRows.toDF("cluster", "cv", "cnorm"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cluster"))
-    val assigned = base.join(centroids, lit(true))
-      .withColumn("csim",
-        round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
-      .withColumn("crank", row_number().over(w))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("cluster"), col("v"), col("norm"))
+    // argmax as a pure column expression over the centroid LITERALS — no
+    // window, no shuffle, no nested-loop join: assignment fuses into the
+    // scan (struct ordering compares csim first, then -cluster, so
+    // array_max is "highest rounded cosine, ties to the lowest cluster")
+    val scored = centroidRows.map { case (j, cv, cn) =>
+      struct(
+        round(dot(col("v"), typedLit(cv)) / (col("norm") * lit(cn)), 6).as("csim"),
+        lit(-j).as("nj"))
+    }
+    val assigned = base.select(col("vec_id"),
+      (-array_max(array(scored: _*)).getField("nj")).as("cluster"),
+      col("v"), col("norm"))
     val lhs = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("norm").as("na"))
     val rhs = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
