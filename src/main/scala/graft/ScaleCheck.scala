@@ -148,6 +148,29 @@ object ScaleCheck {
       graft.operators.TextAnalysis.chunkDocs(docs).count())
     time(s"hash split over $nDocs docs")(
       graft.operators.TextAnalysis.hashSplit(docs).count())
+    // the r6 widening (q64-q68, q70): shingle-agg, membership-broadcast,
+    // line-DF-join, and pure-scan ops — none may grow super-linearly
+    time(s"repeated 13-grams over $nDocs docs")(
+      graft.operators.TextAnalysis.repeatedNgrams(docs).count())
+    time(s"OOV rate (top-1k vocab) over $nDocs docs")(
+      graft.operators.TextAnalysis.oovRate(docs).count())
+    val lw = graft.operators.TextAnalysis.tokens(lower(col("text")))
+    val lined = docs.where(size(lw) > 0).select(col("doc_id"),
+      array_join(
+        transform(sequence(lit(0), floor((size(lw) - 1).cast("double") / 8).cast("int")),
+          i => array_join(slice(lw, i * 8 + 1, lit(8)), " ")),
+        "\n").as("text"))
+    time(s"line dedup (8-token lines) over $nDocs docs")(
+      graft.operators.TextAnalysis.dedupLines(lined).count())
+    time(s"hashed classifier over $nDocs docs")(
+      graft.operators.TextAnalysis.hashedClassifierScore(docs).count())
+    time(s"mixture sample over $nDocs docs")(
+      graft.operators.TextAnalysis.mixtureSample(
+        docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+        Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+        defaultRate = 0.1).count())
+    time(s"split contamination over $nDocs docs")(
+      graft.operators.TextAnalysis.splitContamination(docs).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so
@@ -174,6 +197,10 @@ object ScaleCheck {
     // stay linear in vectors x dim with zero shuffles
     time(s"int8 quantization over $nVecs vectors")(
       Similarity.quantizeInt8(embs).count())
+    // semantic dedup (q69): per-cluster pair volume Σ n_c² — k grows with
+    // the corpus in production; 64 cells here keeps cells ~corpus/64
+    time(s"semantic dedup (64 cells) over $nVecs vectors")(
+      Similarity.semanticDedup(embs, k = 64, threshold = 0.9).count())
     embs.unpersist()
     spark.stop()
   }

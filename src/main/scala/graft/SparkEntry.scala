@@ -503,6 +503,15 @@ object SparkEntry {
     // straddle the 90/10 hash split (4 contaminated train docs at sf0.001)
     "q70_split_contamination" -> ((s, dir) =>
       TextAnalysis.splitContamination(Tables.documents(s, dir)).orderBy("doc_id")),
+    // the full fused gate stack over the PII-decorated corpus (so the PII
+    // gate is genuinely active: ~54% of docs carry a planted span); the
+    // classifier cut sits under the corpus's score median and the mixture
+    // rates are high, so every gate drops some docs but none annihilates
+    "q71_corpus_prep_full" -> ((s, dir) =>
+      CorpusPrep.prepareFull(piiDecorated(Tables.documents(s, dir)),
+        numPerms = 16, bands = 8, baseHash = Dedup.md5Base,
+        classifierThreshold = -0.2,
+        rates = MixtureRates, defaultRate = 0.75).orderBy("doc_id")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -528,7 +537,7 @@ object SparkEntry {
     * email / phone / IP span derived from the id, so expected counts and
     * redactions are recomputable in any engine without real PII data. */
   private def piiDecorated(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), col("source"),
       concat(col("text"),
         when(pmod(col("doc_id"), lit(3)) === 0,
           concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
@@ -1815,6 +1824,133 @@ object SparkEntry {
         |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
         |FROM tr JOIN h ON h.shingle = tr.shingle
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "q71_corpus_prep_full" ->
+      s"""WITH RECURSIVE dd AS (
+         |  SELECT doc_id, source, $PiiDecorateSql AS text FROM documents),
+         |t AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
+         |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS DOUBLE) AS n_stop
+         |  FROM dd),
+         |qual AS (
+         |  SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
+         |    round(least(n_toks / 200.0, 1.0) * 0.5
+         |        + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
+         |        + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
+         |        4) AS quality
+         |  FROM t),
+         |ls AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|nicht|ist|ein)\\b')) AS BIGINT) AS s_de,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|in|that)\\b')) AS BIGINT) AS s_en,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|un|una|que)\\b')) AS BIGINT) AS s_es,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(le|la|les|est|une|des|dans)\\b')) AS BIGINT) AS s_fr,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(de|shi|bu|le|zai|wo|you)\\b')) AS BIGINT) AS s_zh
+         |  FROM dd),
+         |lang AS (
+         |  SELECT doc_id, CASE
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh' END AS predicted_lang
+         |  FROM ls),
+         |pii AS (
+         |  SELECT doc_id,
+         |    (len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) > 0
+         |     OR len(regexp_extract_all(lower(text), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) > 0
+         |     OR len(regexp_extract_all(lower(text), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0) AS has_pii
+         |  FROM dd),
+         |ctok AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                            x -> x <> '')) AS token
+         |  FROM dd),
+         |cwts AS (
+         |  SELECT doc_id,
+         |    (('0x' || substr(md5('w:' ||
+         |        CAST((('0x' || substr(md5(token), 1, 8))::BIGINT % 1024) AS VARCHAR)),
+         |      1, 8))::BIGINT / 2147483648.0) - 1.0 AS cw
+         |  FROM ctok),
+         |sc AS (SELECT doc_id, round(sum(cw) / count(*), 6) AS score
+         |       FROM cwts GROUP BY doc_id),
+         |mx AS (
+         |  SELECT doc_id,
+         |    (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % 10000) <
+         |    (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
+         |                 WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500
+         |                 ELSE 7500 END) AS kept
+         |  FROM dd),
+         |spl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90
+         |         THEN 'train'
+         |         WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 95
+         |         THEN 'val' ELSE 'test' END AS split
+         |  FROM dd),
+         |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+         |       FROM dd),
+         |canon AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint),
+         |w AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+         |  FROM dd),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |           unnest(list_transform(range(1, len(words) - 3),
+         |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+         |    FROM w WHERE len(words) >= 5) t2),
+         |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+         |perms AS (
+         |  SELECT perm,
+         |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
+         |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
+         |  FROM (SELECT unnest(range(0, 16)) AS perm) t3),
+         |sig AS (
+         |  SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
+         |  FROM bh CROSS JOIN perms GROUP BY doc_id, perm),
+         |banded AS (
+         |  SELECT doc_id, perm // 2 AS band,
+         |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key
+         |  FROM sig GROUP BY doc_id, perm // 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+         |                              AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pr AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+         |          UNION SELECT doc_b, doc_a FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+         |dropped AS (
+         |  SELECT src AS doc_id FROM reach GROUP BY src
+         |  HAVING least(src, min(dst)) < src)
+         |SELECT q.doc_id, q.n_tokens, q.quality, sc.score, spl.split
+         |FROM qual q
+         |JOIN lang l ON l.doc_id = q.doc_id AND l.predicted_lang = 'en'
+         |JOIN pii ON pii.doc_id = q.doc_id AND NOT pii.has_pii
+         |JOIN sc ON sc.doc_id = q.doc_id AND sc.score > -0.2
+         |JOIN mx ON mx.doc_id = q.doc_id AND mx.kept
+         |JOIN spl ON spl.doc_id = q.doc_id
+         |JOIN fp ON fp.doc_id = q.doc_id
+         |JOIN canon c ON c.fingerprint = fp.fingerprint AND c.keep_id = q.doc_id
+         |WHERE q.quality >= 0.4
+         |  AND NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = q.doc_id)
+         |ORDER BY q.doc_id""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

@@ -68,4 +68,61 @@ object CorpusPrep {
       .join(nearDropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"), col("quality"))
   }
+
+  /** The FULL production gate stack — [[prepare]]'s quality/language/
+    * exact-dedup/near-dup core widened with the round-6 stages, every one
+    * fused into the SAME single corpus scan (all are row-local column
+    * expressions, so the widening adds zero scans and zero shuffles):
+    *
+    *   PII gate ([[TextAnalysis.piiFlagExpr]]: flagged docs never reach a
+    *   training corpus) → quality gate → language gate → classifier gate
+    *   ([[TextAnalysis.classifierScoreExpr]] > `classifierThreshold`) →
+    *   domain-mixture draw ([[TextAnalysis.mixtureKeptExpr]]) → exact
+    *   dedup → near-dup cluster removal → split assignment
+    *   ([[TextAnalysis.splitExpr]], carried through as a column).
+    *
+    * Input needs (doc_id, text, source). Oracle-checked end-to-end as q71
+    * (each stage is also independently oracle-checked: q31/q32/q33/q46/
+    * q53/q60/q67/q68/q62).
+    *
+    * @return surviving (doc_id, n_tokens, quality, score, split) rows.
+    */
+  def prepareFull(docs: DataFrame, minQuality: Double = 0.4, lang: String = "en",
+                  nearDupThreshold: Double = 0.5,
+                  numPerms: Int = 64, bands: Int = 16,
+                  baseHash: Column => Column = Dedup.xxhashBase,
+                  classifierThreshold: Double = -0.2,
+                  rates: Map[String, Double] = Map.empty,
+                  defaultRate: Double = 1.0,
+                  trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val scored = docs.select(Seq(
+      col("doc_id"),
+      TextAnalysis.nTokensExpr(col("text")).as("n_tokens"),
+      TextAnalysis.qualityExpr(col("text")).as("quality"),
+      md5(TextAnalysis.normalized(col("text"))).as("fingerprint"),
+      TextAnalysis.piiFlagExpr(col("text")).as("has_pii"),
+      TextAnalysis.classifierScoreExpr(col("text")).as("score"),
+      TextAnalysis.mixtureKeptExpr(col("source"), col("doc_id"), rates, defaultRate)
+        .as("kept"),
+      TextAnalysis.splitExpr(trainPct, valPct).as("split")) ++
+      TextAnalysis.langScoreCols(col("text")): _*)
+    val perDoc = scored.select(col("doc_id"), col("n_tokens"), col("quality"),
+      col("fingerprint"), col("has_pii"), col("score"), col("kept"), col("split"),
+      TextAnalysis.predictedFromScores.as("predicted_lang"))
+    val keepW = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+    val gatedKept = perDoc
+      .withColumn("keep_id", min(col("doc_id")).over(keepW))
+      .where(col("doc_id") === col("keep_id") &&
+        !col("has_pii") &&
+        col("quality") >= minQuality && col("predicted_lang") === lang &&
+        col("score") > classifierThreshold && col("kept"))
+    val nearDropped = Dedup.dupClusters(
+      Dedup.minhashLshPairs(docs, numPerms = numPerms, bands = bands,
+        threshold = nearDupThreshold, baseHash = baseHash))
+      .where(col("cluster_id") =!= col("doc_id"))
+      .select("doc_id")
+    gatedKept
+      .join(nearDropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("score"), col("split"))
+  }
 }

@@ -305,6 +305,15 @@ object TextAnalysis {
     * text (emails are case-insensitive by construction; digits unaffected).
     * Output: doc_id, n_emails, n_phones, n_ips, has_pii.
     */
+  /** The composite PII flag as a pure column over `text` — exposed for
+    * [[CorpusPrep]] fusion (same patterns and match domain as [[piiScan]]). */
+  def piiFlagExpr(text: Column): Column = {
+    val low = lower(text)
+    piiPatterns.map { case (_, pat, _) =>
+      size(regexp_extract_all(low, lit(pat), lit(0))) > 0
+    }.reduce(_ || _)
+  }
+
   def piiScan(docs: DataFrame): DataFrame = {
     val low = lower(col("text"))
     val counts = piiPatterns.map { case (name, pat, _) =>
@@ -372,6 +381,11 @@ object TextAnalysis {
     when(bucket < trainPct, "train")
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
+
+  /** The split label as a pure column over `doc_id` — exposed for
+    * [[CorpusPrep]] fusion. */
+  def splitExpr(trainPct: Int = 90, valPct: Int = 5): Column =
+    splitLabel(splitBucket, trainPct, valPct)
 
   def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
@@ -456,25 +470,30 @@ object TextAnalysis {
     * depending on float fold order. One scan, pure column exprs, no
     * shuffle. Output: doc_id, n_tokens, score (rounded 6dp), keep.
     */
-  def hashedClassifierScore(docs: DataFrame, numBuckets: Int = 1024,
-                            threshold: Double = 0.0): DataFrame = {
+  /** The classifier's score as a pure column over `text` — exposed (like
+    * [[qualityExpr]]) so composed pipelines ([[CorpusPrep]]) can fuse the
+    * gate into the one corpus scan. */
+  def classifierScoreExpr(text: Column, numBuckets: Int = 1024): Column = {
     require(numBuckets > 0, "need at least one feature bucket")
     def bucket(t: Column): Column =
       pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(numBuckets.toLong))
     def weight(b: Column): Column =
       conv(substring(md5(concat(lit("w:"), b.cast("string"))), 1, 8), 16, 10)
         .cast("double") / lit(2147483648.0) - lit(1.0)
-    val toks = tokens(lower(col("text")))
-    docs.select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        round(
-          when(size(col("t")) > 0,
-            aggregate(transform(col("t"), tk => weight(bucket(tk))), lit(0.0), _ + _) /
-              size(col("t")).cast("double"))
-            .otherwise(lit(0.0)), 6).as("score"))
-      .withColumn("keep", col("score") > threshold)
+    val toks = tokens(lower(text))
+    round(
+      when(size(toks) > 0,
+        aggregate(transform(toks, tk => weight(bucket(tk))), lit(0.0), _ + _) /
+          size(toks).cast("double"))
+        .otherwise(lit(0.0)), 6)
   }
+
+  def hashedClassifierScore(docs: DataFrame, numBuckets: Int = 1024,
+                            threshold: Double = 0.0): DataFrame =
+    docs.select(col("doc_id"),
+      nTokensExpr(col("text")).as("n_tokens"),
+      classifierScoreExpr(col("text"), numBuckets).as("score"))
+      .withColumn("keep", col("score") > threshold)
 
   /** Deterministic domain-mixture sampling — training corpora are blended
     * from sources at configured rates (web 10%, code 50%, books 100%, ...).
@@ -486,20 +505,28 @@ object TextAnalysis {
     * operator is one scan of pure column exprs, no shuffle.
     * Output: doc_id, source, u (0-9999), kept.
     */
-  def mixtureSample(docs: DataFrame, rates: Map[String, Double],
-                    defaultRate: Double = 1.0): DataFrame = {
+  /** The mixture hash draw in [0, 10000) as a pure column over the doc id. */
+  def mixtureUExpr(docId: Column): Column = pmod(
+    conv(substring(md5(concat(lit("mix:"), docId.cast("string"))), 1, 8), 16, 10)
+      .cast("long"),
+    lit(10000L))
+
+  /** The mixture keep verdict as a pure column — exposed for [[CorpusPrep]]
+    * fusion. Rates resolve to integer cuts at plan time (a literal
+    * when-chain over the small config map). */
+  def mixtureKeptExpr(source: Column, docId: Column, rates: Map[String, Double],
+                      defaultRate: Double): Column = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "rates must be in [0, 1]")
     def cut(r: Double): Long = math.round(r * 10000)
-    val u = pmod(
-      conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long"),
-      lit(10000L))
-    // rates is a small config map: a literal when-chain, resolved at plan time
     val cutCol = rates.toSeq.sortBy(_._1).foldLeft(lit(cut(defaultRate))) {
-      case (acc, (src, r)) => when(col("source") === src, lit(cut(r))).otherwise(acc)
+      case (acc, (src, r)) => when(source === src, lit(cut(r))).otherwise(acc)
     }
-    docs.select(col("doc_id"), col("source"), u.as("u"))
-      .withColumn("kept", col("u") < cutCol)
+    mixtureUExpr(docId) < cutCol
   }
+
+  def mixtureSample(docs: DataFrame, rates: Map[String, Double],
+                    defaultRate: Double = 1.0): DataFrame =
+    docs.select(col("doc_id"), col("source"), mixtureUExpr(col("doc_id")).as("u"),
+      mixtureKeptExpr(col("source"), col("doc_id"), rates, defaultRate).as("kept"))
 }

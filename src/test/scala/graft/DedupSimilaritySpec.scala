@@ -592,6 +592,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Array((trainId, 1L)))
   }
 
+  test("prepareFull: fused gate stack equals the standalone operator composition") {
+    // one doc per gate: 1 survives; 2 near-dup of 1; 3 PII; 4 exact dup of
+    // 1; 5 low quality; 6 English + decent quality but its source's mixture
+    // rate is 0.0 — each is dropped by exactly the gate it was built for
+    val en3 = "please contact our support team at the office and we will reply to all of " +
+      "the questions about the new schedule for the coming spring events in the town hall"
+    val en6 = "a short note about the weather today with plenty of the usual small words " +
+      "to keep the quality gate happy for this document in the corpus over here"
+    val corpus = Seq(
+      (1L, base, "web"),
+      (2L, nearDup, "web"),
+      (3L, en3 + " contact user3@example.com", "web"),
+      (4L, base, "web"),
+      (5L, "x", "web"),
+      (6L, en6, "drop_src")
+    ).toDF("doc_id", "text", "source")
+    val rates = Map("drop_src" -> 0.0)
+    val out = CorpusPrep.prepareFull(corpus, numPerms = 16, bands = 8,
+      baseHash = Dedup.md5Base, classifierThreshold = -1.0, rates = rates)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getString(4))).toMap
+    // expected survivors: prepare's quality/lang/exact/near-dup core (same
+    // params) ∩ PII-clean ∩ mixture-kept (classifier gate open at -1.0:
+    // every score is a mean of weights in (-1, 1))
+    val core = CorpusPrep.prepare(corpus, numPerms = 16, bands = 8,
+      baseHash = Dedup.md5Base)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val piiClean = TextAnalysis.piiScan(corpus).where(!col("has_pii"))
+      .select("doc_id").as[Long].collect().toSet
+    val mixKept = TextAnalysis.mixtureSample(corpus, rates).where(col("kept"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.keySet === core.keySet.intersect(piiClean).intersect(mixKept))
+    assert(out.keySet === Set(1L)) // and each designated gate really bound:
+    assert(core.keySet === Set(1L, 3L, 6L)) // 2/4/5 dropped by the core
+    assert(!piiClean.contains(3L) && piiClean.contains(6L))
+    assert(!mixKept.contains(6L))
+    // carried columns match the standalone operators bit-for-bit
+    val (nTok, qual) = core(1L)
+    assert(out(1L)._1 === nTok && out(1L)._2 === qual)
+    val score1 = TextAnalysis.hashedClassifierScore(corpus)
+      .where(col("doc_id") === 1).select("score").as[Double].head()
+    assert(out(1L)._3 === score1)
+    val split1 = TextAnalysis.hashSplit(corpus)
+      .where(col("doc_id") === 1).select("split").as[String].head()
+    assert(out(1L)._4 === split1)
+    // an impossible classifier bar (> 1.0) annihilates through the same plan
+    assert(CorpusPrep.prepareFull(corpus, numPerms = 16, bands = 8,
+      baseHash = Dedup.md5Base, classifierThreshold = 1.0, rates = rates)
+      .count() === 0L)
+  }
+
   test("semantic dedup: within-cluster near-dups dropped, earliest kept, argmax tie to cluster 0") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),     // centroid 0
