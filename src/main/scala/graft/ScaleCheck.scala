@@ -171,6 +171,14 @@ object ScaleCheck {
         defaultRate = 0.1).count())
     time(s"split contamination over $nDocs docs")(
       graft.operators.TextAnalysis.splitContamination(docs).count())
+    // q72/q73: the two-phase prefix sum's single-partition window must
+    // stay on the bucket dim (nDocs/4096 rows), and the report's windows
+    // on the sources x splits dim — both scan-bound, no corpus-wide sort
+    time(s"pack plan over $nDocs docs")(
+      graft.operators.TextAnalysis.packDocs(docs).count())
+    time(s"composition report over $nDocs docs")(
+      graft.operators.TextAnalysis.compositionReport(
+        docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

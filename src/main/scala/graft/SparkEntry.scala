@@ -512,6 +512,15 @@ object SparkEntry {
         numPerms = 16, bands = 8, baseHash = Dedup.md5Base,
         classifierThreshold = -0.2,
         rates = MixtureRates, defaultRate = 0.75).orderBy("doc_id")),
+    // contextLen 512 ~ corpus mean doc ≈ 120 tokens, so packs hold several
+    // docs and boundary straddles genuinely occur; bucketSize 64 forces the
+    // two-phase prefix sum through MANY buckets (the scale path), not one
+    "q72_pack_plan" -> ((s, dir) =>
+      TextAnalysis.packDocs(Tables.documents(s, dir), contextLen = 512,
+        bucketSize = 64).orderBy("doc_id")),
+    "q73_composition_report" -> ((s, dir) =>
+      TextAnalysis.compositionReport(piiDecorated(Tables.documents(s, dir)))
+        .orderBy("source", "split")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -1951,6 +1960,63 @@ object SparkEntry {
          |WHERE q.quality >= 0.4
          |  AND NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = q.doc_id)
          |ORDER BY q.doc_id""".stripMargin,
+    "q72_pack_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       start_offset // 512 AS pack_id,
+        |       (start_offset + n_tokens - 1) // 512 AS end_pack_id,
+        |       (start_offset // 512) <> ((start_offset + n_tokens - 1) // 512) AS straddles
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q73_composition_report" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id, source, $PiiDecorateSql AS text FROM documents),
+         |t AS (
+         |  SELECT doc_id, source,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
+         |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS DOUBLE) AS n_stop,
+         |    (len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) > 0
+         |     OR len(regexp_extract_all(lower(text), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) > 0
+         |     OR len(regexp_extract_all(lower(text), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0) AS has_pii
+         |  FROM dd),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    CAST(n_toks AS BIGINT) AS n_tokens,
+         |    CAST(round(round(least(n_toks / 200.0, 1.0) * 0.5
+         |        + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
+         |        + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
+         |        4) * 10000, 0) AS BIGINT) AS q_ticks,
+         |    CASE WHEN has_pii THEN 1 ELSE 0 END AS pii,
+         |    CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90 THEN 'train'
+         |         WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM t),
+         |g AS (
+         |  SELECT source, split,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(q_ticks) AS BIGINT) AS q_ticks,
+         |    CAST(sum(pii) AS BIGINT) AS pii_docs
+         |  FROM q GROUP BY source, split),
+         |tot AS (SELECT source, split, n_docs, n_tokens, q_ticks, pii_docs,
+         |               sum(n_tokens) OVER () AS total_tokens FROM g)
+         |SELECT source, split, n_docs, n_tokens,
+         |  CAST((2 * CAST(n_tokens AS HUGEINT) * 1000000 + total_tokens)
+         |       // (2 * total_tokens) AS BIGINT) / 1000000.0 AS token_share,
+         |  ((2 * q_ticks + n_docs) // (2 * n_docs)) / 10000.0 AS mean_quality,
+         |  pii_docs,
+         |  ((2 * pii_docs * 10000 + n_docs) // (2 * n_docs)) / 10000.0 AS pii_rate
+         |FROM tot ORDER BY source, split""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -529,4 +530,104 @@ object TextAnalysis {
                     defaultRate: Double = 1.0): DataFrame =
     docs.select(col("doc_id"), col("source"), mixtureUExpr(col("doc_id")).as("u"),
       mixtureKeptExpr(col("source"), col("doc_id"), rates, defaultRate).as("kept"))
+
+  /** Sequence-packing plan (GPT-style concat-and-split): documents are
+    * concatenated in doc_id order and the resulting token stream is cut
+    * into fixed `contextLen` windows; each document's global token offset
+    * decides which pack(s) it lands in. Emits the ASSIGNMENT (offsets and
+    * pack ids), not the packed text — the plan is what a distributed
+    * writer shards on, and it is what makes packing reproducible: the
+    * layout is a pure function of (corpus, contextLen), independent of
+    * partitioning.
+    *
+    * The global running offset is the scale trap: the direct
+    * `sum().over(Window.orderBy("doc_id"))` collapses the whole corpus
+    * into ONE partition — the classic prefix-sum killer. This runs it
+    * two-phase instead: (1) per-bucket token subtotals (bucket = doc_id
+    * range of `bucketSize` ids) whose running offsets are computed on the
+    * SMALL bucket dimension (corpus/bucketSize rows — the only
+    * single-partition window, bounded by construction and broadcast
+    * back), then (2) each doc adds its within-bucket running sum through
+    * a window PARTITIONED by bucket — fully parallel, at most
+    * `bucketSize` rows per partition. Size `bucketSize` so the bucket dim
+    * stays broadcastable (1e6 ids/bucket → 100k rows at 1e11 docs).
+    *
+    * Empty docs carry no tokens and are excluded (they cannot own an
+    * offset). Output: doc_id, n_tokens, start_offset, pack_id,
+    * end_pack_id, straddles (doc crosses a pack boundary — the fraction
+    * of straddlers is the attention-fragmentation metric packing reports).
+    */
+  def packDocs(docs: DataFrame, contextLen: Int = 512,
+               bucketSize: Long = 4096): DataFrame = {
+    require(contextLen > 0, "context length must be positive")
+    require(bucketSize > 0, "bucket size must be positive")
+    val counted = docs
+      .select(col("doc_id"), nTokensExpr(col("text")).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("bucket", expr(s"doc_id div ${bucketSize}L"))
+    val bucketTotals = counted.groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+    val bw = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketTotals.select(col("bucket"),
+      coalesce(sum(col("bucket_tokens")).over(bw), lit(0L)).as("bucket_offset"))
+    val dw = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted
+      .join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("start_offset",
+        col("bucket_offset") + coalesce(sum(col("n_tokens")).over(dw), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div ${contextLen}L").as("pack_id"),
+        expr(s"(start_offset + n_tokens - 1) div ${contextLen}L").as("end_pack_id"))
+      .withColumn("straddles", col("pack_id") =!= col("end_pack_id"))
+  }
+
+  /** Dataset-card composition report — the per-(source, split) summary a
+    * training run publishes: document/token counts, each cell's share of
+    * corpus tokens, mean quality, and PII incidence. All arithmetic that
+    * feeds a rounded ratio stays in INTEGERS until one final
+    * exact-int-by-power-of-10 division: quality is aggregated in 1e-4
+    * ticks (quality is 4dp-rounded, so ticks are exact longs and the sum
+    * is fold-order-independent — the Atr discipline), and each ratio is
+    * rounded HALF-UP in integer space, `(2a + b) div (2b)`, instead of
+    * `round(a / b, k)` — a float ratio landing near a decimal half-tie
+    * rounds differently under decimal-string rounding (Spark) vs
+    * multiply-then-round (other engines), and a mean of 4dp ticks lands
+    * on such ties routinely (found by the q73 oracle the first time: one
+    * cell's mean differed by exactly one tick). token_share multiplies
+    * through DECIMAL(38,0) so 2·tokens·10⁶ cannot overflow at real corpus
+    * scale (>4.6e12 total tokens overflows BIGINT). The only
+    * full-relation window (token_share's total) runs over the
+    * ALREADY-AGGREGATED sources×splits dimension — bounded by the config,
+    * not the corpus.
+    * Output: source, split, n_docs, n_tokens, token_share, mean_quality,
+    * pii_docs, pii_rate.
+    */
+  def compositionReport(docs: DataFrame, trainPct: Int = 90,
+                        valPct: Int = 5): DataFrame = {
+    val perDoc = docs.select(
+      col("source"),
+      splitExpr(trainPct, valPct).as("split"),
+      nTokensExpr(col("text")).as("n_tokens"),
+      round(qualityExpr(col("text")) * 10000, 0).cast("long").as("q_ticks"),
+      piiFlagExpr(col("text")).cast("long").as("pii"))
+    val grouped = perDoc.groupBy("source", "split").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      sum("q_ticks").as("q_ticks"),
+      sum("pii").as("pii_docs"))
+    val total = Window.partitionBy()
+    grouped
+      .withColumn("total_tokens", sum(col("n_tokens")).over(total))
+      .select(
+        col("source"), col("split"), col("n_docs"), col("n_tokens"),
+        (expr("CAST((2 * CAST(n_tokens AS DECIMAL(38,0)) * 1000000 + total_tokens) div (2 * total_tokens) AS BIGINT)")
+          / lit(1000000.0)).as("token_share"),
+        (expr("(2 * q_ticks + n_docs) div (2 * n_docs)") / lit(10000.0))
+          .as("mean_quality"),
+        col("pii_docs"),
+        (expr("(2 * pii_docs * 10000 + n_docs) div (2 * n_docs)") / lit(10000.0))
+          .as("pii_rate"))
+  }
 }

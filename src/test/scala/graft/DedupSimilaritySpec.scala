@@ -643,6 +643,76 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("packDocs: two-phase prefix sum equals the naive cumsum, empty docs excluded") {
+    // token counts 1..7 cycling; every 13th doc is empty (must not own an
+    // offset); ids offset by 3 so buckets don't align with the id origin
+    val docs = (3L to 102L).map { i =>
+      (i, if (i % 13 == 0) "" else Seq.fill((i % 7 + 1).toInt)("tok").mkString(" "))
+    }.toDF("doc_id", "text")
+    def naive(contextLen: Int): Seq[(Long, Long, Long, Long, Long, Boolean)] = {
+      var off = 0L
+      (3L to 102L).filter(_ % 13 != 0).map { i =>
+        val n = i % 7 + 1
+        val s = off; off += n
+        val p0 = s / contextLen; val p1 = (s + n - 1) / contextLen
+        (i, n, s, p0, p1, p0 != p1)
+      }
+    }
+    // many small buckets (the scale path), one giant bucket (degenerate
+    // path), and a mid size: the plan shape changes, the layout must not
+    Seq(8L, 64L, 100000L).foreach { bs =>
+      val got = TextAnalysis.packDocs(docs, contextLen = 10, bucketSize = bs)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5))).toSeq
+      assert(got === naive(10), s"bucketSize=$bs")
+    }
+    // straddlers really exist and the flag is consistent with the ids
+    val out = TextAnalysis.packDocs(docs, contextLen = 10, bucketSize = 8)
+      .collect()
+    assert(out.exists(_.getBoolean(5)) && out.exists(!_.getBoolean(5)))
+  }
+
+  test("compositionReport: exact tick means and rates match the standalone operators") {
+    val corpus = Seq(
+      (1L, base, "web"),
+      (2L, base + " and some more of the words with the usual filler text", "web"),
+      (3L, other + " reach me at someone@example.com for details", "web"),
+      (4L, other, "books"),
+      (5L, "x", "books"),
+      (6L, base + " a tail", "books")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.compositionReport(corpus)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7))).toMap
+    // expected from the standalone oracle-checked ops, composed on the driver
+    val split = TextAnalysis.hashSplit(corpus)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val toks = TextAnalysis.tokenStats(corpus)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    val qual = TextAnalysis.qualityScore(corpus)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val pii = TextAnalysis.piiScan(corpus)
+      .select("doc_id", "has_pii").as[(Long, Boolean)].collect().toMap
+    val bySrc = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+      .groupBy(id => (Seq("web", "web", "web", "books", "books", "books")(id.toInt - 1), split(id)))
+    val totalTokens = toks.values.sum
+    bySrc.foreach { case (key, ids) =>
+      val (nDocs, nTok, qTicks, piiDocs) = (ids.size.toLong,
+        ids.map(toks).sum,
+        ids.map(id => math.round(qual(id) * 10000)).sum,
+        ids.count(pii).toLong)
+      val (gDocs, gTok, gShare, gQual, gPii, gRate) = got(key)
+      assert(gDocs === nDocs && gTok === nTok && gPii === piiDocs, key)
+      // integer HALF_UP: (2a + b) div (2b), then exact /10^k
+      assert(gShare === ((2 * nTok * 1000000L + totalTokens) / (2 * totalTokens)) / 1e6, key)
+      assert(gQual === ((2 * qTicks + nDocs) / (2 * nDocs)) / 1e4, key)
+      assert(gRate === ((2 * piiDocs * 10000L + nDocs) / (2 * nDocs)) / 1e4, key)
+    }
+    assert(got.keySet === bySrc.keySet)
+  }
+
   test("semantic dedup: within-cluster near-dups dropped, earliest kept, argmax tie to cluster 0") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),     // centroid 0
