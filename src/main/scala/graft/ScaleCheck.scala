@@ -179,6 +179,8 @@ object ScaleCheck {
     time(s"composition report over $nDocs docs")(
       graft.operators.TextAnalysis.compositionReport(
         docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))).count())
+    time(s"token-budget draw over $nDocs docs")(
+      graft.operators.TextAnalysis.tokenBudgetSample(docs, budgetTokens = 500000L).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

@@ -521,6 +521,20 @@ object SparkEntry {
     "q73_composition_report" -> ((s, dir) =>
       TextAnalysis.compositionReport(piiDecorated(Tables.documents(s, dir)))
         .orderBy("source", "split")),
+    // 12k of the corpus's 27,939 tokens: the budget genuinely cuts ~57%
+    // of docs and the straddling doc is exercised
+    "q74_token_budget" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetSample(Tables.documents(s, dir),
+        budgetTokens = 12000L).orderBy("doc_id")),
+    // o_totalprice profiled as DECIMAL(12,2): double min/max rendered as
+    // strings would hang on shortest-round-trip formatting agreement
+    // between engines; decimals render identically by construction
+    "q75_profile" -> ((s, dir) =>
+      Profile.profile(
+        Tables.orders(s, dir)
+          .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")).orderBy("col_name")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2017,6 +2031,53 @@ object SparkEntry {
          |  pii_docs,
          |  ((2 * pii_docs * 10000 + n_docs) // (2 * n_docs)) / 10000.0 AS pii_rate
          |FROM tot ORDER BY source, split""".stripMargin,
+    "q74_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5('draw:' || CAST(doc_id AS VARCHAR)) AS h,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, start_offset
+        |FROM p WHERE start_offset < 12000 ORDER BY doc_id""".stripMargin,
+    "q75_profile" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |                  CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+        |                  o_orderdate, o_orderpriority FROM orders)
+        |SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |       CAST(min(o_custkey) AS VARCHAR) AS min_val,
+        |       CAST(max(o_custkey) AS VARCHAR) AS max_val FROM o
+        |UNION ALL
+        |SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM o
+        |UNION ALL
+        |SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |       CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM o
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM o
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM o
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM o
+        |ORDER BY col_name""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

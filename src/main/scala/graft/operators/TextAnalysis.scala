@@ -583,6 +583,49 @@ object TextAnalysis {
       .withColumn("straddles", col("pack_id") =!= col("end_pack_id"))
   }
 
+  /** Deterministic token-budget draw — real corpora are drawn to a TOKEN
+    * budget ("train on 300B tokens"), not a document rate
+    * ([[mixtureSample]]'s knob): documents are taken in the order of a
+    * salted md5 of their id (a reproducible shuffle — independent of the
+    * mixture and split salts, so budget draws compose with both) until
+    * the running token total crosses `budgetTokens`. The doc that
+    * STRADDLES the budget is included (greedy take-until semantics:
+    * every selected doc has start_offset < budget), so the draw
+    * overshoots by at most one document — the convention that keeps
+    * membership a pure per-doc predicate.
+    *
+    * Same two-phase prefix sum as [[packDocs]], with a twist that removes
+    * the bucket-size knob entirely: the bucket is the first byte of the
+    * ORDERING hash, so (bucket asc, h asc) IS the global hash order and
+    * the 256 buckets are uniform by construction — no skew, no tuning.
+    * The single-partition window touches exactly 256 rows at any corpus
+    * size; the corpus-side window is partitioned by bucket.
+    * Output: doc_id, n_tokens, start_offset (position of the doc's first
+    * token in the drawn stream).
+    */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "token budget cannot be negative")
+    val counted = docs
+      .select(col("doc_id"), nTokensExpr(col("text")).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("h", md5(concat(lit("draw:"), col("doc_id").cast("string"))))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+    val bucketTotals = counted.groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+    val bw = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketTotals.select(col("bucket"),
+      coalesce(sum(col("bucket_tokens")).over(bw), lit(0L)).as("bucket_offset"))
+    val dw = Window.partitionBy("bucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted
+      .join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("start_offset",
+        col("bucket_offset") + coalesce(sum(col("n_tokens")).over(dw), lit(0L)))
+      .where(col("start_offset") < budgetTokens)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"))
+  }
+
   /** Dataset-card composition report — the per-(source, split) summary a
     * training run publishes: document/token counts, each cell's share of
     * corpus tokens, mean quality, and PII incidence. All arithmetic that

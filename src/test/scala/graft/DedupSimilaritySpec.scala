@@ -713,6 +713,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.keySet === bySrc.keySet)
   }
 
+  test("tokenBudgetSample: hash-order greedy draw matches the naive reference") {
+    val docs = (1L to 80L).map { i =>
+      (i, if (i % 11 == 0) "" else Seq.fill((i % 5 + 2).toInt)("tok").mkString(" "))
+    }.toDF("doc_id", "text")
+    def h(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"draw:$id".getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    // naive reference: sort by (md5, id), cumulative offsets, take < budget
+    val ordered = (1L to 80L).filter(_ % 11 != 0)
+      .map(i => (i, i % 5 + 2, h(i))).sortBy(t => (t._3, t._1))
+    val offsets = ordered.scanLeft(0L)(_ + _._2).init
+    val want = ordered.zip(offsets)
+      .map { case ((id, n, _), off) => (id, n, off) }
+    Seq(0L, 50L, 100000L).foreach { budget =>
+      val got = TextAnalysis.tokenBudgetSample(docs, budget)
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+      assert(got === want.filter(_._3 < budget).sortBy(_._1), s"budget=$budget")
+    }
+    // a mid budget really includes the straddling doc: the last selected
+    // doc's start_offset is < budget but its end may cross it
+    val mid = TextAnalysis.tokenBudgetSample(docs, 50L).collect()
+    val last = mid.map(r => (r.getLong(2), r.getLong(1))).maxBy(_._1)
+    assert(last._1 < 50L)
+  }
+
+  test("profile: per-column counts, nulls, distincts and native-typed ranges") {
+    val df = Seq(
+      (Some(3L), Some("b"), Some(2.5)),
+      (Some(1L), None, Some(10.0)),
+      (None, Some("a"), Some(2.5)),
+      (Some(3L), Some("ab"), None)
+    ).toDF("k", "s", "d")
+    val got = graft.operators.Profile.profile(df, Seq("k", "s", "d"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got("k") === ((4L, 1L, 2L, "1", "3")))
+    // native string min/max ("a" < "ab" < "b"), null excluded from distinct
+    assert(got("s") === ((4L, 1L, 3L, "a", "b")))
+    // numeric min/max computed on the DOUBLE, not lexicographically
+    // (lexicographic would put "10.0" before "2.5")
+    assert(got("d") === ((4L, 1L, 2L, "2.5", "10.0")))
+    // empty relation: zero counts, null ranges
+    val empty = graft.operators.Profile.profile(df.where(lit(false)), Seq("k"))
+      .collect().head
+    assert(empty.getLong(1) === 0L && empty.getLong(2) === 0L &&
+      empty.getLong(3) === 0L && empty.isNullAt(4) && empty.isNullAt(5))
+  }
+
   test("semantic dedup: within-cluster near-dups dropped, earliest kept, argmax tie to cluster 0") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),     // centroid 0
