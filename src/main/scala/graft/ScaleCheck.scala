@@ -55,6 +55,14 @@ object ScaleCheck {
     val filled = GapFill.fill(candles).cache()
     val nFilled = time("gap-fill (dense grid)")(filled.count())
     val nEnriched = time("Wilder ATR over gap-filled")(Atr.enrich(filled).toDF().count())
+    // asof: BOTH sides large (every tick against every candle stream) —
+    // must stay a single key shuffle + window, no broadcast, no range blowup
+    time(s"asof join ticks->candles over $nTicks ticks")(
+      graft.operators.AsOf.asofJoin(
+        expanded.select(col("event_id"), col("ts"),
+          col("event_type").as("symbol"), col("value")),
+        candles, key = "symbol", leftTs = "ts", rightTs = "window_start",
+        valueCols = Seq("close")).count())
     println(s"[scale] ticks=$nTicks candles=$nCandles filled=$nFilled enriched=$nEnriched " +
       f"symbols=${factor * 5} tickRate=${nTicks / 1e6}%.1fM")
     // release the core-pipeline caches before the dedup/similarity section —

@@ -535,6 +535,21 @@ object SparkEntry {
           .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)")),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")).orderBy("col_name")),
+    // every tick joined to its prevailing candle (the window it falls in
+    // or the latest before it) — oracle is DuckDB's NATIVE ASOF JOIN, a
+    // genuinely independent implementation of the semantics
+    "q76_asof_join" -> ((s, dir) => {
+      val ticks = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"),
+          col("event_type").as("symbol"), col("value"))
+      AsOf.asofJoin(ticks, candles(s, dir), key = "symbol",
+        leftTs = "ts", rightTs = "window_start",
+        valueCols = Seq("window_start", "close"))
+        .select(col("event_id"), col("symbol"),
+          unix_micros(col("ts")).as("ts_us"), col("value").as("price"),
+          wstr(col("window_start")).as("window_start"), col("close"))
+        .orderBy("event_id")
+    }),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2078,6 +2093,13 @@ object SparkEntry {
         |       CAST(count(DISTINCT o_totalprice) AS BIGINT),
         |       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM o
         |ORDER BY col_name""".stripMargin,
+    "q76_asof_join" ->
+      s"""WITH $CandleCte
+         |SELECT ev.event_id, ev.symbol, epoch_us(ev.ts) AS ts_us, ev.value AS price,
+         |       strftime(c.window_start, '%Y-%m-%d %H:%M:%S') AS window_start, c.close
+         |FROM ev ASOF LEFT JOIN candles c
+         |  ON ev.symbol = c.symbol AND ev.ts >= c.window_start
+         |ORDER BY ev.event_id""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

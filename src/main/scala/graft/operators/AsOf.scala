@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (point-in-time) join — the timeseries primitive relational joins
+  * can't express directly: each left row picks the LATEST right row with
+  * `right.ts <= left.ts` (inclusive) within the same key. The canonical
+  * uses are "tick → prevailing candle/state/quote" lookups.
+  *
+  * Spark has no asof join, and the two obvious encodings die at scale: a
+  * broadcast of the right side assumes it is small, and a range-bucketed
+  * equi-join duplicates every row once per bucket it spans. This is the
+  * shape that survives when BOTH sides are huge: tag the two inputs,
+  * UNION them (no join at all), and run ONE window partitioned by key in
+  * (ts, side) order in which every left row reads the last carried right
+  * payload. One shuffle on the key, sort-based window, no duplication —
+  * exactly the merge-interleave a purpose-built timeseries engine does,
+  * expressed declaratively so Catalyst/AQE still handle skew and
+  * partition sizing.
+  *
+  * Contract: the right side must be unique per (key, ts) — the standard
+  * as-of precondition (ties on the right would make "the" prevailing row
+  * ambiguous). Left rows before any right row get NULL payload columns
+  * (left-join semantics). `valueCols` must not collide with left column
+  * names — rename upstream (the join emits left.* ++ valueCols).
+  */
+object AsOf {
+
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "asof join needs at least one payload column")
+    require(valueCols.intersect(left.columns.toSeq).isEmpty,
+      s"payload columns ${valueCols.intersect(left.columns.toSeq).mkString(", ")} " +
+        "collide with left columns; rename upstream")
+    val lType = StructType(left.schema.fields)
+    val vType = StructType(right.select(valueCols.map(col): _*).schema.fields)
+    val lU = left.select(
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      lit(null).cast(vType).as("__v"))
+    val rU = right.select(
+      lit(null).cast(lType).as("__l"),
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      struct(valueCols.map(col).toIndexedSeq: _*).as("__v"))
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
+    // right row exactly at the left timestamp is visible: <= semantics
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lU.unionByName(rU)
+      .withColumn("__carried", last(col("__v"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__l.*") +: valueCols.map(c => col(s"__carried.$c").as(c)): _*)
+  }
+
+  /** Convenience overload when both sides share the timestamp column name. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valueCols: Seq[String]): DataFrame =
+    asofJoin(left, right, key, ts, ts, valueCols)
+}

@@ -760,6 +760,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
       empty.getLong(3) === 0L && empty.isNullAt(4) && empty.isNullAt(5))
   }
 
+  test("asofJoin: inclusive latest-match semantics, per-key, nulls before first right row") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-05 09:$m%02d:00")
+    val left = Seq(
+      (1L, "A", ts(1)), (2L, "A", ts(5)), (3L, "A", ts(7)),
+      (4L, "B", ts(6)), (5L, "B", ts(2))
+    ).toDF("id", "sym", "t")
+    val right = Seq(
+      ("A", ts(5), 10.0), ("A", ts(6), 11.0),
+      ("B", ts(3), 20.0), ("B", ts(6), 21.0)
+    ).toDF("sym", "rt", "px")
+    val got = graft.operators.AsOf.asofJoin(left, right, key = "sym",
+      leftTs = "t", rightTs = "rt", valueCols = Seq("rt", "px"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(4)).map(_ => r.getDouble(4))))
+    assert(got === Array(
+      (1L, None),          // before A's first right row
+      (2L, Some(10.0)),    // equal ts is INCLUSIVE
+      (3L, Some(11.0)),    // latest of several, key-isolated
+      (4L, Some(21.0)),    // B's own rows, not A's
+      (5L, None)))
+    // randomized equivalence vs a naive per-row scan
+    val rnd = new scala.util.Random(7)
+    val bigL = (1L to 300L).map(i => (i, s"K${rnd.nextInt(5)}", ts(rnd.nextInt(55) + 1)))
+    val bigR = (1 to 60).map(_ => (s"K${rnd.nextInt(5)}", ts(rnd.nextInt(55) + 1), rnd.nextInt(100).toDouble))
+      .distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique per (key, ts)
+    val gotBig = graft.operators.AsOf.asofJoin(
+      bigL.toDF("id", "sym", "t"), bigR.toDF("sym", "rt", "px"),
+      key = "sym", leftTs = "t", rightTs = "rt", valueCols = Seq("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_ => r.getDouble(3))).toMap
+    bigL.foreach { case (id, sym, t) =>
+      val want = bigR.filter(r => r._1 == sym && !r._2.after(t))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+      assert(gotBig(id) === want, s"id=$id")
+    }
+  }
+
   test("semantic dedup: within-cluster near-dups dropped, earliest kept, argmax tie to cluster 0") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),     // centroid 0
