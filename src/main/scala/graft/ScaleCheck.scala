@@ -189,6 +189,11 @@ object ScaleCheck {
         docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))).count())
     time(s"token-budget draw over $nDocs docs")(
       graft.operators.TextAnalysis.tokenBudgetSample(docs, budgetTokens = 500000L).count())
+    time(s"quality deciles over $nDocs docs")(
+      graft.operators.Stats.quantileBuckets(
+        docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.qualityExpr(col("text")).as("quality")),
+        valueCol = "quality", k = 10, bucketCol = "decile").count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

@@ -550,6 +550,14 @@ object SparkEntry {
           wstr(col("window_start")).as("window_start"), col("close"))
         .orderBy("event_id")
     }),
+    // exact decile calibration of the quality score: 4dp rounding bounds
+    // the value cardinality, so order statistics reduce to counting
+    "q77_quality_deciles" -> ((s, dir) =>
+      Stats.quantileBuckets(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.qualityExpr(col("text")).as("quality")),
+        valueCol = "quality", k = 10, bucketCol = "decile")
+        .orderBy("doc_id")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2100,6 +2108,34 @@ object SparkEntry {
          |FROM ev ASOF LEFT JOIN candles c
          |  ON ev.symbol = c.symbol AND ev.ts >= c.window_start
          |ORDER BY ev.event_id""".stripMargin,
+    "q77_quality_deciles" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
+        |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|on|for|with)\b')) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(n_toks / 200.0, 1.0) * 0.5
+        |        + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
+        |        + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
+        |        4) AS quality
+        |  FROM t),
+        |d AS (SELECT quality AS v, count(*) AS c FROM q GROUP BY v),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM d),
+        |n AS (SELECT count(*) AS n FROM q),
+        |js AS (SELECT unnest(range(1, 10)) AS j),
+        |cuts AS (
+        |  SELECT j, min(v) AS cut
+        |  FROM cum, n, js
+        |  WHERE cum >= (j * n.n + 9) // 10
+        |  GROUP BY j)
+        |SELECT q.doc_id, q.quality,
+        |       CAST(1 + (SELECT count(*) FROM cuts WHERE cut < q.quality) AS INT) AS decile
+        |FROM q ORDER BY doc_id""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

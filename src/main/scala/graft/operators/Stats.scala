@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over bounded-cardinality measures.
+  *
+  * The scale story: a global `ntile(k)` needs one total order over the
+  * corpus — a single-partition sort of every row, the same trap
+  * [[TextAnalysis.packDocs]] documents. But calibration measures
+  * (quality scores rounded to 4dp, integer token counts, deciles of any
+  * discretized signal) have BOUNDED value cardinality, so exact order
+  * statistics reduce to counting: aggregate per distinct value (one
+  * hash agg), cumulate over the value dimension (a window bounded by
+  * the cardinality, not the corpus), pick cuts, and assign buckets with
+  * a plan-time literal array — the assignment pass is a pure column
+  * expression with ZERO shuffles.
+  *
+  * Bucket semantics are value-deterministic: cut_j = smallest v whose
+  * cumulative count reaches ceil(j·n/k) (integer ceil — no float
+  * targets), bucket(v) = 1 + #{cuts < v}. Equal values ALWAYS share a
+  * bucket (unlike ntile, which splits ties by row order — not
+  * reproducible across partitionings); heavy ties may leave buckets
+  * empty, which is the honest answer for a discrete distribution.
+  */
+object Stats {
+
+  /** Adds `bucketCol` (1..k) to `df` by exact k-quantile cuts of
+    * `valueCol`. The distinct-value dimension is materialized on the
+    * driver for the cut literals — bounded by `maxDistinct` and enforced
+    * (the [[Similarity]] centroid-sample / [[Dedup]] union-find gating
+    * discipline: bounded driver work is declared, unbounded raises).
+    */
+  def quantileBuckets(df: DataFrame, valueCol: String, k: Int,
+                      bucketCol: String = "bucket",
+                      maxDistinct: Int = 100000): DataFrame = {
+    require(k >= 2, "need at least two buckets")
+    val counts = df.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val nDistinct = counts.count()
+    require(nDistinct <= maxDistinct,
+      s"$valueCol has $nDistinct distinct values (max $maxDistinct): " +
+        "quantile bucketing by counting needs a bounded measure — " +
+        "round/discretize the column first")
+    // the value dim is bounded, so this window (and the collect) is too
+    val cum = counts
+      .withColumn("__cum", sum(col("__c"))
+        .over(Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)))
+      .select("__v", "__cum")
+      .orderBy("__v")
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val n = if (cum.isEmpty) 0L else cum.last._2
+    val cuts: Seq[Any] = (1 until k).flatMap { j =>
+      val target = (j * n + k - 1) / k // integer ceil(j*n/k)
+      cum.find(_._2 >= target).map(_._1)
+    }
+    if (cuts.isEmpty) df.withColumn(bucketCol, lit(1)) // empty input
+    else {
+      val cutArr = array(cuts.map(c => lit(c)).toIndexedSeq: _*)
+      df.withColumn(bucketCol,
+        (lit(1) + size(filter(cutArr, c => c < col(valueCol)))).cast("int"))
+    }
+  }
+}

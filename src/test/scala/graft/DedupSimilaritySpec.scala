@@ -797,6 +797,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("quantileBuckets: exact counting cuts, ties share buckets, cardinality gated") {
+    // 1..20 in k=4: cuts at 5/10/15, buckets = ceil(v/5)
+    val vals = (1 to 20).map(v => (v.toLong, v.toDouble)).toDF("id", "v")
+    val got = graft.operators.Stats.quantileBuckets(vals, "v", k = 4)
+      .orderBy("id").select("id", "bucket").as[(Long, Int)].collect()
+    assert(got === (1 to 20).map(v => (v.toLong, (v + 4) / 5)).toArray)
+    // heavy ties: equal values always share a bucket (ntile would split)
+    val tied = Seq.fill(9)(1.0).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val tb = graft.operators.Stats.quantileBuckets(tied, "v", k = 3)
+      .select("bucket").as[Int].collect().toSet
+    assert(tb === Set(1))
+    // skewed ties: 8 x 1.0 and 2 x 2.0 in k=2 -> the 2.0s are above the cut
+    val skew = ((1 to 8).map(i => (i.toLong, 1.0)) ++ Seq((9L, 2.0), (10L, 2.0)))
+      .toDF("id", "v")
+    val sb = graft.operators.Stats.quantileBuckets(skew, "v", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert((1 to 8).forall(i => sb(i.toLong) == 1) && sb(9L) == 2 && sb(10L) == 2)
+    // unbounded measures are refused, not silently mis-bucketed
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Stats.quantileBuckets(vals, "v", k = 4, maxDistinct = 5)
+    }
+    assert(err.getMessage.contains("distinct"))
+  }
+
   test("semantic dedup: within-cluster near-dups dropped, earliest kept, argmax tie to cluster 0") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),     // centroid 0
