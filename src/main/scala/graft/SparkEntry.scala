@@ -558,6 +558,15 @@ object SparkEntry {
           TextAnalysis.qualityExpr(col("text")).as("quality")),
         valueCol = "quality", k = 10, bucketCol = "decile")
         .orderBy("doc_id")),
+    // q70 detects split leakage; this PREVENTS it — same LSH clusters as
+    // q53, split drawn from the cluster canonical so members never straddle
+    "q78_cluster_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.clusterAwareSplit(docs,
+        Dedup.dupClusters(Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+          threshold = 0.2, baseHash = Dedup.md5Base)))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2136,6 +2145,60 @@ object SparkEntry {
         |SELECT q.doc_id, q.quality,
         |       CAST(1 + (SELECT count(*) FROM cuts WHERE cut < q.quality) AS INT) AS decile
         |FROM q ORDER BY doc_id""".stripMargin,
+    "q78_cluster_split" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 3),
+        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 5) t),
+        |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+        |perms AS (
+        |  SELECT perm,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS perm) t),
+        |sig AS (
+        |  SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
+        |  FROM bh CROSS JOIN perms GROUP BY doc_id, perm),
+        |banded AS (
+        |  SELECT doc_id, perm // 2 AS band,
+        |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key
+        |  FROM sig GROUP BY doc_id, perm // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |                              AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+        |  GROUP BY c.doc_a, c.doc_b),
+        |pr AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+        |          UNION SELECT doc_b, doc_a FROM pr),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90
+        |       THEN 'train'
+        |       WHEN (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 95
+        |       THEN 'val' ELSE 'test' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

@@ -374,8 +374,10 @@ object TextAnalysis {
     * Pure column exprs, no shuffle.
     * Output: doc_id, bucket (0-99), split (train|val|test).
     */
-  private def splitBucket: Column = pmod(
-    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+  private def splitBucket: Column = splitBucketOf(col("doc_id"))
+
+  private def splitBucketOf(id: Column): Column = pmod(
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
     lit(100L))
 
   private def splitLabel(bucket: Column, trainPct: Int, valPct: Int): Column =
@@ -393,6 +395,34 @@ object TextAnalysis {
       "train/val percentages must fit in 100")
     docs.select(col("doc_id"), splitBucket.as("bucket"))
       .withColumn("split", splitLabel(col("bucket"), trainPct, valPct))
+  }
+
+  /** Leakage-proof split assignment — [[hashSplit]] draws each DOCUMENT
+    * independently, so members of one near-dup cluster can straddle
+    * train/holdout: exactly the leakage [[splitContamination]] measures
+    * after the fact. This assigns the split from the CLUSTER's canonical
+    * id instead — every member inherits its cluster's single draw, so
+    * detected near-dups can never leak across splits BY CONSTRUCTION
+    * (and singletons reduce exactly to a hash draw on their own id).
+    * `clusters` is any (doc_id, cluster_id) map — LSH ([[Dedup
+    * .dupClusters]]), SimHash, or semantic dedup all compose; docs
+    * absent from it are singletons. Same md5-bucket arithmetic as
+    * [[hashSplit]], applied to the cluster id: no RNG, stable forever,
+    * and the split of a cluster never changes when members are added
+    * (its canonical min-id is stable under growth on the right).
+    * One equi-join on doc_id + pure column exprs.
+    * Output: doc_id, cluster_id, split.
+    */
+  def clusterAwareSplit(docs: DataFrame, clusters: DataFrame,
+                        trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "train/val percentages must fit in 100")
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        splitLabel(splitBucketOf(col("cluster_id")), trainPct, valPct))
   }
 
   /** Train→holdout leakage audit — after splitting, which TRAINING

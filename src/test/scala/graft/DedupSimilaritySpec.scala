@@ -822,6 +822,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("distinct"))
   }
 
+  test("clusterAwareSplit: cluster members share one draw, singletons reduce to hashSplit") {
+    val ids = (1L to 40L)
+    val docs = ids.map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L), (7L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val got = TextAnalysis.clusterAwareSplit(docs, clusters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet === ids.toSet)
+    // every member of a cluster carries the SAME split (the whole point)
+    assert(Set(got(1L), got(2L), got(5L)).size === 1)
+    assert(Set(got(3L), got(7L)).size === 1)
+    // and it is the split of the cluster canonical's own hash draw...
+    val plain = TextAnalysis.hashSplit(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got(2L)._2 === plain(1L) && got(7L)._2 === plain(3L))
+    // ...while singletons reduce exactly to hashSplit
+    ids.filterNot(Set(1L, 2L, 5L, 3L, 7L)).foreach { i =>
+      assert(got(i) === ((i, plain(i))), s"doc $i")
+    }
+  }
+
   test("semantic dedup: within-cluster near-dups dropped, earliest kept, argmax tie to cluster 0") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),     // centroid 0
