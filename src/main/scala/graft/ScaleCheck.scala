@@ -120,6 +120,14 @@ object ScaleCheck {
         baseHash = Dedup.md5Base).count())
     time(s"corpus prep (production 64x16 xxhash) over $nDocs docs")(
       graft.operators.CorpusPrep.prepare(docs).count())
+    // the q71 capstone: 4 extra gates (PII/classifier/mixture/split) fused
+    // into the same scan — must cost ~the same as the 4-gate core above
+    time(s"corpus prep FULL stack (16x8 md5) over $nDocs docs")(
+      graft.operators.CorpusPrep.prepareFull(
+        docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+        numPerms = 16, bands = 8, baseHash = Dedup.md5Base,
+        classifierThreshold = -0.2,
+        rates = Map("src0" -> 1.0, "src1" -> 0.75), defaultRate = 0.75).count())
     // ── the r5 additions (q55-q58), probed at the same docFactor ──
     // repetition signals: one scan, no shuffle — must stay linear in docs
     time(s"repetition signals over $nDocs docs")(
