@@ -561,6 +561,43 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("source"), mixtureUExpr(col("doc_id")).as("u"),
       mixtureKeptExpr(col("source"), col("doc_id"), rates, defaultRate).as("kept"))
 
+  /** The per-document gate stack as ONE added projection — the ingest-time
+    * form of [[CorpusPrep.prepareFull]]'s row-local gates (PII → quality →
+    * language → classifier → mixture; dedup is inherently cross-document
+    * and stays with the index). Returns `docs` plus a nullable
+    * `reject_reason` naming the FIRST failing gate (null = admitted), so
+    * a streaming caller can quarantine with an audit trail. The mixture
+    * gate participates only when `rates` is non-empty (a `source` column
+    * is required then); the classifier default (−1.0) admits everything —
+    * scores are means of weights in (−1, 1). Pure column exprs: zero
+    * shuffles, zero extra scans.
+    */
+  def gateVerdict(docs: DataFrame, minQuality: Double = 0.4,
+                  lang: String = "en",
+                  classifierThreshold: Double = -1.0,
+                  rates: Map[String, Double] = Map.empty,
+                  defaultRate: Double = 1.0): DataFrame = {
+    val base = docs.columns.map(col).toIndexedSeq
+    val kept =
+      if (rates.nonEmpty)
+        mixtureKeptExpr(col("source"), col("doc_id"), rates, defaultRate)
+      else lit(true)
+    val scored = docs.select(base ++ Seq(
+      piiFlagExpr(col("text")).as("__pii"),
+      qualityExpr(col("text")).as("__q"),
+      classifierScoreExpr(col("text")).as("__score"),
+      kept.as("__kept")) ++ langScoreCols(col("text")): _*)
+    scored
+      .withColumn("reject_reason",
+        when(col("__pii"), "pii")
+          .when(col("__q") < minQuality, "quality")
+          .when(predictedFromScores =!= lang, "language")
+          .when(col("__score") <= classifierThreshold, "classifier")
+          .when(!col("__kept"), "mixture")
+          .otherwise(lit(null).cast("string")))
+      .select(base :+ col("reject_reason"): _*)
+  }
+
   /** Sequence-packing plan (GPT-style concat-and-split): documents are
     * concatenated in doc_id order and the resulting token stream is cut
     * into fixed `contextLen` windows; each document's global token offset

@@ -136,6 +136,47 @@ object DedupStream {
                                      n: Int = 8,
                                      systemLogDir: Option[String] = None)
 
+  /** Optional ingest-time per-document gate stack — the q71 batch gates
+    * (PII, quality, language, classifier, mixture) applied to each
+    * micro-batch BEFORE anything is hashed or indexed: a real pipeline
+    * rejects a PII-bearing or off-language document at the door, with an
+    * audit trail, not in a nightly sweep. All gates are pure column
+    * expressions ([[graft.operators.TextAnalysis.gateVerdict]]), so the
+    * stage adds ZERO shuffles to the batch; rejects land id-deduped in
+    * `rejectsDir` with their `reject_reason`, so a replayed batch
+    * re-rejects idempotently and the reason histogram is queryable.
+    */
+  final case class DocGate(rejectsDir: String,
+                           minQuality: Double = 0.4,
+                           lang: String = "en",
+                           classifierThreshold: Double = -1.0,
+                           rates: Map[String, Double] = Map.empty,
+                           defaultRate: Double = 1.0,
+                           systemLogDir: Option[String] = None)
+
+  /** Apply the per-doc gates: quarantine rejects (with reasons), return
+    * the admitted remainder. */
+  private def applyDocGate(fresh: DataFrame, g: DocGate): DataFrame = {
+    // no extra persist: the micro-batch itself is persisted by the caller
+    // and the verdict is pure column exprs — re-projection is cheaper than
+    // caching another copy of the batch
+    val v = TextAnalysis.gateVerdict(fresh, g.minQuality, g.lang,
+      g.classifierThreshold, g.rates, g.defaultRate)
+    val rejected = v.where(col("reject_reason").isNotNull)
+    val nRejected = IdempotentSink.appendDedup(
+      rejected.withColumn("id", col("doc_id").cast("string")), g.rejectsDir)
+    if (nRejected > 0) g.systemLogDir.foreach { d =>
+      // reason histogram: bounded by the number of gates (≤ 5 rows)
+      val hist = rejected.groupBy("reject_reason").count()
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        .sorted.mkString(" ")
+      IdempotentSink.logEvents(fresh.sparkSession, d, Seq((
+        java.time.Instant.now.toString, "WARNING", "doc_gate", "-",
+        s"rejected=$nRejected $hist dir=${g.rejectsDir}")))
+    }
+    v.where(col("reject_reason").isNull).drop("reject_reason")
+  }
+
   /** Apply the gate: quarantine hits, return the clean remainder. */
   private def decontaminate(fresh: DataFrame, g: ContaminationGate): DataFrame = {
     val hits = TextAnalysis.contamination(fresh, g.benchmark, g.n) // (doc_id, n_shared)
@@ -186,6 +227,13 @@ object DedupStream {
                                   threshold: Double): Long =
     processBatch(batch, stores, pairsDir, n, numPerms, bands, threshold, gate = None)
 
+  private[graft] def processBatch(batch: DataFrame, stores: IndexStores, pairsDir: String,
+                                  n: Int, numPerms: Int, bands: Int,
+                                  threshold: Double,
+                                  gate: Option[ContaminationGate]): Long =
+    processBatch(batch, stores, pairsDir, n, numPerms, bands, threshold, gate,
+      docGate = None)
+
   /** Process one batch of new documents against the persisted index.
     * Returns the number of new near-dup pairs written. Package-visible so
     * the spec can drive it without a streaming harness — and backend-
@@ -195,16 +243,20 @@ object DedupStream {
   private[graft] def processBatch(batch: DataFrame, stores: IndexStores, pairsDir: String,
                                   n: Int, numPerms: Int, bands: Int,
                                   threshold: Double,
-                                  gate: Option[ContaminationGate]): Long = {
+                                  gate: Option[ContaminationGate],
+                                  docGate: Option[DocGate]): Long = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val spark = batch.sparkSession
     // replay fast-path: docs in the id ledger are fully indexed — skip them
     // before computing anything (the ledger is doc_id-only, never the sigs)
     val seen = antiJoin(batch, stores.ids.read(spark), Seq("doc_id"))
-    // the gate runs AFTER the replay check (quarantine writes are id-deduped
+    // gates run AFTER the replay check (quarantine writes are id-deduped
     // anyway, but no point rehashing docs the ledger already admitted) and
-    // BEFORE signatures: a contaminated doc never reaches index or pairs
-    val fresh = gate.fold(seen)(decontaminate(seen, _))
+    // BEFORE signatures: a rejected doc never reaches index or pairs.
+    // Order: the zero-shuffle per-doc gates first, the (broadcast-join)
+    // decontamination gate on the survivors only
+    val gated = docGate.fold(seen)(applyDocGate(seen, _))
+    val fresh = gate.fold(gated)(decontaminate(gated, _))
     val newSigs = Dedup.minhashSignatures(fresh, n, numPerms)
       .repartition(col("doc_id")).cache()
     try {
@@ -275,7 +327,8 @@ object DedupStream {
   def start(docs: DataFrame, indexDir: String, pairsDir: String, checkpointDir: String,
             n: Int = 5, numPerms: Int = 64, bands: Int = 16,
             threshold: Double = 0.5,
-            gate: Option[ContaminationGate] = None): StreamingQuery = {
+            gate: Option[ContaminationGate] = None,
+            docGate: Option[DocGate] = None): StreamingQuery = {
     val stores = epochStores(indexDir, deferCompaction = true)
     docs.writeStream
       .outputMode(OutputMode.Append)
@@ -286,7 +339,8 @@ object DedupStream {
         val batch = b.persist()
         try {
           if (!batch.isEmpty) {
-            processBatch(batch, stores, pairsDir, n, numPerms, bands, threshold, gate)
+            processBatch(batch, stores, pairsDir, n, numPerms, bands, threshold,
+              gate, docGate)
             ()
           }
         } finally { batch.unpersist(); () }

@@ -175,6 +175,45 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/pairs").count() === 1L)
   }
 
+  test("doc gate: per-document gates reject with reasons before indexing; replay is a no-op") {
+    val root = Files.createTempDirectory("graft-docgate").toString
+    val stores = DedupStream.epochStores(s"$root/index")
+    // one victim per gate, checked in gate order: pii fires before quality
+    // (the pii doc is otherwise healthy), quality before language (the
+    // German doc passes the quality bar: 105 tokens, no digits/punct)
+    val german = Seq.fill(15)("der die das und nicht ist ein").mkString(" ")
+    val piiDoc = base + " contact someone@example.com now"
+    val gate = DedupStream.DocGate(s"$root/rejects",
+      systemLogDir = Some(s"$root/syslog"))
+    val w = DedupStream.processBatch(
+      batch(1L -> base, 2L -> nearDup, 7L -> piiDoc, 8L -> "x", 9L -> german),
+      stores, s"$root/pairs", n = 5, numPerms = 64, bands = 16, threshold = 0.3,
+      gate = None, docGate = Some(gate))
+    // the clean near-dup pair still lands; every reject stayed out
+    assert(w === 1L)
+    assert(spark.read.parquet(s"$root/pairs")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+    val reasons = spark.read.parquet(s"$root/rejects")
+      .select("doc_id", "reject_reason").as[(Long, String)].collect().toMap
+    assert(reasons === Map(7L -> "pii", 8L -> "quality", 9L -> "language"))
+    assert(stores.ids.read(spark).get.as[Long].collect().toSet === Set(1L, 2L))
+    assert(stores.bands.read(spark).get.where($"doc_id" >= 7L).count() === 0L)
+    // WARNING row carries the reason histogram
+    val details = spark.read.parquet(s"$root/syslog")
+      .where($"event" === "doc_gate").select("details").as[String].head()
+    assert(details.contains("rejected=3") && details.contains("pii=1")
+      && details.contains("quality=1") && details.contains("language=1"))
+    // replay (checkpoint recovery): indexed docs skip via the ledger,
+    // rejects re-gate onto the id-deduped dir — full no-op
+    val w2 = DedupStream.processBatch(
+      batch(1L -> base, 2L -> nearDup, 7L -> piiDoc, 8L -> "x", 9L -> german),
+      stores, s"$root/pairs", n = 5, numPerms = 64, bands = 16, threshold = 0.3,
+      gate = None, docGate = Some(gate))
+    assert(w2 === 0L)
+    assert(spark.read.parquet(s"$root/rejects").count() === 3L)
+    assert(spark.read.parquet(s"$root/pairs").count() === 1L)
+  }
+
   test("in-memory keyed store: the NEW row wins a key collision") {
     val s = new graft.sink.InMemoryKeyedStore
     s.upsert(Seq((1L, "v1")).toDF("k", "v"), Seq("k"))
