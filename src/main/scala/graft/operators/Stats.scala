@@ -38,18 +38,20 @@ object Stats {
     require(k >= 2, "need at least two buckets")
     val counts = df.groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val nDistinct = counts.count()
-    require(nDistinct <= maxDistinct,
-      s"$valueCol has $nDistinct distinct values (max $maxDistinct): " +
-        "quantile bucketing by counting needs a bounded measure — " +
-        "round/discretize the column first")
-    // the value dim is bounded, so this window (and the collect) is too
+    // the value dim is bounded, so this window (and the collect) is too;
+    // the cardinality gate rides the same job — collecting one row past
+    // the cap proves the violation without a separate count() action
     val cum = counts
       .withColumn("__cum", sum(col("__c"))
         .over(Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)))
       .select("__v", "__cum")
       .orderBy("__v")
+      .limit(maxDistinct + 1)
       .collect().map(r => (r.get(0), r.getLong(1)))
+    require(cum.length <= maxDistinct,
+      s"$valueCol has more than $maxDistinct distinct values: " +
+        "quantile bucketing by counting needs a bounded measure — " +
+        "round/discretize the column first")
     val n = if (cum.isEmpty) 0L else cum.last._2
     val cuts: Seq[Any] = (1 until k).flatMap { j =>
       val target = (j * n + k - 1) / k // integer ceil(j*n/k)
