@@ -567,6 +567,11 @@ object SparkEntry {
           threshold = 0.2, baseHash = Dedup.md5Base)))
         .orderBy("doc_id")
     }),
+    // q72's plan materialized: docs split exactly at pack boundaries,
+    // every pack but the last holds precisely 512 tokens
+    "q79_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir), contextLen = 512,
+        bucketSize = 64).orderBy("pack_id")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2199,6 +2204,33 @@ object SparkEntry {
         |       WHEN (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 95
         |       THEN 'val' ELSE 'test' END AS split
         |FROM lab ORDER BY doc_id""".stripMargin,
+    "q79_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |c AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_tokens
+        |      FROM t WHERE len(words) > 0),
+        |p AS (
+        |  SELECT doc_id, words, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM c),
+        |x AS (
+        |  SELECT doc_id, words, n_tokens, start_offset,
+        |         unnest(range(start_offset // 512, (start_offset + n_tokens - 1) // 512 + 1)) AS pack_id
+        |  FROM p),
+        |sl AS (
+        |  SELECT pack_id, start_offset,
+        |         greatest(pack_id * 512 - start_offset, 0) AS f,
+        |         least(n_tokens, (pack_id + 1) * 512 - start_offset) AS u,
+        |         words
+        |  FROM x)
+        |SELECT CAST(pack_id AS BIGINT) AS pack_id,
+        |       CAST(sum(u - f) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       string_agg(array_to_string(words[CAST(f + 1 AS INT):CAST(u AS INT)], ' '),
+        |                  ' ' ORDER BY start_offset) AS text
+        |FROM sl GROUP BY pack_id ORDER BY pack_id""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

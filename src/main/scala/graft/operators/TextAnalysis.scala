@@ -693,6 +693,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("start_offset"))
   }
 
+  /** Materialize [[packDocs]]'s plan into the actual training sequences:
+    * each document's token stream is split EXACTLY at pack boundaries
+    * (GPT-style packing breaks documents mid-stream), so every pack
+    * except the final one holds precisely `contextLen` tokens. Each doc
+    * explodes to only the packs it covers (fan-out = straddle count + 1,
+    * not packs × docs), pieces are sliced per pack with pure array
+    * exprs, and packs assemble with one groupBy — order inside a pack
+    * recovered by sorting the collected (start_offset, piece) structs,
+    * so assembly is partition-order-independent.
+    * Output: pack_id, n_tokens, n_docs, text.
+    */
+  def packSequences(docs: DataFrame, contextLen: Int = 512,
+                    bucketSize: Long = 4096): DataFrame = {
+    val plan = packDocs(docs, contextLen, bucketSize)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("__w"))
+    plan.join(toks, Seq("doc_id"))
+      .withColumn("p", explode(sequence(col("pack_id"), col("end_pack_id"))))
+      .select(col("p").as("pack_id"), col("start_offset"),
+        // 0-based token span of this doc that lands in pack p
+        greatest(col("p") * contextLen - col("start_offset"), lit(0L)).as("__f"),
+        least(col("n_tokens"),
+          (col("p") + 1) * contextLen - col("start_offset")).as("__u"),
+        col("__w"))
+      .select(col("pack_id"), col("start_offset"),
+        (col("__u") - col("__f")).as("__len"),
+        array_join(slice(col("__w"), (col("__f") + 1).cast("int"),
+          (col("__u") - col("__f")).cast("int")), " ").as("__piece"))
+      .groupBy("pack_id")
+      .agg(
+        sum(col("__len")).as("n_tokens"),
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("start_offset"), col("__piece")))),
+            s => s.getField("__piece")),
+          " ").as("text"))
+  }
+
   /** Dataset-card composition report — the per-(source, split) summary a
     * training run publishes: document/token counts, each cell's share of
     * corpus tokens, mean quality, and PII incidence. All arithmetic that

@@ -843,6 +843,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: every pack but the last is exactly contextLen; stream is preserved") {
+    val docs = (1L to 30L).map { i =>
+      (i, (1 to (i % 6 + 3).toInt).map(t => s"d${i}t$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val packs = TextAnalysis.packSequences(docs, contextLen = 10, bucketSize = 7)
+      .orderBy("pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // exact sizes: all packs 10 tokens, except possibly the last
+    packs.init.foreach { case (id, n, _, text) =>
+      assert(n === 10L && text.split(" ").length === 10, s"pack $id")
+    }
+    assert(packs.last._2 <= 10L)
+    // pack ids are dense from 0 and totals add up
+    assert(packs.map(_._1).toSeq === packs.indices.map(_.toLong))
+    val allTokens = (1L to 30L).flatMap(i => (1 to (i % 6 + 3).toInt).map(t => s"d${i}t$t"))
+    assert(packs.map(_._2).sum === allTokens.size.toLong)
+    // and the concatenation of packs IS the doc_id-ordered token stream:
+    // documents split at boundaries without loss or reorder
+    assert(packs.map(_._4).mkString(" ") === allTokens.mkString(" "))
+    // n_docs counts the docs contributing to each pack
+    assert(packs.map(_._3).sum >= 30L) // straddlers count once per pack
+  }
+
   test("semantic dedup: within-cluster near-dups dropped, earliest kept, argmax tie to cluster 0") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),     // centroid 0
