@@ -202,6 +202,8 @@ object ScaleCheck {
         docs.select(col("doc_id"),
           graft.operators.TextAnalysis.qualityExpr(col("text")).as("quality")),
         valueCol = "quality", k = 10, bucketCol = "decile").count())
+    time(s"pack sequences (512-token) over $nDocs docs")(
+      graft.operators.TextAnalysis.packSequences(docs).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so
