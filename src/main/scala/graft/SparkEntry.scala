@@ -572,6 +572,13 @@ object SparkEntry {
     "q79_pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir), contextLen = 512,
         bucketSize = 64).orderBy("pack_id")),
+    // third modality: metadata-driven frame sampling (700ms interval so
+    // frame numbers exercise the integer div; durations both under and
+    // over the 8-frame cap exist in the fixture)
+    "q80_frame_sample_plan" -> ((s, dir) =>
+      Multimodal.frameSamplePlan(
+        Multimodal.videoFromDocuments(Tables.documents(s, dir)))
+        .orderBy("media_id", "sample_idx")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2231,6 +2238,20 @@ object SparkEntry {
         |       string_agg(array_to_string(words[CAST(f + 1 AS INT):CAST(u AS INT)], ' '),
         |                  ' ' ORDER BY start_offset) AS text
         |FROM sl GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+    "q80_frame_sample_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         2000 + (doc_id % 20) * 500 AS duration_ms,
+        |         24 + (doc_id % 3) * 6 AS fps
+        |  FROM documents),
+        |n AS (SELECT media_id, fps,
+        |             least((duration_ms + 699) // 700, 8) AS n_samples FROM m),
+        |s AS (SELECT media_id, fps, unnest(range(0, n_samples)) AS sample_idx
+        |      FROM n WHERE n_samples > 0)
+        |SELECT media_id, CAST(sample_idx AS BIGINT) AS sample_idx,
+        |       CAST(sample_idx * 700 AS BIGINT) AS sample_ts_ms,
+        |       CAST((sample_idx * 700 * fps) // 1000 AS BIGINT) AS frame_number
+        |FROM s ORDER BY media_id, sample_idx""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

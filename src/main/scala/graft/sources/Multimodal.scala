@@ -228,6 +228,42 @@ object Multimodal {
     }.toDF("media_id", "frame_index", "frame_payload")
   }
 
+  /** Fixture video shape varies by id so cap and ceil paths are both live. */
+  def videoDurationMs(id: Long): Long = 2000L + (id % 20) * 500
+  def videoFps(id: Long): Long = 24L + (id % 3) * 6
+
+  /** Video-like metadata derived in-plan from the corpus (the q43/q59
+    * decoration pattern): (media_id, duration_ms, fps). */
+  def videoFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      (lit(2000L) + pmod(col("doc_id"), lit(20L)) * 500).as("duration_ms"),
+      (lit(24L) + pmod(col("doc_id"), lit(3L)) * 6).as("fps"))
+
+  /** Uniform-time frame-sample PLAN for video media: which frames a
+    * pipeline decodes, computed from container metadata alone — one
+    * sample every `intervalMs` capped at `maxFrames`, each mapped to its
+    * frame number at the media's fps. The decode itself sits behind the
+    * codec stub boundary (this container ships no video codecs — the
+    * brief's declared stub point); the PLAN is the real distributed
+    * work: all-integer column arithmetic (ceil via `(d + i - 1) div i`,
+    * frame via `(ts * fps) div 1000` — no float rounding anywhere), an
+    * in-plan explode bounded by maxFrames, zero shuffles.
+    * Output: media_id, sample_idx, sample_ts_ms, frame_number.
+    */
+  def frameSamplePlan(meta: DataFrame, intervalMs: Int = 700,
+                      maxFrames: Int = 8): DataFrame = {
+    require(intervalMs > 0 && maxFrames > 0,
+      "need a positive sampling interval and frame cap")
+    meta.select(col("media_id"), col("fps"),
+      least(expr(s"(duration_ms + ${intervalMs - 1}) div $intervalMs"),
+        lit(maxFrames.toLong)).as("__n"))
+      .where(col("__n") > 0)
+      .withColumn("sample_idx", explode(sequence(lit(0L), col("__n") - 1)))
+      .select(col("media_id"), col("sample_idx"),
+        (col("sample_idx") * intervalMs).as("sample_ts_ms"),
+        expr(s"(sample_idx * $intervalMs * fps) div 1000").as("frame_number"))
+  }
+
   // ── audio modality: WAV container parse + PCM stats ──────────────────
 
   final case class AudioRow(

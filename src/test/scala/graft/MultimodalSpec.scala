@@ -196,4 +196,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.getLong(1)).sorted.toSeq === expected)
     assert(frames.forall(_.getAs[Array[Byte]]("frame_payload").length === 16))
   }
+
+  test("frame-sample plan: integer ceil, cap, and per-fps frame numbers") {
+    val meta = Seq(
+      (1L, 2000L, 24L),  // ceil(2000/700)=3 samples, under the cap
+      (2L, 11500L, 30L), // ceil=17 -> capped at 8
+      (3L, 700L, 36L),   // exactly one interval -> 1 sample
+      (4L, 0L, 24L)      // zero duration -> no rows
+    ).toDF("media_id", "duration_ms", "fps")
+    val got = Multimodal.frameSamplePlan(meta, intervalMs = 700, maxFrames = 8)
+      .orderBy("media_id", "sample_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def want(id: Long, n: Int, fps: Long) = (0 until n).map { k =>
+      (id, k.toLong, k * 700L, k * 700L * fps / 1000L)
+    }
+    assert(got.toSeq === want(1L, 3, 24) ++ want(2L, 8, 30) ++ want(3L, 1, 36))
+    // frame numbers really advance by the fps-dependent integer step
+    assert(want(1L, 3, 24).map(_._4) === Seq(0L, 16L, 33L))
+  }
 }
