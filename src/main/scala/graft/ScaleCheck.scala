@@ -204,6 +204,8 @@ object ScaleCheck {
         valueCol = "quality", k = 10, bucketCol = "decile").count())
     time(s"pack sequences (512-token) over $nDocs docs")(
       graft.operators.TextAnalysis.packSequences(docs).count())
+    time(s"ngram novelty over $nDocs docs")(
+      graft.operators.TextAnalysis.ngramNovelty(docs).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

@@ -579,6 +579,10 @@ object SparkEntry {
       Multimodal.frameSamplePlan(
         Multimodal.videoFromDocuments(Tables.documents(s, dir)))
         .orderBy("media_id", "sample_idx")),
+    // per-doc novelty: the corpus's repeated spans (q64) turned into the
+    // curation signal — what fraction of each doc is new sequence
+    "q81_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, dir)).orderBy("doc_id")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2252,6 +2256,27 @@ object SparkEntry {
         |       CAST(sample_idx * 700 AS BIGINT) AS sample_ts_ms,
         |       CAST((sample_idx * 700 * fps) // 1000 AS BIGINT) AS frame_number
         |FROM s ORDER BY media_id, sample_idx""".stripMargin,
+    "q81_ngram_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 11),
+        |                                 i -> array_to_string(words[i:i+12], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 13) t),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |d AS (
+        |  SELECT s.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_shingles,
+        |         CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |  FROM sh s JOIN df ON df.shingle = s.shingle
+        |  GROUP BY s.doc_id)
+        |SELECT doc_id, n_shingles, n_unique,
+        |       ((2 * n_unique * 10000 + n_shingles) // (2 * n_shingles)) / 10000.0 AS novelty
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

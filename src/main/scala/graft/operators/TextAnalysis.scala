@@ -265,6 +265,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
 
+  /** Per-document n-gram novelty — the per-doc complement of
+    * [[repeatedNgrams]]'s span listing: what fraction of a document's
+    * distinct memorization-length shingles appear NOWHERE else in the
+    * corpus. A high-novelty doc contributes new sequences; a low-novelty
+    * one is assembled from spans the corpus already has — the curation
+    * signal between exact dedup (identical docs) and near-dup removal
+    * (mostly-identical docs). One shingle-key hash agg (document
+    * frequency) + one shingle-key join back + one per-doc agg — the df
+    * agg and the join co-partition on the shingle, and the novelty ratio
+    * uses the integer-HALF_UP discipline (float `round(a/b, 4)` diverges
+    * across engines on half-ties — the q73 lesson).
+    * Docs with fewer than `n` tokens carry no shingles and are absent
+    * (they have no sequence to be novel about).
+    * Output: doc_id, n_shingles, n_unique, novelty.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 13): DataFrame = {
+    val sh = Dedup.shingles(docs, n) // (doc_id, shingle), distinct per doc
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        expr("(2 * n_unique * 10000 + n_shingles) div (2 * n_shingles)") / lit(10000.0))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own top-k
     * vocabulary — the tokenizer-coverage audit (how much of each document
     * a k-entry vocab fails to cover). The vocab side is top-k rows by

@@ -866,6 +866,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(packs.map(_._3).sum >= 30L) // straddlers count once per pack
   }
 
+  test("ngramNovelty: unique-span fraction per doc, short docs absent") {
+    val span = (1 to 13).map(i => s"s$i").mkString(" ") // the shared 13-gram
+    val docs = Seq(
+      // 15 tokens -> 3 shingles, all unique to this doc
+      (1L, (1 to 15).map(i => s"a$i").mkString(" ")),
+      // exactly the shared span -> 1 shingle, df=2 -> novelty 0
+      (2L, span),
+      // shared span + 2 extra tokens -> 3 shingles, 2 unique -> 0.6667
+      (3L, s"$span x1 x2"),
+      (4L, "too short for thirteen")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L)) // doc 4 has no shingles
+    assert(got(1L) === ((3L, 3L, 1.0)))
+    assert(got(2L) === ((1L, 0L, 0.0)))
+    // integer HALF_UP of 2/3 at 4dp: (2*2*10000 + 3) div 6 = 6667
+    assert(got(3L) === ((3L, 2L, 0.6667)))
+  }
+
   test("semantic dedup: within-cluster near-dups dropped, earliest kept, argmax tie to cluster 0") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),     // centroid 0
