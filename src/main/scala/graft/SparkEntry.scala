@@ -583,6 +583,10 @@ object SparkEntry {
     // curation signal — what fraction of each doc is new sequence
     "q81_ngram_novelty" -> ((s, dir) =>
       TextAnalysis.ngramNovelty(Tables.documents(s, dir)).orderBy("doc_id")),
+    // length octaves via integer bit-length, not float log2 (whose
+    // power-of-two boundaries round differently across libm builds)
+    "q82_length_histogram" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(Tables.documents(s, dir)).orderBy("bin")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2277,6 +2281,20 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_unique,
         |       ((2 * n_unique * 10000 + n_shingles) // (2 * n_shingles)) / 10000.0 AS novelty
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q82_length_histogram" ->
+      """WITH t AS (
+        |  SELECT CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT n_tokens, CAST(length(bin(n_tokens)) AS INT) AS bin
+        |      FROM t WHERE n_tokens > 0)
+        |SELECT bin,
+        |       CAST(1 AS BIGINT) << (bin - 1) AS lo,
+        |       (CAST(1 AS BIGINT) << bin) - 1 AS hi,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

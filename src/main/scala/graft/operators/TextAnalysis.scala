@@ -292,6 +292,31 @@ object TextAnalysis {
         expr("(2 * n_unique * 10000 + n_shingles) div (2 * n_shingles)") / lit(10000.0))
   }
 
+  /** Doc-length histogram on exact power-of-two bins — the length
+    * distribution audit behind truncation/packing policy (how much token
+    * mass sits in each length octave). The bin is the bit length of the
+    * token count (`length(bin(n))` = floor(log2 n) + 1): pure INTEGER
+    * arithmetic in every engine, unlike float `log2` whose boundary
+    * values (exact powers of two) round differently across libm
+    * implementations. One scan + one ≤64-row hash agg, zero joins.
+    * Output: bin, lo, hi (inclusive octave bounds), n_docs, n_tokens,
+    * min_tokens, max_tokens.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs.select(nTokensExpr(col("text")).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("bin", length(bin(col("n_tokens"))).cast("int"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"))
+      .select(col("bin"),
+        expr("shiftleft(CAST(1 AS BIGINT), bin - 1)").as("lo"),
+        expr("shiftleft(CAST(1 AS BIGINT), bin) - 1").as("hi"),
+        col("n_docs"), col("n_tokens"), col("min_tokens"), col("max_tokens"))
+
   /** Per-document out-of-vocabulary rate against the corpus's own top-k
     * vocabulary — the tokenizer-coverage audit (how much of each document
     * a k-entry vocab fails to cover). The vocab side is top-k rows by

@@ -887,6 +887,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 2L, 0.6667)))
   }
 
+  test("lengthHistogram: bit-length octaves with exact bounds, empty docs excluded") {
+    // token counts: 1 (bin 1), 2,3 (bin 2), 7,8 (bins 3,4 - boundary!), 0 (absent)
+    val docs = Seq(
+      (1L, "t"), (2L, "t t"), (3L, "t t t"),
+      (4L, Seq.fill(7)("t").mkString(" ")), (5L, Seq.fill(8)("t").mkString(" ")),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthHistogram(docs)
+      .orderBy("bin")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      (1, 1L, 1L, 1L, 1L, 1L, 1L),   // n=1
+      (2, 2L, 3L, 2L, 5L, 2L, 3L),   // n=2,3
+      (3, 4L, 7L, 1L, 7L, 7L, 7L),   // n=7 (the octave's top)
+      (4, 8L, 15L, 1L, 8L, 8L, 8L))) // n=8 (the next octave's floor)
+  }
+
   test("semantic dedup: within-cluster near-dups dropped, earliest kept, argmax tie to cluster 0") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),     // centroid 0
