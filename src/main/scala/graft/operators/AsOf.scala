@@ -21,11 +21,15 @@ import org.apache.spark.sql.types.StructType
   * expressed declaratively so Catalyst/AQE still handle skew and
   * partition sizing.
   *
-  * Contract: the right side must be unique per (key, ts) — the standard
-  * as-of precondition (ties on the right would make "the" prevailing row
-  * ambiguous). Left rows before any right row get NULL payload columns
-  * (left-join semantics). `valueCols` must not collide with left column
-  * names — rename upstream (the join emits left.* ++ valueCols).
+  * Contract: the right side should be unique per (key, ts) — the
+  * standard as-of precondition. If duplicates DO arrive, the result is
+  * still deterministic (the payload participates in the window ordering,
+  * so ties resolve to the GREATEST payload struct in field order) — a
+  * contract violation degrades to a documented tie-break, never to
+  * partition-dependent output. Left rows before any right row get NULL
+  * payload columns (left-join semantics). `valueCols` must not collide
+  * with left column names — rename upstream (the join emits
+  * left.* ++ valueCols).
   */
 object AsOf {
 
@@ -47,8 +51,13 @@ object AsOf {
       col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
       struct(valueCols.map(col).toIndexedSeq: _*).as("__v"))
     // right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
-    // right row exactly at the left timestamp is visible: <= semantics
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+    // right row exactly at the left timestamp is visible: <= semantics.
+    // __v last in the ordering: duplicate (key, ts) right rows — a
+    // contract violation — still resolve deterministically (greatest
+    // payload wins) instead of partition-dependently; left rows all
+    // carry a null __v, so their relative order stays immaterial
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lU.unionByName(rU)
       .withColumn("__carried", last(col("__v"), ignoreNulls = true).over(w))

@@ -795,6 +795,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
         .sortBy(_._2.getTime).lastOption.map(_._3)
       assert(gotBig(id) === want, s"id=$id")
     }
+    // contract violation (duplicate right (key, ts)) degrades to a
+    // DETERMINISTIC tie-break — greatest payload wins — never to
+    // partition-dependent output
+    val dupR = Seq(("A", ts(5), 1.0), ("A", ts(5), 9.0), ("A", ts(5), 4.0))
+      .toDF("sym", "rt", "px")
+    (1 to 3).foreach { _ =>
+      val out = graft.operators.AsOf.asofJoin(
+        Seq((1L, "A", ts(6))).toDF("id", "sym", "t").repartition(4), dupR,
+        key = "sym", leftTs = "t", rightTs = "rt", valueCols = Seq("px"))
+        .collect()
+      assert(out.map(_.getDouble(3)).toSeq === Seq(9.0))
+    }
   }
 
   test("quantileBuckets: exact counting cuts, ties share buckets, cardinality gated") {
