@@ -22,16 +22,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  /** events.ts is physically TIMESTAMP(NANOS) parquet, which Spark 4 cannot
-    * read as a timestamp. Read it as raw nanos (legacy conf) and truncate to
-    * microseconds with integer division — the same floor truncation DuckDB
-    * applies casting TIMESTAMP_NS → TIMESTAMP, so both engines see identical
-    * instants. (Double-based division would lose precision at 1.7e18 ns.)
+  /** events.ts has shipped in two physical layouts across generator
+    * versions: TIMESTAMP(NANOS) (which Spark 4 cannot read as a timestamp —
+    * read as raw nanos via the legacy conf and floor-truncate to micros, the
+    * same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP) and
+    * plain TIMESTAMP_MICROS without timezone (read as TIMESTAMP_NTZ — cast
+    * to the session type; the session is pinned UTC so the instant is
+    * unchanged). Dispatch on what parquet actually carries instead of
+    * assuming a generation.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
