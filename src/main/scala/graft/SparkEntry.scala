@@ -587,6 +587,15 @@ object SparkEntry {
     // power-of-two boundaries round differently across libm builds)
     "q82_length_histogram" -> ((s, dir) =>
       TextAnalysis.lengthHistogram(Tables.documents(s, dir)).orderBy("bin")),
+    // corpus-relative TF-IDF top-5 per doc: the one transcendental (ln)
+    // rounded ONCE to integer micro-nats, every sum/product after it integer
+    "q83_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir), k = 5)
+        .orderBy("doc_id", "rank")),
+    // unigram-LM surprisal = the perplexity-proxy quality filter (CCNet
+    // recipe): integer micro-nat sums, HALF_UP mean — order-free hashes
+    "q84_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir)).orderBy("doc_id")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2295,6 +2304,40 @@ object SparkEntry {
         |       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
         |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q83_tfidf_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |             tf.tf * (CAST(round(ln((n.n + 1.0) / (df.df + 1.0)) * 1000000) AS BIGINT)
+        |                      + 1000000) AS score
+        |      FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY score DESC, token) AS rank FROM s)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df,
+        |       score / 1000000.0 AS tfidf
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "q84_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        |m AS (SELECT token, CAST(round(ln(CAST(t.t AS DOUBLE) / n) * 1000000) AS BIGINT) AS nll
+        |      FROM c CROSS JOIN t),
+        |d AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |             CAST(sum(m.nll) AS BIGINT) AS nll_micro
+        |      FROM tok JOIN m USING (token) GROUP BY 1)
+        |SELECT doc_id, n_tokens, nll_micro,
+        |       ((2 * nll_micro + n_tokens) // (2 * n_tokens)) / 1000000.0 AS avg_nll
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

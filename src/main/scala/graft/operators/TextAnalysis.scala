@@ -340,6 +340,86 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
   }
 
+  /** Transcendental values carried as integers: ln is the one function in
+    * these signals whose last ulp is NOT pinned by IEEE 754 (libm vs JVM
+    * intrinsics may differ), so every ln-derived weight is rounded ONCE to
+    * integer micro-nats (`round(ln(x)·10⁶)` as BIGINT) and all downstream
+    * arithmetic — products, per-document sums, ratios — stays in integers,
+    * where order of evaluation cannot perturb a hash. A 1-ulp ln divergence
+    * only matters if the true value sits within that ulp of a half-micro
+    * boundary, which a ratio of integers cannot hit exactly (ln of a
+    * rational is irrational except ln(1) = 0, which both engines return
+    * exactly). Float summation of per-token doubles, by contrast, WOULD
+    * diverge: Spark and DuckDB add in different orders.
+    */
+  private def lnMicros(x: Column): Column =
+    round(log(x) * 1e6).cast("long")
+
+  /** Corpus-relative TF-IDF, top-k salient terms per document — the
+    * keyword-extraction / topic-labelling signal run over training corpora
+    * (and the relevance core reused by ranking). Smoothed idf
+    * (`ln((N+1)/(df+1)) + 1`, sklearn's formulation) carried in integer
+    * micro-nats per [[lnMicros]]; `tfidf = tf · idf` stays a BIGINT until
+    * the final display division, so cross-engine hashes agree.
+    *
+    * Scale shape: one (doc, token) hash agg for tf, one token-key hash agg
+    * for df (over the tf table — already one row per (doc, token), no
+    * second corpus scan), a token-key equi-join (df is vocab-sized;
+    * co-partitions with the agg before it), and a per-doc window for the
+    * top-k — partition by doc_id, never a global sort. The corpus-count
+    * scalar rides a broadcast of a 1-row frame like [[vocab]]'s total.
+    * Output: doc_id, rank (1..k), token, tf, df, tfidf.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__score").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("__score",
+        col("tf") * (lnMicros((col("__n") + 1.0) / (col("df") + 1.0)) + 1000000L))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        (col("__score") / lit(1e6)).as("tfidf"))
+  }
+
+  /** Per-document negative log-likelihood under the corpus's own unigram
+    * language model — the perplexity-proxy quality filter (the CCNet
+    * recipe scores documents with an LM and drops the high-perplexity
+    * tail; a unigram model over the corpus itself is the self-contained
+    * form). Every token's surprisal `−ln(n_token/total)` is an integer
+    * micro-nat weight per [[lnMicros]]; the per-document sum is integer
+    * (order-free), and the mean uses the integer-HALF_UP ratio discipline.
+    * High `avg_nll` = improbable token mix (noise, boilerplate alphabet
+    * soup); low = stopword-heavy filler — both tails are curation signals.
+    *
+    * Scale shape: one token-key hash agg for the model, a token-key
+    * equi-join of the token stream against it (vocab-sized right side —
+    * the capped-vocab + OOV-floor variant for bounded memory is
+    * [[oovRate]]'s broadcast pattern), one per-doc hash agg. Token-less
+    * documents have no likelihood and are absent, like [[ngramNovelty]].
+    * Output: doc_id, n_tokens, nll_micro (Σ surprisal, micro-nats),
+    * avg_nll (mean surprisal, nats, HALF_UP at 6dp).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val counts = tokenCounts(docs)
+    val total = counts.agg(sum(col("n")).as("__t"))
+    val model = counts.crossJoin(broadcast(total))
+      .select(col("token"),
+        lnMicros(col("__t").cast("double") / col("n")).as("__nll"))
+    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .join(model, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__nll")).as("nll_micro"))
+      .withColumn("avg_nll",
+        expr("(2 * nll_micro + n_tokens) div (2 * n_tokens)") / lit(1e6))
+  }
+
   /** PII patterns — deliberately conservative and ENGINE-PORTABLE (no
     * lookarounds, no backreferences: the same pattern must mean the same
     * thing to Java's regex and to RE2-based engines, so the scan carries

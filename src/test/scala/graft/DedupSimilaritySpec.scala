@@ -899,6 +899,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 2L, 0.6667)))
   }
 
+  test("tfidfTopK: smoothed idf in micro-nats, score ties break by token, empty docs absent") {
+    val docs = Seq(
+      (1L, "apple banana APPLE"), // lowercased: apple tf=2
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry date"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    // N=4 (the empty doc counts toward the corpus, holds no terms);
+    // df: apple 2, banana 2, cherry 2, date 1
+    def idf(df: Long): Long = math.round(math.log(5.0 / (df + 1.0)) * 1e6) + 1000000L
+    val got = TextAnalysis.tfidfTopK(docs, k = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq === Seq(
+      (1L, 1, "apple", 2L, 2L),  // tf 2 beats banana's 1
+      (1L, 2, "banana", 1L, 2L),
+      (2L, 1, "banana", 1L, 2L), // equal scores -> token asc
+      (2L, 2, "cherry", 1L, 2L),
+      (3L, 1, "cherry", 2L, 2L), // 2 x idf(2) > 1 x idf(1): 3021652 > 1916291
+      (3L, 2, "date", 1L, 1L)))
+    assert(got.find(t => t._1 == 1L && t._3 == "apple").get._6 ===
+      2 * idf(2) / 1e6)
+    assert(got.find(t => t._1 == 3L && t._3 == "date").get._6 ===
+      idf(1) / 1e6)
+  }
+
+  test("lmScore: integer surprisal sums, HALF_UP mean, token-less docs absent") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry date"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    // corpus counts: apple 3, banana 2, cherry 3, date 1; total 9
+    def nll(n: Long): Long = math.round(math.log(9.0 / n) * 1e6)
+    val (a, b, c, d) = (nll(3), nll(2), nll(3), nll(1))
+    def halfUp(sum: Long, n: Long): Double = ((2 * sum + n) / (2 * n)) / 1e6
+    val got = TextAnalysis.lmScore(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2 * a + b, halfUp(2 * a + b, 3)),
+      (2L, 2L, b + c, halfUp(b + c, 2)),
+      (3L, 4L, a + 2 * c + d, halfUp(a + 2 * c + d, 4))))
+  }
+
   test("lengthHistogram: bit-length octaves with exact bounds, empty docs excluded") {
     // token counts: 1 (bin 1), 2,3 (bin 2), 7,8 (bins 3,4 - boundary!), 0 (absent)
     val docs = Seq(
