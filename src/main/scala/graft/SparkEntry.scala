@@ -596,6 +596,32 @@ object SparkEntry {
     // recipe): integer micro-nat sums, HALF_UP mean — order-free hashes
     "q84_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    // point-in-validity join: each purchase finds its containing signup
+    // session [ts, ts+4h) — asof reduction, NOT a range join; gaps yield
+    // NULL payloads (left semantics), overlap resolves latest-start-wins
+    "q85_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sessions = ev.where(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 4 HOURS")).as("end_ts"),
+          col("event_id").as("session_id"), col("value").as("session_value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOf.intervalJoin(purchases,
+        sessions.withColumnRenamed("s_user", "user_id"),
+        key = "user_id", leftTs = "ts", start = "start_ts", end = "end_ts",
+        valueCols = Seq("session_id", "session_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value").as("amount"),
+          col("session_id"), col("session_value"))
+        .orderBy("event_id")
+    }),
+    // trailing-7-day distinct active users per day — two hash aggs via a
+    // bounded x7 map-side expansion; no range join, no collect_set window
+    "q86_rolling_active" -> ((s, dir) =>
+      Stats.rollingDistinctCount(Tables.events(s, dir),
+        tsCol = "ts", idCol = "user_id", windowDays = 7,
+        outCol = "active_users").orderBy("day")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2338,6 +2364,33 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, nll_micro,
         |       ((2 * nll_micro + n_tokens) // (2 * n_tokens)) / 1000000.0 AS avg_nll
         |FROM d ORDER BY doc_id""".stripMargin,
+    // replays the documented latest-start-wins-then-containment semantics
+    // (NOT a plain range join, which would multi-match on overlap): pick
+    // the latest start <= ts per purchase, then null out expired payloads
+    "q85_interval_join" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS start_ts, ts + INTERVAL 4 HOUR AS end_ts,
+        |             event_id AS session_id, value AS session_value
+        |      FROM e WHERE event_type = 'signup'),
+        |cand AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |         s.end_ts, s.session_id, s.session_value,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY s.start_ts DESC, s.end_ts DESC,
+        |                    s.session_id DESC, s.session_value DESC) AS rn
+        |  FROM p LEFT JOIN s ON p.user_id = s.user_id AND s.start_ts <= p.ts)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, value AS amount,
+        |       CASE WHEN end_ts > ts THEN session_id END AS session_id,
+        |       CASE WHEN end_ts > ts THEN session_value END AS session_value
+        |FROM cand WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q86_rolling_active" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |a AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM e),
+        |days AS (SELECT DISTINCT d FROM a)
+        |SELECT days.d AS day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+        |FROM days JOIN a ON a.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY days.d ORDER BY day""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

@@ -69,4 +69,37 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCols: Seq[String]): DataFrame =
     asofJoin(left, right, key, ts, ts, valueCols)
+
+  /** Point-in-validity (interval) join: each left row picks the right
+    * interval containing its timestamp — `start <= ts < end` within the
+    * same key — the SCD-2 / session / rate-card lookup.
+    *
+    * The naive encoding is a range join (`ON key AND ts >= start AND
+    * ts < end`), which Spark plans as a per-key Cartesian filter. This
+    * reduces to the [[asofJoin]] merge-interleave instead: the only
+    * candidate is the interval with the LATEST `start <= ts` (one
+    * union + one keyed window, both sides scale, no per-bucket row
+    * duplication), and containment becomes a residual null-out — a
+    * candidate whose `end` has already passed yields NULL payloads,
+    * preserving left-join semantics for rows that fall in a gap.
+    *
+    * Contract: intervals must be non-overlapping per key (the standard
+    * validity-dimension precondition). Overlap degrades
+    * deterministically to latest-start-wins (ties on `start` resolve to
+    * the greatest `(end, valueCols...)` struct) — an earlier still-open
+    * interval is never consulted once a later one has started, and the
+    * output is never partition-dependent.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, start: String, end: String,
+                   valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "interval join needs at least one payload column")
+    require(!left.columns.contains(end),
+      s"end column $end collides with a left column; rename upstream")
+    val joined = asofJoin(left, right, key, leftTs, start, end +: valueCols)
+    val contained = col(end).isNotNull && col(leftTs) < col(end)
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(contained, col(c)))
+    }.drop(end)
+  }
 }

@@ -64,4 +64,44 @@ object Stats {
         (lit(1) + size(filter(cutArr, c => c < col(valueCol)))).cast("int"))
     }
   }
+
+  /** Trailing-`windowDays`-day distinct-id count per active day — the
+    * "rolling 7-day active users" engagement measure.
+    *
+    * `count(distinct)` over a sliding RANGE window is the trap here:
+    * Spark (correctly) refuses it, and the workarounds — a
+    * `collect_set` window or a self-join on `BETWEEN` — materialize
+    * per-day id sets or plan a per-key range filter, both of which die
+    * when days hold millions of ids. This stays linear instead: dedupe
+    * to (day, id) once, replicate each pair to the `windowDays` window
+    * ends it contributes to (a bounded plan-time constant ×W map-side
+    * expansion, no join), and count distinct ids per window end — two
+    * hash aggregates, no window function, no range join, no per-day set
+    * in memory. 100 TB posture: shuffles carry (day, id) pairs only,
+    * and W is a literal, so cost is W × |distinct (day,id)| regardless
+    * of row count or skew in events-per-user.
+    *
+    * Emits one row per day PRESENT in `df` (`day` date, `outCol`
+    * long) — a day with no activity has no trailing-window row, which
+    * is the honest answer for an activity measure; densify against a
+    * calendar dimension downstream if gap rows are wanted.
+    */
+  def rollingDistinctCount(df: DataFrame, tsCol: String, idCol: String,
+                           windowDays: Int = 7,
+                           outCol: String = "active_ids"): DataFrame = {
+    require(windowDays >= 1, "window must span at least one day")
+    val active = df.select(to_date(col(tsCol)).as("__day"), col(idCol).as("__id"))
+      .where(col("__day").isNotNull && col("__id").isNotNull)
+      .distinct()
+    val counts = active
+      .withColumn("__i", explode(sequence(lit(0), lit(windowDays - 1))))
+      .select(date_add(col("__day"), col("__i")).as("__wend"), col("__id"))
+      .groupBy("__wend")
+      .agg(countDistinct(col("__id")).as(outCol))
+    // restrict to observed days: the day dim is bounded by the calendar,
+    // so the join broadcasts
+    active.select(col("__day")).distinct()
+      .join(counts, col("__day") === col("__wend"))
+      .select(col("__day").as("day"), col(outCol))
+  }
 }

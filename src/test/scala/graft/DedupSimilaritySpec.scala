@@ -834,6 +834,95 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("distinct"))
   }
 
+  test("intervalJoin: containment, gaps null, [start,end) boundaries, overlap latest-start-wins") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-05 09:$m%02d:00")
+    val right = Seq(
+      ("A", ts(10), ts(20), 1L), ("A", ts(30), ts(40), 2L),
+      ("B", ts(5), ts(50), 3L)
+    ).toDF("k", "start_ts", "end_ts", "iv_id")
+    val left = Seq(
+      (1L, "A", ts(15)), // inside first interval
+      (2L, "A", ts(25)), // in the gap between intervals -> null
+      (3L, "A", ts(10)), // ts == start is INCLUSIVE
+      (4L, "A", ts(20)), // ts == end is EXCLUSIVE -> null (gap)
+      (5L, "A", ts(45)), // after the last interval ended -> null
+      (6L, "A", ts(5)),  // before any interval -> null
+      (7L, "B", ts(15))  // key isolation
+    ).toDF("id", "k", "t")
+    val got = graft.operators.AsOf.intervalJoin(left, right, key = "k",
+      leftTs = "t", start = "start_ts", end = "end_ts", valueCols = Seq("iv_id"))
+      .orderBy("id")
+      .collect().map(r => Option(r.get(3)).map(_ => r.getLong(3)))
+    assert(got.toSeq === Seq(Some(1L), None, Some(1L), None, None, None, Some(3L)))
+    // the end column never leaks into the output
+    val cols = graft.operators.AsOf.intervalJoin(left, right, "k", "t",
+      "start_ts", "end_ts", Seq("iv_id")).columns.toSeq
+    assert(cols === Seq("id", "k", "t", "iv_id"))
+    // contract-violating overlap: latest start wins even while an earlier
+    // interval is still open, deterministically across partitionings
+    val over = Seq(("A", ts(10), ts(50), 1L), ("A", ts(20), ts(25), 2L))
+      .toDF("k", "start_ts", "end_ts", "iv_id")
+    (1 to 3).foreach { _ =>
+      val o = graft.operators.AsOf.intervalJoin(
+        Seq((1L, "A", ts(22)), (2L, "A", ts(30))).toDF("id", "k", "t").repartition(4),
+        over, "k", "t", "start_ts", "end_ts", Seq("iv_id"))
+        .orderBy("id").collect().map(r => Option(r.get(3)).map(_ => r.getLong(3)))
+      // ts=22: both open, later start (iv 2) wins; ts=30: the later
+      // interval ENDED and the earlier is not consulted -> null
+      assert(o.toSeq === Seq(Some(2L), None))
+    }
+    // randomized equivalence vs a naive per-row scan (non-overlapping
+    // intervals per key, the documented contract)
+    val rnd = new scala.util.Random(11)
+    val ivs = (for {
+      k <- Seq("K0", "K1", "K2")
+      i <- 0 until 8
+    } yield (k, ts(i * 7 + rnd.nextInt(3)), ts(i * 7 + 3 + rnd.nextInt(3)), rnd.nextInt(1000).toLong))
+    val pts = (1L to 200L).map(i => (i, s"K${rnd.nextInt(3)}", ts(rnd.nextInt(59))))
+    val gotBig = graft.operators.AsOf.intervalJoin(
+      pts.toDF("id", "k", "t"), ivs.toDF("k", "start_ts", "end_ts", "iv_id"),
+      "k", "t", "start_ts", "end_ts", Seq("iv_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_ => r.getLong(3))).toMap
+    pts.foreach { case (id, k, t) =>
+      val want = ivs.filter(iv => iv._1 == k && !iv._2.after(t) && t.before(iv._3))
+        .map(_._4).headOption
+      assert(gotBig(id) === want, s"id=$id")
+    }
+  }
+
+  test("rollingDistinctCount: trailing-window distinct ids, observed days only") {
+    import java.sql.Timestamp
+    def d(day: Int, h: Int = 9) = Timestamp.valueOf(f"2026-01-$day%02d $h%02d:00:00")
+    val ev = Seq(
+      (d(1), 10L), (d(1, 23), 10L), // same user twice on day 1 counts once
+      (d(1), 20L),
+      (d(3), 10L),                  // repeat activity inside the window
+      (d(3), 30L),
+      (d(12), 40L)                  // isolated burst far past the window
+    ).toDF("ts", "uid")
+    val got = graft.operators.Stats.rollingDistinctCount(ev, "ts", "uid", windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // only observed days emit rows; day 12's window excludes the day-3 users
+    assert(got === Map("2026-01-01" -> 2L, "2026-01-03" -> 3L, "2026-01-12" -> 1L))
+    // brute-force equivalence on a randomized month of activity
+    val rnd = new scala.util.Random(13)
+    val big = (1 to 500).map(_ => (d(rnd.nextInt(28) + 1, rnd.nextInt(24)), rnd.nextInt(40).toLong))
+    val w = 7
+    val gotBig = graft.operators.Stats.rollingDistinctCount(
+      big.toDF("ts", "uid"), "ts", "uid", windowDays = w)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val byDay = big.map { case (t, u) => (t.toLocalDateTime.toLocalDate, u) }
+    val days = byDay.map(_._1).distinct
+    days.foreach { day =>
+      val want = byDay.filter { case (dd, _) =>
+        !dd.isAfter(day) && dd.isAfter(day.minusDays(w))
+      }.map(_._2).distinct.size.toLong
+      assert(gotBig(day.toString) === want, s"day=$day")
+    }
+    assert(gotBig.size === days.size)
+  }
+
   test("clusterAwareSplit: cluster members share one draw, singletons reduce to hashSplit") {
     val ids = (1L to 40L)
     val docs = ids.map(i => (i, s"text $i")).toDF("doc_id", "text")
