@@ -65,6 +65,39 @@ object ScaleCheck {
         valueCols = Seq("close")).count())
     println(s"[scale] ticks=$nTicks candles=$nCandles filled=$nFilled enriched=$nEnriched " +
       f"symbols=${factor * 5} tickRate=${nTicks / 1e6}%.1fM")
+    // q85/q86 at xfactor USERS: replicate the user dimension so the
+    // session (right) and purchase (left) sides of the interval join scale
+    // together, and the rolling-distinct id space scales with them
+    val uev = ev.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select((col("event_id") * factor + col("rep")).as("event_id"),
+        (col("user_id") * factor + col("rep")).as("user_id"),
+        col("ts"), col("event_type"), col("value"))
+      .repartition(cpus.toInt).cache()
+    val nUev = uev.count()
+    // must stay ONE union + keyed window — no range join, no per-bucket
+    // duplication, however many sessions a user accumulates
+    time(s"interval join purchase->session over $nUev events")(
+      graft.operators.AsOf.intervalJoin(
+        uev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        uev.where(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 4 HOURS")).as("end_ts"),
+            col("event_id").as("session_id")),
+        key = "user_id", leftTs = "ts", start = "start_ts", end = "end_ts",
+        valueCols = Seq("session_id")).count())
+    // bounded x7 expansion + two hash aggs — no collect_set window, no
+    // BETWEEN self-join, cost linear in distinct (day, user)
+    time(s"rolling 7d distinct users over $nUev events")(
+      graft.operators.Stats.rollingDistinctCount(uev, "ts", "user_id").count())
+    // q87/q88: per-step agg+join fold and the cohort join — all user-key
+    // exchanges, never a per-user history array
+    time(s"3-step funnel over $nUev events")(
+      graft.operators.Engagement.funnel(uev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")).count())
+    time(s"weekly retention over $nUev events")(
+      graft.operators.Engagement.retention(uev, "user_id", "ts").count())
+    uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise
     filled.unpersist()
@@ -206,6 +239,12 @@ object ScaleCheck {
       graft.operators.TextAnalysis.packSequences(docs).count())
     time(s"ngram novelty over $nDocs docs")(
       graft.operators.TextAnalysis.ngramNovelty(docs).count())
+    // q83/q84: both are explode + hash-agg + broadcast-model joins — the
+    // token model (distinct vocab) is corpus-bounded, never row-bounded
+    time(s"tf-idf top-5 over $nDocs docs")(
+      graft.operators.TextAnalysis.tfidfTopK(docs, k = 5).count())
+    time(s"unigram-LM surprisal over $nDocs docs")(
+      graft.operators.TextAnalysis.lmScore(docs).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

@@ -622,6 +622,18 @@ object SparkEntry {
       Stats.rollingDistinctCount(Tables.events(s, dir),
         tsCol = "ts", idCol = "user_id", windowDays = 7,
         outCol = "active_users").orderBy("day")),
+    // ordered view->click->purchase funnel: per-step hash agg + user-key
+    // join fold, no per-user history ever materialized
+    "q87_funnel" -> ((s, dir) =>
+      Engagement.funnel(Tables.events(s, dir), userCol = "user_id",
+        tsCol = "ts", typeCol = "event_type",
+        steps = Seq("view", "click", "purchase")).orderBy("step_idx")),
+    // weekly cohort retention: (first-activity cohort x week offset)
+    // distinct users — two exchanges end-to-end, integral-div offsets
+    "q88_retention" -> ((s, dir) =>
+      Engagement.retention(Tables.events(s, dir), userCol = "user_id",
+        tsCol = "ts", periodDays = 7)
+        .orderBy("cohort_day", "period_offset")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2391,6 +2403,29 @@ object SparkEntry {
         |SELECT days.d AS day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
         |FROM days JOIN a ON a.d BETWEEN days.d - 6 AND days.d
         |GROUP BY days.d ORDER BY day""".stripMargin,
+    "q87_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step_idx, 'view' AS step_name,
+        |       CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        |ORDER BY step_idx""".stripMargin,
+    "q88_retention" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |a AS (SELECT DISTINCT user_id, d FROM e),
+        |c AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1)
+        |SELECT c.cohort AS cohort_day,
+        |       CAST((a.d - c.cohort) // 7 AS INT) AS period_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

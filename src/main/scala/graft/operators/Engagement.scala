@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream engagement analytics: ordered funnels and cohort
+  * retention — the two queries every product/event pipeline runs daily
+  * over its raw event log.
+  *
+  * Both are kept strictly relational (hash aggregates + equi-joins on
+  * the user key) rather than the tempting per-user
+  * `collect_list + sort` fold: a collected per-user event array is
+  * bounded by the heaviest user's history — exactly the skew that blows
+  * an executor at 100 TB — while these plans shuffle only (user,
+  * timestamp) pairs per step and never materialize a user's history
+  * anywhere.
+  */
+object Engagement {
+
+  /** Ordered funnel: how many users complete each prefix of `steps`, in
+    * order. A user reaches step k at the EARLIEST event of type
+    * `steps(k)` at-or-after their step-(k−1) time (inclusive `>=` —
+    * micro-precision ties count as progress, deterministically).
+    *
+    * The sequential dependency makes one fused pass impossible
+    * relationally, so the plan is a fold: step 1 is a hash agg
+    * (`min(ts)` per user), each later step filters its own event type,
+    * joins the survivors of the previous step, and re-aggregates —
+    * every stage keyed on the user, so AQE reuses the exchange and the
+    * per-stage shuffle carries only that step's (user, ts) pairs. Step
+    * count is a plan-time constant; no stage sees more than the raw
+    * event volume of its own type.
+    *
+    * Emits one row per step: (step_idx 1-based int, step_name, users
+    * long) — the classic funnel table, monotone non-increasing.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    val base = events.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+      col(typeCol).as("__t"))
+      .where(col("__u").isNotNull && col("__ts").isNotNull)
+    val first = base.where(col("__t") === steps.head)
+      .groupBy("__u").agg(min("__ts").as("__tk"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      base.where(col("__t") === step)
+        .join(prev.select(col("__u"), col("__tk").as("__prev")), Seq("__u"))
+        .where(col("__ts") >= col("__prev"))
+        .groupBy("__u").agg(min("__ts").as("__tk"))
+    }
+    reached.zip(steps).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step_idx"), lit(name).as("step_name"),
+          col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention: users bucketed by first-activity day (their
+    * cohort), counted distinct per (cohort, periods-since-cohort).
+    *
+    * Three relational stages: dedupe activity to (user, day), hash-agg
+    * the cohort day per user, join back on the user key and count
+    * distinct per (cohort, offset) — the join and both aggregates all
+    * shuffle on the user, so the whole plan is two exchanges end-to-end
+    * and nothing is ever per-user materialized. Offsets use integral
+    * division (`div`), not float division-and-truncate.
+    *
+    * Emits (cohort_day date, period_offset int, users long); offset 0
+    * is the cohort's own period, so every cohort has at least that row.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, "period must span at least one day")
+    val active = events.select(col(userCol).as("__u"),
+      to_date(col(tsCol)).as("__d"))
+      .where(col("__u").isNotNull && col("__d").isNotNull)
+      .distinct()
+    val cohort = active.groupBy("__u").agg(min("__d").as("__c"))
+    active.join(cohort, Seq("__u"))
+      .groupBy(col("__c").as("cohort_day"),
+        expr(s"CAST(datediff(__d, __c) div $periodDays AS INT)")
+          .as("period_offset"))
+      .agg(countDistinct(col("__u")).as("users"))
+  }
+}

@@ -891,6 +891,67 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: ordered step completion, inclusive ties, monotone counts") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-05 09:$m%02d:00")
+    val ev = Seq(
+      // u1 completes in order: view@1 click@5 purchase@9
+      (1L, ts(1), "view"), (1L, ts(5), "click"), (1L, ts(9), "purchase"),
+      // u2 clicks BEFORE viewing: the pre-view click must not count, and
+      // there is no click after the view -> stops at step 1
+      (2L, ts(3), "click"), (2L, ts(4), "view"),
+      // u3: click at the SAME instant as view counts (inclusive >=), no purchase
+      (3L, ts(2), "view"), (3L, ts(2), "click"),
+      // u4 never views: the purchase can't count at any step
+      (4L, ts(1), "purchase"),
+      // u5: purchase before the click -> stops at step 2
+      (5L, ts(1), "view"), (5L, ts(3), "purchase"), (5L, ts(6), "click")
+    ).toDF("uid", "t", "etype")
+    val got = graft.operators.Engagement.funnel(ev, "uid", "t", "etype",
+      Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, "view", 4L), (2, "click", 3L), (3, "purchase", 1L)))
+    // a single-step funnel is just the distinct-user count of that type
+    val one = graft.operators.Engagement.funnel(ev, "uid", "t", "etype", Seq("purchase"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(one.toSeq === Seq((1, 3L)))
+    // duplicate steps are a caller error, not silent double-counting
+    intercept[IllegalArgumentException] {
+      graft.operators.Engagement.funnel(ev, "uid", "t", "etype", Seq("view", "view"))
+    }
+  }
+
+  test("retention: cohort = first active day, integral period offsets, distinct users") {
+    import java.sql.Timestamp
+    def d(day: Int) = Timestamp.valueOf(f"2026-01-$day%02d 10:00:00")
+    val ev = Seq(
+      (1L, d(1)), (1L, d(2)), (1L, d(9)),  // cohort 01-01: offsets 0, 0, 1
+      (2L, d(1)), (2L, d(16)),             // cohort 01-01: offsets 0, 2
+      (3L, d(5)), (3L, d(5)), (3L, d(11))  // cohort 01-05: offsets 0, 0 (dup day), 0 (day 11 is +6)
+    ).toDF("uid", "t")
+    val got = graft.operators.Engagement.retention(ev, "uid", "t", periodDays = 7)
+      .collect().map(r => ((r.getDate(0).toString, r.getInt(1)), r.getLong(2))).toMap
+    assert(got === Map(
+      ("2026-01-01", 0) -> 2L, ("2026-01-01", 1) -> 1L, ("2026-01-01", 2) -> 1L,
+      ("2026-01-05", 0) -> 1L))
+    // brute-force equivalence on randomized activity
+    val rnd = new scala.util.Random(17)
+    val big = (1 to 400).map(_ => (rnd.nextInt(30).toLong, d(rnd.nextInt(28) + 1)))
+    val gotBig = graft.operators.Engagement.retention(
+      big.toDF("uid", "t"), "uid", "t", periodDays = 7)
+      .collect().map(r => ((r.getDate(0).toString, r.getInt(1)), r.getLong(2))).toMap
+    val byUser = big.map { case (u, t) => (u, t.toLocalDateTime.toLocalDate) }
+    val cohorts = byUser.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).min }
+    val want = byUser.distinct
+      .map { case (u, day) =>
+        (cohorts(u).toString,
+          (java.time.temporal.ChronoUnit.DAYS.between(cohorts(u), day) / 7).toInt) -> u
+      }
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).distinct.size.toLong }
+    assert(gotBig === want)
+  }
+
   test("rollingDistinctCount: trailing-window distinct ids, observed days only") {
     import java.sql.Timestamp
     def d(day: Int, h: Int = 9) = Timestamp.valueOf(f"2026-01-$day%02d $h%02d:00:00")
