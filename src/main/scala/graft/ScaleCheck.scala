@@ -97,6 +97,9 @@ object ScaleCheck {
         Seq("view", "click", "purchase")).count())
     time(s"weekly retention over $nUev events")(
       graft.operators.Engagement.retention(uev, "user_id", "ts").count())
+    time(s"conversion-lag histogram over $nUev events")(
+      graft.operators.Engagement.conversionLag(uev, "user_id", "ts",
+        "event_type", "view", "purchase").count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise
@@ -275,6 +278,11 @@ object ScaleCheck {
     // the corpus in production; 64 cells here keeps cells ~corpus/64
     time(s"semantic dedup (64 cells) over $nVecs vectors")(
       Similarity.semanticDedup(embs, k = 64, threshold = 0.9).count())
+    // hard negatives (q89): same broadcast scorer as brute kNN plus the
+    // band filter — cost must track the kNN probe, not exceed it
+    time(s"hard negatives over $nVecs vectors")(
+      Similarity.hardNegatives(embs, pmod(col("vec_id"), lit(1000)) === 0,
+        k = 10, lo = 0.05, hi = 0.6).count())
     embs.unpersist()
     spark.stop()
   }

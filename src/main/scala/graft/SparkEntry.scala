@@ -634,6 +634,26 @@ object SparkEntry {
       Engagement.retention(Tables.events(s, dir), userCol = "user_id",
         tsCol = "ts", periodDays = 7)
         .orderBy("cohort_day", "period_offset")),
+    // contrastive hard negatives: top-k in the [0.05, 0.6) cosine band —
+    // informative-but-not-duplicate, banded on the 6dp-rounded cosine
+    "q89_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir),
+        pmod(col("vec_id"), lit(50)) === 0, k = 10, lo = 0.05, hi = 0.6)
+        .orderBy("query_id", "rnk")),
+    // view->purchase conversion lag in hour buckets: integer micros div,
+    // exact bin edges; bucket dim bounded by the time span
+    "q90_conversion_lag" -> ((s, dir) =>
+      Engagement.conversionLag(Tables.events(s, dir), userCol = "user_id",
+        tsCol = "ts", typeCol = "event_type",
+        fromStep = "view", toStep = "purchase").orderBy("lag_bucket")),
+    // per-user activity deciles: quantileBuckets composed onto the event
+    // domain — integer event counts are a bounded measure by construction
+    "q91_activity_deciles" -> ((s, dir) =>
+      Stats.quantileBuckets(
+        Tables.events(s, dir).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events")),
+        valueCol = "n_events", k = 10, bucketCol = "decile")
+        .orderBy("user_id")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2426,6 +2446,52 @@ object SparkEntry {
         |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
         |FROM a JOIN c ON a.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q89_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
+        |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
+        |comp AS (SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |         FROM e CROSS JOIN idx),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |qcomp AS (SELECT vec_id AS query_id, i, x FROM comp WHERE vec_id % 50 = 0),
+        |dots AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, sum(c.x * q.x) AS dp
+        |  FROM comp c JOIN qcomp q ON c.i = q.i AND c.vec_id <> q.query_id
+        |  GROUP BY q.query_id, c.vec_id),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
+        |  FROM dots d
+        |  JOIN norms nn ON nn.vec_id = d.neighbor_id
+        |  JOIN norms nq ON nq.vec_id = d.query_id
+        |  WHERE round(d.dp / (nn.nrm * nq.nrm), 6) >= 0.05
+        |    AND round(d.dp / (nn.nrm * nq.nrm), 6) < 0.6)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q90_conversion_lag" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |t0 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |t1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN t0 ON e.user_id = t0.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= t0.t GROUP BY 1)
+        |SELECT (epoch_us(t1.t) - epoch_us(t0.t)) // 3600000000 AS lag_bucket,
+        |       CAST(count(*) AS BIGINT) AS users
+        |FROM t1 JOIN t0 ON t1.user_id = t0.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q91_activity_deciles" ->
+      """WITH a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+        |d AS (SELECT n_events AS v, count(*) AS c FROM a GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM d),
+        |n AS (SELECT count(*) AS n FROM a),
+        |js AS (SELECT unnest(range(1, 10)) AS j),
+        |cuts AS (SELECT j, min(v) AS cut FROM cum, n, js
+        |         WHERE cum >= (j * n.n + 9) // 10 GROUP BY j)
+        |SELECT a.user_id, a.n_events,
+        |       CAST(1 + (SELECT count(*) FROM cuts WHERE cut < a.n_events) AS INT) AS decile
+        |FROM a ORDER BY user_id""".stripMargin,
   )
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

@@ -56,6 +56,42 @@ object Engagement {
     }.reduce(_ unionByName _)
   }
 
+  /** Conversion-lag histogram: for each user who completes
+    * `fromStep -> toStep` (first `fromStep` event, then first `toStep`
+    * at-or-after it, same inclusive semantics as [[funnel]]), the lag
+    * bucketed into `bucketSecs`-wide bins.
+    *
+    * Lag arithmetic is integer end-to-end — epoch micros subtracted,
+    * then integral `div` into buckets — no float seconds, so bin edges
+    * are exact and engine-portable. Plan shape is the funnel's step-2
+    * stage plus one tiny hash agg on the bucket dimension; the bucket
+    * dim is bounded by the observable time span over `bucketSecs`,
+    * never by user count.
+    *
+    * Emits (lag_bucket long — bucket i covers [i·bucketSecs,
+    * (i+1)·bucketSecs) —, users long) for converting users only;
+    * non-converters simply don't reach the histogram, which is the
+    * funnel table's job to count.
+    */
+  def conversionLag(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, fromStep: String, toStep: String,
+                    bucketSecs: Long = 3600L): DataFrame = {
+    require(bucketSecs >= 1, "bucket must span at least one second")
+    val base = events.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+      col(typeCol).as("__t"))
+      .where(col("__u").isNotNull && col("__ts").isNotNull)
+    val first = base.where(col("__t") === fromStep)
+      .groupBy("__u").agg(min("__ts").as("__t0"))
+    base.where(col("__t") === toStep)
+      .join(first, Seq("__u"))
+      .where(col("__ts") >= col("__t0"))
+      .groupBy("__u").agg(min(col("__ts")).as("__t1"), min(col("__t0")).as("__t0"))
+      .select(expr(s"(unix_micros(__t1) - unix_micros(__t0)) div ${bucketSecs * 1000000L}")
+        .as("lag_bucket"))
+      .groupBy("lag_bucket")
+      .agg(count(lit(1)).as("users"))
+  }
+
   /** Cohort retention: users bucketed by first-activity day (their
     * cohort), counted distinct per (cohort, periods-since-cohort).
     *

@@ -41,18 +41,52 @@ object Similarity {
     *         by rounded cosine desc then neighbor_id, so ordering is stable
     *         under float noise below the rounding grid.
     */
-  def knnCosineBrute(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+  def knnCosineBrute(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame =
+    rankTopK(cosineScoredBrute(embeddings, queryPred), k)
+
+  /** All (query, candidate) cosines for a query subset: the broadcast
+    * brute scorer shared by [[knnCosineBrute]] and [[hardNegatives]].
+    * Cosines are rounded to 6dp BEFORE any downstream ranking or band
+    * filter, so ordering and band membership are stable under float
+    * noise below the rounding grid.
+    */
+  private def cosineScoredBrute(embeddings: DataFrame, queryPred: Column): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
     val queries = base.where(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
+  }
+
+  /** Contrastive hard-negative mining: for each query vector, the top-k
+    * candidates whose cosine lies in `[lo, hi)` — similar enough to be
+    * informative negatives for embedding/reranker training, but below
+    * the near-dup band (`hi`) where a "negative" would actually be a
+    * positive, and above the floor (`lo`) where negatives are trivial.
+    * The band is evaluated on the 6dp-rounded cosine, so membership is
+    * engine-portable.
+    *
+    * Same broadcast brute scorer as [[knnCosineBrute]] — exact, and the
+    * right baseline while the query set broadcasts. At corpus scale,
+    * mid-band candidates defeat high-similarity LSH buckets by design,
+    * so the scale path is IVF: probe the query's nearest few centroid
+    * cells ([[annIvfTopK]]'s machinery) and band-filter within them —
+    * same semantics, candidates bounded by probed-cell volume.
+    */
+  def hardNegatives(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+                    lo: Double = 0.1, hi: Double = 0.8): DataFrame = {
+    require(lo < hi, "hard-negative band must be non-empty (lo < hi)")
+    rankTopK(cosineScoredBrute(embeddings, queryPred)
+      .where(col("cosine") >= lo && col("cosine") < hi), k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine ≥

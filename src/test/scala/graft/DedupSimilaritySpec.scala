@@ -952,6 +952,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gotBig === want)
   }
 
+  test("hardNegatives: band membership on rounded cosine, near-dups excluded, ranks dense") {
+    // query vec 0 along e1; candidates at known cosines: a near-dup (0.99+),
+    // an in-band mid-similarity pair, an orthogonal (0.0), an anti (-1)
+    def v(x: Double, y: Double) = Array(x, y, 0.0f.toDouble, 0.0)
+    val embs = Seq(
+      (0L, v(1, 0)),             // query
+      (1L, v(1, 0.05)),          // cosine ~0.9988 -> above hi, excluded
+      (2L, v(1, 1)),             // cosine ~0.7071 -> in [0.1, 0.8)
+      (3L, v(0.3, 1)),           // cosine ~0.2873 -> in band
+      (4L, v(0, 1)),             // cosine 0 -> below lo, excluded
+      (5L, v(-1, 0))             // cosine -1 -> excluded
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.hardNegatives(
+      embs, col("vec_id") === 0, k = 10, lo = 0.1, hi = 0.8)
+      .orderBy("rnk")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === Seq(2L, 3L)) // ordered by cosine desc
+    assert(got.map(_._3).toSeq === Seq(1L, 2L)) // ranks dense within band
+    assert(got.forall { case (_, c, _) => c >= 0.1 && c < 0.8 })
+    // the same call with the full band reduces to knnCosineBrute
+    val full = graft.operators.Similarity.hardNegatives(
+      embs, col("vec_id") === 0, k = 10, lo = -1.1, hi = 1.1)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    val knn = graft.operators.Similarity.knnCosineBrute(
+      embs, col("vec_id") === 0, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(full === knn)
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.hardNegatives(embs, col("vec_id") === 0, k = 1,
+        lo = 0.5, hi = 0.5)
+    }
+  }
+
+  test("conversionLag: first-from to first-to-after, integer bucket edges") {
+    import java.sql.Timestamp
+    def at(h: Int, m: Int, s: Int = 0) =
+      Timestamp.valueOf(f"2026-01-05 $h%02d:$m%02d:$s%02d")
+    val ev = Seq(
+      // u1: view@10:00, purchase@10:30 -> lag 1800s -> bucket 0
+      (1L, at(10, 0), "view"), (1L, at(10, 30), "purchase"),
+      // u2: lag EXACTLY one bucket (3600s) -> bucket 1, edge exclusive below
+      (2L, at(10, 0), "view"), (2L, at(11, 0), "purchase"),
+      // u3: purchase BEFORE the view only -> never converts, no row
+      (3L, at(10, 0), "purchase"), (3L, at(11, 0), "view"),
+      // u4: two purchases after view -> the FIRST one counts (bucket 2)
+      (4L, at(9, 0), "view"), (4L, at(11, 30), "purchase"), (4L, at(20, 0), "purchase"),
+      // u5: second view earlier purchase between -> first view is the anchor
+      (5L, at(8, 0), "view"), (5L, at(8, 10), "purchase"), (5L, at(12, 0), "view")
+    ).toDF("uid", "t", "etype")
+    val got = graft.operators.Engagement.conversionLag(
+      ev, "uid", "t", "etype", "view", "purchase")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 1L -> 1L, 2L -> 1L)) // u1+u5 in 0, u2 in 1, u4 in 2
+  }
+
   test("rollingDistinctCount: trailing-window distinct ids, observed days only") {
     import java.sql.Timestamp
     def d(day: Int, h: Int = 9) = Timestamp.valueOf(f"2026-01-$day%02d $h%02d:00:00")
