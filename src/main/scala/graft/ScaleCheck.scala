@@ -248,6 +248,26 @@ object ScaleCheck {
       graft.operators.TextAnalysis.tfidfTopK(docs, k = 5).count())
     time(s"unigram-LM surprisal over $nDocs docs")(
       graft.operators.TextAnalysis.lmScore(docs).count())
+    // q92/q93/q94: the curation compositions — cluster-argmax rides the
+    // LSH pair cost, curriculum rides lmScore + counting cuts, and the
+    // source cap is one scan + a per-source window (no global sort)
+    time(s"best-of-cluster canonicalization over $nDocs docs")(
+      graft.operators.Dedup.bestOfCluster(
+        docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.qualityExpr(col("text")).as("quality")),
+        graft.operators.Dedup.dupClusters(
+          graft.operators.Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+            threshold = 0.2)),
+        scoreCol = "quality").count())
+    time(s"curriculum phases over $nDocs docs")(
+      graft.operators.Stats.quantileBuckets(
+        graft.operators.TextAnalysis.lmScore(docs)
+          .select(col("doc_id"), col("avg_nll")),
+        valueCol = "avg_nll", k = 4, bucketCol = "phase").count())
+    time(s"per-source quality cap over $nDocs docs")(
+      graft.operators.TextAnalysis.perSourceCap(
+        docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+        n = 20).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

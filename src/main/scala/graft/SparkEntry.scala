@@ -654,6 +654,31 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_events")),
         valueCol = "n_events", k = 10, bucketCol = "decile")
         .orderBy("user_id")),
+    // quality-aware canonicalization: dedup keeps each cluster's BEST
+    // member (max quality, min id on ties), not an arbitrary one;
+    // singletons are their own winners so keep is a full corpus verdict
+    "q92_best_of_cluster" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.bestOfCluster(
+        docs.select(col("doc_id"),
+          TextAnalysis.qualityExpr(col("text")).as("quality")),
+        Dedup.dupClusters(Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+          threshold = 0.2, baseHash = Dedup.md5Base)),
+        scoreCol = "quality").orderBy("doc_id")
+    }),
+    // curriculum phases: LM surprisal (q84) bucketed by exact counting
+    // quartiles (q77's machinery) — phase 1 = easiest, 4 = hardest
+    "q93_curriculum" -> ((s, dir) =>
+      Stats.quantileBuckets(
+        TextAnalysis.lmScore(Tables.documents(s, dir))
+          .select(col("doc_id"), col("avg_nll")),
+        valueCol = "avg_nll", k = 4, bucketCol = "phase")
+        .orderBy("doc_id")),
+    // per-source quality cap (domain balancing): top-20 docs per source
+    // by quality — window per source, no global sort
+    "q94_source_cap" -> ((s, dir) =>
+      TextAnalysis.perSourceCap(Tables.documents(s, dir), n = 20)
+        .orderBy("source", "src_rank")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2492,7 +2517,125 @@ object SparkEntry {
         |SELECT a.user_id, a.n_events,
         |       CAST(1 + (SELECT count(*) FROM cuts WHERE cut < a.n_events) AS INT) AS decile
         |FROM a ORDER BY user_id""".stripMargin,
+    // replays the LSH clusters (q78's chain), the quality score (q77's),
+    // and the per-cluster argmax with the same (quality DESC, doc_id) tie
+    "q92_best_of_cluster" ->
+      s"""WITH RECURSIVE $LshClusterSql,
+         |$QualitySql,
+         |j AS (SELECT lab.doc_id, q.quality, lab.cluster_id
+         |      FROM lab JOIN q ON q.doc_id = lab.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |                ORDER BY quality DESC, doc_id) AS rn FROM j)
+         |SELECT doc_id, quality, cluster_id, rn = 1 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q93_curriculum" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        |m AS (SELECT token, CAST(round(ln(CAST(t.t AS DOUBLE) / n) * 1000000) AS BIGINT) AS nll
+        |      FROM c CROSS JOIN t),
+        |d AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |             CAST(sum(m.nll) AS BIGINT) AS nll_micro
+        |      FROM tok JOIN m USING (token) GROUP BY 1),
+        |s AS (SELECT doc_id,
+        |             ((2 * nll_micro + n_tokens) // (2 * n_tokens)) / 1000000.0 AS avg_nll
+        |      FROM d),
+        |dist AS (SELECT avg_nll AS v, count(*) AS c FROM s GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM dist),
+        |n AS (SELECT count(*) AS n FROM s),
+        |js AS (SELECT unnest(range(1, 4)) AS j),
+        |cuts AS (SELECT j, min(v) AS cut FROM cum, n, js
+        |         WHERE cum >= (j * n.n + 3) // 4 GROUP BY j)
+        |SELECT s.doc_id, s.avg_nll,
+        |       CAST(1 + (SELECT count(*) FROM cuts WHERE cut < s.avg_nll) AS INT) AS phase
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q94_source_cap" ->
+      s"""WITH $QualitySql,
+         |src AS (SELECT d.doc_id, d.source, q.quality
+         |        FROM documents d JOIN q ON q.doc_id = d.doc_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+         |                ORDER BY quality DESC, doc_id) AS INT) AS src_rank
+         |      FROM src)
+         |SELECT doc_id, source, quality, src_rank
+         |FROM r WHERE src_rank <= 20 ORDER BY source, src_rank""".stripMargin,
   )
+
+  /** The LSH dup-cluster CTE chain (shingles → minhash → bands →
+    * candidate pairs → estimated-Jaccard cut → connected components →
+    * full-corpus labels in `lab`), same parameters as q53/q78/q92
+    * (16 perms × 8 bands, md5 base, threshold 0.2). The use site
+    * supplies `WITH RECURSIVE`. */
+  private val LshClusterSql: String =
+    """w AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(words) - 3),
+      |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+      |    FROM w WHERE len(words) >= 5) t),
+      |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+      |perms AS (
+      |  SELECT perm,
+      |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
+      |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
+      |  FROM (SELECT unnest(range(0, 16)) AS perm) t),
+      |sig AS (
+      |  SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
+      |  FROM bh CROSS JOIN perms GROUP BY doc_id, perm),
+      |banded AS (
+      |  SELECT doc_id, perm // 2 AS band,
+      |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key
+      |  FROM sig GROUP BY doc_id, perm // 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      |                              AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+      |  FROM cand c
+      |  JOIN sig sa ON sa.doc_id = c.doc_a
+      |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+      |  GROUP BY c.doc_a, c.doc_b),
+      |pr AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.2),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+      |          UNION SELECT doc_b, doc_a FROM pr),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+      |labels AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |  FROM reach GROUP BY src),
+      |lab AS (
+      |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)""".stripMargin
+
+  /** The quality-score CTE chain (q77's formula verbatim), ending in
+    * `q(doc_id, quality)`. */
+  private val QualitySql: String =
+    """qt AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
+      |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
+      |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|on|for|with)\b')) AS DOUBLE) AS n_stop
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id,
+      |    round(least(n_toks / 200.0, 1.0) * 0.5
+      |        + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
+      |        + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
+      |        4) AS quality
+      |  FROM qt)""".stripMargin
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited
     * 8-token lines (CTE `d`). */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (hash-groupBy),
@@ -421,6 +422,33 @@ object Dedup {
         s"dupClusters did not converge within $maxRounds rounds; " +
           "raise maxRounds or inspect the pair graph for long chains")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Quality-aware canonicalization: instead of keeping an arbitrary
+    * (min-id) member per dup cluster, keep the BEST one — dedup should
+    * discard the worse copies, not a random one. Composes with any
+    * (doc_id, cluster_id) map ([[dupClusters]] over LSH/SimHash pairs,
+    * [[Similarity.semanticDedup]] clusters) and any per-doc score.
+    *
+    * Docs absent from `clusters` are singletons: their cluster is
+    * themselves (same id-space convention as the min-id canonical), so
+    * the output covers the WHOLE corpus and `keep` is a complete
+    * curation verdict. Winner = max score, min doc_id on ties —
+    * deterministic under any partitioning. One left join + one window
+    * partitioned by cluster; cluster sizes bound the window partitions,
+    * and near-dup clusters are shallow by construction.
+    *
+    * Output: all of `scored`'s columns + (cluster_id, keep boolean).
+    */
+  def bestOfCluster(scored: DataFrame, clusters: DataFrame,
+                    scoreCol: String): DataFrame = {
+    val labeled = scored
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"),
+        "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    labeled.withColumn("keep", row_number().over(w) === 1)
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via

@@ -529,6 +529,35 @@ object TextAnalysis {
       .withColumn("split", splitLabel(col("bucket"), trainPct, valPct))
   }
 
+  /** Per-source quality cap — domain balancing: an open-web corpus is
+    * dominated by a few giant sources, and training mixes cap each
+    * domain's contribution, keeping its BEST documents (the
+    * RefinedWeb/FineWeb-style per-domain cap). Keeps the top `n` docs
+    * per `sourceCol` by [[qualityExpr]] (ties → min doc_id,
+    * deterministic under any partitioning).
+    *
+    * One scan for the score (pure column exprs), one window partitioned
+    * by source for the rank — the partition is a domain's docs, which
+    * is exactly the dimension being capped, and no global sort exists
+    * anywhere. Skewed mega-domains are the one case to watch; their
+    * window partitions are the cost of exact per-domain ranking, and a
+    * two-phase refinement (per-partition top-n, then merge) is what
+    * [[Stats.quantileBuckets]]-style counting would buy if a domain
+    * outgrows a partition.
+    *
+    * Output: doc_id, source, quality, src_rank (1..n) for kept docs
+    * only.
+    */
+  def perSourceCap(docs: DataFrame, n: Int, sourceCol: String = "source"): DataFrame = {
+    require(n >= 1, "cap must keep at least one doc per source")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.select(col("doc_id"), col(sourceCol),
+      qualityExpr(col("text")).as("quality"))
+      .withColumn("src_rank", row_number().over(w))
+      .where(col("src_rank") <= n)
+  }
+
   /** Leakage-proof split assignment — [[hashSplit]] draws each DOCUMENT
     * independently, so members of one near-dup cluster can straddle
     * train/holdout: exactly the leakage [[splitContamination]] measures

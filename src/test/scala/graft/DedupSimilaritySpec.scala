@@ -952,6 +952,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gotBig === want)
   }
 
+  test("bestOfCluster: max-score winner per cluster, ties to min id, singletons kept") {
+    val scored = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.7), // cluster 1: doc 2 wins on score
+      (4L, 0.1),                       // singleton: wins its own cluster
+      (5L, 0.8), (6L, 0.8)             // cluster 5: score tie -> min id 5 wins
+    ).toDF("doc_id", "quality")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = graft.operators.Dedup.bestOfCluster(scored, clusters, "quality")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      4L -> ((4L, true)),
+      5L -> ((5L, true)), 6L -> ((5L, false))))
+    // every cluster keeps EXACTLY one member, under any partitioning
+    val kept = graft.operators.Dedup.bestOfCluster(
+      scored.repartition(5), clusters.repartition(3), "quality")
+      .where(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L, 5L))
+  }
+
+  test("perSourceCap: top-n per source by quality, deterministic ties") {
+    val docs = Seq(
+      (1L, "srcA", "the quick brown fox jumps over the lazy dog and runs far today"),
+      (2L, "srcA", "x"),
+      (3L, "srcA", "the quick brown fox jumps over the lazy dog and runs far today"),
+      (4L, "srcB", "a b")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.TextAnalysis.perSourceCap(docs, n = 2)
+      .orderBy("source", "src_rank")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3)))
+    // srcA: docs 1 and 3 have identical text (same quality) -> tie to min
+    // id: 1 ranks 1, 3 ranks 2; the low-quality doc 2 is capped out.
+    // srcB: its only doc survives.
+    assert(got.toSeq === Seq(("srcA", 1L, 1), ("srcA", 3L, 2), ("srcB", 4L, 1)))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.perSourceCap(docs, n = 0)
+    }
+  }
+
   test("hardNegatives: band membership on rounded cosine, near-dups excluded, ranks dense") {
     // query vec 0 along e1; candidates at known cosines: a near-dup (0.99+),
     // an in-band mid-similarity pair, an orthogonal (0.0), an anti (-1)
