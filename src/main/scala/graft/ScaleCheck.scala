@@ -100,6 +100,9 @@ object ScaleCheck {
     time(s"conversion-lag histogram over $nUev events")(
       graft.operators.Engagement.conversionLag(uev, "user_id", "ts",
         "event_type", "view", "purchase").count())
+    time(s"transition matrix over $nUev events")(
+      graft.operators.Engagement.transitions(uev, "user_id", "ts",
+        "event_type", "event_id").count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise

@@ -679,6 +679,12 @@ object SparkEntry {
     "q94_source_cap" -> ((s, dir) =>
       TextAnalysis.perSourceCap(Tables.documents(s, dir), n = 20)
         .orderBy("source", "src_rank")),
+    // event-flow transition matrix (Sankey/Markov input): per-user lead
+    // window + one pair agg; conditional probability in integer HALF_UP bp
+    "q95_transitions" -> ((s, dir) =>
+      Engagement.transitions(Tables.events(s, dir), userCol = "user_id",
+        tsCol = "ts", typeCol = "event_type", tieCol = "event_id")
+        .orderBy("from_type", "to_type")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2562,6 +2568,18 @@ object SparkEntry {
          |      FROM src)
          |SELECT doc_id, source, quality, src_rank
          |FROM r WHERE src_rank <= 20 ORDER BY source, src_rank""".stripMargin,
+    "q95_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+        |x AS (SELECT event_type AS f,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id) AS t
+        |      FROM e),
+        |p AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
+        |      FROM x WHERE t IS NOT NULL GROUP BY 1, 2)
+        |SELECT f AS from_type, t AS to_type, n,
+        |       (20000 * n + sum(n) OVER (PARTITION BY f))
+        |         // (2 * sum(n) OVER (PARTITION BY f)) AS prob_bp
+        |FROM p ORDER BY from_type, to_type""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

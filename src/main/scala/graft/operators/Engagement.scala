@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream engagement analytics: ordered funnels and cohort
@@ -90,6 +91,39 @@ object Engagement {
         .as("lag_bucket"))
       .groupBy("lag_bucket")
       .agg(count(lit(1)).as("users"))
+  }
+
+  /** Event-flow transition matrix: for each consecutive pair of events
+    * per user (ordered by timestamp, `tieCol` breaking equal-timestamp
+    * ties deterministically), count `from_type -> to_type` — the input
+    * to every Sankey / user-flow / Markov-chain analysis.
+    *
+    * One window partitioned by user for the `lead`, one hash agg on the
+    * (from, to) pair — the type-pair dimension is squared-cardinality
+    * small, so the second agg is trivial. The per-user window partition
+    * holds one user's history, the same bound as [[funnel]]'s worst
+    * stage input; nothing is per-user collected.
+    *
+    * `prob_bp` is the row-conditional transition probability in basis
+    * points, integer HALF_UP ((20000·n + tot) div (2·tot)) — exact and
+    * engine-portable, per the repo's rounded-ratio discipline.
+    *
+    * Emits (from_type, to_type, n long, prob_bp long).
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    val pairs = events.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+      col(tieCol).as("__tie"), col(typeCol).as("__t"))
+      .where(col("__u").isNotNull && col("__ts").isNotNull)
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col("__t").as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("prob_bp",
+        expr("(20000 * n + sum(n) OVER (PARTITION BY from_type)) div " +
+          "(2 * sum(n) OVER (PARTITION BY from_type))"))
   }
 
   /** Cohort retention: users bucketed by first-activity day (their

@@ -1047,6 +1047,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Map(0L -> 2L, 1L -> 1L, 2L -> 1L)) // u1+u5 in 0, u2 in 1, u4 in 2
   }
 
+  test("transitions: per-user consecutive pairs, tie-broken, HALF_UP basis points") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-05 09:$m%02d:00")
+    val ev = Seq(
+      // u1: a->b->a (two transitions); u2: a->c; the cross-user boundary
+      // (u1's last -> u2's first) must NOT count
+      (1L, 10L, ts(1), "a"), (2L, 10L, ts(2), "b"), (3L, 10L, ts(3), "a"),
+      (4L, 20L, ts(1), "a"), (5L, 20L, ts(5), "c"),
+      // u3: equal timestamps -> event_id order decides: a->b, not b->a
+      (6L, 30L, ts(7), "a"), (7L, 30L, ts(7), "b")
+    ).toDF("event_id", "uid", "t", "etype")
+    val got = graft.operators.Engagement.transitions(ev, "uid", "t", "etype", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // from 'a': a->b twice, a->c once -> 6667 and 3333 bp (HALF_UP)
+    assert(got === Map(
+      ("a", "b") -> ((2L, 6667L)),
+      ("a", "c") -> ((1L, 3333L)),
+      ("b", "a") -> ((1L, 10000L))))
+    // partitioning never changes the matrix
+    val re = graft.operators.Engagement.transitions(
+      ev.repartition(5), "uid", "t", "etype", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(re === got)
+  }
+
   test("rollingDistinctCount: trailing-window distinct ids, observed days only") {
     import java.sql.Timestamp
     def d(day: Int, h: Int = 9) = Timestamp.valueOf(f"2026-01-$day%02d $h%02d:00:00")
