@@ -271,6 +271,10 @@ object ScaleCheck {
       graft.operators.TextAnalysis.perSourceCap(
         docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))),
         n = 20).count())
+    time(s"dataset manifest over $nDocs docs")(
+      graft.operators.TextAnalysis.datasetManifest(
+        docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))))
+        .count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

@@ -685,6 +685,11 @@ object SparkEntry {
       Engagement.transitions(Tables.events(s, dir), userCol = "user_id",
         tsCol = "ts", typeCol = "event_type", tieCol = "event_id")
         .orderBy("from_type", "to_type")),
+    // publication manifest: per (split, source) counts + order-free
+    // content checksum — the integrity handshake a shipped dataset carries
+    "q96_manifest" -> ((s, dir) =>
+      TextAnalysis.datasetManifest(Tables.documents(s, dir))
+        .orderBy("split", "source")),
   )
 
   /** q68's mixture config: named-source rates over the corpus's src0..19
@@ -2580,6 +2585,21 @@ object SparkEntry {
         |       (20000 * n + sum(n) OVER (PARTITION BY f))
         |         // (2 * sum(n) OVER (PARTITION BY f)) AS prob_bp
         |FROM p ORDER BY from_type, to_type""".stripMargin,
+    "q96_manifest" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS ntok,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h,
+        |    CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90
+        |         THEN 'train'
+        |         WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 95
+        |         THEN 'val' ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |       CAST(sum(h) AS BIGINT) AS content_sum
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

@@ -529,6 +529,33 @@ object TextAnalysis {
       .withColumn("split", splitLabel(col("bucket"), trainPct, valPct))
   }
 
+  /** Dataset publication manifest — the summary a pipeline writes when it
+    * ships a training-dataset version: per (split, source) document and
+    * token counts, the doc-id range, and an ORDER-FREE content checksum
+    * (sum of per-doc md5-prefix integers — commutative, so any engine,
+    * any partitioning, any row order reproduces it; 32-bit terms summed
+    * into a 64-bit never overflow below 2^31 docs per cell). Consumers
+    * re-derive the manifest over what they received and diff — the
+    * cheap end-to-end integrity handshake.
+    *
+    * One scan, pure column exprs, one hash agg on the (split, source)
+    * dim — manifest cost is corpus-linear with a bounded output.
+    * Output: split, source, n_docs, n_tokens, min_doc_id, max_doc_id,
+    * content_sum.
+    */
+  def datasetManifest(docs: DataFrame, trainPct: Int = 90,
+                      valPct: Int = 5): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      size(tokens(lower(col("text")))).cast("long").as("__ntok"),
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("__h"),
+      splitExpr(trainPct, valPct).as("split"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(col("__h")).as("content_sum"))
+
   /** Per-source quality cap — domain balancing: an open-web corpus is
     * dominated by a few giant sources, and training mixes cap each
     * domain's contribution, keeping its BEST documents (the

@@ -952,6 +952,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gotBig === want)
   }
 
+  test("datasetManifest: per-cell counts, order-free checksum, partition-invariant") {
+    val docs = Seq(
+      (1L, "srcA", "alpha beta gamma"),
+      (2L, "srcA", "delta"),
+      (3L, "srcB", "epsilon zeta")
+    ).toDF("doc_id", "source", "text")
+    val m = graft.operators.TextAnalysis.datasetManifest(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // every doc lands in exactly one cell and token totals add up
+    assert(m.values.map(_._1).sum === 3L)
+    assert(m.values.map(_._2).sum === 6L)
+    // the checksum is the SUM of per-doc md5-prefix ints: recompute one cell
+    val h = docs.select(col("source"),
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("h"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sum)
+    assert(m.filter(_._1._2 == "srcA").values.map(_._5).sum === h("srcA"))
+    // order/partitioning never changes the manifest
+    val re = graft.operators.TextAnalysis.datasetManifest(
+      docs.repartition(7).sortWithinPartitions(desc("doc_id")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(re === m)
+  }
+
   test("bestOfCluster: max-score winner per cluster, ties to min id, singletons kept") {
     val scored = Seq(
       (1L, 0.5), (2L, 0.9), (3L, 0.7), // cluster 1: doc 2 wins on score
