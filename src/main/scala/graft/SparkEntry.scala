@@ -34,7 +34,7 @@ object SparkEntry {
       |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, symbol, value,
       |         row_number() OVER (PARTITION BY symbol, time_bucket(INTERVAL 5 MINUTE, ts) ORDER BY ts, event_id) AS rn_a,
       |         row_number() OVER (PARTITION BY symbol, time_bucket(INTERVAL 5 MINUTE, ts) ORDER BY ts DESC, event_id DESC) AS rn_d
-      |  FROM ev
+      |  FROM ev WHERE ts IS NOT NULL
       |), candles AS (
       |  SELECT window_start, symbol,
       |         max(CASE WHEN rn_a = 1 THEN value END) AS open,
@@ -154,7 +154,9 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // fill ONLY the pivot counts: a bare na.fill(0) would also rewrite
+        // a NULL user_id to 0, colliding with the genuine user 0
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .select(col("user_id"), col("click").as("n_click"), col("error").as("n_error"),
           col("purchase").as("n_purchase"), col("signup").as("n_signup"),
           col("view").as("n_view"))
@@ -287,6 +289,10 @@ object SparkEntry {
     "q20_sessionize" -> ((s, dir) => {
       val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, dir)
+        // an event with no timestamp cannot be ordered into a session —
+        // and engines disagree on where NULL sorts (Spark first, DuckDB
+        // last), so the contract drops it on both sides
+        .where(col("ts").isNotNull)
         .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(wo))
         .withColumn("is_new",
           when(col("prev_us").isNull ||
@@ -540,6 +546,10 @@ object SparkEntry {
     // genuinely independent implementation of the semantics
     "q76_asof_join" -> ((s, dir) => {
       val ticks = Tables.events(s, dir)
+        // a tick with no timestamp has no "as of" instant; DuckDB's ASOF
+        // sorts NULL last and would pair it with the LATEST candle —
+        // drop it on both sides instead
+        .where(col("ts").isNotNull)
         .select(col("event_id"), col("ts"),
           col("event_type").as("symbol"), col("value"))
       AsOf.asofJoin(ticks, candles(s, dir), key = "symbol",
@@ -986,7 +996,8 @@ object SparkEntry {
         |  AND isodow(CAST(ts AS TIMESTAMP)) BETWEEN 1 AND 5
         |ORDER BY event_id""".stripMargin,
     "q20_sessionize" ->
-      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+        |            WHERE ts IS NOT NULL),
         |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
         |m AS (SELECT *, CASE WHEN prev_ts IS NULL
         |                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
@@ -999,8 +1010,11 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // WHERE ts IS NOT NULL mirrors Spark's session_window, whose
+    // event-time rewrite silently filters null timestamps
     "q24_session_window" ->
-      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+        |            WHERE ts IS NOT NULL),
         |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
         |m AS (SELECT *, CASE WHEN prev_ts IS NULL
         |                     OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new
@@ -2239,6 +2253,7 @@ object SparkEntry {
          |       strftime(c.window_start, '%Y-%m-%d %H:%M:%S') AS window_start, c.close
          |FROM ev ASOF LEFT JOIN candles c
          |  ON ev.symbol = c.symbol AND ev.ts >= c.window_start
+         |WHERE ev.ts IS NOT NULL
          |ORDER BY ev.event_id""".stripMargin,
     "q77_quality_deciles" ->
       """WITH t AS (
@@ -2453,14 +2468,16 @@ object SparkEntry {
         |       CASE WHEN end_ts > ts THEN session_value END AS session_value
         |FROM cand WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q86_rolling_active" ->
-      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |a AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM e),
         |days AS (SELECT DISTINCT d FROM a)
         |SELECT days.d AS day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
         |FROM days JOIN a ON a.d BETWEEN days.d - 6 AND days.d
         |GROUP BY days.d ORDER BY day""".stripMargin,
     "q87_funnel" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |s1 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
         |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
         |       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
@@ -2474,7 +2491,8 @@ object SparkEntry {
         |SELECT CAST(3 AS INT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
         |ORDER BY step_idx""".stripMargin,
     "q88_retention" ->
-      """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |a AS (SELECT DISTINCT user_id, d FROM e),
         |c AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1)
         |SELECT c.cohort AS cohort_day,
@@ -2509,7 +2527,8 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q90_conversion_lag" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |t0 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
         |t1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN t0 ON e.user_id = t0.user_id
         |       WHERE e.event_type = 'purchase' AND e.ts >= t0.t GROUP BY 1)
@@ -2573,8 +2592,13 @@ object SparkEntry {
          |      FROM src)
          |SELECT doc_id, source, quality, src_rank
          |FROM r WHERE src_rank <= 20 ORDER BY source, src_rank""".stripMargin,
+    // null-filter parity with Engagement.transitions (null users/ts are
+    // not a flow); ordering precision is pinned on both sides to micros
+    // (DuckDB CAST(TIMESTAMP_NS -> TIMESTAMP) truncates exactly like the
+    // engine's `ts div 1000` in Tables.events) with event_id tiebreak
     "q95_transitions" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |x AS (SELECT event_type AS f,
         |             lead(event_type) OVER (PARTITION BY user_id
         |                                    ORDER BY ts, event_id) AS t
