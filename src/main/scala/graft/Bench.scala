@@ -51,7 +51,12 @@ object Bench {
         df.write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
     }
+    // SPARK_GRAFT_BENCH_ONLY=q53,q92 filters by name prefix — local
+    // iteration only; the driver never sets it
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
@@ -66,8 +71,25 @@ object Bench {
       else if (ok.size % 2 == 1) ok(ok.size / 2)
       else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
     }
+    def f3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    // 3dp medians keep the final stdout line compact — the r6 line's
+    // full-precision doubles overran the driver's capture and truncated
+    // the query map at q38
     def qsJson(): String =
-      names.map(n => "\"" + n + "\":" + median(samples(n))).mkString("{", ",", "}")
+      names.map(n => "\"" + n + "\":" + f3(median(samples(n)))).mkString("{", ",", "}")
+    // box-state marker: load average + free memory, so a later reader can
+    // separate host contention from plan regressions (r6's 680→297→180 s
+    // pass swing was drift, but the JSON carried no evidence either way)
+    def boxState(): String = {
+      def read(p: String): String =
+        try scala.io.Source.fromFile(p).getLines().mkString(" ") catch { case _: Throwable => "" }
+      val load = read("/proc/loadavg").split(" ").take(3).mkString(",")
+      val memAvail = read("/proc/meminfo").split("\\s+")
+        .sliding(2).collectFirst { case Array("MemAvailable:", kb) => kb }.getOrElse("?")
+      s""""load":"$load","mem_avail_kb":"$memAvail""""
+    }
+    val boxStart = boxState()
     (1 to iters).foreach { pass =>
       var passTotal = 0.0
       names.foreach { n =>
@@ -75,20 +97,31 @@ object Bench {
         samples(n) = samples(n) :+ s
         if (s >= 0) passTotal += s
       }
-      System.err.println(f"[bench] pass $pass/$iters total = $passTotal%.1f s")
+      System.err.println(f"[bench] pass $pass/$iters total = $passTotal%.1f s {$boxState()}")
       // cumulative-medians line to stderr after EVERY pass: a run killed
       // before the last pass still leaves a parseable result in the log
       // ("partial_total" so only the completed run's line matches "total")
       val t = names.map(n => median(samples(n))).filter(_ >= 0).sum
       System.err.println(
-        s"""{"metric":"partial_total","value":$t,"unit":"sec","queries":${qsJson()},"sf":"$sfDir","iters":$pass}""")
+        s"""{"metric":"partial_total","value":${f3(t)},"unit":"sec","queries":${qsJson()},"sf":"$sfDir","iters":$pass}""")
     }
     val total = names.map(n => median(samples(n))).filter(_ >= 0).sum
     val passTotals = (0 until iters).map { i =>
       names.map(n => samples(n)(i)).filter(_ >= 0).sum
-    }.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
-      .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson()},"sf":"$sfDir","iters":$iters,"pass_totals":$passTotals}""")
+    }.map(f3).mkString("[", ",", "]")
+    // full per-pass per-query detail + box state goes to a repo-side file
+    // (NOT the stdout line, which must stay under the driver's capture
+    // limit); the round driver commits it with the rest of the work tree
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try {
+      val perQuery = names.map { n =>
+        "\"" + n + "\":[" + samples(n).map(f3).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+        s"""{"sf":"$sfDir","iters":$iters,"box_start":{$boxStart},"box_end":{${boxState()}},""" +
+          s""""pass_totals":$passTotals,"per_pass":$perQuery}""" + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qsJson()},"sf":"$sfDir","iters":$iters,"pass_totals":$passTotals}""")
     spark.stop()
   }
 }

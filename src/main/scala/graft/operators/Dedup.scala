@@ -351,13 +351,19 @@ object Dedup {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
-    // one undirected edge per pair, cached: the decision count, the driver
-    // collect, and the distributed loop all reuse this materialization
-    // (without it the expensive LSH subtree would recompute per consumer)
+    // one undirected edge per pair, EAGERLY materialized with lineage
+    // truncation: the decision count, the driver collect, and the
+    // distributed loop all reuse this materialization. A plain cache()
+    // still re-executes the expensive LSH subtree per consumer if blocks
+    // are dropped under memory pressure (the r6 driver bench showed q92
+    // paying the q53 chain several times over on a contended box);
+    // localCheckpoint pins the edges to block storage (disk-spillable)
+    // and CUTS the plan above them, so the pair-generation subtree can
+    // run exactly once no matter what the block manager later does
     val undirected = pairs.select(
       least(col("doc_a"), col("doc_b")).as("src"),
       greatest(col("doc_a"), col("doc_b")).as("dst"))
-      .where(col("src") =!= col("dst")).distinct().cache()
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     val nEdges = undirected.count()
     if (integralId && nEdges <= driverThreshold) {
       // union-find with path compression, roots keyed to the MIN id of the
@@ -377,7 +383,8 @@ object Dedup {
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
-      undirected.unpersist()
+      // checkpoint blocks are released by the ContextCleaner once the
+      // Dataset is unreachable; there is no explicit unpersist for them
       val labels = parent.keys.toSeq.sorted.map(d => (d, find(d)))
       import spark.implicits._
       return labels.toDF("doc_id", "cluster_id")
@@ -413,7 +420,6 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    undirected.unpersist()
     // a component whose diameter exceeds maxRounds would otherwise return
     // silently-wrong (non-canonical) labels; real dup clusters are shallow,
     // so hitting this means the pair graph is pathological — fail loudly
