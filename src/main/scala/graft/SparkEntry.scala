@@ -2255,22 +2255,10 @@ object SparkEntry {
          |  ON ev.symbol = c.symbol AND ev.ts >= c.window_start
          |WHERE ev.ts IS NOT NULL
          |ORDER BY ev.event_id""".stripMargin,
+    // quality chain shared with q92/q93/q94 via QualitySql — one source
+    // of truth; an edit to the formula moves all four oracles together
     "q77_quality_deciles" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CAST(length(text) AS DOUBLE) AS n_chars,
-        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
-        |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
-        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|on|for|with)\b')) AS DOUBLE) AS n_stop
-        |  FROM documents),
-        |q AS (
-        |  SELECT doc_id,
-        |    round(least(n_toks / 200.0, 1.0) * 0.5
-        |        + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
-        |        + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
-        |        4) AS quality
-        |  FROM t),
+      s"""WITH $QualitySql,
         |d AS (SELECT quality AS v, count(*) AS c FROM q GROUP BY v),
         |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM d),
         |n AS (SELECT count(*) AS n FROM q),
@@ -2283,54 +2271,10 @@ object SparkEntry {
         |SELECT q.doc_id, q.quality,
         |       CAST(1 + (SELECT count(*) FROM cuts WHERE cut < q.quality) AS INT) AS decile
         |FROM q ORDER BY doc_id""".stripMargin,
+    // LSH cluster chain shared with q92 via LshClusterSql — one source of
+    // truth; an edit to the chain moves both oracles together
     "q78_cluster_split" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id,
-        |           unnest(list_transform(range(1, len(words) - 3),
-        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
-        |    FROM w WHERE len(words) >= 5) t),
-        |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
-        |perms AS (
-        |  SELECT perm,
-        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
-        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
-        |  FROM (SELECT unnest(range(0, 16)) AS perm) t),
-        |sig AS (
-        |  SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
-        |  FROM bh CROSS JOIN perms GROUP BY doc_id, perm),
-        |banded AS (
-        |  SELECT doc_id, perm // 2 AS band,
-        |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key
-        |  FROM sig GROUP BY doc_id, perm // 2),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
-        |                              AND a.doc_id < b.doc_id),
-        |est AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
-        |  FROM cand c
-        |  JOIN sig sa ON sa.doc_id = c.doc_a
-        |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
-        |  GROUP BY c.doc_a, c.doc_b),
-        |pr AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.2),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
-        |          UNION SELECT doc_b, doc_a FROM pr),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
-        |labels AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |  FROM reach GROUP BY src),
-        |lab AS (
-        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
-        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+      s"""WITH RECURSIVE $LshClusterSql
         |SELECT doc_id, cluster_id,
         |  CASE WHEN (('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90
         |       THEN 'train'
