@@ -217,6 +217,22 @@ object ScaleCheck {
         "\n").as("text"))
     time(s"line dedup (8-token lines) over $nDocs docs")(
       graft.operators.TextAnalysis.dedupLines(lined).count())
+    // the r6 scale hole reproduced on purpose: ONE boilerplate line in
+    // 50% of docs. The broadcast path never shuffles the corpus on the
+    // hot key; the hashed-key fallback still routes every copy of the
+    // hot line to one reducer — the marginal gap between these two rows
+    // is exactly what the broadcast default buys under maximal skew.
+    val skewed = lined.withColumn("text",
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("hot boiler line every other doc\n"), col("text")))
+        .otherwise(col("text")))
+    val skewBc = graft.operators.TextAnalysis.dedupLines(skewed)
+    assert(skewBc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "skewed line dedup must broadcast the boiler side")
+    time(s"line dedup SKEWED (hot line in 50% of $nDocs docs, broadcast)")(
+      skewBc.count())
+    time(s"line dedup SKEWED (hot line in 50% of $nDocs docs, hashed-key shuffle)")(
+      graft.operators.TextAnalysis.dedupLines(skewed, broadcastBoiler = false).count())
     time(s"hashed classifier over $nDocs docs")(
       graft.operators.TextAnalysis.hashedClassifierScore(docs).count())
     time(s"mixture sample over $nDocs docs")(
@@ -267,6 +283,19 @@ object ScaleCheck {
         graft.operators.TextAnalysis.lmScore(docs)
           .select(col("doc_id"), col("avg_nll")),
         valueCol = "avg_nll", k = 4, bucketCol = "phase").count())
+    // the unbounded-measure curriculum path: avg_nll's distinct count
+    // grows with the corpus, so at real scale the exact path would hit
+    // the cardinality gate — the 1e-3-nat tick bounds the value dim at
+    // range/tick (~10^4 cells) REGARDLESS of corpus size, and the gate
+    // itself is now TakeOrdered-shaped (no single-partition window to
+    // pay before a raise). Forced low cap proves the ticked path clears
+    // a ceiling the exact path could not.
+    time(s"curriculum phases (1e-3-nat tick, cap 5000) over $nDocs docs")(
+      graft.operators.Stats.quantileBucketsTicked(
+        graft.operators.TextAnalysis.lmScore(docs)
+          .select(col("doc_id"), col("avg_nll")),
+        valueCol = "avg_nll", k = 4, tick = 0.001, bucketCol = "phase",
+        maxDistinct = 5000).count())
     time(s"per-source quality cap over $nDocs docs")(
       graft.operators.TextAnalysis.perSourceCap(
         docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution statistics over bounded-cardinality measures.
@@ -31,6 +30,16 @@ object Stats {
     * driver for the cut literals — bounded by `maxDistinct` and enforced
     * (the [[Similarity]] centroid-sample / [[Dedup]] union-find gating
     * discipline: bounded driver work is declared, unbounded raises).
+    *
+    * No window function anywhere: `orderBy().limit(cap+1)` plans as
+    * TakeOrderedAndProject — a per-partition top-(cap+1) heap plus a
+    * bounded driver merge, so an UNBOUNDED measure still finishes the
+    * job in O(n log cap) and hits the gate without ever paying a
+    * corpus-wide sort (the earlier shape ran a single-partition cumsum
+    * window over ALL distinct values and only then checked the cap).
+    * The cumulative counts are then driver arithmetic over ≤ cap rows.
+    * Driver payload at the merge is min(cardinality, cap+1) rows per
+    * upstream partition of ~16 bytes each — bounded and declared.
     */
   def quantileBuckets(df: DataFrame, valueCol: String, k: Int,
                       bucketCol: String = "bucket",
@@ -38,21 +47,17 @@ object Stats {
     require(k >= 2, "need at least two buckets")
     val counts = df.groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
-    // the value dim is bounded, so this window (and the collect) is too;
-    // the cardinality gate rides the same job — collecting one row past
-    // the cap proves the violation without a separate count() action
-    val cum = counts
-      .withColumn("__cum", sum(col("__c"))
-        .over(Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)))
-      .select("__v", "__cum")
-      .orderBy("__v")
-      .limit(maxDistinct + 1)
+    // ascending, nulls first (Spark default) — the collected order IS the
+    // cumulation order, so null measures keep their pre-r7 semantics
+    val capped = counts.orderBy("__v").limit(maxDistinct + 1)
       .collect().map(r => (r.get(0), r.getLong(1)))
-    require(cum.length <= maxDistinct,
+    require(capped.length <= maxDistinct,
       s"$valueCol has more than $maxDistinct distinct values: " +
         "quantile bucketing by counting needs a bounded measure — " +
-        "round/discretize the column first")
-    val n = if (cum.isEmpty) 0L else cum.last._2
+        "round/discretize the column first (see quantileBucketsTicked)")
+    var running = 0L
+    val cum = capped.map { case (v, c) => running += c; (v, running) }
+    val n = running
     val cuts: Seq[Any] = (1 until k).flatMap { j =>
       val target = (j * n + k - 1) / k // integer ceil(j*n/k)
       cum.find(_._2 >= target).map(_._1)
@@ -63,6 +68,29 @@ object Stats {
       df.withColumn(bucketCol,
         (lit(1) + size(filter(cutArr, c => c < col(valueCol)))).cast("int"))
     }
+  }
+
+  /** The unbounded-measure path: discretize `valueCol` onto a fixed
+    * `tick` grid first (grid index = floor(v / tick), a long), then
+    * bucket the grid index with [[quantileBuckets]]. Values within one
+    * tick share a bucket BY CONSTRUCTION — the declared resolution trade
+    * that makes quantile calibration well-defined at any corpus size:
+    * the value dimension is bounded by range/tick, not by the corpus, so
+    * a per-doc mean like LM surprisal (whose distinct count grows with
+    * the corpus) stops being a cardinality-gate hazard. Cut positions
+    * move by at most one tick relative to the exact path; pick `tick`
+    * at the measure's decision resolution (e.g. 1e-3 nats for
+    * curriculum pacing) and the buckets are exact for every value pair
+    * further than one tick apart.
+    */
+  def quantileBucketsTicked(df: DataFrame, valueCol: String, k: Int,
+                            tick: Double,
+                            bucketCol: String = "bucket",
+                            maxDistinct: Int = 100000): DataFrame = {
+    require(tick > 0, "tick must be positive")
+    val g = s"__grid_$valueCol"
+    quantileBuckets(df.withColumn(g, floor(col(valueCol) / tick)),
+      g, k, bucketCol, maxDistinct).drop(g)
   }
 
   /** Trailing-`windowDays`-day distinct-id count per active day — the

@@ -643,26 +643,54 @@ object TextAnalysis {
     * document frequency reaches `minDf` is dropped from every document and
     * the survivors are reassembled in original order.
     *
-    * Shape at 100 TB: one posexplode scan, one hash aggregate for the line
-    * DF table, one equi-join back on the line text (the shuffle is keyed by
-    * the line — exactly how the frequency table is partitioned, so the join
-    * co-locates), one per-doc aggregate. The boilerplate side after the
-    * HAVING filter is a small fraction of distinct lines; Spark's AQE
-    * broadcasts it when it fits. Order restoration is the standard
-    * collect_list-of-struct + array_sort — no window function, one shuffle.
+    * Shape at 100 TB: one posexplode scan, one two-stage hash aggregate
+    * for the line DF table, one BROADCAST join back, one per-doc
+    * aggregate. Skew is the design constraint here, because boilerplate
+    * lines are BY DEFINITION the corpus's heavy keys (an empty line or a
+    * cookie banner can sit in half of all documents):
+    *
+    *  - Document frequency is computed distinct-first: the
+    *    `(line, doc_id)` distinct shuffles on BOTH columns (uniform even
+    *    when one hot line covers half the corpus), and the count over
+    *    the deduped pairs is map-side partial — the reducer owning the
+    *    hottest line receives at most one partial row per upstream
+    *    partition, never the corpus's copies. (A direct
+    *    `groupBy(line).agg(countDistinct(doc_id))` leaves that expansion
+    *    to the planner; writing it out pins the uniform first key.)
+    *  - The join back is a broadcast of the boiler side by default —
+    *    template chrome (nav bars, banners, footers) is a bounded set,
+    *    orders of magnitude smaller than distinct lines — so the corpus
+    *    side never shuffles on the hot line key at all. For a boiler set
+    *    past broadcast limits, `broadcastBoiler = false` shuffles on an
+    *    xxhash64 line key (8-byte key bytes instead of full line text)
+    *    with an exact in-key string verify.
+    *
+    * Order restoration is the standard collect_list-of-struct +
+    * array_sort — no window function, one per-doc shuffle.
     *
     * Output: doc_id, n_lines, n_kept, cleaned (kept lines joined by \n;
     * empty string when every line was boilerplate).
     */
-  def dedupLines(docs: DataFrame, minDf: Int = 2): DataFrame = {
+  def dedupLines(docs: DataFrame, minDf: Int = 2,
+                 broadcastBoiler: Boolean = true): DataFrame = {
     require(minDf >= 2, "minDf < 2 would drop every line")
     val lines = docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-    val boiler = lines.groupBy(col("line"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val boiler = lines.select(col("line"), col("doc_id")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select(col("line"), lit(true).as("boiler"))
-    lines.join(boiler, Seq("line"), "left")
+    val joined =
+      if (broadcastBoiler) lines.join(broadcast(boiler), Seq("line"), "left")
+      else {
+        val bh = boiler.select(xxhash64(col("line")).as("__bh"),
+          col("line").as("__bline"), col("boiler"))
+        lines.withColumn("__lh", xxhash64(col("line")))
+          .join(bh, col("__lh") === col("__bh") && col("line") === col("__bline"),
+            "left")
+          .select(col("doc_id"), col("pos"), col("line"), col("boiler"))
+      }
+    joined
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),

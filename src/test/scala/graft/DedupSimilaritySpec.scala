@@ -532,6 +532,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (5L, 2L, 2L, "twice here\ntwice here")))
   }
 
+  test("line dedup: boiler side broadcasts by default; hashed-key fallback is equivalent") {
+    // one hot line in half the docs — the exact shape that melts a
+    // line-keyed shuffle join at scale
+    val hot = "cookie banner accept all"
+    val fixture = (0L until 40L)
+      .map(i => (i, if (i % 2 == 0) s"$hot\ncontent $i" else s"content $i"))
+      .toDF("doc_id", "text")
+    val bc = TextAnalysis.dedupLines(fixture)
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "default path must broadcast the boiler side")
+    val sh = TextAnalysis.dedupLines(fixture, broadcastBoiler = false)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    assert(bc.orderBy("doc_id").collect().map(key) ===
+      sh.orderBy("doc_id").collect().map(key))
+    // every even doc lost exactly the hot line
+    val cleaned = bc.orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(cleaned.filter(_._1 % 2 == 0).forall(r => r._4 == s"content ${r._1}"))
+  }
+
   test("hashed classifier: score independently recomputable from md5, empty doc scores 0") {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(x => f"$x%02x").mkString
@@ -832,6 +852,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       graft.operators.Stats.quantileBuckets(vals, "v", k = 4, maxDistinct = 5)
     }
     assert(err.getMessage.contains("distinct"))
+  }
+
+  test("quantileBucketsTicked: fine tick reproduces exact buckets, coarse tick bounds cardinality") {
+    val vals = (1 to 20).map(v => (v.toLong, v.toDouble)).toDF("id", "v")
+    // tick finer than the data's own grid: buckets identical to the exact path
+    val fine = graft.operators.Stats.quantileBucketsTicked(vals, "v", k = 4, tick = 0.5)
+      .orderBy("id").select("id", "bucket").as[(Long, Int)].collect()
+    assert(fine === (1 to 20).map(v => (v.toLong, (v + 4) / 5)).toArray)
+    // a corpus-growing measure: the exact path raises at the cap, the
+    // ticked path completes because the grid bounds the value dimension
+    val many = (1 to 1000).map(i => (i.toLong, i / 1000.0)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.Stats.quantileBuckets(many, "v", k = 4, maxDistinct = 100)
+    }
+    val ticked = graft.operators.Stats.quantileBucketsTicked(
+      many, "v", k = 4, tick = 0.02, maxDistinct = 100)
+    assert(ticked.count() === 1000)
+    // the grid helper column is dropped; assignment is pure column work
+    assert(ticked.columns.toSeq === Seq("id", "v", "bucket"))
+    assert(!ticked.queryExecution.executedPlan.toString.contains("Window"))
+    // phases are monotone in the measure and all k are populated
+    val phases = ticked.orderBy("id").select("bucket").as[Int].collect()
+    assert(phases.toSet === Set(1, 2, 3, 4))
+    assert(phases.sliding(2).forall(p => p(0) <= p(1)))
   }
 
   test("intervalJoin: containment, gaps null, [start,end) boundaries, overlap latest-start-wins") {
