@@ -702,6 +702,38 @@ object SparkEntry {
         .orderBy("split", "source")),
   )
 
+  /** Production-hash twins of the md5-salted operators — BENCH-ONLY
+    * surface, not part of [[queries]]: xxhash64 is not recomputable in
+    * an md5-only oracle engine, so these have no DuckDB entries; the
+    * swap's correctness is spec-pinned instead (same survivor shape /
+    * independent recompute in DedupSimilaritySpec). Bench runs them
+    * alongside the oracle queries so the md5-vs-production cost gap is
+    * a measured number per round, not a claim — md5-per-token/k-gram is
+    * the dominant CPU cost of q45/q67/q71-class queries.
+    */
+  def prodVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x45_winnowing_prod" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), prodHash = true)
+        .select(col("doc_id"), explode(col("fingerprints")).as("fingerprint"))
+        .orderBy("doc_id", "fingerprint")),
+    "x67_quality_classifier_prod" -> ((s, dir) =>
+      TextAnalysis.hashedClassifierScore(Tables.documents(s, dir),
+        hash32 = TextAnalysis.xxHash32)),
+    "x71_corpus_prep_full_prod" -> ((s, dir) =>
+      CorpusPrep.prepareFull(piiDecorated(Tables.documents(s, dir)),
+        numPerms = 16, bands = 8, // default xxhashBase sketch + xx salts
+        classifierThreshold = -0.2,
+        rates = MixtureRates, defaultRate = 0.75,
+        hash32 = TextAnalysis.xxHash32).orderBy("doc_id")),
+    "x74_token_budget_prod" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetSample(Tables.documents(s, dir),
+        budgetTokens = 12000L, prodHash = true).orderBy("doc_id")),
+    "x96_manifest_prod" -> ((s, dir) =>
+      TextAnalysis.datasetManifest(Tables.documents(s, dir),
+        hash32 = TextAnalysis.xxHash32)
+        .orderBy("split", "source")),
+  )
+
   /** q68's mixture config: named-source rates over the corpus's src0..19
     * with a default for the long tail — integer cuts land on exact
     * hundredths so the oracle replays them as literals. */

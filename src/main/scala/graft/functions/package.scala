@@ -24,6 +24,8 @@ package object functions {
   /** Winnowing fingerprints (md5-portable k-gram hashes, distinct sorted
     * window minima) as one native codegen expression → array<long>.
     */
-  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
-    org.apache.spark.sql.graftshim.WinnowFunctions.winnow_fingerprints(text, k, w)
+  def winnow_fingerprints(text: Column, k: Int, w: Int,
+                          prodHash: Boolean = false): Column =
+    org.apache.spark.sql.graftshim.WinnowFunctions
+      .winnow_fingerprints(text, k, w, prodHash)
 }

@@ -94,17 +94,22 @@ object CorpusPrep {
                   classifierThreshold: Double = -0.2,
                   rates: Map[String, Double] = Map.empty,
                   defaultRate: Double = 1.0,
-                  trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+                  trainPct: Int = 90, valPct: Int = 5,
+                  hash32: Column => Column = TextAnalysis.md5Hash32): DataFrame = {
+    // `baseHash` drives the MinHash sketch; `hash32` drives the salted
+    // per-doc draws (classifier buckets/weights, mixture, split). A full
+    // production run passes Dedup.xxhashBase + TextAnalysis.xxHash32; the
+    // oracle instantiation (q71) keeps both md5.
     val scored = docs.select(Seq(
       col("doc_id"),
       TextAnalysis.nTokensExpr(col("text")).as("n_tokens"),
       TextAnalysis.qualityExpr(col("text")).as("quality"),
       md5(TextAnalysis.normalized(col("text"))).as("fingerprint"),
       TextAnalysis.piiFlagExpr(col("text")).as("has_pii"),
-      TextAnalysis.classifierScoreExpr(col("text")).as("score"),
-      TextAnalysis.mixtureKeptExpr(col("source"), col("doc_id"), rates, defaultRate)
-        .as("kept"),
-      TextAnalysis.splitExpr(trainPct, valPct).as("split")) ++
+      TextAnalysis.classifierScoreExpr(col("text"), hash32 = hash32).as("score"),
+      TextAnalysis.mixtureKeptExpr(col("source"), col("doc_id"), rates, defaultRate,
+        hash32).as("kept"),
+      TextAnalysis.splitExpr(trainPct, valPct, hash32).as("split")) ++
       TextAnalysis.langScoreCols(col("text")): _*)
     val perDoc = scored.select(col("doc_id"), col("n_tokens"), col("quality"),
       col("fingerprint"), col("has_pii"), col("score"), col("kept"), col("split"),

@@ -147,12 +147,14 @@ object TextAnalysis {
     * WholeStageCodegen (the round-1 HOF formulation was interpreter-bound).
     * Output: doc_id, fingerprints array<long> (distinct, sorted).
     */
-  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
+                            prodHash: Boolean = false): DataFrame =
     docs
       .select(col("doc_id"), normalized(col("text")).as("norm"))
       .where(length(col("norm")) >= k + w - 1)
       .select(col("doc_id"),
-        graft.functions.winnow_fingerprints(col("norm"), k, w).as("fingerprints"))
+        graft.functions.winnow_fingerprints(col("norm"), k, w, prodHash)
+          .as("fingerprints"))
 
   /** Gopher-style repetition signals — the standard pre-training quality
     * gates for pathologically repetitive documents (boilerplate loops,
@@ -506,11 +508,28 @@ object TextAnalysis {
     * Pure column exprs, no shuffle.
     * Output: doc_id, bucket (0-99), split (train|val|test).
     */
+  /** The deterministic-salt hash base, 32-bit unsigned over a string
+    * column — the same dual-path discipline as [[Dedup.md5Base]] /
+    * [[Dedup.xxhashBase]]: [[md5Hash32]] (default everywhere) is
+    * recomputable in any md5-capable engine and is what every oracle
+    * replays; [[xxHash32]] is the production path — codegen'd, no
+    * per-call digest allocation, measured ~an order of magnitude
+    * cheaper per call — for runs where cross-engine replay is not
+    * needed. Both feed identical downstream arithmetic (mod cuts,
+    * weight scaling, orderings), so swapping the base changes WHICH
+    * docs land where but no distributional property: split/mixture/
+    * budget draws stay uniform, classifiers stay mean-of-weights.
+    */
+  val md5Hash32: Column => Column =
+    s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+  val xxHash32: Column => Column =
+    s => pmod(xxhash64(s), lit(1L << 32))
+
   private def splitBucket: Column = splitBucketOf(col("doc_id"))
 
-  private def splitBucketOf(id: Column): Column = pmod(
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
-    lit(100L))
+  private def splitBucketOf(id: Column,
+                            hash32: Column => Column = md5Hash32): Column =
+    pmod(hash32(id.cast("string")), lit(100L))
 
   private def splitLabel(bucket: Column, trainPct: Int, valPct: Int): Column =
     when(bucket < trainPct, "train")
@@ -519,13 +538,15 @@ object TextAnalysis {
 
   /** The split label as a pure column over `doc_id` — exposed for
     * [[CorpusPrep]] fusion. */
-  def splitExpr(trainPct: Int = 90, valPct: Int = 5): Column =
-    splitLabel(splitBucket, trainPct, valPct)
+  def splitExpr(trainPct: Int = 90, valPct: Int = 5,
+                hash32: Column => Column = md5Hash32): Column =
+    splitLabel(splitBucketOf(col("doc_id"), hash32), trainPct, valPct)
 
-  def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+  def hashSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
+                hash32: Column => Column = md5Hash32): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       "train/val percentages must fit in 100")
-    docs.select(col("doc_id"), splitBucket.as("bucket"))
+    docs.select(col("doc_id"), splitBucketOf(col("doc_id"), hash32).as("bucket"))
       .withColumn("split", splitLabel(col("bucket"), trainPct, valPct))
   }
 
@@ -544,11 +565,12 @@ object TextAnalysis {
     * content_sum.
     */
   def datasetManifest(docs: DataFrame, trainPct: Int = 90,
-                      valPct: Int = 5): DataFrame =
+                      valPct: Int = 5,
+                      hash32: Column => Column = md5Hash32): DataFrame =
     docs.select(col("doc_id"), col("source"),
       size(tokens(lower(col("text")))).cast("long").as("__ntok"),
-      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("__h"),
-      splitExpr(trainPct, valPct).as("split"))
+      hash32(col("text")).as("__h"),
+      splitExpr(trainPct, valPct, hash32).as("split"))
       .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__ntok")).as("n_tokens"),
@@ -602,7 +624,8 @@ object TextAnalysis {
     * Output: doc_id, cluster_id, split.
     */
   def clusterAwareSplit(docs: DataFrame, clusters: DataFrame,
-                        trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+                        trainPct: Int = 90, valPct: Int = 5,
+                        hash32: Column => Column = md5Hash32): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       "train/val percentages must fit in 100")
     docs.select(col("doc_id"))
@@ -610,7 +633,7 @@ object TextAnalysis {
         Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("split",
-        splitLabel(splitBucketOf(col("cluster_id")), trainPct, valPct))
+        splitLabel(splitBucketOf(col("cluster_id"), hash32), trainPct, valPct))
   }
 
   /** Train→holdout leakage audit — after splitting, which TRAINING
@@ -720,12 +743,12 @@ object TextAnalysis {
   /** The classifier's score as a pure column over `text` — exposed (like
     * [[qualityExpr]]) so composed pipelines ([[CorpusPrep]]) can fuse the
     * gate into the one corpus scan. */
-  def classifierScoreExpr(text: Column, numBuckets: Int = 1024): Column = {
+  def classifierScoreExpr(text: Column, numBuckets: Int = 1024,
+                          hash32: Column => Column = md5Hash32): Column = {
     require(numBuckets > 0, "need at least one feature bucket")
-    def bucket(t: Column): Column =
-      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(numBuckets.toLong))
+    def bucket(t: Column): Column = pmod(hash32(t), lit(numBuckets.toLong))
     def weight(b: Column): Column =
-      conv(substring(md5(concat(lit("w:"), b.cast("string"))), 1, 8), 16, 10)
+      hash32(concat(lit("w:"), b.cast("string")))
         .cast("double") / lit(2147483648.0) - lit(1.0)
     val toks = tokens(lower(text))
     round(
@@ -736,10 +759,11 @@ object TextAnalysis {
   }
 
   def hashedClassifierScore(docs: DataFrame, numBuckets: Int = 1024,
-                            threshold: Double = 0.0): DataFrame =
+                            threshold: Double = 0.0,
+                            hash32: Column => Column = md5Hash32): DataFrame =
     docs.select(col("doc_id"),
       nTokensExpr(col("text")).as("n_tokens"),
-      classifierScoreExpr(col("text"), numBuckets).as("score"))
+      classifierScoreExpr(col("text"), numBuckets, hash32).as("score"))
       .withColumn("keep", col("score") > threshold)
 
   /** Deterministic domain-mixture sampling — training corpora are blended
@@ -753,29 +777,32 @@ object TextAnalysis {
     * Output: doc_id, source, u (0-9999), kept.
     */
   /** The mixture hash draw in [0, 10000) as a pure column over the doc id. */
-  def mixtureUExpr(docId: Column): Column = pmod(
-    conv(substring(md5(concat(lit("mix:"), docId.cast("string"))), 1, 8), 16, 10)
-      .cast("long"),
-    lit(10000L))
+  def mixtureUExpr(docId: Column,
+                   hash32: Column => Column = md5Hash32): Column =
+    pmod(hash32(concat(lit("mix:"), docId.cast("string"))), lit(10000L))
 
   /** The mixture keep verdict as a pure column — exposed for [[CorpusPrep]]
     * fusion. Rates resolve to integer cuts at plan time (a literal
     * when-chain over the small config map). */
   def mixtureKeptExpr(source: Column, docId: Column, rates: Map[String, Double],
-                      defaultRate: Double): Column = {
+                      defaultRate: Double,
+                      hash32: Column => Column = md5Hash32): Column = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "rates must be in [0, 1]")
     def cut(r: Double): Long = math.round(r * 10000)
     val cutCol = rates.toSeq.sortBy(_._1).foldLeft(lit(cut(defaultRate))) {
       case (acc, (src, r)) => when(source === src, lit(cut(r))).otherwise(acc)
     }
-    mixtureUExpr(docId) < cutCol
+    mixtureUExpr(docId, hash32) < cutCol
   }
 
   def mixtureSample(docs: DataFrame, rates: Map[String, Double],
-                    defaultRate: Double = 1.0): DataFrame =
-    docs.select(col("doc_id"), col("source"), mixtureUExpr(col("doc_id")).as("u"),
-      mixtureKeptExpr(col("source"), col("doc_id"), rates, defaultRate).as("kept"))
+                    defaultRate: Double = 1.0,
+                    hash32: Column => Column = md5Hash32): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      mixtureUExpr(col("doc_id"), hash32).as("u"),
+      mixtureKeptExpr(col("source"), col("doc_id"), rates, defaultRate,
+        hash32).as("kept"))
 
   /** The per-document gate stack as ONE added projection — the ingest-time
     * form of [[CorpusPrep.prepareFull]]'s row-local gates (PII → quality →
@@ -886,13 +913,24 @@ object TextAnalysis {
     * Output: doc_id, n_tokens, start_offset (position of the doc's first
     * token in the drawn stream).
     */
-  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long): DataFrame = {
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long,
+                        prodHash: Boolean = false): DataFrame = {
     require(budgetTokens >= 0, "token budget cannot be negative")
+    // ordering hash: the md5 path orders by the full hex digest (what
+    // every engine replays); the production path orders by the 32-bit
+    // xxhash64 fold with doc_id breaking truncation ties — a different
+    // (equally uniform) draw order, an order of magnitude cheaper. Both
+    // take their bucket from the hash's top byte, so (bucket, h) is the
+    // global hash order and the 256 buckets stay uniform by construction.
     val counted = docs
       .select(col("doc_id"), nTokensExpr(col("text")).as("n_tokens"))
       .where(col("n_tokens") > 0)
-      .withColumn("h", md5(concat(lit("draw:"), col("doc_id").cast("string"))))
-      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+      .withColumn("h",
+        if (prodHash) xxHash32(concat(lit("draw:"), col("doc_id").cast("string")))
+        else md5(concat(lit("draw:"), col("doc_id").cast("string"))))
+      .withColumn("bucket",
+        if (prodHash) expr("h div 16777216")
+        else conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
     val bucketTotals = counted.groupBy("bucket")
       .agg(sum("n_tokens").as("bucket_tokens"))
     val bw = Window.orderBy("bucket")

@@ -40,21 +40,39 @@ object WinnowUtil {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** 32-bit fold of Spark's xxhash64 (seed 42) over s's UTF-8 bytes —
+    * identical to the engine-wide production base
+    * `pmod(xxhash64(s), 2^32)` ([[graft.operators.Dedup.xxhashBase]]):
+    * the low 32 bits ARE the mathematical mod for two's-complement
+    * longs. No digest allocation, no hex round-trip — this is what makes
+    * the production path cheap: md5-per-k-gram is the dominant CPU cost
+    * of the portable variant.
+    */
+  private def xxPrefix(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L) &
+      0xffffffffL
+  }
+
   /** Distinct sorted window minima of the k-gram hashes of `norm`.
     * K-grams are slices of Unicode code points (matching Spark's `length`
     * and DuckDB's `substr` character semantics, not UTF-16 code units).
+    * `xx = false` hashes k-grams with the md5-prefix base (oracle-
+    * portable); `xx = true` with the xxhash64 fold (production).
     * Returns an empty array when the string is shorter than k + w − 1.
     */
-  def fingerprints(norm: UTF8String, k: Int, w: Int): ArrayData = {
+  def fingerprints(norm: UTF8String, k: Int, w: Int, xx: Boolean): ArrayData = {
     val cps = norm.toString.codePoints().toArray
     val n = cps.length
     val m = n - k + 1 // number of k-grams
     if (m < w) return new GenericArrayData(Array.emptyLongArray)
-    val md = digest.get()
+    val md = if (xx) null else digest.get()
     val h = new Array[Long](m)
     var i = 0
     while (i < m) {
-      h(i) = md5Prefix(md, new String(cps, i, k))
+      val g = new String(cps, i, k)
+      h(i) = if (xx) xxPrefix(g) else md5Prefix(md, g)
       i += 1
     }
     // O(m) sliding-window minimum via monotonic index deque
@@ -85,9 +103,11 @@ object WinnowUtil {
 }
 
 /** `graft_winnow(text, k, w)` → array<long> of distinct sorted winnowing
-  * fingerprints. See [[WinnowUtil.fingerprints]].
+  * fingerprints; `xx = true` selects the production xxhash64 base.
+  * See [[WinnowUtil.fingerprints]].
   */
-case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+case class WinnowFingerprints(child: Expression, k: Int, w: Int,
+                              xx: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(k >= 1 && w >= 1, "k and w must be positive")
@@ -97,18 +117,21 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "graft_winnow"
 
   override def nullSafeEval(s: Any): Any =
-    WinnowUtil.fingerprints(s.asInstanceOf[UTF8String], k, w)
+    WinnowUtil.fingerprints(s.asInstanceOf[UTF8String], k, w, xx)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.sql.graftshim.WinnowUtil.fingerprints($c, $k, $w)")
+      s"org.apache.spark.sql.graftshim.WinnowUtil.fingerprints($c, $k, $w, $xx)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
 
 object WinnowFunctions {
-  /** Column API for [[WinnowFingerprints]]. */
-  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
-    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
+  /** Column API for [[WinnowFingerprints]]; `prodHash` selects the
+    * xxhash64 base over the md5-portable default. */
+  def winnow_fingerprints(text: Column, k: Int, w: Int,
+                          prodHash: Boolean = false): Column =
+    ColumnBridge.column(
+      WinnowFingerprints(ColumnBridge.expression(text), k, w, prodHash))
 }

@@ -854,6 +854,79 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("distinct"))
   }
 
+  test("production xxhash32 base: matches Spark's xxhash64 fold, winnowing recompute, draws stay uniform") {
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def xx32(s: String): Long = {
+      val b = s.getBytes("UTF-8")
+      XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L) & 0xffffffffL
+    }
+    // the JVM-side fold used by winnowing IS the engine-wide column base
+    // (pmod(xxhash64(s), 2^32)) — one hash family across all prod paths
+    val viaColumn = Seq("abc", "", "ünïcode 字").toDF("s")
+      .select(graft.operators.TextAnalysis.xxHash32(col("s"))).as[Long].collect()
+    assert(viaColumn === Array(xx32("abc"), xx32(""), xx32("ünïcode 字")))
+    // winnowing prod path: independent naive recompute (O(m·w) window min)
+    val norm = "the quick brown fox jumps over the lazy dog again and again"
+    val k = 8; val w = 4
+    val cps = norm.codePoints().toArray
+    val hs = (0 to cps.length - k).map(i => xx32(new String(cps, i, k)))
+    val naive = hs.sliding(w).map(_.min).toSeq.distinct.sorted
+    val got = Seq((1L, norm)).toDF("doc_id", "text")
+    val fp = graft.operators.TextAnalysis
+      .winnowingFingerprints(got, k, w, prodHash = true)
+      .select(explode(col("fingerprints"))).as[Long].collect().toSeq
+    assert(fp === naive)
+    // salted draws keep their distributional contract under the swap:
+    // split proportions near 90/5/5, mixture rate-0/rate-1 exact,
+    // manifest totals preserved cell-to-cell
+    val ids = (0L until 2000L).map(i => (i, s"src${i % 4}", s"document body $i"))
+      .toDF("doc_id", "source", "text")
+    val splits = TextAnalysis.hashSplit(ids, hash32 = TextAnalysis.xxHash32)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(splits("train") - 1800L) < 100)
+    assert(splits("val") > 40 && splits("test") > 40)
+    val mixed = TextAnalysis.mixtureSample(ids,
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5,
+      hash32 = TextAnalysis.xxHash32)
+      .groupBy("source").agg(sum(when(col("kept"), 1).otherwise(0)).as("k"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mixed("src0")._1 === mixed("src0")._2) // rate 1 keeps all
+    assert(mixed("src1")._1 === 0L)               // rate 0 drops all
+    val m5 = TextAnalysis.datasetManifest(ids)
+    val mx = TextAnalysis.datasetManifest(ids, hash32 = TextAnalysis.xxHash32)
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum("n_docs"), sum("n_tokens")).as[(Long, Long)].collect().head
+    assert(totals(m5) === totals(mx)) // cells move with the split; mass doesn't
+    // prod token-budget draw equals a driver-side naive sort+scan
+    val budget = 600L
+    val drawn = TextAnalysis.tokenBudgetSample(ids, budget, prodHash = true)
+      .select("doc_id", "start_offset").as[(Long, Long)].collect().toMap
+    val naiveOrder = (0L until 2000L).map(i => (xx32(s"draw:$i"), i)).sorted
+    var off = 0L
+    val expect = scala.collection.mutable.Map.empty[Long, Long]
+    naiveOrder.foreach { case (_, i) =>
+      val nTok = 3L // every fixture doc is "document body <i>" = 3 tokens
+      if (off < budget) expect(i) = off
+      off += nTok
+    }
+    assert(drawn === expect.toMap)
+    // classifier prod score: independent recompute for one doc
+    def w32(tok: String): Double = {
+      val b = xx32(tok) % 1024
+      xx32(s"w:$b").toDouble / 2147483648.0 - 1.0
+    }
+    val toks = Seq("alpha", "beta", "alpha")
+    val expected = BigDecimal(toks.map(w32).sum / toks.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val score = TextAnalysis.hashedClassifierScore(
+      Seq((1L, "Alpha beta ALPHA")).toDF("doc_id", "text"),
+      hash32 = TextAnalysis.xxHash32)
+      .select("score").as[Double].collect().head
+    assert(score === expected)
+  }
+
   test("quantileBucketsTicked: fine tick reproduces exact buckets, coarse tick bounds cardinality") {
     val vals = (1 to 20).map(v => (v.toLong, v.toDouble)).toDF("id", "v")
     // tick finer than the data's own grid: buckets identical to the exact path
