@@ -700,6 +700,15 @@ object SparkEntry {
     "q96_manifest" -> ((s, dir) =>
       TextAnalysis.datasetManifest(Tables.documents(s, dir))
         .orderBy("split", "source")),
+    // the third modality DECODED for real: genuine YUV4MPEG2 containers
+    // (uncompressed 4:2:0), header + sampled-frame luma stats all parsed
+    // from bytes — the oracle recomputes every luma byte from the same
+    // md5 stream (the q43/q59 recipe; stride 2 samples frames 0,2,4)
+    "q97_video_features" -> ((s, dir) =>
+      Multimodal.extractVideoFrameFeatures(
+        Multimodal.videoY4mFromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .orderBy("media_id", "frame_index")),
   )
 
   /** Production-hash twins of the md5-salted operators — BENCH-ONLY
@@ -2585,6 +2594,33 @@ object SparkEntry {
         |       (20000 * n + sum(n) OVER (PARTITION BY f))
         |         // (2 * sum(n) OVER (PARTITION BY f)) AS prob_bp
         |FROM p ORDER BY from_type, to_type""".stripMargin,
+    // Y4M frame bytes are pixelBytes(text, n*frameSize) laid out frame
+    // after frame, so luma byte p of frame f is md5-stream byte
+    // f*(w*h*3//2) + p; stride-2 sampling keeps frames 0, 2, 4
+    "q97_video_features" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |                  CAST(4 + (doc_id % 5) * 2 AS INT) AS w,
+        |                  CAST(4 + (doc_id % 7) * 2 AS INT) AS h,
+        |                  CAST(24 + (doc_id % 3) * 6 AS BIGINT) AS fps,
+        |                  CAST(3 + (doc_id % 4) AS BIGINT) AS nf
+        |           FROM documents),
+        |fidx AS (SELECT unnest(range(0, 6)) AS f),
+        |fr AS (SELECT m.*, fidx.f FROM m
+        |       JOIN fidx ON fidx.f < m.nf AND fidx.f % 2 = 0),
+        |pidx AS (SELECT unnest(range(0, 192)) AS p),
+        |px AS (
+        |  SELECT media_id, w, h, fps, nf, f,
+        |         ('0x' || substr(md5(text || '#' || CAST((f * (w * h * 3 // 2) + p) // 16 AS VARCHAR)),
+        |                         CAST(((f * (w * h * 3 // 2) + p) % 16) * 2 + 1 AS INT), 2))::BIGINT AS b
+        |  FROM fr JOIN pidx ON pidx.p < fr.w * fr.h),
+        |agg AS (SELECT media_id, w, h, fps, nf, f,
+        |               sum(b) AS sb, max(b) AS mb, count(*) AS n
+        |        FROM px GROUP BY media_id, w, h, fps, nf, f)
+        |SELECT media_id, w AS width, h AS height, CAST(fps AS DOUBLE) AS fps,
+        |       nf AS n_frames, f AS frame_index,
+        |       round(sb / (n * 255.0), 6) AS luma_mean,
+        |       round(mb / 255.0, 6) AS luma_peak
+        |FROM agg ORDER BY media_id, frame_index""".stripMargin,
     "q96_manifest" ->
       """WITH s AS (
         |  SELECT doc_id, source,

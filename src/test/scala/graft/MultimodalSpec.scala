@@ -186,6 +186,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.n_bytes === 4L)
   }
 
+  test("fixture Y4M videos decode back to the md5-derived luma stats") {
+    val media = Multimodal.videoY4mFromDocuments(docs)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val texts = Map(0L -> "a" * 200, 1L -> "b" * 130, 2L -> "mixed content 123")
+    val feats = Multimodal.extractVideoFrameFeatures(media).collect()
+      .sortBy(f => (f.media_id, f.frame_index))
+    feats.groupBy(_.media_id).foreach { case (id, rows) =>
+      val (w, h) = (Multimodal.mediaWidth(id), Multimodal.mediaHeight(id))
+      val n = Multimodal.videoFrameCount(id)
+      // header fields survive the real Y4M round-trip
+      assert(rows.forall(r => r.width == w && r.height == h &&
+        r.fps == Multimodal.videoFps(id).toDouble && r.n_frames == n.toLong))
+      // stride-2 sampling: frames 0, 2, (4)
+      assert(rows.map(_.frame_index).toSeq === (0 until n by 2).map(_.toLong))
+      // luma stats recomputed independently from the same md5 bytes
+      val frameSize = w * h * 3 / 2
+      val pix = Multimodal.pixelBytes(texts(id), n * frameSize)
+      rows.foreach { r =>
+        val y = pix.slice(r.frame_index.toInt * frameSize,
+          r.frame_index.toInt * frameSize + w * h).map(_ & 0xff)
+        assert(r.luma_mean === BigDecimal(y.sum.toDouble / (y.length * 255.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert(r.luma_peak === BigDecimal(y.max.toDouble / 255.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
+
+  test("VideoCodec parses hand-built Y4M variants; rejects malformed; fallback keeps totality") {
+    // FRAME parameter strings and the C420mpeg2 colorspace tag are legal
+    def y4m(header: String, frames: Seq[Array[Byte]], marker: String = "FRAME"): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write((header + "\n").getBytes("US-ASCII"))
+      frames.foreach { f =>
+        bos.write((marker + "\n").getBytes("US-ASCII")); bos.write(f)
+      }
+      bos.toByteArray
+    }
+    val frame = Array.tabulate[Byte](2 * 2 * 3 / 2)(i => (i * 40).toByte)
+    val Some((w, h, fn, fd, fs)) = Multimodal.VideoCodec.decode(
+      y4m("YUV4MPEG2 W2 H2 F30000:1001 Ip A1:1 C420mpeg2 XYSCSS=420MPEG2",
+        Seq(frame, frame), marker = "FRAME Itop"))
+    assert((w, h, fn, fd, fs.length) === (2, 2, 30000L, 1001L, 2))
+    assert(fs.head.toSeq === frame.toSeq)
+    // malformed: wrong magic, truncated frame body, 4:4:4 colorspace
+    assert(Multimodal.VideoCodec.decode("AVI nope".getBytes).isEmpty)
+    assert(Multimodal.VideoCodec.decode(
+      y4m("YUV4MPEG2 W2 H2 F24:1", Seq(frame.take(3)))).isEmpty)
+    assert(Multimodal.VideoCodec.decode(
+      y4m("YUV4MPEG2 W2 H2 F24:1 C444", Seq(frame))).isEmpty)
+    // unparseable payload: declared metadata + raw-slice fallback
+    val f = Multimodal.extractVideoFrameFeatures(
+      Seq(Multimodal.VideoRow(9L, "mp4", Array.fill[Byte](12)(6), 2, 2, 24L, 2L)).toDF(),
+      stride = 1).collect()
+    assert(f.map(_.frame_index).toSeq === Seq(0L, 1L))
+    assert(f.forall(r => r.width == 2 && r.fps == 24.0))
+  }
+
   test("frame sampling emits every stride-th fixed-size chunk") {
     val media = Multimodal.fromDocuments(docs)
     val payloadLen = media.where($"media_id" === 0L)
