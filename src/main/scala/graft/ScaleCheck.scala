@@ -270,13 +270,22 @@ object ScaleCheck {
     // q92/q93/q94: the curation compositions — cluster-argmax rides the
     // LSH pair cost, curriculum rides lmScore + counting cuts, and the
     // source cap is one scan + a per-source window (no global sort)
+    // plan audit (the r6 driver bench showed q92 paying the q53 LSH
+    // chain repeatedly): dupClusters must hand back a LINEAGE-CUT
+    // relation — a LocalTableScan (driver union-find path) or a
+    // checkpointed RDD scan (distributed path) — so the consumer join
+    // can never re-execute the pair-generation subtree
+    val clusters92 = graft.operators.Dedup.dupClusters(
+      graft.operators.Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+        threshold = 0.2))
+    val cPlan = clusters92.queryExecution.executedPlan.toString
+    assert(cPlan.contains("LocalTableScan") || cPlan.contains("ExistingRDD"),
+      s"dupClusters output must be lineage-cut, got:\n$cPlan")
     time(s"best-of-cluster canonicalization over $nDocs docs")(
       graft.operators.Dedup.bestOfCluster(
         docs.select(col("doc_id"),
           graft.operators.TextAnalysis.qualityExpr(col("text")).as("quality")),
-        graft.operators.Dedup.dupClusters(
-          graft.operators.Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
-            threshold = 0.2)),
+        clusters92,
         scoreCol = "quality").count())
     time(s"curriculum phases over $nDocs docs")(
       graft.operators.Stats.quantileBuckets(

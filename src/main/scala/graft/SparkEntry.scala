@@ -709,7 +709,36 @@ object SparkEntry {
         Multimodal.videoY4mFromDocuments(Tables.documents(s, dir)))
         .toDF()
         .orderBy("media_id", "frame_index")),
+    // dataset-version diff: v1 = the mixture-kept subset (src0 kept
+    // whole, src1 dropped whole, the rest half), v2 = the full corpus —
+    // so all four statuses are live: src0 cells unchanged (checksum
+    // equality, not just counts), src1 added, the rest changed
+    "q98_manifest_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = TextAnalysis.mixtureSample(docs, DiffRates, defaultRate = 0.5)
+        .where(col("kept")).select("doc_id")
+      TextAnalysis.datasetManifestDiff(
+        TextAnalysis.datasetManifest(docs.join(kept, Seq("doc_id"))),
+        TextAnalysis.datasetManifest(docs))
+        .orderBy("split", "source")
+    }),
+    // dedup audit report: cluster-size histogram over the same LSH
+    // clusters as q53/q78/q92, singletons included — the shipped
+    // "dedup rate" summary next to a corpus version
+    "q99_cluster_sizes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterSizeReport(docs,
+        Dedup.dupClusters(Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+          threshold = 0.2, baseHash = Dedup.md5Base)))
+        .orderBy("size")
+    }),
   )
+
+  /** q98's mixture config: one source kept whole, one dropped whole,
+    * the long tail half-sampled — chosen so the manifest diff exercises
+    * unchanged, added, AND changed cells. */
+  private val DiffRates: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.0)
 
   /** Production-hash twins of the md5-salted operators — BENCH-ONLY
     * surface, not part of [[queries]]: xxhash64 is not recomputable in
@@ -2594,6 +2623,48 @@ object SparkEntry {
         |       (20000 * n + sum(n) OVER (PARTITION BY f))
         |         // (2 * sum(n) OVER (PARTITION BY f)) AS prob_bp
         |FROM p ORDER BY from_type, to_type""".stripMargin,
+    // both manifests replayed from one decorated scan: u is the mixture
+    // draw, f the v1 (kept) subset; FULL OUTER on the (split, source)
+    // dim with the same status ladder as the engine
+    "q98_manifest_diff" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS ntok,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h,
+        |    CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90
+        |         THEN 'train'
+        |         WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 95
+        |         THEN 'val' ELSE 'test' END AS split,
+        |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS u
+        |  FROM documents),
+        |f AS (SELECT * FROM s
+        |      WHERE u < CASE WHEN source = 'src0' THEN 10000
+        |                     WHEN source = 'src1' THEN 0 ELSE 5000 END),
+        |o AS (SELECT split, source, CAST(count(*) AS BIGINT) AS od,
+        |             CAST(sum(ntok) AS BIGINT) AS ot, CAST(sum(h) AS BIGINT) AS os
+        |      FROM f GROUP BY 1, 2),
+        |n AS (SELECT split, source, CAST(count(*) AS BIGINT) AS nd,
+        |             CAST(sum(ntok) AS BIGINT) AS nt, CAST(sum(h) AS BIGINT) AS ns
+        |      FROM s GROUP BY 1, 2)
+        |SELECT split, source,
+        |       coalesce(od, 0) AS old_docs, coalesce(nd, 0) AS new_docs,
+        |       coalesce(nd, 0) - coalesce(od, 0) AS delta_docs,
+        |       coalesce(nt, 0) - coalesce(ot, 0) AS delta_tokens,
+        |       CASE WHEN od IS NULL THEN 'added'
+        |            WHEN nd IS NULL THEN 'removed'
+        |            WHEN od = nd AND ot = nt AND os = ns THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n USING (split, source)
+        |ORDER BY split, source""".stripMargin,
+    "q99_cluster_sizes" ->
+      s"""WITH RECURSIVE $LshClusterSql,
+         |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+         |       FROM lab GROUP BY 1),
+         |hi AS (SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+         |       FROM cs GROUP BY 1)
+         |SELECT size, n_clusters, size * n_clusters AS n_docs,
+         |       (size - 1) * n_clusters AS n_dups_removed
+         |FROM hi ORDER BY size""".stripMargin,
     // Y4M frame bytes are pixelBytes(text, n*frameSize) laid out frame
     // after frame, so luma byte p of frame f is md5-stream byte
     // f*(w*h*3//2) + p; stride-2 sampling keeps frames 0, 2, 4

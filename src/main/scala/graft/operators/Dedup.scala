@@ -457,6 +457,30 @@ object Dedup {
     labeled.withColumn("keep", row_number().over(w) === 1)
   }
 
+  /** Dedup audit report — the cluster-size histogram a pipeline ships
+    * next to its dedup decision: for every cluster size, how many
+    * clusters, how many documents they cover, and how many documents
+    * dedup removes at that size (size − 1 per cluster, the
+    * keep-one-per-cluster convention). Singletons are size-1 rows (the
+    * `docs` universe left-joins the cluster map, absent docs are their
+    * own cluster, like [[bestOfCluster]]), so the report covers the
+    * WHOLE corpus and `sum(n_docs)` is a built-in completeness check.
+    * Two hash aggregates — per-cluster size, then the size histogram;
+    * the output dimension is bounded by the largest cluster, never the
+    * corpus.
+    * Output: size, n_clusters, n_docs, n_dups_removed.
+    */
+  def clusterSizeReport(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"),
+        "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") - 1) * col("n_clusters")).as("n_dups_removed"))
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
     * 16-bit band buckets (4 bands ⇒ any pair with ≤ 3 differing bits shares
     * a band — pigeonhole), then exact bit_count verification.

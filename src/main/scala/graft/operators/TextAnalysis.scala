@@ -578,6 +578,44 @@ object TextAnalysis {
         max(col("doc_id")).as("max_doc_id"),
         sum(col("__h")).as("content_sum"))
 
+  /** Manifest diff — the consumer-side change audit between two dataset
+    * versions' [[datasetManifest]] outputs: per (split, source) cell,
+    * old/new doc and token counts, their deltas, and a status —
+    * `added` / `removed` / `changed` / `unchanged` — where `unchanged`
+    * requires the ORDER-FREE content checksum to match, i.e. CONTENT
+    * equality, not merely equal counts (two cells can swap documents
+    * and keep every count; the commutative checksum catches it).
+    * The what-changed-since-v1 question every dataset consumer asks
+    * before retraining, answered from two manifest relations without
+    * touching either corpus. Full-outer join on the bounded
+    * (split, source) dimension — manifest-sized work, never
+    * corpus-sized.
+    * Output: split, source, old_docs, new_docs, delta_docs,
+    * delta_tokens, status.
+    */
+  def datasetManifestDiff(oldManifest: DataFrame,
+                          newManifest: DataFrame): DataFrame = {
+    val o = oldManifest.select(col("split"), col("source"),
+      col("n_docs").as("__od"), col("n_tokens").as("__ot"),
+      col("content_sum").as("__os"))
+    val n = newManifest.select(col("split"), col("source"),
+      col("n_docs").as("__nd"), col("n_tokens").as("__nt"),
+      col("content_sum").as("__ns"))
+    o.join(n, Seq("split", "source"), "full_outer")
+      .select(col("split"), col("source"),
+        coalesce(col("__od"), lit(0L)).as("old_docs"),
+        coalesce(col("__nd"), lit(0L)).as("new_docs"),
+        (coalesce(col("__nd"), lit(0L)) - coalesce(col("__od"), lit(0L)))
+          .as("delta_docs"),
+        (coalesce(col("__nt"), lit(0L)) - coalesce(col("__ot"), lit(0L)))
+          .as("delta_tokens"),
+        when(col("__od").isNull, "added")
+          .when(col("__nd").isNull, "removed")
+          .when(col("__od") === col("__nd") && col("__ot") === col("__nt") &&
+            col("__os") === col("__ns"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Per-source quality cap — domain balancing: an open-web corpus is
     * dominated by a few giant sources, and training mixes cap each
     * domain's contribution, keeping its BEST documents (the

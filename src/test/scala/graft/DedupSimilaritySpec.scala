@@ -854,6 +854,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("distinct"))
   }
 
+  test("manifest diff: all four statuses, checksum catches content swaps behind equal counts") {
+    def m(rows: Seq[(String, String, Long, Long, Long, Long, Long)]) =
+      rows.toDF("split", "source", "n_docs", "n_tokens", "min_doc_id",
+        "max_doc_id", "content_sum")
+    val old_ = m(Seq(
+      ("train", "a", 10L, 100L, 0L, 9L, 111L),   // unchanged
+      ("train", "b", 10L, 100L, 0L, 9L, 222L),   // content swap: counts equal, sum differs
+      ("train", "c", 5L, 50L, 0L, 4L, 333L),     // removed
+      ("val", "a", 3L, 30L, 0L, 2L, 444L)))      // changed counts
+    val new_ = m(Seq(
+      ("train", "a", 10L, 100L, 0L, 9L, 111L),
+      ("train", "b", 10L, 100L, 0L, 9L, 999L),
+      ("val", "a", 7L, 80L, 0L, 6L, 555L),
+      ("test", "z", 2L, 20L, 0L, 1L, 666L)))     // added
+    val got = TextAnalysis.datasetManifestDiff(old_, new_)
+      .orderBy("split", "source")
+      .select("split", "source", "old_docs", "new_docs", "delta_docs",
+        "delta_tokens", "status")
+      .as[(String, String, Long, Long, Long, Long, String)].collect()
+    assert(got === Array(
+      ("test", "z", 0L, 2L, 2L, 20L, "added"),
+      ("train", "a", 10L, 10L, 0L, 0L, "unchanged"),
+      ("train", "b", 10L, 10L, 0L, 0L, "changed"), // the checksum catch
+      ("train", "c", 5L, 0L, -5L, -50L, "removed"),
+      ("val", "a", 3L, 7L, 4L, 50L, "changed")))
+  }
+
+  test("cluster-size report: singletons included, corpus mass conserved") {
+    val universe = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1,2,3}, {4,5}; 6..10 singletons
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterSizeReport(universe, clusters).orderBy("size")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((1L, 5L, 5L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
+    assert(got.map(_._3).sum === 10L) // every doc accounted for
+  }
+
   test("production xxhash32 base: matches Spark's xxhash64 fold, winnowing recompute, draws stay uniform") {
     import org.apache.spark.unsafe.Platform
     import org.apache.spark.sql.catalyst.expressions.XXH64
