@@ -722,6 +722,14 @@ object SparkEntry {
         TextAnalysis.datasetManifest(docs))
         .orderBy("split", "source")
     }),
+    // filtered vector search (pre-filter semantics): every query's k
+    // best matches FROM the odd-label candidate set — queries are drawn
+    // unfiltered, so the predicate genuinely reshapes each result list
+    "q100_knn_filtered" -> ((s, dir) =>
+      Similarity.knnCosineFiltered(Tables.embeddings(s, dir),
+        queryPred = pmod(col("vec_id"), lit(100)) === 0,
+        candidatePred = pmod(col("label"), lit(2)) === 1)
+        .orderBy("query_id", "rnk")),
     // dedup audit report: cluster-size histogram over the same LSH
     // clusters as q53/q78/q92, singletons included — the shipped
     // "dedup rate" summary next to a corpus version
@@ -2623,6 +2631,33 @@ object SparkEntry {
         |       (20000 * n + sum(n) OVER (PARTITION BY f))
         |         // (2 * sum(n) OVER (PARTITION BY f)) AS prob_bp
         |FROM p ORDER BY from_type, to_type""".stripMargin,
+    // q36's brute-cosine chain with the candidate side label-filtered
+    // (queries drawn unfiltered — pre-filter semantics)
+    "q100_knn_filtered" ->
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+        |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
+        |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
+        |comp AS (SELECT vec_id, label, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |         FROM e CROSS JOIN idx),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |qcomp AS (SELECT vec_id AS query_id, i, x FROM comp WHERE vec_id % 100 = 0),
+        |dots AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, sum(c.x * q.x) AS dp
+        |  FROM comp c JOIN qcomp q ON c.i = q.i AND c.vec_id <> q.query_id
+        |  WHERE c.label % 2 = 1
+        |  GROUP BY q.query_id, c.vec_id),
+        |scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |         round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
+        |  FROM dots d
+        |  JOIN norms nn ON nn.vec_id = d.neighbor_id
+        |  JOIN norms nq ON nq.vec_id = d.query_id)
+        |SELECT query_id, neighbor_id, cosine, rnk FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     // both manifests replayed from one decorated scan: u is the mixture
     // draw, f the v1 (kept) subset; FULL OUTER on the (split, source)
     // dim with the same status ladder as the engine

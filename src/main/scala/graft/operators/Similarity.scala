@@ -44,18 +44,37 @@ object Similarity {
   def knnCosineBrute(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame =
     rankTopK(cosineScoredBrute(embeddings, queryPred), k)
 
-  /** All (query, candidate) cosines for a query subset: the broadcast
-    * brute scorer shared by [[knnCosineBrute]] and [[hardNegatives]].
-    * Cosines are rounded to 6dp BEFORE any downstream ranking or band
-    * filter, so ordering and band membership are stable under float
-    * noise below the rounding grid.
+  /** Metadata-filtered exact top-k — the vector-store "filtered search":
+    * candidates are restricted by a predicate over their OWN columns
+    * (label, source, date …) BEFORE ranking. Pre-filter semantics by
+    * design: every query gets its k best matches FROM the admissible
+    * set, where post-filtering an unfiltered top-k would return fewer
+    * than k (or none) once the filter bites. Queries are drawn from the
+    * unfiltered relation — a query need not satisfy the candidate
+    * predicate. The filter is a plain pushed-down scan predicate on the
+    * candidate side, so selective filters make the search CHEAPER, and
+    * at corpus scale the same predicate composes with the IVF cell
+    * probe ([[annIvfTopK]]) unchanged.
     */
-  private def cosineScoredBrute(embeddings: DataFrame, queryPred: Column): DataFrame = {
-    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("norm", l2norm(col("v")))
-    val queries = base.where(queryPred)
+  def knnCosineFiltered(embeddings: DataFrame, queryPred: Column,
+                        candidatePred: Column, k: Int = 10): DataFrame =
+    rankTopK(cosineScoredBrute(embeddings, queryPred, candidatePred), k)
+
+  /** All (query, candidate) cosines for a query subset: the broadcast
+    * brute scorer shared by [[knnCosineBrute]], [[knnCosineFiltered]]
+    * and [[hardNegatives]]. Cosines are rounded to 6dp BEFORE any
+    * downstream ranking or band filter, so ordering and band membership
+    * are stable under float noise below the rounding grid.
+    */
+  private def cosineScoredBrute(embeddings: DataFrame, queryPred: Column,
+                                candidatePred: Column = lit(true)): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("norm", l2norm(col("v")))
+    val queries = prep(embeddings.where(queryPred))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    prep(embeddings.where(candidatePred))
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("v"), col("qv")) / (col("norm") * col("qnorm")), 6).as("cosine"))
   }

@@ -892,6 +892,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.map(_._3).sum === 10L) // every doc accounted for
   }
 
+  test("filtered kNN: pre-filter semantics — k best from the admissible set, queries drawn unfiltered") {
+    // query 0 = e1; nearest is 1 (same direction), then 2 (diagonal), then 3 (e2)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),  // query; label 0 (would fail the filter itself)
+      (1L, Array(0.9f, 0.1f), 0),  // nearest but label-excluded
+      (2L, Array(0.7f, 0.7f), 1),  // admissible
+      (3L, Array(0.0f, 1.0f), 1),  // admissible
+      (4L, Array(-1.0f, 0.0f), 1)  // admissible, opposite
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.knnCosineFiltered(vecs,
+      queryPred = col("vec_id") === 0, candidatePred = col("label") === 1, k = 2)
+      .orderBy("rnk").select("neighbor_id", "rnk").as[(Long, Long)].collect()
+    // the label-0 near-duplicate (1) never appears; the top-2 come from
+    // the admissible set in cosine order
+    assert(got === Array((2L, 1L), (3L, 2L)))
+    // unfiltered control: 1 wins
+    val ctl = graft.operators.Similarity.knnCosineBrute(vecs,
+      queryPred = col("vec_id") === 0, k = 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(ctl === Array(1L))
+  }
+
   test("production xxhash32 base: matches Spark's xxhash64 fold, winnowing recompute, draws stay uniform") {
     import org.apache.spark.unsafe.Platform
     import org.apache.spark.sql.catalyst.expressions.XXH64
