@@ -77,11 +77,14 @@ object Bench {
     }
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    // 3dp medians keep the final stdout line compact — the r6 line's
-    // full-precision doubles overran the driver's capture and truncated
-    // the query map at q38
+    // the stdout line must fit the driver's ~3k-char capture window or
+    // it truncates from the front and records parsed:null (r6's fate):
+    // 3dp medians + the canonical qNN ids (full names and per-pass
+    // samples live in BENCH_DETAIL.json) keep 105 queries near 1.8k
+    def shortName(n: String): String = n.takeWhile(_ != '_')
     def qsJson(): String =
-      names.map(n => "\"" + n + "\":" + f3(median(samples(n)))).mkString("{", ",", "}")
+      names.map(n => "\"" + shortName(n) + "\":" + f3(median(samples(n))))
+        .mkString("{", ",", "}")
     // box-state marker: load average + free memory, so a later reader can
     // separate host contention from plan regressions (r6's 680→297→180 s
     // pass swing was drift, but the JSON carried no evidence either way)
@@ -101,7 +104,7 @@ object Bench {
         samples(n) = samples(n) :+ s
         if (s >= 0) passTotal += s
       }
-      System.err.println(f"[bench] pass $pass/$iters total = $passTotal%.1f s {$boxState()}")
+      System.err.println(f"[bench] pass $pass/$iters total = $passTotal%.1f s {${boxState()}}")
       // cumulative-medians line to stderr after EVERY pass: a run killed
       // before the last pass still leaves a parseable result in the log
       // ("partial_total" so only the completed run's line matches "total")
