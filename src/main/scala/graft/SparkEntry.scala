@@ -722,6 +722,16 @@ object SparkEntry {
         TextAnalysis.datasetManifest(docs))
         .orderBy("split", "source")
     }),
+    // bigram-LM surprisal: conditional NLL under the corpus's own
+    // add-one-smoothed bigram model — the n-gram step past q84's
+    // unigram; integer micro-nats end to end
+    "q101_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    // IVF cell-quality report over q69's deterministic cells: member
+    // counts + integer-micro inertia (mean/max cosine distance)
+    "q102_ivf_cells" -> ((s, dir) =>
+      Similarity.ivfCellReport(Tables.embeddings(s, dir), k = 8)
+        .orderBy("cluster")),
     // filtered vector search (pre-filter semantics): every query's k
     // best matches FROM the odd-label candidate set — queries are drawn
     // unfiltered, so the predicate genuinely reshapes each result list
@@ -2631,6 +2641,67 @@ object SparkEntry {
         |       (20000 * n + sum(n) OVER (PARTITION BY f))
         |         // (2 * sum(n) OVER (PARTITION BY f)) AS prob_bp
         |FROM p ORDER BY from_type, to_type""".stripMargin,
+    // add-one-smoothed conditional NLL per bigram TYPE, rounded once to
+    // integer micro-nats; per-doc sums and HALF_UP mean exact after that
+    "q101_bigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+        |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bgi AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+        |        FROM w WHERE len(words) >= 2),
+        |bgp AS (SELECT doc_id, words[CAST(i AS INT)] AS prev,
+        |               words[CAST(i + 1 AS INT)] AS cur
+        |        FROM bgi),
+        |c2t AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+        |        FROM bgp GROUP BY 1, 2),
+        |m AS (SELECT c2t.prev, c2t.cur,
+        |             CAST(round(ln((c1 + v.v) * 1.0 / (c2 + 1)) * 1000000) AS BIGINT) AS nll
+        |      FROM c2t JOIN uni ON uni.token = c2t.prev CROSS JOIN v),
+        |d AS (SELECT bgp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |             CAST(sum(m.nll) AS BIGINT) AS nll_micro
+        |      FROM bgp JOIN m ON m.prev = bgp.prev AND m.cur = bgp.cur
+        |      GROUP BY 1)
+        |SELECT doc_id, n_bigrams, nll_micro,
+        |       ((2 * nll_micro + n_bigrams) // (2 * n_bigrams)) / 1000000.0 AS avg_nll2
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // q69's assignment chain, then integer-micro inertia per cell
+    "q102_ivf_cells" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |comp AS (
+        |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+        |         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        |  FROM e),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8) t),
+        |ccomp AS (SELECT cent.j, comp.i, comp.x
+        |          FROM comp JOIN cent ON cent.cvid = comp.vec_id),
+        |cnorm AS (SELECT j, sqrt(sum(x * x)) AS nrm FROM ccomp GROUP BY j),
+        |cos AS (
+        |  SELECT comp.vec_id, cc.j,
+        |         round(sum(comp.x * cc.x) / (n1.nrm * n2.nrm), 6) AS c
+        |  FROM comp JOIN ccomp cc ON cc.i = comp.i
+        |  JOIN norms n1 ON n1.vec_id = comp.vec_id
+        |  JOIN cnorm n2 ON n2.j = cc.j
+        |  GROUP BY comp.vec_id, cc.j, n1.nrm, n2.nrm),
+        |asg AS (SELECT vec_id, j AS cluster, c FROM (
+        |          SELECT vec_id, j, c,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, j) AS rn
+        |          FROM cos) t
+        |        WHERE rn = 1),
+        |dd AS (SELECT cluster, CAST(floor((1 - c) * 1000000 + 0.5) AS BIGINT) AS d
+        |       FROM asg),
+        |agg AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+        |               CAST(sum(d) AS BIGINT) AS sd, CAST(max(d) AS BIGINT) AS md
+        |        FROM dd GROUP BY 1)
+        |SELECT cluster, n_vectors,
+        |       ((2 * sd + n_vectors) // (2 * n_vectors)) / 1000000.0 AS mean_dist,
+        |       md / 1000000.0 AS max_dist
+        |FROM agg ORDER BY cluster""".stripMargin,
     // q36's brute-cosine chain with the candidate side label-filtered
     // (queries drawn unfiltered — pre-filter semantics)
     "q100_knn_filtered" ->

@@ -593,13 +593,38 @@ object Similarity {
     *
     * Output: vec_id, cluster (0-based centroid ordinal), keep.
     */
-  def semanticDedup(embeddings: DataFrame, k: Int = 8, threshold: Double = 0.85,
-                    centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
-    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("norm", l2norm(col("v")))
+  /** Nearest-centroid assignment shared by [[semanticDedup]] and
+    * [[ivfCellReport]]: argmax as a pure column expression over the
+    * centroid LITERALS — no window, no shuffle, no nested-loop join;
+    * assignment fuses into the scan. Struct ordering compares csim
+    * first, then -cluster, so array_max is "highest ROUNDED cosine
+    * (6dp — float-fold noise below the grid cannot flip a cell between
+    * engines), ties to the lowest cluster". Adds `cluster` and the
+    * winning `csim` to `base` (which must carry v/norm).
+    */
+  private def assignToCells(base: DataFrame,
+                            centroidRows: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    val scored = centroidRows.map { case (j, cv, cn) =>
+      struct(
+        round(dot(col("v"), typedLit(cv)) / (col("norm") * lit(cn)), 6).as("csim"),
+        lit(-j).as("nj"))
+    }
+    val best = array_max(array(scored: _*))
+    base.select(col("vec_id"),
+      (-best.getField("nj")).as("cluster"),
+      best.getField("csim").as("csim"),
+      col("v"), col("norm"))
+  }
+
+  /** Deterministic-default centroid rows (id, vector, norm) — the k
+    * lowest vec_ids, bounded driver collect, oracle-reproducible;
+    * `centroidsOpt` plugs in [[trainCentroids]] for honest cells. */
+  private def centroidRowsOf(base: DataFrame, k: Int,
+                             centroidsOpt: Option[Seq[(Int, Seq[Double])]])
+      : Seq[(Long, Seq[Double], Double)] = {
     val spark = base.sparkSession
     import spark.implicits._
-    val centroidRows: Seq[(Long, Seq[Double], Double)] = centroidsOpt match {
+    centroidsOpt match {
       case Some(cs) => cs.map { case (id, v) =>
         (id.toLong, v, math.sqrt(v.map(x => x * x).sum)) }
       case None =>
@@ -607,19 +632,47 @@ object Similarity {
           .select(col("v"), col("norm")).as[(Seq[Double], Double)].collect()
           .zipWithIndex.map { case ((v, n), j) => (j.toLong, v, n) }.toSeq
     }
+  }
+
+  /** IVF cell-quality report — the tuning signal an ANN deployment reads
+    * before fixing nLists/nProbe: per Voronoi cell, member count plus
+    * mean and max cosine DISTANCE to the centroid (inertia). Imbalance
+    * says the centroids need re-training; high inertia says k is too
+    * small for the within-cell pair volume that [[semanticDedup]] and
+    * probe recall depend on. Assignment is the engine-portable argmax
+    * shared with [[semanticDedup]]; per-member distances are fixed to
+    * integer MICRO-units (floor(x·1e6 + 0.5), the int8-quantization
+    * rounding) BEFORE summation, so the mean is exact in any fold order
+    * — the integer-tick discipline every rounded ratio here follows.
+    * One scan + one k-row aggregate; centroids broadcast as literals.
+    * Output: cluster, n_vectors, mean_dist (6dp), max_dist (6dp).
+    */
+  def ivfCellReport(embeddings: DataFrame, k: Int = 8,
+                    centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val centroidRows = centroidRowsOf(base, k, centroidsOpt)
     require(centroidRows.nonEmpty, "no centroids: empty input")
-    // argmax as a pure column expression over the centroid LITERALS — no
-    // window, no shuffle, no nested-loop join: assignment fuses into the
-    // scan (struct ordering compares csim first, then -cluster, so
-    // array_max is "highest rounded cosine, ties to the lowest cluster")
-    val scored = centroidRows.map { case (j, cv, cn) =>
-      struct(
-        round(dot(col("v"), typedLit(cv)) / (col("norm") * lit(cn)), 6).as("csim"),
-        lit(-j).as("nj"))
-    }
-    val assigned = base.select(col("vec_id"),
-      (-array_max(array(scored: _*)).getField("nj")).as("cluster"),
-      col("v"), col("norm"))
+    assignToCells(base, centroidRows)
+      .select(col("cluster"),
+        floor((lit(1.0) - col("csim")) * 1e6 + 0.5).cast("long").as("__d"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("__d")).as("__sd"), max(col("__d")).as("__md"))
+      .select(col("cluster"), col("n_vectors"),
+        (expr("(2 * __sd + n_vectors) div (2 * n_vectors)") / lit(1e6))
+          .as("mean_dist"),
+        (col("__md").cast("double") / lit(1e6)).as("max_dist"))
+  }
+
+  def semanticDedup(embeddings: DataFrame, k: Int = 8, threshold: Double = 0.85,
+                    centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val centroidRows = centroidRowsOf(base, k, centroidsOpt)
+    require(centroidRows.nonEmpty, "no centroids: empty input")
+    val assigned = assignToCells(base, centroidRows)
+      .select(col("vec_id"), col("cluster"), col("v"), col("norm"))
     val lhs = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("norm").as("na"))
     val rhs = assigned.select(col("cluster"), col("vec_id").as("vec_b"),

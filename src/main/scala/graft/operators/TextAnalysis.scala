@@ -422,6 +422,52 @@ object TextAnalysis {
         expr("(2 * nll_micro + n_tokens) div (2 * n_tokens)") / lit(1e6))
   }
 
+  /** Bigram-LM surprisal — the step up from [[lmScore]]'s unigram
+    * proxy toward the n-gram-LM perplexity filters real corpus
+    * pipelines run (CCNet's KenLM stage): each document scored by its
+    * mean conditional negative log-likelihood under the corpus's own
+    * bigram model with add-one smoothing,
+    * `p(cur | prev) = (c2(prev,cur) + 1) / (c1(prev) + V)`.
+    * Repetitive/templated text has predictable transitions (low NLL);
+    * token salad scores high — a genuinely different signal from
+    * unigram rarity.
+    *
+    * Portability is the same integer discipline as [[lmScore]]: the one
+    * transcendental (ln) is rounded ONCE per bigram TYPE to integer
+    * micro-nats, per-doc sums and the HALF_UP mean are then exact in
+    * any fold order. Scale shape: the bigram model is the corpus's
+    * bigram-type dimension — unlike the unigram vocab it does NOT
+    * broadcast at web scale, so the doc-stream ⋈ model join shuffles
+    * co-partitioned on the (prev, cur) key the model aggregation
+    * already produced; the unigram side and the vocab-size scalar do
+    * broadcast. Docs with < 2 tokens have no transitions and no row —
+    * the honest answer for a conditional model.
+    * Output: doc_id, n_bigrams, nll_micro, avg_nll2.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val pairs = docs.select(col("doc_id"), tokens(lower(col("text"))).as("__w"))
+      .where(size(col("__w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__w")) - 1),
+        i => struct(element_at(col("__w"), i).as("prev"),
+          element_at(col("__w"), i + 1).as("cur")))).as("__bg"))
+      .select(col("doc_id"), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
+    val uni = tokenCounts(docs).withColumnRenamed("n", "c1")
+    val vocabSize = uni.agg(count(lit(1)).as("__v"))
+    val model = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c2"))
+      .join(broadcast(uni.withColumnRenamed("token", "prev")), Seq("prev"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("prev"), col("cur"),
+        lnMicros((col("c1") + col("__v")).cast("double") / (col("c2") + lit(1L)))
+          .as("__nll"))
+    pairs.join(model, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("nll_micro"))
+      .withColumn("avg_nll2",
+        expr("(2 * nll_micro + n_bigrams) div (2 * n_bigrams)") / lit(1e6))
+  }
+
   /** PII patterns — deliberately conservative and ENGINE-PORTABLE (no
     * lookarounds, no backreferences: the same pattern must mean the same
     * thing to Java's regex and to RE2-based engines, so the scan carries

@@ -892,6 +892,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.map(_._3).sum === 10L) // every doc accounted for
   }
 
+  test("bigram LM: conditional NLL recomputed by hand, short docs have no row") {
+    // corpus: "a b a b" and "a b c"; V = 3 (a, b, c); c1: a=3, b=3, c=1
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1
+    val docs2 = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    def nll(c1: Long, c2: Long): Long =
+      math.round(math.log((c1 + 4.0) / (c2 + 1)) * 1e6) // V=4 with "solo"
+    val ab = nll(3, 3); val ba = nll(3, 1); val bc = nll(3, 1)
+    val got = TextAnalysis.bigramLmScore(docs2).orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "nll_micro").as[(Long, Long, Long)].collect()
+    assert(got === Array((1L, 3L, ab + ba + ab), (2L, 2L, ab + bc)))
+    // doc 3 has one token -> no transitions -> no row (conditional model)
+    assert(!got.map(_._1).contains(3L))
+    // predictable transitions score lower than rare ones
+    assert(ab < ba)
+  }
+
+  test("IVF cell report: counts and integer-micro inertia match a naive recompute") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid 0
+      (1L, Array(0.0f, 1.0f)),   // centroid 1
+      (2L, Array(0.9f, 0.1f)),   // -> cell 0
+      (3L, Array(0.1f, 0.9f)),   // -> cell 1
+      (4L, Array(0.6f, 0.8f))    // -> cell 1 (cos .8 vs .6)
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.ivfCellReport(vecs, k = 2)
+      .orderBy("cluster")
+      .as[(Long, Long, Double, Double)].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def micro(c: Double): Long = math.floor((1 - c) * 1e6 + 0.5).toLong
+    val d2 = micro(cos(Array(0.9, 0.1), Array(1, 0)))
+    val d3 = micro(cos(Array(0.1, 0.9), Array(0, 1)))
+    val d4 = micro(cos(Array(0.6, 0.8), Array(0, 1)))
+    val mean1 = (2 * (d3 + d4) + 3) / (2 * 3) / 1e6 // HALF_UP over 3 members (incl. centroid)
+    assert(got.length === 2)
+    assert(got(0)._2 === 2L && got(1)._2 === 3L)
+    assert(got(0)._3 === (2 * d2 + 2) / (2 * 2) / 1e6)
+    assert(got(0)._4 === d2 / 1e6)
+    assert(got(1)._3 === mean1)
+    assert(got(1)._4 === math.max(d3, d4) / 1e6)
+  }
+
   test("filtered kNN: pre-filter semantics — k best from the admissible set, queries drawn unfiltered") {
     // query 0 = e1; nearest is 1 (same direction), then 2 (diagonal), then 3 (e2)
     val vecs = Seq(
