@@ -267,6 +267,11 @@ object ScaleCheck {
       graft.operators.TextAnalysis.tfidfTopK(docs, k = 5).count())
     time(s"unigram-LM surprisal over $nDocs docs")(
       graft.operators.TextAnalysis.lmScore(docs).count())
+    // bigram LM (q101): the model is the bigram-TYPE dim (grows with the
+    // corpus — deliberately NOT broadcast); the doc-stream join
+    // co-partitions on the (prev, cur) key the model agg produced
+    time(s"bigram-LM surprisal over $nDocs docs")(
+      graft.operators.TextAnalysis.bigramLmScore(docs).count())
     // q92/q93/q94: the curation compositions — cluster-argmax rides the
     // LSH pair cost, curriculum rides lmScore + counting cuts, and the
     // source cap is one scan + a per-source window (no global sort)
@@ -343,6 +348,10 @@ object ScaleCheck {
     // the corpus in production; 64 cells here keeps cells ~corpus/64
     time(s"semantic dedup (64 cells) over $nVecs vectors")(
       Similarity.semanticDedup(embs, k = 64, threshold = 0.9).count())
+    // IVF cell report (q102): one scan + one k-row agg — must track the
+    // assignment cost of semantic dedup, never exceed it
+    time(s"IVF cell report (64 cells) over $nVecs vectors")(
+      Similarity.ivfCellReport(embs, k = 64).count())
     // hard negatives (q89): same broadcast scorer as brute kNN plus the
     // band filter — cost must track the kNN probe, not exceed it
     time(s"hard negatives over $nVecs vectors")(

@@ -722,6 +722,15 @@ object SparkEntry {
         TextAnalysis.datasetManifest(docs))
         .orderBy("split", "source")
     }),
+    // sketch calibration: est vs EXACT jaccard on the LSH's own
+    // candidates (16 perms x 8 bands, md5 base — the q46 chain)
+    "q103_lsh_calibration" -> ((s, dir) =>
+      Dedup.lshCalibration(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    // dataset-card language table: per (source, predicted language)
+    // doc counts + per-source share in integer HALF_UP basis points
+    "q104_lang_composition" -> ((s, dir) =>
+      TextAnalysis.langComposition(Tables.documents(s, dir))
+        .orderBy("source", "predicted_lang")),
     // bigram-LM surprisal: conditional NLL under the corpus's own
     // add-one-smoothed bigram model — the n-gram step past q84's
     // unigram; integer micro-nats end to end
@@ -2641,6 +2650,87 @@ object SparkEntry {
         |       (20000 * n + sum(n) OVER (PARTITION BY f))
         |         // (2 * sum(n) OVER (PARTITION BY f)) AS prob_bp
         |FROM p ORDER BY from_type, to_type""".stripMargin,
+    // q46's chain through est, then exact jaccard over the candidate
+    // docs' shingle sets via the inverted index; err in 1e-4 ticks
+    "q103_lsh_calibration" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 3),
+        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 5) t),
+        |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+        |perms AS (
+        |  SELECT perm,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS perm) t),
+        |sig AS (
+        |  SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
+        |  FROM bh CROSS JOIN perms GROUP BY doc_id, perm),
+        |banded AS (
+        |  SELECT doc_id, perm // 2 AS band,
+        |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key
+        |  FROM sig GROUP BY doc_id, perm // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |                              AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+        |  GROUP BY c.doc_a, c.doc_b),
+        |prs AS (SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.2),
+        |cd AS (SELECT DISTINCT doc_id FROM
+        |        (SELECT doc_a AS doc_id FROM prs UNION ALL SELECT doc_b FROM prs) t),
+        |csh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cd USING (doc_id)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM csh GROUP BY 1),
+        |ish AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+        |        FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |j AS (SELECT p.doc_a, p.doc_b, p.est_jaccard,
+        |             round(coalesce(ish.i, 0) * 1.0 /
+        |                   (sa.sz + sb.sz - coalesce(ish.i, 0)), 4) AS exact_jaccard
+        |      FROM prs p
+        |      JOIN sz sa ON sa.doc_id = p.doc_a
+        |      JOIN sz sb ON sb.doc_id = p.doc_b
+        |      LEFT JOIN ish ON ish.doc_a = p.doc_a AND ish.doc_b = p.doc_b)
+        |SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+        |       CAST(round(est_jaccard * 10000) - round(exact_jaccard * 10000) AS BIGINT) AS err_ticks
+        |FROM j ORDER BY doc_a, doc_b""".stripMargin,
+    // q32's score CTE + argmax CASE, grouped to the (source, lang) dim;
+    // share in the q95 integer-HALF_UP basis-point formula
+    "q104_lang_composition" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT) AS s_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT) AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT source,
+        |    CASE
+        |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr'
+        |      ELSE 'zh' END AS predicted_lang
+        |  FROM s),
+        |g AS (SELECT source, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM p GROUP BY 1, 2)
+        |SELECT source, predicted_lang, n_docs,
+        |       (20000 * n_docs + sum(n_docs) OVER (PARTITION BY source))
+        |         // (2 * sum(n_docs) OVER (PARTITION BY source)) AS share_bp
+        |FROM g ORDER BY source, predicted_lang""".stripMargin,
     // add-one-smoothed conditional NLL per bigram TYPE, rounded once to
     // integer micro-nats; per-doc sums and HALF_UP mean exact after that
     "q101_bigram_lm" ->

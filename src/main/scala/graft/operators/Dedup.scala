@@ -457,6 +457,44 @@ object Dedup {
     labeled.withColumn("keep", row_number().over(w) === 1)
   }
 
+  /** Sketch calibration report — how faithfully the banded MinHash
+    * estimate tracks EXACT n-gram Jaccard on the sketch's own
+    * candidates: the audit a pipeline reads before trusting
+    * `est ≥ threshold` to mean real similarity (too-coarse signatures
+    * show up as wide error ticks, an over-eager banding as candidates
+    * whose exact overlap is near zero). Exact Jaccard is computed ONLY
+    * for the candidate pairs — the LSH premise in reverse: candidates
+    * ≪ all pairs, so the exact verification is affordable exactly
+    * where the sketch made a claim. Candidate docs semi-join the
+    * shingle table, shared-shingle counts come from the inverted index
+    * restricted to those docs (co-partitioned on the shingle key), and
+    * |A∪B| = |A|+|B|−|A∩B|. Both similarities sit on the 4dp grid, so
+    * `err_ticks` (est − exact, integer 1e-4 ticks) is exact.
+    * Output: doc_a, doc_b, est_jaccard, exact_jaccard, err_ticks.
+    */
+  def lshCalibration(docs: DataFrame, n: Int = 5, numPerms: Int = 16,
+                     bands: Int = 8, threshold: Double = 0.2): DataFrame = {
+    val est = minhashLshPairsPortable(docs, n, numPerms, bands, threshold)
+    val cdocs = est.select(col("doc_a").as("doc_id"))
+      .union(est.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingles(docs, n).join(cdocs, Seq("doc_id"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("__sz"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("__i"))
+    est.join(shared, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("__sz").as("__sa")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("__sz").as("__sb")), Seq("doc_b"))
+      .withColumn("__i", coalesce(col("__i"), lit(0L)))
+      .withColumn("exact_jaccard",
+        round(col("__i").cast("double") / (col("__sa") + col("__sb") - col("__i")), 4))
+      .withColumn("err_ticks",
+        (round(col("est_jaccard") * 10000) - round(col("exact_jaccard") * 10000))
+          .cast("long"))
+      .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard", "err_ticks")
+  }
+
   /** Dedup audit report — the cluster-size histogram a pipeline ships
     * next to its dedup decision: for every cluster size, how many
     * clusters, how many documents they cover, and how many documents

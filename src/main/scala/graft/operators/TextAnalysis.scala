@@ -123,6 +123,27 @@ object TextAnalysis {
     docs.select(col("doc_id") +: langScoreCols(col("text")): _*)
       .withColumn("predicted_lang", predictedFromScores)
 
+  /** Dataset-card language table — the language-composition section
+    * next to [[compositionReport]]'s source×split table: per (source,
+    * predicted language), document count and per-source share in
+    * integer HALF_UP basis points (the q95 `prob_bp` formula — every
+    * rounded ratio here is integer arithmetic, engine-exact). One scan
+    * (the [[languageId]] argmax as fused column exprs) + one bounded
+    * (sources × languages) aggregate; the share window runs on that
+    * bounded dim, never the corpus.
+    * Output: source, predicted_lang, n_docs, share_bp.
+    */
+  def langComposition(docs: DataFrame): DataFrame = {
+    val wsrc = Window.partitionBy(col("source"))
+    docs.select(col("doc_id") +: col("source") +: langScoreCols(col("text")): _*)
+      .withColumn("predicted_lang", predictedFromScores)
+      .groupBy(col("source"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__tot", sum(col("n_docs")).over(wsrc))
+      .withColumn("share_bp", expr("(20000 * n_docs + __tot) div (2 * __tot)"))
+      .drop("__tot")
+  }
+
   /** Canonical text normalization: lowercase, collapse whitespace, trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -892,6 +892,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.map(_._3).sum === 10L) // every doc accounted for
   }
 
+  test("lsh calibration: exact jaccard on candidates, near-dups near zero error") {
+    val got = Dedup.lshCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // exact dups (1,4): identical shingle sets -> exact = 1.0, est = 1.0
+    assert(got((1L, 4L)) === ((1.0, 1.0, 0L)))
+    // the near-dup pair (1,2): one substituted word -> exact < 1, and the
+    // estimate is within the sketch's resolution (16 perms -> 625 ticks)
+    val (est12, exact12, err12) = got((1L, 2L))
+    assert(exact12 > 0.5 && exact12 < 1.0)
+    assert(math.abs(err12) <= 2500)
+    assert(err12 === math.round(est12 * 10000) - math.round(exact12 * 10000))
+  }
+
+  test("lang composition: per-source counts and integer basis-point shares") {
+    val mixed = Seq(
+      (1L, "web", "the cat and the dog is in that house"),   // en
+      (2L, "web", "the fish and the bird is in that tree"),  // en
+      (3L, "web", "der hund und die katze ist nicht ein"),   // de
+      (4L, "books", "el perro es un animal que la los las")  // es
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.langComposition(mixed)
+      .orderBy("source", "predicted_lang")
+      .as[(String, String, Long, Long)].collect()
+    assert(got === Array(
+      ("books", "es", 1L, 10000L),
+      ("web", "de", 1L, 3333L),   // (20000*1 + 3) div 6 = 3333 (HALF_UP down)
+      ("web", "en", 2L, 6667L)))  // (20000*2 + 3) div 6 = 6667
+  }
+
   test("bigram LM: conditional NLL recomputed by hand, short docs have no row") {
     // corpus: "a b a b" and "a b c"; V = 3 (a, b, c); c1: a=3, b=3, c=1
     // bigrams: (a,b)x3, (b,a)x1, (b,c)x1
