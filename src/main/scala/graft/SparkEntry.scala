@@ -722,6 +722,10 @@ object SparkEntry {
         TextAnalysis.datasetManifest(docs))
         .orderBy("split", "source")
     }),
+    // PMI collocations: top-20 adjacent pairs, min count 5 — ranking
+    // integer-exact in micro-nats, deterministic (pmi, prev, cur) order
+    "q105_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(Tables.documents(s, dir))),
     // sketch calibration: est vs EXACT jaccard on the LSH's own
     // candidates (16 perms x 8 bands, md5 base — the q46 chain)
     "q103_lsh_calibration" -> ((s, dir) =>
@@ -2650,6 +2654,30 @@ object SparkEntry {
         |       (20000 * n + sum(n) OVER (PARTITION BY f))
         |         // (2 * sum(n) OVER (PARTITION BY f)) AS prob_bp
         |FROM p ORDER BY from_type, to_type""".stripMargin,
+    // the q101 bigram stream aggregated to pair types; PMI rounded once
+    // to micro-nats so the top-k boundary is integer-deterministic
+    "q105_collocations" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+        |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
+        |bgi AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+        |        FROM w WHERE len(words) >= 2),
+        |bgp AS (SELECT doc_id, words[CAST(i AS INT)] AS prev,
+        |               words[CAST(i + 1 AS INT)] AS cur
+        |        FROM bgi),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bgp),
+        |c2t AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n_pair
+        |        FROM bgp GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT c2t.prev, c2t.cur, c2t.n_pair,
+        |       CAST(round(ln((n.n * n_pair) * 1.0 / (ua.c1 * ub.c1)) * 1000000) AS BIGINT) AS pmi_micro
+        |FROM c2t
+        |JOIN uni ua ON ua.token = c2t.prev
+        |JOIN uni ub ON ub.token = c2t.cur
+        |CROSS JOIN n
+        |ORDER BY pmi_micro DESC, prev, cur LIMIT 20""".stripMargin,
     // q46's chain through est, then exact jaccard over the candidate
     // docs' shingle sets via the inverted index; err in 1e-4 ticks
     "q103_lsh_calibration" ->

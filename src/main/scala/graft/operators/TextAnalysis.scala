@@ -465,14 +465,19 @@ object TextAnalysis {
     * the honest answer for a conditional model.
     * Output: doc_id, n_bigrams, nll_micro, avg_nll2.
     */
-  def bigramLmScore(docs: DataFrame): DataFrame = {
-    val pairs = docs.select(col("doc_id"), tokens(lower(col("text"))).as("__w"))
+  /** The (doc_id, prev, cur) bigram stream with multiplicity — shared by
+    * [[bigramLmScore]] and [[collocations]]. */
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(lower(col("text"))).as("__w"))
       .where(size(col("__w")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("__w")) - 1),
         i => struct(element_at(col("__w"), i).as("prev"),
           element_at(col("__w"), i + 1).as("cur")))).as("__bg"))
       .select(col("doc_id"), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
+
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val pairs = bigramPairs(docs)
     val uni = tokenCounts(docs).withColumnRenamed("n", "c1")
     val vocabSize = uni.agg(count(lit(1)).as("__v"))
     val model = pairs.groupBy(col("prev"), col("cur"))
@@ -487,6 +492,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll")).as("nll_micro"))
       .withColumn("avg_nll2",
         expr("(2 * nll_micro + n_bigrams) div (2 * n_bigrams)") / lit(1e6))
+  }
+
+  /** Collocation mining — the corpus's top-k adjacent token pairs by
+    * pointwise mutual information: the classic phrase-discovery /
+    * tokenizer-merge-candidate signal ("new york" scores high because
+    * its parts co-occur far beyond their independent rates).
+    * `pmi = ln(N · c2 / (c1(prev) · c1(cur)))` with N the total bigram
+    * positions; `minCount` guards PMI's known low-count pathology
+    * (hapax pairs score arbitrarily high). The one ln lands in integer
+    * micro-nats ONCE per surviving pair type, so ranking and its ties
+    * (pmi desc, then prev, cur) are integer-exact across engines.
+    * One bigram hash agg + two broadcast unigram joins +
+    * TakeOrderedAndProject — no global sort.
+    * Output: prev, cur, n_pair, pmi_micro.
+    */
+  def collocations(docs: DataFrame, k: Int = 20, minCount: Int = 5): DataFrame = {
+    require(k >= 1 && minCount >= 1, "need positive k and minCount")
+    val pairs = bigramPairs(docs)
+    val uni = tokenCounts(docs).withColumnRenamed("n", "c1")
+    val total = pairs.agg(count(lit(1)).as("__n"))
+    pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+      .join(broadcast(uni.select(col("token").as("prev"), col("c1").as("__ca"))),
+        Seq("prev"))
+      .join(broadcast(uni.select(col("token").as("cur"), col("c1").as("__cb"))),
+        Seq("cur"))
+      .crossJoin(broadcast(total))
+      .select(col("prev"), col("cur"), col("n_pair"),
+        lnMicros((col("__n") * col("n_pair")).cast("double") /
+          (col("__ca") * col("__cb")).cast("double")).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("prev"), col("cur"))
+      .limit(k)
   }
 
   /** PII patterns — deliberately conservative and ENGINE-PORTABLE (no

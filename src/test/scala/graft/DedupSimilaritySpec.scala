@@ -892,6 +892,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.map(_._3).sum === 10L) // every doc accounted for
   }
 
+  test("collocations: PMI recomputed by hand, bound pair beats free pair, minCount gates") {
+    // "new york" always adjacent (5x); "the", "x?" fillers make other pairs free
+    val lines = (0 until 5).map(i => (i.toLong, s"new york x$i the cat"))
+    val docs5 = lines.toDF("doc_id", "text")
+    // bigram positions: 4 per doc -> N = 20; c1: new=5, york=5, the=5, cat=5, x?=1 each
+    val got = graft.operators.TextAnalysis.collocations(docs5, k = 3, minCount = 5)
+      .as[(String, String, Long, Long)].collect()
+    def pmi(n: Long, c2: Long, ca: Long, cb: Long): Long =
+      math.round(math.log(n.toDouble * c2 / (ca.toDouble * cb)) * 1e6)
+    // survivors at minCount=5: (new,york) c2=5 and (the,cat) c2=5
+    assert(got.toSet === Set(
+      ("new", "york", 5L, pmi(20, 5, 5, 5)),
+      ("the", "cat", 5L, pmi(20, 5, 5, 5))))
+    // hapax pairs (york,x0) never appear despite maximal conditional prob
+    assert(!got.exists(_._1 == "york"))
+  }
+
   test("lsh calibration: exact jaccard on candidates, near-dups near zero error") {
     val got = Dedup.lshCalibration(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
