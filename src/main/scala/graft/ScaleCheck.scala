@@ -272,6 +272,11 @@ object ScaleCheck {
     // co-partitions on the (prev, cur) key the model agg produced
     time(s"bigram-LM surprisal over $nDocs docs")(
       graft.operators.TextAnalysis.bigramLmScore(docs).count())
+    time(s"PMI collocations (top-20, min 5) over $nDocs docs")(
+      graft.operators.TextAnalysis.collocations(docs).count())
+    time(s"language composition over $nDocs docs")(
+      graft.operators.TextAnalysis.langComposition(
+        docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))).count())
     // q92/q93/q94: the curation compositions — cluster-argmax rides the
     // LSH pair cost, curriculum rides lmScore + counting cuts, and the
     // source cap is one scan + a per-source window (no global sort)

@@ -53,7 +53,42 @@ object Dedup {
     * jaccard = inter / (n_a + n_b − inter), filtered ≥ threshold.
     */
   def jaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.4,
-                   maxDf: Int = 100): DataFrame = {
+                   maxDf: Int = 100): DataFrame =
+    sharedShinglePairStats(docs, n, maxDf)
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
+
+  /** One-sided shingle containment pairs — catches SUB-document duplication
+    * (a short doc quoted or embedded inside a longer one) that symmetric
+    * Jaccard misses: a 50-shingle doc fully contained in a 5000-shingle doc
+    * has Jaccard ≈ 0.01 but containment(A) = 1.0. The standard second axis
+    * next to near-dup detection when curating scraped corpora (quote
+    * chains, syndicated articles, template-wrapped reposts).
+    *
+    * Same inverted-index chain as [[jaccardPairs]] (identical scale
+    * posture: df cap bounds the candidate blowup, the shared pinch-point
+    * exchange is computed once); only the final scoring differs —
+    * `contain_a = |A∩B| / |A|`, `contain_b = |A∩B| / |B|`, pair kept when
+    * EITHER side's containment clears the threshold.
+    * Output: doc_a < doc_b, n_a, n_b, n_common, contain_a, contain_b.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.6,
+                       maxDf: Int = 100): DataFrame =
+    sharedShinglePairStats(docs, n, maxDf)
+      .withColumn("contain_a", round(col("n_common") / col("n_a"), 4))
+      .withColumn("contain_b", round(col("n_common") / col("n_b"), 4))
+      .where(col("contain_a") >= threshold || col("contain_b") >= threshold)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "contain_a", "contain_b")
+
+  /** Shared-shingle pair statistics behind [[jaccardPairs]] and
+    * [[containmentPairs]]: per candidate pair (docs sharing ≥ 1 shingle
+    * with df ≤ maxDf), both docs' distinct-shingle counts and the
+    * intersection size over capped shingles.
+    */
+  private def sharedShinglePairStats(docs: DataFrame, n: Int,
+                                     maxDf: Int): DataFrame = {
     // pinch-point exchange: the shingle explode feeds doc sizes, the df
     // cap, and both sides of the inverted-index join — compute it once
     val sh = shingles(docs, n).repartition(col("doc_id"), col("shingle"))
@@ -69,10 +104,6 @@ object Dedup {
     pairs
       .join(docSizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(docSizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
   }
 
   /** Base-hash families for the MinHash paths. The signature/banding
@@ -470,6 +501,15 @@ object Dedup {
     * restricted to those docs (co-partitioned on the shingle key), and
     * |A∪B| = |A|+|B|−|A∩B|. Both similarities sit on the 4dp grid, so
     * `err_ticks` (est − exact, integer 1e-4 ticks) is exact.
+    *
+    * Scale note: the shared-shingle self-join inherits the inverted
+    * index's df pathology WITHIN the candidate set — a boilerplate
+    * shingle present in most candidate docs turns quadratic. Calibration
+    * is an audit, not a production stage: at corpus scale run it on a
+    * candidate SAMPLE (`est.sample(...)` before the semi-join — the
+    * estimate-vs-exact error distribution is what is being measured and
+    * sampling it is statistically sound), or pre-strip boiler shingles
+    * with [[jaccardPairs]]' df-cap discipline.
     * Output: doc_a, doc_b, est_jaccard, exact_jaccard, err_ticks.
     */
   def lshCalibration(docs: DataFrame, n: Int = 5, numPerms: Int = 16,
@@ -518,6 +558,34 @@ object Dedup {
       .select(col("size"), col("n_clusters"),
         (col("size") * col("n_clusters")).as("n_docs"),
         ((col("size") - 1) * col("n_clusters")).as("n_dups_removed"))
+
+  /** Cross-source near-duplicate overlap matrix — which sources duplicate
+    * each other. The curation question behind it: syndication/mirroring
+    * between feeds shows up as off-diagonal mass, scraper re-crawls as
+    * diagonal mass; both drive per-source dedup policy (drop the mirror
+    * feed wholesale vs near-dup within a crawl).
+    *
+    * Input `pairs` is any near-dup pair relation (doc_a, doc_b) — LSH,
+    * SimHash, Jaccard, containment. The matrix rides whatever chain
+    * produced the pairs: this operator itself is two joins from the
+    * pair set (orders of magnitude smaller than the corpus — the
+    * doc→source map joins shuffle pairs, never documents) + one bounded
+    * (sources × sources) aggregate. The (source_a, source_b) cell is
+    * normalized least/greatest so mirrored edges land in one cell.
+    * Output: source_a ≤ source_b, n_pairs.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), Seq("doc_a"))
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), Seq("doc_b"))
+      .groupBy(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
     * 16-bit band buckets (4 bands ⇒ any pair with ≤ 3 differing bits shares
