@@ -722,6 +722,33 @@ object SparkEntry {
         TextAnalysis.datasetManifest(docs))
         .orderBy("split", "source")
     }),
+    // one-sided shingle containment: the sub-document duplication axis
+    // symmetric jaccard misses (quotes/embeds) — q35's inverted-index
+    // chain + df cap, scored per side, kept when either side clears 0.6
+    "q106_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    // vocabulary coverage curve: cumulative token-occurrence share of
+    // the top-100 vocab, integer HALF_UP basis points; top-k is a
+    // TakeOrdered heap, the running sum windows over exactly k rows
+    "q107_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir)).orderBy("rank")),
+    // cross-source near-dup overlap matrix over the q46 LSH pair chain:
+    // syndication shows as off-diagonal mass, re-crawls as diagonal
+    "q108_source_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.sourceOverlapMatrix(docs, Dedup.minhashLshPairsPortable(docs))
+        .orderBy("source_a", "source_b")
+    }),
+    // embedding-table health audit: per (dim, 0.25-norm-bucket) counts,
+    // zero-norm degenerates, micro-tick-exact norm extrema
+    "q109_embedding_audit" -> ((s, dir) =>
+      Similarity.embeddingAudit(Tables.embeddings(s, dir))
+        .orderBy("dim", "norm_bucket")),
+    // tokenizer-fertility report: chars-per-token (HALF_UP basis
+    // points) per q32-predicted language — one scan + 5-row aggregate
+    "q110_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir))
+        .orderBy("predicted_lang")),
     // PMI collocations: top-20 adjacent pairs, min count 5 — ranking
     // integer-exact in micro-nats, deterministic (pmi, prev, cur) order
     "q105_collocations" -> ((s, dir) =>
@@ -2656,6 +2683,103 @@ object SparkEntry {
         |FROM p ORDER BY from_type, to_type""".stripMargin,
     // the q101 bigram stream aggregated to pair types; PMI rounded once
     // to micro-nats so the top-k boundary is integer-deterministic
+    // q35's shingle/df-cap chain verbatim, containment scoring per side
+    "q106_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 3),
+        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 5) t),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |capped AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT p.doc_a, p.doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, p.n_common,
+        |       round(p.n_common / sa.n_sh, 4) AS contain_a,
+        |       round(p.n_common / sb.n_sh, 4) AS contain_b
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.doc_a
+        |JOIN sizes sb ON sb.doc_id = p.doc_b
+        |WHERE round(p.n_common / sa.n_sh, 4) >= 0.6
+        |   OR round(p.n_common / sb.n_sh, 4) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q107_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100),
+        |r AS (SELECT token, n,
+        |        CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+        |        CAST(sum(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM top)
+        |SELECT rank, token, n, (20000 * cum + total) // (2 * total) AS cum_share_bp
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
+    // the shared LSH chain through `pr`, sources joined on both ends;
+    // cells least/greatest-normalized like the engine
+    "q108_source_overlap" ->
+      s"""WITH RECURSIVE $LshClusterSql
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pr
+         |JOIN documents da ON da.doc_id = pr.doc_a
+         |JOIN documents db ON db.doc_id = pr.doc_b
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin,
+    // q36's component/norm CTEs; extrema on micro ticks like the engine
+    "q109_embedding_audit" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
+        |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
+        |comp AS (SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |         FROM e CROSS JOIN idx),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |t AS (SELECT CAST(len(e.embedding) AS BIGINT) AS dim,
+        |             CAST(floor(n.nrm * 4) AS BIGINT) AS norm_bucket,
+        |             CAST(floor(n.nrm * 1000000 + 0.5) AS BIGINT) AS nt
+        |      FROM e JOIN norms n ON n.vec_id = e.vec_id)
+        |SELECT dim, norm_bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       min(nt) / 1e6 AS min_norm, max(nt) / 1e6 AS max_norm
+        |FROM t GROUP BY 1, 2 ORDER BY dim, norm_bucket""".stripMargin,
+    // q32's score CTE + argmax CASE with token/char counters fused in
+    "q110_fertility" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS n_ch,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT) AS s_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT) AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT n_toks, n_ch,
+        |    CASE
+        |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr'
+        |      ELSE 'zh' END AS predicted_lang
+        |  FROM s),
+        |g AS (SELECT predicted_lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |             CAST(sum(n_ch) AS BIGINT) AS n_chars
+        |      FROM p GROUP BY 1)
+        |SELECT predicted_lang, n_docs, n_tokens, n_chars,
+        |       (20000 * n_chars + n_tokens) // (2 * n_tokens) AS cpt_bp
+        |FROM g ORDER BY predicted_lang""".stripMargin,
     "q105_collocations" ->
       """WITH w AS (
         |  SELECT doc_id,

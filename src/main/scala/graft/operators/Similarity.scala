@@ -665,6 +665,36 @@ object Similarity {
         (col("__md").cast("double") / lit(1e6)).as("max_dist"))
   }
 
+  /** Embedding-table health audit — the pre-flight check before any
+    * similarity/dedup stage trusts the vectors: per (dimension,
+    * 0.25-wide norm bucket), vector count, zero-norm count (degenerate
+    * rows that poison cosine — division by zero — and centroid
+    * training), and the exact norm range. A mixed-dim cell or a fat
+    * zero bucket is the "embedding job half-failed" signature caught
+    * here instead of as NaNs downstream.
+    *
+    * One scan + one bounded aggregate (dims × norm buckets). Norm
+    * extrema follow the integer micro-tick discipline ([[ivfCellReport]]):
+    * fixed to ticks BEFORE min/max so results are exact in any fold
+    * order and engine-portable.
+    * Output: dim, norm_bucket (= floor(norm·4)), n_vecs, n_zero,
+    * min_norm, max_norm (micro-tick exact).
+    */
+  def embeddingAudit(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(size(col("embedding")).cast("long").as("dim"),
+        l2norm(asDouble(col("embedding"))).as("norm"))
+      .select(col("dim"),
+        floor(col("norm") * 4).cast("long").as("norm_bucket"),
+        floor(col("norm") * 1e6 + 0.5).cast("long").as("__nt"))
+      .groupBy(col("dim"), col("norm_bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("__nt") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("__nt")).as("__mn"), max(col("__nt")).as("__mx"))
+      .select(col("dim"), col("norm_bucket"), col("n_vecs"), col("n_zero"),
+        (col("__mn").cast("double") / lit(1e6)).as("min_norm"),
+        (col("__mx").cast("double") / lit(1e6)).as("max_norm"))
+
   def semanticDedup(embeddings: DataFrame, k: Int = 8, threshold: Double = 0.85,
                     centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -144,6 +144,30 @@ object TextAnalysis {
       .drop("__tot")
   }
 
+  /** Tokenizer-fertility report per predicted language — document count,
+    * token and character totals, and characters-per-token in integer
+    * HALF_UP basis points (`cpt_bp`; whitespace tokens as the fertility
+    * proxy — the cross-language signal a tokenizer budget review needs:
+    * a language whose cpt runs high pays more sequence length per word
+    * under a byte-level vocab). One corpus scan (the [[languageId]]
+    * argmax fused as column exprs with the length/size counters) + one
+    * aggregate over the bounded language dim.
+    * Output: predicted_lang, n_docs, n_tokens, n_chars, cpt_bp.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +:
+        nTokensExpr(col("text")).as("n_toks") +:
+        length(col("text")).cast("long").as("n_ch") +:
+        langScoreCols(col("text")): _*)
+      .withColumn("predicted_lang", predictedFromScores)
+      .groupBy(col("predicted_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_ch")).as("n_chars"))
+      .withColumn("cpt_bp",
+        expr("(20000 * n_chars + n_tokens) div (2 * n_tokens)"))
+
   /** Canonical text normalization: lowercase, collapse whitespace, trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
@@ -256,6 +280,37 @@ object TextAnalysis {
         round(col("n") / col("total"), 6).as("freq"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+  }
+
+  /** Vocabulary coverage curve — for each rank in the top-k vocabulary,
+    * the cumulative fraction of ALL token occurrences covered by the
+    * vocab up to that rank. The tokenizer-design staple: "what vocab
+    * size covers 95% of the corpus" is read straight off the curve, and
+    * the curve's tail slope is the OOV-rate forecast for any proposed
+    * cutoff.
+    *
+    * Scale shape: token counts are one corpus hash aggregate (map-side
+    * partials); the top-k is a TakeOrderedAndProject (per-partition heap
+    * + bounded driver merge — no global sort); the running sum then
+    * windows over exactly k rows, bounded by construction at any corpus
+    * size. Cumulative share is integer HALF_UP basis points (the
+    * engine-exact `share_bp` arithmetic used across the report family).
+    * Output: rank (1-based by count desc, token asc), token, n,
+    * cum_share_bp.
+    */
+  def vocabCoverage(docs: DataFrame, k: Int = 100): DataFrame = {
+    val counts = tokenCounts(docs)
+    val total = counts.agg(sum(col("n")).as("total"))
+    val ord = Seq(col("n").desc, col("token").asc)
+    val w = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.orderBy(ord: _*).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .withColumn("__cum", sum(col("n")).over(w))
+      .withColumn("cum_share_bp",
+        expr("(20000 * __cum + total) div (2 * total)"))
+      .select("rank", "token", "n", "cum_share_bp")
   }
 
   /** Benchmark decontamination — flag corpus documents sharing any word

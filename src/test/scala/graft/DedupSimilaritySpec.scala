@@ -939,6 +939,69 @@ class DedupSimilaritySpec extends AnyFunSuite {
       ("web", "en", 2L, 6667L)))  // (20000*2 + 3) div 6 = 6667
   }
 
+  test("containment pairs: a doc embedded in a longer one is caught, jaccard misses it") {
+    val eight = "one two three four five six seven eight"
+    val filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val fixture = Seq(
+      (1L, eight),             // 4 distinct 5-gram shingles
+      (2L, s"$eight $filler"), // contains doc 1 verbatim + 20 more tokens
+      (3L, "unrelated words entirely different from anything else present here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(fixture, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.length === 1)
+    val (a, b, na, nb, common, ca, _) = got.head
+    assert((a, b) === ((1L, 2L)))
+    assert(ca === 1.0) // every doc-1 shingle inside doc 2
+    assert(common === na && nb > na)
+    // symmetric jaccard at the same cut finds nothing: 4/24 dilutes it
+    assert(Dedup.jaccardPairs(fixture, threshold = 0.9).count() === 0L)
+  }
+
+  test("vocab coverage curve: cumulative share in HALF_UP basis points") {
+    val vdocs = Seq((1L, "b a a"), (2L, "c b A")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(vdocs, k = 2)
+      .as[(Long, String, Long, Long)].collect()
+    // 6 tokens: a×3, b×2, c×1 — a covers 5000 bp, a+b covers 8333 bp
+    assert(got === Array((1L, "a", 3L, 5000L), (2L, "b", 2L, 8333L)))
+  }
+
+  test("source overlap matrix: pair cells are least/greatest-normalized") {
+    val d = Seq((1L, "web"), (2L, "web"), (3L, "web"), (4L, "books"), (5L, "books"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (1L, 4L), (2L, 4L), (3L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.sourceOverlapMatrix(d, pairs).orderBy("source_a", "source_b")
+      .as[(String, String, Long)].collect()
+    assert(got === Array(("books", "web", 3L), ("web", "web", 1L)))
+  }
+
+  test("embedding audit: dim/norm buckets, zero-norm degenerates, tick-exact extrema") {
+    val embs = Seq(
+      (1L, Seq(3f, 4f)),    // norm 5 → bucket 20
+      (2L, Seq(0f, 0f)),    // degenerate zero vector
+      (3L, Seq(1f, 0f)),    // norm 1 → bucket 4
+      (4L, Seq(0.6f, 0.8f)) // norm 1 → bucket 4
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingAudit(embs).orderBy("dim", "norm_bucket")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(got === Array(
+      (2L, 0L, 1L, 1L, 0.0, 0.0),
+      (2L, 4L, 2L, 0L, 1.0, 1.0),
+      (2L, 20L, 1L, 0L, 5.0, 5.0)))
+  }
+
+  test("tokenizer fertility: chars-per-token basis points per predicted language") {
+    val mixed = Seq(
+      (1L, "the cat and the dog is in that house"), // en: 9 tokens, 36 chars
+      (2L, "der hund und die katze ist nicht ein")  // de: 8 tokens, 36 chars
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenizerFertility(mixed).orderBy("predicted_lang")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // 36/8 = 4.5 cpt → 45000 bp; 36/9 = 4.0 → 40000 bp
+    assert(got === Array(("de", 1L, 8L, 36L, 45000L), ("en", 1L, 9L, 36L, 40000L)))
+  }
+
   test("bigram LM: conditional NLL recomputed by hand, short docs have no row") {
     // corpus: "a b a b" and "a b c"; V = 3 (a, b, c); c1: a=3, b=3, c=1
     // bigrams: (a,b)x3, (b,a)x1, (b,c)x1
