@@ -722,6 +722,28 @@ object SparkEntry {
         TextAnalysis.datasetManifest(docs))
         .orderBy("split", "source")
     }),
+    // gate-funnel report: first-failing-gate counts over the decorated
+    // corpus with every gate live (classifier cut 0.0, q68's mixture)
+    "q111_gate_funnel" -> ((s, dir) =>
+      TextAnalysis.gateFunnel(piiDecorated(Tables.documents(s, dir)),
+        classifierThreshold = 0.0, rates = MixtureRates, defaultRate = 0.1)
+        .orderBy("stage")),
+    // char-class composition per source: the encoding/markup health
+    // card — disjoint classes, HALF_UP bp shares, one scan
+    "q112_charclass" -> ((s, dir) =>
+      TextAnalysis.charClassProfile(Tables.documents(s, dir)).orderBy("source")),
+    // top boilerplate lines by document frequency over the lineified
+    // corpus — the pre-commit audit for q66's minDf choice
+    "q113_boilerplate_topk" -> ((s, dir) =>
+      TextAnalysis.topBoilerplateLines(lineified(Tables.documents(s, dir)))
+        .orderBy("rank")),
+    // zipf slope over the top-100 vocab: integer micro-nat least squares
+    "q114_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, dir))),
+    // per-source quality quantiles: type-1 cuts on the 4dp counting grid
+    "q115_source_quality" -> ((s, dir) =>
+      TextAnalysis.sourceQualityQuantiles(Tables.documents(s, dir))
+        .orderBy("source")),
     // one-sided shingle containment: the sub-document duplication axis
     // symmetric jaccard misses (quotes/embeds) — q35's inverted-index
     // chain + df cap, scored per side, kept when either side clears 0.6
@@ -2683,6 +2705,153 @@ object SparkEntry {
         |FROM p ORDER BY from_type, to_type""".stripMargin,
     // the q101 bigram stream aggregated to pair types; PMI rounded once
     // to micro-nats so the top-k boundary is integer-deterministic
+    // the full row-local gate chain over the decorated corpus: q60's pii
+    // regexes, QualitySql's formula, q32's langid CASE, q67's classifier,
+    // q68's mixture CASE — first failing gate wins, shares HALF_UP bp
+    "q111_gate_funnel" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $PiiDecorateSql AS text FROM documents),
+         |pii AS (
+         |  SELECT doc_id,
+         |    (len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) > 0
+         |     OR len(regexp_extract_all(lower(text), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) > 0
+         |     OR len(regexp_extract_all(lower(text), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0) AS has_pii
+         |  FROM d),
+         |qt AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
+         |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS DOUBLE) AS n_stop
+         |  FROM d),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(n_toks / 200.0, 1.0) * 0.5
+         |        + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
+         |        + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
+         |        4) AS quality
+         |  FROM qt),
+         |ls AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|nicht|ist|ein)\\b')) AS BIGINT) AS s_de,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|in|that)\\b')) AS BIGINT) AS s_en,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|un|una|que)\\b')) AS BIGINT) AS s_es,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(le|la|les|est|une|des|dans)\\b')) AS BIGINT) AS s_fr,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b(de|shi|bu|le|zai|wo|you)\\b')) AS BIGINT) AS s_zh
+         |  FROM d),
+         |lang AS (
+         |  SELECT doc_id, CASE
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh' END AS predicted_lang
+         |  FROM ls),
+         |tok AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                            x -> x <> '')) AS token
+         |  FROM d),
+         |wts AS (
+         |  SELECT doc_id,
+         |    (('0x' || substr(md5('w:' ||
+         |        CAST((('0x' || substr(md5(token), 1, 8))::BIGINT % 1024) AS VARCHAR)),
+         |      1, 8))::BIGINT / 2147483648.0) - 1.0 AS w
+         |  FROM tok),
+         |cs AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS raw FROM wts GROUP BY doc_id),
+         |cls AS (SELECT d.doc_id, coalesce(round(raw / n_tokens, 6), 0.0) AS score
+         |        FROM d LEFT JOIN cs ON cs.doc_id = d.doc_id),
+         |mix AS (
+         |  SELECT doc_id,
+         |         (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |           % 10000) <
+         |         (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
+         |                      WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500
+         |                      ELSE 1000 END) AS kept
+         |  FROM d),
+         |v AS (
+         |  SELECT CASE WHEN pii.has_pii THEN 'pii'
+         |              WHEN q.quality < 0.4 THEN 'quality'
+         |              WHEN lang.predicted_lang <> 'en' THEN 'language'
+         |              WHEN cls.score <= 0.0 THEN 'classifier'
+         |              WHEN NOT mix.kept THEN 'mixture'
+         |              ELSE 'admitted' END AS gate
+         |  FROM d JOIN pii USING (doc_id) JOIN q USING (doc_id)
+         |         JOIN lang USING (doc_id) JOIN cls USING (doc_id)
+         |         JOIN mix USING (doc_id)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM v),
+         |g AS (SELECT gate, CAST(count(*) AS BIGINT) AS n_docs FROM v GROUP BY 1)
+         |SELECT CAST(CASE gate WHEN 'pii' THEN 1 WHEN 'quality' THEN 2
+         |            WHEN 'language' THEN 3 WHEN 'classifier' THEN 4
+         |            WHEN 'mixture' THEN 5 ELSE 6 END AS BIGINT) AS stage,
+         |       gate, n_docs, (20000 * n_docs + t) // (2 * t) AS share_bp
+         |FROM g CROSS JOIN tot ORDER BY stage""".stripMargin,
+    "q112_charclass" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(length(text) AS BIGINT) AS n_ch,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS a,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dg,
+        |    CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS sp,
+        |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS BIGINT) AS p
+        |  FROM documents),
+        |g AS (SELECT source, CAST(sum(n_ch) AS BIGINT) AS n_chars,
+        |             CAST(sum(a) AS BIGINT) AS a, CAST(sum(dg) AS BIGINT) AS dg,
+        |             CAST(sum(sp) AS BIGINT) AS sp, CAST(sum(p) AS BIGINT) AS p
+        |      FROM c GROUP BY 1)
+        |SELECT source, n_chars,
+        |       (20000 * a + n_chars) // (2 * n_chars) AS alpha_bp,
+        |       (20000 * dg + n_chars) // (2 * n_chars) AS digit_bp,
+        |       (20000 * sp + n_chars) // (2 * n_chars) AS space_bp,
+        |       (20000 * p + n_chars) // (2 * n_chars) AS punct_bp,
+        |       (20000 * (n_chars - a - dg - sp - p) + n_chars) // (2 * n_chars) AS other_bp
+        |FROM g ORDER BY source""".stripMargin,
+    // q66's lineified corpus; df distinct-first, top-20 by (df desc, line)
+    "q113_boilerplate_topk" ->
+      s"""WITH $LineifySql,
+         |lns AS (SELECT DISTINCT doc_id, line FROM (
+         |          SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d) t),
+         |dfs AS (SELECT line, CAST(count(*) AS BIGINT) AS df FROM lns
+         |        GROUP BY 1 HAVING count(*) >= 2),
+         |top AS (SELECT line, df FROM dfs ORDER BY df DESC, line LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY df DESC, line) AS BIGINT) AS rank,
+         |       line, df
+         |FROM top ORDER BY rank""".stripMargin,
+    // least squares over integer micro-nat (ln rank, ln count) points;
+    // exact BIGINT sums, one double division rounded 6dp
+    "q114_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100),
+        |r AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank FROM top),
+        |m AS (SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS x,
+        |             CAST(round(ln(n) * 1000000) AS BIGINT) AS y FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM m)
+        |SELECT k AS n_points,
+        |       round(CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS slope
+        |FROM a""".stripMargin,
+    // q77's quality chain; explicit type-1 quantiles on the counting grid
+    "q115_source_quality" ->
+      s"""WITH $QualitySql,
+         |src AS (SELECT d.source, q.quality FROM documents d JOIN q ON q.doc_id = d.doc_id),
+         |cells AS (SELECT source, quality, CAST(count(*) AS BIGINT) AS cnt
+         |          FROM src GROUP BY 1, 2),
+         |cum AS (SELECT source, quality, cnt,
+         |          CAST(sum(cnt) OVER (PARTITION BY source ORDER BY quality
+         |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |          CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+         |        FROM cells)
+         |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |       min(CASE WHEN cum * 100 >= n * 25 THEN quality END) AS p25,
+         |       min(CASE WHEN cum * 100 >= n * 50 THEN quality END) AS p50,
+         |       min(CASE WHEN cum * 100 >= n * 75 THEN quality END) AS p75
+         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     // q35's shingle/df-cap chain verbatim, containment scoring per side
     "q106_containment" ->
       """WITH w AS (

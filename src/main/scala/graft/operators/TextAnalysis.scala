@@ -85,6 +85,33 @@ object TextAnalysis {
       qualityExpr(col("text")).as("quality"))
   }
 
+  /** Per-source quality quantiles (p25/p50/p75) — the distribution view
+    * behind a per-source filtering policy: a source whose median sits
+    * under the global gate threshold is dropped wholesale, one with a
+    * thin low-quality tail is filtered per-document. Quantiles are
+    * explicit type-1 (smallest value with cumulative count ≥ ⌈p·n⌉, as
+    * exact integer comparisons — no interpolation, engine-portable), and
+    * the cumulative window runs over the (source × 4dp-quality-grid)
+    * COUNTING dim — ≤ 10001 cells per source at any corpus size, the
+    * [[graft.operators.Stats]] counting-quantile discipline.
+    * Output: source, n_docs, p25, p50, p75.
+    */
+  def sourceQualityQuantiles(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select(col("source"), qualityExpr(col("text")).as("quality"))
+      .groupBy(col("source"), col("quality")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrc = Window.partitionBy(col("source"))
+    def pick(p: Int): Column =
+      min(when(col("cum") * 100 >= col("n") * p, col("quality"))).as(s"p$p")
+    cells
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wSrc))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), pick(25), pick(50), pick(75))
+  }
+
   /** Marker-word lists per language for the n-gram heuristic language ID. */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
@@ -142,6 +169,37 @@ object TextAnalysis {
       .withColumn("__tot", sum(col("n_docs")).over(wsrc))
       .withColumn("share_bp", expr("(20000 * n_docs + __tot) div (2 * __tot)"))
       .drop("__tot")
+  }
+
+  /** Character-class composition per source — the encoding/markup health
+    * check on a dataset card: shares (integer HALF_UP basis points of the
+    * source's characters) of letters, digits, whitespace, sentence
+    * punctuation, and everything else. A source whose `other_bp` spikes
+    * is the "binary junk / markup soup / mojibake" signature caught
+    * before tokenization. One scan of per-class codegen'd counters + one
+    * bounded per-source aggregate; classes are disjoint so the five
+    * shares + rounding partition each source's characters.
+    * Output: source, n_chars, alpha_bp, digit_bp, space_bp, punct_bp,
+    * other_bp.
+    */
+  def charClassProfile(docs: DataFrame): DataFrame = {
+    def cnt(re: String): Column =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    docs.select(col("source"),
+        length(col("text")).cast("long").as("n_ch"),
+        cnt("[A-Za-z]").as("n_alpha"), cnt("[0-9]").as("n_digit"),
+        cnt("\\s").as("n_space"), cnt("[\\.,;:!\\?]").as("n_punct"))
+      .groupBy(col("source"))
+      .agg(sum("n_ch").as("n_chars"), sum("n_alpha").as("__a"),
+        sum("n_digit").as("__d"), sum("n_space").as("__s"),
+        sum("n_punct").as("__p"))
+      .select(col("source"), col("n_chars"),
+        expr("(20000 * __a + n_chars) div (2 * n_chars)").as("alpha_bp"),
+        expr("(20000 * __d + n_chars) div (2 * n_chars)").as("digit_bp"),
+        expr("(20000 * __s + n_chars) div (2 * n_chars)").as("space_bp"),
+        expr("(20000 * __p + n_chars) div (2 * n_chars)").as("punct_bp"),
+        expr("(20000 * (n_chars - __a - __d - __s - __p) + n_chars) div (2 * n_chars)")
+          .as("other_bp"))
   }
 
   /** Tokenizer-fertility report per predicted language — document count,
@@ -298,6 +356,35 @@ object TextAnalysis {
     * Output: rank (1-based by count desc, token asc), token, n,
     * cum_share_bp.
     */
+  /** Zipf-slope fit over the top-k vocabulary — the one-number
+    * distributional health check next to [[vocabCoverage]]: the
+    * least-squares slope of log(count) against log(rank). Natural text
+    * sits near −1; a slope far from it flags template/boilerplate-heavy
+    * or synthetic corpora before any model sees them.
+    *
+    * Engine-portable by the integer-tick discipline: both logs are fixed
+    * to integer micro-nats ([[lnMicros]]) per point, all four
+    * least-squares sums run in exact BIGINT arithmetic (k ≤ a few
+    * thousand keeps every product far inside 2⁶³), and only the final
+    * slope division is floating point, rounded 6dp. Same scale shape as
+    * [[vocabCoverage]]: corpus hash agg → top-k heap → k-row aggregate.
+    * Output: one row — n_points, slope.
+    */
+  def zipfSlope(docs: DataFrame, k: Int = 100): DataFrame = {
+    val counts = tokenCounts(docs)
+    val ord = Seq(col("n").desc, col("token").asc)
+    counts.orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(lnMicros(col("rank")).as("x"), lnMicros(col("n")).as("y"))
+      .agg(count(lit(1)).as("__k"), sum("x").as("__sx"), sum("y").as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .select(col("__k").as("n_points"),
+        round((col("__k") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          (col("__k") * col("__sxx") - col("__sx") * col("__sx")).cast("double"), 6)
+          .as("slope"))
+  }
+
   def vocabCoverage(docs: DataFrame, k: Int = 100): DataFrame = {
     val counts = tokenCounts(docs)
     val total = counts.agg(sum(col("n")).as("total"))
@@ -892,6 +979,26 @@ object TextAnalysis {
     * Output: doc_id, n_lines, n_kept, cleaned (kept lines joined by \n;
     * empty string when every line was boilerplate).
     */
+  /** Top boilerplate lines by document frequency — the "what chrome is
+    * [[dedupLines]] about to strip" audit a curation run reviews before
+    * committing to a minDf. Document frequency is computed distinct-first
+    * (the (line, doc) distinct shuffles on BOTH columns — uniform even
+    * for a line in half the corpus, the q66 skew lesson), the top-k is a
+    * TakeOrdered heap, and the rank window touches k rows only.
+    * Output: rank (df desc, line asc), line, df.
+    */
+  def topBoilerplateLines(docs: DataFrame, k: Int = 20,
+                          minDf: Int = 2): DataFrame = {
+    val ord = Seq(col("df").desc, col("line").asc)
+    docs.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select("rank", "line", "df")
+  }
+
   def dedupLines(docs: DataFrame, minDf: Int = 2,
                  broadcastBoiler: Boolean = true): DataFrame = {
     require(minDf >= 2, "minDf < 2 would drop every line")
@@ -1037,6 +1144,37 @@ object TextAnalysis {
           .when(!col("__kept"), "mixture")
           .otherwise(lit(null).cast("string")))
       .select(base :+ col("reject_reason"): _*)
+  }
+
+  /** Gate-funnel report over [[gateVerdict]] — the curation dashboard's
+    * first table: per gate (in chain order), how many documents the stack
+    * rejects there and the corpus share in integer HALF_UP basis points.
+    * Because [[gateVerdict]] records the FIRST failing gate, the rows
+    * partition the corpus exactly (shares sum to ~10000 bp) and read as a
+    * funnel: a document counted at `quality` already survived `pii`.
+    * One scan (the fused verdict projection) + one ≤6-row aggregate.
+    * Output: stage (1=pii … 5=mixture, 6=admitted), gate, n_docs,
+    * share_bp; only non-empty stages appear.
+    */
+  def gateFunnel(docs: DataFrame, minQuality: Double = 0.4,
+                 lang: String = "en",
+                 classifierThreshold: Double = -1.0,
+                 rates: Map[String, Double] = Map.empty,
+                 defaultRate: Double = 1.0): DataFrame = {
+    val v = gateVerdict(docs, minQuality, lang, classifierThreshold, rates,
+        defaultRate)
+      .withColumn("gate", coalesce(col("reject_reason"), lit("admitted")))
+    val stage = when(col("gate") === "pii", 1L)
+      .when(col("gate") === "quality", 2L)
+      .when(col("gate") === "language", 3L)
+      .when(col("gate") === "classifier", 4L)
+      .when(col("gate") === "mixture", 5L)
+      .otherwise(6L)
+    val counts = v.groupBy(col("gate")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .select(stage.as("stage"), col("gate"), col("n_docs"),
+        expr("(20000 * n_docs + __t) div (2 * __t)").as("share_bp"))
   }
 
   /** Sequence-packing plan (GPT-style concat-and-split): documents are

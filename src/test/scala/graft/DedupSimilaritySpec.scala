@@ -1002,6 +1002,67 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Array(("de", 1L, 8L, 36L, 45000L), ("en", 1L, 9L, 36L, 40000L)))
   }
 
+  test("gate funnel: first failing gate wins, shares partition the corpus") {
+    val good = "the cat and the dog is in that house on the mat with a friend of ours"
+    val fixture = Seq(
+      (1L, "keep", s"$good contact bob@example.com"),          // pii (gate 1)
+      (2L, "keep", "zzz"),                                     // quality (gate 2)
+      (3L, "keep", "der hund und die katze ist nicht ein in in"), // language (3)
+      (4L, "drop", good),                                      // mixture (rate 0)
+      (5L, "keep", good)                                       // admitted
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.gateFunnel(fixture,
+        rates = Map("keep" -> 1.0, "drop" -> 0.0))
+      .orderBy("stage").as[(Long, String, Long, Long)].collect()
+    assert(got === Array(
+      (1L, "pii", 1L, 2000L), (2L, "quality", 1L, 2000L),
+      (3L, "language", 1L, 2000L), (5L, "mixture", 1L, 2000L),
+      (6L, "admitted", 1L, 2000L)))
+  }
+
+  test("char-class profile: disjoint classes in HALF_UP basis points") {
+    val fixture = Seq((1L, "web", "ab 12.")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.charClassProfile(fixture)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // 6 chars: 2 alpha, 2 digit, 1 space, 1 punct, 0 other
+    assert(got === Array(("web", 6L, 3333L, 3333L, 1667L, 1667L, 0L)))
+  }
+
+  test("top boilerplate lines: df is per-doc distinct, rank by (df desc, line)") {
+    val fixture = Seq(
+      (1L, "h\nh\na"), // repeated within one doc counts once
+      (2L, "h\nb"), (3L, "h\nb")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.topBoilerplateLines(fixture)
+      .as[(Long, String, Long)].collect()
+    assert(got === Array((1L, "h", 3L), (2L, "b", 2L)))
+  }
+
+  test("zipf slope: integer micro-nat least squares recomputed by hand") {
+    val fixture = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    // ranks 1,2,3 with counts 4,2,1 → micro-nat points:
+    val x = Seq(0L, 693147L, 1098612L)       // round(ln(rank)·1e6)
+    val y = Seq(1386294L, 693147L, 0L)       // round(ln(n)·1e6)
+    val k = 3L
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sxx = x.map(a => a * a).sum
+    val want = BigDecimal((k * sxy - sx * sy).toDouble / (k * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.zipfSlope(fixture).as[(Long, Double)].head()
+    assert(got === ((3L, want)))
+    assert(want < -1.0 && want > -1.5) // zipf-ish corpus sits near −1
+  }
+
+  test("source quality quantiles: type-1 cuts on the 4dp grid") {
+    // 1..4 'zzzz' tokens → qualities 0.2025 < 0.205 < 0.2075 < 0.21
+    val fixture = (1 to 4).map(i => (i.toLong, "s", Seq.fill(i)("zzzz").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceQualityQuantiles(fixture)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got === Array(("s", 4L, 0.2025, 0.205, 0.2075)))
+  }
+
   test("bigram LM: conditional NLL recomputed by hand, short docs have no row") {
     // corpus: "a b a b" and "a b c"; V = 3 (a, b, c); c1: a=3, b=3, c=1
     // bigrams: (a,b)x3, (b,a)x1, (b,c)x1
