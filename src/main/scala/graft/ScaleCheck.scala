@@ -285,9 +285,9 @@ object ScaleCheck {
     // relation — a LocalTableScan (driver union-find path) or a
     // checkpointed RDD scan (distributed path) — so the consumer join
     // can never re-execute the pair-generation subtree
-    val clusters92 = graft.operators.Dedup.dupClusters(
-      graft.operators.Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
-        threshold = 0.2))
+    val pairs92 = graft.operators.Dedup.minhashLshPairs(docs, numPerms = 16,
+      bands = 8, threshold = 0.2)
+    val clusters92 = graft.operators.Dedup.dupClusters(pairs92)
     val cPlan = clusters92.queryExecution.executedPlan.toString
     assert(cPlan.contains("LocalTableScan") || cPlan.contains("ExistingRDD"),
       s"dupClusters output must be lineage-cut, got:\n$cPlan")
@@ -323,6 +323,41 @@ object ScaleCheck {
       graft.operators.TextAnalysis.datasetManifest(
         docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))))
         .count())
+    // q111/q112/q110: one-scan report family — fused gate verdict,
+    // per-class counters, langid argmax; aggregates land on bounded dims
+    // (gates, sources, languages), so cost is scan-bound at any corpus
+    val sourced = docs.withColumn("source",
+      concat(lit("src"), pmod(col("doc_id"), lit(20))))
+    time(s"gate funnel over $nDocs docs")(
+      graft.operators.TextAnalysis.gateFunnel(sourced,
+        classifierThreshold = 0.0,
+        rates = Map("src0" -> 1.0, "src1" -> 0.75), defaultRate = 0.1).count())
+    time(s"char-class profile over $nDocs docs")(
+      graft.operators.TextAnalysis.charClassProfile(sourced).count())
+    time(s"tokenizer fertility over $nDocs docs")(
+      graft.operators.TextAnalysis.tokenizerFertility(docs).count())
+    // q107/q114: corpus hash agg → TakeOrdered top-k heap → k-row window;
+    // the only window in either plan touches ≤ k rows by construction
+    time(s"vocab coverage (top-100) over $nDocs docs")(
+      graft.operators.TextAnalysis.vocabCoverage(docs).count())
+    time(s"zipf slope (top-100) over $nDocs docs")(
+      graft.operators.TextAnalysis.zipfSlope(docs).count())
+    // q115: the quantile window runs on the (source x 4dp-quality) grid,
+    // <= 10001 cells/source regardless of corpus size
+    time(s"source quality quantiles over $nDocs docs")(
+      graft.operators.TextAnalysis.sourceQualityQuantiles(sourced).count())
+    // q113 on the 50%-hot-line corpus: df is distinct-first (the (line,
+    // doc) distinct shuffles on both columns), so the hot key never
+    // routes whole to one reducer; top-k is a TakeOrdered heap
+    time(s"boilerplate top-k SKEWED (hot line in 50% of $nDocs docs)")(
+      graft.operators.TextAnalysis.topBoilerplateLines(skewed).count())
+    // q106: the containment join inherits jaccard's inverted-index df cap
+    // (pair blowup bounded by df^2 per shingle), only the scoring differs
+    time(s"containment pairs over $nDocs docs")(
+      graft.operators.Dedup.containmentPairs(docs).count())
+    // q108: matrix joins move the PAIR set (<< corpus), never documents
+    time(s"source overlap matrix over $nDocs docs")(
+      graft.operators.Dedup.sourceOverlapMatrix(sourced, pairs92).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so
@@ -362,6 +397,10 @@ object ScaleCheck {
     time(s"hard negatives over $nVecs vectors")(
       Similarity.hardNegatives(embs, pmod(col("vec_id"), lit(1000)) === 0,
         k = 10, lo = 0.05, hi = 0.6).count())
+    // q109: one scan + (dim x bucket) agg — the audit must stay the
+    // cheapest probe in this section at any vector count
+    time(s"embedding audit over $nVecs vectors")(
+      Similarity.embeddingAudit(embs).count())
     embs.unpersist()
     spark.stop()
   }
