@@ -722,6 +722,47 @@ object SparkEntry {
         TextAnalysis.datasetManifest(docs))
         .orderBy("split", "source")
     }),
+    // held-out unigram surprisal: model trained on the train split,
+    // scored on val with add-one OOV smoothing — the generalization
+    // signal q84's in-corpus score cannot give
+    "q116_heldout_surprisal" -> ((s, dir) =>
+      TextAnalysis.heldOutSurprisal(Tables.documents(s, dir)).orderBy("doc_id")),
+    // label-centroid cosine matrix: the class-separability card;
+    // micro-tick-exact centroid sums, q36's 6dp cosine convention
+    "q117_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroidMatrix(Tables.embeddings(s, dir))
+        .orderBy("label_a", "label_b")),
+    // doc-level epoch diff: v1 = corpus minus id%7 docs, id%5 texts
+    // mutated, plus retired id%11 copies — all four statuses live
+    "q118_epoch_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" [v1]"))).otherwise(col("text")).as("text"))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+      TextAnalysis.corpusEpochDiff(v1, docs).orderBy("status")
+    }),
+    // stratified eval draw: 5 per (source, predicted-lang) cell by a
+    // salted reproducible hash — per-cell rank pushed map-side
+    "q119_stratified_eval" -> ((s, dir) =>
+      TextAnalysis.stratifiedEvalDraw(Tables.documents(s, dir))
+        .orderBy("source", "predicted_lang", "rk")),
+    // exact cross-source duplicate matrix over a planted mirror/recrawl
+    // fixture (the synthetic corpus has no natural exact dups) —
+    // combination arithmetic, no pair materialization
+    "q120_exact_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+      val mirrored = docs.where(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"),
+          lit("mirror").as("source"))
+      val recrawled = docs.where(pmod(col("doc_id"), lit(15)) === 0)
+        .select((col("doc_id") + 3000000000L).as("doc_id"), col("text"),
+          col("source"))
+      Dedup.exactOverlapMatrix(docs.unionByName(mirrored).unionByName(recrawled))
+        .orderBy("source_a", "source_b")
+    }),
     // gate-funnel report: first-failing-gate counts over the decorated
     // corpus with every gate live (classifier cut 0.0, q68's mixture)
     "q111_gate_funnel" -> ((s, dir) =>
@@ -2705,6 +2746,115 @@ object SparkEntry {
         |FROM p ORDER BY from_type, to_type""".stripMargin,
     // the q101 bigram stream aggregated to pair types; PMI rounded once
     // to micro-nats so the top-k boundary is integer-deterministic
+    // q62's split buckets + q84's micro-nat discipline with add-one
+    // smoothing over the train-only counts; OOV = absent from train
+    "q116_heldout_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok JOIN sp USING (doc_id) WHERE sp.bucket < 90 GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tc),
+        |vv AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tok),
+        |vals AS (SELECT tok.doc_id, token FROM tok JOIN sp USING (doc_id)
+        |         WHERE sp.bucket >= 90 AND sp.bucket < 95),
+        |sc AS (SELECT doc_id,
+        |         CASE WHEN tc.c IS NULL THEN 1 ELSE 0 END AS oov,
+        |         CAST(round(ln((tt.t + vv.v) * 1.0 / (coalesce(tc.c, 0) + 1)) * 1000000) AS BIGINT) AS nll
+        |       FROM vals LEFT JOIN tc USING (token) CROSS JOIN tt CROSS JOIN vv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       CAST(sum(nll) AS BIGINT) AS nll_micro,
+        |       ((2 * sum(nll) + count(*)) // (2 * count(*))) / 1e6 AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // micro-tick component sums -> exact centroids; pairwise cosine over
+    // the (labels x dims) relation, q36's 6dp rounding
+    "q117_label_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+        |comp AS (
+        |  SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+        |         unnest(list_transform(embedding,
+        |           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS t
+        |  FROM e),
+        |cent AS (SELECT label, i, CAST(sum(t) AS DOUBLE) / count(*) / 1000000.0 AS m
+        |         FROM comp GROUP BY 1, 2),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |             sum(a.m * b.m) AS dp, sum(a.m * a.m) AS na2, sum(b.m * b.m) AS nb2
+        |      FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT label_a, label_b, round(dp / (sqrt(na2) * sqrt(nb2)), 6) AS cosine
+        |FROM p ORDER BY label_a, label_b""".stripMargin,
+    // full-outer on doc_id, q34's normalized fingerprint as identity
+    "q118_epoch_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' [v1]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 11 = 0),
+        |fo AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM v1),
+        |fn AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM documents),
+        |j AS (SELECT coalesce(fo.doc_id, fn.doc_id) AS doc_id, fo.f AS f_old, fn.f AS f_new
+        |      FROM fo FULL OUTER JOIN fn ON fn.doc_id = fo.doc_id),
+        |s AS (SELECT doc_id, CASE WHEN f_old IS NULL THEN 'added'
+        |                          WHEN f_new IS NULL THEN 'removed'
+        |                          WHEN f_old = f_new THEN 'unchanged'
+        |                          ELSE 'changed' END AS status FROM j)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM s GROUP BY 1 ORDER BY status""".stripMargin,
+    // q32's langid CASE + the salted eval hash; rank within each cell
+    "q119_stratified_eval" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT) AS s_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT) AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, CASE
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS predicted_lang
+        |  FROM s),
+        |u AS (SELECT doc_id, source, predicted_lang,
+        |             ('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS uu
+        |      FROM p),
+        |r AS (SELECT doc_id, source, predicted_lang,
+        |             CAST(row_number() OVER (PARTITION BY source, predicted_lang
+        |                                     ORDER BY uu, doc_id) AS BIGINT) AS rk
+        |      FROM u)
+        |SELECT doc_id, source, predicted_lang, rk FROM r WHERE rk <= 5
+        |ORDER BY source, predicted_lang, rk""".stripMargin,
+    // per-(fingerprint, source) counts -> combination arithmetic; the
+    // planted mirror/recrawl base matches the engine fixture
+    "q120_exact_overlap" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000, text, 'mirror' FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000, text, source FROM documents WHERE doc_id % 15 = 0),
+        |f AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp, source FROM base),
+        |cells AS (SELECT fp, source, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2),
+        |cx AS (SELECT a.source AS source_a, b.source AS source_b,
+        |              CAST(sum(a.c * b.c) AS BIGINT) AS n_pairs
+        |       FROM cells a JOIN cells b ON a.fp = b.fp AND a.source < b.source
+        |       GROUP BY 1, 2),
+        |dg AS (SELECT source AS source_a, source AS source_b,
+        |              CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_pairs
+        |       FROM cells WHERE c >= 2 GROUP BY 1, 2)
+        |SELECT * FROM cx UNION ALL SELECT * FROM dg
+        |ORDER BY source_a, source_b""".stripMargin,
     // the full row-local gate chain over the decorated corpus: q60's pii
     // regexes, QualitySql's formula, q32's langid CASE, q67's classifier,
     // q68's mixture CASE — first failing gate wins, shares HALF_UP bp

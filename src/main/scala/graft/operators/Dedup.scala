@@ -559,6 +559,34 @@ object Dedup {
         (col("size") * col("n_clusters")).as("n_docs"),
         ((col("size") - 1) * col("n_clusters")).as("n_dups_removed"))
 
+  /** Cross-source EXACT-duplicate matrix — [[sourceOverlapMatrix]]'s
+    * companion for byte-identical (normalized) copies. Computed WITHOUT
+    * materializing pairs: per (fingerprint, source) counts, then
+    * off-diagonal cells are `c_a · c_b` products over the fingerprint
+    * self-join and diagonal cells are `C(c, 2)` pure arithmetic — a
+    * fingerprint shared by a million docs costs one multiplication, not
+    * 10¹² pair rows (the blowup a naive pair join pays on exactly the
+    * hottest fingerprints). The self-join input is one row per
+    * (fingerprint, source) — already aggregated, orders of magnitude
+    * under the corpus.
+    * Output: source_a ≤ source_b, n_pairs (exact-dup doc pairs).
+    */
+  def exactOverlapMatrix(docs: DataFrame): DataFrame = {
+    val cells = docs
+      .select(md5(TextAnalysis.normalized(col("text"))).as("fp"), col("source"))
+      .groupBy(col("fp"), col("source")).agg(count(lit(1)).as("c"))
+    val cross = cells.as("a")
+      .join(cells.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("n_pairs"))
+    val diag = cells.where(col("c") >= 2)
+      .groupBy(col("source").as("source_a"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("n_pairs"))
+      .select(col("source_a"), col("source_a").as("source_b"), col("n_pairs"))
+    cross.unionByName(diag)
+  }
+
   /** Cross-source near-duplicate overlap matrix — which sources duplicate
     * each other. The curation question behind it: syndication/mirroring
     * between feeds shows up as off-diagonal mass, scraper re-crawls as

@@ -665,6 +665,43 @@ object Similarity {
         (col("__md").cast("double") / lit(1e6)).as("max_dist"))
   }
 
+  /** Label-centroid similarity matrix — per-label mean embeddings and
+    * the pairwise cosine between them: the class-separability card an
+    * embedding table ships with (two labels whose centroids sit at
+    * cosine ≈ 1 are indistinguishable to any downstream classifier —
+    * re-label or re-embed before training on them).
+    *
+    * Determinism: components are fixed to integer micro-ticks BEFORE
+    * the centroid sums (exact in any fold order, the [[ivfCellReport]]
+    * discipline), so each centroid component is one exact integer sum
+    * and one division; the pairwise dot/norm sums then run over the
+    * bounded dim axis (≤ dims rows per label pair) and round to 6dp —
+    * the q36 norm convention. Scale shape: one (label, i) hash agg over
+    * the component explode, then joins on the TINY (labels × dims)
+    * centroid relation only.
+    * Output: label_a < label_b, cosine (6dp).
+    */
+  def labelCentroidMatrix(embeddings: DataFrame): DataFrame = {
+    val cent = embeddings
+      .select(col("label").cast("long").as("label"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))).as(Seq("i", "t")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("t")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        (col("s").cast("double") / col("n") / lit(1e6)).as("m"))
+    cent.as("a")
+      .join(cent.as("b"),
+        col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.m") * col("b.m")).as("__dp"),
+        sum(col("a.m") * col("a.m")).as("__na2"),
+        sum(col("b.m") * col("b.m")).as("__nb2"))
+      .select(col("label_a"), col("label_b"),
+        round(col("__dp") / (sqrt(col("__na2")) * sqrt(col("__nb2"))), 6)
+          .as("cosine"))
+  }
+
   /** Embedding-table health audit — the pre-flight check before any
     * similarity/dedup stage trusts the vectors: per (dimension,
     * 0.25-wide norm bucket), vector count, zero-norm count (degenerate

@@ -585,6 +585,97 @@ object TextAnalysis {
         expr("(2 * nll_micro + n_tokens) div (2 * n_tokens)") / lit(1e6))
   }
 
+  /** Held-out LM surprisal — [[lmScore]]'s unigram model trained on the
+    * TRAIN split only and evaluated on the VAL split, with add-one
+    * smoothing so out-of-vocabulary val tokens carry the uniform-mass
+    * penalty instead of being silently dropped:
+    * `nll(tok) = ln((T + V) / (c_train(tok) + 1))`, V = whole-corpus
+    * vocabulary size. This is the honest generalization signal the
+    * in-corpus q84 score cannot give (a model scored on its own training
+    * tokens under-reports every rare-token surprisal), and the OOV count
+    * doubles as the split-representativeness audit.
+    *
+    * Same portability discipline as [[lmScore]] (ln rounded once to
+    * integer micro-nats, integer sums, HALF_UP mean) and same scale
+    * shape (token-key join against the train-vocab counts; split
+    * membership is [[splitExpr]]'s pure column — no split join). Docs
+    * with no tokens have no row.
+    * Output: doc_id, n_tokens, n_oov, nll_micro, avg_nll.
+    */
+  def heldOutSurprisal(docs: DataFrame, trainPct: Int = 90,
+                       valPct: Int = 5): DataFrame = {
+    val tagged = docs.withColumn("__split", splitExpr(trainPct, valPct))
+    val counts = tagged.where(col("__split") === "train")
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__t"))
+    val vocabN = docs
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .agg(countDistinct(col("token")).as("__v"))
+    tagged.where(col("__split") === "val")
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .join(counts, Seq("token"), "left")
+      .crossJoin(broadcast(total)).crossJoin(broadcast(vocabN))
+      .select(col("doc_id"),
+        col("__c").isNull.cast("long").as("__oov"),
+        lnMicros((col("__t") + col("__v")).cast("double") /
+          (coalesce(col("__c"), lit(0L)) + lit(1L))).as("__nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__oov")).as("n_oov"),
+        sum(col("__nll")).as("nll_micro"))
+      .withColumn("avg_nll",
+        expr("(2 * nll_micro + n_tokens) div (2 * n_tokens)") / lit(1e6))
+  }
+
+  /** Stratified evaluation draw — n documents per (source, predicted
+    * language) cell, picked by a salted reproducible hash (NOT an RNG:
+    * the same eval set falls out of any run, partitioning, or engine —
+    * the property an eval set must have to be citable). The per-cell
+    * rank window is partitioned on the bounded strata dim and Spark's
+    * WindowGroupLimit pushes the `rank ≤ n` cut map-side, so each
+    * reducer sees at most n·partitions rows, never a stratum's full
+    * population. Output: doc_id, source, predicted_lang, rk (1..n by
+    * (hash, doc_id)).
+    */
+  def stratifiedEvalDraw(docs: DataFrame, n: Int = 5,
+                         salt: String = "eval"): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("predicted_lang"))
+      .orderBy(col("__u"), col("doc_id"))
+    docs.select(col("doc_id") +: col("source") +: langScoreCols(col("text")): _*)
+      .withColumn("predicted_lang", predictedFromScores)
+      .withColumn("__u", pmod(
+        md5Hash32(concat(lit(salt + ":"), col("doc_id").cast("string"))),
+        lit(10000L)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= n)
+      .select("doc_id", "source", "predicted_lang", "rk")
+  }
+
+  /** Document-level corpus epoch diff — the content-hash what-changed
+    * audit between two corpus versions (the doc-granular companion to
+    * [[datasetManifestDiff]]'s cell-level view): full-outer join on
+    * doc_id, statuses added / removed / changed / unchanged by the
+    * normalized-text fingerprint ([[Dedup.exactGroups]]' identity), then
+    * one ≤4-row aggregate with the id range per status. One id-key
+    * shuffle join; fingerprints are computed in the scan projection, so
+    * text never shuffles.
+    * Output: status, n_docs, min_doc_id, max_doc_id.
+    */
+  def corpusEpochDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def fp(d: DataFrame, c: String): DataFrame =
+      d.select(col("doc_id"), md5(normalized(col("text"))).as(c))
+    fp(oldDocs, "__fo").join(fp(newDocs, "__fn"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__fo").isNull, "added")
+          .when(col("__fn").isNull, "removed")
+          .when(col("__fo") === col("__fn"), "unchanged")
+          .otherwise("changed"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+  }
+
   /** Bigram-LM surprisal — the step up from [[lmScore]]'s unigram
     * proxy toward the n-gram-LM perplexity filters real corpus
     * pipelines run (CCNet's KenLM stage): each document scored by its

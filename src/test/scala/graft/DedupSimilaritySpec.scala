@@ -1063,6 +1063,89 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Array(("s", 4L, 0.2025, 0.205, 0.2075)))
   }
 
+  test("held-out surprisal: add-one OOV smoothing recomputed by hand") {
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val ids = 0L until 120L
+    val vals = ids.filter(i => bucket(i) >= 90 && bucket(i) < 95)
+    assert(vals.nonEmpty)
+    val special = vals.head // carries a token the train split never saw
+    def text(id: Long): String =
+      if (id == special) "aa qq" else if (id % 3 == 0) "aa bb" else "aa cc"
+    val fixture = ids.map(i => (i, text(i))).toDF("doc_id", "text")
+    val counts = ids.filter(bucket(_) < 90).flatMap(text(_).split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = counts.values.sum
+    val v = ids.flatMap(text(_).split(" ")).distinct.size.toLong // aa bb cc qq
+    def nll(tok: String): Long =
+      math.round(math.log((t + v).toDouble / (counts.getOrElse(tok, 0L) + 1)) * 1e6)
+    val want = vals.map { i =>
+      val toks = text(i).split(" ").toSeq
+      val s = toks.map(nll).sum
+      (i, toks.size.toLong, toks.count(!counts.contains(_)).toLong, s,
+        ((2 * s + toks.size) / (2 * toks.size)).toDouble / 1e6)
+    }.sortBy(_._1)
+    val got = TextAnalysis.heldOutSurprisal(fixture).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.map(_._3).sum === 1L) // exactly the planted OOV token
+  }
+
+  test("label centroid matrix: hand-computed cosines, micro-tick centroids") {
+    val embs = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0), // centroid (0.5, 0.5)
+      (3L, Seq(1f, 0f), 1),                       // centroid (1, 0)
+      (4L, Seq(-1f, 0f), 2), (5L, Seq(-1f, 0f), 2) // centroid (−1, 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidMatrix(embs).orderBy("label_a", "label_b")
+      .as[(Long, Long, Double)].collect()
+    assert(got === Array(
+      (0L, 1L, 0.707107), (0L, 2L, -0.707107), (1L, 2L, -1.0)))
+  }
+
+  test("corpus epoch diff: all four statuses with id ranges") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusEpochDiff(old, neu).orderBy("status")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("added", 1L, 4L, 4L), ("changed", 1L, 3L, 3L),
+      ("removed", 1L, 1L, 1L), ("unchanged", 1L, 2L, 2L)))
+  }
+
+  test("stratified eval draw: salted-hash order, cap per cell, reproducible") {
+    def u(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"eval:$id".getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    val ids = 0L until 10L
+    val fixture = ids.map(i => (i, "w", "the cat and the dog is in that tree"))
+      .toDF("doc_id", "source", "text")
+    val wantIds = ids.sortBy(i => (u(i), i)).take(3)
+    val got = TextAnalysis.stratifiedEvalDraw(fixture, n = 3).orderBy("rk")
+      .as[(Long, String, String, Long)].collect()
+    assert(got.map(_._1).toSeq === wantIds)
+    assert(got.map(r => (r._2, r._3)).distinct.toSeq === Seq(("w", "en")))
+    assert(got.map(_._4).toSeq === Seq(1L, 2L, 3L))
+    // same draw on a re-run: no RNG anywhere
+    assert(TextAnalysis.stratifiedEvalDraw(fixture, n = 3).orderBy("rk")
+      .as[(Long, String, String, Long)].collect().toSeq === got.toSeq)
+  }
+
+  test("exact overlap matrix: combination counts, no pair materialization") {
+    val d = Seq(
+      (1L, "x", "a"), (2L, "x", "b"), (3L, "x", "b"), (4L, "y", "a")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.exactOverlapMatrix(d).orderBy("source_a", "source_b")
+      .as[(String, String, Long)].collect()
+    // fingerprint "x": a×1, b×2 → (a,b): 1·2 = 2; (b,b): C(2,2) = 1
+    assert(got === Array(("a", "b", 2L), ("b", "b", 1L)))
+  }
+
   test("bigram LM: conditional NLL recomputed by hand, short docs have no row") {
     // corpus: "a b a b" and "a b c"; V = 3 (a, b, c); c1: a=3, b=3, c=1
     // bigrams: (a,b)x3, (b,a)x1, (b,c)x1
