@@ -358,6 +358,28 @@ object ScaleCheck {
     // q108: matrix joins move the PAIR set (<< corpus), never documents
     time(s"source overlap matrix over $nDocs docs")(
       graft.operators.Dedup.sourceOverlapMatrix(sourced, pairs92).count())
+    // q116: train-vocab model join + OOV coalesce — same token-key join
+    // shape as the unigram LM, plus the split predicate as a pure column
+    time(s"held-out surprisal over $nDocs docs")(
+      graft.operators.TextAnalysis.heldOutSurprisal(docs).count())
+    // q119: per-cell rank must be pushed map-side (WindowGroupLimit) —
+    // each reducer sees <= n·maps rows, never a stratum's population
+    val draw = graft.operators.TextAnalysis.stratifiedEvalDraw(sourced, n = 5)
+    assert(draw.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "stratified draw must push the per-cell rank limit map-side")
+    time(s"stratified eval draw over $nDocs docs")(draw.count())
+    // q118: one id-key full-outer join; fingerprints in the scan
+    // projection so text never shuffles
+    time(s"corpus epoch diff over $nDocs docs")(
+      graft.operators.TextAnalysis.corpusEpochDiff(
+        docs.where(pmod(col("doc_id"), lit(7)) =!= 0), docs).count())
+    // q120: combination arithmetic on (fingerprint, source) cells — a
+    // fingerprint in half the corpus costs one multiply, not n² pairs
+    time(s"exact overlap matrix over $nDocs docs (50% one fingerprint)")(
+      graft.operators.Dedup.exactOverlapMatrix(
+        sourced.withColumn("text",
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("hot dup text"))
+            .otherwise(col("text")))).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so
@@ -401,6 +423,11 @@ object ScaleCheck {
     // cheapest probe in this section at any vector count
     time(s"embedding audit over $nVecs vectors")(
       Similarity.embeddingAudit(embs).count())
+    // q117: component hash agg -> (labels x dims) centroid relation;
+    // pair joins touch centroids only, never vectors
+    time(s"label centroid matrix over $nVecs vectors")(
+      Similarity.labelCentroidMatrix(
+        embs.withColumn("label", pmod(col("vec_id"), lit(16)).cast("int"))).count())
     embs.unpersist()
     spark.stop()
   }
