@@ -763,6 +763,16 @@ object SparkEntry {
       Dedup.exactOverlapMatrix(docs.unionByName(mirrored).unionByName(recrawled))
         .orderBy("source_a", "source_b")
     }),
+    // ANN recall calibration: exact brute top-k ground truth vs the IVF
+    // probe on the same query sample — the (nLists, nProbe) tuning loop
+    "q121_ann_recall" -> ((s, dir) =>
+      Similarity.annRecallReport(Tables.embeddings(s, dir),
+        pmod(col("vec_id"), lit(100)) === 0).orderBy("query_id")),
+    // one full-corpus Lloyd refinement pass over the deterministic seed
+    // codebook — micro-tick member means, exact in any fold order
+    "q122_kmeans_refine" -> ((s, dir) =>
+      Similarity.kmeansRefineStep(Tables.embeddings(s, dir), k = 8)
+        .orderBy("cluster", "i")),
     // gate-funnel report: first-failing-gate counts over the decorated
     // corpus with every gate live (classifier cut 0.0, q68's mixture)
     "q111_gate_funnel" -> ((s, dir) =>
@@ -1627,77 +1637,67 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q44_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
-        |idx AS (SELECT unnest(range(0, (SELECT d FROM dims))) AS j),
-        |comp AS (SELECT vec_id, j, CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS x
-        |         FROM e CROSS JOIN idx),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
-        |cent AS (
-        |  SELECT vec_id AS cvid, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS list_id
-        |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16) t),
-        |cdots AS (
-        |  SELECT c.vec_id, ct.list_id, ct.cvid, sum(c.x * cc.x) AS dp
-        |  FROM comp c CROSS JOIN cent ct
-        |  JOIN comp cc ON cc.vec_id = ct.cvid AND cc.j = c.j
-        |  GROUP BY c.vec_id, ct.list_id, ct.cvid),
-        |csims AS (
-        |  SELECT d.vec_id, d.list_id, d.dp / (nv.nrm * nc.nrm) AS csim
-        |  FROM cdots d
-        |  JOIN norms nv ON nv.vec_id = d.vec_id
-        |  JOIN norms nc ON nc.vec_id = d.cvid),
-        |cranked AS (
-        |  SELECT vec_id, list_id,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
-        |  FROM csims),
-        |assigned AS (SELECT vec_id, list_id FROM cranked WHERE crank = 1),
-        |probes AS (SELECT vec_id AS query_id, list_id FROM cranked
-        |           WHERE crank <= 4 AND vec_id % 100 = 0),
-        |cand AS (
-        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-        |  FROM assigned a JOIN probes p ON a.list_id = p.list_id
-        |                               AND a.vec_id <> p.query_id),
-        |dots AS (
-        |  SELECT c.query_id, c.neighbor_id, sum(ca.x * cb.x) AS dp
-        |  FROM cand c
-        |  JOIN comp ca ON ca.vec_id = c.neighbor_id
-        |  JOIN comp cb ON cb.vec_id = c.query_id AND cb.j = ca.j
-        |  GROUP BY c.query_id, c.neighbor_id),
-        |scored AS (
-        |  SELECT d.query_id, d.neighbor_id, round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
-        |  FROM dots d
-        |  JOIN norms nn ON nn.vec_id = d.neighbor_id
-        |  JOIN norms nq ON nq.vec_id = d.query_id)
-        |SELECT query_id, neighbor_id, cosine, rnk FROM (
-        |  SELECT query_id, neighbor_id, cosine,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-        |  FROM scored) t
-        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+      s"""WITH $VecBaseSql,
+         |$IvfKnnSql
+         |SELECT query_id, neighbor_id, cosine, rnk FROM ivf
+         |ORDER BY query_id, rnk""".stripMargin,
     "q36_knn_cosine" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
-        |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
-        |comp AS (SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
-        |         FROM e CROSS JOIN idx),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
-        |qcomp AS (SELECT vec_id AS query_id, i, x FROM comp WHERE vec_id % 100 = 0),
-        |dots AS (
-        |  SELECT q.query_id, c.vec_id AS neighbor_id, sum(c.x * q.x) AS dp
-        |  FROM comp c JOIN qcomp q ON c.i = q.i AND c.vec_id <> q.query_id
-        |  GROUP BY q.query_id, c.vec_id),
-        |scored AS (
-        |  SELECT d.query_id, d.neighbor_id,
-        |         round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
-        |  FROM dots d
-        |  JOIN norms nn ON nn.vec_id = d.neighbor_id
-        |  JOIN norms nq ON nq.vec_id = d.query_id)
-        |SELECT query_id, neighbor_id, cosine, rnk FROM (
-        |  SELECT query_id, neighbor_id, cosine,
-        |         CAST(row_number() OVER (PARTITION BY query_id
-        |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-        |  FROM scored) t
-        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+      s"""WITH $VecBaseSql,
+         |$BruteKnnSql
+         |SELECT query_id, neighbor_id, cosine, rnk FROM brute
+         |ORDER BY query_id, rnk""".stripMargin,
+    // brute ground truth LEFT JOIN the IVF retrieved set: recall@k per
+    // query in HALF_UP integer basis points — single source of truth
+    // with q36/q44 via the shared CTE constants
+    "q121_ann_recall" ->
+      s"""WITH $VecBaseSql,
+         |$BruteKnnSql,
+         |$IvfKnnSql,
+         |j AS (
+         |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |         CAST(coalesce(sum(CASE WHEN v.neighbor_id IS NOT NULL
+         |                                THEN 1 END), 0) AS BIGINT) AS n_hit
+         |  FROM brute b LEFT JOIN ivf v ON v.query_id = b.query_id
+         |                              AND v.neighbor_id = b.neighbor_id
+         |  GROUP BY b.query_id)
+         |SELECT query_id, n_exact, n_hit,
+         |       (n_hit * 20000 + n_exact) // (2 * n_exact) AS recall_bp
+         |FROM j ORDER BY query_id""".stripMargin,
+    // nearest-centroid assignment (rounded argmax, ties to lowest cell)
+    // + per-dimension micro-tick means of unit-normalized members — one
+    // full Lloyd refinement pass over the 8-seed codebook
+    "q122_kmeans_refine" ->
+      s"""WITH $VecBaseSql,
+         |cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS j
+         |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8) t),
+         |ccomp AS (SELECT cent.j, comp.i, comp.x
+         |          FROM comp JOIN cent ON cent.cvid = comp.vec_id),
+         |cnorm AS (SELECT j, sqrt(sum(x * x)) AS nrm FROM ccomp GROUP BY j),
+         |cos AS (
+         |  SELECT comp.vec_id, cc.j,
+         |         round(sum(comp.x * cc.x) / (n1.nrm * n2.nrm), 6) AS c
+         |  FROM comp JOIN ccomp cc ON cc.i = comp.i
+         |  JOIN norms n1 ON n1.vec_id = comp.vec_id
+         |  JOIN cnorm n2 ON n2.j = cc.j
+         |  GROUP BY comp.vec_id, cc.j, n1.nrm, n2.nrm),
+         |asg AS (SELECT vec_id, j AS cluster FROM (
+         |          SELECT vec_id, j, c,
+         |                 row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, j) AS rn
+         |          FROM cos) t WHERE rn = 1),
+         |u AS (
+         |  SELECT a.cluster, comp.i,
+         |         CASE WHEN n.nrm > 0
+         |              THEN CAST(floor(round(comp.x / n.nrm, 6) * 1000000 + 0.5) AS BIGINT)
+         |              ELSE 0 END AS t
+         |  FROM asg a JOIN comp ON comp.vec_id = a.vec_id
+         |  JOIN norms n ON n.vec_id = a.vec_id),
+         |agg AS (SELECT cluster, CAST(i AS BIGINT) AS i,
+         |               CAST(count(*) AS BIGINT) AS n_members,
+         |               CAST(sum(t) AS BIGINT) AS s
+         |        FROM u GROUP BY 1, 2)
+         |SELECT cluster, i, n_members,
+         |       (CAST(s AS DOUBLE) / n_members) / 1000000.0 AS c_new
+         |FROM agg ORDER BY cluster, i""".stripMargin,
     "q43_media_features" ->
       """WITH idx AS (SELECT unnest(range(0, 192)) AS i),
         |m AS (SELECT doc_id AS media_id, text,
@@ -3381,6 +3381,82 @@ object SparkEntry {
     * full-corpus labels in `lab`), same parameters as q53/q78/q92
     * (16 perms × 8 bands, md5 base, threshold 0.2). The use site
     * supplies `WITH RECURSIVE`. */
+  /** Shared embedding-decomposition CTEs (e, dims, idx, comp, norms) —
+    * single source of truth for the vector-search oracles q36/q44/q121/q122. */
+  private val VecBaseSql: String =
+    """e AS (SELECT vec_id, embedding FROM embeddings),
+      |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),
+      |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
+      |comp AS (SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |         FROM e CROSS JOIN idx),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id)""".stripMargin
+
+  /** Exact brute-force top-10 over the vec_id %% 100 = 0 query sample,
+    * ending in brute(query_id, neighbor_id, cosine, rnk) — composes after
+    * [[VecBaseSql]]. */
+  private val BruteKnnSql: String =
+    """qcomp AS (SELECT vec_id AS query_id, i, x FROM comp WHERE vec_id % 100 = 0),
+      |bdots AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, sum(c.x * q.x) AS dp
+      |  FROM comp c JOIN qcomp q ON c.i = q.i AND c.vec_id <> q.query_id
+      |  GROUP BY q.query_id, c.vec_id),
+      |bscored AS (
+      |  SELECT d.query_id, d.neighbor_id,
+      |         round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
+      |  FROM bdots d
+      |  JOIN norms nn ON nn.vec_id = d.neighbor_id
+      |  JOIN norms nq ON nq.vec_id = d.query_id),
+      |brute AS (SELECT * FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+      |  FROM bscored) t WHERE rnk <= 10)""".stripMargin
+
+  /** IVF probe top-10 (16 deterministic seed lists, 4 probes) over the
+    * same query sample, ending in ivf(query_id, neighbor_id, cosine, rnk)
+    * — composes after [[VecBaseSql]]. */
+  private val IvfKnnSql: String =
+    """cent AS (
+      |  SELECT vec_id AS cvid, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS list_id
+      |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16) t),
+      |cdots AS (
+      |  SELECT c.vec_id, ct.list_id, ct.cvid, sum(c.x * cc.x) AS dp
+      |  FROM comp c CROSS JOIN cent ct
+      |  JOIN comp cc ON cc.vec_id = ct.cvid AND cc.i = c.i
+      |  GROUP BY c.vec_id, ct.list_id, ct.cvid),
+      |csims AS (
+      |  SELECT d.vec_id, d.list_id, d.dp / (nv.nrm * nc.nrm) AS csim
+      |  FROM cdots d
+      |  JOIN norms nv ON nv.vec_id = d.vec_id
+      |  JOIN norms nc ON nc.vec_id = d.cvid),
+      |cranked AS (
+      |  SELECT vec_id, list_id,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
+      |  FROM csims),
+      |assigned AS (SELECT vec_id, list_id FROM cranked WHERE crank = 1),
+      |probes AS (SELECT vec_id AS query_id, list_id FROM cranked
+      |           WHERE crank <= 4 AND vec_id % 100 = 0),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      |  FROM assigned a JOIN probes p ON a.list_id = p.list_id
+      |                               AND a.vec_id <> p.query_id),
+      |idots AS (
+      |  SELECT c.query_id, c.neighbor_id, sum(ca.x * cb.x) AS dp
+      |  FROM cand c
+      |  JOIN comp ca ON ca.vec_id = c.neighbor_id
+      |  JOIN comp cb ON cb.vec_id = c.query_id AND cb.i = ca.i
+      |  GROUP BY c.query_id, c.neighbor_id),
+      |iscored AS (
+      |  SELECT d.query_id, d.neighbor_id, round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
+      |  FROM idots d
+      |  JOIN norms nn ON nn.vec_id = d.neighbor_id
+      |  JOIN norms nq ON nq.vec_id = d.query_id),
+      |ivf AS (SELECT * FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |         CAST(row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+      |  FROM iscored) t WHERE rnk <= 10)""".stripMargin
+
   private val LshClusterSql: String =
     """w AS (
       |  SELECT doc_id,

@@ -604,9 +604,14 @@ object Similarity {
     */
   private def assignToCells(base: DataFrame,
                             centroidRows: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    // total over degenerate rows: a zero-norm vector (or centroid) has no
+    // direction, so its cosine is DEFINED as 0.0 — under ANSI SQL the bare
+    // division would throw, and the argmax then ties it to the lowest cell
     val scored = centroidRows.map { case (j, cv, cn) =>
       struct(
-        round(dot(col("v"), typedLit(cv)) / (col("norm") * lit(cn)), 6).as("csim"),
+        when(col("norm") * lit(cn) > 0,
+          round(dot(col("v"), typedLit(cv)) / (col("norm") * lit(cn)), 6))
+          .otherwise(lit(0.0)).as("csim"),
         lit(-j).as("nj"))
     }
     val best = array_max(array(scored: _*))
@@ -751,5 +756,72 @@ object Similarity {
       .withColumn("dup", lit(true))
     assigned.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("dup").isNull.as("keep"))
+  }
+
+  /** ANN recall calibration — the tuning report a deployment reads before
+    * trusting [[annIvfTopK]]'s (nLists, nProbe): per query, the exact
+    * brute-force top-k ([[knnCosineBrute]], ground truth) is compared to
+    * the IVF-retrieved set, and recall@k = |exact ∩ ivf| / |exact| is
+    * reported in HALF_UP basis points of pure integer arithmetic. The
+    * companion to [[ivfCellReport]] (cell geometry) and the LSH sketch
+    * calibration (estimation error): exact verification is affordable
+    * exactly where the approximation made a claim — the bounded query
+    * sample — while the corpus pays only the probed-cell candidate join.
+    * Raising nProbe until mean recall_bp clears the deployment's floor is
+    * the whole tuning loop, and both sides of the comparison here scale:
+    * ground truth is |queries| broadcast rows against one corpus scan,
+    * IVF is the production probe itself.
+    *
+    * Output: query_id, n_exact (= min(k, admissible)), n_hit, recall_bp.
+    */
+  def annRecallReport(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+                      nLists: Int = 16, nProbe: Int = 4,
+                      centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val exact = knnCosineBrute(embeddings, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annIvfTopK(embeddings, queryPred, k, nLists, nProbe, centroidsOpt)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        expr("(n_hit * 20000 + n_exact) div (2 * n_exact)").as("recall_bp"))
+  }
+
+  /** One distributed Lloyd refinement step — the full-corpus companion to
+    * [[trainCentroids]]' bounded-sample recipe: every vector is assigned
+    * to its nearest current centroid (the engine-portable rounded-argmax
+    * of [[assignToCells]] — k centroid literals fused into the scan, no
+    * window, no shuffle of the corpus beyond one (k · dim)-row aggregate),
+    * and each cell's refined centroid is the per-dimension mean of its
+    * members' UNIT-normalized components. Components are fixed to integer
+    * micro-ticks BEFORE the sums ([[labelCentroidMatrix]]'s discipline) so
+    * every mean is exact in any fold order and engine-portable; zero-norm
+    * vectors contribute zero ticks (they carry no direction). This is the
+    * honest k-means scale path at 100 TB: the bounded sample picks the
+    * codebook, then one (or a few) full-data passes of exactly this shape
+    * harden it — each pass one scan plus a bounded aggregate, the
+    * centroids broadcast both ways.
+    *
+    * Output: cluster (0-based), i (1-based dim), n_members, c_new
+    * (tick-mean / 1e6 — an exact-integer ratio, IEEE-deterministic).
+    */
+  def kmeansRefineStep(embeddings: DataFrame, k: Int = 8,
+                       centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+    val centroidRows = centroidRowsOf(base, k, centroidsOpt)
+    require(centroidRows.nonEmpty, "no centroids: empty input")
+    assignToCells(base, centroidRows)
+      .select(col("cluster"),
+        posexplode(transform(col("v"),
+          x => when(col("norm") > 0,
+            floor(round(x / col("norm"), 6) * 1e6 + 0.5).cast("long"))
+            .otherwise(0L))).as(Seq("i0", "t")))
+      .groupBy(col("cluster"), (col("i0") + 1).cast("long").as("i"))
+      .agg(count(lit(1)).as("n_members"), sum(col("t")).as("__s"))
+      .select(col("cluster"), col("i"), col("n_members"),
+        (col("__s").cast("double") / col("n_members") / lit(1e6)).as("c_new"))
   }
 }

@@ -1750,4 +1750,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (0L, 0L, true), (1L, 1L, true), (2L, 0L, false),
       (3L, 0L, false), (4L, 1L, false), (5L, 0L, true)))
   }
+
+  test("ann recall: full probe is exact (10000 bp), partial probe bounded and never over-counts") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 60).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val qp = pmod(col("vec_id"), lit(10)) === 0
+    val full = Similarity.annRecallReport(emb, qp, k = 5, nLists = 4, nProbe = 4)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(full.length === 6) // queries 0,10,...,50
+    // probing every list makes the IVF candidate set the whole corpus, so
+    // the retrieved top-k IS the brute top-k: recall must be exactly 10000
+    assert(full.forall { case (_, nExact, nHit, bp) =>
+      nExact === 5L && nHit === 5L && bp === 10000L })
+    val partial = Similarity.annRecallReport(emb, qp, k = 5, nLists = 4, nProbe = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(partial.forall { case (_, nExact, nHit, bp) =>
+      nHit <= nExact && bp >= 0L && bp <= 10000L &&
+        bp === (nHit * 20000 + nExact) / (2 * nExact) })
+  }
+
+  test("kmeans refine: pure cells recover their axis, counts partition the corpus, zero-norm adds zero ticks") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // seed 0 (axis e1)
+      (1L, Array(0f, 1f, 0f, 0f)),   // seed 1 (axis e2)
+      (2L, Array(2f, 0f, 0f, 0f)),   // cluster 0: unit-normalizes to e1
+      (3L, Array(5f, 0f, 0f, 0f)),   // cluster 0: unit-normalizes to e1
+      (4L, Array(0f, 3f, 0f, 0f)),   // cluster 1: unit-normalizes to e2
+      (5L, Array(0f, 0f, 0f, 0f))    // zero norm: no direction to contribute
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansRefineStep(vecs, k = 2)
+      .orderBy("cluster", "i").as[(Long, Long, Long, Double)].collect()
+    assert(got.length === 8) // 2 clusters × 4 dims
+    // n_members is constant across a cluster's dims and partitions the corpus
+    val counts = got.groupBy(_._1).map { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length === 1); c -> rows.head._3 }
+    assert(counts.values.sum === 6L)
+    // cluster 0 = {0,2,3} plus the zero vector (zero-norm cosine is defined
+    // as 0.0, ties to the lowest cell): three exact-e1 members at 1e6 ticks
+    // each + one zero contribution over n=4 → c_new(i=1) = 3e6/4/1e6 = 0.75
+    assert(counts(0L) === 4L && counts(1L) === 2L)
+    val c0 = got.filter(_._1 == 0L).map(_._4)
+    assert(c0.toSeq === Seq(0.75, 0.0, 0.0, 0.0))
+    val c1 = got.filter(_._1 == 1L).map(_._4)
+    assert(c1.toSeq === Seq(0.0, 1.0, 0.0, 0.0))
+  }
 }
