@@ -773,6 +773,20 @@ object SparkEntry {
     "q122_kmeans_refine" -> ((s, dir) =>
       Similarity.kmeansRefineStep(Tables.embeddings(s, dir), k = 8)
         .orderBy("cluster", "i")),
+    // Efraimidis-Spirakis weighted draw, derandomized: n docs with
+    // inclusion probability ∝ n_chars, citable and engine-replayable
+    "q123_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(Tables.documents(s, dir), n = 40)
+        .orderBy("key_micro", "doc_id")),
+    // removal-reason breakdown across the dedup stages (exact beats
+    // near-dup beats kept) — rides the q92 cluster + quality chain
+    "q124_removal_reasons" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.removalReasonReport(docs,
+        Dedup.dupClusters(Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+          threshold = 0.2, baseHash = Dedup.md5Base)))
+        .orderBy("source", "reason")
+    }),
     // gate-funnel report: first-failing-gate counts over the decorated
     // corpus with every gate live (classifier cut 0.0, q68's mixture)
     "q111_gate_funnel" -> ((s, dir) =>
@@ -1698,6 +1712,48 @@ object SparkEntry {
          |SELECT cluster, i, n_members,
          |       (CAST(s AS DOUBLE) / n_members) / 1000000.0 AS c_new
          |FROM agg ORDER BY cluster, i""".stripMargin,
+    // A-ES priority keys: u from the salted md5 prefix, -ln(u) in
+    // integer micro-nats, key = lnMicro/weight HALF_UP-ticked; the n
+    // smallest keys are the sample
+    "q123_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+        |         ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents WHERE n_chars > 0),
+        |k AS (
+        |  SELECT doc_id, source, weight,
+        |         CAST(floor(-ln((h + 1) / 4294967296.0) * 1000000 + 0.5) AS BIGINT) AS lm
+        |  FROM w)
+        |SELECT doc_id, source, weight,
+        |       CAST(floor(CAST(lm AS DOUBLE) / weight + 0.5) AS BIGINT) AS key_micro
+        |FROM k ORDER BY key_micro, doc_id LIMIT 40""".stripMargin,
+    // one verdict per doc under exact > near_dup > kept precedence;
+    // shares are within-source HALF_UP basis points
+    "q124_removal_reasons" ->
+      s"""WITH RECURSIVE $LshClusterSql,
+         |$QualitySql,
+         |fp AS (SELECT doc_id, source,
+         |              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+         |       FROM documents),
+         |canon AS (SELECT f, min(doc_id) AS canon FROM fp GROUP BY 1),
+         |j AS (SELECT fp.doc_id, fp.source, c.canon, q.quality, lab.cluster_id
+         |      FROM fp JOIN canon c ON c.f = fp.f
+         |      JOIN q ON q.doc_id = fp.doc_id
+         |      JOIN lab ON lab.doc_id = fp.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |                ORDER BY quality DESC, doc_id) AS rn FROM j),
+         |v AS (SELECT source,
+         |             CASE WHEN doc_id <> canon THEN 'exact_dup'
+         |                  WHEN rn <> 1 THEN 'near_dup'
+         |                  ELSE 'kept' END AS reason
+         |      FROM r),
+         |cnt AS (SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs
+         |        FROM v GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY 1)
+         |SELECT c.source, c.reason, c.n_docs,
+         |       (c.n_docs * 20000 + t.t) // (2 * t.t) AS share_bp
+         |FROM cnt c JOIN tot t ON t.source = c.source
+         |ORDER BY c.source, c.reason""".stripMargin,
     "q43_media_features" ->
       """WITH idx AS (SELECT unnest(range(0, 192)) AS i),
         |m AS (SELECT doc_id AS media_id, text,

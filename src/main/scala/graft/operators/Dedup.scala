@@ -559,6 +559,40 @@ object Dedup {
         (col("size") * col("n_clusters")).as("n_docs"),
         ((col("size") - 1) * col("n_clusters")).as("n_dups_removed"))
 
+  /** Dedup decision-merge report — the removal-reason breakdown a curation
+    * run publishes when SEVERAL dedup stages act on one corpus: every doc
+    * gets exactly ONE verdict under the pipeline's precedence order —
+    * `exact_dup` (non-canonical member of an identical-fingerprint group,
+    * [[exactGroups]]' min-id convention) beats `near_dup` (non-best member
+    * of a near-dup cluster, [[bestOfCluster]]'s quality-max convention)
+    * beats `kept` — so per-(source, reason) counts PARTITION the corpus
+    * and sum(n_docs) = |corpus| is a built-in completeness check.
+    * share_bp is the within-source share in HALF_UP integer basis points.
+    * On top of the cluster labels the added work is one fingerprint
+    * aggregate and a bounded (sources × 3)-row report; the totals join is
+    * a broadcast.
+    *
+    * Output: source, reason, n_docs, share_bp.
+    */
+  def removalReasonReport(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      md5(TextAnalysis.normalized(col("text"))).as("__fp"),
+      TextAnalysis.qualityExpr(col("text")).as("__q"))
+    val canon = scored.groupBy(col("__fp")).agg(min(col("doc_id")).as("__canon"))
+    val verdicts = bestOfCluster(
+      scored.join(canon, Seq("__fp")), clusters, scoreCol = "__q")
+      .withColumn("reason",
+        when(col("doc_id") =!= col("__canon"), "exact_dup")
+          .when(!col("keep"), "near_dup")
+          .otherwise("kept"))
+    val counts = verdicts.groupBy(col("source"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = verdicts.groupBy(col("source")).agg(count(lit(1)).as("__t"))
+    counts.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("reason"), col("n_docs"),
+        expr("(n_docs * 20000 + __t) div (2 * __t)").as("share_bp"))
+  }
+
   /** Cross-source EXACT-duplicate matrix — [[sourceOverlapMatrix]]'s
     * companion for byte-identical (normalized) copies. Computed WITHOUT
     * materializing pairs: per (fingerprint, source) counts, then

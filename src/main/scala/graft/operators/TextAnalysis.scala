@@ -1200,6 +1200,40 @@ object TextAnalysis {
       mixtureKeptExpr(col("source"), col("doc_id"), rates, defaultRate,
         hash32).as("kept"))
 
+  /** Weight-proportional reproducible sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis exponential-key draw (A-ES), derandomized: each
+    * doc's uniform u ∈ (0,1] is a salted md5 prefix of its id (the
+    * [[md5Hash32]] discipline — same doc, same key, any engine, any
+    * partitioning, no RNG), its priority key is −ln(u)/w, and the sample
+    * is the n SMALLEST keys — inclusion probability proportional to the
+    * weight w, exactly the draw a mixture pipeline needs when "sample
+    * favoring length/quality" must also be citable and replayable
+    * ([[mixtureSample]] is the per-source RATE gate; this is the
+    * per-document WEIGHT gate). −ln(u) is fixed to integer micro-nats
+    * and the key to integer micro-ticks of the exact lnMicro/w ratio, so
+    * the ordering is engine-portable; non-positive weights are excluded
+    * (zero inclusion mass). The top-n plans as TakeOrderedAndProject —
+    * per-partition heaps + one bounded driver merge, never a global
+    * sort, at any corpus size.
+    *
+    * Output: doc_id, source, weight, key_micro (= floor(lnMicro/w + ½)).
+    */
+  def weightedSample(docs: DataFrame, n: Int = 200,
+                     weightCol: Column = col("n_chars"),
+                     salt: String = "ws",
+                     hash32: Column => Column = md5Hash32): DataFrame = {
+    val h = hash32(concat(lit(salt + ":"), col("doc_id").cast("string")))
+    val lnMicro = floor(
+      -log((h + lit(1L)).cast("double") / lit(4294967296.0)) * 1e6 + 0.5)
+      .cast("long")
+    docs.where(weightCol > 0)
+      .select(col("doc_id"), col("source"), weightCol.cast("long").as("weight"))
+      .withColumn("key_micro",
+        floor(lnMicro.cast("double") / col("weight") + 0.5).cast("long"))
+      .orderBy(col("key_micro"), col("doc_id"))
+      .limit(n)
+  }
+
   /** The per-document gate stack as ONE added projection — the ingest-time
     * form of [[CorpusPrep.prepareFull]]'s row-local gates (PII → quality →
     * language → classifier → mixture; dedup is inherently cross-document

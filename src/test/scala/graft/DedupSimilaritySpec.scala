@@ -1751,6 +1751,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 0L, false), (4L, 1L, false), (5L, 0L, true)))
   }
 
+  test("weighted sample: proportional to weight, reproducible, excludes zero weights") {
+    val docs = (1L to 400L).map { i =>
+      // two planted tiers: ids ≤ 200 carry 50× the weight of the rest
+      (i, "t", if (i <= 200) "heavy" else "light", if (i <= 200) 5000L else 100L)
+    } :+ ((401L, "t", "zero", 0L))
+    val df = docs.toDF("doc_id", "text", "source", "n_chars")
+    val got = TextAnalysis.weightedSample(df, n = 100)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length === 100)
+    assert(!got.exists(_._2 == "zero")) // zero weight = zero inclusion mass
+    val heavy = got.count(_._2 == "heavy")
+    assert(heavy > 80, s"50x-weighted tier should dominate the draw, got $heavy/100")
+    // derandomized: the same draw falls out of a repeated run
+    val again = TextAnalysis.weightedSample(df, n = 100)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // key formula spot-check: key_micro = floor(lnMicro / weight + 0.5)
+    got.foreach { case (id, _, w, km) =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"ws:$id").substring(0, 8), 16)
+      val lm = math.floor(-math.log((h + 1L).toDouble / 4294967296.0) * 1e6 + 0.5).toLong
+      assert(km === math.floor(lm.toDouble / w + 0.5).toLong)
+    }
+  }
+
+  test("removal reasons: one verdict per doc, exact beats near_dup, shares partition each source") {
+    val docs4 = Seq(
+      (1L, base, "s1"), (2L, nearDup, "s1"), (3L, other, "s1"), (4L, base, "s1")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.removalReasonReport(docs4,
+      Dedup.dupClusters(Dedup.minhashLshPairs(docs4, numPerms = 16, bands = 8,
+        threshold = 0.2, baseHash = Dedup.md5Base)))
+      .as[(String, String, Long, Long)].collect()
+    val byReason = got.map(r => r._2 -> r._3).toMap
+    // doc 4 is an exact copy of doc 1 (exact_dup even though it also sits
+    // in the near-dup cluster - precedence); one of {1,2} loses the
+    // cluster's quality race (near_dup); doc 3 and the winner are kept
+    assert(byReason === Map("exact_dup" -> 1L, "near_dup" -> 1L, "kept" -> 2L))
+    assert(got.map(_._3).sum === 4L) // verdicts partition the corpus
+    val shares = got.map(r => r._2 -> r._4).toMap
+    assert(shares === Map("exact_dup" -> 2500L, "near_dup" -> 2500L, "kept" -> 5000L))
+  }
+
   test("ann recall: full probe is exact (10000 bp), partial probe bounded and never over-counts") {
     val rnd = new scala.util.Random(11)
     val emb = (0 until 60).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
