@@ -778,6 +778,16 @@ object SparkEntry {
     "q123_weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir), n = 40)
         .orderBy("key_micro", "doc_id")),
+    // percentile ensemble of heuristic quality × inverted LM surprisal
+    // on bounded tick grids — one blended bp rank per token-bearing doc
+    "q125_quality_blend" -> ((s, dir) =>
+      TextAnalysis.qualityBlend(Tables.documents(s, dir)).orderBy("doc_id")),
+    // copied-span pairs: ≥ minShared shared winnowing fingerprints,
+    // df-capped inverted index — the local-duplication axis whole-doc
+    // sketches dilute away
+    "q126_winnow_overlap" -> ((s, dir) =>
+      TextAnalysis.winnowOverlapPairs(Tables.documents(s, dir),
+        minShared = 5, maxDf = 5).orderBy("doc_a", "doc_b")),
     // removal-reason breakdown across the dedup stages (exact beats
     // near-dup beats kept) — rides the q92 cluster + quality chain
     "q124_removal_reasons" -> ((s, dir) => {
@@ -1754,6 +1764,71 @@ object SparkEntry {
          |       (c.n_docs * 20000 + t.t) // (2 * t.t) AS share_bp
          |FROM cnt c JOIN tot t ON t.source = c.source
          |ORDER BY c.source, c.reason""".stripMargin,
+    // per-signal tick grids (quality 1e-4, surprisal 1e-3 nats) →
+    // cumulative-count percentiles in HALF_UP bp → blended rank with
+    // the surprisal axis inverted (low surprisal = better)
+    "q125_quality_blend" ->
+      s"""WITH $QualitySql,
+         |w AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+         |m AS (SELECT token, CAST(round(ln(CAST(t.t AS DOUBLE) / n) * 1000000) AS BIGINT) AS nll
+         |      FROM c CROSS JOIN t),
+         |d AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |             CAST(sum(m.nll) AS BIGINT) AS nll_micro
+         |      FROM tok JOIN m USING (token) GROUP BY 1),
+         |s AS (SELECT doc_id,
+         |             ((2 * nll_micro + n_tokens) // (2 * n_tokens)) / 1000000.0 AS avg_nll
+         |      FROM d),
+         |qt2 AS (SELECT doc_id, CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS v FROM q),
+         |st2 AS (SELECT doc_id, CAST(floor(avg_nll * 1000 + 0.5) AS BIGINT) AS v FROM s),
+         |qg AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM qt2 GROUP BY 1),
+         |qc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+         |              (SELECT CAST(count(*) AS BIGINT) FROM qt2) AS n FROM qg),
+         |qp AS (SELECT v, (cum * 20000 + n) // (2 * n) AS p FROM qc),
+         |sg AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM st2 GROUP BY 1),
+         |sc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+         |              (SELECT CAST(count(*) AS BIGINT) FROM st2) AS n FROM sg),
+         |sp AS (SELECT v, (cum * 20000 + n) // (2 * n) AS p FROM sc),
+         |j AS (SELECT qt2.doc_id, qp.p AS q_bp, sp.p AS nll_bp
+         |      FROM qt2 JOIN qp ON qp.v = qt2.v
+         |      JOIN st2 ON st2.doc_id = qt2.doc_id
+         |      JOIN sp ON sp.v = st2.v)
+         |SELECT doc_id, q_bp, nll_bp,
+         |       (q_bp + (10000 - nll_bp) + 1) // 2 AS blend_bp
+         |FROM j ORDER BY doc_id""".stripMargin,
+    // q45's winnowing chain + df-capped inverted-index pairing: pairs
+    // sharing >= 5 fingerprints after dropping fingerprints in > 5 docs
+    // (this corpus's 30-word vocab makes 8-char grams promiscuous; the
+    // tight cap is what keeps the pair set meaning "copied span")
+    "q126_winnow_overlap" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(norm) - 6),
+        |           i -> ('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 8))::BIGINT) AS hs
+        |  FROM n WHERE length(norm) >= 11),
+        |wins AS (
+        |  SELECT doc_id,
+        |         list_sort(list_distinct(list_transform(range(0, len(hs) - 3),
+        |           j -> least(hs[CAST(j + 1 AS INT)], hs[CAST(j + 2 AS INT)],
+        |                      hs[CAST(j + 3 AS INT)], hs[CAST(j + 4 AS INT)])))) AS fps
+        |  FROM h),
+        |fp AS (SELECT doc_id, unnest(fps) AS f FROM wins),
+        |rare AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 5),
+        |i AS (SELECT fp.doc_id, fp.f FROM fp JOIN rare ON rare.f = fp.f),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM i a JOIN i b ON a.f = b.f AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared FROM p
+        |WHERE n_shared >= 5 ORDER BY doc_a, doc_b""".stripMargin,
     "q43_media_features" ->
       """WITH idx AS (SELECT unnest(range(0, 192)) AS i),
         |m AS (SELECT doc_id AS media_id, text,

@@ -259,6 +259,34 @@ object TextAnalysis {
         graft.functions.winnow_fingerprints(col("norm"), k, w, prodHash)
           .as("fingerprints"))
 
+  /** Copied-span pair detection over winnowing fingerprints — the LOCAL
+    * near-dup axis the whole-document sketches miss: two documents
+    * sharing ≥ `minShared` winnowing fingerprints share (w.h.p.) that
+    * many distinct ≥ (w+k−1)-char substrings — a lifted paragraph, a
+    * quoted passage — even when their overall Jaccard/MinHash similarity
+    * is negligible ([[winnowingFingerprints]]' guarantee makes the
+    * count a lower bound on shared spans, not a heuristic). Pairing is
+    * the inverted-index recipe with [[graft.operators.Dedup.jaccardPairs]]'
+    * df-cap discipline: a fingerprint present in more than `maxDf` docs
+    * is boilerplate chrome and is dropped BEFORE pairing, so pair volume
+    * is Σ df² per surviving fingerprint, never corpus².
+    * Output: doc_a < doc_b, n_shared (distinct shared fingerprints).
+    */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+                         minShared: Int = 3, maxDf: Int = 50,
+                         prodHash: Boolean = false): DataFrame = {
+    val fps = winnowingFingerprints(docs, k, w, prodHash)
+      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf)
+    val idx = fps.join(rare.select("fp"), Seq("fp"))
+    idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Gopher-style repetition signals — the standard pre-training quality
     * gates for pathologically repetitive documents (boilerplate loops,
     * keyword stuffing, decode glitches). Per document:
@@ -583,6 +611,51 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("__nll")).as("nll_micro"))
       .withColumn("avg_nll",
         expr("(2 * nll_micro + n_tokens) div (2 * n_tokens)") / lit(1e6))
+  }
+
+  /** Rank-normalized quality ensemble — the standard blend of two
+    * heterogeneous quality signals on ONE percentile scale: the heuristic
+    * score ([[qualityExpr]], already on its 4dp grid) and the unigram-LM
+    * surprisal ([[lmScore]], discretized to milli-nat ticks — the
+    * bounded-grid trick, so the value dimension is RANGE/tick at any
+    * corpus size, never a cardinality hazard). Each distinct tick maps
+    * to the HALF_UP bp percentile of its cumulative count (ties share a
+    * percentile by construction); the blend averages the quality
+    * percentile with the INVERTED surprisal percentile (low surprisal =
+    * fluent, well-modeled text = better). The grids are bounded, so the
+    * cumulation is a bounded driver merge (the
+    * [[graft.operators.Stats.quantileBuckets]] recipe — TakeOrdered
+    * heap, raise-early cap) broadcast back as a tick→percentile dim;
+    * the corpus is scanned, never globally sorted.
+    * Output: doc_id, q_bp, nll_bp, blend_bp — token-bearing docs.
+    */
+  def qualityBlend(docs: DataFrame, maxDistinct: Int = 100000): DataFrame = {
+    def pctDim(df: DataFrame, tickCol: String): DataFrame = {
+      val grid = df.groupBy(col(tickCol).as("__v")).agg(count(lit(1)).as("__c"))
+        .orderBy("__v").limit(maxDistinct + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      require(grid.length <= maxDistinct,
+        s"$tickCol grid exceeds $maxDistinct cells — coarsen the tick")
+      val n = grid.map(_._2).sum
+      var running = 0L
+      val rows = grid.toSeq.map { case (v, c) =>
+        running += c; (v, (running * 20000 + n) / (2 * n))
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      broadcast(rows.toDF(tickCol, "__p"))
+    }
+    val q = docs.select(col("doc_id"),
+      floor(qualityExpr(col("text")) * 10000 + 0.5).cast("long").as("__qt"))
+    val s = lmScore(docs).select(col("doc_id"),
+      floor(col("avg_nll") * 1000 + 0.5).cast("long").as("__st"))
+    val qp = q.join(pctDim(q, "__qt"), Seq("__qt"))
+      .select(col("doc_id"), col("__p").as("q_bp"))
+    val sp = s.join(pctDim(s, "__st"), Seq("__st"))
+      .select(col("doc_id"), col("__p").as("nll_bp"))
+    qp.join(sp, Seq("doc_id"))
+      .select(col("doc_id"), col("q_bp"), col("nll_bp"),
+        expr("(q_bp + (10000 - nll_bp) + 1) div 2").as("blend_bp"))
   }
 
   /** Held-out LM surprisal — [[lmScore]]'s unigram model trained on the

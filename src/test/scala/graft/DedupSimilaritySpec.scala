@@ -1751,6 +1751,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 0L, false), (4L, 1L, false), (5L, 0L, true)))
   }
 
+  test("quality blend: percentiles bounded, ties share a rank, formula holds, fluency inverts") {
+    // same surface quality (identical structure), different fluency: doc 1
+    // repeats the corpus's common tokens (low surprisal), doc 3 is all
+    // rare tokens (high surprisal); 1 and 2 are identical -> tied ranks
+    val common = Seq.fill(30)("the cat sat on the mat").mkString(" ")
+    val docs = Seq(
+      (1L, common), (2L, common),
+      (3L, (1 to 30).map(i => s"zzq$i wwx$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityBlend(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 3)
+    got.foreach { case (_, q, nl, b) =>
+      assert(q >= 0 && q <= 10000 && nl >= 0 && nl <= 10000)
+      assert(b === (q + (10000 - nl) + 1) / 2) // HALF_UP mean, inverted nll axis
+    }
+    val byId = got.map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(byId(1L) === byId(2L)) // identical docs share every percentile
+    // doc 3's surprisal percentile is the highest -> its blend the lowest
+    assert(byId(3L)._2 > byId(1L)._2)
+    assert(byId(3L)._3 < byId(1L)._3)
+  }
+
+  test("winnow overlap: shared spans pair, unrelated do not, boilerplate df-cap suppresses") {
+    val span = "a very long distinctive shared passage that was lifted verbatim from one document into another one"
+    val docs = Seq(
+      (1L, s"first document unique preamble here. $span and then a unique tail"),
+      (2L, s"totally different opening words precede it. $span with another ending"),
+      (3L, "nothing in common with the others at all, separate content entirely")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowOverlapPairs(docs, minShared = 3, maxDf = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 >= 3)
+    // the same span present in MORE than maxDf docs is boilerplate chrome:
+    // its fingerprints are dropped before pairing and no pairs survive
+    val boiler = (1L to 8L).map(i => (i, s"doc number $i says. $span"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.winnowOverlapPairs(boiler, minShared = 3, maxDf = 4)
+      .count() === 0L)
+  }
+
   test("weighted sample: proportional to weight, reproducible, excludes zero weights") {
     val docs = (1L to 400L).map { i =>
       // two planted tiers: ids ≤ 200 carry 50× the weight of the rest
