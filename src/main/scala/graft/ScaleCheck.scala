@@ -380,6 +380,32 @@ object ScaleCheck {
         sourced.withColumn("text",
           when(pmod(col("doc_id"), lit(2)) === 0, lit("hot dup text"))
             .otherwise(col("text")))).count())
+    // q123: the A-ES draw must plan as TakeOrderedAndProject — per-
+    // partition heaps + one bounded driver merge, never a global sort
+    val draw123 = graft.operators.TextAnalysis.weightedSample(
+      sourced.withColumn("n_chars", length(col("text")).cast("long")), n = 200)
+    assert(draw123.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "weighted sample must plan a TakeOrdered heap, not a global sort")
+    time(s"weighted sample (top-200) over $nDocs docs")(draw123.count())
+    // q125: two corpus scans + two BOUNDED tick grids (quality ≤ 10001
+    // cells, surprisal range/1e-3 cells at any corpus size) cumulated
+    // driver-side and broadcast back — no Window node anywhere
+    val blend125 = graft.operators.TextAnalysis.qualityBlend(docs)
+    assert(!blend125.queryExecution.executedPlan.toString.contains("Window"),
+      "quality blend must not plan a window")
+    time(s"quality blend over $nDocs docs")(blend125.count())
+    // q126: df-capped inverted fingerprint index — the hot span planted
+    // in 50% of the corpus exceeds the cap, so its fingerprints drop
+    // BEFORE pairing and cost zero pair rows (same discipline that
+    // keeps jaccard/containment sub-quadratic)
+    time(s"winnow overlap pairs over $nDocs docs (hot span in 50%)")(
+      graft.operators.TextAnalysis.winnowOverlapPairs(skewed, minShared = 3,
+        maxDf = 20).count())
+    // q124: one fingerprint aggregate + a bounded (sources × 3) report
+    // on top of the LINEAGE-CUT cluster labels — must track
+    // bestOfCluster's marginal cost, never re-pay the LSH chain
+    time(s"removal reasons over $nDocs docs")(
+      graft.operators.Dedup.removalReasonReport(sourced, clusters92).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so
@@ -423,6 +449,25 @@ object ScaleCheck {
     // cheapest probe in this section at any vector count
     time(s"embedding audit over $nVecs vectors")(
       Similarity.embeddingAudit(embs).count())
+    // q121: ground truth = the broadcast brute scorer on the bounded
+    // query sample, probe = the production IVF path — calibration cost
+    // must track brute kNN + the probe, both of which scale
+    time(s"ANN recall calibration over $nVecs vectors")(
+      Similarity.annRecallReport(embs, pmod(col("vec_id"), lit(1000)) === 0,
+        nLists = 64, nProbe = 8).count())
+    // q122: one full-corpus Lloyd pass — argmax assignment fused into
+    // the scan + a (k × dim)-row aggregate; must track ivfCellReport's
+    // cost (identical assignment, bigger but still bounded agg)
+    time(s"k-means refine step (64 cells) over $nVecs vectors")(
+      Similarity.kmeansRefineStep(embs, k = 64).count())
+    // q127: one scan + a dims-row aggregate with decimal square-sums —
+    // must stay in embeddingAudit's cost class
+    time(s"embedding moments over $nVecs vectors")(
+      Similarity.embeddingMoments(embs).count())
+    // q128: each round is one scan + a dims-row aggregate (the
+    // kmeansRefine shape with a vector for a codebook); two rounds
+    time(s"power iteration (2 rounds) over $nVecs vectors")(
+      Similarity.powerIterationTop(embs, iters = 2).count())
     // q117: component hash agg -> (labels x dims) centroid relation;
     // pair joins touch centroids only, never vectors
     time(s"label centroid matrix over $nVecs vectors")(

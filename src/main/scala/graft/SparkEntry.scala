@@ -778,6 +778,16 @@ object SparkEntry {
     "q123_weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir), n = 40)
         .orderBy("key_micro", "doc_id")),
+    // per-dimension mean/variance in exact integer ticks (decimal(38,0)
+    // square sums) — the pre-whitening audit
+    "q127_embedding_moments" -> ((s, dir) =>
+      Similarity.embeddingMoments(Tables.embeddings(s, dir)).orderBy("i")),
+    // two power-iteration rounds toward the top principal direction —
+    // each round one scan + a dims-row aggregate, norms from exact
+    // integer square-sums
+    "q128_power_iteration" -> ((s, dir) =>
+      Similarity.powerIterationTop(Tables.embeddings(s, dir), iters = 2)
+        .orderBy("i")),
     // percentile ensemble of heuristic quality × inverted LM surprisal
     // on bounded tick grids — one blended bp rank per token-bearing doc
     "q125_quality_blend" -> ((s, dir) =>
@@ -1764,6 +1774,42 @@ object SparkEntry {
          |       (c.n_docs * 20000 + t.t) // (2 * t.t) AS share_bp
          |FROM cnt c JOIN tot t ON t.source = c.source
          |ORDER BY c.source, c.reason""".stripMargin,
+    // micro-tick component sums (s) and HUGEINT square sums (q) per dim;
+    // mean and population variance fall out as exact-integer ratios
+    "q127_embedding_moments" ->
+      s"""WITH $VecBaseSql,
+         |tk AS (SELECT vec_id, i, CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS t FROM comp),
+         |agg AS (SELECT CAST(i AS BIGINT) AS i, CAST(count(*) AS BIGINT) AS n_vecs,
+         |               CAST(sum(t) AS BIGINT) AS s, sum(t * t) AS q
+         |        FROM tk GROUP BY 1)
+         |SELECT i, n_vecs,
+         |       (CAST(s AS DOUBLE) / n_vecs) / 1000000.0 AS mean,
+         |       (CAST(q AS DOUBLE) / n_vecs -
+         |        (CAST(s AS DOUBLE) / n_vecs) * (CAST(s AS DOUBLE) / n_vecs))
+         |         / 1000000000000.0 AS variance
+         |FROM agg ORDER BY i""".stripMargin,
+    // round 1: scores against the uniform 1/sqrt(d) start, per-dim tick
+    // sums s1, norm from the exact integer square-sum; round 2 repeats
+    // against the normalized round-1 direction
+    "q128_power_iteration" ->
+      s"""WITH $VecBaseSql,
+         |u0 AS (SELECT 1.0 / sqrt(CAST(d AS DOUBLE)) AS u FROM dims),
+         |p1 AS (SELECT vec_id, round(sum(x * (SELECT u FROM u0)), 6) AS p
+         |       FROM comp GROUP BY vec_id),
+         |s1 AS (SELECT c.i, CAST(sum(CAST(floor(c.x * p1.p * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |       FROM comp c JOIN p1 ON p1.vec_id = c.vec_id GROUP BY c.i),
+         |n1 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE) / 1000000000000.0) AS n FROM s1),
+         |d1 AS (SELECT i, (CAST(s AS DOUBLE) / 1000000.0) / (SELECT n FROM n1) AS dir FROM s1),
+         |p2 AS (SELECT c.vec_id, round(sum(c.x * d1.dir), 6) AS p
+         |       FROM comp c JOIN d1 ON d1.i = c.i GROUP BY c.vec_id),
+         |s2 AS (SELECT c.i, CAST(sum(CAST(floor(c.x * p2.p * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+         |       FROM comp c JOIN p2 ON p2.vec_id = c.vec_id GROUP BY c.i),
+         |n2 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE) / 1000000000000.0) AS n FROM s2)
+         |SELECT CAST(i AS BIGINT) AS i,
+         |       floor(((CAST(s AS DOUBLE) / 1000000.0) / (SELECT n FROM n2)) * 1000000 + 0.5)
+         |         / 1000000.0 AS component,
+         |       floor((SELECT n FROM n2) * 1000000 + 0.5) / 1000000.0 AS growth
+         |FROM s2 ORDER BY i""".stripMargin,
     // per-signal tick grids (quality 1e-4, surprisal 1e-3 nats) →
     // cumulative-count percentiles in HALF_UP bp → blended rank with
     // the surprisal axis inverted (low surprisal = better)

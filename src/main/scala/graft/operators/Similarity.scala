@@ -737,6 +737,79 @@ object Similarity {
         (col("__mn").cast("double") / lit(1e6)).as("min_norm"),
         (col("__mx").cast("double") / lit(1e6)).as("max_norm"))
 
+  /** Per-dimension moment audit — [[embeddingAudit]]'s companion on the
+    * COMPONENT axis: mean and variance per dimension, the numbers a
+    * pipeline reads before whitening/mean-centering an embedding table
+    * (a dimension with runaway variance dominates every cosine; a
+    * constant dimension is dead weight in the index). Components are
+    * fixed to integer micro-ticks BEFORE the sums and the square-sum
+    * accumulates in DECIMAL(38,0) — exact in any fold order and immune
+    * to long overflow at any corpus size (t² ~ 10¹² per row leaves
+    * headroom of ~10²⁶ rows). One scan, one (dims)-row aggregate.
+    * Output: i (1-based dim), n_vecs, mean, variance (population,
+    * exact-integer arithmetic until two final IEEE divisions).
+    */
+  def embeddingMoments(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))).as(Seq("i0", "t")))
+      .groupBy((col("i0") + 1).cast("long").as("i"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("t")).as("__s"),
+        sum((col("t") * col("t")).cast("decimal(38,0)")).as("__q"))
+      .select(col("i"), col("n_vecs"),
+        (col("__s").cast("double") / col("n_vecs") / lit(1e6)).as("mean"),
+        ((col("__q").cast("double") / col("n_vecs") -
+          (col("__s").cast("double") / col("n_vecs")) *
+            (col("__s").cast("double") / col("n_vecs"))) / lit(1e12))
+          .as("variance"))
+
+  /** Distributed power iteration for the corpus's top principal
+    * direction — the PCA scale path: each round is ONE corpus scan
+    * (score p = x·v against the broadcast current direction, accumulate
+    * per-dimension Σ x_i·p in integer micro-ticks) plus a (dims)-row
+    * aggregate, exactly the [[kmeansRefineStep]] shape with a vector in
+    * place of a codebook. The start direction is deterministic
+    * (uniform 1/√d), scores round to 6dp before the tick products, and
+    * the per-round normalization happens driver-side on the bounded
+    * dims vector — so every round is engine-portable and the whole
+    * computation is oracle-replayable. Uncentered (Gram-matrix)
+    * iteration: run [[embeddingMoments]] first and center if means are
+    * material.
+    * Output: i (1-based dim), component (6dp of the normalized
+    * direction after `iters` rounds), growth (6dp ‖y‖/‖v‖ of the last
+    * round — the Rayleigh-quotient-style dominance signal).
+    */
+  def powerIterationTop(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "need at least one round")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(asDouble(col("embedding")).as("v"))
+    val d = base.select(size(col("v"))).as[Int].first()
+    var dir = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var growth = 0.0
+    for (_ <- 0 until iters) {
+      val p = round(dot(col("v"), typedLit(dir.toSeq)), 6)
+      val ticks = base
+        .select(posexplode(transform(col("v"),
+          x => floor(x * p * 1e6 + 0.5).cast("long"))).as(Seq("i0", "t")))
+        .groupBy(col("i0")).agg(sum(col("t")).as("s"))
+        .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+      // ‖y‖ from the EXACT integer square-sum (BigInt — no fold-order or
+      // accumulation noise), so the normalized direction is bit-identical
+      // in any engine that reproduces the integer ticks
+      val n = math.sqrt(
+        ticks.map(s => BigInt(s) * BigInt(s)).sum.toDouble / 1e12)
+      require(n > 0, "degenerate direction: zero matvec")
+      growth = n
+      dir = ticks.map(s => (s.toDouble / 1e6) / n)
+    }
+    dir.zipWithIndex.map { case (c, i) =>
+      ((i + 1).toLong, math.floor(c * 1e6 + 0.5) / 1e6,
+        math.floor(growth * 1e6 + 0.5) / 1e6)
+    }.toSeq.toDF("i", "component", "growth")
+  }
+
   def semanticDedup(embeddings: DataFrame, k: Int = 8, threshold: Double = 0.85,
                     centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))

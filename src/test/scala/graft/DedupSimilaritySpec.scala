@@ -1751,6 +1751,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 0L, false), (4L, 1L, false), (5L, 0L, true)))
   }
 
+  test("embedding moments: exact tick means and population variance, constant dim is dead") {
+    val vecs = Seq(
+      (1L, Array(1f, 7f)), (2L, Array(3f, 7f)), (3L, Array(5f, 7f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingMoments(vecs)
+      .orderBy("i").as[(Long, Long, Double, Double)].collect()
+    // dim 1: ticks {1e6, 3e6, 5e6} -> mean 3, var (1+9+25)/3 - 9 = 8/3
+    assert(got(0) === ((1L, 3L, 3.0, (35.0 / 3 - 9.0))))
+    // dim 2 is constant -> zero variance (the dead-dimension signature)
+    assert(got(1) === ((2L, 3L, 7.0, 0.0)))
+  }
+
+  test("power iteration: recovers the planted dominant direction, degenerate input raises") {
+    val vecs = Seq(
+      (1L, Array(4f, 0.1f)), (2L, Array(4f, -0.1f)),
+      (3L, Array(-4f, 0.05f)), (4L, Array(-4f, -0.05f)),
+      (5L, Array(0f, 1f)), (6L, Array(0f, -1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.powerIterationTop(vecs, iters = 2)
+      .orderBy("i").as[(Long, Double, Double)].collect()
+    assert(got.length === 2)
+    assert(math.abs(got(0)._2) > 0.99, s"dim 1 dominates, got ${got(0)._2}")
+    assert(math.abs(got(1)._2) < 0.2)
+    assert(got(0)._3 === got(1)._3 && got(0)._3 > 0) // one growth per run
+    val zeros = Seq((1L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException](
+      Similarity.powerIterationTop(zeros, iters = 1).collect())
+  }
+
   test("quality blend: percentiles bounded, ties share a rank, formula holds, fluency inverts") {
     // same surface quality (identical structure), different fluency: doc 1
     // repeats the corpus's common tokens (low surprisal), doc 3 is all
