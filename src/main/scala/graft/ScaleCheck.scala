@@ -103,6 +103,22 @@ object ScaleCheck {
     time(s"transition matrix over $nUev events")(
       graft.operators.Engagement.transitions(uev, "user_id", "ts",
         "event_type", "event_id").count())
+    // q129: three user-keyed windows + a conditional-max pivot — no
+    // per-session collect, one exchange serves the whole chain
+    time(s"session paths (top-20) over $nUev events")(
+      graft.operators.Engagement.sessionPaths(uev, "user_id", "ts",
+        "event_type", "event_id").count())
+    // q130: quantiles on the (type × tick) counting grid — the window
+    // runs over cells (bounded by range/tick), never rows
+    time(s"value quantiles over $nUev events")(
+      graft.operators.Stats.tickQuantiles(uev, "event_type", "value").count())
+    // q131: adoption distinct FIRST, so the user self-join fan-out is
+    // the (small) per-user type count squared, not event volume
+    time(s"event affinity over $nUev events")(
+      graft.operators.Engagement.eventAffinity(uev, "user_id", "event_type").count())
+    // q132: (type × day) grid + broadcast stats — scan-bound
+    time(s"daily anomaly flags over $nUev events")(
+      graft.operators.Stats.dailyAnomalies(uev, "event_type", "ts").count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise

@@ -778,6 +778,32 @@ object SparkEntry {
     "q123_weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir), n = 40)
         .orderBy("key_micro", "doc_id")),
+    // top session-opening paths: 30-min gap sessions, first-3-type
+    // pivot (no per-session collect), TakeOrdered top-k
+    "q129_session_paths" -> ((s, dir) =>
+      Engagement.sessionPaths(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id").orderBy("rank")),
+    // per-type value percentiles on the 0.01 counting grid — type-1
+    // cuts, integer comparisons, no per-type sort
+    "q130_value_quantiles" -> ((s, dir) =>
+      Stats.tickQuantiles(Tables.events(s, dir), keyCol = "event_type",
+        valueCol = "value").orderBy("event_type")),
+    // distinct-user lift per event-type pair — co-adoption vs
+    // independence in HALF_UP bp
+    "q131_event_affinity" -> ((s, dir) =>
+      Engagement.eventAffinity(Tables.events(s, dir), "user_id", "event_type")
+        .orderBy("type_a", "type_b")),
+    // daily-volume 3-sigma anomaly flags; the fixture's uniform volume
+    // never trips 3σ, so a duplicate-ingestion burst is planted on one
+    // (type, day) cell — the flag genuinely splits (q120's convention)
+    "q132_daily_anomalies" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("ts"))
+      val burst = ev.where(col("event_type") === "click" &&
+          to_date(col("ts").cast("timestamp")) === lit("2024-01-01").cast("date"))
+        .withColumn("__r", explode(sequence(lit(1), lit(5)))).drop("__r")
+      Stats.dailyAnomalies(ev.unionByName(burst), keyCol = "event_type",
+        tsCol = "ts").orderBy("event_type", "day")
+    }),
     // per-dimension mean/variance in exact integer ticks (decimal(38,0)
     // square sums) — the pre-whitening audit
     "q127_embedding_moments" -> ((s, dir) =>
@@ -1774,6 +1800,85 @@ object SparkEntry {
          |       (c.n_docs * 20000 + t.t) // (2 * t.t) AS share_bp
          |FROM cnt c JOIN tot t ON t.source = c.source
          |ORDER BY c.source, c.reason""".stripMargin,
+    // q20's sessionize chain + first-3 pivot + top-k; null users/ts
+    // dropped on both sides (the q95 parity lesson)
+    "q129_session_paths" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
+        |m AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM l),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rk FROM s),
+        |f AS (SELECT user_id, sid,
+        |             max(CASE WHEN rk = 1 THEN event_type END) AS s1,
+        |             max(CASE WHEN rk = 2 THEN event_type END) AS s2,
+        |             max(CASE WHEN rk = 3 THEN event_type END) AS s3
+        |      FROM r WHERE rk <= 3 GROUP BY 1, 2),
+        |p AS (SELECT concat_ws('>', s1, s2, s3) AS path, CAST(count(*) AS BIGINT) AS n_sessions
+        |      FROM f GROUP BY 1),
+        |t AS (SELECT path, n_sessions FROM p ORDER BY n_sessions DESC, path LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank,
+        |       path, n_sessions
+        |FROM t ORDER BY rank""".stripMargin,
+    // (event_type × 0.01-tick) counting grid; exact type-1 quantile
+    // picks as integer comparisons over per-type cumulative counts
+    "q130_value_quantiles" ->
+      """WITH c AS (SELECT event_type, CAST(floor(value / 0.01) AS BIGINT) AS v,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT event_type, v, c,
+        |             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM c)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS DOUBLE) * 0.01 AS p50,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS DOUBLE) * 0.01 AS p90,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS DOUBLE) * 0.01 AS p99
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // distinct (user, type) adoptions -> pair overlap via user-key
+    // self-join; lift against independence in HALF_UP bp
+    "q131_event_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events
+        |            WHERE user_id IS NOT NULL),
+        |tot AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        |nu AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nu FROM ut),
+        |p AS (SELECT a.t AS type_a, b.t AS type_b, CAST(count(*) AS BIGINT) AS n_both
+        |      FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_both, ta.n AS n_a, tb.n AS n_b,
+        |       CAST(floor(CAST(p.n_both AS DOUBLE) * (SELECT nu FROM nu)
+        |              / ta.n / tb.n * 10000 + 0.5) AS BIGINT) AS lift_bp
+        |FROM p JOIN tot ta ON ta.t = p.type_a JOIN tot tb ON tb.t = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    // (type × day) count grid; mean/σ from exact integer sums (HUGEINT
+    // squares), one fixed expression shape for the 3σ flag
+    "q132_daily_anomalies" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts
+        |  FROM events CROSS JOIN (SELECT unnest(range(1, 6)) AS r) reps
+        |  WHERE event_type = 'click'
+        |    AND CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-01'),
+        |daily AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                      CAST(count(*) AS BIGINT) AS n_events
+        |               FROM ev WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+        |              CAST(sum(n_events) AS BIGINT) AS s,
+        |              sum(n_events * n_events) AS q
+        |       FROM daily GROUP BY 1),
+        |sd AS (SELECT event_type, CAST(s AS DOUBLE) / d AS mean,
+        |              sqrt(greatest(0.0, CAST(q AS DOUBLE) / d
+        |                - (CAST(s AS DOUBLE) / d) * (CAST(s AS DOUBLE) / d))) AS sd
+        |       FROM st)
+        |SELECT daily.event_type, daily.day, daily.n_events,
+        |       round(sd.mean, 4) AS mean_daily,
+        |       CAST(daily.n_events AS DOUBLE) > sd.mean + 3.0 * sd.sd AS anomaly
+        |FROM daily JOIN sd ON sd.event_type = daily.event_type
+        |ORDER BY daily.event_type, day""".stripMargin,
     // micro-tick component sums (s) and HUGEINT square sums (q) per dim;
     // mean and population variance fall out as exact-integer ratios
     "q127_embedding_moments" ->

@@ -153,4 +153,77 @@ object Engagement {
           .as("period_offset"))
       .agg(countDistinct(col("__u")).as("users"))
   }
+
+  /** Top-k session-opening paths — "how do sessions start": sessions cut
+    * at a `gapMinutes` inactivity gap (the q20 sessionize convention,
+    * same (ts, tie) ordering), each session reduced to its FIRST `depth`
+    * event types joined by `>`. The path assembles as a conditional-max
+    * pivot over the plan-time-constant depth — a plain hash aggregate,
+    * never a per-session `collect_list` (the heavy-session skew trap) —
+    * and all three windows partition on the user key, so one exchange
+    * serves the whole chain. Top-k is a TakeOrdered heap; the rank
+    * window touches k rows only. Sessions shorter than `depth` emit
+    * their shorter path (concat_ws skips the empty slots).
+    * Output: rank (n desc, path asc), path, n_sessions.
+    */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, tieCol: String,
+                   gapMinutes: Int = 30, depth: Int = 3, k: Int = 20): DataFrame = {
+    require(depth >= 1 && k >= 1, "depth and k must be positive")
+    val wo = Window.partitionBy(col("__u")).orderBy(col("__us"), col("__tie"))
+    val base = events.select(col(userCol).as("__u"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+        col(tieCol).as("__tie"), col(typeCol).as("__t"))
+      .where(col("__u").isNotNull && col("__us").isNotNull)
+      .withColumn("__prev", lag(col("__us"), 1).over(wo))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__us") - col("__prev") > gapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("__u"), col("__sid"))
+      .orderBy(col("__us"), col("__tie"))
+    val firsts = base.withColumn("__rk", row_number().over(ws))
+      .where(col("__rk") <= depth)
+    val slots = (1 to depth).map(i =>
+      max(when(col("__rk") === i, col("__t"))).as(s"__s$i"))
+    val ord = Seq(col("n_sessions").desc, col("path").asc)
+    firsts.groupBy(col("__u"), col("__sid"))
+      .agg(slots.head, slots.tail: _*)
+      .select(concat_ws(">", (1 to depth).map(i => col(s"__s$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select("rank", "path", "n_sessions")
+  }
+
+  /** Event-type affinity matrix — which behaviors co-occur in the same
+    * users: per unordered type pair, the distinct-user overlap and its
+    * LIFT against independence, `P(a∧b) / (P(a)·P(b))` in HALF_UP basis
+    * points. The input collapses to distinct (user, type) FIRST — one
+    * row per adoption, so the self-join fan-out per user is bounded by
+    * the (small) type dimension squared, never by the user's raw event
+    * volume; type totals and the user count ride along as broadcasts.
+    * Lift > 10000 bp = types adopted together; ≪ 10000 = substitutes.
+    * Output: type_a < type_b, n_both, n_a, n_b, lift_bp.
+    */
+  def eventAffinity(events: DataFrame, userCol: String, typeCol: String): DataFrame = {
+    val ut = events.select(col(userCol).as("__u"), col(typeCol).as("__t"))
+      .where(col("__u").isNotNull).distinct()
+    val totals = ut.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val nu = ut.agg(countDistinct(col("__u")).as("__nu"))
+    ut.as("a").join(ut.as("b"),
+        col("a.__u") === col("b.__u") && col("a.__t") < col("b.__t"))
+      .groupBy(col("a.__t").as("type_a"), col("b.__t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(totals.select(col("__t").as("type_a"), col("__n").as("n_a"))),
+        Seq("type_a"))
+      .join(broadcast(totals.select(col("__t").as("type_b"), col("__n").as("n_b"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(nu))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        floor(col("n_both").cast("double") * col("__nu") / col("n_a") / col("n_b")
+          * 10000 + 0.5).cast("long").as("lift_bp"))
+  }
 }

@@ -132,4 +132,69 @@ object Stats {
       .join(counts, col("__day") === col("__wend"))
       .select(col("__day").as("day"), col(outCol))
   }
+
+  /** Per-key value percentiles on a counting grid — the ops-report
+    * quantiles (p50/p90/p99 of latency, order value, payload size…)
+    * without a per-key sort: values floor onto a fixed `tick` grid, the
+    * quantile window runs over the (key × grid) CELLS — bounded by
+    * range/tick per key at any row count — and the picks are exact
+    * type-1 (lower) quantiles of the ticked values, integer comparisons
+    * throughout (the [[TextAnalysis.sourceQualityQuantiles]] recipe on
+    * an unbounded measure).
+    * Output: key (named after `keyCol`), n_rows, p50, p90, p99 (tick
+    * grid values).
+    */
+  def tickQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                    tick: Double = 0.01): DataFrame = {
+    require(tick > 0, "tick must be positive")
+    val cells = df
+      .select(col(keyCol), floor(col(valueCol) / tick).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col(keyCol), col("__v")).agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    def pick(p: Int): Column =
+      (min(when(col("__cum") * 100 >= col("__n") * p, col("__v")))
+        .cast("double") * tick).as(s"p$p")
+    cells.withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wKey))
+      .groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n_rows"), pick(50), pick(90), pick(99))
+  }
+
+  /** Daily-volume anomaly flags per key — the 3σ monitoring rule over
+    * the (key × day) count grid: a day is anomalous when its count
+    * exceeds the key's mean daily count by `sigmas` standard
+    * deviations. Count sums are exact integers (square sums in
+    * DECIMAL(38,0) — no overflow at any volume, the
+    * [[graft.operators.Similarity.embeddingMoments]] discipline), the
+    * mean/σ relation is evaluated with one fixed expression shape so
+    * the flag is engine-portable, and the stats dim (keys) broadcasts
+    * back onto the bounded (key × day) grid.
+    * Output: key, day, n_events, mean_daily (4dp), anomaly.
+    */
+  def dailyAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+                     sigmas: Double = 3.0): DataFrame = {
+    val daily = df
+      .select(col(keyCol), to_date(col(tsCol).cast("timestamp")).as("day"))
+      .where(col("day").isNotNull)
+      .groupBy(col(keyCol), col("day")).agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__d"), sum(col("n_events")).as("__s"),
+        sum((col("n_events") * col("n_events")).cast("decimal(38,0)")).as("__q"))
+      .select(col(keyCol),
+        (col("__s").cast("double") / col("__d")).as("__mean"),
+        sqrt(greatest(lit(0.0),
+          col("__q").cast("double") / col("__d") -
+            (col("__s").cast("double") / col("__d")) *
+              (col("__s").cast("double") / col("__d")))).as("__sd"))
+    daily.join(broadcast(stats), Seq(keyCol))
+      .select(col(keyCol), col("day"), col("n_events"),
+        round(col("__mean"), 4).as("mean_daily"),
+        (col("n_events").cast("double") >
+          col("__mean") + lit(sigmas) * col("__sd")).as("anomaly"))
+  }
 }

@@ -1751,6 +1751,69 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 0L, false), (4L, 1L, false), (5L, 0L, true)))
   }
 
+  test("session paths: gap cuts sessions, depth caps the path, rank is (n desc, path asc)") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:${min / 60}%02d:${min % 60}%02d")
+    val ev = Seq(
+      // user 1, session 1: A>B>C (4th event D proves the depth cut)
+      (1L, 1L, ts(0), "A"), (2L, 1L, ts(60), "B"), (3L, 1L, ts(120), "C"),
+      (4L, 1L, ts(180), "D"),
+      // user 1, session 2 after a 2h gap: D>E
+      (5L, 1L, Timestamp.valueOf("2024-01-01 14:00:00"), "D"),
+      (6L, 1L, Timestamp.valueOf("2024-01-01 14:01:00"), "E"),
+      // user 2: single-event session
+      (7L, 2L, ts(0), "A")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Engagement.sessionPaths(ev, "user_id", "ts",
+      "event_type", "event_id", depth = 3, k = 10)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "A", 1L), (2L, "A>B>C", 1L), (3L, "D>E", 1L)))
+  }
+
+  test("tick quantiles: exact type-1 cuts on the counting grid") {
+    val rows = (1 to 100).map(i => ("x", i.toDouble)) ++ Seq(("y", 5.0), ("y", 5.0))
+    val got = graft.operators.Stats.tickQuantiles(
+      rows.toDF("event_type", "value"), keyCol = "event_type", valueCol = "value")
+      .orderBy("event_type")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got(0) === (("x", 100L, 50.0, 90.0, 99.0)))
+    assert(got(1) === (("y", 2L, 5.0, 5.0, 5.0)))
+  }
+
+  test("event affinity: lift against independence, unpaired types absent") {
+    val ev = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"), // repeat events collapse to adoptions
+      (2L, "a"), (2L, "b"),
+      (3L, "a"),
+      (4L, "b"), (4L, "c")
+    ).toDF("user_id", "event_type")
+    val got = graft.operators.Engagement.eventAffinity(ev, "user_id", "event_type")
+      .orderBy("type_a", "type_b")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // lift(a,b) = (2/4) / (3/4 · 3/4) = 8/9 -> 8889 bp (adopted independently-ish)
+    // lift(b,c) = (1/4) / (3/4 · 1/4) = 4/3 -> 13333 bp (co-adopted)
+    assert(got === Seq(("a", "b", 2L, 3L, 3L, 8889L), ("b", "c", 1L, 3L, 1L, 13333L)))
+    assert(!got.exists(r => r._1 == "a" && r._2 == "c")) // zero overlap -> no row
+  }
+
+  test("daily anomalies: a 10x burst trips 3-sigma, constant volume never does") {
+    import java.sql.Timestamp
+    val rows =
+      (1 to 10).flatMap(d => (1 to 10).map(i =>
+        ("k", Timestamp.valueOf(f"2024-01-$d%02d 10:00:$i%02d")))) ++
+      (1 to 100).map(i => ("k", Timestamp.valueOf(s"2024-01-11 10:${(i - 1) / 60}:${(i - 1) % 60 + 10 - 10}"))) ++
+      (1 to 5).flatMap(d => (1 to 7).map(i =>
+        ("c", Timestamp.valueOf(f"2024-01-$d%02d 11:00:$i%02d"))))
+    val got = graft.operators.Stats.dailyAnomalies(
+      rows.toDF("event_type", "ts"), keyCol = "event_type", tsCol = "ts")
+      .as[(String, java.sql.Date, Long, Double, Boolean)].collect()
+    val kAnoms = got.filter(r => r._1 == "k" && r._5)
+    assert(kAnoms.map(_._2.toString).toSeq === Seq("2024-01-11"))
+    assert(kAnoms.head._3 === 100L)
+    // σ = 0 for the constant key: the guard keeps it NaN-free and unflagged
+    assert(got.filter(_._1 == "c").forall(r => !r._5 && r._4 === 7.0))
+  }
+
   test("embedding moments: exact tick means and population variance, constant dim is dead") {
     val vecs = Seq(
       (1L, Array(1f, 7f)), (2L, Array(3f, 7f)), (3L, Array(5f, 7f))
