@@ -422,6 +422,17 @@ object ScaleCheck {
     // bestOfCluster's marginal cost, never re-pay the LSH chain
     time(s"removal reasons over $nDocs docs")(
       graft.operators.Dedup.removalReasonReport(sourced, clusters92).count())
+    // q133: one token scan + the (sources × k) broadcast grid — KL cost
+    // must track the vocab top-k probe, never the corpus pair-wise
+    time(s"source KL divergence over $nDocs docs")(
+      graft.operators.TextAnalysis.sourceTokenDivergence(sourced).count())
+    // q134: pair-relation degree agg + corpus left join — bounded by
+    // max degree, rides the already-materialized q92 pair chain
+    time(s"dup degree histogram over $nDocs docs")(
+      graft.operators.Dedup.dupDegreeHistogram(docs, pairs92).count())
+    // q135: one scan + per-source integer-sum aggregate
+    time(s"length-quality correlation over $nDocs docs")(
+      graft.operators.TextAnalysis.lengthQualityCorrelation(sourced).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

@@ -778,6 +778,24 @@ object SparkEntry {
     "q123_weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir), n = 40)
         .orderBy("key_micro", "doc_id")),
+    // KL(source || corpus) over the corpus top-100 vocab: bounded
+    // (sources × k) grid, add-one smoothing, micro-nat term ticks
+    "q133_source_divergence" -> ((s, dir) =>
+      TextAnalysis.sourceTokenDivergence(Tables.documents(s, dir))
+        .orderBy("source")),
+    // near-dup graph degree histogram over the q40/q53 pair relation;
+    // degree-0 rows from the corpus left-join (sum = |corpus|)
+    "q134_dup_degree" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dupDegreeHistogram(docs,
+        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2,
+          baseHash = Dedup.md5Base)).orderBy("degree")
+    }),
+    // Pearson r between length and quality per source — the "is the
+    // gate a length proxy?" audit; exact integer sums, 4dp
+    "q135_length_quality_corr" -> ((s, dir) =>
+      TextAnalysis.lengthQualityCorrelation(Tables.documents(s, dir))
+        .orderBy("source")),
     // top session-opening paths: 30-min gap sessions, first-3-type
     // pivot (no per-session collect), TakeOrdered top-k
     "q129_session_paths" -> ((s, dir) =>
@@ -1800,6 +1818,65 @@ object SparkEntry {
          |       (c.n_docs * 20000 + t.t) // (2 * t.t) AS share_bp
          |FROM cnt c JOIN tot t ON t.source = c.source
          |ORDER BY c.source, c.reason""".stripMargin,
+    // corpus top-100 vocab → (source × token) grid with add-one
+    // smoothing → micro-nat KL terms summed exactly
+    "q133_source_divergence" ->
+      """WITH w AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |t1 AS (SELECT source, unnest(words) AS token FROM w),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t1 GROUP BY 1),
+        |top AS (SELECT token, n AS cq FROM c ORDER BY n DESC, token LIMIT 100),
+        |nq AS (SELECT CAST(sum(cq) AS BIGINT) AS nq FROM top),
+        |cs AS (SELECT t1.source, t1.token, CAST(count(*) AS BIGINT) AS cs
+        |       FROM t1 JOIN top ON top.token = t1.token GROUP BY 1, 2),
+        |grid AS (SELECT s.source, top.token, top.cq, coalesce(cs.cs, 0) AS cs
+        |         FROM (SELECT DISTINCT source FROM documents) s
+        |         CROSS JOIN top
+        |         LEFT JOIN cs ON cs.source = s.source AND cs.token = top.token),
+        |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM grid GROUP BY 1),
+        |terms AS (
+        |  SELECT g.source,
+        |         CAST(floor(
+        |           ((g.cs + 1) / CAST(ns.ns + 100 AS DOUBLE))
+        |           * ln(((g.cs + 1) / CAST(ns.ns + 100 AS DOUBLE))
+        |               / (CAST(g.cq AS DOUBLE) / (SELECT nq FROM nq)))
+        |           * 1000000 + 0.5) AS BIGINT) AS t
+        |  FROM grid g JOIN ns ON ns.source = g.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens_topk,
+        |       CAST(sum(t) AS BIGINT) / 1000000.0 AS kl_nats
+        |FROM terms GROUP BY 1 ORDER BY source""".stripMargin,
+    // the q53 pair CTE (pr) → per-doc degree → histogram; degree-0
+    // rows from the corpus left join
+    "q134_dup_degree" ->
+      s"""WITH RECURSIVE $LshClusterSql,
+         |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |          SELECT doc_a AS doc_id FROM pr
+         |          UNION ALL SELECT doc_b AS doc_id FROM pr) t
+         |        GROUP BY 1),
+         |alldeg AS (SELECT d.doc_id, coalesce(deg.degree, 0) AS degree
+         |           FROM documents d LEFT JOIN deg ON deg.doc_id = d.doc_id)
+         |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM alldeg GROUP BY 1 ORDER BY degree""".stripMargin,
+    // Pearson r from exact integer sums (HUGEINT cross/square sums),
+    // one fixed expression shape, 4dp
+    "q135_length_quality_corr" ->
+      s"""WITH $QualitySql,
+         |b AS (SELECT d.source, CAST(length(d.text) AS BIGINT) AS x,
+         |             CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS y
+         |      FROM documents d JOIN q ON q.doc_id = d.doc_id),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         |      FROM b GROUP BY 1)
+         |SELECT source, n AS n_docs,
+         |       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |         / sqrt(greatest(0.000000000001,
+         |             (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |             * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))),
+         |         4) AS corr
+         |FROM s ORDER BY source""".stripMargin,
     // q20's sessionize chain + first-3 pivot + top-k; null users/ts
     // dropped on both sides (the q95 parity lesson)
     "q129_session_paths" ->

@@ -559,6 +559,25 @@ object Dedup {
         (col("size") * col("n_clusters")).as("n_docs"),
         ((col("size") - 1) * col("n_clusters")).as("n_dups_removed"))
 
+  /** Duplicate-degree histogram — the shape of the near-dup graph a
+    * pair relation implies: per document, how many near-dup edges touch
+    * it; histogrammed so the report is bounded by the maximum degree,
+    * never the corpus. Degree 0 rows (the clean majority) come from the
+    * corpus left-join, so sum(n_docs) = |corpus| — the completeness
+    * check [[clusterSizeReport]] uses. A fat high-degree tail is the
+    * "template detected" signature that says raise the banding
+    * threshold before trusting cluster canonicalization.
+    * Output: degree, n_docs.
+    */
+  def dupDegreeHistogram(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    docs.select(col("doc_id")).join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Dedup decision-merge report — the removal-reason breakdown a curation
     * run publishes when SEVERAL dedup stages act on one corpus: every doc
     * gets exactly ONE verdict under the pipeline's precedence order —

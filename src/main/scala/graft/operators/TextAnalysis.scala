@@ -613,6 +613,73 @@ object TextAnalysis {
         expr("(2 * nll_micro + n_tokens) div (2 * n_tokens)") / lit(1e6))
   }
 
+  /** Per-source token-distribution divergence — KL(source ‖ corpus) over
+    * the corpus's top-k vocabulary, the drift/composition signal a
+    * dataset card reports next to [[languageComposition]]: a source
+    * whose common-token distribution diverges from the corpus is dialect,
+    * boilerplate, or contamination. Restricting to the top-k vocab keeps
+    * the computation on a BOUNDED (sources × k) grid (k is plan-time;
+    * the grid is a broadcast cross join), add-one smoothing keeps
+    * zero-count cells finite, and each KL term is fixed to integer
+    * micro-nats BEFORE the sum — exact in any fold order, the
+    * engine-portability discipline of every ln here.
+    * Output: source, n_tokens_topk (= k), kl_nats (micro-exact sum).
+    */
+  def sourceTokenDivergence(docs: DataFrame, k: Int = 100): DataFrame = {
+    val top = tokenCounts(docs).orderBy(col("n").desc, col("token")).limit(k)
+      .select(col("token"), col("n").as("__cq"))
+    val nq = top.agg(sum(col("__cq")).as("__nq"))
+    val srcTok = docs
+      .select(col("source"), explode(tokens(lower(col("text")))).as("token"))
+      .join(broadcast(top.select("token")), Seq("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("__cs"))
+    val grid = docs.select(col("source")).distinct()
+      .crossJoin(broadcast(top))
+      .join(srcTok, Seq("source", "token"), "left")
+      .withColumn("__cs", coalesce(col("__cs"), lit(0L)))
+    val perSrc = grid.groupBy(col("source")).agg(sum(col("__cs")).as("__ns"))
+    val p = (col("__cs") + 1).cast("double") / (col("__ns") + lit(k))
+    grid.join(broadcast(perSrc), Seq("source")).crossJoin(broadcast(nq))
+      .select(col("source"),
+        floor(p * log(p / (col("__cq").cast("double") / col("__nq")))
+          * 1e6 + 0.5).cast("long").as("__t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens_topk"), sum(col("__t")).as("__s"))
+      .select(col("source"), col("n_tokens_topk"),
+        (col("__s").cast("double") / 1e6).as("kl_nats"))
+  }
+
+  /** Per-source length↔quality correlation — the "is the quality score
+    * just measuring length?" audit every heuristic-gate deployment owes
+    * itself: Pearson r between character length and the 4dp quality
+    * score, computed from exact integer sums (x, y in ticks; cross and
+    * square sums in DECIMAL(38,0) — any fold order, no long overflow)
+    * with one fixed expression shape for the final ratio. |r| ≈ 1 says
+    * the gate is a length proxy and the length term should be dropped
+    * before it biases mixture sampling.
+    * Output: source, n_docs, corr (4dp; 0 when either variance is 0).
+    */
+  def lengthQualityCorrelation(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        length(col("text")).cast("long").as("__x"),
+        floor(qualityExpr(col("text")) * 10000 + 0.5).cast("long").as("__y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("__sxy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("__syy"))
+      .select(col("source"), col("n_docs"),
+        round(
+          (col("n_docs") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+            sqrt(greatest(lit(1e-12),
+              (col("n_docs") * col("__sxx").cast("double") -
+                col("__sx").cast("double") * col("__sx").cast("double")) *
+                (col("n_docs") * col("__syy").cast("double") -
+                  col("__sy").cast("double") * col("__sy").cast("double")))),
+          4).as("corr"))
+
   /** Rank-normalized quality ensemble — the standard blend of two
     * heterogeneous quality signals on ONE percentile scale: the heuristic
     * score ([[qualityExpr]], already on its 4dp grid) and the unigram-LM

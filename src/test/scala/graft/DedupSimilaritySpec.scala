@@ -1751,6 +1751,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 0L, false), (4L, 1L, false), (5L, 0L, true)))
   }
 
+  test("source divergence: a drifted source scores above look-like-corpus sources") {
+    // the corpus must be dominated by the balanced sources, or the
+    // drifted one drags the reference distribution toward itself
+    val balanced = "alpha beta gamma delta alpha beta gamma delta"
+    val docs = ((1 to 10).map(i => (i.toLong, balanced, s"s$i")) :+
+      ((99L, "alpha alpha alpha alpha alpha alpha alpha alpha", "drift")))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceTokenDivergence(docs, k = 4)
+      .orderBy("source").as[(String, Long, Double)].collect()
+    assert(got.forall(_._2 === 4L)) // every source scored on the same k cells
+    val kl = got.map(r => r._1 -> r._3).toMap
+    assert(kl("s1") === kl("s2")) // identical sources, identical divergence
+    assert(kl("drift") > kl("s1") + 0.1, s"drifted source must stand out: $kl")
+  }
+
+  test("dup degree histogram: degrees count edges, zero-degree docs complete the corpus") {
+    val docs4 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupDegreeHistogram(docs4, pairs)
+      .orderBy("degree").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 1L), (1L, 2L), (2L, 1L)))
+    assert(got.map(_._2).sum === 4L)
+  }
+
+  test("length-quality correlation: bounded, zero on constant sources, positive when quality tracks length") {
+    val docs = (1 to 20).map { i =>
+      // below the 200-token cap quality rises with token count
+      (i.toLong, Seq.fill(5 * i)("the word here").mkString(" "), "grow")
+    } ++ (1 to 5).map(i => (100L + i, "same text every time", "flat"))
+    val got = TextAnalysis.lengthQualityCorrelation(docs.toDF("doc_id", "text", "source"))
+      .orderBy("source").as[(String, Long, Double)].collect()
+    val bys = got.map(r => r._1 -> r._3).toMap
+    assert(got.forall(r => math.abs(r._3) <= 1.0))
+    assert(bys("flat") === 0.0) // zero variance -> guarded zero, not NaN
+    assert(bys("grow") > 0.5, s"quality tracks length below the cap: $bys")
+  }
+
   test("session paths: gap cuts sessions, depth caps the path, rank is (n desc, path asc)") {
     import java.sql.Timestamp
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:${min / 60}%02d:${min % 60}%02d")
