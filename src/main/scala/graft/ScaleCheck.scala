@@ -433,6 +433,17 @@ object ScaleCheck {
     // q135: one scan + per-source integer-sum aggregate
     time(s"length-quality correlation over $nDocs docs")(
       graft.operators.TextAnalysis.lengthQualityCorrelation(sourced).count())
+    // q136: (doc, char) explode + two hash aggs — linear, the heavy doc
+    // spreads over its char keys instead of one reducer
+    time(s"char entropy over $nDocs docs")(
+      graft.operators.TextAnalysis.charEntropy(docs).count())
+    // q137: pure length arithmetic, one scan, hits-only output
+    time(s"corpus grep over $nDocs docs")(
+      graft.operators.TextAnalysis.corpusGrep(docs, "spark").count())
+    // q138: one token aggregate + a bounded driver water-fill
+    time(s"budget allocation over $nDocs docs")(
+      graft.operators.TextAnalysis.budgetAllocation(sourced,
+        budget = 1000000L).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

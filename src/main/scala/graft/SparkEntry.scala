@@ -778,6 +778,21 @@ object SparkEntry {
     "q123_weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir), n = 40)
         .orderBy("key_micro", "doc_id")),
+    // per-doc character Shannon entropy in exact micro-nat terms —
+    // the gibberish/encoding detector orthogonal to word gates
+    "q136_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(Tables.documents(s, dir)).orderBy("doc_id")),
+    // exact-substring corpus grep: match count via length arithmetic,
+    // 1-based first offset; rows only for hits
+    "q137_corpus_grep" -> ((s, dir) =>
+      TextAnalysis.corpusGrep(Tables.documents(s, dir), needle = "spark")
+        .orderBy("doc_id")),
+    // integer water-filling of a 26k-token budget across sources:
+    // below-water sources take everything, the rest split the
+    // remainder evenly (deterministic integer remainder placement)
+    "q138_budget_allocation" -> ((s, dir) =>
+      TextAnalysis.budgetAllocation(Tables.documents(s, dir), budget = 26000L)
+        .orderBy("source")),
     // KL(source || corpus) over the corpus top-100 vocab: bounded
     // (sources × k) grid, add-one smoothing, micro-nat term ticks
     "q133_source_divergence" -> ((s, dir) =>
@@ -1818,6 +1833,60 @@ object SparkEntry {
          |       (c.n_docs * 20000 + t.t) // (2 * t.t) AS share_bp
          |FROM cnt c JOIN tot t ON t.source = c.source
          |ORDER BY c.source, c.reason""".stripMargin,
+    // exploded (doc, char) counts → per-doc micro-nat entropy terms
+    // summed exactly; empty docs coalesce to (0, 0.0)
+    "q136_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+        |            FROM documents),
+        |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+        |cn AS (SELECT doc_id, ch, c,
+        |              CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM cc),
+        |tm AS (SELECT doc_id, n,
+        |              CAST(floor((c / CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / c)
+        |                * 1000000 + 0.5) AS BIGINT) AS t
+        |       FROM cn),
+        |e AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+        |             CAST(sum(t) AS BIGINT) AS s FROM tm GROUP BY 1)
+        |SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars,
+        |       coalesce(e.s / 1000000.0, 0.0) AS entropy
+        |FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // literal-substring count by length difference + strpos; hits only
+    "q137_corpus_grep" ->
+      """SELECT doc_id,
+        |       (length(text) - length(replace(text, 'spark', ''))) // 5 AS n_matches,
+        |       CAST(strpos(text, 'spark') AS BIGINT) AS first_pos
+        |FROM documents
+        |WHERE (length(text) - length(replace(text, 'spark', ''))) // 5 > 0
+        |ORDER BY doc_id""".stripMargin,
+    // closed-form water level over sources sorted by availability:
+    // j = first rank the remaining budget no longer floods; the
+    // remainder r = B - pa_j splits over m = n - j + 1 sources with
+    // the integer remainder placed on the first ranks
+    "q138_budget_allocation" ->
+      """WITH w AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |av AS (SELECT source, CAST(sum(len(words)) AS BIGINT) AS a FROM w GROUP BY 1),
+        |o AS (SELECT source, a,
+        |             CAST(row_number() OVER (ORDER BY a, source) AS BIGINT) AS rn,
+        |             CAST(count(*) OVER () AS BIGINT) AS n,
+        |             CAST(coalesce(sum(a) OVER (ORDER BY a, source
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pa
+        |      FROM av),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS t FROM av),
+        |j AS (SELECT min(rn) AS j FROM o WHERE pa + (n - rn + 1) * a >= 26000),
+        |par AS (SELECT pa AS paj FROM o, j WHERE o.rn = j.j)
+        |SELECT source, a AS available,
+        |       CAST(CASE WHEN (SELECT t FROM tot) <= 26000 THEN a
+        |                 WHEN rn < (SELECT j FROM j) THEN a
+        |                 ELSE (26000 - (SELECT paj FROM par)) // (n - (SELECT j FROM j) + 1)
+        |                      + CASE WHEN rn - (SELECT j FROM j) <
+        |                               (26000 - (SELECT paj FROM par)) % (n - (SELECT j FROM j) + 1)
+        |                             THEN 1 ELSE 0 END
+        |            END AS BIGINT) AS allocated
+        |FROM o ORDER BY source""".stripMargin,
     // corpus top-100 vocab → (source × token) grid with add-one
     // smoothing → micro-nat KL terms summed exactly
     "q133_source_divergence" ->

@@ -613,6 +613,104 @@ object TextAnalysis {
         expr("(2 * nll_micro + n_tokens) div (2 * n_tokens)") / lit(1e6))
   }
 
+  /** Character-entropy quality signal — Shannon entropy of each doc's
+    * character distribution, the gibberish detector orthogonal to the
+    * word-level gates: repeated-char loops and keyboard mash sit far
+    * below natural text (~4.1 bits ≈ 2.8 nats for English), encrypted
+    * or base64 blobs sit above it. Two hash aggregates over exploded
+    * (doc, char) pairs — linear, user-skew-free (a huge doc spreads
+    * over its char keys); each entropy term is fixed to integer
+    * micro-nats BEFORE the per-doc sum, exact in any fold order.
+    * Output: doc_id, n_chars, entropy (nats, micro-exact; 0 for empty).
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= "") // Spark's -1 split limit emits a trailing ""
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("__n"),
+        floor((col("__c").cast("double") / col("__n"))
+          * log(col("__n").cast("double") / col("__c")) * 1e6 + 0.5)
+          .cast("long").as("__t"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("__n")).as("n_chars"), sum(col("__t")).as("__s"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("__s").cast("double") / 1e6).as("entropy"))
+    docs.select(col("doc_id")).join(terms, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
+  }
+
+  /** Corpus grep — the curation-time "find every document mentioning X"
+    * tool: exact-substring match count and first offset per document,
+    * computed with pure string arithmetic (length-difference count,
+    * 1-based instr) — no regex engine in the hot path, one scan, rows
+    * only for matching docs so output is bounded by hits.
+    * Output: doc_id, n_matches (≥ 1), first_pos (1-based).
+    */
+  def corpusGrep(docs: DataFrame, needle: String): DataFrame = {
+    require(needle.nonEmpty, "empty needle matches everywhere")
+    docs.select(col("doc_id"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), lit(java.util.regex.Pattern.quote(needle)), lit(""))))
+          / lit(needle.length)).cast("long").as("n_matches"),
+        instr(col("text"), needle).cast("long").as("first_pos"))
+      .where(col("n_matches") > 0)
+  }
+
+  /** Token-budget allocation across sources — integer water-filling:
+    * give every source an equal share of `budget` tokens, capped at
+    * what the source actually has, redistributing unused capacity
+    * until the budget is exactly spent (the mixture-design step before
+    * [[tokenBudgetDraw]] picks documents inside each source's
+    * allocation). Closed form on the sources sorted by availability:
+    * below-water sources take everything; the rest split the remainder
+    * evenly with the integer remainder going to the first sources in
+    * (availability, source) order — so Σ allocated = min(budget,
+    * Σ available) EXACTLY, deterministically, in any engine. One
+    * corpus-token aggregate; the allocation itself runs driver-side on
+    * the bounded source dim (the [[Stats.quantileBuckets]] bounded-
+    * collect discipline) and returns as a literal relation.
+    * Output: source, available, allocated.
+    */
+  def budgetAllocation(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val avail = docs
+      .select(col("source"), size(tokens(lower(col("text")))).cast("long").as("__t"))
+      .groupBy(col("source")).agg(sum(col("__t")).as("__a"))
+      .orderBy(col("__a"), col("source"))
+      .as[(String, Long)].collect()
+    val total = avail.map(_._2).sum
+    val alloc: Seq[(String, Long, Long)] =
+      if (total <= budget) avail.toSeq.map { case (s, a) => (s, a, a) }
+      else {
+        val n = avail.length
+        // walk the ascending availability order: sources whose full
+        // content fits under the (shrinking) equal share are below the
+        // water level and take everything
+        var pa = 0L
+        var j = 0
+        while (j < n && pa + (n - j).toLong * avail(j)._2 < budget) {
+          pa += avail(j)._2
+          j += 1
+        }
+        val r = budget - pa
+        val m = n - j
+        val base = if (m > 0) r / m else 0L
+        val rem = if (m > 0) (r % m).toInt else 0
+        avail.zipWithIndex.toSeq.map { case ((s, a), i) =>
+          if (i < j) (s, a, a)
+          else (s, a, base + (if (i - j < rem) 1L else 0L))
+        }
+      }
+    alloc.toDF("source", "available", "allocated")
+  }
+
   /** Per-source token-distribution divergence — KL(source ‖ corpus) over
     * the corpus's top-k vocabulary, the drift/composition signal a
     * dataset card reports next to [[languageComposition]]: a source

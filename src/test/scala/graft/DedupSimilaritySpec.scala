@@ -1751,6 +1751,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 0L, false), (4L, 1L, false), (5L, 0L, true)))
   }
 
+  test("char entropy: constant text scores zero, uniform pair ln 2, empty doc coalesces") {
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got(0) === ((1L, 4L, 0.0)))
+    // two equiprobable chars: 2 · floor(0.5·ln2·1e6 + ½) micro-nats
+    assert(got(1) === ((2L, 2L, 0.693148)))
+    assert(got(2) === ((3L, 0L, 0.0)))
+  }
+
+  test("corpus grep: counts non-overlapping hits with first offset, misses excluded") {
+    val docs = Seq(
+      (1L, "the needle sits here and the needle repeats"),
+      (2L, "nothing to find"),
+      (3L, "needle")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusGrep(docs, "needle")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 5L), (3L, 1L, 1L)))
+  }
+
+  test("budget allocation: water level caps the big sources, sum is exactly the budget") {
+    val docs = Seq(
+      (1L, Seq.fill(10)("t").mkString(" "), "small"),
+      (2L, Seq.fill(100)("t").mkString(" "), "bigA"),
+      (3L, Seq.fill(100)("t").mkString(" "), "bigB")
+    ).toDF("doc_id", "text", "source")
+    def run(b: Long) = TextAnalysis.budgetAllocation(docs, b)
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+    // 60 tokens: small floods (takes its 10), bigs split 50 evenly
+    assert(run(60L) === Seq(("bigA", 100L, 25L), ("bigB", 100L, 25L), ("small", 10L, 10L)))
+    // 61: the integer remainder lands on the first rank in (avail, source) order
+    assert(run(61L) === Seq(("bigA", 100L, 26L), ("bigB", 100L, 25L), ("small", 10L, 10L)))
+    // budget covers everything: allocation = availability
+    assert(run(500L).map(r => r._3) === Seq(100L, 100L, 10L))
+    assert(run(0L).map(_._3).sum === 0L)
+  }
+
   test("source divergence: a drifted source scores above look-like-corpus sources") {
     // the corpus must be dominated by the balanced sources, or the
     // drifted one drags the reference distribution toward itself
