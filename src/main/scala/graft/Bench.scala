@@ -77,14 +77,26 @@ object Bench {
     }
     def f3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    // the stdout line must fit the driver's ~3k-char capture window or
-    // it truncates from the front and records parsed:null (r6's fate):
-    // 3dp medians + the canonical qNN ids (full names and per-pass
-    // samples live in BENCH_DETAIL.json) keep 105 queries near 1.8k
+    // the driver keeps only the LAST 2000 chars of stdout (r5/r6 both
+    // recorded parsed:null because the full-width line lost its head to
+    // that window, and sbt's trailing "[success]" line eats ~60 more) —
+    // so the final line BUDGETS its queries map: slowest-first entries
+    // until ~1600 chars, the rest counted LOUDLY in omitted_fastest
+    // (every omitted median is ≤ the smallest included one; the full
+    // map + per-pass samples are canonical in BENCH_DETAIL.json)
     def shortName(n: String): String = n.takeWhile(_ != '_')
-    def qsJson(): String =
-      names.map(n => "\"" + shortName(n) + "\":" + f3(median(samples(n))))
-        .mkString("{", ",", "}")
+    def qsParts(): (String, Int) = {
+      val entries = names.map(n => (shortName(n), median(samples(n))))
+        .sortBy { case (id, m) => (-m, id) }
+        .map { case (id, m) => "\"" + id + "\":" + f3(m) }
+      val budget = 1600
+      val kept = collection.mutable.ArrayBuffer.empty[String]
+      var used = 2
+      entries.foreach { e =>
+        if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      }
+      (kept.mkString("{", ",", "}"), entries.length - kept.length)
+    }
     // box-state marker: load average + free memory, so a later reader can
     // separate host contention from plan regressions (r6's 680→297→180 s
     // pass swing was drift, but the JSON carried no evidence either way)
@@ -109,8 +121,9 @@ object Bench {
       // before the last pass still leaves a parseable result in the log
       // ("partial_total" so only the completed run's line matches "total")
       val t = names.map(n => median(samples(n))).filter(_ >= 0).sum
+      val (pq, pOmit) = qsParts()
       System.err.println(
-        s"""{"metric":"partial_total","value":${f3(t)},"unit":"sec","queries":${qsJson()},"sf":"$sfDir","iters":$pass}""")
+        s"""{"metric":"partial_total","value":${f3(t)},"unit":"sec","queries":$pq,"omitted_fastest":$pOmit,"sf":"$sfDir","iters":$pass}""")
     }
     val total = names.map(n => median(samples(n))).filter(_ >= 0).sum
     val passTotals = (0 until iters).map { i =>
@@ -128,7 +141,16 @@ object Bench {
         s"""{"sf":"$sfDir","iters":$iters,"box_start":{$boxStart},"box_end":{${boxState()}},""" +
           s""""pass_totals":$passTotals,"per_pass":$perQuery}""" + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${qsJson()},"sf":"$sfDir","iters":$iters,"pass_totals":$passTotals}""")
+    val (qj, omitted) = qsParts()
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qj,""" +
+      s""""omitted_fastest":$omitted,"sf":"$sfDir","iters":$iters,"pass_totals":$passTotals}"""
+    // hard guard on the driver's 2000-char stdout tail (minus sbt's
+    // trailing success line): if a future query explosion ever overruns
+    // it, fail to a bare-summary line rather than an unparseable one
+    println(
+      if (line.length <= 1900) line
+      else s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},""" +
+        s""""omitted_fastest":${names.length},"sf":"$sfDir","iters":$iters,"pass_totals":$passTotals}""")
     spark.stop()
   }
 }
