@@ -119,6 +119,15 @@ object ScaleCheck {
     // q132: (type × day) grid + broadcast stats — scan-bound
     time(s"daily anomaly flags over $nUev events")(
       graft.operators.Stats.dailyAnomalies(uev, "event_type", "ts").count())
+    // q139: per-user counts collapse onto the (type × count) grid; the
+    // descending cumsum windows run over cells, never users
+    time(s"top-decile concentration over $nUev events")(
+      graft.operators.Engagement.topDecileConcentration(uev, "user_id",
+        "event_type").count())
+    // q140: one (user, type)-keyed lag + grid quantiles — no per-type sort
+    time(s"inter-event gap quantiles over $nUev events")(
+      graft.operators.Engagement.interEventGapQuantiles(uev, "user_id",
+        "ts", "event_type", "event_id").count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise

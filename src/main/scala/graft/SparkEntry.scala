@@ -778,6 +778,16 @@ object SparkEntry {
     "q123_weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir), n = 40)
         .orderBy("key_micro", "doc_id")),
+    // top-10% user share of each type's volume — grid cumsums, exact
+    // integer split at the threshold count, HALF_UP bp
+    "q139_concentration" -> ((s, dir) =>
+      Engagement.topDecileConcentration(Tables.events(s, dir), "user_id",
+        "event_type").orderBy("event_type")),
+    // per-type cadence percentiles: same-user consecutive-event gaps
+    // in 1-second ticks through the counting-grid quantiles
+    "q140_gap_quantiles" -> ((s, dir) =>
+      Engagement.interEventGapQuantiles(Tables.events(s, dir), "user_id",
+        "ts", "event_type", "event_id").orderBy("event_type")),
     // per-doc character Shannon entropy in exact micro-nat terms —
     // the gibberish/encoding detector orthogonal to word gates
     "q136_char_entropy" -> ((s, dir) =>
@@ -1833,6 +1843,53 @@ object SparkEntry {
          |       (c.n_docs * 20000 + t.t) // (2 * t.t) AS share_bp
          |FROM cnt c JOIN tot t ON t.source = c.source
          |ORDER BY c.source, c.reason""".stripMargin,
+    // per-user counts → (type × count) grid → descending cumsums; the
+    // threshold row splits integer-exactly among tied users
+    "q139_concentration" ->
+      """WITH uc AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        |            FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |cells AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS users,
+        |                 CAST(c * count(*) AS BIGINT) AS events
+        |          FROM uc GROUP BY 1, 2),
+        |g AS (SELECT event_type, c, users, events,
+        |             CAST(sum(users) OVER (PARTITION BY event_type ORDER BY c DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumu,
+        |             CAST(sum(events) OVER (PARTITION BY event_type ORDER BY c DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume,
+        |             CAST(sum(users) OVER (PARTITION BY event_type) AS BIGINT) AS nu,
+        |             CAST(sum(events) OVER (PARTITION BY event_type) AS BIGINT) AS ne
+        |      FROM cells),
+        |g2 AS (SELECT *, (nu + 9) // 10 AS k FROM g),
+        |thr AS (SELECT event_type, max(c) AS v FROM g2 WHERE cumu >= k GROUP BY 1)
+        |SELECT g2.event_type, nu AS n_users, ne AS n_events, k AS top_users,
+        |       ((cume - (cumu - k) * v) * 20000 + ne) // (2 * ne) AS top_share_bp
+        |FROM g2 JOIN thr ON thr.event_type = g2.event_type AND g2.c = thr.v
+        |ORDER BY g2.event_type""".stripMargin,
+    // (user, type)-keyed lag gaps in seconds → q130's counting-grid
+    // type-1 percentiles
+    "q140_gap_quantiles" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |l AS (SELECT event_type,
+        |             lag(ts) OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts, event_id) AS prev_ts, ts
+        |      FROM ev),
+        |gp AS (SELECT event_type,
+        |              (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 AS gap_s
+        |       FROM l WHERE prev_ts IS NOT NULL),
+        |c AS (SELECT event_type, CAST(floor(gap_s / 1.0) AS BIGINT) AS v,
+        |             CAST(count(*) AS BIGINT) AS c
+        |      FROM gp GROUP BY 1, 2),
+        |w AS (SELECT event_type, v, c,
+        |             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM c)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS DOUBLE) * 1.0 AS p50,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS DOUBLE) * 1.0 AS p90,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS DOUBLE) * 1.0 AS p99
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     // exploded (doc, char) counts → per-doc micro-nat entropy terms
     // summed exactly; empty docs coalesce to (0, 0.0)
     "q136_char_entropy" ->

@@ -198,6 +198,70 @@ object Engagement {
       .select("rank", "path", "n_sessions")
   }
 
+  /** Top-decile concentration — how unequal each event type's volume is
+    * across users: the share of events produced by the top 10% most
+    * active users (k = ⌈n_users/10⌉), in HALF_UP basis points. Computed
+    * WITHOUT a per-type sort of users: per-user counts collapse onto the
+    * (type × count-value) grid, cumulative sums run DESCENDING over that
+    * bounded grid, and the threshold row splits exactly — users tied at
+    * the threshold count contribute their count value times however many
+    * of them fit in k (pure integer arithmetic, deterministic in any
+    * engine). A share near 10000 bp is the bot/power-user signature a
+    * rate-limit or weighting decision reads.
+    * Output: event_type, n_users, n_events, top_users (= k),
+    * top_share_bp.
+    */
+  def topDecileConcentration(events: DataFrame, userCol: String,
+                             typeCol: String): DataFrame = {
+    val cells = events
+      .select(col(typeCol).as("event_type"), col(userCol).as("__u"))
+      .where(col("__u").isNotNull)
+      .groupBy(col("event_type"), col("__u")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("event_type"), col("__c"))
+      .agg(count(lit(1)).as("__users"), (col("__c") * count(lit(1))).as("__events"))
+    val wDesc = Window.partitionBy(col("event_type")).orderBy(col("__c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT = Window.partitionBy(col("event_type"))
+    val g = cells
+      .withColumn("__cumU", sum(col("__users")).over(wDesc))
+      .withColumn("__cumE", sum(col("__events")).over(wDesc))
+      .withColumn("__nU", sum(col("__users")).over(wT))
+      .withColumn("__nE", sum(col("__events")).over(wT))
+      .withColumn("__k", expr("(__nU + 9) div 10"))
+    val thr = g.where(col("__cumU") >= col("__k"))
+      .groupBy(col("event_type")).agg(max(col("__c")).as("__v"))
+    g.join(thr, Seq("event_type")).where(col("__c") === col("__v"))
+      .select(col("event_type"), col("__nU").as("n_users"),
+        col("__nE").as("n_events"), col("__k").as("top_users"),
+        expr("((__cumE - (__cumU - __k) * __v) * 20000 + __nE) div (2 * __nE)")
+          .as("top_share_bp"))
+  }
+
+  /** Inter-event gap percentiles — per event type, p50/p90/p99 of the
+    * seconds between a user's consecutive events of that type (the
+    * cadence signal behind session-timeout and anomaly thresholds).
+    * One (user, type)-keyed lag window produces the gaps; the quantiles
+    * ride [[graft.operators.Stats.tickQuantiles]]' counting grid, so no
+    * per-type sort ever happens — grid cells are bounded by
+    * range/tick at any event volume.
+    * Output: event_type, n_rows (gaps), p50, p90, p99 (second ticks).
+    */
+  def interEventGapQuantiles(events: DataFrame, userCol: String,
+                             tsCol: String, typeCol: String, tieCol: String,
+                             tick: Double = 1.0): DataFrame = {
+    val wo = Window.partitionBy(col("__u"), col("__t"))
+      .orderBy(col("__us"), col("__tie"))
+    val gaps = events.select(col(userCol).as("__u"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+        col(tieCol).as("__tie"), col(typeCol).as("__t"))
+      .where(col("__u").isNotNull && col("__us").isNotNull)
+      .withColumn("__prev", lag(col("__us"), 1).over(wo))
+      .where(col("__prev").isNotNull)
+      .select(col("__t").as("event_type"),
+        ((col("__us") - col("__prev")).cast("double") / 1e6).as("gap_s"))
+    Stats.tickQuantiles(gaps, "event_type", "gap_s", tick)
+  }
+
   /** Event-type affinity matrix — which behaviors co-occur in the same
     * users: per unordered type pair, the distinct-user overlap and its
     * LIFT against independence, `P(a∧b) / (P(a)·P(b))` in HALF_UP basis

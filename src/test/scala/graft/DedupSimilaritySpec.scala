@@ -1871,6 +1871,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!got.exists(r => r._1 == "a" && r._2 == "c")) // zero overlap -> no row
   }
 
+  test("top-decile concentration: power user dominates, uniform volume splits evenly") {
+    val skewedEv = (1 to 91).map(_ => (1L, "t")) ++ (2 to 10).map(u => (u.toLong, "t"))
+    val got = graft.operators.Engagement.topDecileConcentration(
+      skewedEv.toDF("user_id", "event_type"), "user_id", "event_type")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // k = ceil(10/10) = 1; the single top user owns 91 of 100 events
+    assert(got.toSeq === Seq(("t", 10L, 100L, 1L, 9100L)))
+    val uniformEv = (1 to 10).flatMap(u => (1 to 10).map(_ => (u.toLong, "u")))
+    val uni = graft.operators.Engagement.topDecileConcentration(
+      uniformEv.toDF("user_id", "event_type"), "user_id", "event_type")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // all users tied at 10: the threshold row splits integer-exactly to k·10
+    assert(uni.toSeq === Seq(("u", 10L, 100L, 1L, 1000L)))
+  }
+
+  test("inter-event gaps: same-user same-type cadence through grid percentiles") {
+    import java.sql.Timestamp
+    def at(s: Int) = Timestamp.valueOf(f"2024-01-01 10:${s / 60}%02d:${s % 60}%02d")
+    val ev = Seq(
+      (1L, 1L, at(0), "A"), (2L, 1L, at(10), "A"),
+      (3L, 1L, at(30), "A"), (4L, 1L, at(100), "A"),
+      (5L, 2L, at(5), "A"), // different user: no gap row of its own
+      (6L, 1L, at(7), "B")  // different type: separate chain, single event
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Engagement.interEventGapQuantiles(
+      ev, "user_id", "ts", "event_type", "event_id")
+      .as[(String, Long, Double, Double, Double)].collect()
+    // user 1 type A gaps: 10, 20, 70 s -> type-1 cuts
+    assert(got.toSeq === Seq(("A", 3L, 20.0, 70.0, 70.0)))
+  }
+
   test("daily anomalies: a 10x burst trips 3-sigma, constant volume never does") {
     import java.sql.Timestamp
     val rows =
