@@ -128,6 +128,11 @@ object ScaleCheck {
     time(s"inter-event gap quantiles over $nUev events")(
       graft.operators.Engagement.interEventGapQuantiles(uev, "user_id",
         "ts", "event_type", "event_id").count())
+    // q142: the q87 fold + the integer-micros window gate — same
+    // user-key exchanges, no new shuffle
+    time(s"windowed funnel over $nUev events")(
+      graft.operators.Engagement.funnel(uev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxLagSeconds = Some(86400L)).count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise
@@ -453,6 +458,13 @@ object ScaleCheck {
     time(s"budget allocation over $nDocs docs")(
       graft.operators.TextAnalysis.budgetAllocation(sourced,
         budget = 1000000L).count())
+    // q141: counting-cut buckets + per-bucket integer waste — rides
+    // quantileBuckets' TakeOrdered shape, no global sort
+    time(s"padding efficiency over $nDocs docs")(
+      graft.operators.TextAnalysis.paddingEfficiency(docs).count())
+    // q143: one scan, one per-source aggregate
+    time(s"id continuity over $nDocs docs")(
+      graft.operators.TextAnalysis.idContinuity(sourced).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

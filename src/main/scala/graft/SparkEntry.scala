@@ -778,6 +778,21 @@ object SparkEntry {
     "q123_weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(Tables.documents(s, dir), n = 40)
         .orderBy("key_micro", "doc_id")),
+    // quantile length buckets → per-bucket padded-batch waste in
+    // HALF_UP bp — the bucketing trade curve for batch scheduling
+    "q141_padding_efficiency" -> ((s, dir) =>
+      TextAnalysis.paddingEfficiency(Tables.documents(s, dir), k = 4)
+        .orderBy("bucket")),
+    // the "convert within 1 day" funnel: same fold as q87 with an
+    // integer-micros window gate on each step advance
+    "q142_windowed_funnel" -> ((s, dir) =>
+      Engagement.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxLagSeconds = Some(86400L))
+        .orderBy("step_idx")),
+    // per-source doc-id continuity: ids absent from the source's own
+    // [min, max] span — the dropped-batch ingest audit
+    "q143_id_continuity" -> ((s, dir) =>
+      TextAnalysis.idContinuity(Tables.documents(s, dir)).orderBy("source")),
     // top-10% user share of each type's volume — grid cumsums, exact
     // integer split at the threshold count, HALF_UP bp
     "q139_concentration" -> ((s, dir) =>
@@ -1843,6 +1858,56 @@ object SparkEntry {
          |       (c.n_docs * 20000 + t.t) // (2 * t.t) AS share_bp
          |FROM cnt c JOIN tot t ON t.source = c.source
          |ORDER BY c.source, c.reason""".stripMargin,
+    // q91's counting-cuts chain on token counts, then per-bucket
+    // padded-waste arithmetic (pure integers, HALF_UP bp)
+    "q141_padding_efficiency" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                              x -> x <> '')) AS BIGINT) AS v
+        |  FROM documents),
+        |d AS (SELECT v, count(*) AS c FROM w GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM d),
+        |n AS (SELECT count(*) AS n FROM w),
+        |js AS (SELECT unnest(range(1, 4)) AS j),
+        |cuts AS (SELECT j, min(v) AS cut FROM cum, n, js
+        |         WHERE cum >= (j * n.n + 3) // 4 GROUP BY j),
+        |b AS (SELECT doc_id, v,
+        |             CAST(1 + (SELECT count(*) FROM cuts WHERE cut < w.v) AS INT) AS bucket
+        |      FROM w),
+        |agg AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(max(v) AS BIGINT) AS max_len,
+        |               CAST(sum(v) AS BIGINT) AS sum_tokens
+        |        FROM b GROUP BY 1)
+        |SELECT bucket, n_docs, max_len, sum_tokens,
+        |       CASE WHEN max_len > 0
+        |            THEN ((n_docs * max_len - sum_tokens) * 20000 + n_docs * max_len)
+        |                 // (2 * n_docs * max_len)
+        |            ELSE 0 END AS waste_bp
+        |FROM agg ORDER BY bucket""".stripMargin,
+    // q87's fold with the 1-day window gate on each advance
+    "q142_windowed_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t
+        |         AND epoch_us(e.ts) - epoch_us(s1.t) <= 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+        |         AND epoch_us(e.ts) - epoch_us(s2.t) <= 86400000000 GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step_idx, 'view' AS step_name,
+        |       CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        |ORDER BY step_idx""".stripMargin,
+    "q143_id_continuity" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       max(doc_id) - min(doc_id) + 1 - count(*) AS n_missing
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // per-user counts → (type × count) grid → descending cumsums; the
     // threshold row splits integer-exactly among tied users
     "q139_concentration" ->

@@ -36,7 +36,8 @@ object Engagement {
     * long) — the classic funnel table, monotone non-increasing.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+             typeCol: String, steps: Seq[String],
+             maxLagSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, "funnel steps must be distinct")
     val base = events.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
@@ -45,10 +46,18 @@ object Engagement {
     val first = base.where(col("__t") === steps.head)
       .groupBy("__u").agg(min("__ts").as("__tk"))
     val reached = steps.tail.scanLeft(first) { (prev, step) =>
-      base.where(col("__t") === step)
+      val joined = base.where(col("__t") === step)
         .join(prev.select(col("__u"), col("__tk").as("__prev")), Seq("__u"))
         .where(col("__ts") >= col("__prev"))
-        .groupBy("__u").agg(min("__ts").as("__tk"))
+      // windowed variant: a step only counts when it lands within
+      // maxLagSeconds of the previous step's completion — the "convert
+      // within N days" form every product funnel also ships; integer
+      // micros end-to-end, so the window edge is exact
+      val gated = maxLagSeconds.fold(joined)(lag =>
+        joined.where(
+          unix_micros(col("__ts").cast("timestamp")) -
+            unix_micros(col("__prev").cast("timestamp")) <= lag * 1000000L))
+      gated.groupBy("__u").agg(min("__ts").as("__tk"))
     }
     reached.zip(steps).zipWithIndex.map { case ((df, name), i) =>
       df.agg(count(lit(1)).as("users"))

@@ -613,6 +613,43 @@ object TextAnalysis {
         expr("(2 * nll_micro + n_tokens) div (2 * n_tokens)") / lit(1e6))
   }
 
+  /** Length-bucket padding efficiency — the batch-scheduling report a
+    * training pipeline reads before fixing its bucketing: documents
+    * quantile-bucketed by token count ([[graft.operators.Stats.quantileBuckets]]
+    * — counting cuts, no global sort), and per bucket the padded-batch
+    * waste if every member pads to the bucket's max length, in HALF_UP
+    * basis points of pure integer arithmetic. More buckets → less
+    * waste → more scheduler complexity; this table is the trade curve.
+    * Output: bucket, n_docs, max_len, sum_tokens, waste_bp.
+    */
+  def paddingEfficiency(docs: DataFrame, k: Int = 4): DataFrame = {
+    val lens = docs.select(col("doc_id"),
+      size(tokens(lower(col("text")))).cast("long").as("__len"))
+    Stats.quantileBuckets(lens, valueCol = "__len", k = k, bucketCol = "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("max_len"), col("sum_tokens"),
+        when(col("max_len") > 0,
+          expr("((n_docs * max_len - sum_tokens) * 20000 + n_docs * max_len)" +
+            " div (2 * n_docs * max_len)"))
+          .otherwise(0L).as("waste_bp"))
+  }
+
+  /** Ingest-continuity audit — per source, does the doc-id range hold
+    * what it claims? `n_missing = max − min + 1 − n` is the count of
+    * ids absent from the source's own [min, max] span: the dropped-
+    * batch / partial-ingest signature caught as one aggregate instead
+    * of as a training-data shortfall later. One scan, one tiny agg.
+    * Output: source, n_docs, min_id, max_id, n_missing.
+    */
+  def idContinuity(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .select(col("source"), col("n_docs"), col("min_id"), col("max_id"),
+        (col("max_id") - col("min_id") + 1 - col("n_docs")).as("n_missing"))
+
   /** Character-entropy quality signal — Shannon entropy of each doc's
     * character distribution, the gibberish detector orthogonal to the
     * word-level gates: repeated-char loops and keyboard mash sit far

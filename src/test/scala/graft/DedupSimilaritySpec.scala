@@ -1871,6 +1871,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!got.exists(r => r._1 == "a" && r._2 == "c")) // zero overlap -> no row
   }
 
+  test("padding efficiency: quantile buckets, exact integer waste") {
+    val docs = (Seq(1, 2, 3, 4, 10, 20, 30, 40).zipWithIndex).map { case (n, i) =>
+      ((i + 1).toLong, Seq.fill(n)("t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.paddingEfficiency(docs, k = 2)
+      .orderBy("bucket").as[(Int, Long, Long, Long, Long)].collect().toSeq
+    // bucket 1 = lengths {1..4}: 4·4−10 = 6 wasted of 16 → 3750 bp
+    // bucket 2 = lengths {10..40}: 4·40−100 = 60 of 160 → 3750 bp
+    assert(got === Seq((1, 4L, 4L, 10L, 3750L), (2, 4L, 40L, 100L, 3750L)))
+  }
+
+  test("windowed funnel: the lag gate drops slow advances the plain funnel keeps") {
+    import java.sql.Timestamp
+    def at(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val ev = Seq(
+      (1L, at(0), "view"), (1L, at(30), "click"), (1L, at(120), "purchase"),
+      (2L, at(0), "view"), (2L, at(120), "click")
+    ).toDF("user_id", "ts", "event_type")
+    def counts(lag: Option[Long]) = graft.operators.Engagement.funnel(
+      ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase"), lag)
+      .orderBy("step_idx").as[(Int, String, Long)].collect().map(_._3).toSeq
+    assert(counts(None) === Seq(2L, 2L, 1L))
+    // 1h window: u2's 2h view→click drops at step 2; u1's 1.5h
+    // click→purchase drops at step 3
+    assert(counts(Some(3600L)) === Seq(2L, 1L, 0L))
+  }
+
+  test("id continuity: gaps inside a source's own span are counted") {
+    val docs = Seq((1L, "a", "A"), (2L, "b", "A"), (3L, "c", "A"), (5L, "d", "A"),
+      (10L, "e", "B"), (11L, "f", "B"), (12L, "g", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.idContinuity(docs)
+      .orderBy("source").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 4L, 1L, 5L, 1L), ("B", 3L, 10L, 12L, 0L)))
+  }
+
   test("top-decile concentration: power user dominates, uniform volume splits evenly") {
     val skewedEv = (1 to 91).map(_ => (1L, "t")) ++ (2 to 10).map(u => (u.toLong, "t"))
     val got = graft.operators.Engagement.topDecileConcentration(
