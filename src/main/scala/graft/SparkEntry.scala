@@ -981,6 +981,56 @@ object SparkEntry {
           threshold = 0.2, baseHash = Dedup.md5Base)))
         .orderBy("size")
     }),
+    // ROLLUP over (source, lang) — the dataset-card composition table at
+    // every aggregation level in ONE pass (partial aggs expand the
+    // grouping sets map-side; no re-scan per level); grouping_id
+    // disambiguates rolled-up NULLs from data NULLs
+    "q144_rollup_composition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(grouping_id().as("lvl"), count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(coalesce(col("source"), lit("<all>")).as("source"),
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          col("lvl").cast("long").as("lvl"), col("n_docs"), col("sum_chars"))
+        .orderBy("lvl", "source", "lang")),
+    // normalized exact dedup over a planted reformatting fixture (the
+    // corpus has no natural case/punctuation recrawls): every doc_id%7
+    // doc gets an uppercased, punctuation-noised twin the normalizer
+    // must re-collide
+    "q145_normalized_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 4000000000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("!!")).as("text"))
+      TextAnalysis.normalizedDedupGroups(docs.unionByName(variants))
+        .orderBy("norm_key")
+    }),
+    // per-source winsorized length means at global p05/p95 counting
+    // cuts — the robust-mean audit; TakeOrdered cut extraction, one
+    // clamp+agg pass
+    "q146_winsorized_means" -> ((s, dir) =>
+      Stats.winsorizedMeans(Tables.documents(s, dir), keyCol = "source",
+        valueCol = "n_chars").orderBy("source")),
+    // semi-structured props: JSON field extraction (codegen'd path
+    // expression, null on missing/malformed) + per-type stats in one
+    // hash agg
+    "q147_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum(col("k")).as("sum_k"), countDistinct(col("k")).as("distinct_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+    // last-touch attribution: purchases credited to the most recent
+    // prior non-purchase touch within 1 day — one keyed window pass,
+    // "<none>" stays in the share denominator
+    "q148_last_touch" -> ((s, dir) =>
+      Engagement.lastTouchAttribution(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id", target = "purchase",
+        maxLagSeconds = 86400L).orderBy("attr_type")),
   )
 
   /** q98's mixture config: one source kept whole, one dropped whole,
@@ -3924,6 +3974,88 @@ object SparkEntry {
         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
         |       CAST(sum(h) AS BIGINT) AS content_sum
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ROLLUP at every level in one pass; GROUPING() bitmask = Spark's
+    // grouping_id() for the same column order
+    "q144_rollup_composition" ->
+      """SELECT coalesce(source, '<all>') AS source,
+        |       coalesce(lang, '<all>') AS lang,
+        |       CAST(GROUPING(source, lang) AS BIGINT) AS lvl,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY 3, 1, 2""".stripMargin,
+    // lower → non-alnum → space → collapse → trim, md5 group; the
+    // planted %7 twins must re-collide with their originals
+    "q145_normalized_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000000, '  ' || upper(text) || '!!'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |n AS (SELECT doc_id,
+        |             md5(trim(regexp_replace(regexp_replace(lower(text),
+        |               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_key
+        |      FROM all_docs),
+        |g AS (SELECT norm_key, CAST(count(*) AS BIGINT) AS n_docs,
+        |             min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |      FROM n GROUP BY 1)
+        |SELECT * FROM g WHERE n_docs > 1 ORDER BY norm_key""".stripMargin,
+    // global p05/p95 type-1 counting cuts (cum·100 >= n·p ⇔ the
+    // engine's integer-ceil target), clamp, per-source 4dp-tick means
+    "q146_winsorized_means" ->
+      """WITH g AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT v, c,
+        |             CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |             CAST(sum(c) OVER () AS BIGINT) AS n FROM g),
+        |cuts AS (SELECT min(CASE WHEN cum * 100 >= n * 5 THEN v END) AS lo,
+        |                min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS hi
+        |         FROM w)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(cuts.lo AS BIGINT) AS cut_lo, CAST(cuts.hi AS BIGINT) AS cut_hi,
+        |       CAST(floor(sum(n_chars) * 10000.0 / count(*) + 0.5) AS BIGINT)
+        |         / 10000.0 AS mean_raw,
+        |       CAST(floor(sum(greatest(cuts.lo, least(cuts.hi, n_chars)))
+        |         * 10000.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS mean_winsor
+        |FROM documents, cuts GROUP BY source, cuts.lo, cuts.hi
+        |ORDER BY source""".stripMargin,
+    // JSON path extraction with null-on-missing semantics on both
+    // engines (get_json_object ↔ json_extract_string + TRY_CAST)
+    "q147_json_props" ->
+      """WITH e AS (SELECT event_type,
+        |                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |           FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(k) AS BIGINT) AS n_k,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(count(DISTINCT k) AS BIGINT) AS distinct_k,
+        |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same strictly-before (ts, event_id) carry: both IGNORE NULLS
+    // window reads land on one touch row; "<none>" keeps the
+    // denominator honest
+    "q148_last_touch" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+        |            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |a AS (SELECT event_type,
+        |             last_value(CASE WHEN event_type <> 'purchase'
+        |               THEN event_type END IGNORE NULLS) OVER w AS attr_type,
+        |             last_value(CASE WHEN event_type <> 'purchase'
+        |               THEN epoch_us(ts) END IGNORE NULLS) OVER w AS attr_us,
+        |             epoch_us(ts) AS us
+        |      FROM ev
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |t AS (SELECT CASE WHEN attr_us IS NOT NULL
+        |                   AND us - attr_us <= 86400000000 THEN attr_type
+        |             ELSE '<none>' END AS attr_type
+        |      FROM a WHERE event_type = 'purchase'),
+        |c AS (SELECT attr_type, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1)
+        |SELECT attr_type, n,
+        |       CAST(floor(n * 10000.0 / (SELECT sum(n) FROM c) + 0.5) AS BIGINT)
+        |         AS share_bp
+        |FROM c ORDER BY attr_type""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

@@ -281,6 +281,49 @@ object Engagement {
     * Lift > 10000 bp = types adopted together; ≪ 10000 = substitutes.
     * Output: type_a < type_b, n_both, n_a, n_b, lift_bp.
     */
+  /** Last-touch attribution: each `target` conversion is credited to the
+    * user's most recent PRECEDING event of any other type within
+    * `maxLagSeconds` (strictly before by the (ts, id) total order —
+    * micro-precision ties resolve by the id tiebreak, deterministically,
+    * the q95 ordering-parity lesson). Conversions with no touch inside
+    * the window credit to `"<none>"` and stay in the denominator, so
+    * share_bp sums to 10000 (± the HALF_UP remainders).
+    *
+    * One keyed window pass — no self-join, no per-user history array:
+    * the carried (touch type, touch micros) pair rides two frame-bounded
+    * `last(..., ignoreNulls)` calls over rows strictly before the
+    * current one; both carry expressions are null exactly on target
+    * rows, so they always land on the SAME touch row. The only shuffle
+    * is the user-keyed exchange the window needs; the share denominator
+    * is a one-row broadcast.
+    * Output: attr_type, n, share_bp.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, idCol: String, target: String,
+                           maxLagSeconds: Long = 86400L): DataFrame = {
+    val ev = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__us"),
+        col(typeCol).as("__t"), col(idCol).as("__id"))
+    val w = Window.partitionBy(col("__u")).orderBy(col("__us"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("__t") =!= lit(target), col("__t"))
+    val touchUs = when(col("__t") =!= lit(target), col("__us"))
+    val credited = ev
+      .withColumn("__at", last(touch, ignoreNulls = true).over(w))
+      .withColumn("__aus", last(touchUs, ignoreNulls = true).over(w))
+      .where(col("__t") === lit(target))
+      .select(
+        when(col("__aus").isNotNull &&
+             col("__us") - col("__aus") <= lit(maxLagSeconds * 1000000L),
+          col("__at")).otherwise(lit("<none>")).as("attr_type"))
+      .groupBy(col("attr_type")).agg(count(lit(1)).as("n"))
+    val total = credited.agg(sum(col("n")).as("__tot"))
+    credited.crossJoin(broadcast(total))
+      .select(col("attr_type"), col("n"),
+        floor(col("n") * 10000.0 / col("__tot") + 0.5).cast("long").as("share_bp"))
+  }
+
   def eventAffinity(events: DataFrame, userCol: String, typeCol: String): DataFrame = {
     val ut = events.select(col(userCol).as("__u"), col(typeCol).as("__t"))
       .where(col("__u").isNotNull).distinct()

@@ -197,4 +197,56 @@ object Stats {
         (col("n_events").cast("double") >
           col("__mean") + lit(sigmas) * col("__sd")).as("anomaly"))
   }
+
+  /** Per-key winsorized means: values clamped at the GLOBAL
+    * [loPct, hiPct] type-1 quantile cuts before averaging — the robust
+    * mean that tells a curation run whether a source's length average
+    * is outlier-driven. Cut extraction follows the [[quantileBuckets]]
+    * scale discipline exactly: per-distinct-value counting agg, a
+    * TakeOrdered cap (per-partition heap + bounded driver merge — no
+    * corpus-wide sort, loud raise on an unbounded measure), driver
+    * cumsum over ≤ `maxDistinct` rows, cuts re-enter the plan as
+    * literals. The clamp + per-key re-aggregate is then ONE hash agg
+    * with exact integer sums — identical in any fold order. Means are
+    * 4dp HALF_UP ticks (floor(x·10⁴ + 0.5)/10⁴), engine-portable.
+    * Output: key (named `keyCol`), n_rows, cut_lo, cut_hi, mean_raw,
+    * mean_winsor.
+    */
+  def winsorizedMeans(df: DataFrame, keyCol: String, valueCol: String,
+                      loPct: Int = 5, hiPct: Int = 95,
+                      maxDistinct: Int = 100000): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      "need 0 <= loPct < hiPct <= 100")
+    val rows = df
+      .select(col(keyCol).as("__k"), col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val capped = rows.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .orderBy("__v").limit(maxDistinct + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(capped.length <= maxDistinct,
+      s"$valueCol has more than $maxDistinct distinct values: " +
+        "winsorizing by counting needs a bounded measure — " +
+        "round/discretize the column first (see quantileBucketsTicked)")
+    var running = 0L
+    val cum = capped.map { case (v, c) => running += c; (v, running) }
+    val n = running
+    def cut(p: Int): Long = {
+      val target = (p * n + 99) / 100 // integer ceil(p*n/100)
+      cum.find(_._2 >= target).map(_._1).getOrElse(
+        if (cum.isEmpty) 0L else cum.last._1)
+    }
+    val (lo, hi) = (cut(loPct), cut(hiPct))
+    def mean4dp(sumCol: Column, nCol: Column): Column =
+      floor(sumCol.cast("double") * 10000.0 / nCol + 0.5).cast("long") / 10000.0
+    rows
+      .select(col("__k"), col("__v"),
+        greatest(lit(lo), least(lit(hi), col("__v"))).as("__w"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("__sv"),
+        sum(col("__w")).as("__sw"))
+      .select(col("__k").as(keyCol), col("n_rows"),
+        lit(lo).as("cut_lo"), lit(hi).as("cut_hi"),
+        mean4dp(col("__sv"), col("n_rows")).as("mean_raw"),
+        mean4dp(col("__sw"), col("n_rows")).as("mean_winsor"))
+  }
 }

@@ -1767,4 +1767,33 @@ object TextAnalysis {
         (expr("(2 * pii_docs * 10000 + n_docs) div (2 * n_docs)") / lit(10000.0))
           .as("pii_rate"))
   }
+
+  /** CCNet-style text normalization for near-exact dedup: lowercase,
+    * map every non-alphanumeric character to a space (so punctuation and
+    * line structure never glue words together), collapse space runs,
+    * trim. Pure codegen'd regexp chain — one scan, no shuffle. The
+    * corpus contract is ASCII text (verified for the driver tables);
+    * locale-sensitive case folding is out of scope by design.
+    */
+  def normalizedTextExpr(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Normalized exact-dedup groups: documents that collide after
+    * [[normalizedTextExpr]] — the cheap recall layer between exact-hash
+    * dedup (misses a reformatted recrawl entirely) and MinHash (pays a
+    * shingle pass to find it). Grouping is on the 128-bit md5 of the
+    * normalized text, so the shuffle key is uniform regardless of text
+    * skew, and count/min/max all combine map-side — a hot normalized
+    * key (e.g. the empty document) still does its heavy lifting in the
+    * partial aggregate.
+    * Output (groups with >1 member only): norm_key, n_docs, min_doc_id,
+    * max_doc_id.
+    */
+  def normalizedDedupGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(normalizedTextExpr(col("text"))).as("norm_key"))
+      .groupBy(col("norm_key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .where(col("n_docs") > 1)
 }

@@ -2115,4 +2115,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val c1 = got.filter(_._1 == 1L).map(_._4)
     assert(c1.toSeq === Seq(0.0, 1.0, 0.0, 0.0))
   }
+
+  test("normalized dedup: reformatting collides, punctuation never glues words") {
+    val in = Seq(
+      (1L, "Hello, World!"), (2L, "  hello   world  "), (3L, "HELLO\nWORLD."),
+      (4L, "goodbye world"),
+      (5L, "a-b"), (6L, "ab") // '-'→space: "a b" must NOT equal "ab"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.normalizedDedupGroups(in)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length === 1)
+    assert(got.head._2 === 3L && got.head._3 === 1L && got.head._4 === 3L)
+  }
+
+  test("winsorized means: global cuts clamp tails per key, cardinality gate raises") {
+    val rows = (1 to 100).map(i => (if (i <= 50) "a" else "b", i.toLong))
+      .toDF("source", "n_chars")
+    val got = graft.operators.Stats.winsorizedMeans(rows, "source", "n_chars")
+      .orderBy("source").as[(String, Long, Long, Long, Double, Double)].collect()
+    // global grid 1..100: p05 cut = 5, p95 cut = 95 (type-1 integer-ceil)
+    // a: 1..50 clamps below to 5 (+10 total); b: 51..100 clamps above (−15)
+    assert(got.toSeq === Seq(
+      ("a", 50L, 5L, 95L, 25.5, 25.7), ("b", 50L, 5L, 95L, 75.5, 75.2)))
+    assertThrows[IllegalArgumentException](
+      graft.operators.Stats.winsorizedMeans(rows, "source", "n_chars",
+        maxDistinct = 50))
+  }
+
+  test("last touch: window credit, expiry to <none>, shares sum to 10000") {
+    import java.sql.Timestamp
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      // u1: view then purchase 5 min later → credited to view
+      (1L, 1L, at(10, 0), "view"), (2L, 1L, at(10, 5), "purchase"),
+      // u1: second purchase right after the first; the purchase itself is
+      // never a touch, so credit stays with the older view
+      (3L, 1L, at(10, 6), "purchase"),
+      // u2: click 2 days before → expired, credits <none>
+      (4L, 2L, at(10, 0), "click"), (5L, 2L, Timestamp.valueOf("2024-01-03 11:00:00"), "purchase"),
+      // u3: purchase with no prior event at all → <none>
+      (6L, 3L, at(9, 0), "purchase"),
+      // u4: click AFTER the purchase must not attribute (strictly-before frame)
+      (7L, 4L, at(12, 0), "purchase"), (8L, 4L, at(12, 1), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Engagement.lastTouchAttribution(
+      ev, "user_id", "ts", "event_type", "event_id", target = "purchase")
+      .orderBy("attr_type").as[(String, Long, Long)].collect()
+    assert(got.toSeq === Seq(("<none>", 3L, 6000L), ("view", 2L, 4000L)))
+    assert(got.map(_._3).sum === 10000L)
+  }
 }
