@@ -133,6 +133,24 @@ object ScaleCheck {
     time(s"windowed funnel over $nUev events")(
       graft.operators.Engagement.funnel(uev, "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), maxLagSeconds = Some(86400L)).count())
+    // q148: ONE user-keyed window carries both attribution columns — cost
+    // must track the transition-matrix probe (same exchange), never a join
+    time(s"last-touch attribution over $nUev events")(
+      graft.operators.Engagement.lastTouchAttribution(uev, "user_id", "ts",
+        "event_type", "event_id", target = "purchase").count())
+    // q147: per-row JSON path extraction + one hash agg — scan-bound
+    time(s"json props extraction over $nUev events")(
+      uev.withColumn("props",
+          concat(lit("{\"k\": "), pmod(col("event_id"), lit(100)), lit("}")))
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)), sum("k"), countDistinct(col("k"))).count())
+    // q151: the q140 exchange with a threshold flag instead of grid
+    // quantiles — cost must track the gap-quantile probe
+    time(s"double-fire audit over $nUev events")(
+      graft.operators.Engagement.doubleFire(uev, "user_id", "ts",
+        "event_type", "event_id").count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise
@@ -465,6 +483,31 @@ object ScaleCheck {
     // q143: one scan, one per-source aggregate
     time(s"id continuity over $nDocs docs")(
       graft.operators.TextAnalysis.idContinuity(sourced).count())
+    // q144: ONE pass expands the grouping sets map-side — never a
+    // re-scan per rollup level
+    time(s"rollup composition over $nDocs docs")(
+      sourced.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5))))
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)), sum(length(col("text")))).count())
+    // q145: codegen'd normalize chain + md5-keyed group — uniform shuffle
+    // key by construction, count/min/max combine map-side
+    time(s"normalized dedup groups over $nDocs docs")(
+      graft.operators.TextAnalysis.normalizedDedupGroups(docs).count())
+    // q146: counting grid + TakeOrdered cuts + ONE clamp agg — the
+    // quantileBuckets discipline, loud raise on unbounded measures
+    time(s"winsorized means over $nDocs docs")(
+      graft.operators.Stats.winsorizedMeans(
+        sourced.withColumn("n_chars", length(col("text")).cast("long")),
+        "source", "n_chars").count())
+    // q149: same scan shape as normalized dedup + a distinct-count —
+    // never a pair join
+    time(s"prefix dup groups over $nDocs docs")(
+      graft.operators.TextAnalysis.prefixDupGroups(docs).count())
+    // q150: the DISTRIBUTED total order — 256 range buckets each sort
+    // ~n/256 rows; the only single-partition window is the 256-row
+    // offset cumsum
+    time(s"order manifest over $nDocs docs")(
+      graft.operators.TextAnalysis.orderManifest(docs).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

@@ -1031,6 +1031,34 @@ object SparkEntry {
       Engagement.lastTouchAttribution(Tables.events(s, dir), "user_id", "ts",
         "event_type", "event_id", target = "purchase",
         maxLagSeconds = 86400L).orderBy("attr_type")),
+    // truncation families over planted 2/3-cut twins (doc_id%8): shared
+    // 120-char normalized prefix, distinct full hash — the
+    // recrawl-cut-off shape exact dedup misses
+    "q149_prefix_dup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.where(pmod(col("doc_id"), lit(8)) === 0)
+        .select((col("doc_id") + 5000000000L).as("doc_id"),
+          expr("substring(text, 1, CAST(length(text) * 2 DIV 3 AS INT))").as("text"))
+      TextAnalysis.prefixDupGroups(docs.unionByName(twins))
+        .orderBy("prefix_key")
+    }),
+    // deterministic epoch-shuffle manifest: global 1-based rank in the
+    // salted-md5 total order — 256 prefix buckets make the sort
+    // distributed; ranks are a dense permutation of 1..n
+    "q150_order_manifest" -> ((s, dir) =>
+      TextAnalysis.orderManifest(Tables.documents(s, dir)).orderBy("doc_id")),
+    // double-fire audit over planted +500ms client-retry twins
+    // (event_id%13): same-user same-type gaps ≤ 1s flag as duplicates
+    "q151_double_fire" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type")
+      val retries = ev.where(pmod(col("event_id"), lit(13)) === 0)
+        .select((col("event_id") + 1000000000L).as("event_id"),
+          expr("ts + INTERVAL 500 MILLISECOND").as("ts"),
+          col("user_id"), col("event_type"))
+      Engagement.doubleFire(ev.unionByName(retries), "user_id", "ts",
+        "event_type", "event_id", withinSeconds = 1L).orderBy("event_type")
+    }),
   )
 
   /** q98's mixture config: one source kept whole, one dropped whole,
@@ -4056,6 +4084,63 @@ object SparkEntry {
         |       CAST(floor(n * 10000.0 / (SELECT sum(n) FROM c) + 0.5) AS BIGINT)
         |         AS share_bp
         |FROM c ORDER BY attr_type""".stripMargin,
+    // shared 120-char normalized prefix, >1 distinct full hash; the
+    // planted twins are raw-text 2/3 cuts normalized AFTER the cut on
+    // both engines
+    "q149_prefix_dup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000000,
+        |         substr(text, 1, CAST(length(text) * 2 // 3 AS INT))
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |n AS (SELECT doc_id,
+        |             trim(regexp_replace(regexp_replace(lower(text),
+        |               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |      FROM all_docs),
+        |k AS (SELECT doc_id, md5(substr(norm, 1, 120)) AS prefix_key,
+        |             md5(norm) AS full_key FROM n),
+        |g AS (SELECT prefix_key, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(count(DISTINCT full_key) AS BIGINT) AS n_variants,
+        |             min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |      FROM k GROUP BY 1)
+        |SELECT * FROM g WHERE n_docs > 1 AND n_variants > 1
+        |ORDER BY prefix_key""".stripMargin,
+    // one global row_number over the salted-md5 key (the engine's
+    // bucketed two-phase rank must equal the flat total order exactly)
+    "q150_order_manifest" ->
+      """SELECT doc_id,
+        |       md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+        |       CAST(row_number() OVER (
+        |         ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |         AS BIGINT) AS global_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same-user same-type lag gaps; planted +500ms retries must flag,
+    // an event with no predecessor stays out of the denominator
+    "q151_double_fire" ->
+      """WITH base AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+        |              FROM events),
+        |all_ev AS (SELECT * FROM base
+        |           UNION ALL
+        |           SELECT event_id + 1000000000, ts + INTERVAL 500 MILLISECOND,
+        |                  user_id, event_type
+        |           FROM base WHERE event_id % 13 = 0),
+        |ev AS (SELECT * FROM all_ev
+        |       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT event_type, epoch_us(ts) AS us,
+        |             lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |                                     ORDER BY ts, event_id) AS prev
+        |      FROM ev),
+        |g AS (SELECT event_type,
+        |             CASE WHEN us - prev <= 1000000 THEN 1 ELSE 0 END AS d
+        |      FROM l WHERE prev IS NOT NULL),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |             CAST(sum(d) AS BIGINT) AS n_dups
+        |      FROM g GROUP BY 1)
+        |SELECT event_type, n_gaps, n_dups,
+        |       CAST(floor(n_dups * 10000.0 / n_gaps + 0.5) AS BIGINT)
+        |         AS dup_rate_bp
+        |FROM c ORDER BY event_type""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

@@ -324,6 +324,36 @@ object Engagement {
         floor(col("n") * 10000.0 / col("__tot") + 0.5).cast("long").as("share_bp"))
   }
 
+  /** Double-fire audit: consecutive same-user same-type events closer
+    * than `withinSeconds` — the client-retry / duplicate-ingestion
+    * signature an event pipeline checks before trusting its volume
+    * numbers. One (user, type)-keyed lag (the [[interEventGapQuantiles]]
+    * exchange), gaps in integer micros, per-type rate in HALF_UP bp over
+    * the type's GAP count (an event with no predecessor can't
+    * double-fire, so it isn't in the denominator).
+    * Output: event_type, n_gaps, n_dups, dup_rate_bp.
+    */
+  def doubleFire(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, idCol: String,
+                 withinSeconds: Long = 1L): DataFrame = {
+    val ev = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__us"),
+        col(typeCol).as("__t"), col(idCol).as("__id"))
+    val w = Window.partitionBy(col("__u"), col("__t"))
+      .orderBy(col("__us"), col("__id"))
+    ev.withColumn("__prev", lag(col("__us"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .select(col("__t").as("event_type"),
+        (col("__us") - col("__prev") <= lit(withinSeconds * 1000000L))
+          .cast("long").as("__dup"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__dup")).as("n_dups"))
+      .select(col("event_type"), col("n_gaps"), col("n_dups"),
+        floor(col("n_dups") * 10000.0 / col("n_gaps") + 0.5).cast("long")
+          .as("dup_rate_bp"))
+  }
+
   def eventAffinity(events: DataFrame, userCol: String, typeCol: String): DataFrame = {
     val ut = events.select(col(userCol).as("__u"), col(typeCol).as("__t"))
       .where(col("__u").isNotNull).distinct()

@@ -1796,4 +1796,62 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"))
       .where(col("n_docs") > 1)
+
+  /** Truncation-dup families: documents sharing their first
+    * `prefixChars` NORMALIZED characters while differing somewhere after
+    * — the recrawl-cut-off-mid-page / snippet-vs-full-article shape that
+    * exact dedup misses entirely and shingle dedup only catches when the
+    * shared prefix dominates the longer doc. Grouping is on the md5 of
+    * the normalized prefix (uniform shuffle key); `n_variants` counts
+    * distinct FULL normalized hashes inside the family, and pure
+    * exact-dup groups (n_variants = 1) are excluded — those are
+    * [[normalizedDedupGroups]]'s job. One scan, two hash-combinable
+    * aggregates, no pair materialization.
+    * Output: prefix_key, n_docs, n_variants, min_doc_id, max_doc_id.
+    */
+  def prefixDupGroups(docs: DataFrame, prefixChars: Int = 120): DataFrame = {
+    require(prefixChars > 0, "prefixChars must be positive")
+    val norm = normalizedTextExpr(col("text"))
+    docs
+      .select(col("doc_id"),
+        md5(substring(norm, 1, prefixChars)).as("prefix_key"),
+        md5(norm).as("full_key"))
+      .groupBy(col("prefix_key"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("full_key")).as("n_variants"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+      .where(col("n_docs") > 1 && col("n_variants") > 1)
+  }
+
+  /** Deterministic global training order: every doc's 1-based rank in
+    * the total order (salted md5 key, doc_id tiebreak) — the "epoch
+    * shuffle" manifest a reproducible training run cites instead of an
+    * RNG permutation. An order manifest IS a global sort, so the plan
+    * makes the sort distributed instead of pretending to avoid it: the
+    * 2-hex-char key prefix buckets rows into 256 ranges that partition
+    * the key space IN ORDER (a bucket is a prefix, so bucket-major ∘
+    * within-bucket order ≡ key order), within-bucket ranks come from a
+    * per-bucket window (each partition sorts ~n/256 rows), and bucket
+    * offsets are a 256-row single-partition cumsum — bounded by
+    * construction, the [[packDocs]] two-phase prefix-sum shape. No
+    * partition ever holds the corpus.
+    * Output: doc_id, sort_key, global_rank.
+    */
+  def orderManifest(docs: DataFrame, salt: String = "epoch0"): DataFrame = {
+    val key = md5(concat(lit(salt), lit(":"), col("doc_id").cast("string")))
+    val keyed = docs.select(col("doc_id"), key.as("sort_key"),
+      substring(key, 1, 2).as("__b"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("sort_key"), col("doc_id"))
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    keyed
+      .withColumn("__r", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), Seq("__b"))
+      .select(col("doc_id"), col("sort_key"),
+        (col("__off") + col("__r")).as("global_rank"))
+  }
 }

@@ -2164,4 +2164,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("<none>", 3L, 6000L), ("view", 2L, 4000L)))
     assert(got.map(_._3).sum === 10000L)
   }
+
+  test("prefix dup: truncation family found, exact-dup-only group excluded") {
+    val long = (1 to 60).map(i => s"word$i").mkString(" ") // ~400 norm chars
+    val in = Seq(
+      (1L, long), (2L, long.take(long.length * 2 / 3)), // truncation family
+      (3L, "Exact. Same! Doc"), (4L, "exact same doc"),  // exact after norm
+      (5L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.prefixDupGroups(in, prefixChars = 120)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // only the truncation pair: same 120-char prefix, 2 distinct full hashes;
+    // docs 3/4 share a prefix AND a full hash → n_variants = 1 → excluded
+    assert(got.length === 1)
+    assert(got.head._2 === 2L && got.head._3 === 2L)
+    assert((got.head._4, got.head._5) === ((1L, 2L)))
+  }
+
+  test("order manifest: bucketed two-phase rank is the flat total order") {
+    val in = (1L to 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = TextAnalysis.orderManifest(in)
+      .as[(Long, String, Long)].collect()
+    assert(got.map(_._3).sorted.toSeq === (1L to 300L)) // dense permutation
+    // rank order must equal (sort_key, doc_id) lexicographic order
+    val byRank = got.sortBy(_._3).map(r => (r._2, r._1)).toSeq
+    assert(byRank === byRank.sorted)
+    // deterministic across salts only per salt: a different salt permutes
+    val other = TextAnalysis.orderManifest(in, salt = "epoch1")
+      .as[(Long, String, Long)].collect()
+    assert(other.map(_._3).sorted.toSeq === (1L to 300L))
+    assert(got.sortBy(_._1).map(_._3).toSeq !=
+      other.sortBy(_._1).map(_._3).toSeq)
+  }
+
+  test("double fire: sub-threshold gap flags, first event stays out of denominator") {
+    import java.sql.Timestamp
+    def at(s: String) = Timestamp.valueOf(s"2024-01-01 10:00:$s")
+    val ev = Seq(
+      (1L, 1L, at("00.000"), "click"), (2L, 1L, at("00.400"), "click"), // dup
+      (3L, 1L, at("30.000"), "click"),                                  // clean gap
+      (4L, 2L, at("00.000"), "view"),                                   // no gap row
+      (5L, 2L, at("00.900"), "click"), (6L, 2L, at("01.500"), "click")  // 0.6s dup
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Engagement.doubleFire(
+      ev, "user_id", "ts", "event_type", "event_id", withinSeconds = 1L)
+      .orderBy("event_type").as[(String, Long, Long, Long)].collect()
+    // click: gaps = (u1: 0.4s dup, 29.6s clean; u2: 0.6s dup) → 2/3 dup
+    assert(got.toSeq === Seq(("click", 3L, 2L, 6667L)))
+  }
 }
