@@ -151,6 +151,11 @@ object ScaleCheck {
     time(s"double-fire audit over $nUev events")(
       graft.operators.Engagement.doubleFire(uev, "user_id", "ts",
         "event_type", "event_id").count())
+    // q154: the GLOBAL prefix max runs two-phase (256 id-range buckets +
+    // a 256-row offset cumsum) — no single-partition corpus window
+    time(s"watermark lateness over $nUev events")(
+      graft.operators.Engagement.watermarkLateness(uev, "ts", "event_id",
+        "event_type").count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise
@@ -508,6 +513,15 @@ object ScaleCheck {
     // offset cumsum
     time(s"order manifest over $nDocs docs")(
       graft.operators.TextAnalysis.orderManifest(docs).count())
+    // q152: two per-key counting grids + broadcast medians — windows
+    // run over cells, never rows
+    time(s"MAD outliers over $nDocs docs")(
+      graft.operators.Stats.madOutliers(
+        sourced.withColumn("n_chars", length(col("text")).cast("long")),
+        "source", "n_chars").count())
+    // q153: pure codegen'd bit interleave + one hash agg — scan-bound
+    time(s"z-order layout report over $nDocs docs")(
+      graft.operators.Layout.zOrderLayoutReport(docs).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

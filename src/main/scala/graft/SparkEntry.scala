@@ -1059,6 +1059,29 @@ object SparkEntry {
       Engagement.doubleFire(ev.unionByName(retries), "user_id", "ts",
         "event_type", "event_id", withinSeconds = 1L).orderBy("event_type")
     }),
+    // per-source robust outliers: type-1 median + MAD on counting
+    // grids, flag beyond 3·MAD — the rule σ-inflation can't hide from
+    "q152_mad_outliers" -> ((s, dir) =>
+      Stats.madOutliers(Tables.documents(s, dir), keyCol = "source",
+        valueCol = "n_chars").orderBy("source")),
+    // Morton layout audit on the (length, token) bucket grid: each
+    // 16-key z-range must cover a small rectangle — the min/max extents
+    // ARE the file-skipping zones a z-sorted layout buys
+    "q153_zorder_layout" -> ((s, dir) =>
+      Layout.zOrderLayoutReport(Tables.documents(s, dir)).orderBy("z_range")),
+    // per-type arrival-lateness percentiles under a deterministic
+    // 48-bit md5 arrival shuffle (natural event_id order is time-sorted
+    // — lateness would be degenerate); two-phase prefix max, grid
+    // quantiles
+    "q154_watermark_lateness" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("event_id").isNotNull)
+        .withColumn("arrival",
+          conv(substring(md5(col("event_id").cast("string")), 1, 12), 16, 10)
+            .cast("long"))
+      Engagement.watermarkLateness(ev, "ts", "arrival", "event_type",
+        tieCol = Some("event_id")).orderBy("event_type")
+    }),
   )
 
   /** q98's mixture config: one source kept whole, one dropped whole,
@@ -4141,6 +4164,79 @@ object SparkEntry {
         |       CAST(floor(n_dups * 10000.0 / n_gaps + 0.5) AS BIGINT)
         |         AS dup_rate_bp
         |FROM c ORDER BY event_type""".stripMargin,
+    // two per-source counting grids (values, then |v − median|), type-1
+    // lower medians, integer 3·MAD comparisons
+    "q152_mad_outliers" ->
+      """WITH v AS (SELECT source AS k, n_chars AS val FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |c1 AS (SELECT k, val, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+        |w1 AS (SELECT k, val, c,
+        |              CAST(sum(c) OVER (PARTITION BY k ORDER BY val ROWS BETWEEN
+        |                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |              CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n FROM c1),
+        |med AS (SELECT k, CAST(max(n) AS BIGINT) AS n_rows,
+        |               min(CASE WHEN cum * 100 >= n * 50 THEN val END) AS med
+        |        FROM w1 GROUP BY k),
+        |d AS (SELECT v.k, abs(v.val - med.med) AS dev
+        |      FROM v JOIN med ON v.k = med.k),
+        |c2 AS (SELECT k, dev, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+        |w2 AS (SELECT k, dev, c,
+        |              CAST(sum(c) OVER (PARTITION BY k ORDER BY dev ROWS BETWEEN
+        |                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |              CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n FROM c2),
+        |mad AS (SELECT k, min(CASE WHEN cum * 100 >= n * 50 THEN dev END) AS mad
+        |        FROM w2 GROUP BY k)
+        |SELECT med.k AS source, med.n_rows,
+        |       CAST(med.med AS BIGINT) AS median, CAST(mad.mad AS BIGINT) AS mad,
+        |       CAST(sum(CASE WHEN abs(v.val - med.med) > mad.mad * 3
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM v JOIN med ON v.k = med.k JOIN mad ON v.k = mad.k
+        |GROUP BY 1, 2, 3, 4 ORDER BY source""".stripMargin,
+    // bits=4 Morton interleave as plain integer arithmetic — the
+    // engine's shift/or chain replayed as masked multiplies
+    "q153_zorder_layout" ->
+      """WITH b AS (SELECT least(length(text) // 64, 15) AS a,
+        |                  least(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> x <> '')) // 16, 15) AS t
+        |           FROM documents),
+        |z AS (SELECT a AS len_b, t AS tok_b,
+        |             ((a >> 0) & 1) * 1 + ((t >> 0) & 1) * 2 +
+        |             ((a >> 1) & 1) * 4 + ((t >> 1) & 1) * 8 +
+        |             ((a >> 2) & 1) * 16 + ((t >> 2) & 1) * 32 +
+        |             ((a >> 3) & 1) * 64 + ((t >> 3) & 1) * 128 AS zv
+        |      FROM b)
+        |SELECT CAST(zv // 16 AS BIGINT) AS z_range,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(min(len_b) AS BIGINT) AS min_len_b,
+        |       CAST(max(len_b) AS BIGINT) AS max_len_b,
+        |       CAST(min(tok_b) AS BIGINT) AS min_tok_b,
+        |       CAST(max(tok_b) AS BIGINT) AS max_tok_b
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one flat running max over the md5 arrival order (the engine's
+    // bucketed two-phase prefix max must equal it exactly), then the
+    // q140 grid-quantile tail
+    "q154_watermark_lateness" ->
+      """WITH ev AS (SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+        |              AS arrival,
+        |            event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |            FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+        |r AS (SELECT event_type, us,
+        |             max(us) OVER (ORDER BY arrival, event_id ROWS BETWEEN
+        |               UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+        |      FROM ev),
+        |c AS (SELECT event_type, CAST((rm - us) // 1000000 AS BIGINT) AS v,
+        |             CAST(count(*) AS BIGINT) AS c
+        |      FROM r GROUP BY 1, 2),
+        |w AS (SELECT event_type, v, c,
+        |             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM c)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS DOUBLE) AS p50,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS DOUBLE) AS p95,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS DOUBLE) AS p99
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -352,6 +352,73 @@ object Engagement {
       .select(col("event_type"), col("n_gaps"), col("n_dups"),
         floor(col("n_dups") * 10000.0 / col("n_gaps") + 0.5).cast("long")
           .as("dup_rate_bp"))
+  }
+
+  /** Watermark-lateness audit: how far behind the event-time
+    * high-watermark each event ARRIVED, per type — the distribution that
+    * sizes a streaming watermark delay (the per-type p99 here IS the
+    * `withWatermark` value that would have kept 99% of that type's
+    * events). Arrival order is `idCol`, the ingest sequence;
+    * lateness(e) = max event-time among events with id ≤ e.id, minus
+    * e's event-time (≥ 0, floored to whole seconds).
+    *
+    * The running max over arrival order is a GLOBAL prefix scan — the
+    * one shape that naively costs a single-partition window over the
+    * corpus. It runs two-phase instead (the [[TextAnalysis.packDocs]] /
+    * orderManifest prefix shape, max monoid): `buckets` contiguous id
+    * ranges (width from one min/max aggregate — a bounded driver
+    * scalar), per-bucket inclusive running max (each partition scans
+    * ~n/buckets rows), and a bucket-level EXCLUSIVE prefix max cumulated
+    * over the ≤`buckets`-row bucket dim; the global running max is their
+    * `greatest`. Quantiles then ride the (type × second) counting grid —
+    * no global sort, no corpus-wide window anywhere.
+    * Output: event_type, n_rows, p50, p95, p99 (whole seconds).
+    */
+  def watermarkLateness(events: DataFrame, tsCol: String, idCol: String,
+                        typeCol: String, buckets: Int = 256,
+                        tieCol: Option[String] = None): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    val ev = events
+      .where(col(tsCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), unix_micros(col(tsCol)).as("__us"),
+        col(typeCol).as("__t"),
+        tieCol.map(col).getOrElse(lit(0L)).as("__tie"))
+    val bounds = ev.agg(min(col("__id")).as("lo"), max(col("__id")).as("hi"))
+      .collect()(0)
+    if (bounds.isNullAt(0))
+      return ev.select(col("__t").as("event_type"), lit(0L).as("n_rows"),
+        lit(0.0).as("p50"), lit(0.0).as("p95"), lit(0.0).as("p99")).limit(0)
+    val width = math.max(1L, (bounds.getLong(1) - bounds.getLong(0)) / buckets + 1)
+    val bucketed = ev.withColumn("__b",
+      ((col("__id") - lit(bounds.getLong(0))) / lit(width)).cast("long"))
+    // the tie column makes the arrival total order deterministic even if
+    // a hash-derived id ever collides (the q154 fixture's 48-bit keys)
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__id"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bucketed.groupBy(col("__b")).agg(max(col("__us")).as("__bm"))
+      .withColumn("__pre", max(col("__bm")).over(wOff))
+      .select(col("__b"), col("__pre"))
+    val lateness = bucketed
+      .withColumn("__rin", max(col("__us")).over(wIn))
+      .join(broadcast(prefixes), Seq("__b"))
+      .select(col("__t"),
+        expr("(greatest(__rin, coalesce(__pre, __rin)) - __us) DIV 1000000")
+          .as("__v"))
+    val wCum = Window.partitionBy(col("__t")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy(col("__t"))
+    def pick(p: Int): Column =
+      min(when(col("__cum") * 100 >= col("__n") * p, col("__v")))
+        .cast("double").as(s"p$p")
+    lateness.groupBy(col("__t"), col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wKey))
+      .groupBy(col("__t"))
+      .agg(max(col("__n")).as("n_rows"), pick(50), pick(95), pick(99))
+      .select(col("__t").as("event_type"), col("n_rows"),
+        col("p50"), col("p95"), col("p99"))
   }
 
   def eventAffinity(events: DataFrame, userCol: String, typeCol: String): DataFrame = {

@@ -249,4 +249,53 @@ object Stats {
         mean4dp(col("__sv"), col("n_rows")).as("mean_raw"),
         mean4dp(col("__sw"), col("n_rows")).as("mean_winsor"))
   }
+
+  /** Per-key MAD outlier audit: median, median-absolute-deviation, and
+    * the count of values beyond `k`·MAD of the median — the robust
+    * outlier rule that a 3σ gate gets wrong the moment the tail itself
+    * inflates σ (one 100× doc widens stddev enough to hide its own
+    * siblings; the median and MAD don't move). Entirely on the
+    * [[tickQuantiles]] counting-grid shape: two per-key (key × value)
+    * grids (values, then absolute deviations — each window runs over
+    * CELLS, bounded by value cardinality per key, never rows), the
+    * per-key medians broadcast back (keys are a dim), and the flag pass
+    * is one more hash agg with integer comparisons throughout. Type-1
+    * lower medians — engine-portable, no float interpolation.
+    * Output: key (named `keyCol`), n_rows, median, mad, n_outliers.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+                  k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val rows = df
+      .select(col(keyCol).as("__k"), col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    def grid(values: DataFrame, vCol: String): DataFrame = {
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__k")).orderBy(col(vCol))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      values.groupBy(col("__k"), col(vCol)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(wCum))
+        .withColumn("__n", sum(col("__c")).over(wKey))
+        .groupBy(col("__k"))
+        .agg(max(col("__n")).as("n_rows"),
+          min(when(col("__cum") * 100 >= col("__n") * 50, col(vCol)))
+            .as(s"med_$vCol"))
+    }
+    val meds = grid(rows, "__v")
+      .select(col("__k"), col("n_rows"), col("med___v").as("median"))
+    val devs = rows.join(broadcast(meds), Seq("__k"))
+      .select(col("__k"), abs(col("__v") - col("median")).as("__d"))
+    val mads = grid(devs, "__d")
+      .select(col("__k"), col("med___d").as("mad"))
+    rows.join(broadcast(meds), Seq("__k")).join(broadcast(mads), Seq("__k"))
+      .groupBy(col("__k"))
+      .agg(max(col("n_rows")).as("n_rows"), max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        sum((abs(col("__v") - col("median")) > col("mad") * k).cast("long"))
+          .as("n_outliers"))
+      .select(col("__k").as(keyCol), col("n_rows"), col("median"), col("mad"),
+        col("n_outliers"))
+  }
 }

@@ -2212,4 +2212,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // click: gaps = (u1: 0.4s dup, 29.6s clean; u2: 0.6s dup) → 2/3 dup
     assert(got.toSeq === Seq(("click", 3L, 2L, 6667L)))
   }
+
+  test("mad outliers: one huge value can't hide behind the sigma it inflates") {
+    val rows = ((1 to 9).map(_ => ("s", 10L)) :+ (("s", 1000L))) ++
+      (1 to 7).map(i => ("t", i.toLong))
+    val got = graft.operators.Stats.madOutliers(
+      rows.toDF("source", "n_chars"), "source", "n_chars")
+      .orderBy("source").as[(String, Long, Long, Long, Long)].collect()
+    // s: median 10, MAD 0 (9 of 10 identical) → the 1000 flags (dev > 0);
+    //   a 3σ rule on the same data has σ≈297 and a threshold of ~990 < 901+…
+    // t: 1..7 → median 4, devs {0,1,1,2,2,3,3} → MAD 2, nothing beyond 6
+    assert(got.toSeq === Seq(("s", 10L, 10L, 0L, 1L), ("t", 7L, 4L, 2L, 0L)))
+  }
+
+  test("z-order key: interleave is exact, masking saturates outliers") {
+    val df = Seq((3L, 5L), (19L, 5L)).toDF("a", "b")
+    val got = df.select(graft.operators.Layout.zOrderKey(col("a"), col("b"),
+      bits = 4).as("z")).as[Long].collect()
+    // a=0011, b=0101 → z = 1 + 2 + 4 + 32 = 39; 19 masks to 3 → same key
+    assert(got.toSeq === Seq(39L, 39L))
+    // locality: one z-range (16 keys at bits=4) spans a ≤4-wide rectangle
+    val docs = (0 until 256).map { i =>
+      val words = (1 to (i % 16) * 16 + 1).map(_ => "w").mkString(" ")
+      (i.toLong, words)
+    }.toDF("doc_id", "text")
+    val rep = graft.operators.Layout.zOrderLayoutReport(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    rep.foreach { r =>
+      assert(r._4 - r._3 <= 3, s"len extent too wide: $r")
+      assert(r._6 - r._5 <= 3, s"tok extent too wide: $r")
+    }
+  }
+
+  test("watermark lateness: two-phase prefix max equals the flat running max") {
+    import java.sql.Timestamp
+    def at(s: Int) = Timestamp.valueOf(f"2024-01-01 10:${s / 60}%02d:${s % 60}%02d")
+    // arrival order 1..4 with event times 100, 50, 80, 120 s: e2 is 50 s
+    // late, e3 is 20 s late AND its watermark lives in the previous bucket
+    val ev = Seq(
+      (1L, at(100), "x"), (2L, at(50), "x"), (3L, at(80), "x"), (4L, at(120), "x")
+    ).toDF("arrival", "ts", "event_type")
+    def run(buckets: Int) = graft.operators.Engagement.watermarkLateness(
+      ev, "ts", "arrival", "event_type", buckets = buckets)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val flat = run(1)
+    assert(flat === Seq(("x", 4L, 0.0, 50.0, 50.0)))
+    assert(run(2) === flat) // bucket boundary between e2 and e3
+    assert(run(4) === flat)
+  }
 }
