@@ -522,6 +522,16 @@ object ScaleCheck {
     // q153: pure codegen'd bit interleave + one hash agg — scan-bound
     time(s"z-order layout report over $nDocs docs")(
       graft.operators.Layout.zOrderLayoutReport(docs).count())
+    // q157: pair explosion over the VOCABULARY, not the token stream —
+    // cost tracks distinct-word count, not corpus size
+    time(s"BPE pair counts over $nDocs docs")(
+      graft.operators.TextAnalysis.bpePairCounts(docs).count())
+    // q156: 2 matvec rounds on the cached LSH edge list — per-round cost
+    // must track the cluster-labeling probe, never the corpus
+    time(s"pagerank (2 rounds) over $nDocs docs")(
+      Dedup.pageRank(docs,
+        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+          threshold = 0.2)).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

@@ -1082,6 +1082,31 @@ object SparkEntry {
       Engagement.watermarkLateness(ev, "ts", "arrival", "event_type",
         tieCol = Some("event_id")).orderBy("event_type")
     }),
+    // relational pivot with an explicit value list (deterministic
+    // schema): the (source × lang) doc-count matrix as wide columns,
+    // empty cells coalesced to 0
+    "q155_pivot_langs" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .orderBy("source")
+    }),
+    // 2-round integer-tick PageRank on the q53 LSH pair graph — rank
+    // the duplicate-family nuclei, bit-replayable floor arithmetic
+    "q156_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.pageRank(docs,
+        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2,
+          baseHash = Dedup.md5Base), iters = 2).orderBy("doc_id")
+    }),
+    // first BPE merge iteration: vocabulary-collapsed adjacent char-pair
+    // counts, top-20 merge candidates
+    "q157_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir)).orderBy("rank")),
   )
 
   /** q98's mixture config: one source kept whole, one dropped whole,
@@ -4237,6 +4262,53 @@ object SparkEntry {
         |       CAST(min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS DOUBLE) AS p95,
         |       CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS DOUBLE) AS p99
         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the pivot value list is explicit on both engines — CASE sums give
+    // the same 0-filled wide matrix
+    "q155_pivot_langs" ->
+      """SELECT source,
+        |       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the shared LSH pair chain up to `edges`, then two unrolled
+    // integer-tick matvec rounds — floor division at every step
+    "q156_pagerank" ->
+      s"""WITH RECURSIVE $LshClusterSql,
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS c FROM edges GROUP BY 1),
+        |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM documents),
+        |c1 AS (SELECT e.dst, CAST(sum(r0.r // deg.c) AS BIGINT) AS m
+        |       FROM edges e JOIN deg ON deg.src = e.src
+        |                    JOIN r0 ON r0.doc_id = e.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT d.doc_id,
+        |              CAST(150000 + (85 * coalesce(c1.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM documents d LEFT JOIN c1 ON c1.dst = d.doc_id),
+        |c2 AS (SELECT e.dst, CAST(sum(r1.r // deg.c) AS BIGINT) AS m
+        |       FROM edges e JOIN deg ON deg.src = e.src
+        |                    JOIN r1 ON r1.doc_id = e.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT d.doc_id,
+        |              CAST(150000 + (85 * coalesce(c2.m, 0)) // 100 AS BIGINT) AS r
+        |       FROM documents d LEFT JOIN c2 ON c2.dst = d.doc_id)
+        |SELECT doc_id, r AS rank_ticks FROM r2 ORDER BY doc_id""".stripMargin,
+    // vocabulary-collapsed adjacent char pairs, (count desc, pair asc)
+    // total tie order
+    "q157_bpe_pairs" ->
+      """WITH wd AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                   x -> x <> '')) AS word
+        |            FROM documents),
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM wd GROUP BY 1),
+        |p AS (SELECT unnest(list_transform(range(1, length(word)),
+        |               i -> word[CAST(i AS INT):CAST(i AS INT)+1])) AS pair, wc
+        |      FROM wc WHERE length(word) >= 2),
+        |g AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM p GROUP BY 1),
+        |top AS (SELECT pair, n,
+        |               CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT)
+        |                 AS rank
+        |        FROM g)
+        |SELECT rank, pair, n FROM top WHERE rank <= 20 ORDER BY rank""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

@@ -692,4 +692,41 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  /** Fixed-iteration PageRank over the near-dup graph in exact integer
+    * micro-ticks — the "which duplicate-family nucleus matters" signal
+    * past connected components (a hub bridging many recrawls outranks a
+    * leaf even inside one cluster). The recurrence is the classic
+    * 0.15 + 0.85·Σ contribs with dangling mass not redistributed (the
+    * canonical Spark-example semantics), evaluated in floor integer
+    * arithmetic so any engine replays it bit-for-bit:
+    * contrib(u) = r(u) DIV deg(u), r′(v) = 150000 + (85·Σ_in) DIV 100,
+    * r₀ = 1000000. Iterations are a plan-time constant; each round is
+    * one src-keyed join + one dst-keyed hash agg over the CACHED edge
+    * list — the standard distributed matvec, edges shuffle once per
+    * round, the rank relation is only (doc, long).
+    * Output: doc_id, rank_ticks (isolated docs settle at 150000).
+    */
+  def pageRank(docs: DataFrame, pairs: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      "iters in [1, 10] — rounds unroll into the plan")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, Seq("src")).cache()
+    val ids = docs.select(col("doc_id"))
+    var ranks = ids.withColumn("rank_ticks", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contribs = edgesD
+        .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst"), expr("rank_ticks DIV deg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__m"))
+      ranks = ids
+        .join(contribs.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(150000L) + expr("(85 * coalesce(__m, 0)) DIV 100"))
+            .as("rank_ticks"))
+    }
+    ranks
+  }
 }

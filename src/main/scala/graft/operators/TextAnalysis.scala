@@ -1854,4 +1854,30 @@ object TextAnalysis {
       .select(col("doc_id"), col("sort_key"),
         (col("__off") + col("__r")).as("global_rank"))
   }
+
+  /** First BPE merge iteration over the corpus: adjacent character-pair
+    * counts weighted by word frequency, top-k merge candidates — the
+    * tokenizer-training primitive (each BPE round picks the argmax of
+    * exactly this table). The corpus collapses to its VOCABULARY first
+    * (one hash agg — pair explosion then runs over distinct words, not
+    * tokens, the classic fastBPE trick), pairs per word are bounded by
+    * word length, the top-k is a TakeOrdered heap, and the rank window
+    * touches k rows only. Ties order (count desc, pair asc) — total and
+    * engine-portable.
+    * Output: rank, pair (2 chars), n.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = 20): DataFrame = {
+    val ord = Seq(col("n").desc, col("pair").asc)
+    docs
+      .select(explode(tokens(lower(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .where(length(col("word")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(col("rank"), col("pair"), col("n"))
+  }
 }

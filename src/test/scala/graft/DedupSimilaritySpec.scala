@@ -2260,4 +2260,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(run(2) === flat) // bucket boundary between e2 and e3
     assert(run(4) === flat)
   }
+
+  test("pagerank: hub outranks leaves, isolated settles at base, ticks exact") {
+    val ds = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.pageRank(ds, pairs, iters = 2)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    // hand-folded floor recurrence: r1(hub)=2700000, r1(leaf)=433333;
+    // r2(hub)=150000+(85*3*433333)//100, r2(leaf)=150000+(85*(2700000//3))//100
+    assert(got.toSeq === Seq((1L, 1254999L), (2L, 915000L), (3L, 915000L),
+      (4L, 915000L), (5L, 150000L), (6L, 150000L)))
+  }
+
+  test("bpe pairs: vocabulary-weighted adjacent counts, deterministic tie order") {
+    val ds = Seq((1L, "aab aab ab"), (2L, "AAB")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(ds, k = 5)
+      .as[(Long, String, Long)].collect()
+    // lowercased vocab {aab: 3, ab: 1} → pairs: ab = 3+1, aa = 3
+    assert(got.toSeq === Seq((1L, "ab", 4L), (2L, "aa", 3L)))
+  }
 }
