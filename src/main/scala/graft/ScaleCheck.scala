@@ -156,6 +156,15 @@ object ScaleCheck {
     time(s"watermark lateness over $nUev events")(
       graft.operators.Engagement.watermarkLateness(uev, "ts", "event_id",
         "event_type").count())
+    // q159: (type × day) grid + broadcast day origins + exact OLS sums
+    time(s"daily volume trend over $nUev events")(
+      graft.operators.Stats.dailyTrend(uev, "event_type", "ts").count())
+    // q158: counting grid joined back on the composite (type, value)
+    // key — uniform shuffle, grid windows over cells only
+    time(s"relative rank over $nUev events")(
+      graft.operators.Stats.relativeRank(
+        uev.withColumn("v", (col("value") * 100).cast("long")),
+        "event_type", "v").count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise

@@ -1107,6 +1107,31 @@ object SparkEntry {
     // counts, top-20 merge candidates
     "q157_bpe_pairs" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir)).orderBy("rank")),
+    // domain-fair percentile: every doc's strictly-below length share
+    // WITHIN its source (floor bp) — one counting grid joined back on
+    // the composite key
+    "q158_relative_rank" -> ((s, dir) =>
+      Stats.relativeRank(Tables.documents(s, dir)
+          .select("doc_id", "source", "n_chars"), "source", "n_chars")
+        .orderBy("doc_id")),
+    // per-type daily-count OLS slope over the type's own day index —
+    // integer-exact sums, 4dp, the growth/decay monitor
+    "q159_volume_trend" -> ((s, dir) =>
+      Stats.dailyTrend(Tables.events(s, dir), keyCol = "event_type",
+        tsCol = "ts").orderBy("event_type")),
+    // hour-of-day × type activity heatmap with per-type share bp — the
+    // 24-cell grid window is bounded by construction
+    "q160_hourly_heatmap" -> ((s, dir) => {
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      Tables.events(s, dir).where(col("ts").isNotNull)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_bp",
+          expr("(n * 10000) DIV sum(n) OVER (PARTITION BY event_type)"))
+        .select("event_type", "hour", "n", "share_bp")
+        .orderBy("event_type", "hour")
+    }),
   )
 
   /** q98's mixture config: one source kept whole, one dropped whole,
@@ -4309,6 +4334,51 @@ object SparkEntry {
         |                 AS rank
         |        FROM g)
         |SELECT rank, pair, n FROM top WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // (source × value) grid, strictly-below cumulative share in floor bp
+    "q158_relative_rank" ->
+      """WITH c AS (SELECT source AS k, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |w AS (SELECT k, v, c,
+        |             CAST(sum(c) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN
+        |               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cle,
+        |             CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n FROM c)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |       CAST(((w.cle - w.c) * 10000) // w.n AS BIGINT) AS pct_bp
+        |FROM documents d JOIN w ON w.k = d.source AND w.v = d.n_chars
+        |ORDER BY d.doc_id""".stripMargin,
+    // per-type (day-index, count) points, integer-exact OLS sums, 4dp
+    // slope, single-day keys guard to 0.0
+    "q159_volume_trend" ->
+      """WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS d,
+        |                      CAST(count(*) AS BIGINT) AS y
+        |               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT k, min(d) AS d0 FROM daily GROUP BY 1),
+        |pts AS (SELECT daily.k, CAST(daily.d - o.d0 AS BIGINT) AS x, y
+        |        FROM daily JOIN o ON o.k = daily.k),
+        |s AS (SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+        |             CAST(sum(y) AS BIGINT) AS n_events,
+        |             CAST(sum(x) AS BIGINT) AS sx,
+        |             CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |             CAST(sum(x * x) AS HUGEINT) AS sxx
+        |      FROM pts GROUP BY 1)
+        |SELECT k AS event_type, n_days, n_events,
+        |       CASE WHEN n_days * CAST(sxx AS DOUBLE)
+        |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <= 0 THEN 0.0
+        |            ELSE round((n_days * CAST(sxy AS DOUBLE)
+        |                        - CAST(sx AS DOUBLE) * CAST(n_events AS DOUBLE))
+        |                       / (n_days * CAST(sxx AS DOUBLE)
+        |                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+        |       END AS slope
+        |FROM s ORDER BY event_type""".stripMargin,
+    // 24-cell per-type hour grid; share in floor bp
+    "q160_hourly_heatmap" ->
+      """WITH h AS (SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT)
+        |             AS hour, CAST(count(*) AS BIGINT) AS n
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, hour, n,
+        |       CAST((n * 10000) // sum(n) OVER (PARTITION BY event_type)
+        |         AS BIGINT) AS share_bp
+        |FROM h ORDER BY event_type, hour""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

@@ -298,4 +298,67 @@ object Stats {
       .select(col("__k").as(keyCol), col("n_rows"), col("median"), col("mad"),
         col("n_outliers"))
   }
+
+  /** Per-key relative rank: each row's strictly-below share (bp, floor)
+    * of `valueCol` WITHIN its key — the domain-fair normalization that
+    * lets one threshold gate every source at the same percentile instead
+    * of letting a verbose source dominate an absolute cut. One (key ×
+    * value) counting grid (cumulations over cells), joined back to the
+    * rows on the composite (key, value) — a uniform shuffle key; ties
+    * share a rank by construction (cum-below excludes the tie group).
+    * Adds `rankCol` (0..9999) to `df`.
+    */
+  def relativeRank(df: DataFrame, keyCol: String, valueCol: String,
+                   rankCol: String = "pct_bp"): DataFrame = {
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+    val grid = df
+      .select(col(keyCol).as("__k"), col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__k"), col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cle", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wKey))
+      .select(col("__k"), col("__v"),
+        expr("((__cle - __c) * 10000) DIV __n").as(rankCol))
+    df.join(grid,
+      col(keyCol) === col("__k") && col(valueCol).cast("long") === col("__v"))
+      .drop("__k", "__v")
+  }
+
+  /** Per-key daily-volume OLS trend: the slope of daily counts over the
+    * key's own day index (day 0 = the key's first active day) — the
+    * "is this source growing or decaying" monitor next to
+    * [[dailyAnomalies]]' spike flags. Integer-exact sums (decimal(38,0)
+    * cross/square sums — the [[TextAnalysis.lengthQualityCorrelation]]
+    * discipline), one (key × day) grid, the per-key day origin
+    * broadcast back; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) rounded 4dp,
+    * 0.0 for a single-day key (zero denominator, guarded).
+    * Output: key (named `keyCol`), n_days, n_events, slope.
+    */
+  def dailyTrend(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("__k"),
+        to_date(col(tsCol).cast("timestamp")).as("__d"))
+      .where(col("__d").isNotNull)
+      .groupBy(col("__k"), col("__d")).agg(count(lit(1)).as("__y"))
+    val origins = daily.groupBy(col("__k")).agg(min(col("__d")).as("__d0"))
+    val pts = daily.join(broadcast(origins), Seq("__k"))
+      .select(col("__k"), datediff(col("__d"), col("__d0")).cast("long").as("__x"),
+        col("__y"))
+    val denom = col("n_days") * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    pts.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__y")).as("n_events"),
+        sum(col("__x")).as("__sx"),
+        sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("__sxy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"))
+      .select(col("__k").as(keyCol), col("n_days"), col("n_events"),
+        when(denom <= 0, lit(0.0)).otherwise(round(
+          (col("n_days") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("n_events").cast("double")) / denom,
+          4)).as("slope"))
+  }
 }

@@ -2279,4 +2279,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // lowercased vocab {aab: 3, ab: 1} → pairs: ab = 3+1, aa = 3
     assert(got.toSeq === Seq((1L, "ab", 4L), (2L, "aa", 3L)))
   }
+
+  test("relative rank: strictly-below share per key, ties share a rank") {
+    val rows = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "a", 30L), (5L, "b", 5L)).toDF("doc_id", "source", "n_chars")
+    val got = graft.operators.Stats.relativeRank(rows, "source", "n_chars")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(got.map(_._4).toSeq === Seq(0L, 0L, 5000L, 7500L, 0L))
+  }
+
+  test("daily trend: exact slope on a linear ramp, single-day key guards to zero") {
+    import java.sql.Timestamp
+    val rows =
+      (1 to 10).map(_ => ("x", Timestamp.valueOf("2024-01-01 10:00:00"))) ++
+      (1 to 20).map(_ => ("x", Timestamp.valueOf("2024-01-02 10:00:00"))) ++
+      (1 to 30).map(_ => ("x", Timestamp.valueOf("2024-01-03 10:00:00"))) ++
+      (1 to 7).map(_ => ("y", Timestamp.valueOf("2024-01-05 10:00:00")))
+    val got = graft.operators.Stats.dailyTrend(
+      rows.toDF("event_type", "ts"), "event_type", "ts")
+      .orderBy("event_type").as[(String, Long, Long, Double)].collect()
+    // x: counts 10, 20, 30 over day index 0, 1, 2 → slope exactly +10/day
+    assert(got.toSeq === Seq(("x", 3L, 60L, 10.0), ("y", 1L, 7L, 0.0)))
+  }
 }
