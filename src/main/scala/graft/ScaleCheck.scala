@@ -165,6 +165,14 @@ object ScaleCheck {
       graft.operators.Stats.relativeRank(
         uev.withColumn("v", (col("value") * 100).cast("long")),
         "event_type", "v").count())
+    // q162/q163: one user-keyed exchange each (rank pick / lag+cumsum
+    // sessionization) — the q129 shape
+    time(s"first-touch census over $nUev events")(
+      graft.operators.Engagement.firstTouchCensus(uev, "user_id", "ts",
+        "event_type", "event_id").count())
+    time(s"session stats over $nUev events")(
+      graft.operators.Engagement.sessionStats(uev, "user_id", "ts",
+        "event_id").count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise
@@ -541,6 +549,13 @@ object ScaleCheck {
       Dedup.pageRank(docs,
         Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
           threshold = 0.2)).count())
+    // q161: sample ranked BEFORE collecting — a corpus-wide boilerplate
+    // cluster feeds the string agg only `sample` rows
+    time(s"cluster manifest (hot cluster = half the corpus)")(
+      Dedup.clusterManifest(
+        docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(0L))
+            .otherwise(col("doc_id")).as("cluster_id"))).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

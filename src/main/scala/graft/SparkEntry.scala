@@ -1119,6 +1119,25 @@ object SparkEntry {
     "q159_volume_trend" -> ((s, dir) =>
       Stats.dailyTrend(Tables.events(s, dir), keyCol = "event_type",
         tsCol = "ts").orderBy("event_type")),
+    // dup-cluster review manifest on the q53 labels: size + first-10
+    // member CSV, ranked BEFORE collecting (bounded per-cluster rows)
+    "q161_cluster_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterManifest(
+        Dedup.dupClusters(Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+          threshold = 0.2, baseHash = Dedup.md5Base)))
+        .orderBy("cluster_id")
+    }),
+    // acquisition mix: each user's (ts, id)-earliest event type —
+    // purchase-first users are the broken-attribution signal
+    "q162_first_touch" -> ((s, dir) =>
+      Engagement.firstTouchCensus(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id").orderBy("event_type")),
+    // 30-min gap sessions → duration/depth grid percentiles — the
+    // session-timeout sizing table
+    "q163_session_stats" -> ((s, dir) =>
+      Engagement.sessionStats(Tables.events(s, dir), "user_id", "ts",
+        "event_id").orderBy("metric")),
     // hour-of-day × type activity heatmap with per-type share bp — the
     // 24-cell grid window is bounded by construction
     "q160_hourly_heatmap" -> ((s, dir) => {
@@ -4379,6 +4398,70 @@ object SparkEntry {
         |       CAST((n * 10000) // sum(n) OVER (PARTITION BY event_type)
         |         AS BIGINT) AS share_bp
         |FROM h ORDER BY event_type, hour""".stripMargin,
+    // the shared label chain, then size + ordered first-10 CSV per
+    // multi-member cluster
+    "q161_cluster_manifest" ->
+      s"""WITH RECURSIVE $LshClusterSql,
+        |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+        |          FROM lab GROUP BY 1),
+        |rk AS (SELECT cluster_id, doc_id,
+        |              row_number() OVER (PARTITION BY cluster_id
+        |                                 ORDER BY doc_id) AS r
+        |       FROM lab),
+        |m AS (SELECT cluster_id,
+        |             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |               AS members
+        |      FROM rk WHERE r <= 10 GROUP BY 1)
+        |SELECT s.cluster_id, s.n_docs, m.members
+        |FROM sizes s JOIN m ON m.cluster_id = s.cluster_id
+        |WHERE s.n_docs > 1 ORDER BY s.cluster_id""".stripMargin,
+    // earliest (ts, id) event per user via one window rank; floor-bp
+    // share over all users
+    "q162_first_touch" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+        |            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS rn
+        |      FROM ev),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM f WHERE rn = 1 GROUP BY 1)
+        |SELECT event_type, n_users,
+        |       CAST((n_users * 10000) // (SELECT sum(n_users) FROM c) AS BIGINT)
+        |         AS share_bp
+        |FROM c ORDER BY event_type""".stripMargin,
+    // 30-min-gap sessionization (lag + cumulative flags), session aggs,
+    // stacked (metric × value) grid percentiles
+    "q163_session_stats" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT user_id, us, event_id,
+        |             lag(us) OVER (PARTITION BY user_id
+        |                           ORDER BY us, event_id) AS prev
+        |      FROM ev),
+        |s AS (SELECT user_id, us,
+        |             sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |                      THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS sid
+        |      FROM l),
+        |g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS depth,
+        |             CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS dur_s
+        |      FROM s GROUP BY 1, 2),
+        |u AS (SELECT 'depth' AS metric, depth AS v FROM g
+        |      UNION ALL SELECT 'duration_s', dur_s FROM g),
+        |c AS (SELECT metric, v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1, 2),
+        |w AS (SELECT metric, v, c,
+        |             CAST(sum(c) OVER (PARTITION BY metric ORDER BY v ROWS BETWEEN
+        |               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |             CAST(sum(c) OVER (PARTITION BY metric) AS BIGINT) AS n
+        |      FROM c)
+        |SELECT metric, CAST(max(n) AS BIGINT) AS n_sessions,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS DOUBLE) AS p50,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS DOUBLE) AS p90,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS DOUBLE) AS p99
+        |FROM w GROUP BY metric ORDER BY metric""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

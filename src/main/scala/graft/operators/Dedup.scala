@@ -729,4 +729,29 @@ object Dedup {
     }
     ranks
   }
+
+  /** Human-readable dup-cluster manifest: per multi-member cluster, the
+    * size and the first `sample` member ids as a sorted CSV — the
+    * review artifact a curation run attaches next to its dedup rate.
+    * The sample is RANKED BEFORE COLLECTING (a per-cluster window rank
+    * with a ≤`sample` filter), so the string agg only ever sees
+    * `sample` rows per cluster — a million-doc boilerplate cluster
+    * costs the same as a pair, where a bare `collect_list` would
+    * materialize the whole cluster on one reducer.
+    * Output: cluster_id, n_docs (> 1), members (CSV of ≤ sample ids,
+    * ascending).
+    */
+  def clusterManifest(clusters: DataFrame, sample: Int = 10): DataFrame = {
+    require(sample >= 1, "sample must be positive")
+    val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_docs"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("doc_id"))
+    val sampled = clusters
+      .withColumn("__rk", row_number().over(wC))
+      .where(col("__rk") <= sample)
+      .groupBy(col("cluster_id"))
+      .agg(array_join(array_sort(collect_list(col("doc_id"))), ",").as("members"))
+    sizes.where(col("n_docs") > 1).join(sampled, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_docs"), col("members"))
+  }
 }

@@ -207,6 +207,76 @@ object Engagement {
       .select("rank", "path", "n_sessions")
   }
 
+  /** Gap-sessionized duration/depth percentiles — the two distributions
+    * a session-timeout or capacity decision reads (how long sessions
+    * run, how many events they hold). Sessionization is the
+    * [[sessionPaths]] prologue verbatim (user-keyed lag + cumulative
+    * new-session flags — one exchange serves the whole chain); per
+    * (user, session) the agg emits integer whole-second duration and
+    * event depth, both metrics stack into one (metric × value) counting
+    * grid, and the percentile windows run over CELLS (bounded by value
+    * cardinality), never sessions.
+    * Output: metric ("depth" | "duration_s"), n_sessions, p50, p90, p99.
+    */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+                   tieCol: String, gapMinutes: Int = 30): DataFrame = {
+    val wo = Window.partitionBy(col("__u")).orderBy(col("__us"), col("__tie"))
+    val sessions = events
+      .select(col(userCol).as("__u"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+        col(tieCol).as("__tie"))
+      .where(col("__u").isNotNull && col("__us").isNotNull)
+      .withColumn("__prev", lag(col("__us"), 1).over(wo))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__us") - col("__prev") > gapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__u"), col("__sid"))
+      .agg(count(lit(1)).as("__depth"),
+        expr("(max(__us) - min(__us)) DIV 1000000").as("__dur"))
+    val stacked = sessions.select(lit("depth").as("__m"), col("__depth").as("__v"))
+      .unionByName(sessions.select(lit("duration_s").as("__m"), col("__dur").as("__v")))
+    val wCum = Window.partitionBy(col("__m")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy(col("__m"))
+    def pick(p: Int): Column =
+      min(when(col("__cum") * 100 >= col("__n") * p, col("__v")))
+        .cast("double").as(s"p$p")
+    stacked.groupBy(col("__m"), col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wKey))
+      .groupBy(col("__m"))
+      .agg(max(col("__n")).as("n_sessions"), pick(50), pick(90), pick(99))
+      .select(col("__m").as("metric"), col("n_sessions"),
+        col("p50"), col("p90"), col("p99"))
+  }
+
+  /** First-touch census: the distribution of each user's FIRST event
+    * type — the acquisition-mix / broken-instrumentation audit (a user
+    * whose first event is `purchase` never saw an attributable touch).
+    * One user-keyed window rank picks the (ts, id)-earliest event per
+    * user deterministically; the share denominator is all users.
+    * Output: event_type, n_users, share_bp (floor).
+    */
+  def firstTouchCensus(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val wo = Window.partitionBy(col("__u")).orderBy(col("__us"), col("__tie"))
+    val census = events
+      .select(col(userCol).as("__u"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+        col(typeCol).as("__t"), col(tieCol).as("__tie"))
+      .where(col("__u").isNotNull && col("__us").isNotNull)
+      .withColumn("__rn", row_number().over(wo))
+      .where(col("__rn") === 1)
+      .groupBy(col("__t")).agg(count(lit(1)).as("n_users"))
+    val total = census.agg(sum(col("n_users")).as("__tot"))
+    census.crossJoin(broadcast(total))
+      .select(col("__t").as("event_type"), col("n_users"),
+        expr("(n_users * 10000) DIV __tot").as("share_bp"))
+  }
+
   /** Top-decile concentration — how unequal each event type's volume is
     * across users: the share of events produced by the top 10% most
     * active users (k = ⌈n_users/10⌉), in HALF_UP basis points. Computed

@@ -2301,4 +2301,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // x: counts 10, 20, 30 over day index 0, 1, 2 → slope exactly +10/day
     assert(got.toSeq === Seq(("x", 3L, 60L, 10.0), ("y", 1L, 7L, 0.0)))
   }
+
+  test("cluster manifest: sample caps the CSV, singletons excluded") {
+    val clusters = ((1L to 15L).map(i => (i, 1L)) :+ ((20L, 20L)) :+
+      ((21L, 21L)) :+ ((22L, 21L))).toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterManifest(clusters, sample = 10)
+      .orderBy("cluster_id").as[(Long, Long, String)].collect()
+    assert(got.length === 2) // singleton 20 excluded
+    assert(got(0) === ((1L, 15L, (1L to 10L).mkString(","))))
+    assert(got(1) === ((21L, 2L, "21,22")))
+  }
+
+  test("first touch: earliest (ts, id) wins, shares floor to bp") {
+    import java.sql.Timestamp
+    def at(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, 1L, at(5), "view"), (2L, 1L, at(6), "purchase"),
+      (3L, 2L, at(0), "purchase"), (4L, 2L, at(1), "view"),
+      // u3: simultaneous pair — the id tiebreak picks event 5
+      (5L, 3L, at(2), "signup"), (6L, 3L, at(2), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Engagement.firstTouchCensus(
+      ev, "user_id", "ts", "event_type", "event_id")
+      .orderBy("event_type").as[(String, Long, Long)].collect()
+    assert(got.toSeq === Seq(("purchase", 1L, 3333L), ("signup", 1L, 3333L),
+      ("view", 1L, 3333L)))
+  }
+
+  test("session stats: gap splits sessions, duration and depth grids are exact") {
+    import java.sql.Timestamp
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      // u1 session A: 3 events over 10 min; session B after a 2 h gap: 1 event
+      (1L, 1L, at(9, 0)), (2L, 1L, at(9, 5)), (3L, 1L, at(9, 10)),
+      (4L, 1L, at(11, 30)),
+      // u2: one 2-event session, 20 min long
+      (5L, 2L, at(9, 0)), (6L, 2L, at(9, 20))
+    ).toDF("event_id", "user_id", "ts")
+    val got = graft.operators.Engagement.sessionStats(ev, "user_id", "ts",
+      "event_id").orderBy("metric")
+      .as[(String, Long, Double, Double, Double)].collect()
+    // depths {3, 1, 2}; durations {600, 0, 1200} s — type-1 cuts over 3
+    assert(got.toSeq === Seq(("depth", 3L, 2.0, 3.0, 3.0),
+      ("duration_s", 3L, 600.0, 1200.0, 1200.0)))
+  }
 }
