@@ -173,6 +173,11 @@ object ScaleCheck {
     time(s"session stats over $nUev events")(
       graft.operators.Engagement.sessionStats(uev, "user_id", "ts",
         "event_id").count())
+    // q166: presence collapses to distinct (user, week) FIRST — the
+    // ledger joins run on that bounded relation, never raw events
+    time(s"growth accounting over $nUev events")(
+      graft.operators.Engagement.growthAccounting(uev, "user_id", "ts")
+        .count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise

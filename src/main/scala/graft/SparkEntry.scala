@@ -1138,6 +1138,25 @@ object SparkEntry {
     "q163_session_stats" -> ((s, dir) =>
       Engagement.sessionStats(Tables.events(s, dir), "user_id", "ts",
         "event_id").orderBy("metric")),
+    // do the two sketches see the same duplication? MinHash-LSH vs
+    // banded SimHash pair-set agreement in floor bp
+    "q164_dedup_agreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.pairAgreement(
+        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2,
+          baseHash = Dedup.md5Base),
+        Dedup.simhashPairsPortable(docs))
+    }),
+    // language-ID eval: declared lang vs marker-argmax prediction, with
+    // per-declared-row recall share (the diagonal IS the recall column)
+    "q165_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Tables.documents(s, dir))
+        .orderBy("lang", "predicted_lang")),
+    // weekly growth ledger: new / retained / resurrected / churned per
+    // observed week — distinct (user, week) first, user-keyed joins only
+    "q166_growth_accounting" -> ((s, dir) =>
+      Engagement.growthAccounting(Tables.events(s, dir), "user_id", "ts")
+        .orderBy("week")),
     // hour-of-day × type activity heatmap with per-type share bp — the
     // 24-cell grid window is bounded by construction
     "q160_hourly_heatmap" -> ((s, dir) => {
@@ -2492,41 +2511,9 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN CAST(pow(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q48_simhash_pairs" ->
-      """WITH tf AS (
-        |  SELECT doc_id, tok, count(*) AS cnt,
-        |         ('0x' || substr(md5(tok || '#lo'), 1, 8))::BIGINT AS hlo,
-        |         ('0x' || substr(md5(tok || '#hi'), 1, 8))::BIGINT AS hhi
-        |  FROM (SELECT doc_id,
-        |               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
-        |        FROM documents) t
-        |  GROUP BY doc_id, tok),
-        |bits AS (SELECT unnest(range(0, 64)) AS b),
-        |votes AS (
-        |  SELECT doc_id, b,
-        |         sum(CASE WHEN ((CASE WHEN b < 32 THEN hlo >> CAST(b AS INT)
-        |                              ELSE hhi >> CAST(b - 32 AS INT) END) & 1) = 1
-        |             THEN cnt ELSE -cnt END) AS v
-        |  FROM tf CROSS JOIN bits GROUP BY doc_id, b),
-        |sim AS (
-        |  SELECT doc_id,
-        |         CAST(sum(CASE WHEN v > 0 AND b < 32 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo,
-        |         CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN CAST(pow(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi
-        |  FROM votes GROUP BY doc_id),
-        |banded AS (
-        |  SELECT doc_id, simhash_lo, simhash_hi, band,
-        |         CASE band WHEN 0 THEN simhash_lo & 65535
-        |                   WHEN 1 THEN (simhash_lo >> 16) & 65535
-        |                   WHEN 2 THEN simhash_hi & 65535
-        |                   ELSE (simhash_hi >> 16) & 65535 END AS key
-        |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         bit_count(xor(a.simhash_lo, b.simhash_lo))
-        |           + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS hamming
-        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
-        |                             AND a.doc_id < b.doc_id)
+      s"""WITH $SimhashPairsSql
         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-        |FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+        |FROM sp ORDER BY doc_a, doc_b""".stripMargin,
     "q53_dup_clusters" ->
       """WITH RECURSIVE w AS (
         |  SELECT doc_id,
@@ -4462,6 +4449,83 @@ object SparkEntry {
         |       CAST(min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS DOUBLE) AS p90,
         |       CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS DOUBLE) AS p99
         |FROM w GROUP BY metric ORDER BY metric""".stripMargin,
+    // both shared pair chains in ONE WITH clause (disjoint CTE names),
+    // full-outer on the pair key, floor-bp set agreement
+    "q164_dedup_agreement" ->
+      s"""WITH RECURSIVE $LshClusterSql,
+        |$SimhashPairsSql,
+        |mh AS (SELECT doc_a, doc_b FROM pr),
+        |sh2 AS (SELECT doc_a, doc_b FROM sp),
+        |j AS (SELECT coalesce(mh.doc_a, sh2.doc_a) AS da,
+        |             CASE WHEN mh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+        |             CASE WHEN sh2.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |      FROM mh FULL OUTER JOIN sh2
+        |        ON mh.doc_a = sh2.doc_a AND mh.doc_b = sh2.doc_b),
+        |c AS (SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |             CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+        |             CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
+        |      FROM j)
+        |SELECT n_both, n_only_a, n_only_b,
+        |       CASE WHEN n_both + n_only_a + n_only_b = 0 THEN 0
+        |            ELSE CAST((n_both * 10000) // (n_both + n_only_a + n_only_b)
+        |                      AS BIGINT) END AS agree_bp
+        |FROM c""".stripMargin,
+    // the q104 marker CTE keyed by the DECLARED lang; HALF_UP row share
+    "q165_lang_confusion" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT) AS s_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT) AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr'
+        |      ELSE 'zh' END AS predicted_lang
+        |  FROM s),
+        |g AS (SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM p GROUP BY 1, 2)
+        |SELECT lang, predicted_lang, n_docs,
+        |       CAST((20000 * n_docs + sum(n_docs) OVER (PARTITION BY lang))
+        |         // (2 * sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT)
+        |         AS row_share_bp
+        |FROM g ORDER BY lang, predicted_lang""".stripMargin,
+    // distinct (user, week) presence, first-week marks "new", week−7d
+    // presence marks "retained", the anti-join into the current week
+    // marks "churned" (attributed to the week gone missing)
+    "q166_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |                   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+        |            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT u, min(w) AS w0 FROM uw GROUP BY 1),
+        |prev AS (SELECT u, w + 7 AS wn FROM uw),
+        |st AS (SELECT uw.w,
+        |              CASE WHEN uw.w = f.w0 THEN 1 ELSE 0 END AS is_new,
+        |              CASE WHEN p.u IS NOT NULL THEN 1 ELSE 0 END AS is_ret,
+        |              CASE WHEN uw.w <> f.w0 AND p.u IS NULL THEN 1 ELSE 0 END AS is_res
+        |       FROM uw JOIN f ON f.u = uw.u
+        |       LEFT JOIN (SELECT DISTINCT u, wn FROM prev) p
+        |         ON p.u = uw.u AND p.wn = uw.w),
+        |base AS (SELECT w, CAST(sum(is_new) AS BIGINT) AS n_new,
+        |                CAST(sum(is_ret) AS BIGINT) AS n_retained,
+        |                CAST(sum(is_res) AS BIGINT) AS n_resurrected
+        |         FROM st GROUP BY 1),
+        |ch AS (SELECT prev.wn AS w, CAST(count(*) AS BIGINT) AS n_churned
+        |       FROM prev
+        |       LEFT JOIN uw ON uw.u = prev.u AND uw.w = prev.wn
+        |       WHERE uw.u IS NULL
+        |         AND prev.wn IN (SELECT DISTINCT w FROM uw)
+        |       GROUP BY 1)
+        |SELECT base.w AS week, n_new, n_retained, n_resurrected,
+        |       coalesce(ch.n_churned, 0) AS n_churned
+        |FROM base LEFT JOIN ch ON ch.w = base.w
+        |ORDER BY week""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →
@@ -4593,6 +4657,47 @@ object SparkEntry {
       |lab AS (
       |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)""".stripMargin
+
+  /** The 64-bit SimHash banded-pair CTE chain (q48's semantics), CTE
+    * names s-prefixed so it composes with [[LshClusterSql]] in one WITH
+    * clause (q164 joins both pair relations); ends in
+    * `sp(doc_a, doc_b, hamming ≤ 3)`. Single source of truth — q48
+    * selects from it verbatim. */
+  private val SimhashPairsSql: String =
+    """stf AS (
+      |  SELECT doc_id, tok, count(*) AS cnt,
+      |         ('0x' || substr(md5(tok || '#lo'), 1, 8))::BIGINT AS hlo,
+      |         ('0x' || substr(md5(tok || '#hi'), 1, 8))::BIGINT AS hhi
+      |  FROM (SELECT doc_id,
+      |               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+      |        FROM documents) t
+      |  GROUP BY doc_id, tok),
+      |sbits AS (SELECT unnest(range(0, 64)) AS b),
+      |svotes AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN ((CASE WHEN b < 32 THEN hlo >> CAST(b AS INT)
+      |                              ELSE hhi >> CAST(b - 32 AS INT) END) & 1) = 1
+      |             THEN cnt ELSE -cnt END) AS v
+      |  FROM stf CROSS JOIN sbits GROUP BY doc_id, b),
+      |ssim AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN v > 0 AND b < 32 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo,
+      |         CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN CAST(pow(2, b - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi
+      |  FROM svotes GROUP BY doc_id),
+      |sbanded AS (
+      |  SELECT doc_id, simhash_lo, simhash_hi, band,
+      |         CASE band WHEN 0 THEN simhash_lo & 65535
+      |                   WHEN 1 THEN (simhash_lo >> 16) & 65535
+      |                   WHEN 2 THEN simhash_hi & 65535
+      |                   ELSE (simhash_hi >> 16) & 65535 END AS key
+      |  FROM ssim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs),
+      |scand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         bit_count(xor(a.simhash_lo, b.simhash_lo))
+      |           + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS hamming
+      |  FROM sbanded a JOIN sbanded b ON a.band = b.band AND a.key = b.key
+      |                              AND a.doc_id < b.doc_id),
+      |sp AS (SELECT doc_a, doc_b, hamming FROM scand WHERE hamming <= 3)""".stripMargin
 
   /** The quality-score CTE chain (q77's formula verbatim), ending in
     * `q(doc_id, quality)`. */

@@ -754,4 +754,37 @@ object Dedup {
     sizes.where(col("n_docs") > 1).join(sampled, Seq("cluster_id"))
       .select(col("cluster_id"), col("n_docs"), col("members"))
   }
+
+  /** Estimator-agreement audit between two near-dup pair relations
+    * (e.g. MinHash-LSH vs banded SimHash): how many pairs both find,
+    * how many each finds alone, and the Jaccard agreement of the two
+    * pair SETS in floor bp — the "are my two sketches seeing the same
+    * duplication" check a methods change reads before swapping
+    * detectors. One full-outer join on the (doc_a, doc_b) pair key
+    * (both relations are already deduped canonical a<b pairs), one
+    * counting aggregate.
+    * Output (one row): n_both, n_only_a, n_only_b, agree_bp.
+    */
+  def pairAgreement(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("__a", lit(1L))
+    val r = b.select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("__b", lit(1L))
+    l.join(r, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum((col("__a").isNotNull && col("__b").isNotNull).cast("long"))
+          .as("__nb"),
+        sum((col("__a").isNotNull && col("__b").isNull).cast("long"))
+          .as("__na"),
+        sum((col("__a").isNull && col("__b").isNotNull).cast("long"))
+          .as("__nob"))
+      // empty inputs sum to NULL — pin the all-zero row instead
+      .select(coalesce(col("__nb"), lit(0L)).as("n_both"),
+        coalesce(col("__na"), lit(0L)).as("n_only_a"),
+        coalesce(col("__nob"), lit(0L)).as("n_only_b"))
+      .select(col("n_both"), col("n_only_a"), col("n_only_b"),
+        when(col("n_both") + col("n_only_a") + col("n_only_b") === 0, lit(0L))
+          .otherwise(expr("(n_both * 10000) DIV (n_both + n_only_a + n_only_b)"))
+          .as("agree_bp"))
+  }
 }

@@ -277,6 +277,50 @@ object Engagement {
         expr("(n_users * 10000) DIV __tot").as("share_bp"))
   }
 
+  /** Weekly growth accounting: the new / retained / resurrected /
+    * churned user ledger per observed week — the canonical growth table
+    * one level richer than [[retention]]'s cohort curves. Presence
+    * collapses to distinct (user, week) FIRST (bounded by users ×
+    * weeks, immune to per-user event skew); "new" compares against the
+    * user's first week, "retained" against presence in week−7d,
+    * "churned" is the anti-join of week−7d presence into the current
+    * week, attributed to the week the user went missing. Every join is
+    * user-keyed; weeks with zero presence rows are skipped (the honest
+    * answer — there is no activity ledger for a dead week).
+    * Output: week (date), n_new, n_retained, n_resurrected, n_churned.
+    */
+  def growthAccounting(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val uw = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        to_date(date_trunc("week", col(tsCol).cast("timestamp"))).as("__w"))
+      .distinct()
+    val firsts = uw.groupBy(col("__u")).agg(min(col("__w")).as("__w0"))
+    val prev = uw.select(col("__u"), date_add(col("__w"), 7).as("__wn"))
+    val statuses = uw
+      .join(firsts, Seq("__u"))
+      .join(prev.withColumn("__had_prev", lit(1L))
+          .withColumnRenamed("__wn", "__w").dropDuplicates("__u", "__w"),
+        Seq("__u", "__w"), "left")
+      .select(col("__w"),
+        (col("__w") === col("__w0")).cast("long").as("__new"),
+        (col("__had_prev") === 1L).cast("long").as("__ret"),
+        (col("__w") =!= col("__w0") && col("__had_prev").isNull)
+          .cast("long").as("__res"))
+      .groupBy(col("__w"))
+      .agg(sum(col("__new")).as("n_new"), sum(coalesce(col("__ret"), lit(0L)))
+        .as("n_retained"), sum(col("__res")).as("n_resurrected"))
+    val churned = prev
+      .join(uw.select(col("__u"), col("__w").as("__wn")), Seq("__u", "__wn"),
+        "left_anti")
+      .join(uw.select(col("__w").as("__wn")).distinct(), Seq("__wn"), "left_semi")
+      .groupBy(col("__wn").as("__w")).agg(count(lit(1)).as("n_churned"))
+    statuses.join(churned, Seq("__w"), "left")
+      .select(col("__w").as("week"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** Top-decile concentration — how unequal each event type's volume is
     * across users: the share of events produced by the top 10% most
     * active users (k = ⌈n_users/10⌉), in HALF_UP basis points. Computed

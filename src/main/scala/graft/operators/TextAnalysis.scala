@@ -150,6 +150,25 @@ object TextAnalysis {
     docs.select(col("doc_id") +: langScoreCols(col("text")): _*)
       .withColumn("predicted_lang", predictedFromScores)
 
+  /** Declared-vs-predicted language confusion matrix — the language-ID
+    * EVAL view ([[langComposition]] reports the mix; this scores the
+    * classifier against the corpus's own `lang` labels). One scan (the
+    * fused marker-score argmax), one bounded (langs × langs) aggregate;
+    * per-declared-row recall share in HALF_UP bp on the bounded dim.
+    * Output: lang, predicted_lang, n_docs, row_share_bp.
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val wl = Window.partitionBy(col("lang"))
+    docs.select(col("lang") +: langScoreCols(col("text")): _*)
+      .withColumn("predicted_lang", predictedFromScores)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__tot", sum(col("n_docs")).over(wl))
+      .withColumn("row_share_bp",
+        expr("(20000 * n_docs + __tot) div (2 * __tot)"))
+      .select("lang", "predicted_lang", "n_docs", "row_share_bp")
+  }
+
   /** Dataset-card language table — the language-composition section
     * next to [[compositionReport]]'s source×split table: per (source,
     * predicted language), document count and per-source share in

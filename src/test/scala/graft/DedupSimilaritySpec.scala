@@ -2345,4 +2345,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("depth", 3L, 2.0, 3.0, 3.0),
       ("duration_s", 3L, 600.0, 1200.0, 1200.0)))
   }
+
+  test("pair agreement: set intersection counts and floor-bp jaccard") {
+    val a = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val b = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.pairAgreement(a, b)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 1L, 2500L)))
+    // disjoint inputs: zero agreement, no divide-by-zero on empty union
+    val empty = Dedup.pairAgreement(a.limit(0), b.limit(0))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(empty.toSeq === Seq((0L, 0L, 0L, 0L)))
+  }
+
+  test("lang confusion: diagonal and off-diagonal cells with row shares") {
+    val ds = Seq((1L, "en", "the of and is"), (2L, "en", "el la los que"),
+      (3L, "de", "der und nicht")).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.langConfusion(ds)
+      .orderBy("lang", "predicted_lang").as[(String, String, Long, Long)].collect()
+    assert(got.toSeq === Seq(("de", "de", 1L, 10000L),
+      ("en", "en", 1L, 5000L), ("en", "es", 1L, 5000L)))
+  }
+
+  test("growth accounting: new, retained, resurrected, churned ledger") {
+    import java.sql.Timestamp
+    def at(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // weeks: w0 = Jan 1, w1 = Jan 8, w2 = Jan 15 (Mondays)
+    val ev = Seq(
+      (1L, at(1)), (1L, at(9)),            // u1: w0, w1
+      (2L, at(2)),                          // u2: w0 only → churns at w1
+      (3L, at(3)), (3L, at(16))             // u3: w0, gap, w2 → resurrects
+    ).toDF("user_id", "ts")
+    val got = graft.operators.Engagement.growthAccounting(ev, "user_id", "ts")
+      .orderBy("week").as[(java.sql.Date, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1.toString, r._2, r._3, r._4, r._5)).toSeq === Seq(
+      ("2024-01-01", 3L, 0L, 0L, 0L),
+      ("2024-01-08", 0L, 1L, 0L, 2L),   // u2 and u3 went missing
+      ("2024-01-15", 0L, 0L, 1L, 1L))) // u3 back, u1 gone
+  }
 }
