@@ -178,6 +178,13 @@ object ScaleCheck {
     time(s"growth accounting over $nUev events")(
       graft.operators.Engagement.growthAccounting(uev, "user_id", "ts")
         .count())
+    // q168/q169: one hash agg of power sums / one grid RANGE window
+    time(s"higher moments over $nUev events")(
+      graft.operators.Stats.higherMoments(
+        uev.withColumn("v", (col("value") * 100).cast("long")),
+        "event_type", "v").count())
+    time(s"rolling 7d daily mean over $nUev events")(
+      graft.operators.Stats.rollingDailyMean(uev, "event_type", "ts").count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise
@@ -561,6 +568,12 @@ object ScaleCheck {
         docs.select(col("doc_id"),
           when(pmod(col("doc_id"), lit(2)) === 0, lit(0L))
             .otherwise(col("doc_id")).as("cluster_id"))).count())
+    // q167: per-pair O(prefix²) — cost tracks the candidate count from
+    // the LSH stage, never the corpus
+    time(s"edit-distance verify over LSH candidates ($nDocs docs)")(
+      Dedup.editDistanceVerify(docs,
+        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+          threshold = 0.2)).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

@@ -1157,6 +1157,24 @@ object SparkEntry {
     "q166_growth_accounting" -> ((s, dir) =>
       Engagement.growthAccounting(Tables.events(s, dir), "user_id", "ts")
         .orderBy("week")),
+    // the dedup PRECISION stage: Levenshtein over 500-char prefixes of
+    // the q53 LSH candidates — per-pair cost bounded by construction
+    "q167_edit_verify" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.editDistanceVerify(docs,
+        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2,
+          baseHash = Dedup.md5Base)).orderBy("doc_a", "doc_b")
+    }),
+    // per-source shape moments: skewness + excess kurtosis from exact
+    // integer power sums — the tail-drift monitor
+    "q168_higher_moments" -> ((s, dir) =>
+      Stats.higherMoments(Tables.documents(s, dir), keyCol = "source",
+        valueCol = "n_chars").orderBy("source")),
+    // trailing 7-day mean of daily volumes per type — RANGE window over
+    // the (type × day-index) grid, calendar-width denominator
+    "q169_rolling_mean" -> ((s, dir) =>
+      Stats.rollingDailyMean(Tables.events(s, dir), keyCol = "event_type",
+        tsCol = "ts").orderBy("event_type", "day")),
     // hour-of-day × type activity heatmap with per-type share bp — the
     // 24-cell grid window is bounded by construction
     "q160_hourly_heatmap" -> ((s, dir) => {
@@ -4526,6 +4544,67 @@ object SparkEntry {
         |       coalesce(ch.n_churned, 0) AS n_churned
         |FROM base LEFT JOIN ch ON ch.w = base.w
         |ORDER BY week""".stripMargin,
+    // Levenshtein over the same 500-char prefixes; floor-bp similarity,
+    // empty-prefix pairs define as identical
+    "q167_edit_verify" ->
+      s"""WITH RECURSIVE $LshClusterSql,
+        |t AS (SELECT doc_id, substr(text, 1, 500) AS tx FROM documents),
+        |p AS (SELECT pr.doc_a, pr.doc_b,
+        |             CAST(levenshtein(a.tx, b.tx) AS BIGINT) AS lev,
+        |             CAST(greatest(length(a.tx), length(b.tx)) AS BIGINT) AS mx
+        |      FROM pr JOIN t a ON a.doc_id = pr.doc_a
+        |              JOIN t b ON b.doc_id = pr.doc_b)
+        |SELECT doc_a, doc_b, lev,
+        |       CASE WHEN mx = 0 THEN 10000
+        |            ELSE 10000 - CAST((lev * 10000) // mx AS BIGINT) END AS sim_bp
+        |FROM p ORDER BY doc_a, doc_b""".stripMargin,
+    // exact integer power sums → one fixed double expression per moment
+    "q168_higher_moments" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(n_chars) AS BIGINT) AS s1,
+        |                  CAST(sum(n_chars * n_chars) AS HUGEINT) AS s2,
+        |                  CAST(sum(n_chars * n_chars * n_chars) AS HUGEINT) AS s3,
+        |                  CAST(sum(n_chars * n_chars * n_chars * n_chars) AS HUGEINT) AS s4
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+        |SELECT source, n AS n_rows,
+        |       round(CAST(s1 AS DOUBLE) / n, 4) AS mean,
+        |       round((CAST(s3 AS DOUBLE) / n
+        |              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+        |              + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |                    * (CAST(s1 AS DOUBLE) / n))
+        |             / pow(greatest(1e-12, CAST(s2 AS DOUBLE) / n
+        |                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 1.5),
+        |             4) AS skewness,
+        |       round((CAST(s4 AS DOUBLE) / n
+        |              - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+        |              + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |                    * (CAST(s2 AS DOUBLE) / n)
+        |              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        |                    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |             / (greatest(1e-12, CAST(s2 AS DOUBLE) / n
+        |                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |                * greatest(1e-12, CAST(s2 AS DOUBLE) / n
+        |                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+        |             - 3.0, 4) AS kurtosis
+        |FROM s ORDER BY source""".stripMargin,
+    // RANGE window over the per-type day index; calendar-width
+    // denominator, 4dp HALF_UP ticks
+    "q169_rolling_mean" ->
+      """WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS dy,
+        |                  CAST(count(*) AS BIGINT) AS n_events
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT k, min(dy) AS d0 FROM d GROUP BY 1),
+        |i AS (SELECT d.k, d.dy, d.n_events, CAST(d.dy - o.d0 AS BIGINT) AS idx
+        |      FROM d JOIN o ON o.k = d.k),
+        |w AS (SELECT k, dy, n_events, idx,
+        |             CAST(sum(n_events) OVER (PARTITION BY k ORDER BY idx
+        |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |               AS trail_sum
+        |      FROM i)
+        |SELECT k AS event_type, dy AS day, n_events, trail_sum,
+        |       CAST(floor(trail_sum * 10000.0 / least(idx + 1, 7) + 0.5) AS BIGINT)
+        |         / 10000.0 AS trail_mean
+        |FROM w ORDER BY event_type, day""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

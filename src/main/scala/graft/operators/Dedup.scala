@@ -787,4 +787,32 @@ object Dedup {
           .otherwise(expr("(n_both * 10000) DIV (n_both + n_only_a + n_only_b)"))
           .as("agree_bp"))
   }
+
+  /** Edit-distance verification of candidate pairs — the PRECISION
+    * stage a production dedup pipeline runs after any sketch: sketches
+    * (MinHash bands, SimHash buckets) answer "probably similar";
+    * Levenshtein on the texts answers "how similar, exactly". Cost is
+    * O(la·lb) per pair, so both sides are truncated to `prefixChars`
+    * first — the declared scale knob that bounds per-pair work to a
+    * constant regardless of document length (candidate pairs are few by
+    * construction; the join fans each pair to its two texts and nothing
+    * else). `sim_bp` = 10000·(1 − lev/max(la, lb)), floor; two empty
+    * prefixes are identical by definition.
+    * Output: doc_a, doc_b, lev, sim_bp.
+    */
+  def editDistanceVerify(docs: DataFrame, pairs: DataFrame,
+                         prefixChars: Int = 500): DataFrame = {
+    require(prefixChars >= 1, "prefixChars must be positive")
+    val t = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixChars).as("__t"))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(t.select(col("doc_id").as("doc_a"), col("__t").as("__ta")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long").as("__mx"))
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        when(col("__mx") === 0, lit(10000L))
+          .otherwise(lit(10000L) - expr("(lev * 10000) DIV __mx")).as("sim_bp"))
+  }
 }

@@ -361,4 +361,74 @@ object Stats {
             col("__sx").cast("double") * col("n_events").cast("double")) / denom,
           4)).as("slope"))
   }
+
+  /** Per-key skewness and excess kurtosis — the shape moments a
+    * distribution-drift monitor reads beyond mean/σ (a new crawl source
+    * whose length mean matches but whose tail flipped shows up here
+    * first). Exact integer power sums (v⁴ still fits a long for any
+    * realistic bounded measure; the sums fold in decimal(38,0) — the
+    * [[dailyAnomalies]] overflow discipline), one hash agg; the
+    * standardized moments evaluate in one fixed double expression shape
+    * per output so any engine replays the same float ops. σ²
+    * floor-guarded at 1e-12; 4dp.
+    * Output: key (named `keyCol`), n_rows, mean, skewness, kurtosis
+    * (excess).
+    */
+  def higherMoments(df: DataFrame, keyCol: String,
+                    valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val sums = df
+      .select(col(keyCol).as("__k"), v.as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("__s1"),
+        sum((col("__v") * col("__v")).cast("decimal(38,0)")).as("__s2"),
+        sum((col("__v") * col("__v") * col("__v")).cast("decimal(38,0)"))
+          .as("__s3"),
+        sum((col("__v") * col("__v") * col("__v") * col("__v"))
+          .cast("decimal(38,0)")).as("__s4"))
+    val m = col("__s1").cast("double") / col("n_rows")
+    val m2 = col("__s2").cast("double") / col("n_rows")
+    val m3 = col("__s3").cast("double") / col("n_rows")
+    val m4 = col("__s4").cast("double") / col("n_rows")
+    val varP = greatest(lit(1e-12), m2 - m * m)
+    sums.select(col("__k").as(keyCol), col("n_rows"),
+      round(m, 4).as("mean"),
+      round((m3 - lit(3.0) * m * m2 + lit(2.0) * m * m * m) /
+        pow(varP, 1.5), 4).as("skewness"),
+      round((m4 - lit(4.0) * m * m3 + lit(6.0) * m * m * m2 -
+        lit(3.0) * m * m * m * m) / (varP * varP) - lit(3.0), 4)
+        .as("kurtosis"))
+  }
+
+  /** Trailing `windowDays`-day mean of daily counts per key — the
+    * smoothing layer under [[dailyAnomalies]]' spike flags and
+    * [[dailyTrend]]'s slope. The (key × day) grid carries a per-key day
+    * index, the trailing sum is a RANGE window over that index (missing
+    * days weigh zero by construction — range, not rows), and the mean
+    * divides by the CALENDAR window width min(idx+1, windowDays), 4dp
+    * HALF_UP ticks. Windows run over grid cells, never events.
+    * Output: key (named `keyCol`), day, n_events, trail_sum, trail_mean.
+    */
+  def rollingDailyMean(df: DataFrame, keyCol: String, tsCol: String,
+                       windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val daily = df
+      .select(col(keyCol).as("__k"),
+        to_date(col(tsCol).cast("timestamp")).as("__d"))
+      .where(col("__d").isNotNull)
+      .groupBy(col("__k"), col("__d")).agg(count(lit(1)).as("n_events"))
+    val origins = daily.groupBy(col("__k")).agg(min(col("__d")).as("__d0"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__idx"))
+      .rangeBetween(-(windowDays - 1), 0)
+    daily.join(broadcast(origins), Seq("__k"))
+      .withColumn("__idx", datediff(col("__d"), col("__d0")).cast("long"))
+      .withColumn("trail_sum", sum(col("n_events")).over(wR))
+      .withColumn("__den", least(col("__idx") + 1, lit(windowDays.toLong)))
+      .select(col("__k").as(keyCol), col("__d").as("day"), col("n_events"),
+        col("trail_sum"),
+        (floor(col("trail_sum") * 10000.0 / col("__den") + 0.5).cast("long")
+          / 10000.0).as("trail_mean"))
+  }
 }

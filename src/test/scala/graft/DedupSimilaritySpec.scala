@@ -2383,4 +2383,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
       ("2024-01-08", 0L, 1L, 0L, 2L),   // u2 and u3 went missing
       ("2024-01-15", 0L, 0L, 1L, 1L))) // u3 back, u1 gone
   }
+
+  test("edit verify: classic distance, prefix truncation, empty pair identical") {
+    val ds = Seq((1L, "kitten"), (2L, "sitting"), (3L, ""), (4L, ""),
+      (5L, "abcdef"), (6L, "abcxyz")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.editDistanceVerify(ds, pairs)
+      .orderBy("doc_a").as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 3L, 5715L), (3L, 4L, 0L, 10000L),
+      (5L, 6L, 3L, 5000L)))
+    // a 3-char prefix makes the last pair identical — the scale knob
+    val short = Dedup.editDistanceVerify(ds, pairs, prefixChars = 3)
+      .where(col("doc_a") === 5).as[(Long, Long, Long, Long)].collect()
+    assert(short.toSeq === Seq((5L, 6L, 0L, 10000L)))
+  }
+
+  test("higher moments: symmetric data has zero skew, 3-point uniform kurtosis") {
+    val rows = Seq(("s", 1L), ("s", 2L), ("s", 3L)).toDF("source", "n_chars")
+    val got = graft.operators.Stats.higherMoments(rows, "source", "n_chars")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.toSeq === Seq(("s", 3L, 2.0, 0.0, -1.5)))
+  }
+
+  test("rolling daily mean: range window skips gaps, calendar denominator") {
+    import java.sql.Timestamp
+    val rows =
+      (1 to 10).map(_ => ("x", Timestamp.valueOf("2024-01-01 10:00:00"))) ++
+      (1 to 20).map(_ => ("x", Timestamp.valueOf("2024-01-02 10:00:00"))) ++
+      (1 to 30).map(_ => ("x", Timestamp.valueOf("2024-01-03 10:00:00"))) ++
+      (1 to 5).map(_ => ("x", Timestamp.valueOf("2024-01-06 10:00:00")))
+    val got = graft.operators.Stats.rollingDailyMean(
+      rows.toDF("event_type", "ts"), "event_type", "ts", windowDays = 2)
+      .orderBy("day").as[(String, java.sql.Date, Long, Long, Double)].collect()
+    // trailing-2d sums: 10, 30, 50, then the gapped day only sees itself
+    assert(got.map(r => (r._4, r._5)).toSeq ===
+      Seq((10L, 10.0), (30L, 15.0), (50L, 25.0), (5L, 2.5)))
+  }
 }
