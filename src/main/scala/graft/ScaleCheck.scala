@@ -574,6 +574,17 @@ object ScaleCheck {
       Dedup.editDistanceVerify(docs,
         Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
           threshold = 0.2)).count())
+    // q170: per-source top-k must push the rank heap map-side — each
+    // reducer sees ≤ k·maps rows, never a source's population
+    val topPer = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(length(col("text")).desc, col("doc_id").asc)
+      sourced.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+    }
+    assert(topPer.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "per-source top-k must push the rank limit map-side")
+    time(s"per-source top-3 over $nDocs docs")(topPer.count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

@@ -1175,6 +1175,50 @@ object SparkEntry {
     "q169_rolling_mean" -> ((s, dir) =>
       Stats.rollingDailyMean(Tables.events(s, dir), keyCol = "event_type",
         tsCol = "ts").orderBy("event_type", "day")),
+    // per-group top-k: the 3 best docs per source by quality —
+    // WindowGroupLimit pushes the rank heap map-side
+    "q170_top_per_source" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityExpr(col("text")).as("quality"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .orderBy("source", "rk")
+    }),
+    // unpivot (stack) melts the q155 wide matrix back to long — the
+    // oracle is the round-trip identity: pivot ∘ unpivot = groupBy
+    "q171_unpivot" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .select(col("source"), expr(
+          "stack(5, 'de', de, 'en', en, 'es', es, 'fr', fr, 'zh', zh) AS (lang, n_docs)"))
+        .where(col("n_docs") > 0)
+        .orderBy("source", "lang")
+    }),
+    // Benford first-digit audit on integer value ticks — expected
+    // shares enter as plan-time literal bp on BOTH engines (no runtime
+    // float), deviation in abs bp
+    "q172_benford" -> ((s, dir) => {
+      val ticks = floor(col("value") * 100).cast("long")
+      val exp = expr("elt(digit, 3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)")
+      Tables.events(s, dir)
+        .where(col("value").isNotNull && ticks >= 1)
+        .select(substring(ticks.cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("obs_bp", expr("(n * 10000) DIV sum(n) OVER ()"))
+        .withColumn("exp_bp", exp)
+        .select(col("digit"), col("n"), col("obs_bp"), col("exp_bp"),
+          abs(col("obs_bp") - col("exp_bp")).as("dev_bp"))
+        .orderBy("digit")
+    }),
     // hour-of-day × type activity heatmap with per-type share bp — the
     // 24-cell grid window is bounded by construction
     "q160_hourly_heatmap" -> ((s, dir) => {
@@ -4605,6 +4649,37 @@ object SparkEntry {
         |       CAST(floor(trail_sum * 10000.0 / least(idx + 1, 7) + 0.5) AS BIGINT)
         |         / 10000.0 AS trail_mean
         |FROM w ORDER BY event_type, day""".stripMargin,
+    // the shared quality chain ranked per source; (quality desc, doc_id)
+    // total tie order
+    "q170_top_per_source" ->
+      s"""WITH $QualitySql,
+        |r AS (SELECT q.doc_id, d.source, q.quality,
+        |             CAST(row_number() OVER (PARTITION BY d.source
+        |               ORDER BY q.quality DESC, q.doc_id) AS BIGINT) AS rk
+        |      FROM q JOIN documents d ON d.doc_id = q.doc_id)
+        |SELECT doc_id, source, quality, rk FROM r WHERE rk <= 3
+        |ORDER BY source, rk""".stripMargin,
+    // pivot ∘ unpivot must equal the plain long-form group-by
+    "q171_unpivot" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // integer-tick first digit via string head; literal Benford bp
+    "q172_benford" ->
+      """WITH t AS (SELECT CAST(floor(value * 100) AS BIGINT) AS ticks
+        |           FROM events WHERE value IS NOT NULL
+        |             AND CAST(floor(value * 100) AS BIGINT) >= 1),
+        |d AS (SELECT CAST(substr(CAST(ticks AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |      FROM t),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |o AS (SELECT digit, n,
+        |             CAST((n * 10000) // sum(n) OVER () AS BIGINT) AS obs_bp,
+        |             CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761
+        |                  WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792
+        |                  WHEN 6 THEN 669 WHEN 7 THEN 580 WHEN 8 THEN 512
+        |                  ELSE 458 END AS BIGINT) AS exp_bp
+        |      FROM c)
+        |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
+        |FROM o ORDER BY digit""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →
