@@ -1203,6 +1203,39 @@ object SparkEntry {
         .where(col("n_docs") > 0)
         .orderBy("source", "lang")
     }),
+    // correlated EXISTS, Spark-first: a left-semi join (the planner's
+    // own rewrite of EXISTS) — suppliers with a returned lineitem
+    "q173_exists_semijoin" -> ((s, dir) => {
+      val late = Tables.lineitem(s, dir)
+        .where(col("l_returnflag") === "R").select(col("l_suppkey"))
+      Tables.supplier(s, dir)
+        .join(late, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name").orderBy("s_suppkey")
+    }),
+    // correlated scalar subquery (above-nation-average balance) with an
+    // EXACT integer cross-multiply predicate — no double-fold averages
+    "q174_scalar_subquery" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .withColumn("__cents",
+          floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+      val nAvg = c.groupBy(col("c_nationkey"))
+        .agg(sum(col("__cents")).as("__s"), count(lit(1)).as("__cnt"))
+      c.join(broadcast(nAvg), Seq("c_nationkey"))
+        .where(col("__cents") * col("__cnt") > col("__s"))
+        .select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+    }),
+    // latest-record-per-entity: each customer's most recent order via
+    // one window rank (WindowGroupLimit) — the SCD-current lookup
+    "q175_latest_order" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, dir)
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
     // Benford first-digit audit on integer value ticks — expected
     // shares enter as plan-time literal bp on BOTH engines (no runtime
     // float), deviation in abs bp
@@ -4680,6 +4713,33 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
+    // the oracle keeps the textbook correlated EXISTS; the engine's
+    // left-semi join must produce the identical relation
+    "q173_exists_semijoin" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+        |ORDER BY s_suppkey""".stripMargin,
+    // above-nation-average balance via exact integer cents cross-multiply
+    "q174_scalar_subquery" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM customer),
+        |n AS (SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS s,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |      FROM c GROUP BY 1)
+        |SELECT c.c_custkey, c.c_name, c.c_acctbal
+        |FROM c JOIN n ON n.c_nationkey = c.c_nationkey
+        |WHERE c.cents * n.cnt > n.s
+        |ORDER BY c_custkey""".stripMargin,
+    // greatest-per-entity: (date desc, key desc) rank 1
+    "q175_latest_order" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |       o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+        |      FROM orders) t
+        |WHERE rk = 1 ORDER BY o_custkey""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →
