@@ -185,6 +185,19 @@ object ScaleCheck {
         "event_type", "v").count())
     time(s"rolling 7d daily mean over $nUev events")(
       graft.operators.Stats.rollingDailyMean(uev, "event_type", "ts").count())
+    // q177: every key hot by construction — the salted exchange must
+    // beat one-reducer-per-type straggling, result = plain join
+    time(s"salted join (5 hot keys) over $nUev events")(
+      graft.operators.Skew.saltedJoin(
+        uev.select("event_id", "event_type"),
+        uev.groupBy("event_type").agg(count(lit(1)).as("type_total")),
+        key = "event_type", salts = 8).count())
+    // q176: weight-mass grid — same cells as tickQuantiles
+    time(s"weighted quantiles over $nUev events")(
+      graft.operators.Stats.weightedQuantiles(
+        uev.withColumn("v", (col("value") * 100).cast("long"))
+          .withColumn("w", lit(1L) + pmod(col("event_id"), lit(7))),
+        "event_type", "v", "w").count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise

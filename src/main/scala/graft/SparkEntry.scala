@@ -1203,6 +1203,25 @@ object SparkEntry {
         .where(col("n_docs") > 0)
         .orderBy("source", "lang")
     }),
+    // token-mass-weighted length percentiles per source: "p50 of the
+    // TOKENS sits in a doc of length X" — the truncation-policy metric
+    "q176_weighted_length" -> ((s, dir) =>
+      Stats.weightedQuantiles(
+        Tables.documents(s, dir).select(col("source"),
+          col("n_chars"), TextAnalysis.nTokensExpr(col("text")).as("n_tokens")),
+        keyCol = "source", valueCol = "n_chars", weightCol = "n_tokens")
+        .orderBy("source")),
+    // skew-safe salted join (hot keys: 5 types across the corpus) — the
+    // salt must not change the RESULT, so the oracle is the plain join
+    "q177_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      val dim = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_total"))
+      Skew.saltedJoin(ev, dim, key = "event_type", salts = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_joined"), max(col("type_total")).as("type_total"))
+        .orderBy("event_type")
+    }),
     // correlated EXISTS, Spark-first: a left-semi join (the planner's
     // own rewrite of EXISTS) — suppliers with a returned lineitem
     "q173_exists_semijoin" -> ((s, dir) => {
@@ -4713,6 +4732,32 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
+    // weight sums replace row counts on the same counting grid
+    "q176_weighted_length" ->
+      """WITH d AS (SELECT source, n_chars,
+        |                  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> x <> '')) AS BIGINT) AS ntok
+        |           FROM documents),
+        |c AS (SELECT source, n_chars AS v, CAST(sum(ntok) AS BIGINT) AS c
+        |      FROM d GROUP BY 1, 2),
+        |w AS (SELECT source, v, c,
+        |             CAST(sum(c) OVER (PARTITION BY source ORDER BY v ROWS BETWEEN
+        |               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |             CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        |      FROM c)
+        |SELECT source, CAST(max(n) AS BIGINT) AS total_weight,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS DOUBLE) AS p50,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS DOUBLE) AS p90,
+        |       CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS DOUBLE) AS p99
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
+    // the salt never touches the predicate: plain-join identity
+    "q177_salted_join" ->
+      """WITH dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_total
+        |             FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_joined,
+        |       CAST(max(d.type_total) AS BIGINT) AS type_total
+        |FROM events e JOIN dim d ON d.event_type = e.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle keeps the textbook correlated EXISTS; the engine's
     // left-semi join must produce the identical relation
     "q173_exists_semijoin" ->

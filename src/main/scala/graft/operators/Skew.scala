@@ -41,4 +41,29 @@ object Skew {
     saltedAgg(df, keyCols, salts)(Seq(
       ("n", count(lit(1)), (c: String) => sum(col(c))),
       ("total", sum(col(valueCol)), (c: String) => sum(col(c)))))
+
+  /** Skew-safe equi-join for a dim too big to broadcast against a fact
+    * with hot keys: the fact side salts each ROW into one of `salts`
+    * sub-keys (a deterministic hash of the whole row — the salt value
+    * never affects the join predicate, so the RESULT is exactly the
+    * plain join), the dim side replicates ×`salts`, and the join runs on
+    * (key, salt) — one hot key becomes `salts` even partitions instead
+    * of one straggler reducer. This is what AQE's skew handling does at
+    * runtime; pre-salting is the deterministic-layout variant for
+    * engines/pipelines that must plan it (bucketed outputs, stateful
+    * streaming joins, AQE-off clusters). A `shuffle_hash` hint keeps the
+    * planner from broadcasting the replicated dim, which would defeat
+    * the exercise.
+    * Returns the joined frame without the salt column.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int = 8): DataFrame = {
+    require(salts >= 1, "salts must be positive")
+    val rowHash = xxhash64(fact.columns.map(col).toIndexedSeq: _*)
+    val salted = fact.withColumn("__salt", pmod(rowHash, lit(salts.toLong)))
+    val dimRep = dim
+      .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+      .hint("shuffle_hash")
+    salted.join(dimRep, Seq(key, "__salt")).drop("__salt")
+  }
 }

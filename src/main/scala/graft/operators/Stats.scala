@@ -401,6 +401,38 @@ object Stats {
         .as("kurtosis"))
   }
 
+  /** Per-key WEIGHTED type-1 quantiles: the value at which each `p`% of
+    * the total WEIGHT mass is reached — "half your tokens live in docs
+    * shorter than p50", the curation metric a truncation or packing
+    * policy actually needs (unweighted length percentiles over-count
+    * short docs). Same counting-grid discipline as [[tickQuantiles]]
+    * with weight sums in place of row counts; windows run over cells.
+    * Output: key (named `keyCol`), total_weight, p50, p90, p99 (value
+    * grid points).
+    */
+  def weightedQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                        weightCol: String): DataFrame = {
+    val cells = df
+      .select(col(keyCol).as("__k"), col(valueCol).cast("long").as("__v"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("__v").isNotNull && col("__w").isNotNull)
+      .groupBy(col("__k"), col("__v")).agg(sum(col("__w")).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+    def pick(p: Int): Column =
+      min(when(col("__cum") * 100 >= col("__n") * p, col("__v")))
+        .cast("double").as(s"p$p")
+    cells.withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wKey))
+      .groupBy(col("__k"))
+      .agg(max(col("__n")).as("total_weight"), pick(50), pick(90), pick(99))
+      .select(col("__k").as(keyCol), col("total_weight"),
+        col("p50"), col("p90"), col("p99"))
+  }
+
   /** Trailing `windowDays`-day mean of daily counts per key — the
     * smoothing layer under [[dailyAnomalies]]' spike flags and
     * [[dailyTrend]]'s slope. The (key × day) grid carries a per-key day

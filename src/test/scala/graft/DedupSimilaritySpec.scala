@@ -2419,4 +2419,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.map(r => (r._4, r._5)).toSeq ===
       Seq((10L, 10.0), (30L, 15.0), (50L, 25.0), (5L, 2.5)))
   }
+
+  test("weighted quantiles: token mass moves the cut where row counts would not") {
+    // 9 short docs of 10 tokens vs 1 long doc of 910 tokens: unweighted
+    // p50 is the short length; token-weighted p50 is the LONG length
+    val rows = ((1 to 9).map(_ => ("s", 100L, 10L)) :+ (("s", 5000L, 910L)))
+      .toDF("source", "n_chars", "n_tokens")
+    val got = graft.operators.Stats.weightedQuantiles(rows, "source",
+      "n_chars", "n_tokens").as[(String, Long, Double, Double, Double)].collect()
+    assert(got.toSeq === Seq(("s", 1000L, 5000.0, 5000.0, 5000.0)))
+  }
+
+  test("salted join: result identical to the plain join, salts genuinely spread") {
+    val fact = (1L to 400L).map(i => (i, "hot")).toDF("id", "k")
+    val dim = Seq(("hot", "d1")).toDF("k", "v")
+    val plain = fact.join(dim, Seq("k")).orderBy("id")
+      .as[(String, Long, String)].collect().toSeq
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, key = "k", salts = 8)
+      .orderBy("id").as[(String, Long, String)].collect().toSeq
+    assert(salted === plain && salted.length === 400)
+    // the row-hash salt actually splits the hot key across sub-partitions
+    val spread = fact
+      .withColumn("__salt", pmod(xxhash64(col("id"), col("k")), lit(8L)))
+      .select(countDistinct(col("__salt"))).as[Long].collect().head
+    assert(spread >= 6, s"salt spread too narrow: $spread of 8 buckets")
+  }
 }
