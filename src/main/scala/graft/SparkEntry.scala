@@ -1203,6 +1203,28 @@ object SparkEntry {
         .where(col("n_docs") > 0)
         .orderBy("source", "lang")
     }),
+    // image dHash through the REAL PNG decode: 9x8 nearest-neighbor
+    // sample, horizontal-difference bits, simhash-style lo/hi split
+    "q178_image_phash" -> ((s, dir) =>
+      Multimodal.perceptualHashes(
+        Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .toDF().orderBy("media_id")),
+    // pHash exact-dup groups over planted byte-identical twins — twin
+    // ids shift by a multiple of 35 = lcm(5, 7), so the id-derived
+    // dimensions (and hence the PNG payload) are preserved exactly
+    "q179_phash_groups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.where(pmod(col("doc_id"), lit(6)) === 0)
+        .select((col("doc_id") + 3500000000L).as("doc_id"), col("text"))
+      Multimodal.perceptualHashes(
+        Multimodal.fromDocuments(docs.unionByName(twins)))
+        .toDF()
+        .groupBy(col("phash_lo"), col("phash_hi"))
+        .agg(count(lit(1)).as("n"), min(col("media_id")).as("min_id"),
+          max(col("media_id")).as("max_id"))
+        .where(col("n") > 1)
+        .orderBy("phash_lo", "phash_hi")
+    }),
     // token-mass-weighted length percentiles per source: "p50 of the
     // TOKENS sits in a doc of length X" — the truncation-policy metric
     "q176_weighted_length" -> ((s, dir) =>
@@ -4732,6 +4754,72 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
+    // the q43 md5 pixel field sampled on the same integer 9x8 grid;
+    // pow-packed lo/hi bits (the simhash oracle pattern)
+    "q178_image_phash" ->
+      """WITH xs AS (SELECT unnest(range(0, 8)) AS x),
+        |ys AS (SELECT unnest(range(0, 8)) AS y),
+        |m AS (SELECT doc_id AS media_id, text,
+        |             CAST(4 + (doc_id % 5) * 2 AS BIGINT) AS w,
+        |             CAST(4 + (doc_id % 7) * 2 AS BIGINT) AS h
+        |      FROM documents),
+        |c AS (SELECT media_id, text, x, y,
+        |             ((y * h) // 8) * w + ((x * w) // 9) AS ia,
+        |             ((y * h) // 8) * w + (((x + 1) * w) // 9) AS ib
+        |      FROM m CROSS JOIN xs CROSS JOIN ys),
+        |v AS (SELECT media_id, x, y,
+        |             ('0x' || substr(md5(text || '#' || CAST(ia // 16 AS VARCHAR)),
+        |                             CAST((ia % 16) * 2 + 1 AS INT), 2))::BIGINT AS a,
+        |             ('0x' || substr(md5(text || '#' || CAST(ib // 16 AS VARCHAR)),
+        |                             CAST((ib % 16) * 2 + 1 AS INT), 2))::BIGINT AS b
+        |      FROM c),
+        |bits AS (SELECT media_id, y * 8 + x AS idx,
+        |                CASE WHEN b > a THEN 1 ELSE 0 END AS bit FROM v)
+        |SELECT media_id,
+        |       CAST(sum(CASE WHEN bit = 1 AND idx < 32
+        |                     THEN CAST(pow(2, idx) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |         AS phash_lo,
+        |       CAST(sum(CASE WHEN bit = 1 AND idx >= 32
+        |                     THEN CAST(pow(2, idx - 32) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |         AS phash_hi
+        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // same arithmetic over the +35k-shifted twins; byte-identical
+    // payloads must collapse to one hash group
+    "q179_phash_groups" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3500000000, text FROM documents WHERE doc_id % 6 = 0),
+        |xs AS (SELECT unnest(range(0, 8)) AS x),
+        |ys AS (SELECT unnest(range(0, 8)) AS y),
+        |m AS (SELECT doc_id AS media_id, text,
+        |             CAST(4 + (doc_id % 5) * 2 AS BIGINT) AS w,
+        |             CAST(4 + (doc_id % 7) * 2 AS BIGINT) AS h
+        |      FROM all_docs),
+        |c AS (SELECT media_id, text, x, y,
+        |             ((y * h) // 8) * w + ((x * w) // 9) AS ia,
+        |             ((y * h) // 8) * w + (((x + 1) * w) // 9) AS ib
+        |      FROM m CROSS JOIN xs CROSS JOIN ys),
+        |v AS (SELECT media_id, x, y,
+        |             ('0x' || substr(md5(text || '#' || CAST(ia // 16 AS VARCHAR)),
+        |                             CAST((ia % 16) * 2 + 1 AS INT), 2))::BIGINT AS a,
+        |             ('0x' || substr(md5(text || '#' || CAST(ib // 16 AS VARCHAR)),
+        |                             CAST((ib % 16) * 2 + 1 AS INT), 2))::BIGINT AS b
+        |      FROM c),
+        |bits AS (SELECT media_id, y * 8 + x AS idx,
+        |                CASE WHEN b > a THEN 1 ELSE 0 END AS bit FROM v),
+        |ph AS (SELECT media_id,
+        |              CAST(sum(CASE WHEN bit = 1 AND idx < 32
+        |                    THEN CAST(pow(2, idx) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |                AS phash_lo,
+        |              CAST(sum(CASE WHEN bit = 1 AND idx >= 32
+        |                    THEN CAST(pow(2, idx - 32) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |                AS phash_hi
+        |       FROM bits GROUP BY media_id),
+        |g AS (SELECT phash_lo, phash_hi, CAST(count(*) AS BIGINT) AS n,
+        |             min(media_id) AS min_id, max(media_id) AS max_id
+        |      FROM ph GROUP BY 1, 2)
+        |SELECT * FROM g WHERE n > 1 ORDER BY phash_lo, phash_hi""".stripMargin,
     // weight sums replace row counts on the same counting grid
     "q176_weighted_length" ->
       """WITH d AS (SELECT source, n_chars,

@@ -148,6 +148,52 @@ object Multimodal {
     }
   }
 
+  final case class MediaPHash(media_id: Long, phash_lo: Long, phash_hi: Long)
+
+  /** Perceptual difference-hash (dHash) over the REAL decoded raster:
+    * nearest-neighbor sample onto a 9×8 grid (integer index arithmetic —
+    * sx = ⌊x·w/9⌋, sy = ⌊y·h/8⌋), one bit per horizontally-adjacent
+    * comparison, 64 bits split lo/hi like the SimHash convention (no
+    * sign-bit games in a BIGINT oracle). This is the image analogue of
+    * SimHash: re-encoded or byte-shuffled copies of the same picture
+    * collapse to one hash, and Hamming distance ranks near-misses.
+    * Undecodable payloads are dropped (total over a real media lake).
+    * Output: media_id, phash_lo, phash_hi.
+    */
+  def perceptualHashes(media: DataFrame): Dataset[MediaPHash] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else {
+            val raster = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            var lo = 0L
+            var hi = 0L
+            var y = 0
+            while (y < 8) {
+              val sy = y * h / 8
+              var x = 0
+              while (x < 8) {
+                val a = raster.getSample(x * w / 9, sy, 0)
+                val b = raster.getSample((x + 1) * w / 9, sy, 0)
+                if (b > a) {
+                  val idx = y * 8 + x
+                  if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            Some(MediaPHash(r.media_id, lo, hi))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
   final case class ResizedMedia(
       media_id: Long,
       format: String,

@@ -272,4 +272,19 @@ class MultimodalSpec extends AnyFunSuite {
     // frame numbers really advance by the fps-dependent integer step
     assert(want(1L, 3, 24).map(_._4) === Seq(0L, 16L, 33L))
   }
+
+  test("perceptual hash: byte-identical images collapse, others split, junk drops") {
+    // ids 35 apart share (w, h); same text → byte-identical PNG → same hash
+    val docs = Seq((1L, "same picture text"), (36L, "same picture text"),
+      (2L, "a completely different image")).toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs)
+    val got = Multimodal.perceptualHashes(media).collect()
+      .map(p => p.media_id -> (p.phash_lo, p.phash_hi)).toMap
+    assert(got(1L) === got(36L))
+    assert(got(1L) !== got(2L))
+    // an undecodable payload is dropped, not crashed on
+    val junk = media.limit(0).unionByName(
+      Seq(Multimodal.MediaRow(99L, "png", Array[Byte](1, 2, 3), 4, 4)).toDF())
+    assert(Multimodal.perceptualHashes(junk).count() === 0L)
+  }
 }
