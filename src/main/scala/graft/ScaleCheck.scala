@@ -151,6 +151,10 @@ object ScaleCheck {
     time(s"double-fire audit over $nUev events")(
       graft.operators.Engagement.doubleFire(uev, "user_id", "ts",
         "event_type", "event_id").count())
+    // q181: two leads on the same exchange as transitions
+    time(s"flow trigrams over $nUev events")(
+      graft.operators.Engagement.flowTrigrams(uev, "user_id", "ts",
+        "event_type", "event_id").count())
     // q154: the GLOBAL prefix max runs two-phase (256 id-range buckets +
     // a 256-row offset cumsum) — no single-partition corpus window
     time(s"watermark lateness over $nUev events")(

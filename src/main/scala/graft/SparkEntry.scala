@@ -1203,6 +1203,17 @@ object SparkEntry {
         .where(col("n_docs") > 0)
         .orderBy("source", "lang")
     }),
+    // audio loudness-shape fingerprint through the REAL WAV parse:
+    // 16-block integer energies, 15 louder-than-previous bits
+    "q180_audio_contour" -> ((s, dir) =>
+      Multimodal.audioContours(
+        Multimodal.audioFromDocuments(Tables.documents(s, dir)))
+        .toDF().orderBy("media_id")),
+    // 3-step flow mining: two leads on the transitions exchange,
+    // top-20 with total tie order
+    "q181_flow_trigrams" -> ((s, dir) =>
+      Engagement.flowTrigrams(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id").orderBy("rank")),
     // image dHash through the REAL PNG decode: 9x8 nearest-neighbor
     // sample, horizontal-difference bits, simhash-style lo/hi split
     "q178_image_phash" -> ((s, dir) =>
@@ -4754,6 +4765,55 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
+    // the q59 md5 PCM stream re-read as signed LE 16-bit samples,
+    // 16 positional blocks, louder-than-previous bits
+    "q180_audio_contour" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |                  CAST((50 + (doc_id % 10) * 10) * (1 + (doc_id % 2))
+        |                    AS BIGINT) AS n
+        |           FROM documents),
+        |idx AS (SELECT unnest(range(0, 280)) AS i),
+        |sm AS (SELECT media_id, n, i,
+        |              ('0x' || substr(md5(text || '#' || CAST((2 * i) // 16 AS VARCHAR)),
+        |                              CAST(((2 * i) % 16) * 2 + 1 AS INT), 2))::BIGINT AS b0,
+        |              ('0x' || substr(md5(text || '#' || CAST((2 * i + 1) // 16 AS VARCHAR)),
+        |                              CAST(((2 * i + 1) % 16) * 2 + 1 AS INT), 2))::BIGINT AS b1
+        |       FROM m JOIN idx ON idx.i < m.n),
+        |sv AS (SELECT media_id, n, i,
+        |              abs(CASE WHEN b1 * 256 + b0 >= 32768
+        |                       THEN b1 * 256 + b0 - 65536
+        |                       ELSE b1 * 256 + b0 END) AS a
+        |       FROM sm),
+        |blk AS (SELECT media_id, n, i // (n // 16) AS b, a
+        |        FROM sv WHERE i < (n // 16) * 16),
+        |e AS (SELECT media_id, n, b, CAST(sum(a) AS BIGINT) AS e
+        |      FROM blk GROUP BY 1, 2, 3),
+        |bits AS (SELECT media_id, n, b,
+        |                CASE WHEN e > lag(e) OVER (PARTITION BY media_id ORDER BY b)
+        |                     THEN 1 ELSE 0 END AS bit
+        |         FROM e)
+        |SELECT media_id, CAST(max(n) AS BIGINT) AS n_samples,
+        |       CAST(sum(CASE WHEN b >= 1 AND bit = 1
+        |                     THEN CAST(pow(2, b - 1) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |         AS contour
+        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // two leads over the same (user, ts, id) order as q95's transitions
+    "q181_flow_trigrams" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+        |            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT event_type AS t1,
+        |             lead(event_type, 1) OVER w AS t2,
+        |             lead(event_type, 2) OVER w AS t3
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT t1 || '>' || t2 || '>' || t3 AS path
+        |      FROM l WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |        AND t3 IS NOT NULL),
+        |g AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+        |top AS (SELECT path, n,
+        |               CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS BIGINT)
+        |                 AS rank
+        |        FROM g)
+        |SELECT rank, path, n FROM top WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // the q43 md5 pixel field sampled on the same integer 9x8 grid;
     // pow-packed lo/hi bits (the simhash oracle pattern)
     "q178_image_phash" ->

@@ -207,6 +207,37 @@ object Engagement {
       .select("rank", "path", "n_sessions")
   }
 
+  /** Top event-flow trigrams: the most common 3-step consecutive-type
+    * sequences in user streams — the n=3 extension of [[transitions]]'
+    * bigram matrix (a bigram can't separate "view→click→purchase" from
+    * "view→click→bounce"; the trigram table can). Two leads on ONE
+    * user-keyed window (same exchange as transitions, null/ordering
+    * parity per the q95 lesson), hash-agg counts, TakeOrdered top-k
+    * with the (n desc, path asc) total tie order.
+    * Output: rank, path ("a>b>c"), n.
+    */
+  def flowTrigrams(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, tieCol: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__us"), col("__tie"))
+    val ord = Seq(col("n").desc, col("path").asc)
+    events
+      .select(col(userCol).as("__u"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+        col(typeCol).as("__t"), col(tieCol).as("__tie"))
+      .where(col("__u").isNotNull && col("__us").isNotNull)
+      .withColumn("__t2", lead(col("__t"), 1).over(w))
+      .withColumn("__t3", lead(col("__t"), 2).over(w))
+      // __t too: concat_ws would silently SKIP a null first step where a
+      // SQL `||` chain nulls the whole path — filter on both engines
+      .where(col("__t").isNotNull && col("__t2").isNotNull &&
+        col("__t3").isNotNull)
+      .select(concat_ws(">", col("__t"), col("__t2"), col("__t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(col("rank"), col("path"), col("n"))
+  }
+
   /** Gap-sessionized duration/depth percentiles — the two distributions
     * a session-timeout or capacity decision reads (how long sessions
     * run, how many events they hold). Sessionization is the

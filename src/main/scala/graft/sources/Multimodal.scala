@@ -3,6 +3,7 @@ package graft.sources
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -588,6 +589,67 @@ object Multimodal {
           }
         AudioFeatures(r.media_id, r.format, r.payload.length.toLong,
           rate, ch, frames, dur, meanAbs, peakAbs)
+      }
+    }
+  }
+
+  final case class AudioContour(media_id: Long, n_samples: Long, contour: Long)
+
+  /** Energy-contour audio fingerprint over the REAL WAV parse: the
+    * interleaved 16-bit sample stream splits into `blocks` equal spans
+    * (the `n DIV blocks` remainder is dropped — positional, so the bits
+    * genuinely depend on sample ORDER, unlike the q59 stats), block
+    * energy is the exact integer Σ|sample|, and bit b−1 records whether
+    * block b is louder than block b−1 — a 15-bit loudness-shape sketch,
+    * the chromaprint idea with energy in place of chroma. Re-encoded
+    * copies of the same audio collapse to one contour; unparseable
+    * payloads drop.
+    * Output: media_id, n_samples, contour.
+    */
+  def audioContours(media: DataFrame, blocks: Int = 16): Dataset[AudioContour] = {
+    import media.sparkSession.implicits._
+    require(blocks >= 2 && blocks <= 63, "blocks in [2, 63]")
+    media.as[AudioRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(r.payload))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16) None
+            else {
+              val pcm = ais.readAllBytes()
+              val n = pcm.length / 2
+              val nb = n / blocks
+              var contour = 0L
+              if (nb > 0) {
+                val energies = new Array[Long](blocks)
+                var b = 0
+                while (b < blocks) {
+                  var s = 0L
+                  var i = b * nb
+                  val end = (b + 1) * nb
+                  while (i < end) {
+                    val b0 = pcm(2 * i)
+                    val b1 = pcm(2 * i + 1)
+                    val v = if (fmt.isBigEndian) (b0 << 8) | (b1 & 0xff)
+                            else (b1 << 8) | (b0 & 0xff)
+                    s += math.abs(v.toLong)
+                    i += 1
+                  }
+                  energies(b) = s
+                  b += 1
+                }
+                b = 1
+                while (b < blocks) {
+                  if (energies(b) > energies(b - 1)) contour |= 1L << (b - 1)
+                  b += 1
+                }
+              }
+              Some(AudioContour(r.media_id, n.toLong, contour))
+            }
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
     }
   }

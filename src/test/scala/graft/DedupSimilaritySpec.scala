@@ -2444,4 +2444,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select(countDistinct(col("__salt"))).as[Long].collect().head
     assert(spread >= 6, s"salt spread too narrow: $spread of 8 buckets")
   }
+
+  test("flow trigrams: two leads chain, tail events never form partial paths") {
+    import java.sql.Timestamp
+    def at(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, 1L, at(0), "a"), (2L, 1L, at(1), "b"), (3L, 1L, at(2), "c"),
+      (4L, 1L, at(3), "b"), // u1: a>b>c, b>c>b
+      (5L, 2L, at(0), "a"), (6L, 2L, at(1), "b"), (7L, 2L, at(2), "c"),
+      (8L, 3L, at(0), "x"), (9L, 3L, at(1), "y") // too short: no trigram
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Engagement.flowTrigrams(
+      ev, "user_id", "ts", "event_type", "event_id")
+      .as[(Long, String, Long)].collect()
+    assert(got.toSeq === Seq((1L, "a>b>c", 2L), (2L, "b>c>b", 1L)))
+  }
 }

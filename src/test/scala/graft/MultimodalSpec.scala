@@ -287,4 +287,22 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(Multimodal.MediaRow(99L, "png", Array[Byte](1, 2, 3), 4, 4)).toDF())
     assert(Multimodal.perceptualHashes(junk).count() === 0L)
   }
+
+  test("audio contour: positional bits, identical audio collapses, junk drops") {
+    // ids 20 apart share (rate, channels, frames) = id % lcm(4,2,10);
+    // same text → byte-identical WAV → same contour
+    val docs = Seq((1L, "same sound"), (21L, "same sound"), (2L, "other sound"))
+      .toDF("doc_id", "text")
+    val audio = Multimodal.audioFromDocuments(docs)
+    val got = Multimodal.audioContours(audio).collect()
+      .map(c => c.media_id -> (c.n_samples, c.contour)).toMap
+    assert(got(1L) === got(21L))
+    assert(got(1L)._2 !== got(2L)._2)
+    // sample counts decode from the real header: frames × channels
+    assert(got(1L)._1 ===
+      Multimodal.audioFrames(1L).toLong * Multimodal.audioChannels(1L))
+    val junk = audio.limit(0).unionByName(
+      Seq(Multimodal.AudioRow(99L, "wav", Array[Byte](1, 2, 3), 8000, 1)).toDF())
+    assert(Multimodal.audioContours(junk).count() === 0L)
+  }
 }
