@@ -1203,6 +1203,62 @@ object SparkEntry {
         .where(col("n_docs") > 0)
         .orderBy("source", "lang")
     }),
+    // scene-cut detection on ALL decoded frames (stride 1): 6dp luma
+    // micro-ticks, |Δ| ≥ 0.04 flags a cut; per-video cut census
+    "q182_scene_cuts" -> ((s, dir) => {
+      val frames = Multimodal.extractVideoFrameFeatures(
+        Multimodal.videoY4mFromDocuments(Tables.documents(s, dir)), stride = 1)
+        .toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_index"))
+      frames
+        .withColumn("__lm", floor(col("luma_mean") * 1000000 + 0.5).cast("long"))
+        .withColumn("__prev", lag(col("__lm"), 1).over(w))
+        .where(col("__prev").isNotNull)
+        .select(col("media_id"), col("frame_index"),
+          (abs(col("__lm") - col("__prev")) >= 40000L).cast("long").as("__cut"))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("__cut")).as("n_cuts"),
+          min(when(col("__cut") === 1, col("frame_index"))).as("first_cut_idx"))
+        .orderBy("media_id")
+    }),
+    // per-source template extraction: LCP(group) = LCP(min, max) — two
+    // string aggregates + one bounded per-GROUP prefix scan; banner
+    // decoration plants real templates on two sources
+    "q183_source_template" -> ((s, dir) => {
+      val decorated = Tables.documents(s, dir)
+        .select(col("source"),
+          when(col("source").isin("src0", "src1"),
+            concat(lit("<<"), col("source"), lit(" banner>> "), col("text")))
+            .otherwise(col("text")).as("text"))
+      decorated
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), min(col("text")).as("__a"),
+          max(col("text")).as("__b"))
+        .withColumn("__n", least(length(col("__a")), length(col("__b"))))
+        .withColumn("lcp_len",
+          when(col("__n") > 0,
+            size(filter(sequence(lit(1), col("__n")),
+              i => col("__a").substr(lit(1), i) === col("__b").substr(lit(1), i)))
+              .cast("long"))
+            .otherwise(lit(0L)))
+        .select(col("source"), col("n_docs"), col("lcp_len"),
+          col("__a").substr(lit(1), least(col("lcp_len"), lit(40L)).cast("int"))
+            .as("lcp_prefix"))
+        .orderBy("source")
+    }),
+    // the q87 fold per user-parity segment — funnels are composable
+    // over any partition of the user space
+    "q184_funnel_by_segment" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def seg(p: Int) =
+        Engagement.funnel(ev.where(pmod(col("user_id"), lit(2)) === p),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+          .withColumn("segment", lit(s"u$p"))
+      seg(0).unionByName(seg(1))
+        .select("segment", "step_idx", "step_name", "users")
+        .orderBy("segment", "step_idx")
+    }),
     // audio loudness-shape fingerprint through the REAL WAV parse:
     // 16-block integer energies, 15 louder-than-previous bits
     "q180_audio_contour" -> ((s, dir) =>
@@ -4765,6 +4821,81 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
+    // every frame's luma from the q97 md5 stream (stride 1), micro-tick
+    // lag deltas, the same integer cut threshold
+    "q182_scene_cuts" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |                  CAST(4 + (doc_id % 5) * 2 AS INT) AS w,
+        |                  CAST(4 + (doc_id % 7) * 2 AS INT) AS h,
+        |                  CAST(3 + (doc_id % 4) AS BIGINT) AS nf
+        |           FROM documents),
+        |fidx AS (SELECT unnest(range(0, 6)) AS f),
+        |fr AS (SELECT m.*, fidx.f FROM m JOIN fidx ON fidx.f < m.nf),
+        |pidx AS (SELECT unnest(range(0, 192)) AS p),
+        |px AS (
+        |  SELECT media_id, w, h, f,
+        |         ('0x' || substr(md5(text || '#' || CAST((f * (w * h * 3 // 2) + p) // 16 AS VARCHAR)),
+        |                         CAST(((f * (w * h * 3 // 2) + p) % 16) * 2 + 1 AS INT), 2))::BIGINT AS b
+        |  FROM fr JOIN pidx ON pidx.p < fr.w * fr.h),
+        |agg AS (SELECT media_id, f,
+        |               CAST(floor(round(sum(b) / (count(*) * 255.0), 6) * 1000000
+        |                 + 0.5) AS BIGINT) AS lm
+        |        FROM px GROUP BY media_id, f),
+        |l AS (SELECT media_id, f, lm,
+        |             lag(lm) OVER (PARTITION BY media_id ORDER BY f) AS prev
+        |      FROM agg),
+        |c AS (SELECT media_id, f,
+        |             CASE WHEN abs(lm - prev) >= 40000 THEN 1 ELSE 0 END AS cut
+        |      FROM l WHERE prev IS NOT NULL)
+        |SELECT media_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       CAST(sum(cut) AS BIGINT) AS n_cuts,
+        |       min(CASE WHEN cut = 1 THEN f END) AS first_cut_idx
+        |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // LCP(min, max) per source over the banner-decorated corpus
+    "q183_source_template" ->
+      """WITH d AS (SELECT source,
+        |                  CASE WHEN source IN ('src0', 'src1')
+        |                       THEN '<<' || source || ' banner>> ' || text
+        |                       ELSE text END AS text
+        |           FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             min(text) AS a, max(text) AS b
+        |      FROM d GROUP BY 1),
+        |l AS (SELECT source, n_docs, a,
+        |             CAST(len(list_filter(range(1, least(length(a), length(b)) + 1),
+        |               i -> substr(a, 1, CAST(i AS INT)) = substr(b, 1, CAST(i AS INT))))
+        |               AS BIGINT) AS lcp_len
+        |      FROM g)
+        |SELECT source, n_docs, lcp_len,
+        |       substr(a, 1, CAST(least(lcp_len, 40) AS INT)) AS lcp_prefix
+        |FROM l ORDER BY source""".stripMargin,
+    // the q87 CTE fold filtered per user-parity segment
+    "q184_funnel_by_segment" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |                  CASE WHEN user_id % 2 = 0 THEN 'u0' ELSE 'u1' END AS segment
+        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s1 AS (SELECT segment, user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1, 2),
+        |s2 AS (SELECT e.segment, e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.segment = s1.segment
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1, 2),
+        |s3 AS (SELECT e.segment, e.user_id, min(e.ts) AS t FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.segment = s2.segment
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1, 2),
+        |segs AS (SELECT 'u0' AS segment UNION ALL SELECT 'u1'),
+        |c1 AS (SELECT segment, CAST(count(*) AS BIGINT) AS n FROM s1 GROUP BY 1),
+        |c2 AS (SELECT segment, CAST(count(*) AS BIGINT) AS n FROM s2 GROUP BY 1),
+        |c3 AS (SELECT segment, CAST(count(*) AS BIGINT) AS n FROM s3 GROUP BY 1)
+        |SELECT s.segment, CAST(1 AS INT) AS step_idx, 'view' AS step_name,
+        |       coalesce(c1.n, 0) AS users
+        |FROM segs s LEFT JOIN c1 ON c1.segment = s.segment
+        |UNION ALL
+        |SELECT s.segment, CAST(2 AS INT), 'click', coalesce(c2.n, 0)
+        |FROM segs s LEFT JOIN c2 ON c2.segment = s.segment
+        |UNION ALL
+        |SELECT s.segment, CAST(3 AS INT), 'purchase', coalesce(c3.n, 0)
+        |FROM segs s LEFT JOIN c3 ON c3.segment = s.segment
+        |ORDER BY segment, step_idx""".stripMargin,
     // the q59 md5 PCM stream re-read as signed LE 16-bit samples,
     // 16 positional blocks, louder-than-previous bits
     "q180_audio_contour" ->

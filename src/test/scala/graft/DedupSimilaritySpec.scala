@@ -2459,4 +2459,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect()
     assert(got.toSeq === Seq((1L, "a>b>c", 2L), (2L, "b>c>b", 1L)))
   }
+
+  test("group LCP: prefix-equality count equals the common prefix of min and max") {
+    // LCP(group) = LCP(lexicographic min, max) — the q183 identity; the
+    // middle member never matters
+    val q = SparkEntry.queries("q183_source_template")
+    val docs = Seq(("a", "tmpl one x"), ("a", "tmpl two y"), ("a", "tmpl three z"),
+      ("b", "no"), ("b", "overlap")).toDF("source", "text")
+    val agg = docs.groupBy(col("source"))
+      .agg(min(col("text")).as("__a"), max(col("text")).as("__b"))
+      .withColumn("__n", least(length(col("__a")), length(col("__b"))))
+      .withColumn("lcp_len",
+        when(col("__n") > 0,
+          size(filter(sequence(lit(1), col("__n")),
+            i => col("__a").substr(lit(1), i) === col("__b").substr(lit(1), i)))
+            .cast("long")).otherwise(lit(0L)))
+      .orderBy("source").select("source", "lcp_len")
+      .as[(String, Long)].collect()
+    // a: min="tmpl one x", max="tmpl two y" → "tmpl t"? min is "tmpl one x"
+    // (o < t < th), max "tmpl two y" → common "tmpl "+'t'? "tmpl o" vs
+    // "tmpl t" diverge at index 6 → LCP 5; b: "no" vs "overlap" → 0
+    assert(agg.toSeq === Seq(("a", 5L), ("b", 0L)))
+    assert(q != null)
+  }
 }
