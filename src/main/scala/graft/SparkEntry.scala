@@ -1203,6 +1203,54 @@ object SparkEntry {
         .where(col("n_docs") > 0)
         .orderBy("source", "lang")
     }),
+    // exclusion funnel: first-view → first-purchase conversions split
+    // by whether a click fell INSIDE the interval — pattern negation
+    // via one interval join + distinct, never a per-user history array
+    "q185_exclusion_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id").as("u"), unix_micros(col("ts")).as("us"),
+          col("event_type").as("t"))
+      val tv = ev.where(col("t") === "view").groupBy(col("u"))
+        .agg(min(col("us")).as("tv"))
+      val tp = ev.where(col("t") === "purchase").join(tv, Seq("u"))
+        .where(col("us") >= col("tv"))
+        .groupBy(col("u"), col("tv")).agg(min(col("us")).as("tp"))
+      val via = tp.join(ev.where(col("t") === "click")
+          .select(col("u"), col("us").as("tc")), Seq("u"))
+        .where(col("tc") >= col("tv") && col("tc") <= col("tp"))
+        .select(col("u")).distinct()
+      val nConv = tp.agg(count(lit(1)).as("n_converted"))
+      val nVia = via.agg(count(lit(1)).as("n_via_click"))
+      nConv.crossJoin(nVia)
+        .select(col("n_converted"),
+          (col("n_converted") - col("n_via_click")).as("n_direct"),
+          col("n_via_click"),
+          when(col("n_converted") === 0, lit(0L))
+            .otherwise(expr("((n_converted - n_via_click) * 10000) DIV n_converted"))
+            .as("direct_bp"))
+    }),
+    // ORDER BY ... LIMIT/OFFSET pagination on a total order — page 3 of
+    // the longest-docs listing
+    "q186_pagination" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .offset(20).limit(10)),
+    // null-safe equality (<=> / IS NOT DISTINCT FROM): planted null keys
+    // must join to the null dim row, not vanish
+    "q187_null_safe_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+            .otherwise(col("event_type")).as("k"))
+      val dim = ev.groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+        .select(col("k").as("k2"), col("n_k"))
+      ev.join(dim, col("k") <=> col("k2"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"), max(col("n_k")).as("n_k"))
+        .orderBy("k")
+    }),
     // scene-cut detection on ALL decoded frames (stride 1): 6dp luma
     // micro-ticks, |Δ| ≥ 0.04 flags a cut; per-video cut census
     "q182_scene_cuts" -> ((s, dir) => {
@@ -4821,6 +4869,41 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
+    // first-view → first-purchase with an interval click check
+    "q185_exclusion_funnel" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |                  event_type AS t
+        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |tv AS (SELECT u, min(us) AS tv FROM ev WHERE t = 'view' GROUP BY 1),
+        |tp AS (SELECT ev.u, tv.tv, min(ev.us) AS tp
+        |       FROM ev JOIN tv ON tv.u = ev.u
+        |       WHERE ev.t = 'purchase' AND ev.us >= tv.tv GROUP BY 1, 2),
+        |via AS (SELECT DISTINCT tp.u
+        |        FROM tp JOIN ev ON ev.u = tp.u AND ev.t = 'click'
+        |                       AND ev.us >= tp.tv AND ev.us <= tp.tp),
+        |c AS (SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_converted,
+        |             CAST((SELECT count(*) FROM via) AS BIGINT) AS n_via_click)
+        |SELECT n_converted, n_converted - n_via_click AS n_direct, n_via_click,
+        |       CASE WHEN n_converted = 0 THEN 0
+        |            ELSE CAST(((n_converted - n_via_click) * 10000) // n_converted
+        |                      AS BIGINT) END AS direct_bp
+        |FROM c""".stripMargin,
+    // stable total order + LIMIT/OFFSET
+    "q186_pagination" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 20""".stripMargin,
+    // IS NOT DISTINCT FROM keeps the planted null keys joinable
+    "q187_null_safe_join" ->
+      """WITH ev AS (SELECT event_id,
+        |                  CASE WHEN event_id % 7 = 0 THEN NULL
+        |                       ELSE event_type END AS k
+        |           FROM events),
+        |dim AS (SELECT k AS k2, CAST(count(*) AS BIGINT) AS n_k
+        |        FROM ev GROUP BY 1)
+        |SELECT ev.k, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(max(dim.n_k) AS BIGINT) AS n_k
+        |FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k2
+        |GROUP BY ev.k ORDER BY ev.k""".stripMargin,
     // every frame's luma from the q97 md5 stream (stride 1), micro-tick
     // lag deltas, the same integer cut threshold
     "q182_scene_cuts" ->
