@@ -202,6 +202,13 @@ object ScaleCheck {
         uev.withColumn("v", (col("value") * 100).cast("long"))
           .withColumn("w", lit(1L) + pmod(col("event_id"), lit(7))),
         "event_type", "v", "w").count())
+    // q189/q190: one hash agg + broadcast marginals / one grid lag
+    time(s"chi-square (type x value-decile) over $nUev events")(
+      graft.operators.Stats.chiSquare(
+        uev.withColumn("d", floor(col("value") / 10).cast("long")),
+        "event_type", "d").count())
+    time(s"daily autocorrelation over $nUev events")(
+      graft.operators.Stats.dailyAutocorr(uev, "event_type", "ts").count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise

@@ -1203,6 +1203,34 @@ object SparkEntry {
         .where(col("n_docs") > 0)
         .orderBy("source", "lang")
     }),
+    // declarative data-quality expectations: one scan, one conditional
+    // sum per rule + a uniqueness check — the dbt-test/GE audit
+    "q188_expectations" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val agg = d.agg(
+        sum((col("n_chars") <= 0).cast("long")).as("v_nonpositive_len"),
+        sum((!col("lang").isin("de", "en", "es", "fr", "zh")).cast("long"))
+          .as("v_lang_domain"),
+        sum((length(col("text")) =!= col("n_chars")).cast("long"))
+          .as("v_len_consistency"),
+        sum(col("doc_id").isNull.cast("long")).as("v_null_id"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("v_dup_id"))
+      agg.select(expr(
+        "stack(5, 'nonpositive_len', v_nonpositive_len, " +
+          "'lang_domain', v_lang_domain, " +
+          "'len_consistency', v_len_consistency, " +
+          "'null_id', v_null_id, 'dup_id', v_dup_id) AS (rule, n_violations)"))
+        .orderBy("rule")
+    }),
+    // chi-square independence of (source, lang) — full expected grid
+    // from broadcast marginals, zero cells included
+    "q189_chi_square" -> ((s, dir) =>
+      Stats.chiSquare(Tables.documents(s, dir), "source", "lang")),
+    // lag-1 autocorrelation of daily volumes per type — the
+    // seasonality/momentum audit next to the trend slope
+    "q190_autocorr" -> ((s, dir) =>
+      Stats.dailyAutocorr(Tables.events(s, dir), keyCol = "event_type",
+        tsCol = "ts").orderBy("event_type")),
     // exclusion funnel: first-view → first-purchase conversions split
     // by whether a click fell INSIDE the interval — pattern negation
     // via one interval join + distinct, never a per-user history array
@@ -4869,6 +4897,61 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
+    // one conditional-sum pass per rule; uniqueness via count gap
+    "q188_expectations" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_nonpositive_len,
+        |  CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS v_lang_domain,
+        |  CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS v_len_consistency,
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_id,
+        |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS v_dup_id
+        |  FROM documents)
+        |SELECT 'nonpositive_len' AS rule, v_nonpositive_len AS n_violations FROM a
+        |UNION ALL SELECT 'lang_domain', v_lang_domain FROM a
+        |UNION ALL SELECT 'len_consistency', v_len_consistency FROM a
+        |UNION ALL SELECT 'null_id', v_null_id FROM a
+        |UNION ALL SELECT 'dup_id', v_dup_id FROM a
+        |ORDER BY rule""".stripMargin,
+    // full (rows × cols) grid from the marginals; fixed double shape
+    "q189_chi_square" ->
+      """WITH o AS (SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |           GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(n) AS BIGINT) AS rt FROM o GROUP BY 1),
+        |c AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM o GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM o),
+        |cells AS (SELECT r.a, c.b, coalesce(o.n, 0) AS n, r.rt, c.ct, t.tot
+        |          FROM r CROSS JOIN c CROSS JOIN t
+        |          LEFT JOIN o ON o.a = r.a AND o.b = c.b)
+        |SELECT round(sum((CAST(n AS DOUBLE) * tot - CAST(rt AS DOUBLE) * ct)
+        |                 * (CAST(n AS DOUBLE) * tot - CAST(rt AS DOUBLE) * ct)
+        |                 / (CAST(tot AS DOUBLE) * rt * ct)), 4) AS chi2,
+        |       CAST(count(*) AS BIGINT) AS n_cells,
+        |       CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+        |         AS dof
+        |FROM cells""".stripMargin,
+    // keyed lag over the (type × day) grid, exact cross sums, 4dp r
+    "q190_autocorr" ->
+      """WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS dy,
+        |                  CAST(count(*) AS BIGINT) AS y
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |l AS (SELECT k, y, lag(y) OVER (PARTITION BY k ORDER BY dy) AS py FROM d),
+        |p AS (SELECT k, y, py FROM l WHERE py IS NOT NULL),
+        |s AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(py) AS BIGINT) AS sp,
+        |             CAST(sum(y * py) AS HUGEINT) AS syp,
+        |             CAST(sum(y * y) AS HUGEINT) AS syy,
+        |             CAST(sum(py * py) AS HUGEINT) AS spp
+        |      FROM p GROUP BY 1)
+        |SELECT k AS event_type, n AS n_pairs,
+        |       round((n * CAST(syp AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sp AS DOUBLE))
+        |             / sqrt(greatest(1e-12,
+        |                 (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                 * (n * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))),
+        |             4) AS r1
+        |FROM s ORDER BY event_type""".stripMargin,
     // first-view → first-purchase with an interval click check
     "q185_exclusion_funnel" ->
       """WITH ev AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS us,

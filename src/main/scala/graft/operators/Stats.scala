@@ -433,6 +433,75 @@ object Stats {
         col("p50"), col("p90"), col("p99"))
   }
 
+  /** χ² independence statistic for two categorical columns — "is lang
+    * independent of source" as one number, the drift detector behind a
+    * composition dashboard. Observed cells come from one hash agg; the
+    * full (rows × cols) expected grid is rebuilt from the BOUNDED
+    * marginal dims (cross join of two broadcast dims — zero cells
+    * included, which a naive obs-only Σ silently skips); the statistic
+    * evaluates in one fixed double expression shape, 4dp.
+    * Output (one row): chi2, n_cells, dof.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+    val rows = obs.groupBy(col("__a")).agg(sum(col("__n")).as("__rt"))
+    val cols = obs.groupBy(col("__b")).agg(sum(col("__n")).as("__ct"))
+    val tot = obs.agg(sum(col("__n")).as("__tot"))
+    val cells = broadcast(rows).crossJoin(broadcast(cols))
+      .crossJoin(broadcast(tot))
+      .join(obs, Seq("__a", "__b"), "left")
+      .select(col("__a"), col("__b"), col("__rt"), col("__ct"), col("__tot"),
+        coalesce(col("__n"), lit(0L)).as("__n"))
+    val dev = col("__n").cast("double") * col("__tot") -
+      col("__rt").cast("double") * col("__ct")
+    cells
+      .select(col("__a"), col("__b"),
+        (dev * dev /
+          (col("__tot").cast("double") * col("__rt") * col("__ct")))
+          .as("__term"))
+      .agg(round(sum(col("__term")), 4).as("chi2"),
+        count(lit(1)).as("n_cells"),
+        ((countDistinct(col("__a")) - 1) * (countDistinct(col("__b")) - 1))
+          .as("dof"))
+  }
+
+  /** Lag-1 autocorrelation of daily counts per key — the "is yesterday
+    * predictive of today" seasonality/momentum signal next to
+    * [[dailyTrend]]'s slope. One (key × day) grid, one keyed lag, exact
+    * integer cross-sums (the [[dailyTrend]] discipline), Pearson r on
+    * the (today, yesterday) pairs in one fixed double shape, 4dp; keys
+    * with < 2 days emit no row (no pair to correlate — honest).
+    * Output: key (named `keyCol`), n_pairs, r1.
+    */
+  def dailyAutocorr(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("__k"),
+        to_date(col(tsCol).cast("timestamp")).as("__d"))
+      .where(col("__d").isNotNull)
+      .groupBy(col("__k"), col("__d")).agg(count(lit(1)).as("__y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__d"))
+    val pairs = daily.withColumn("__p", lag(col("__y"), 1).over(w))
+      .where(col("__p").isNotNull)
+    val denom = sqrt(greatest(lit(1e-12),
+      (col("n_pairs") * col("__syy").cast("double") -
+        col("__sy").cast("double") * col("__sy").cast("double")) *
+        (col("n_pairs") * col("__spp").cast("double") -
+          col("__sp").cast("double") * col("__sp").cast("double"))))
+    pairs.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__y")).as("__sy"), sum(col("__p")).as("__sp"),
+        sum((col("__y") * col("__p")).cast("decimal(38,0)")).as("__syp"),
+        sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("__syy"),
+        sum((col("__p") * col("__p")).cast("decimal(38,0)")).as("__spp"))
+      .select(col("__k").as(keyCol), col("n_pairs"),
+        round((col("n_pairs") * col("__syp").cast("double") -
+          col("__sy").cast("double") * col("__sp").cast("double")) / denom, 4)
+          .as("r1"))
+  }
+
   /** Trailing `windowDays`-day mean of daily counts per key — the
     * smoothing layer under [[dailyAnomalies]]' spike flags and
     * [[dailyTrend]]'s slope. The (key × day) grid carries a per-key day

@@ -2482,4 +2482,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(agg.toSeq === Seq(("a", 5L), ("b", 0L)))
     assert(q != null)
   }
+
+  test("chi-square: independent grid scores zero, zero cells still counted") {
+    // perfectly proportional 2x2 → chi2 = 0
+    val ind = (Seq.fill(20)(("s1", "en")) ++ Seq.fill(10)(("s1", "de")) ++
+      Seq.fill(40)(("s2", "en")) ++ Seq.fill(20)(("s2", "de")))
+      .toDF("source", "lang")
+    val g0 = graft.operators.Stats.chiSquare(ind, "source", "lang")
+      .as[(Double, Long, Long)].collect().head
+    assert(g0 === ((0.0, 4L, 1L)))
+    // fully dependent with a ZERO cell: chi2 = n, cells = 4 (the absent
+    // (s2, en) combination must contribute, not vanish)
+    val dep = (Seq.fill(10)(("s1", "en")) ++ Seq.fill(10)(("s2", "de")))
+      .toDF("source", "lang")
+    val g1 = graft.operators.Stats.chiSquare(dep, "source", "lang")
+      .as[(Double, Long, Long)].collect().head
+    assert(g1 === ((20.0, 4L, 1L)))
+  }
+
+  test("autocorr: alternating series is perfectly anti-correlated at lag 1") {
+    import java.sql.Timestamp
+    val rows = (0 until 8).flatMap { d =>
+      val n = if (d % 2 == 0) 10 else 20
+      (1 to n).map(_ => ("x", Timestamp.valueOf(f"2024-01-${d + 1}%02d 10:00:00")))
+    }
+    val got = graft.operators.Stats.dailyAutocorr(
+      rows.toDF("event_type", "ts"), "event_type", "ts")
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq === Seq(("x", 7L, -1.0)))
+  }
 }
