@@ -1203,6 +1203,47 @@ object SparkEntry {
         .where(col("n_docs") > 0)
         .orderBy("source", "lang")
     }),
+    // the gating trade curve: keep the top-k quality deciles → what
+    // share of docs and TOKENS survives; counting buckets + a 10-row
+    // descending cumsum dim
+    "q191_selection_curve" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        floor(TextAnalysis.qualityExpr(col("text")) * 10000 + 0.5).cast("long")
+          .as("q_ticks"),
+        TextAnalysis.nTokensExpr(col("text")).as("n_tokens"))
+      val byB = Stats.quantileBuckets(scored, "q_ticks", k = 10)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      byB
+        .withColumn("cum_docs", sum(col("n_docs")).over(wDesc))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wDesc))
+        .withColumn("docs_share_bp",
+          expr("(cum_docs * 10000) DIV sum(n_docs) OVER ()"))
+        .withColumn("tokens_share_bp",
+          expr("(cum_tokens * 10000) DIV sum(n_tokens) OVER ()"))
+        .select("bucket", "n_docs", "n_tokens", "cum_docs", "cum_tokens",
+          "docs_share_bp", "tokens_share_bp")
+        .orderBy(col("bucket").desc)
+    }),
+    // the LSH tuning number: what share of candidates survives the
+    // edit-distance precision stage at sim ≥ 0.8
+    "q192_lsh_precision" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.editDistanceVerify(docs,
+        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2,
+          baseHash = Dedup.md5Base))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum((col("sim_bp") >= 8000L).cast("long")).as("n_verified"))
+        .select(col("n_candidates"),
+          coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+          when(col("n_candidates") === 0, lit(0L))
+            .otherwise(expr("(coalesce(n_verified, 0) * 10000) DIV n_candidates"))
+            .as("precision_bp"))
+    }),
     // declarative data-quality expectations: one scan, one conditional
     // sum per rule + a uniqueness check — the dbt-test/GE audit
     "q188_expectations" -> ((s, dir) => {
@@ -4897,6 +4938,64 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
+    // quantileBuckets semantics replayed: integer-ceil cuts, bucket =
+    // 1 + #cuts-below, then the 10-row descending cumulative dim
+    "q191_selection_curve" ->
+      s"""WITH $QualitySql,
+        |d AS (SELECT q.doc_id,
+        |             CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS qt,
+        |             CAST(len(list_filter(regexp_split_to_array(doc.text, '\\s+'),
+        |               x -> x <> '')) AS BIGINT) AS ntok
+        |      FROM q JOIN documents doc ON doc.doc_id = q.doc_id),
+        |g AS (SELECT qt AS v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |w AS (SELECT v, c,
+        |             CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |             CAST(sum(c) OVER () AS BIGINT) AS n FROM g),
+        |cuts AS (SELECT j, min(CASE WHEN cum * 10 >= n * j THEN v END) AS cut
+        |         FROM w CROSS JOIN (SELECT unnest(range(1, 10)) AS j) js
+        |         GROUP BY j),
+        |b AS (SELECT d.doc_id, d.ntok,
+        |             1 + (SELECT count(*) FROM cuts WHERE cuts.cut < d.qt)
+        |               AS bucket
+        |      FROM d),
+        |s AS (SELECT CAST(bucket AS INT) AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |      FROM b GROUP BY 1),
+        |cm AS (SELECT bucket, n_docs, n_tokens,
+        |              CAST(sum(n_docs) OVER (ORDER BY bucket DESC ROWS BETWEEN
+        |                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |              CAST(sum(n_tokens) OVER (ORDER BY bucket DESC ROWS BETWEEN
+        |                UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |              CAST(sum(n_docs) OVER () AS BIGINT) AS td,
+        |              CAST(sum(n_tokens) OVER () AS BIGINT) AS tt
+        |       FROM s)
+        |SELECT bucket, n_docs, n_tokens, cum_docs, cum_tokens,
+        |       CAST((cum_docs * 10000) // td AS BIGINT) AS docs_share_bp,
+        |       CAST((cum_tokens * 10000) // tt AS BIGINT) AS tokens_share_bp
+        |FROM cm ORDER BY bucket DESC""".stripMargin,
+    // the q167 chain collapsed to one precision row
+    "q192_lsh_precision" ->
+      s"""WITH RECURSIVE $LshClusterSql,
+        |t AS (SELECT doc_id, substr(text, 1, 500) AS tx FROM documents),
+        |p AS (SELECT pr.doc_a, pr.doc_b,
+        |             CAST(levenshtein(a.tx, b.tx) AS BIGINT) AS lev,
+        |             CAST(greatest(length(a.tx), length(b.tx)) AS BIGINT) AS mx
+        |      FROM pr JOIN t a ON a.doc_id = pr.doc_a
+        |              JOIN t b ON b.doc_id = pr.doc_b),
+        |v AS (SELECT CASE WHEN mx = 0 THEN 10000
+        |                  ELSE 10000 - CAST((lev * 10000) // mx AS BIGINT)
+        |             END AS sim_bp FROM p),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |             CAST(sum(CASE WHEN sim_bp >= 8000 THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS n_verified
+        |      FROM v)
+        |SELECT n_candidates, coalesce(n_verified, 0) AS n_verified,
+        |       CASE WHEN n_candidates = 0 THEN 0
+        |            ELSE CAST((coalesce(n_verified, 0) * 10000) // n_candidates
+        |                      AS BIGINT) END AS precision_bp
+        |FROM c""".stripMargin,
     // one conditional-sum pass per rule; uniqueness via count gap
     "q188_expectations" ->
       """WITH a AS (SELECT
