@@ -1203,6 +1203,28 @@ object SparkEntry {
         .where(col("n_docs") > 0)
         .orderBy("source", "lang")
     }),
+    // measured "ORDER BY which column" layout advice: per candidate
+    // key, the mean normalized probe-span of its 16 counting zones —
+    // the share of files a range predicate would FAIL to skip
+    "q193_sortkey_advisor" -> ((s, dir) =>
+      Layout.sortKeyAdvisor(Tables.documents(s, dir),
+        candidates = Seq("n_chars" -> "n_chars", "doc_id" -> "doc_id"),
+        probeCol = "n_chars").orderBy("sort_key")),
+    // are dup families templates (intra-source) or mirrors (cross-
+    // source)? (size × n_sources) histogram over the q53 clusters
+    "q194_cluster_source_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dupClusters(Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+          threshold = 0.2, baseHash = Dedup.md5Base))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("size"),
+          countDistinct(col("source")).as("n_sources"))
+        .where(col("size") > 1)
+        .groupBy(col("size"), col("n_sources"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("size", "n_sources")
+    }),
     // the gating trade curve: keep the top-k quality deciles → what
     // share of docs and TOKENS survives; counting buckets + a 10-row
     // descending cumsum dim
@@ -4938,6 +4960,65 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
+    // the quantileBuckets cut arithmetic per candidate key, zone
+    // min/max of the probe, floor-bp mean normalized span
+    "q193_sortkey_advisor" ->
+      """WITH js AS (SELECT unnest(range(1, 16)) AS j),
+        |g1 AS (SELECT n_chars AS kv, CAST(count(*) AS BIGINT) AS c
+        |       FROM documents GROUP BY 1),
+        |w1 AS (SELECT kv, c,
+        |              CAST(sum(c) OVER (ORDER BY kv ROWS BETWEEN UNBOUNDED
+        |                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |              CAST(sum(c) OVER () AS BIGINT) AS n FROM g1),
+        |cut1 AS (SELECT j, min(CASE WHEN cum * 16 >= n * j THEN kv END) AS cut
+        |         FROM w1 CROSS JOIN js GROUP BY j),
+        |b1 AS (SELECT d.n_chars AS p,
+        |              1 + (SELECT count(*) FROM cut1 WHERE cut1.cut < d.n_chars)
+        |                AS b
+        |       FROM documents d),
+        |z1 AS (SELECT b, min(p) AS lo, max(p) AS hi FROM b1 GROUP BY 1),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS nz,
+        |              CAST(sum(hi - lo) AS BIGINT) AS sp,
+        |              CAST(max(hi) AS BIGINT) AS gx, CAST(min(lo) AS BIGINT) AS gn
+        |       FROM z1),
+        |g2 AS (SELECT doc_id AS kv, CAST(count(*) AS BIGINT) AS c
+        |       FROM documents GROUP BY 1),
+        |w2 AS (SELECT kv, c,
+        |              CAST(sum(c) OVER (ORDER BY kv ROWS BETWEEN UNBOUNDED
+        |                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |              CAST(sum(c) OVER () AS BIGINT) AS n FROM g2),
+        |cut2 AS (SELECT j, min(CASE WHEN cum * 16 >= n * j THEN kv END) AS cut
+        |         FROM w2 CROSS JOIN js GROUP BY j),
+        |b2 AS (SELECT d.n_chars AS p,
+        |              1 + (SELECT count(*) FROM cut2 WHERE cut2.cut < d.doc_id)
+        |                AS b
+        |       FROM documents d),
+        |z2 AS (SELECT b, min(p) AS lo, max(p) AS hi FROM b2 GROUP BY 1),
+        |s2 AS (SELECT CAST(count(*) AS BIGINT) AS nz,
+        |              CAST(sum(hi - lo) AS BIGINT) AS sp,
+        |              CAST(max(hi) AS BIGINT) AS gx, CAST(min(lo) AS BIGINT) AS gn
+        |       FROM z2)
+        |SELECT 'doc_id' AS sort_key, nz AS n_zones,
+        |       CASE WHEN gx = gn THEN 0
+        |            ELSE CAST((sp * 10000) // (nz * (gx - gn)) AS BIGINT)
+        |       END AS avg_span_bp
+        |FROM s2
+        |UNION ALL
+        |SELECT 'n_chars', nz,
+        |       CASE WHEN gx = gn THEN 0
+        |            ELSE CAST((sp * 10000) // (nz * (gx - gn)) AS BIGINT) END
+        |FROM s1
+        |ORDER BY sort_key""".stripMargin,
+    // (size × n_sources) histogram over the shared label chain
+    "q194_cluster_source_mix" ->
+      s"""WITH RECURSIVE $LshClusterSql,
+        |cs AS (SELECT lab.cluster_id, CAST(count(*) AS BIGINT) AS size,
+        |              CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+        |       FROM lab JOIN documents d ON d.doc_id = lab.doc_id
+        |       GROUP BY 1)
+        |SELECT size, n_sources, CAST(count(*) AS BIGINT) AS n_clusters
+        |FROM cs WHERE size > 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // quantileBuckets semantics replayed: integer-ceil cuts, bucket =
     // 1 + #cuts-below, then the 10-row descending cumulative dim
     "q191_selection_curve" ->

@@ -54,4 +54,38 @@ object Layout {
         min(col("len_b")).as("min_len_b"), max(col("len_b")).as("max_len_b"),
         min(col("tok_b")).as("min_tok_b"), max(col("tok_b")).as("max_tok_b"))
   }
+
+  /** Sort-key advisor: how well would each candidate sort key cluster
+    * `probeCol` into file zones? Rows bucket into `k` size-balanced
+    * zones by the candidate's counting quantiles (the
+    * [[Stats.quantileBuckets]] machinery — no global sort), each zone
+    * records its probe min/max, and the score is the mean normalized
+    * zone span in floor bp — exactly the fraction of files a random
+    * probe-range predicate would FAIL to skip under that layout. Lower
+    * is better; a key uncorrelated with the probe scores ≈ 10000 (every
+    * zone spans everything). This is the measured version of the
+    * "ORDER BY which column?" table-layout decision.
+    * Output: one row per candidate — sort_key, n_zones, avg_span_bp.
+    */
+  def sortKeyAdvisor(df: DataFrame, candidates: Seq[(String, String)],
+                     probeCol: String, k: Int = 16): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate key")
+    val scored = candidates.map { case (name, keyCol) =>
+      val zones = Stats.quantileBuckets(
+        df.select(col(keyCol).cast("long").as("__key"),
+          col(probeCol).cast("long").as("__p")),
+        "__key", k)
+        .groupBy(col("bucket"))
+        .agg(min(col("__p")).as("__lo"), max(col("__p")).as("__hi"))
+      zones
+        .agg(count(lit(1)).as("n_zones"),
+          sum(col("__hi") - col("__lo")).as("__spans"),
+          max(col("__hi")).as("__gmax"), min(col("__lo")).as("__gmin"))
+        .select(lit(name).as("sort_key"), col("n_zones"),
+          when(col("__gmax") === col("__gmin"), lit(0L))
+            .otherwise(expr("(__spans * 10000) DIV (n_zones * (__gmax - __gmin))"))
+            .as("avg_span_bp"))
+    }
+    scored.reduce(_.unionByName(_))
+  }
 }

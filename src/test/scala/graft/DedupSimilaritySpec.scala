@@ -2511,4 +2511,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect()
     assert(got.toSeq === Seq(("x", 7L, -1.0)))
   }
+
+  test("sort-key advisor: the aligned key skips, the shuffled key cannot") {
+    // b is a coprime-multiplier permutation of a — zero zone locality
+    val df = (1 to 320).map(i => (i.toLong, (i * 7919L) % 320L)).toDF("a", "b")
+    val got = graft.operators.Layout.sortKeyAdvisor(df,
+      candidates = Seq("aligned" -> "a", "shuffled" -> "b"), probeCol = "a")
+      .orderBy("sort_key").as[(String, Long, Long)].collect()
+    // aligned: 16 zones × span 19 over range 319 → exactly 595 bp
+    assert(got(0) === (("aligned", 16L, 595L)))
+    assert(got(1)._1 === "shuffled" && got(1)._3 > 8000L,
+      s"shuffled key should not cluster the probe: ${got(1)}")
+  }
 }
