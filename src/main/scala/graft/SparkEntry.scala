@@ -1203,6 +1203,66 @@ object SparkEntry {
         .where(col("n_docs") > 0)
         .orderBy("source", "lang")
     }),
+    // corpus unigram entropy in exact micro-nat terms (the charEntropy
+    // discipline at vocab level) + effective vocabulary exp(H) — the
+    // one-number diversity complement to the zipf slope
+    "q195_vocab_entropy" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val n = org.apache.spark.sql.expressions.Window.partitionBy()
+      counts
+        .withColumn("__n", sum(col("c")).over(n))
+        .select(col("c"), col("__n"),
+          floor((col("c") / col("__n").cast("double")) *
+            log(col("__n").cast("double") / col("c")) * 1000000 + 0.5)
+            .cast("long").as("__t"))
+        .agg(max(col("__n")).as("n_tokens"), count(lit(1)).as("vocab_size"),
+          sum(col("__t")).as("__s"))
+        .select(col("n_tokens"), col("vocab_size"),
+          (col("__s") / 1000000.0).as("entropy"),
+          round(exp(col("__s") / 1000000.0), 4).as("eff_vocab"))
+    }),
+    // referential-integrity census over the relational core: per FK,
+    // row count + anti-join orphan count
+    "q196_fk_integrity" -> ((s, dir) => {
+      def fk(name: String, child: DataFrame, ck: String, parent: DataFrame,
+             pk: String) = {
+        val n = child.count()
+        val orphans = child.select(col(ck))
+          .join(parent.select(col(pk).as(ck)), Seq(ck), "left_anti").count()
+        Seq((name, n, orphans))
+      }
+      val rows =
+        fk("orders.custkey", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey") ++
+        fk("lineitem.orderkey", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey") ++
+        fk("customer.nationkey", Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey") ++
+        fk("supplier.nationkey", Tables.supplier(s, dir), "s_nationkey",
+          Tables.nation(s, dir), "n_nationkey") ++
+        fk("nation.regionkey", Tables.nation(s, dir), "n_regionkey",
+          Tables.region(s, dir), "r_regionkey")
+      import s.implicits._
+      rows.toDF("fk", "n_rows", "n_orphans").orderBy("fk")
+    }),
+    // longest consecutive-day streak per user via gaps-and-islands
+    // (day − row_number anchors), then the streak-length histogram
+    "q197_streaks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("d"))
+      Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id").as("u"), to_date(col("ts")).as("d"))
+        .distinct()
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__anchor", expr("date_sub(d, __rn)"))
+        .groupBy(col("u"), col("__anchor")).agg(count(lit(1)).as("__len"))
+        .groupBy(col("u")).agg(max(col("__len")).as("streak_len"))
+        .groupBy(col("streak_len")).agg(count(lit(1)).as("n_users"))
+        .orderBy("streak_len")
+    }),
     // measured "ORDER BY which column" layout advice: per candidate
     // key, the mean normalized probe-span of its 16 counting zones —
     // the share of files a range predicate would FAIL to skip
@@ -4960,6 +5020,68 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
+    // the charEntropy micro-nat discipline over the global vocab
+    "q195_vocab_entropy" ->
+      """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                  x -> x <> '')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        |w AS (SELECT c, CAST(sum(c) OVER () AS BIGINT) AS n FROM c),
+        |tm AS (SELECT n,
+        |              CAST(floor((c / CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / c)
+        |                * 1000000 + 0.5) AS BIGINT) AS t
+        |       FROM w),
+        |a AS (SELECT CAST(max(n) AS BIGINT) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS vocab_size,
+        |             CAST(sum(t) AS BIGINT) AS s
+        |      FROM tm)
+        |SELECT n_tokens, vocab_size, s / 1000000.0 AS entropy,
+        |       round(exp(s / 1000000.0), 4) AS eff_vocab
+        |FROM a""".stripMargin,
+    // per-FK row count + left-anti orphan count
+    "q196_fk_integrity" ->
+      """SELECT 'customer.nationkey' AS fk,
+        |       CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows,
+        |       CAST((SELECT count(*) FROM customer c LEFT JOIN nation n
+        |             ON n.n_nationkey = c.c_nationkey
+        |             WHERE n.n_nationkey IS NULL) AS BIGINT) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem.orderkey',
+        |       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |       CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |             ON o.o_orderkey = l.l_orderkey
+        |             WHERE o.o_orderkey IS NULL) AS BIGINT)
+        |UNION ALL
+        |SELECT 'nation.regionkey',
+        |       CAST((SELECT count(*) FROM nation) AS BIGINT),
+        |       CAST((SELECT count(*) FROM nation n LEFT JOIN region r
+        |             ON r.r_regionkey = n.n_regionkey
+        |             WHERE r.r_regionkey IS NULL) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders.custkey',
+        |       CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |       CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+        |             ON c.c_custkey = o.o_custkey
+        |             WHERE c.c_custkey IS NULL) AS BIGINT)
+        |UNION ALL
+        |SELECT 'supplier.nationkey',
+        |       CAST((SELECT count(*) FROM supplier) AS BIGINT),
+        |       CAST((SELECT count(*) FROM supplier s LEFT JOIN nation n
+        |             ON n.n_nationkey = s.s_nationkey
+        |             WHERE n.n_nationkey IS NULL) AS BIGINT)
+        |ORDER BY fk""".stripMargin,
+    // the gaps-and-islands anchor (day − rn), then the histogram
+    "q197_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS dy
+        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |r AS (SELECT u, dy, row_number() OVER (PARTITION BY u ORDER BY dy) AS rn
+        |      FROM d),
+        |i AS (SELECT u, dy - CAST(rn AS INT) AS anchor FROM r),
+        |l AS (SELECT u, anchor, CAST(count(*) AS BIGINT) AS len
+        |      FROM i GROUP BY 1, 2),
+        |m AS (SELECT u, CAST(max(len) AS BIGINT) AS streak_len FROM l GROUP BY 1)
+        |SELECT streak_len, CAST(count(*) AS BIGINT) AS n_users
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // the quantileBuckets cut arithmetic per candidate key, zone
     // min/max of the probe, floor-bp mean normalized span
     "q193_sortkey_advisor" ->
