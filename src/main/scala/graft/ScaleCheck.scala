@@ -676,6 +676,12 @@ object ScaleCheck {
     time(s"label centroid matrix over $nVecs vectors")(
       Similarity.labelCentroidMatrix(
         embs.withColumn("label", pmod(col("vec_id"), lit(16)).cast("int"))).count())
+    // q199: brute scoring against the BOUNDED centroid set — vectors ×
+    // labels × dims, far under brute kNN's n² pairs
+    time(s"nearest-centroid accuracy over $nVecs vectors")(
+      Similarity.nearestCentroidAccuracy(
+        embs.withColumn("label", pmod(col("vec_id"), lit(16)).cast("int")))
+        .count())
     embs.unpersist()
     spark.stop()
   }

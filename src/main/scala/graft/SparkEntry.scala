@@ -1203,6 +1203,63 @@ object SparkEntry {
         .where(col("n_docs") > 0)
         .orderBy("source", "lang")
     }),
+    // source concentration: sources ranked by token mass, cumulative
+    // share — "how few sources carry 90% of the corpus"
+    "q198_source_concentration" -> ((s, dir) => {
+      val bySrc = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.nTokensExpr(col("text"))).as("n_tokens"))
+      val ord = Seq(col("n_tokens").desc, col("source").asc)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      bySrc
+        .withColumn("rank", row_number()
+          .over(org.apache.spark.sql.expressions.Window.orderBy(ord: _*))
+          .cast("long"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("cum_share_bp",
+          expr("(cum_tokens * 10000) DIV sum(n_tokens) OVER ()"))
+        .select("rank", "source", "n_tokens", "cum_tokens", "cum_share_bp")
+        .orderBy("rank")
+    }),
+    // nearest-centroid classifier accuracy per label — the
+    // label-separability eval over exact micro-tick centroids
+    "q199_centroid_accuracy" -> ((s, dir) =>
+      Similarity.nearestCentroidAccuracy(Tables.embeddings(s, dir))
+        .orderBy("label")),
+    // the corpus one-pager: six families' headline numbers as one
+    // (metric, value) table — every term reuses an already-gated
+    // expression
+    "q200_corpus_health" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.nTokensExpr(col("text"))).as("n_tokens"),
+        sum((TextAnalysis.splitExpr() === "train").cast("long"))
+          .as("train_docs"))
+      val vocab = docs
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+        .agg(countDistinct(col("t")).as("vocab_size"))
+      val dups = docs
+        .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+        .agg(count(lit(1)).as("exact_dup_groups"))
+      val quality = docs
+        .select(floor(TextAnalysis.qualityExpr(col("text")) * 10000 + 0.5)
+          .cast("long").as("q_ticks"))
+        .agg(expr("(2 * sum(q_ticks) + count(1)) DIV (2 * count(1))")
+          .as("mean_quality_ticks"))
+      base.crossJoin(vocab).crossJoin(dups).crossJoin(quality)
+        .select(expr(
+          "stack(6, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+            "'train_docs', train_docs, 'vocab_size', vocab_size, " +
+            "'exact_dup_groups', coalesce(exact_dup_groups, 0), " +
+            "'mean_quality_ticks', mean_quality_ticks) AS (metric, value)"))
+        .orderBy("metric")
+    }),
     // corpus unigram entropy in exact micro-nat terms (the charEntropy
     // discipline at vocab level) + effective vocabulary exp(H) — the
     // one-number diversity complement to the zipf slope
@@ -5020,6 +5077,88 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
+    // token-mass ranking with cumulative floor-bp shares
+    "q198_source_concentration" ->
+      """WITH s AS (SELECT source,
+        |                  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> x <> ''))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_tokens,
+        |             CAST(row_number() OVER (ORDER BY n_tokens DESC, source ASC)
+        |               AS BIGINT) AS rank,
+        |             CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |               AS cum_tokens,
+        |             CAST(sum(n_tokens) OVER () AS BIGINT) AS tot
+        |      FROM s)
+        |SELECT rank, source, n_tokens, cum_tokens,
+        |       CAST((cum_tokens * 10000) // tot AS BIGINT) AS cum_share_bp
+        |FROM r ORDER BY rank""".stripMargin,
+    // exact micro-tick centroids, 6dp cosine BEFORE the argmax rank,
+    // zero norms → 0.0
+    "q199_centroid_accuracy" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+        |           FROM embeddings),
+        |ccomp AS (SELECT label AS clabel,
+        |                 unnest(range(1, len(embedding) + 1)) AS i,
+        |                 unnest(list_transform(embedding,
+        |                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+        |                     AS BIGINT))) AS t
+        |          FROM e),
+        |cent AS (SELECT clabel, i,
+        |                CAST(sum(t) AS DOUBLE) / count(*) / 1000000.0 AS m
+        |         FROM ccomp GROUP BY 1, 2),
+        |cn AS (SELECT clabel, sqrt(sum(m * m)) AS nc FROM cent GROUP BY 1),
+        |vcomp AS (SELECT vec_id, label AS true_label,
+        |                 unnest(range(1, len(embedding) + 1)) AS i,
+        |                 unnest(list_transform(embedding,
+        |                   v -> CAST(v AS DOUBLE))) AS x
+        |          FROM e),
+        |vn AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM vcomp GROUP BY 1),
+        |dp AS (SELECT v.vec_id, v.true_label, c.clabel, sum(v.x * c.m) AS dp
+        |       FROM vcomp v JOIN cent c ON c.i = v.i GROUP BY 1, 2, 3),
+        |sc AS (SELECT dp.vec_id, dp.true_label, dp.clabel,
+        |              CASE WHEN vn.nv * cn.nc = 0 THEN 0.0
+        |                   ELSE round(dp.dp / (vn.nv * cn.nc), 6) END AS cos
+        |       FROM dp JOIN vn ON vn.vec_id = dp.vec_id
+        |               JOIN cn ON cn.clabel = dp.clabel),
+        |pred AS (SELECT vec_id, true_label, clabel,
+        |                row_number() OVER (PARTITION BY vec_id
+        |                  ORDER BY cos DESC, clabel ASC) AS rk
+        |         FROM sc)
+        |SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(CASE WHEN clabel = true_label THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_correct,
+        |       CAST((sum(CASE WHEN clabel = true_label THEN 1 ELSE 0 END) * 10000)
+        |            // count(*) AS BIGINT) AS acc_bp
+        |FROM pred WHERE rk = 1 GROUP BY 1 ORDER BY label""".stripMargin,
+    // six already-gated expressions folded to one (metric, value) table
+    "q200_corpus_health" ->
+      s"""WITH $QualitySql,
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+        |               x -> x <> ''))) AS BIGINT) AS n_tokens,
+        |             CAST(sum(CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS train_docs
+        |      FROM documents),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+        |      FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |              x -> x <> '')) AS tok FROM documents) t),
+        |dg AS (SELECT CAST(count(*) AS BIGINT) AS exact_dup_groups
+        |       FROM (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        |             FROM documents GROUP BY 1 HAVING count(*) > 1) g0),
+        |mq AS (SELECT CAST((2 * sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT))
+        |               + count(*)) // (2 * count(*)) AS BIGINT)
+        |               AS mean_quality_ticks
+        |       FROM q)
+        |SELECT 'exact_dup_groups' AS metric,
+        |       (SELECT exact_dup_groups FROM dg) AS value
+        |UNION ALL SELECT 'mean_quality_ticks', (SELECT mean_quality_ticks FROM mq)
+        |UNION ALL SELECT 'n_docs', (SELECT n_docs FROM b)
+        |UNION ALL SELECT 'n_tokens', (SELECT n_tokens FROM b)
+        |UNION ALL SELECT 'train_docs', (SELECT train_docs FROM b)
+        |UNION ALL SELECT 'vocab_size', (SELECT vocab_size FROM v)
+        |ORDER BY metric""".stripMargin,
     // the charEntropy micro-nat discipline over the global vocab
     "q195_vocab_entropy" ->
       """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

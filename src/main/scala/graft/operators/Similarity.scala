@@ -897,4 +897,54 @@ object Similarity {
       .select(col("cluster"), col("i"), col("n_members"),
         (col("__s").cast("double") / col("n_members") / lit(1e6)).as("c_new"))
   }
+
+  /** Nearest-centroid classifier accuracy — the label-separability eval
+    * (a corpus whose label centroids can't even classify their OWN
+    * members has no business driving label-conditioned sampling).
+    * Centroids are the [[labelCentroidMatrix]] exact micro-tick means
+    * (a bounded labels × dims dim, broadcast); every vector scores
+    * against every centroid through one i-keyed join + hash agg (the
+    * brute-kNN shape against a BOUNDED candidate set), cosines round to
+    * 6dp BEFORE the argmax so the (cos desc, label asc) rank is total
+    * and engine-portable; zero norms define cosine 0.0 (the
+    * [[kmeansRefineStep]] convention).
+    * Output: label, n_vecs, n_correct, acc_bp (floor).
+    */
+  def nearestCentroidAccuracy(embeddings: DataFrame): DataFrame = {
+    val cent = embeddings
+      .select(col("label").cast("long").as("clabel"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))).as(Seq("i", "t")))
+      .groupBy(col("clabel"), col("i"))
+      .agg(sum(col("t")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("clabel"), col("i"),
+        (col("__s").cast("double") / col("__n") / lit(1e6)).as("m"))
+    val cnorm = cent.groupBy(col("clabel"))
+      .agg(sqrt(sum(col("m") * col("m"))).as("__nc"))
+    val vcomp = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("true_label"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("i", "x")))
+    val vnorm = vcomp.groupBy(col("vec_id"))
+      .agg(sqrt(sum(col("x") * col("x"))).as("__nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("clabel").asc)
+    vcomp.join(broadcast(cent), Seq("i"))
+      .groupBy(col("vec_id"), col("true_label"), col("clabel"))
+      .agg(sum(col("x") * col("m")).as("__dp"))
+      .join(vnorm, Seq("vec_id"))
+      .join(broadcast(cnorm), Seq("clabel"))
+      .select(col("vec_id"), col("true_label"), col("clabel"),
+        when(col("__nv") * col("__nc") === 0, lit(0.0))
+          .otherwise(round(col("__dp") / (col("__nv") * col("__nc")), 6))
+          .as("cos"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("clabel") === col("true_label")).cast("long")).as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        expr("(n_correct * 10000) DIV n_vecs").as("acc_bp"))
+  }
 }

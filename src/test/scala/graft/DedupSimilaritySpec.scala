@@ -2523,4 +2523,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(1)._1 === "shuffled" && got(1)._3 > 8000L,
       s"shuffled key should not cluster the probe: ${got(1)}")
   }
+
+  test("centroid accuracy: separable labels classify, a traitor vector costs its row") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0f, 1f), 0), // mislabeled: lands on centroid 1
+      (4L, Array(0f, 1f), 1), (5L, Array(0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.nearestCentroidAccuracy(vecs)
+      .orderBy("label").as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((0L, 3L, 2L, 6666L), (1L, 2L, 2L, 10000L)))
+  }
 }
