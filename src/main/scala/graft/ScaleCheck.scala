@@ -579,6 +579,11 @@ object ScaleCheck {
     // cost tracks distinct-word count, not corpus size
     time(s"BPE pair counts over $nDocs docs")(
       graft.operators.TextAnalysis.bpePairCounts(docs).count())
+    // q201: one token scan; only query-term hits shuffle; df and corpus
+    // stats broadcast
+    time(s"BM25 top-20 over $nDocs docs")(
+      graft.operators.TextAnalysis.bm25TopK(docs,
+        query = Seq("join", "filter", "merge")).count())
     // q156: 2 matvec rounds on the cached LSH edge list — per-round cost
     // must track the cluster-labeling probe, never the corpus
     time(s"pagerank (2 rounds) over $nDocs docs")(

@@ -1203,6 +1203,11 @@ object SparkEntry {
         .where(col("n_docs") > 0)
         .orderBy("source", "lang")
     }),
+    // BM25 top-20 for a literal 3-term query — micro-tick term scores,
+    // exact any-fold-order totals, (score desc, doc_id) rank
+    "q201_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        query = Seq("join", "filter", "merge")).orderBy("rank")),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5077,6 +5082,37 @@ object SparkEntry {
         |      FROM c)
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
+    // identical BM25 arithmetic: micro-tick per-term floors, integer
+    // sums, same k1/b literals
+    "q201_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       x -> x <> '')) AS tok
+        |              FROM documents),
+        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+        |         FROM toks GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS l
+        |       FROM lens),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |       WHERE tok IN ('join', 'filter', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |term AS (SELECT tf.doc_id,
+        |                CAST(floor(
+        |                  ln((CAST(st.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |                  * (tf.tf * 2.2)
+        |                  / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len
+        |                      / (CAST(st.l AS DOUBLE) / st.n)))
+        |                  * 1000000 + 0.5) AS BIGINT) AS t
+        |         FROM tf JOIN df ON df.tok = tf.tok
+        |                 JOIN lens ON lens.doc_id = tf.doc_id
+        |                 CROSS JOIN st),
+        |sc AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS s FROM term GROUP BY 1),
+        |top AS (SELECT doc_id, s,
+        |               CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC)
+        |                 AS BIGINT) AS rank
+        |        FROM sc)
+        |SELECT rank, doc_id, s / 1000000.0 AS score
+        |FROM top WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // token-mass ranking with cumulative floor-bp shares
     "q198_source_concentration" ->
       """WITH s AS (SELECT source,

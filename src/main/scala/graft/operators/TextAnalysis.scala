@@ -1874,6 +1874,45 @@ object TextAnalysis {
         (col("__off") + col("__r")).as("global_rank"))
   }
 
+  /** BM25 top-k retrieval for a literal query — the scoring primitive
+    * under every lexical search/retrieval-augmentation stage (TF-IDF
+    * ranks corpora; BM25 ranks DOCUMENTS for a query, with saturation
+    * k1 and length normalization b). Per-(doc, term) scores are fixed
+    * to integer MICRO-TICKS before summing — floor(term·10⁶ + 0.5) —
+    * so the per-doc total is exact in any fold order (a raw double sum
+    * of term scores is partial-aggregation-order dependent); ranking is
+    * (score desc, doc_id asc), total. One token scan; df and the
+    * corpus stats are one-row/`|Q|`-row broadcasts; only docs matching
+    * ≥ 1 query term ever shuffle.
+    * Output: rank, doc_id, score (micro-tick exact, 6dp).
+    */
+  def bm25TopK(docs: DataFrame, query: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("tok"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("__len"))
+    val stats = lens.agg(count(lit(1)).as("__N"), sum(col("__len")).as("__L"))
+    val tf = toks.where(col("tok").isin(query: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    val avg = col("__L").cast("double") / col("__N")
+    val idf = log((col("__N").cast("double") - col("__df") + 0.5) /
+      (col("__df") + 0.5) + 1.0)
+    val term = idf * (col("__tf") * (k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len") / avg))
+    val ord = Seq(col("__s").desc, col("doc_id").asc)
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(term * 1000000 + 0.5).cast("long").as("__t"))
+      .groupBy(col("doc_id")).agg(sum(col("__t")).as("__s"))
+      .orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(col("rank"), col("doc_id"), (col("__s") / 1000000.0).as("score"))
+  }
+
   /** First BPE merge iteration over the corpus: adjacent character-pair
     * counts weighted by word frequency, top-k merge candidates — the
     * tokenizer-training primitive (each BPE round picks the argmax of

@@ -2534,4 +2534,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .orderBy("label").as[(Long, Long, Long, Long)].collect()
     assert(got.toSeq === Seq((0L, 3L, 2L, 6666L), (1L, 2L, 2L, 10000L)))
   }
+
+  test("bm25: rare term outranks common, saturation caps repetition, len normalizes") {
+    val ds = Seq(
+      (1L, "cat dog dog dog dog"),   // heavy tf on the common term
+      (2L, "cat zebra"),             // one hit on the RARE term
+      (3L, "dog bird"), (4L, "dog fish"), (5L, "bird fish")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(ds, query = Seq("zebra", "dog"), k = 5)
+      .as[(Long, Long, Double)].collect()
+    // zebra: df 1 of 5 → idf ln(4) ≈ 1.386; dog df 3 → idf ln(1.7) ≈ 0.53;
+    // doc 2's single rare hit beats doc 1's four saturated common hits
+    assert(got.head._2 === 2L)
+    assert(got.map(_._2).toSet === Set(1L, 2L, 3L, 4L))
+    // scores strictly ordered by rank
+    val scores = got.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
 }
