@@ -1208,6 +1208,23 @@ object SparkEntry {
     "q201_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.documents(s, dir),
         query = Seq("join", "filter", "merge")).orderBy("rank")),
+    // weekly cohort retention triangle — (first-active week × week
+    // offset) distinct-user counts + floor-bp share of the cohort
+    "q202_cohort_triangle" -> ((s, dir) =>
+      Engagement.cohortTriangle(Tables.events(s, dir), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+    // deterministic bloom pre-filter audited against the exact
+    // semi-join: keep/false-positive rates for the (m, k) design point
+    "q203_bloom_prefilter" -> ((s, dir) =>
+      Bloom.prefilterAudit(
+        Tables.orders(s, dir).where(col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 200000),
+        "o_orderkey", Tables.lineitem(s, dir), "l_orderkey")),
+    // reciprocal-rank fusion of the BM25 list with the quality prior —
+    // integer 10^9 DIV (60 + rank) terms, k-bounded after the scans
+    "q204_rrf_fusion" -> ((s, dir) =>
+      TextAnalysis.rrfRetrieval(Tables.documents(s, dir),
+        query = Seq("join", "filter", "merge")).orderBy("rank")),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5083,36 +5100,80 @@ object SparkEntry {
         |SELECT digit, n, obs_bp, exp_bp, abs(obs_bp - exp_bp) AS dev_bp
         |FROM o ORDER BY digit""".stripMargin,
     // identical BM25 arithmetic: micro-tick per-term floors, integer
-    // sums, same k1/b literals
+    // sums, same k1/b literals (shared chain with q204)
     "q201_bm25" ->
-      """WITH toks AS (SELECT doc_id,
-        |                     unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                       x -> x <> '')) AS tok
-        |              FROM documents),
-        |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
-        |         FROM toks GROUP BY 1),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS l
-        |       FROM lens),
-        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
-        |       WHERE tok IN ('join', 'filter', 'merge') GROUP BY 1, 2),
-        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |term AS (SELECT tf.doc_id,
-        |                CAST(floor(
-        |                  ln((CAST(st.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
-        |                  * (tf.tf * 2.2)
-        |                  / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len
-        |                      / (CAST(st.l AS DOUBLE) / st.n)))
-        |                  * 1000000 + 0.5) AS BIGINT) AS t
-        |         FROM tf JOIN df ON df.tok = tf.tok
-        |                 JOIN lens ON lens.doc_id = tf.doc_id
-        |                 CROSS JOIN st),
-        |sc AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS s FROM term GROUP BY 1),
-        |top AS (SELECT doc_id, s,
-        |               CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC)
-        |                 AS BIGINT) AS rank
-        |        FROM sc)
+      s"""WITH $Bm25Sql
         |SELECT rank, doc_id, s / 1000000.0 AS score
-        |FROM top WHERE rank <= 20 ORDER BY rank""".stripMargin,
+        |FROM bmtop WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // same dedupe-to-(user, day) + Monday date_trunc + floor-bp share
+    "q202_cohort_triangle" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |                    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |             FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |coh AS (SELECT u, CAST(date_trunc('week', min(d)) AS DATE) AS cw
+        |        FROM act GROUP BY 1),
+        |tri AS (SELECT cw, CAST(datediff('day', cw, d) // 7 AS INT) AS week_offset,
+        |               CAST(count(DISTINCT a.u) AS BIGINT) AS n_active
+        |        FROM act a JOIN coh c ON c.u = a.u GROUP BY 1, 2),
+        |sz AS (SELECT *, max(CASE WHEN week_offset = 0 THEN n_active END)
+        |                 OVER (PARTITION BY cw) AS cohort_size
+        |       FROM tri)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset, n_active,
+        |       cohort_size,
+        |       CAST((n_active * 10000) // cohort_size AS BIGINT) AS retention_bp
+        |FROM sz ORDER BY cohort_week, week_offset""".stripMargin,
+    // identical salted-md5 slot arithmetic: slot_i = low-32("i:key") % m
+    "q203_bloom_prefilter" ->
+      """WITH bk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |            WHERE o_orderstatus = 'F' AND o_totalprice > 200000),
+        |bits AS (SELECT DISTINCT
+        |           ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 65536 AS slot
+        |         FROM (SELECT k, unnest([0, 1, 2]) AS i FROM bk)),
+        |pk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+        |       WHERE l_orderkey IS NOT NULL),
+        |ps AS (SELECT k,
+        |              ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 65536 AS slot
+        |       FROM (SELECT k, unnest([0, 1, 2]) AS i FROM pk)),
+        |pass AS (SELECT k FROM ps JOIN bits USING (slot)
+        |         GROUP BY k HAVING count(*) = 3),
+        |c AS (SELECT (SELECT count(*) FROM bk) AS n_build_keys,
+        |             (SELECT count(*) FROM bits) AS n_slots_set,
+        |             (SELECT count(*) FROM pk) AS n_probe_keys,
+        |             (SELECT count(*) FROM pass) AS n_pass,
+        |             (SELECT count(*) FROM pk WHERE k IN (SELECT k FROM bk)) AS n_true)
+        |SELECT CAST(n_build_keys AS BIGINT) AS n_build_keys,
+        |       CAST(n_slots_set AS BIGINT) AS n_slots_set,
+        |       CAST(n_probe_keys AS BIGINT) AS n_probe_keys,
+        |       CAST(n_pass AS BIGINT) AS n_pass,
+        |       CAST(n_true AS BIGINT) AS n_true,
+        |       CAST(n_pass - n_true AS BIGINT) AS n_false_pos,
+        |       CAST(((n_pass - n_true) * 10000) // n_probe_keys AS BIGINT) AS fp_bp,
+        |       CAST((n_pass * 10000) // n_probe_keys AS BIGINT) AS pass_bp
+        |FROM c""".stripMargin,
+    // fused ranking from the shared BM25 chain + the quality CTE:
+    // integer 10^9 // (60 + rank) terms, absent ranks → 0
+    "q204_rrf_fusion" ->
+      s"""WITH $Bm25Sql,
+        |$QualitySql,
+        |lex AS (SELECT doc_id, rank AS lex_rank FROM bmtop WHERE rank <= 50),
+        |qrank AS (SELECT doc_id,
+        |                 CAST(row_number() OVER (
+        |                   ORDER BY CAST(floor(quality * 10000 + 0.5) AS BIGINT) DESC,
+        |                            doc_id ASC) AS BIGINT) AS quality_rank
+        |          FROM q),
+        |qtop AS (SELECT doc_id, quality_rank FROM qrank WHERE quality_rank <= 50),
+        |f AS (SELECT coalesce(l.doc_id, t.doc_id) AS doc_id,
+        |             CAST(coalesce(1000000000 // (60 + l.lex_rank), 0)
+        |                + coalesce(1000000000 // (60 + t.quality_rank), 0) AS BIGINT)
+        |               AS rrf_ticks,
+        |             CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+        |             CAST(coalesce(t.quality_rank, 0) AS BIGINT) AS quality_rank
+        |      FROM lex l FULL OUTER JOIN qtop t ON t.doc_id = l.doc_id),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf_ticks DESC, doc_id ASC)
+        |                AS BIGINT) AS rank
+        |      FROM f)
+        |SELECT rank, doc_id, rrf_ticks, lex_rank, quality_rank
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // token-mass ranking with cumulative floor-bp shares
     "q198_source_concentration" ->
       """WITH s AS (SELECT source,
@@ -5882,6 +5943,36 @@ object SparkEntry {
 
   /** The quality-score CTE chain (q77's formula verbatim), ending in
     * `q(doc_id, quality)`. */
+  /** BM25 chain for the literal ('join','filter','merge') query, ending in
+    * `bmtop(doc_id, s, rank)` — the single source of truth for q201/q204. */
+  private val Bm25Sql: String =
+    """toks AS (SELECT doc_id,
+      |                unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                  x -> x <> '')) AS tok
+      |         FROM documents),
+      |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+      |         FROM toks GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len) AS BIGINT) AS l
+      |       FROM lens),
+      |btf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |        WHERE tok IN ('join', 'filter', 'merge') GROUP BY 1, 2),
+      |bdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+      |term AS (SELECT btf.doc_id,
+      |                CAST(floor(
+      |                  ln((CAST(st.n AS DOUBLE) - bdf.df + 0.5) / (bdf.df + 0.5) + 1.0)
+      |                  * (btf.tf * 2.2)
+      |                  / (btf.tf + 1.2 * (0.25 + 0.75 * lens.len
+      |                      / (CAST(st.l AS DOUBLE) / st.n)))
+      |                  * 1000000 + 0.5) AS BIGINT) AS t
+      |         FROM btf JOIN bdf ON bdf.tok = btf.tok
+      |                  JOIN lens ON lens.doc_id = btf.doc_id
+      |                  CROSS JOIN st),
+      |sc AS (SELECT doc_id, CAST(sum(t) AS BIGINT) AS s FROM term GROUP BY 1),
+      |bmtop AS (SELECT doc_id, s,
+      |                 CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC)
+      |                   AS BIGINT) AS rank
+      |          FROM sc)""".stripMargin
+
   private val QualitySql: String =
     """qt AS (
       |  SELECT doc_id,

@@ -566,6 +566,45 @@ object Engagement {
         col("p50"), col("p95"), col("p99"))
   }
 
+  /** Cohort retention triangle: users bucketed by the WEEK they first
+    * appeared (Monday-anchored `date_trunc`, identical in both engines),
+    * then counted per (cohort_week, week_offset) with the share of the
+    * cohort still active — the classic product-analytics triangle that
+    * [[retention]]'s per-day offsets feed, pivoted to a bounded matrix.
+    *
+    * Same relational shape as [[retention]]: activity deduped to
+    * (user, day), one hash agg for each user's first day, a user-keyed
+    * join back, and the triangle agg — two exchanges end-to-end, nothing
+    * per-user ever materialized. The cohort size needed for the bp share
+    * is the triangle's own offset-0 cell (every user is active in their
+    * first week by construction), read back with a window over the
+    * bounded (weeks × offsets) output, never a third pass over events.
+    * retention_bp is floor-exact integer arithmetic.
+    * Output: cohort_week (date string), week_offset, n_active,
+    * cohort_size, retention_bp.
+    */
+  def cohortTriangle(events: DataFrame, userCol: String,
+                     tsCol: String): DataFrame = {
+    val active = events.select(col(userCol).as("__u"),
+        to_date(col(tsCol)).as("__d"))
+      .where(col("__u").isNotNull && col("__d").isNotNull)
+      .distinct()
+    val cohort = active.groupBy("__u")
+      .agg(date_trunc("week", min(col("__d"))).cast("date").as("__cw"))
+    val tri = active.join(cohort, Seq("__u"))
+      .groupBy(col("__cw"),
+        expr("CAST(datediff(__d, __cw) div 7 AS INT)").as("week_offset"))
+      .agg(countDistinct(col("__u")).as("n_active"))
+    val wCohort = Window.partitionBy(col("__cw"))
+    tri
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(wCohort))
+      .select(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        expr("CAST((n_active * 10000) DIV cohort_size AS BIGINT)")
+          .as("retention_bp"))
+  }
+
   def eventAffinity(events: DataFrame, userCol: String, typeCol: String): DataFrame = {
     val ut = events.select(col(userCol).as("__u"), col(typeCol).as("__t"))
       .where(col("__u").isNotNull).distinct()

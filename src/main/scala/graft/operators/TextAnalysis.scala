@@ -1913,6 +1913,48 @@ object TextAnalysis {
       .select(col("rank"), col("doc_id"), (col("__s") / 1000000.0).as("score"))
   }
 
+  /** Reciprocal-rank fusion of two retrieval lists — the standard hybrid-
+    * search combiner (lexical BM25 × a second signal; here the corpus
+    * quality prior, the "boost good documents" reranker every RAG
+    * pipeline bolts on). RRF needs only RANKS, so the two lists' scores
+    * never have to be calibrated against each other; each list
+    * contributes floor(10⁹ / (rrfK + rank)) — integral division, so the
+    * fused score is exact integer arithmetic and engine-portable (the
+    * textbook 1/(60+r) sum is float-fold-order noise).
+    *
+    * Both input lists are TakeOrdered top-`kPerList` heaps (the BM25
+    * chain from [[bm25TopK]]; quality ticks over one corpus scan), the
+    * fusion is a full-outer join of two k-row relations, and absent-in-
+    * list ranks contribute 0 and surface as rank 0 in the output — so
+    * every stage after the scans is k-bounded regardless of corpus size.
+    * Output: rank, doc_id, rrf_ticks, lex_rank, quality_rank (0 = not
+    * in that list's top-k).
+    */
+  def rrfRetrieval(docs: DataFrame, query: Seq[String], kPerList: Int = 50,
+                   k: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopK(docs, query, kPerList)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val qord = Seq(col("__q").desc, col("doc_id").asc)
+    val qual = docs.select(col("doc_id"),
+        floor(qualityExpr(col("text")) * 10000 + 0.5).cast("long").as("__q"))
+      .orderBy(qord: _*).limit(kPerList)
+      .withColumn("quality_rank",
+        row_number().over(Window.orderBy(qord: _*)).cast("long"))
+      .select(col("doc_id"), col("quality_rank"))
+    val ord = Seq(col("rrf_ticks").desc, col("doc_id").asc)
+    lex.join(qual, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr(s"1000000000 DIV (${rrfK}L + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000 DIV (${rrfK}L + quality_rank)"), lit(0L)))
+          .as("rrf_ticks"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("quality_rank"), lit(0L)).as("quality_rank"))
+      .orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rrf_ticks"),
+        col("lex_rank"), col("quality_rank"))
+  }
+
   /** First BPE merge iteration over the corpus: adjacent character-pair
     * counts weighted by word frequency, top-k merge candidates — the
     * tokenizer-training primitive (each BPE round picks the argmax of

@@ -2551,4 +2551,87 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val scores = got.map(_._3)
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("cohort triangle: Monday-anchored weeks, offset-0 is the cohort size") {
+    import java.sql.Timestamp
+    def d(day: Int) = Timestamp.valueOf(f"2026-01-$day%02d 10:00:00")
+    // 2026-01-05 is a Monday. Users 1,2 first appear in that week;
+    // user 3 first appears in the week of 01-12.
+    val ev = Seq(
+      (1L, d(5)), (1L, d(6)), (1L, d(13)),  // cohort 01-05: offsets 0, 0, 1
+      (2L, d(7)), (2L, d(21)),              // cohort 01-05: offsets 0, 2
+      (3L, d(14)), (3L, d(15))              // cohort 01-12: offset 0 only
+    ).toDF("uid", "t")
+    val got = graft.operators.Engagement.cohortTriangle(ev, "uid", "t")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("2026-01-05", 0) -> ((2L, 2L, 10000L)),
+      ("2026-01-05", 1) -> ((1L, 2L, 5000L)),
+      ("2026-01-05", 2) -> ((1L, 2L, 5000L)),
+      ("2026-01-12", 0) -> ((1L, 1L, 10000L))))
+    // null users/timestamps are dropped, not a cohort of their own
+    val withNulls = ev.union(Seq(
+      (null: java.lang.Long, d(5)),
+      (java.lang.Long.valueOf(9L), null: Timestamp)).toDF("uid", "t"))
+    assert(graft.operators.Engagement.cohortTriangle(withNulls, "uid", "t")
+      .count() === 4L)
+  }
+
+  test("bloom prefilter: no false negatives, slot arithmetic replays, saturation passes all") {
+    val build = Seq(10L, 20L, 30L).toDF("k")
+    val probe = (1L to 100L).toDF("k")
+    val row = graft.operators.Bloom.prefilterAudit(build, "k", probe, "k",
+      m = 65536, k = 3).collect().head
+    val (nPass, nTrue) = (row.getLong(3), row.getLong(4))
+    assert(nTrue === 3L)                   // 10, 20, 30 all in probe range
+    assert(nPass >= nTrue)                 // bloom never loses a true match
+    assert(row.getLong(5) === nPass - nTrue)
+    // the slot set is exactly the salted-md5 arithmetic, replayed in JVM
+    def slot(i: Int, key: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 65536
+    }
+    val wantBits = (for (i <- 0 until 3; k <- Seq(10L, 20L, 30L)) yield slot(i, k)).toSet
+    val gotBits = graft.operators.Bloom.buildBits(build, "k", 65536, 3)
+      .as[Long].collect().toSet
+    assert(gotBits === wantBits)
+    // a fully saturated filter (m=1) keeps every probe key: the audit
+    // degrades to pass_bp=10000, never an error
+    val sat = graft.operators.Bloom.prefilterAudit(build, "k", probe, "k",
+      m = 1, k = 3).collect().head
+    assert(sat.getLong(3) === 100L && sat.getLong(7) === 10000L)
+  }
+
+  test("rrf fusion: both-list docs beat single-list, absent ranks surface as 0") {
+    val ds = Seq(
+      // doc 1: strong lexical hit AND long/high-quality text
+      (1L, ("zebra " + base).take(400)),
+      // doc 2: lexical hit only (short, quality BELOW docs 4/5 so the
+      // doc_id tiebreak cannot sneak it into the quality top-3)
+      (2L, "zebra"),
+      // doc 3: quality only (long, no query term)
+      (3L, base + " " + base),
+      (4L, "the dog is on a mat in the sun"),
+      (5L, "the bird is in a tree on the hill")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.rrfRetrieval(ds, query = Seq("zebra"),
+      kPerList = 3, k = 5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byDoc = got.map(r => r._2 -> r).toMap
+    // doc 1 is in both lists → two integer terms; it must rank first
+    assert(got.head._2 === 1L)
+    assert(byDoc(1L)._4 > 0L && byDoc(1L)._5 > 0L)
+    // doc 2 is lexical-only, doc 3 quality-only: the absent rank is 0
+    assert(byDoc(2L)._4 > 0L && byDoc(2L)._5 === 0L)
+    assert(byDoc(3L)._4 === 0L && byDoc(3L)._5 > 0L)
+    // every rrf score is the exact integral-division sum of its terms
+    got.foreach { case (_, _, ticks, lr, qr) =>
+      val want = (if (lr > 0) 1000000000L / (60 + lr) else 0L) +
+        (if (qr > 0) 1000000000L / (60 + qr) else 0L)
+      assert(ticks === want)
+    }
+  }
 }
