@@ -1225,6 +1225,21 @@ object SparkEntry {
     "q204_rrf_fusion" -> ((s, dir) =>
       TextAnalysis.rrfRetrieval(Tables.documents(s, dir),
         query = Seq("join", "filter", "merge")).orderBy("rank")),
+    // int8 quantization acceptance gate: per-vector |x − q·scale| error
+    // stats in exact micro-ticks
+    "q205_int8_recon_error" -> ((s, dir) =>
+      Similarity.reconstructionError(Tables.embeddings(s, dir))
+        .orderBy("vec_id")),
+    // matryoshka audit: recall@10 of first-8-dims cosine search vs the
+    // full-dimension ground truth, floor-bp per query
+    "q206_dim_slice_recall" -> ((s, dir) =>
+      Similarity.dimSliceRecall(Tables.embeddings(s, dir),
+        pmod(col("vec_id"), lit(100)) === 0).orderBy("query_id")),
+    // per-source readability: words/sentence + alpha-chars/word bp and
+    // the clamped Flesch milli-mean
+    "q207_readability" -> ((s, dir) =>
+      TextAnalysis.readabilityProfile(Tables.documents(s, dir))
+        .orderBy("source")),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5150,6 +5165,78 @@ object SparkEntry {
         |       CAST(((n_pass - n_true) * 10000) // n_probe_keys AS BIGINT) AS fp_bp,
         |       CAST((n_pass * 10000) // n_probe_keys AS BIGINT) AS pass_bp
         |FROM c""".stripMargin,
+    // identical IEEE double chain: scale = max|x|/127, q = floor(x/s+0.5),
+    // micro-tick |x − q·s| fixed per dim before the per-vector sums
+    "q205_int8_recon_error" ->
+      """WITH e AS (SELECT vec_id,
+        |                 list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+        |          FROM embeddings),
+        |sc AS (SELECT vec_id, emb,
+        |              list_max(list_transform(emb, v -> abs(v))) / 127.0 AS s
+        |       FROM e),
+        |t AS (SELECT vec_id,
+        |             unnest(list_transform(emb, x ->
+        |               CASE WHEN s > 0
+        |                    THEN CAST(floor(abs(x - floor(x / s + 0.5) * s)
+        |                           * 1000000 + 0.5) AS BIGINT)
+        |                    ELSE 0 END)) AS tick
+        |      FROM sc)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+        |       CAST(max(tick) AS BIGINT) AS max_err_ticks,
+        |       CAST(sum(tick) AS BIGINT) AS sum_err_ticks,
+        |       CAST((2 * sum(tick) + count(*)) // (2 * count(*)) AS BIGINT)
+        |         AS mean_err_ticks
+        |FROM t GROUP BY 1 ORDER BY vec_id""".stripMargin,
+    // full-dim ground truth from the shared brute chain; the sliced side
+    // repeats it over i <= 8; recall joined per (query, neighbor)
+    "q206_dim_slice_recall" ->
+      s"""WITH $VecBaseSql,
+        |$BruteKnnSql,
+        |scomp AS (SELECT vec_id, i, x FROM comp WHERE i <= 8),
+        |snorms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM scomp GROUP BY 1),
+        |sq AS (SELECT vec_id AS query_id, i, x FROM scomp WHERE vec_id % 100 = 0),
+        |sdots AS (SELECT q.query_id, c.vec_id AS neighbor_id, sum(c.x * q.x) AS dp
+        |          FROM scomp c JOIN sq q ON c.i = q.i AND c.vec_id <> q.query_id
+        |          GROUP BY 1, 2),
+        |sscored AS (SELECT d.query_id, d.neighbor_id,
+        |                   round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
+        |            FROM sdots d
+        |            JOIN snorms nn ON nn.vec_id = d.neighbor_id
+        |            JOIN snorms nq ON nq.vec_id = d.query_id),
+        |slow AS (SELECT query_id, neighbor_id FROM (
+        |           SELECT query_id, neighbor_id,
+        |                  row_number() OVER (PARTITION BY query_id
+        |                    ORDER BY cosine DESC, neighbor_id) AS rnk
+        |           FROM sscored) t WHERE rnk <= 10)
+        |SELECT b.query_id,
+        |       CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_hit,
+        |       CAST((sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |             * 10000) // count(*) AS BIGINT) AS recall_bp
+        |FROM brute b LEFT JOIN slow s ON s.query_id = b.query_id
+        |                             AND s.neighbor_id = b.neighbor_id
+        |GROUP BY 1 ORDER BY b.query_id""".stripMargin,
+    // same [.!?]+ sentence runs, [aeiouy]+ vowel groups (floored at one
+    // per word), clamped Flesch milli-ticks, HALF_UP integer means
+    "q207_readability" ->
+      """WITH d AS (SELECT source,
+        |                  greatest(CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                    x -> x <> '')) AS BIGINT), 1) AS w,
+        |                  greatest(CAST(len(regexp_extract_all(text, '[\.!\?]+')) AS BIGINT), 1) AS s,
+        |                  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS a,
+        |                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl0
+        |           FROM documents),
+        |f AS (SELECT source, w, s, a,
+        |             greatest(CAST(floor((206.835
+        |               - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |               - 84.6 * (CAST(greatest(syl0, w) AS DOUBLE) / CAST(w AS DOUBLE)))
+        |               * 1000 + 0.5) AS BIGINT), 0) AS fm
+        |      FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST((20000 * sum(w) + sum(s)) // (2 * sum(s)) AS BIGINT) AS wps_bp,
+        |       CAST((20000 * sum(a) + sum(w)) // (2 * sum(w)) AS BIGINT) AS cpw_bp,
+        |       CAST((2 * sum(fm) + count(*)) // (2 * count(*)) AS BIGINT) AS flesch_milli
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->

@@ -575,6 +575,62 @@ object Similarity {
           .otherwise(0L).as("q"))
   }
 
+  /** Int8 reconstruction-error report — the acceptance gate run BEFORE a
+    * corpus commits to [[quantizeInt8]]'s 4× memory saving: dequantize
+    * q·scale against the original component and report per-vector
+    * absolute-error stats. Every step (scale = max|x|/127, q =
+    * floor(x/scale + 0.5), recon = q·scale, |x − recon|) is plain IEEE
+    * double arithmetic, identical in any engine; per-dim errors are
+    * fixed to integer micro-ticks before the per-vector sum, so totals
+    * are exact in any fold order. One scan, no shuffle beyond the
+    * per-vector agg; zero vectors reconstruct exactly (0 error ticks).
+    * Output: vec_id, n_dims, max_err_ticks, sum_err_ticks,
+    * mean_err_ticks (HALF_UP integer).
+    */
+  def reconstructionError(embeddings: DataFrame): DataFrame = {
+    val scale = array_max(transform(col("embedding"), x => abs(x.cast("double")))) / lit(127.0)
+    embeddings
+      .select(col("vec_id"), scale.as("__s"), posexplode(col("embedding")))
+      .select(col("vec_id"),
+        when(col("__s") > 0,
+          floor(abs(col("col").cast("double") -
+            floor(col("col").cast("double") / col("__s") + lit(0.5)) * col("__s"))
+            * 1000000 + 0.5).cast("long"))
+          .otherwise(0L).as("__t"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"), max(col("__t")).as("max_err_ticks"),
+        sum(col("__t")).as("sum_err_ticks"))
+      .withColumn("mean_err_ticks",
+        expr("CAST((2 * sum_err_ticks + n_dims) DIV (2 * n_dims) AS BIGINT)"))
+  }
+
+  /** Matryoshka dim-slice retrieval audit: recall@k of exact cosine
+    * search over only the FIRST `dims` components against the full-
+    * dimension ground truth — the tuning table for MRL-style truncated
+    * embeddings, where serving at d/8 dims is an 8× dot-product and
+    * memory win IF recall holds. Both sides are the [[knnCosineBrute]]
+    * broadcast scorer (the sliced side just scans `slice(embedding)`),
+    * the recall join moves two k-row-per-query relations, and the
+    * verdict is floor-bp integer arithmetic.
+    * Output: query_id, n_hit, recall_bp.
+    */
+  def dimSliceRecall(embeddings: DataFrame, queryPred: Column,
+                     dims: Int = 8, k: Int = 10): DataFrame = {
+    require(dims >= 1, "need at least one retained dimension")
+    val full = knnCosineBrute(embeddings, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val low = knnCosineBrute(
+      embeddings.withColumn("embedding", slice(col("embedding"), 1, dims)),
+      queryPred, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    full.join(low, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        expr("CAST((n_hit * 10000) DIV __k AS BIGINT)").as("recall_bp"))
+  }
+
   /** Cluster-scoped semantic deduplication (the SemDeDup recipe): assign
     * every embedding to its nearest centroid, then drop any vector with an
     * EARLIER same-cluster vector at cosine ≥ `threshold` — near-duplicate

@@ -245,6 +245,43 @@ object TextAnalysis {
       .withColumn("cpt_bp",
         expr("(20000 * n_chars + n_tokens) div (2 * n_tokens)"))
 
+  /** Per-source readability profile: words/sentence and alpha-chars/word
+    * in HALF_UP integer bp, plus a Flesch-style reading-ease mean in
+    * integer milli-points — the "is this source textbook prose or keyword
+    * soup" audit next to [[charClassProfile]]. Sentences are terminal-
+    * punctuation runs (`[.!?]+`, floor 1 so headline docs count as one
+    * sentence); syllables are the standard vowel-group heuristic
+    * (`[aeiouy]+` runs, floor 1 per word). The per-doc Flesch score
+    * 206.835 − 1.015·(w/s) − 84.6·(syl/w) is computed in IEEE doubles
+    * from integer counts (identical in any engine), fixed to CLAMPED
+    * milli-ticks (≥ 0 — "unreadably dense" saturates, and the clamp
+    * keeps every aggregate operand non-negative so integral division is
+    * engine-portable), then HALF_UP-averaged. One scan, one bounded agg.
+    * Output: source, n_docs, wps_bp, cpw_bp, flesch_milli.
+    */
+  def readabilityProfile(docs: DataFrame): DataFrame = {
+    def cnt(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    val w = greatest(nTokensExpr(col("text")), lit(1L))
+    val s = greatest(cnt(col("text"), "[\\.!\\?]+"), lit(1L))
+    val syl = greatest(cnt(lower(col("text")), "[aeiouy]+"), w)
+    val flesch = lit(206.835) -
+      lit(1.015) * (w.cast("double") / s.cast("double")) -
+      lit(84.6) * (syl.cast("double") / w.cast("double"))
+    docs.select(col("source"),
+        w.as("__w"), s.as("__s"),
+        cnt(col("text"), "[A-Za-z]").as("__a"),
+        greatest(floor(flesch * 1000 + 0.5).cast("long"), lit(0L)).as("__f"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("__ws"),
+        sum(col("__s")).as("__ss"), sum(col("__a")).as("__as"),
+        sum(col("__f")).as("__fs"))
+      .select(col("source"), col("n_docs"),
+        expr("(20000 * __ws + __ss) div (2 * __ss)").as("wps_bp"),
+        expr("(20000 * __as + __ws) div (2 * __ws)").as("cpw_bp"),
+        expr("(2 * __fs + n_docs) div (2 * n_docs)").as("flesch_milli"))
+  }
+
   /** Canonical text normalization: lowercase, collapse whitespace, trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -2634,4 +2634,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(ticks === want)
     }
   }
+
+  test("int8 reconstruction error: exact ticks, zero vector reconstructs exactly") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.5f)),   // scale 1/127: dim1 exact, dim2 err 64/127-0.5
+      (2L, Array(0f, 0f)),       // zero vector → scale 0 → zero error
+      (3L, Array(-1.27f, 1.27f)) // symmetric, q = ±127 → exact
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.reconstructionError(vecs)
+      .orderBy("vec_id").as[(Long, Long, Long, Long, Long)].collect()
+    // replay dim2 of vec 1 in the same IEEE arithmetic
+    val s = 1.0 / 127.0
+    val err = math.abs(0.5f.toDouble - math.floor(0.5f.toDouble / s + 0.5) * s)
+    val tick = math.floor(err * 1000000 + 0.5).toLong
+    assert(tick === 3937L)
+    assert(got.toSeq === Seq(
+      (1L, 2L, tick, tick, (2 * tick + 2) / 4),
+      (2L, 2L, 0L, 0L, 0L),
+      (3L, 2L, 0L, 0L, 0L)))
+  }
+
+  test("dim-slice recall: truncated search misses what full dims find") {
+    val vecs = Seq(
+      (0L, Array(1f, 5f, 0f)),   // the query
+      (1L, Array(-1f, 5f, 0f)),  // full cos .923, 1-dim slice cos −1
+      (2L, Array(1f, -5f, 0f)),  // full cos −.923, slice cos +1
+      (3L, Array(1f, 4f, 0f))    // full cos ≈ .999, slice cos +1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.dimSliceRecall(vecs, col("vec_id") === 0, dims = 1, k = 2)
+      .as[(Long, Long, Long)].collect()
+    // full top-2 = {3, 1}; slice top-2 = {2, 3} → one hit of two
+    assert(got.toSeq === Seq((0L, 1L, 5000L)))
+    // slicing to the full width is the identity: perfect recall
+    val full = Similarity.dimSliceRecall(vecs, col("vec_id") === 0, dims = 3, k = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(full.toSeq === Seq((0L, 2L, 10000L)))
+  }
+
+  test("readability: sentence runs, vowel-group syllables, clamped Flesch milli") {
+    val ds = Seq(
+      (1L, "A", "The cat sat. The dog ran."),
+      (2L, "B", "hello world")  // no terminal punctuation → one sentence
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.readabilityProfile(ds)
+      .orderBy("source").as[(String, Long, Long, Long, Long)].collect()
+    // A: w=6 s=2 alpha=18 syl=6 → wps 3.0, cpw 3.0,
+    //    flesch = 206.835 − 1.015·3 − 84.6·1 = 119.190
+    // B: w=2 s=1 alpha=10 syl=3 → wps 2.0, cpw 5.0,
+    //    flesch = 206.835 − 2.03 − 126.9 = 77.905
+    assert(got.toSeq === Seq(
+      ("A", 1L, 30000L, 30000L, 119190L),
+      ("B", 1L, 20000L, 50000L, 77905L)))
+  }
 }
