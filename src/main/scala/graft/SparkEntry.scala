@@ -1240,6 +1240,25 @@ object SparkEntry {
     "q207_readability" -> ((s, dir) =>
       TextAnalysis.readabilityProfile(Tables.documents(s, dir))
         .orderBy("source")),
+    // per-type Gini of events-per-user — exact rank-weighted sums on the
+    // (type × activity-count) grid, decimal(38,0) final quotient
+    "q208_activity_gini" -> ((s, dir) =>
+      Stats.giniByKey(Tables.events(s, dir), "event_type", "user_id")
+        .orderBy("event_type")),
+    // session entry/exit census + diagonal bounce rates over the q20
+    // sessionize convention
+    "q209_entry_exit" -> ((s, dir) =>
+      Engagement.sessionEntryExit(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id").orderBy("entry_type", "exit_type")),
+    // incremental ingest gate: new-epoch docs (doc_id%10 ≥ 8) already
+    // present in the old epoch by normalized-prefix fingerprint
+    "q210_epoch_ingest_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.crossEpochPrefixDedup(
+        docs.where(pmod(col("doc_id"), lit(10)) < 8),
+        docs.where(pmod(col("doc_id"), lit(10)) >= 8))
+        .orderBy("source")
+    }),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5237,6 +5256,76 @@ object SparkEntry {
         |       CAST((20000 * sum(a) + sum(w)) // (2 * sum(w)) AS BIGINT) AS cpw_bp,
         |       CAST((2 * sum(fm) + count(*)) // (2 * count(*)) AS BIGINT) AS flesch_milli
         |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
+    // same grid identity: Σ ranks of a cell = m(2·cum0+m+1)/2; HUGEINT
+    // final quotient mirrors the engine's decimal(38,0)
+    "q208_activity_gini" ->
+      """WITH c AS (SELECT event_type AS k, user_id AS u,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |           GROUP BY 1, 2),
+        |g AS (SELECT k, c, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1, 2),
+        |w AS (SELECT k, c, m,
+        |             coalesce(sum(m) OVER (PARTITION BY k ORDER BY c
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |               AS cum0
+        |      FROM g),
+        |a AS (SELECT k, CAST(sum(m) AS BIGINT) AS n_units,
+        |             CAST(sum(c * m) AS BIGINT) AS n_events,
+        |             CAST(sum(c * m * (2 * cum0 + m + 1)) AS BIGINT) AS s2
+        |      FROM w GROUP BY 1)
+        |SELECT k AS event_type, n_units, n_events,
+        |       CAST(((CAST(s2 AS HUGEINT) - CAST(n_units + 1 AS HUGEINT) * n_events)
+        |              * 10000)
+        |            // (CAST(n_units AS HUGEINT) * n_events) AS BIGINT) AS gini_bp
+        |FROM a ORDER BY 1""".stripMargin,
+    // q20 sessionize prologue; entry/exit as rn=1 rows (the CandleCte
+    // conditional-max trick), bounce = depth-1 sessions
+    "q209_entry_exit" ->
+      """WITH ev AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |                   user_id AS u, event_type AS t
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                       OR us - lag(us) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS is_new
+        |      FROM ev WINDOW w AS (PARTITION BY u ORDER BY us, event_id)),
+        |sid AS (SELECT *, sum(is_new) OVER (PARTITION BY u ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |        FROM s),
+        |r AS (SELECT u, sid, t,
+        |             row_number() OVER (PARTITION BY u, sid
+        |               ORDER BY us, event_id) AS rn_a,
+        |             row_number() OVER (PARTITION BY u, sid
+        |               ORDER BY us DESC, event_id DESC) AS rn_d,
+        |             count(*) OVER (PARTITION BY u, sid) AS depth
+        |      FROM sid),
+        |sess AS (SELECT u, sid,
+        |                max(CASE WHEN rn_a = 1 THEN t END) AS entry_type,
+        |                max(CASE WHEN rn_d = 1 THEN t END) AS exit_type,
+        |                max(depth) AS depth
+        |         FROM r GROUP BY 1, 2)
+        |SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_bounce,
+        |       CAST((sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) * 10000)
+        |            // count(*) AS BIGINT) AS bounce_bp
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q149's normalized-prefix fingerprint; old epoch distinct-first
+    "q210_epoch_ingest_dedup" ->
+      """WITH n AS (SELECT doc_id, source,
+        |                  trim(regexp_replace(regexp_replace(lower(text),
+        |                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |           FROM documents),
+        |k AS (SELECT doc_id, source, md5(substr(norm, 1, 120)) AS fp FROM n),
+        |old AS (SELECT DISTINCT fp FROM k WHERE doc_id % 10 < 8),
+        |nw AS (SELECT * FROM k WHERE doc_id % 10 >= 8)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_new,
+        |       CAST(sum(CASE WHEN fp IN (SELECT fp FROM old) THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_dup,
+        |       CAST((sum(CASE WHEN fp IN (SELECT fp FROM old) THEN 1 ELSE 0 END)
+        |             * 10000) // count(*) AS BIGINT) AS dup_bp
+        |FROM nw GROUP BY 1 ORDER BY 1""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->

@@ -284,6 +284,44 @@ object Engagement {
         col("p50"), col("p90"), col("p99"))
   }
 
+  /** Session entry/exit census with bounce rates — "where do sessions
+    * start, where do they end, and how many are one-and-done". The
+    * sessionization prologue is [[sessionStats]]' verbatim (user-keyed
+    * gap cut, same (ts, tie) total order); per session one aggregate
+    * picks the first/last event type as min/max over (ts, tie, type)
+    * structs — the (ts, tie) prefix is unique per row, so the struct
+    * extreme IS the rank-1 row, without a second window pass — and the
+    * census agg runs on the bounded (entry × exit) dim. A bounce
+    * (depth 1) necessarily lands on the diagonal.
+    * Output: entry_type, exit_type, n_sessions, n_bounce, bounce_bp.
+    */
+  def sessionEntryExit(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, tieCol: String,
+                       gapMinutes: Int = 30): DataFrame = {
+    val wo = Window.partitionBy(col("__u")).orderBy(col("__us"), col("__tie"))
+    events
+      .select(col(userCol).as("__u"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+        col(typeCol).as("__t"), col(tieCol).as("__tie"))
+      .where(col("__u").isNotNull && col("__us").isNotNull)
+      .withColumn("__prev", lag(col("__us"), 1).over(wo))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("__us") - col("__prev") > gapMinutes * 60000000L, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__u"), col("__sid"))
+      .agg(min(struct(col("__us"), col("__tie"), col("__t"))).as("__f"),
+        max(struct(col("__us"), col("__tie"), col("__t"))).as("__l"),
+        count(lit(1)).as("__depth"))
+      .groupBy(col("__f.__t").as("entry_type"), col("__l.__t").as("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("__depth") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .withColumn("bounce_bp",
+        expr("CAST((n_bounce * 10000) DIV n_sessions AS BIGINT)"))
+  }
+
   /** First-touch census: the distribution of each user's FIRST event
     * type — the acquisition-mix / broken-instrumentation audit (a user
     * whose first event is `purchase` never saw an attributable touch).

@@ -532,4 +532,44 @@ object Stats {
         (floor(col("trail_sum") * 10000.0 / col("__den") + 0.5).cast("long")
           / 10000.0).as("trail_mean"))
   }
+
+  /** Per-key Gini coefficient of the per-unit activity distribution —
+    * the one-number inequality summary next to
+    * [[graft.operators.Engagement.topDecileConcentration]] ("do 1% of
+    * users generate 99% of `purchase` events?").
+    *
+    * Exactly integral, never a per-unit sort: units collapse to their
+    * activity count (one hash agg), counts collapse to a (key ×
+    * count) GRID with multiplicities (a second, far smaller agg), and
+    * the rank-weighted sum the Gini needs — Σ i·x(i) over the
+    * ascending sort — comes from the grid identity Σ ranks of a cell
+    * = m·(2·cum0 + m + 1)/2, cumulated with a window over grid CELLS
+    * (bounded by distinct activity values, not units). The final
+    * quotient runs in decimal(38,0) so n·T cannot overflow int64 at
+    * corpus scale; the numerator 2S − (n+1)T is ≥ 0 by construction
+    * (ascending ranks), so integral division is floor on both engines.
+    * Output: key, n_units, n_events, gini_bp ∈ [0, 10000).
+    */
+  def giniByKey(df: DataFrame, keyCol: String, unitCol: String): DataFrame = {
+    val counts = df.select(col(keyCol).as("__k"), col(unitCol).as("__u"))
+      .where(col("__k").isNotNull && col("__u").isNotNull)
+      .groupBy(col("__k"), col("__u")).agg(count(lit(1)).as("__c"))
+    val grid = counts.groupBy(col("__k"), col("__c"))
+      .agg(count(lit(1)).as("__m"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    grid
+      .withColumn("__cum0", coalesce(sum(col("__m")).over(wCum), lit(0L)))
+      .withColumn("__s2", expr("__c * __m * (2 * __cum0 + __m + 1)"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__m")).as("n_units"),
+        sum(expr("__c * __m")).as("n_events"),
+        sum(col("__s2")).as("__twoS"))
+      .select(col("__k").as(keyCol), col("n_units"), col("n_events"),
+        expr("""CAST(((CAST(__twoS AS DECIMAL(38,0))
+                 - CAST(n_units + 1 AS DECIMAL(38,0)) * n_events) * 10000)
+                DIV (CAST(n_units AS DECIMAL(38,0)) * n_events) AS BIGINT)""")
+          .as("gini_bp"))
+  }
 }

@@ -1879,6 +1879,32 @@ object TextAnalysis {
       .where(col("n_docs") > 1 && col("n_variants") > 1)
   }
 
+  /** Cross-epoch incremental dedup audit: which NEW-epoch documents are
+    * already represented in the accepted OLD epoch, by the
+    * [[prefixDupGroups]] identity (md5 of the first `prefixChars` of the
+    * normalized text — catches retrieval truncations and re-crawled
+    * heads that full-hash dedup misses). This is the batch acceptance
+    * gate an append-only corpus runs per ingest epoch: only the NEW
+    * slice pays the scan, the old side collapses to its DISTINCT
+    * fingerprint set first (map-side combine on a uniform 128-bit key),
+    * and the join shuffles fingerprints, never text. At 100 TB the old
+    * fingerprint set exceeds broadcast, so the equi-join hashes on the
+    * md5 key — uniform by construction regardless of text skew.
+    * Output per source: n_new, n_dup, dup_bp (floor).
+    */
+  def crossEpochPrefixDedup(oldDocs: DataFrame, newDocs: DataFrame,
+                            prefixChars: Int = 120): DataFrame = {
+    def fp: Column =
+      md5(substring(normalizedTextExpr(col("text")), 1, prefixChars))
+    val oldFp = oldDocs.select(fp.as("__fp")).distinct()
+    newDocs.select(col("source"), fp.as("__fp"))
+      .join(oldFp.withColumn("__hit", lit(1L)), Seq("__fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_dup"))
+      .withColumn("dup_bp", expr("CAST((n_dup * 10000) DIV n_new AS BIGINT)"))
+  }
+
   /** Deterministic global training order: every doc's 1-based rank in
     * the total order (salted md5 key, doc_id tiebreak) — the "epoch
     * shuffle" manifest a reproducible training run cites instead of an

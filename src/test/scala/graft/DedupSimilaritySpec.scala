@@ -2686,4 +2686,65 @@ class DedupSimilaritySpec extends AnyFunSuite {
       ("A", 1L, 30000L, 30000L, 119190L),
       ("B", 1L, 20000L, 50000L, 77905L)))
   }
+
+  test("gini: zero for equal shares, exact grid arithmetic for skew, matches brute") {
+    val ev = (
+      // type A: four users, one event each → perfect equality
+      (1 to 4).map(u => ("A", u.toLong)) ++
+      // type B: three users at 1, one user with 97 → heavy skew
+      (1 to 3).map(u => ("B", u.toLong)) ++ Seq.fill(97)(("B", 4L))
+    ).toDF("t", "u")
+    val got = graft.operators.Stats.giniByKey(ev, "t", "u")
+      .orderBy("t").as[(String, Long, Long, Long)].collect()
+    // B: sorted [1,1,1,97], 2S = 2(1+2+3+4·97) = 788, (n+1)T = 500,
+    // nT = 400 → (788−500)·10000/400 = 7200
+    assert(got.toSeq === Seq(("A", 4L, 4L, 0L), ("B", 4L, 100L, 7200L)))
+    // randomized brute-force equivalence against the textbook formula
+    val rnd = new scala.util.Random(23)
+    val raw = (1 to 500).map(_ => ("X", rnd.nextInt(40).toLong))
+    val gotX = graft.operators.Stats.giniByKey(raw.toDF("t", "u"), "t", "u")
+      .as[(String, Long, Long, Long)].collect().head
+    val xs = raw.groupBy(_._2).values.map(_.size.toLong).toSeq.sorted
+    val (n, tot) = (xs.size.toLong, xs.sum)
+    val s2 = 2L * xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    assert(gotX === (("X", n, tot, (s2 - (n + 1) * tot) * 10000L / (n * tot))))
+  }
+
+  test("session entry/exit: gap cut, bounce on the diagonal, depth-1 only") {
+    import java.sql.Timestamp
+    def t(min: Int) = Timestamp.valueOf(f"2026-03-01 10:$min%02d:00")
+    val ev = Seq(
+      // user 1 session 1: view → click (depth 2, no bounce)
+      (1L, 1L, t(0), "view"), (2L, 1L, t(10), "click"),
+      // user 1 session 2 (41-min gap): purchase alone → bounce
+      (3L, 1L, t(51), "purchase"),
+      // user 2: one event → bounce
+      (4L, 2L, t(5), "search")
+    ).toDF("event_id", "uid", "ts", "etype")
+    val got = graft.operators.Engagement.sessionEntryExit(
+      ev, "uid", "ts", "etype", "event_id")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got === Map(
+      ("view", "click") -> ((1L, 0L, 0L)),
+      ("purchase", "purchase") -> ((1L, 1L, 10000L)),
+      ("search", "search") -> ((1L, 1L, 10000L))))
+  }
+
+  test("cross-epoch prefix dedup: truncated recrawl caught, fresh doc passes") {
+    val pad = "x".repeat(150)
+    val oldDocs = Seq(
+      (1L, "srcA", s"Shared head $pad tail one"),
+      (2L, "srcA", "something else entirely " + pad)
+    ).toDF("doc_id", "source", "text")
+    val newDocs = Seq(
+      // same 120-char normalized prefix as old doc 1, different tail
+      (11L, "srcA", s"Shared head $pad tail TWO rewritten"),
+      (12L, "srcA", "completely fresh document " + pad.toUpperCase),
+      (13L, "srcB", s"shared HEAD $pad tail three") // normalization folds case
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.TextAnalysis.crossEpochPrefixDedup(oldDocs, newDocs)
+      .orderBy("source").as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(("srcA", 2L, 1L, 5000L), ("srcB", 1L, 1L, 10000L)))
+  }
 }
