@@ -1259,6 +1259,20 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(10)) >= 8))
         .orderBy("source")
     }),
+    // RFM cube: rank-based quartiles on the stacked (metric × value)
+    // grid, monetary in exact cents then whole units
+    "q211_rfm_segments" -> ((s, dir) =>
+      Engagement.rfmSegments(Tables.events(s, dir), "user_id", "ts", "value")
+        .orderBy("r_seg", "f_seg", "m_seg")),
+    // count-min sketch design audit: exact top-20 tokens vs their d×w
+    // sketch estimates, over-estimate in floor-bp
+    "q212_cms_audit" -> ((s, dir) =>
+      Sketch.cmsHeavyHitterAudit(Tables.documents(s, dir)).orderBy("rank")),
+    // embedding anisotropy: (v, v+250) pair cosines bucketed by
+    // floor(cos·10), share of pairs per bucket
+    "q213_cosine_histogram" -> ((s, dir) =>
+      Similarity.cosinePairHistogram(Tables.embeddings(s, dir))
+        .orderBy("bucket")),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5326,6 +5340,89 @@ object SparkEntry {
         |       CAST((sum(CASE WHEN fp IN (SELECT fp FROM old) THEN 1 ELSE 0 END)
         |             * 10000) // count(*) AS BIGINT) AS dup_bp
         |FROM nw GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same rank-based cuts: seg = min(q, (q·cum0) DIV n + 1) per metric
+    "q211_rfm_segments" ->
+      """WITH per AS (SELECT user_id AS u, max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_d,
+        |                    CAST(count(*) AS BIGINT) AS freq,
+        |                    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |             FROM events
+        |             WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |             GROUP BY 1),
+        |ref AS (SELECT max(last_d) AS ref_d FROM per),
+        |st AS (SELECT u, m, v FROM (
+        |         SELECT u,
+        |                CAST(datediff('day', last_d, ref_d) AS BIGINT) AS r,
+        |                freq AS f, sc // 100 AS mon
+        |         FROM per CROSS JOIN ref)
+        |       UNPIVOT (v FOR m IN (r, f, mon))),
+        |sm AS (SELECT CASE WHEN m = 'mon' THEN 'm' ELSE m END AS m, u, v FROM st),
+        |grid AS (SELECT m, v, CAST(count(*) AS BIGINT) AS c FROM sm GROUP BY 1, 2),
+        |seg AS (SELECT m, v,
+        |               least(4, (4 * coalesce(sum(c) OVER (PARTITION BY m ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+        |                 // (sum(c) OVER (PARTITION BY m)) + 1) AS sg
+        |        FROM grid),
+        |cube AS (SELECT u,
+        |                max(CASE WHEN sm.m = 'r' THEN sg END) AS r_seg,
+        |                max(CASE WHEN sm.m = 'f' THEN sg END) AS f_seg,
+        |                max(CASE WHEN sm.m = 'm' THEN sg END) AS m_seg
+        |         FROM sm JOIN seg ON seg.m = sm.m AND seg.v = sm.v
+        |         GROUP BY 1),
+        |cc AS (SELECT r_seg, f_seg, m_seg, CAST(count(*) AS BIGINT) AS n_users
+        |       FROM cube GROUP BY 1, 2, 3)
+        |SELECT r_seg, f_seg, m_seg, n_users,
+        |       CAST((n_users * 10000) // (sum(n_users) OVER ()) AS BIGINT)
+        |         AS share_bp
+        |FROM cc ORDER BY 1, 2, 3""".stripMargin,
+    // identical salted-md5 slots; sketch built from the exact vocab agg
+    // (counts are additive), estimate = min over the d probed slots
+    "q212_cms_audit" ->
+      """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       x -> x <> '')) AS tok
+        |              FROM documents),
+        |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+        |          FROM toks GROUP BY 1),
+        |rows_ AS (SELECT tok, n_exact, unnest([0, 1, 2, 3]) AS r FROM exact),
+        |slots AS (SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 1024 AS slot,
+        |                 n_exact
+        |          FROM rows_),
+        |cms AS (SELECT r, slot, CAST(sum(n_exact) AS BIGINT) AS sc
+        |        FROM slots GROUP BY 1, 2),
+        |top AS (SELECT tok, n_exact,
+        |               CAST(row_number() OVER (ORDER BY n_exact DESC, tok ASC)
+        |                 AS BIGINT) AS rank
+        |        FROM exact QUALIFY rank <= 20),
+        |probe AS (SELECT t.rank, t.tok, t.n_exact, rr.r,
+        |                 ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || t.tok), 1, 8))::BIGINT % 1024 AS slot
+        |          FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rr)
+        |SELECT p.rank, p.tok, p.n_exact, CAST(min(c.sc) AS BIGINT) AS n_est,
+        |       CAST(((min(c.sc) - p.n_exact) * 10000) // p.n_exact AS BIGINT)
+        |         AS over_bp
+        |FROM probe p JOIN cms c ON c.r = p.r AND c.slot = p.slot
+        |GROUP BY 1, 2, 3 ORDER BY p.rank""".stripMargin,
+    // same (v, v+250) pair rule over the shared component CTEs; cos 6dp
+    // then floor(cos·10) buckets; zero norms → bucket 0
+    "q213_cosine_histogram" ->
+      s"""WITH $VecBaseSql,
+        |pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        |          FROM e a JOIN e b ON b.vec_id = a.vec_id + 250),
+        |dots AS (SELECT p.ia, p.ib, sum(ca.x * cb.x) AS dp
+        |         FROM pairs p
+        |         JOIN comp ca ON ca.vec_id = p.ia
+        |         JOIN comp cb ON cb.vec_id = p.ib AND cb.i = ca.i
+        |         GROUP BY 1, 2),
+        |coss AS (SELECT CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+        |                     ELSE round(d.dp / (na.nrm * nb.nrm), 6) END AS cos
+        |         FROM dots d
+        |         JOIN norms na ON na.vec_id = d.ia
+        |         JOIN norms nb ON nb.vec_id = d.ib),
+        |h AS (SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket,
+        |             CAST(count(*) AS BIGINT) AS n_pairs
+        |      FROM coss GROUP BY 1)
+        |SELECT bucket, n_pairs,
+        |       CAST((n_pairs * 10000) // (sum(n_pairs) OVER ()) AS BIGINT)
+        |         AS share_bp
+        |FROM h ORDER BY bucket""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->

@@ -322,6 +322,59 @@ object Engagement {
         expr("CAST((n_bounce * 10000) DIV n_sessions AS BIGINT)"))
   }
 
+  /** RFM segmentation census: every user scored 1–`q` on Recency (days
+    * since last event, ascending — segment 1 is the most recent),
+    * Frequency (event count) and Monetary (value summed in exact cents,
+    * reported in whole units), then counted per (r, f, m) cell — the
+    * classic lifecycle-marketing cube, ≤ q³ rows out.
+    *
+    * Segment cuts are RANK-based on a (metric × value) counting grid,
+    * never a per-user sort: ties share the segment of their first
+    * position (seg = min(q, (q·cum0) DIV n + 1) with cum0 = users
+    * strictly below the value), the three grids stack into one window
+    * partitioned by metric (cells bounded by distinct metric values —
+    * recency by the day span, frequency by activity skew, monetary
+    * DISCRETIZED to whole units per the quantileBucketsTicked
+    * discipline), and per-event values fix to integer cents before
+    * summing so the monetary metric is fold-order exact.
+    * Output: r_seg, f_seg, m_seg, n_users, share_bp.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, q: Int = 4): DataFrame = {
+    require(q >= 2, "need at least two segments")
+    val per = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"),
+        floor(col(valueCol).cast("double") * 100 + 0.5).cast("long").as("__cents"))
+      .where(col("__u").isNotNull && col("__d").isNotNull)
+      .groupBy(col("__u"))
+      .agg(max(col("__d")).as("__last"), count(lit(1)).as("__freq"),
+        sum(col("__cents")).as("__sc"))
+    val ref = per.agg(max(col("__last")).as("__ref"))
+    val stacked = per.crossJoin(broadcast(ref))
+      .select(col("__u"), expr(
+        """stack(3,
+          |  'r', CAST(datediff(__ref, __last) AS BIGINT),
+          |  'f', __freq,
+          |  'm', __sc DIV 100) AS (__m, __v)""".stripMargin))
+    val wCum = Window.partitionBy(col("__m")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN = Window.partitionBy(col("__m"))
+    val seg = stacked.groupBy(col("__m"), col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum0", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wN))
+      .select(col("__m"), col("__v"),
+        expr(s"least(${q}L, ($q * __cum0) DIV __n + 1)").as("__seg"))
+    val cube = stacked.join(seg, Seq("__m", "__v"))
+      .groupBy(col("__u"))
+      .agg(max(when(col("__m") === "r", col("__seg"))).as("r_seg"),
+        max(when(col("__m") === "f", col("__seg"))).as("f_seg"),
+        max(when(col("__m") === "m", col("__seg"))).as("m_seg"))
+      .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      .agg(count(lit(1)).as("n_users"))
+    cube.withColumn("share_bp", expr(
+      "CAST((n_users * 10000) DIV sum(n_users) OVER () AS BIGINT)"))
+  }
+
   /** First-touch census: the distribution of each user's FIRST event
     * type — the acquisition-mix / broken-instrumentation audit (a user
     * whose first event is `purchase` never saw an attributable touch).

@@ -631,6 +631,38 @@ object Similarity {
         expr("CAST((n_hit * 10000) DIV __k AS BIGINT)").as("recall_bp"))
   }
 
+  /** Pairwise-cosine histogram over a deterministic pair sample — the
+    * anisotropy check run before trusting any cosine threshold: a
+    * healthy embedding space puts random-pair cosines in a band near 0;
+    * a collapsed (anisotropic) one piles them toward 1 and every dedup/
+    * ANN threshold silently loses meaning. Pairs are (v, v+`offset`) —
+    * an id-derived sample, no RNG, and an equi-join on the derived key
+    * rather than any crossJoin, so the pair count is ≤ n at every scale.
+    * Cosines round to 6dp (the engine-wide grid), then bucket by
+    * floor(cos·10) ∈ [−10, 10]; the share window runs over ≤ 21 rows.
+    * Zero-norm vectors take the [[semanticDedup]] convention (cos ≡ 0).
+    * Output: bucket, n_pairs, share_bp.
+    */
+  def cosinePairHistogram(embeddings: DataFrame, offset: Long = 250): DataFrame = {
+    require(offset != 0, "offset 0 would pair every vector with itself")
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("n", l2norm(col("v")))
+    val a = prep(embeddings)
+      .select(col("vec_id"), col("v").as("va"), col("n").as("na"))
+    val b = prep(embeddings)
+      .select((col("vec_id") - offset).as("vec_id"),
+        col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("vec_id"))
+      .select(when(col("na") * col("nb") === 0, lit(0.0))
+        .otherwise(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .as("__cos"))
+      .select(floor(col("__cos") * 10).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share_bp", expr(
+        "CAST((n_pairs * 10000) DIV sum(n_pairs) OVER () AS BIGINT)"))
+  }
+
   /** Cluster-scoped semantic deduplication (the SemDeDup recipe): assign
     * every embedding to its nearest centroid, then drop any vector with an
     * EARLIER same-cluster vector at cosine ≥ `threshold` — near-duplicate

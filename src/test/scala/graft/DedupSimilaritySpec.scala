@@ -2747,4 +2747,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .orderBy("source").as[(String, Long, Long, Long)].collect()
     assert(got.toSeq === Seq(("srcA", 2L, 1L, 5000L), ("srcB", 1L, 1L, 10000L)))
   }
+
+  test("rfm segments: rank-based quartiles, ties share the first position") {
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2026-01-$day%02d 12:00:00")
+    // user u: one event on day u worth u.00 — recency/monetary quartiles
+    // oppose each other, frequency is uniformly 1 (everyone seg 1)
+    val ev = (1 to 8).map(u => (u.toLong, t(u), u.toDouble)).toDF("uid", "ts", "v")
+    val got = graft.operators.Engagement.rfmSegments(ev, "uid", "ts", "v")
+      .orderBy("r_seg", "f_seg", "m_seg")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(
+      (1L, 1L, 4L, 2L, 2500L), (2L, 1L, 3L, 2L, 2500L),
+      (3L, 1L, 2L, 2L, 2500L), (4L, 1L, 1L, 2L, 2500L)))
+    // two identical users land in the SAME cell (ties share cum0)
+    val tied = ev.union(Seq((9L, t(8), 8.0), (10L, t(8), 8.0)).toDF("uid", "ts", "v"))
+    val cells = graft.operators.Engagement.rfmSegments(tied, "uid", "ts", "v")
+      .agg(org.apache.spark.sql.functions.sum("n_users")).as[Long].collect().head
+    assert(cells === 10L)
+  }
+
+  test("cms heavy hitters: estimates never under-count, wide sketch is exact") {
+    val ds = Seq(
+      (1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "alpha beta delta")
+    ).toDF("doc_id", "text")
+    // wide sketch: 2^20 slots over 4 tokens → collisions essentially
+    // impossible → estimate == exact, over_bp == 0
+    val wide = graft.operators.Sketch.cmsHeavyHitterAudit(ds, d = 4, w = 1 << 20, k = 10)
+      .orderBy("rank").as[(Long, String, Long, Long, Long)].collect()
+    assert(wide.map(r => (r._2, r._3)).toSeq ===
+      Seq(("alpha", 4L), ("beta", 3L), ("delta", 1L), ("gamma", 1L)))
+    assert(wide.forall(r => r._4 === r._3 && r._5 === 0L))
+    // w=1: every token shares the one slot → estimate = corpus total
+    val sat = graft.operators.Sketch.cmsHeavyHitterAudit(ds, d = 2, w = 1, k = 10)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(sat.forall(_._4 === 9L))
+    assert(sat.forall(r => r._4 >= r._3))
+  }
+
+  test("cosine histogram: id-offset pairs, zero norms bucket at 0") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(1f, 0f)), (3L, Array(-1f, 0f)),
+      (4L, Array(0f, 0f)), (6L, Array(1f, 1f))
+    ).toDF("vec_id", "embedding")
+    // offset 2 pairs: (0,2) cos 1 → 10; (1,3) cos −1 → −10;
+    // (2,4) zero-norm → 0; (4,6) zero-norm → 0
+    val got = Similarity.cosinePairHistogram(vecs, offset = 2)
+      .orderBy("bucket").as[(Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((-10L, 1L, 2500L), (0L, 2L, 5000L), (10L, 1L, 2500L)))
+  }
 }
