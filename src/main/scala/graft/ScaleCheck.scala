@@ -209,6 +209,30 @@ object ScaleCheck {
         "event_type", "d").count())
     time(s"daily autocorrelation over $nUev events")(
       graft.operators.Stats.dailyAutocorr(uev, "event_type", "ts").count())
+    // q202: two exchanges end-to-end (activity distinct + user-keyed
+    // join); the triangle output is (weeks × offsets)-bounded
+    time(s"cohort triangle over $nUev events")(
+      graft.operators.Engagement.cohortTriangle(uev, "user_id", "ts").count())
+    // q208: windows run over (type × activity-count) grid CELLS — cost
+    // must track the per-user hash agg, never a per-user sort
+    time(s"activity gini over $nUev events")(
+      graft.operators.Stats.giniByKey(uev, "event_type", "user_id").count())
+    // q209: the q20 session window + ONE struct-extreme agg — must stay
+    // in sessionStats' cost class (identical prologue)
+    time(s"session entry/exit over $nUev events")(
+      graft.operators.Engagement.sessionEntryExit(uev, "user_id", "ts",
+        "event_type", "event_id").count())
+    // q211: three metric grids stack into one bounded window; monetary
+    // discretized to whole units keeps the grid bounded at any corpus
+    time(s"rfm segmentation over $nUev events")(
+      graft.operators.Engagement.rfmSegments(uev, "user_id", "ts", "value")
+        .count())
+    // q203: build side collapses to ≤ m slot ids (broadcast); the probe
+    // explode is |distinct keys|·k — here every event id probes
+    time(s"bloom prefilter audit over $nUev probe keys")(
+      graft.operators.Bloom.prefilterAudit(
+        uev.where(pmod(col("event_id"), lit(100)) === 0), "event_id",
+        uev, "event_id", m = 1 << 20, k = 3).count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise
@@ -614,6 +638,24 @@ object ScaleCheck {
     assert(topPer.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
       "per-source top-k must push the rank limit map-side")
     time(s"per-source top-3 over $nDocs docs")(topPer.count())
+    // q204: two TakeOrdered heaps + a k-row full-outer — fusion cost must
+    // track the BM25 probe, never exceed it
+    time(s"rrf fusion over $nDocs docs")(
+      graft.operators.TextAnalysis.rrfRetrieval(docs,
+        query = Seq("join", "filter", "merge")).count())
+    // q207: one scan + bounded source agg — charClassProfile's cost class
+    time(s"readability profile over $nDocs docs")(
+      graft.operators.TextAnalysis.readabilityProfile(sourced).count())
+    // q212: sketch = (d × w) bounded relation built from the vocab agg;
+    // probe side is k rows — cost must track the vocab top-k probe
+    time(s"cms heavy-hitter audit over $nDocs docs")(
+      graft.operators.Sketch.cmsHeavyHitterAudit(docs).count())
+    // q210: old side collapses to distinct md5 prefixes (uniform key);
+    // the join shuffles fingerprints, never text
+    time(s"cross-epoch prefix dedup over $nDocs docs")(
+      graft.operators.TextAnalysis.crossEpochPrefixDedup(
+        sourced.where(pmod(col("doc_id"), lit(10)) < 8),
+        sourced.where(pmod(col("doc_id"), lit(10)) >= 8)).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so
@@ -687,6 +729,17 @@ object ScaleCheck {
       Similarity.nearestCentroidAccuracy(
         embs.withColumn("label", pmod(col("vec_id"), lit(16)).cast("int")))
         .count())
+    // q205: pure column exprs + posexplode — the quantizeInt8 cost class
+    time(s"int8 reconstruction error over $nVecs vectors")(
+      Similarity.reconstructionError(embs).count())
+    // q206: two brute passes over the bounded query sample — must stay
+    // within 2× the brute kNN probe
+    time(s"dim-slice recall over $nVecs vectors")(
+      Similarity.dimSliceRecall(embs,
+        pmod(col("vec_id"), lit(1000)) === 0).count())
+    // q213: pair sample via id-offset equi-join — ≤ n pairs, no cross
+    time(s"cosine pair histogram over $nVecs vectors")(
+      Similarity.cosinePairHistogram(embs, offset = nVecs / 2).count())
     embs.unpersist()
     spark.stop()
   }
