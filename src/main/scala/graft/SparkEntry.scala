@@ -1273,6 +1273,39 @@ object SparkEntry {
     "q213_cosine_histogram" -> ((s, dir) =>
       Similarity.cosinePairHistogram(Tables.embeddings(s, dir))
         .orderBy("bucket")),
+    // full CUBE over (priority × status) with grouping_id parity —
+    // completes the rollup (q144) grouping-set family
+    "q214_cube_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping_id().as("lvl"), count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))
+        .select(coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          col("lvl").cast("long").as("lvl"), col("n_orders"), col("sum_price"))
+        .orderBy("lvl", "priority", "status")),
+    // percent_rank / cume_dist / ntile parity under a pinned total
+    // order (acctbal, custkey) — ntile is order-dependent, so the tie
+    // break is part of the contract
+    "q215_rank_distributions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    }),
+    // market-basket: top-20 co-occurring brand pairs per order — the
+    // pair join keys on the BASKET, so a ubiquitous brand never squares
+    "q216_basket_pairs" -> ((s, dir) =>
+      Basket.frequentPairs(
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand").orderBy("rank")),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5423,6 +5456,40 @@ object SparkEntry {
         |       CAST((n_pairs * 10000) // (sum(n_pairs) OVER ()) AS BIGINT)
         |         AS share_bp
         |FROM h ORDER BY bucket""".stripMargin,
+    // GROUP BY CUBE with GROUPING() parity (the q144 convention)
+    "q214_cube_orders" ->
+      """SELECT coalesce(o_orderpriority, '<all>') AS priority,
+        |       coalesce(o_orderstatus, '<all>') AS status,
+        |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS lvl,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY 3, 1, 2""".stripMargin,
+    // identical pinned ordering; 6dp rounding on the rank ratios
+    "q215_rank_distributions" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS tile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
+    // distinct (basket, item) first; pairs keyed on the basket
+    "q216_basket_pairs" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |            FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b,
+        |             CAST(count(*) AS BIGINT) AS n_baskets
+        |      FROM bi x JOIN bi y ON y.b = x.b AND x.i < y.i
+        |      GROUP BY 1, 2),
+        |r AS (SELECT item_a, item_b, n_baskets,
+        |             CAST((n_baskets * 10000) // nb.n AS BIGINT) AS support_bp,
+        |             CAST(row_number() OVER (ORDER BY n_baskets DESC,
+        |               item_a ASC, item_b ASC) AS BIGINT) AS rank
+        |      FROM p CROSS JOIN nb)
+        |SELECT rank, item_a, item_b, n_baskets, support_bp
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->

@@ -2798,4 +2798,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .orderBy("bucket").as[(Long, Long, Long)].collect()
     assert(got.toSeq === Seq((-10L, 1L, 2500L), (0L, 2L, 5000L), (10L, 1L, 2500L)))
   }
+
+  test("basket pairs: duplicate items dedupe, support over ALL baskets") {
+    val items = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"), // dup A must not double-count
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "D")                                    // singleton basket still in the denominator
+    ).toDF("b", "i")
+    val got = graft.operators.Basket.frequentPairs(items, "b", "i", k = 10)
+      .as[(Long, String, String, Long, Long)].collect()
+    assert(got.toSeq === Seq(
+      (1L, "A", "B", 2L, 5000L), (2L, "A", "C", 2L, 5000L),
+      (3L, "B", "C", 1L, 2500L)))
+  }
 }
