@@ -1306,6 +1306,28 @@ object SparkEntry {
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey"), col("p_brand")),
         "l_orderkey", "p_brand").orderBy("rank")),
+    // Pareto frontier over (quality ↑, n_tokens ↓): dominance reduced to
+    // a running min over the bounded 4dp quality grid, never an O(n²)
+    // dominance join
+    "q217_pareto_frontier" -> ((s, dir) =>
+      Stats.paretoFrontier(
+        TextAnalysis.qualityScore(Tables.documents(s, dir)),
+        "quality", "n_tokens", "n_docs")
+        .orderBy(col("quality").desc)),
+    // HLL distinct-users audit per event_type: exact integer harmonic
+    // denominator (Σ 2^(cap−rank)), α·m²/Z as one integer DIV
+    "q218_hll_audit" -> ((s, dir) =>
+      Sketch.hllDistinctAudit(Tables.events(s, dir), "event_type", "user_id")
+        .orderBy("key")),
+    // degree-oriented triangle counting on the brand co-occurrence graph
+    // (edges ≥ 230bp of baskets) — one wedge per triangle by construction
+    "q219_triangles" -> ((s, dir) =>
+      Basket.triangles(
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand")),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5490,6 +5512,62 @@ object SparkEntry {
         |      FROM p CROSS JOIN nb)
         |SELECT rank, item_a, item_b, n_baskets, support_bp
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // independent skyline formulation: correlated NOT EXISTS dominance
+    // (the engine's running-min-over-grid must agree with the O(n²) def)
+    "q217_pareto_frontier" ->
+      s"""WITH $QualitySql,
+        |p AS (SELECT q.quality, CAST(qt.n_toks AS BIGINT) AS n_tokens
+        |      FROM q JOIN qt USING (doc_id))
+        |SELECT quality, n_tokens, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p p2
+        |  WHERE p2.quality >= p.quality AND p2.n_tokens <= p.n_tokens
+        |    AND (p2.quality > p.quality OR p2.n_tokens < p.n_tokens))
+        |GROUP BY 1, 2 ORDER BY quality DESC""".stripMargin,
+    // same md5→(register, lowest-set-bit rank) arithmetic; the harmonic
+    // denominator is an exact integer sum, the estimate one integer DIV
+    "q218_hll_audit" ->
+      s"""WITH base AS (SELECT event_type AS key, CAST(user_id AS VARCHAR) AS id
+        |              FROM events
+        |              WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |h AS (SELECT key, id,
+        |             ('0x' || substr(md5(id), 1, 15))::BIGINT AS hv
+        |      FROM base),
+        |r AS (SELECT key, hv % 64 AS reg,
+        |             ${Sketch.hllRankSql("hv // 64")} AS rnk
+        |      FROM h),
+        |regs AS (SELECT key, reg, max(rnk) AS mr FROM r GROUP BY 1, 2),
+        |sk AS (SELECT key, CAST(count(*) AS BIGINT) AS present,
+        |              sum(1048576 // (CAST(1 AS BIGINT) << mr)) AS zp
+        |       FROM regs GROUP BY 1),
+        |est AS (SELECT key, 64 - present AS v_zero,
+        |               CAST(zp + (64 - present) * 1048576 AS BIGINT) AS z_scaled
+        |        FROM sk),
+        |ex AS (SELECT key, CAST(count(DISTINCT id) AS BIGINT) AS n_exact
+        |       FROM base GROUP BY 1)
+        |SELECT ex.key, ex.n_exact, CAST(v_zero AS BIGINT) AS v_zero, z_scaled,
+        |       CAST(${709L * 64 * 64 * (1L << 20)} // (1000 * z_scaled) AS BIGINT) AS n_est,
+        |       CAST((abs(${709L * 64 * 64 * (1L << 20)} // (1000 * z_scaled) - ex.n_exact) * 10000)
+        |         // ex.n_exact AS BIGINT) AS err_abs_bp
+        |FROM ex JOIN est ON est.key = ex.key ORDER BY ex.key""".stripMargin,
+    // independent triangle formulation: a<b<c three-way edge join (the
+    // engine's degree orientation must reproduce the naive closure)
+    "q219_triangles" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        |            FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM bi),
+        |e AS (SELECT x.it AS ea, y.it AS eb
+        |      FROM bi x JOIN bi y ON y.bk = x.bk AND x.it < y.it
+        |      CROSS JOIN nb
+        |      GROUP BY 1, 2, nb.n
+        |      HAVING (count(*) * 10000) // nb.n >= 230),
+        |t AS (SELECT e1.ea AS a, e1.eb AS b, e2.eb AS c
+        |      FROM e e1 JOIN e e2 ON e2.ea = e1.eb
+        |      JOIN e e3 ON e3.ea = e1.ea AND e3.eb = e2.eb),
+        |nodes AS (SELECT unnest([a, b, c]) AS item FROM t)
+        |SELECT item, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->

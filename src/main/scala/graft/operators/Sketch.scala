@@ -61,4 +61,75 @@ object Sketch {
       .select(col("rank"), col("tok"), col("n_exact"), col("n_est"),
         col("over_bp"))
   }
+
+  /** HyperLogLog registers: 64 slots, rank capped at 20 bits. */
+  val HllM = 64
+  val HllRankCap = 20
+
+  /** rank = index of the lowest set bit of `w` (1-based), capped — the
+    * geometric observable HLL keys on, as a pure modulo cascade
+    * (w mod 2^r == 2^(r-1) ⟺ rank r) so no engine-specific bit ops.
+    * The generated text is plain ANSI CASE/%, valid in both Spark SQL
+    * and the DuckDB oracle — one generator, two engines.
+    */
+  def hllRankSql(w: String): String = {
+    val cases = (1 until HllRankCap).map { r =>
+      s"WHEN ($w) % ${1L << r} = ${1L << (r - 1)} THEN $r"
+    }.mkString(" ")
+    s"CASE $cases ELSE $HllRankCap END"
+  }
+
+  def hllRankExpr(w: String): Column = expr(hllRankSql(w))
+
+  /** Distinct-count audit of the 64-register HLL design point, per key:
+    * the exact COUNT(DISTINCT id) next to the sketch's raw estimate, so
+    * a pipeline knows the error band before trusting the sketch where
+    * an exact distinct is unaffordable (per-window uniques at stream
+    * scale, cross-epoch union cardinality).
+    *
+    * Engine-portable by construction: the hash is md5 (15 hex digits →
+    * a 60-bit integer), register = h mod 64, rank = lowest-set-bit of
+    * h div 64 via [[hllRankExpr]], and the harmonic denominator is the
+    * EXACT integer Σ 2^(cap − rank) (every term a bigint power of two —
+    * no float fold anywhere), so the α·m²/Z estimate is one integer
+    * division: (709·m²·2^cap) DIV (1000·Z). Registers are a bounded
+    * m-row state per key — mergeable across epochs/partitions with
+    * max(), which is what makes HLL the scale answer; the relation here
+    * IS that state, not an opaque binary. The raw estimator is reported
+    * as-is (production HLL switches to linear counting below 2.5m using
+    * ln(), whose last ulp is engine-specific — the zero-register count
+    * `v_zero` that correction keys on is in the output instead).
+    * Output: key, n_exact, v_zero, z_scaled, n_est, err_abs_bp.
+    */
+  def hllDistinctAudit(df: DataFrame, keyCol: String,
+                       idCol: String): DataFrame = {
+    val m = HllM
+    val cap = HllRankCap
+    val base = df
+      .select(col(keyCol).as("key"), col(idCol).cast("string").as("__id"))
+      .where(col("key").isNotNull && col("__id").isNotNull)
+    val hashed = base
+      .withColumn("__h",
+        conv(substring(md5(col("__id")), 1, 15), 16, 10).cast("long"))
+      .withColumn("__reg", pmod(col("__h"), lit(m.toLong)))
+      .withColumn("__rank", hllRankExpr(s"__h div $m"))
+    val regs = hashed.groupBy(col("key"), col("__reg"))
+      .agg(max(col("__rank")).as("__mr"))
+    val sketch = regs.groupBy(col("key"))
+      .agg(count(lit(1)).as("__present"),
+        sum(expr(s"CAST(${1L << cap} div shiftleft(CAST(1 AS BIGINT), __mr) AS BIGINT)"))
+          .as("__zp"))
+      .withColumn("v_zero", lit(m.toLong) - col("__present"))
+      .withColumn("z_scaled",
+        col("__zp") + col("v_zero") * lit(1L << cap))
+      .withColumn("n_est",
+        expr(s"CAST(${709L * m * m * (1L << cap)} DIV (1000 * z_scaled) AS BIGINT)"))
+    val exact = base.groupBy(col("key"))
+      .agg(countDistinct(col("__id")).as("n_exact"))
+    exact.join(sketch, Seq("key"))
+      .withColumn("err_abs_bp",
+        expr("CAST((abs(n_est - n_exact) * 10000) DIV n_exact AS BIGINT)"))
+      .select(col("key"), col("n_exact"), col("v_zero"), col("z_scaled"),
+        col("n_est"), col("err_abs_bp"))
+  }
 }

@@ -572,4 +572,40 @@ object Stats {
                 DIV (CAST(n_units AS DECIMAL(38,0)) * n_events) AS BIGINT)""")
           .as("gini_bp"))
   }
+
+  /** 2-D Pareto frontier (skyline): the rows no other row beats on BOTH
+    * axes — maximize `maxCol`, minimize `minCol`, a row is dominated iff
+    * some other row is ≥ on the max axis and ≤ on the min axis with at
+    * least one strict. The curation use: "best quality achievable at
+    * every length budget" over (quality ↑, n_tokens ↓).
+    *
+    * Never the O(n²) dominance join: rows collapse to the distinct
+    * (max, min) CELL grid first (one hash agg — for 4dp-rounded scores
+    * the max axis has ≤ 10⁴+1 values at ANY corpus size, the counting-dim
+    * discipline), each max-value keeps only its min-axis minimum, and
+    * dominance reduces to one running min over the max axis DESCENDING:
+    * a surviving cell is on the frontier iff its min-axis value is
+    * strictly below every strictly-better max-value's minimum. The
+    * window runs over ≤ |distinct max values| rows, never the corpus.
+    * Exact-tie cells (identical on both axes) are mutually undominated
+    * and stay, reported with their multiplicity.
+    * Output: maxCol, minCol, n_rows — frontier cells, best-first.
+    */
+  def paretoFrontier(df: DataFrame, maxCol: String, minCol: String,
+                     nCol: String = "n_rows"): DataFrame = {
+    val cells = df.select(col(maxCol).as("__q"), col(minCol).as("__t"))
+      .where(col("__q").isNotNull && col("__t").isNotNull)
+      .groupBy(col("__q"), col("__t")).agg(count(lit(1)).as("__n"))
+    val wQ = org.apache.spark.sql.expressions.Window.partitionBy(col("__q"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__q").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    cells
+      .withColumn("__mt", min(col("__t")).over(wQ))
+      .where(col("__t") === col("__mt"))
+      .withColumn("__rm", min(col("__t")).over(wRun))
+      .where(col("__rm").isNull || col("__t") < col("__rm"))
+      .select(col("__q").as(maxCol), col("__t").as(minCol),
+        col("__n").as(nCol))
+  }
 }

@@ -2812,4 +2812,79 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (1L, "A", "B", 2L, 5000L), (2L, "A", "C", 2L, 5000L),
       (3L, "B", "C", 1L, 2500L)))
   }
+
+  test("pareto frontier: grid running-min equals brute dominance, ties survive") {
+    val pts = Seq( // (quality, tokens)
+      (0.9, 100L), (0.9, 100L),          // tie cell — both undominated, n=2
+      (0.9, 150L),                       // dominated within its own quality
+      (0.8, 80L),                        // frontier: shorter than all q>=0.9
+      (0.8, 120L),                       // dominated by (0.9, 100)
+      (0.7, 80L),                        // dominated by (0.8, 80): equal t, lower q
+      (0.6, 10L),                        // frontier
+      (0.5, 10L))                        // dominated by (0.6, 10)
+    val df = pts.toDF("q", "t")
+    val got = graft.operators.Stats.paretoFrontier(df, "q", "t", "n")
+      .orderBy(col("q").desc).as[(Double, Long, Long)].collect().toSeq
+    assert(got === Seq((0.9, 100L, 2L), (0.8, 80L, 1L), (0.6, 10L, 1L)))
+    // brute O(n²) dominance over a randomized cloud must agree exactly
+    val rnd = new scala.util.Random(7)
+    val cloud = Seq.fill(200)((rnd.nextInt(20) / 10.0, rnd.nextInt(50).toLong))
+    val brute = cloud.distinct.filter { case (q, t) =>
+      !cloud.exists { case (q2, t2) =>
+        q2 >= q && t2 <= t && (q2 > q || t2 < t) }
+    }.map { case (q, t) => (q, t, cloud.count(_ == (q, t)).toLong) }
+      .sortBy { case (q, _, _) => -q }
+    val got2 = graft.operators.Stats.paretoFrontier(cloud.toDF("q", "t"), "q", "t", "n")
+      .orderBy(col("q").desc).as[(Double, Long, Long)].collect().toSeq
+    assert(got2 === brute)
+  }
+
+  test("hll audit: rank is lowest set bit, estimate is multiplicity-blind") {
+    // the modulo cascade must read the lowest set bit, capped
+    val ranks = Seq(1L -> 1, 2L -> 2, 4L -> 3, 6L -> 2, 12L -> 3,
+      (1L << 19) -> 20, (1L << 25) -> 20, 0L -> 20)
+    ranks.foreach { case (w, want) =>
+      val got = spark.range(1).select(
+        graft.operators.Sketch.hllRankExpr(w.toString).cast("int")).head.getInt(0)
+      assert(got === want, s"rank($w)")
+    }
+    val ev = (1 to 400).map(i => (s"t${i % 4}", i.toLong)).toDF("et", "uid")
+    val once = graft.operators.Sketch.hllDistinctAudit(ev, "et", "uid")
+      .orderBy("key").collect().toSeq
+    // exact side: 100 distinct users per type; estimate positive and sane
+    assert(once.map(_.getLong(1)) === Seq(100L, 100L, 100L, 100L))
+    assert(once.forall(r => r.getLong(4) > 0))
+    // HLL state is max-merged: duplicating every row changes NOTHING
+    val twice = graft.operators.Sketch
+      .hllDistinctAudit(ev.union(ev), "et", "uid").orderBy("key").collect().toSeq
+    assert(twice === once)
+  }
+
+  test("triangles: degree orientation reproduces the naive closure, hubs don't inflate") {
+    // one basket per edge: triangle ABC plus a star at A (AD, AE)
+    val items = Seq((1L, "A"), (1L, "B"), (2L, "B"), (2L, "C"),
+      (3L, "C"), (3L, "A"), (4L, "A"), (4L, "D"), (5L, "A"), (5L, "E"))
+      .toDF("b", "i")
+    val got = graft.operators.Basket.triangles(items, "b", "i", minSupportBp = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("A", 1L), ("B", 1L), ("C", 1L)))
+    // randomized graph vs brute 3-clique enumeration
+    val rnd = new scala.util.Random(11)
+    val edges = (for {
+      a <- 0 until 12; b <- a + 1 until 12 if rnd.nextBoolean()
+    } yield (f"n$a%02d", f"n$b%02d")).toSeq
+    val bask = edges.zipWithIndex.flatMap { case ((a, b), k) =>
+      Seq((k.toLong, a), (k.toLong, b)) }
+    val es = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = scala.collection.mutable.Map.empty[String, Long]
+    for {
+      x <- nodes; y <- nodes if x < y; z <- nodes if y < z
+      if es((x, y)) && es((y, z)) && es((x, z))
+    } Seq(x, y, z).foreach(n => brute(n) = brute.getOrElse(n, 0L) + 1)
+    val got2 = graft.operators.Basket
+      .triangles(bask.toDF("b", "i"), "b", "i", minSupportBp = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(got2 === brute.toSeq.sortBy(_._1))
+  }
 }
