@@ -1328,6 +1328,20 @@ object SparkEntry {
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey"), col("p_brand")),
         "l_orderkey", "p_brand")),
+    // EXACT token-Jaccard join via PPJoin prefix filtering — complete
+    // recall (no df cap), candidates fan out on the rare vocabulary end
+    "q220_prefix_filter_join" -> ((s, dir) =>
+      Dedup.prefixFilterJaccardPairs(Tables.documents(s, dir), 19, 20)
+        .orderBy("doc_a", "doc_b")),
+    // classifier reliability diagram: score centibins vs quality-gate
+    // pass rate, exact offset-tick means
+    "q221_calibration" -> ((s, dir) =>
+      TextAnalysis.scoreCalibration(Tables.documents(s, dir))
+        .orderBy("bin")),
+    // discrete survival/hazard with right-censoring on the (span,
+    // window) grid — integer estimator, no Kaplan-Meier float chain
+    "q222_survival" -> ((s, dir) =>
+      Engagement.survivalCurve(Tables.events(s, dir))),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5568,6 +5582,71 @@ object SparkEntry {
         |nodes AS (SELECT unnest([a, b, c]) AS item FROM t)
         |SELECT item, CAST(count(*) AS BIGINT) AS n_triangles
         |FROM nodes GROUP BY 1 ORDER BY 1""".stripMargin,
+    // independent all-pairs formulation: the prefix filter must lose
+    // NOTHING vs brute-force exact token Jaccard at threshold 19/20
+    "q220_prefix_filter_join" ->
+      """WITH tk AS (SELECT DISTINCT doc_id,
+        |              unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                 x -> x <> '')) AS tok
+        |            FROM documents),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+        |it AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS c
+        |       FROM tk a JOIN tk b ON b.tok = a.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT it.da AS doc_a, it.db AS doc_b, sa.n AS n_a, sb.n AS n_b,
+        |       c AS n_common, round(c / (sa.n + sb.n - c), 4) AS jaccard
+        |FROM it JOIN sz sa ON sa.doc_id = it.da
+        |        JOIN sz sb ON sb.doc_id = it.db
+        |WHERE c * 20 >= (sa.n + sb.n - c) * 19
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // same md5 classifier + quality formulas; offset-tick integer means
+    "q221_calibration" ->
+      s"""WITH $QualitySql,
+        |tok AS (SELECT doc_id,
+        |          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |                             x -> x <> '')) AS token
+        |        FROM documents),
+        |wts AS (SELECT doc_id,
+        |          (('0x' || substr(md5('w:' ||
+        |              CAST((('0x' || substr(md5(token), 1, 8))::BIGINT % 1024) AS VARCHAR)),
+        |            1, 8))::BIGINT / 2147483648.0) - 1.0 AS w
+        |        FROM tok),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS raw FROM wts GROUP BY 1),
+        |scored AS (SELECT d.doc_id,
+        |                  coalesce(round(raw / n_tokens, 6), 0.0) AS score
+        |           FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+        |b AS (SELECT CAST(floor(score * 100) AS BIGINT) AS bin,
+        |             CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS t,
+        |             CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS p
+        |      FROM scored JOIN q USING (doc_id))
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(t + 1000000) // count(*) - 1000000 AS BIGINT) AS mean_uticks,
+        |       CAST((sum(p) * 10000) // count(*) AS BIGINT) AS pass_bp
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same censored estimator over the (span, window) grid
+    "q222_survival" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |u AS (SELECT user_id, min(d) AS f, max(d) AS l FROM ev GROUP BY 1),
+        |oe AS (SELECT max(d) AS obs_end FROM ev),
+        |g AS (SELECT date_diff('day', f, l) AS act,
+        |             date_diff('day', f, obs_end) AS w, count(*) AS m
+        |      FROM u CROSS JOIN oe GROUP BY 1, 2),
+        |ks AS (SELECT unnest(range(0, 15)) AS k),
+        |j AS (SELECT ks.k, g.act, g.m FROM g JOIN ks ON g.w > ks.k),
+        |a AS (SELECT k, sum(CASE WHEN act >= k THEN m ELSE 0 END) AS n_at_risk,
+        |             sum(CASE WHEN act = k THEN m ELSE 0 END) AS n_churned,
+        |             sum(m) AS elig,
+        |             sum(CASE WHEN act > k THEN m ELSE 0 END) AS surv
+        |      FROM j GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS day_offset,
+        |       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |       CAST(n_churned AS BIGINT) AS n_churned,
+        |       CAST(CASE WHEN n_at_risk = 0 THEN 0
+        |            ELSE (n_churned * 10000) // n_at_risk END AS BIGINT) AS hazard_bp,
+        |       CAST(CASE WHEN elig = 0 THEN 0
+        |            ELSE (surv * 10000) // elig END AS BIGINT) AS survival_bp
+        |FROM a ORDER BY 1""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->

@@ -815,4 +815,60 @@ object Dedup {
         when(col("__mx") === 0, lit(10000L))
           .otherwise(lit(10000L) - expr("(lev * 10000) DIV __mx")).as("sim_bp"))
   }
+
+  /** EXACT token-set similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin scheme) — the guaranteed-complete complement to
+    * [[jaccardPairs]], whose df cap trades recall on ultra-common
+    * shingles for a bounded join. Here nothing is dropped: every pair
+    * with token-Jaccard ≥ num/den is in the output, yet the corpus
+    * never all-pairs.
+    *
+    * The filter: order each doc's distinct tokens by GLOBAL document
+    * frequency ascending (rarest first, ties by token), keep only the
+    * first |d| − ⌈θ·|d|⌉ + 1 as its PREFIX. Two sets with Jaccard ≥ θ
+    * share ≥ ⌈θ·max(|A|,|B|)⌉ tokens, so under one total order their
+    * prefixes must intersect — candidates are pairs sharing a PREFIX
+    * token, plus the length filter θ·|A| ≤ |B| ≤ |A|/θ. Rare tokens
+    * carry tiny postings lists, so the candidate join fans out on the
+    * sparse end of the vocabulary — the whole point of frequency-
+    * ascending ordering. Threshold arithmetic is exact rational
+    * (num/den integers): prefix length via integer ceil, the final
+    * gate c·den ≥ num·(|A|+|B|−c) — no float anywhere on the decision
+    * path. Exact intersections are recomputed over FULL token sets for
+    * candidates only.
+    * Output: doc_a < doc_b, n_a, n_b, n_common, jaccard (4dp display).
+    */
+  def prefixFilterJaccardPairs(docs: DataFrame, num: Int = 1,
+                               den: Int = 2): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
+    val tk = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(lower(col("text"))))).as("tok"))
+    val dfreq = tk.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("tok").asc)
+    val sized = tk.join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val prefix = sized.where(
+      col("rn") <= col("sz") - expr(s"CAST(($num * sz + ${den - 1}) div $den AS BIGINT)") + 1)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") * den >= col("a.sz") * num &&
+          col("a.sz") * den >= col("b.sz") * num)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("n_a"), col("b.sz").as("n_b"))
+      .distinct()
+    cand
+      .join(tk.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(tk.as("tb"),
+        col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") * den >= (col("n_a") + col("n_b") - col("n_common")) * num)
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
+  }
 }

@@ -714,4 +714,53 @@ object Engagement {
         floor(col("n_both").cast("double") * col("__nu") / col("n_a") / col("n_b")
           * 10000 + 0.5).cast("long").as("lift_bp"))
   }
+
+  /** Discrete survival curve with right-censoring — retention's honest
+    * sibling: per day-offset k since a user's first activity, how many
+    * users were still at risk, how many churned exactly at k (last
+    * activity on day first+k), and the share surviving past k. The
+    * censoring rule is what [[retention]] doesn't model: a user whose
+    * observation window ends at or before offset k (first activity too
+    * close to the corpus end) is EXCLUDED at k — their silence after k
+    * is unobservable, not churn.
+    *
+    * All-integer estimator: eligible(k) = window > k; at-risk = eligible
+    * with activity span ≥ k; churned = span == k exactly; survival =
+    * eligible with span > k, over eligible — every rate an integer
+    * bp division over exact counts, no cumulative float product (the
+    * Kaplan-Meier chain) anywhere. Users collapse to the (span, window)
+    * grid — bounded by the observation span squared, NOT the user count —
+    * before the offset explode, so the fan-out is grid×(maxOffset+1)
+    * regardless of corpus size.
+    * Output: day_offset, n_at_risk, n_churned, hazard_bp, survival_bp.
+    */
+  def survivalCurve(events: DataFrame, maxOffset: Int = 14): DataFrame = {
+    val ev = events
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val obsEnd = ev.agg(max(col("d")).as("obs_end"))
+    val grid = users.crossJoin(broadcast(obsEnd))
+      .select(datediff(col("l"), col("f")).as("act"),
+        datediff(col("obs_end"), col("f")).as("w"))
+      .groupBy(col("act"), col("w")).agg(count(lit(1)).as("m"))
+    grid
+      .select(col("act"), col("w"), col("m"),
+        explode(sequence(lit(0), lit(maxOffset))).as("k"))
+      .where(col("w") > col("k"))
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("act") >= col("k"), col("m")).otherwise(0L)).as("n_at_risk"),
+        sum(when(col("act") === col("k"), col("m")).otherwise(0L)).as("n_churned"),
+        sum(col("m")).as("__elig"),
+        sum(when(col("act") > col("k"), col("m")).otherwise(0L)).as("__surv"))
+      .select(col("k").cast("long").as("day_offset"),
+        col("n_at_risk"), col("n_churned"),
+        expr("CAST(CASE WHEN n_at_risk = 0 THEN 0 ELSE (n_churned * 10000) DIV n_at_risk END AS BIGINT)")
+          .as("hazard_bp"),
+        expr("CAST(CASE WHEN __elig = 0 THEN 0 ELSE (__surv * 10000) DIV __elig END AS BIGINT)")
+          .as("survival_bp"))
+      .orderBy(col("day_offset"))
+  }
 }

@@ -2043,4 +2043,35 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
       .select(col("rank"), col("pair"), col("n"))
   }
+
+  /** Classifier reliability diagram: hashed-classifier score centibins
+    * vs the empirical quality-gate pass rate per bin — the table that
+    * says whether the cheap scorer's confidence tracks the expensive
+    * gate before a pipeline swaps one for the other. A well-calibrated
+    * scorer shows pass_bp rising monotonically with the bin.
+    *
+    * One corpus scan, two fused column expressions (score + gate),
+    * one hash aggregate on the bounded centibin grid — no shuffle
+    * beyond the final ≤ ~200-key agg at any corpus size. The mean
+    * score per bin is exact integer arithmetic: the 6dp-rounded score
+    * becomes HALF_UP micro-ticks, summed with a +10⁶ offset so the
+    * integral division never sees a negative operand (Spark DIV
+    * truncates toward zero where DuckDB // floors — identical only on
+    * non-negatives).
+    * Output: bin (floor(score·100)), n_docs, mean_uticks, pass_bp.
+    */
+  def scoreCalibration(docs: DataFrame,
+                       passThreshold: Double = 0.5): DataFrame = {
+    val score = classifierScoreExpr(col("text"))
+    docs
+      .select(floor(score * 100).cast("long").as("bin"),
+        floor(score * lit(1000000.0) + 0.5).cast("long").as("__t"),
+        when(qualityExpr(col("text")) >= passThreshold, 1L).otherwise(0L)
+          .as("__p"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(__t + 1000000) DIV count(1) - 1000000 AS BIGINT)")
+          .as("mean_uticks"),
+        expr("CAST((sum(__p) * 10000) DIV count(1) AS BIGINT)").as("pass_bp"))
+  }
 }

@@ -2887,4 +2887,79 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(got2 === brute.toSeq.sortBy(_._1))
   }
+
+  test("prefix-filter join: complete vs brute exact Jaccard, rational threshold") {
+    // random bags over a small vocab so shared-token pairs are dense —
+    // the regime where a lossy candidate scheme would show
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 8 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(30)))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((num, den) <- Seq((1, 2), (7, 10))) {
+      val got = Dedup.prefixFilterJaccardPairs(df, num, den)
+        .orderBy("doc_a", "doc_b")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      val sets = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSet }.toMap
+      val brute = (for {
+        a <- sets.keys.toSeq; b <- sets.keys.toSeq if a < b
+        c = (sets(a) & sets(b)).size
+        u = sets(a).size + sets(b).size - c
+        if c * den >= u * num
+      } yield (a, b, sets(a).size.toLong, sets(b).size.toLong, c.toLong,
+        BigDecimal(c.toDouble / u).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)).sortBy(p => (p._1, p._2))
+      assert(got === brute, s"threshold $num/$den")
+    }
+  }
+
+  test("calibration: bins partition the corpus, rates match direct recompute") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cal = TextAnalysis.scoreCalibration(docs).orderBy("bin")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(cal.map(_._2).sum === docs.count())
+    // independent aggregation path over the same score/gate columns
+    val joined = TextAnalysis.hashedClassifierScore(docs)
+      .join(TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality")), "doc_id")
+      .select(col("score"), col("quality")).as[(Double, Double)].collect()
+    val byBin = joined.groupBy { case (s2, _) => math.floor(s2 * 100).toLong }
+    cal.foreach { case (bin, n, meanU, passBp) =>
+      val in = byBin(bin)
+      assert(in.size.toLong === n, s"bin $bin n")
+      val ticks = in.map { case (s2, _) => math.floor(s2 * 1e6 + 0.5).toLong + 1000000L }
+      assert(ticks.sum / n - 1000000L === meanU, s"bin $bin mean")
+      assert(in.count(_._2 >= 0.5) * 10000L / n === passBp, s"bin $bin pass")
+    }
+  }
+
+  test("survival: censoring excludes short windows, hand-computed hazard") {
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    // obs_end = day 10. u1: active d1..d3 (span 2, window 9);
+    // u2: active d8 only (span 0, window 2); u3: active d9..d10
+    // (span 1, window 1 — censored from k>=1); null user ignored
+    val ev = Seq(
+      (Some(1L), t(1)), (Some(1L), t(3)),
+      (Some(2L), t(8)),
+      (Some(3L), t(9)), (Some(3L), t(10)),
+      (None, t(5))
+    ).toDF("user_id", "ts")
+    val got = graft.operators.Engagement.survivalCurve(ev, maxOffset = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // k=0: eligible u1(w9) u2(w2) u3(w1): at-risk 3, churned u2 (span0):
+    //   hazard 3333bp; surviving past 0: u1,u3 → 6666bp
+    // k=1: eligible u1,u2 (u3 censored: w=1): at-risk: span>=1 → u1;
+    //   churned none at 1; survival: span>1 among elig → u1 → 5000bp
+    // k=2: eligible u1 only (u2 w2 excluded? w>k → 2>2 false): at-risk u1
+    //   (span2), churned u1 → 10000bp; survival past 2: none → 0
+    // k=3: eligible u1 (w9): span>=3 none → at-risk 0, hazard 0, survival 0
+    assert(got === Seq(
+      (0L, 3L, 1L, 3333L, 6666L),
+      (1L, 1L, 0L, 0L, 5000L),
+      (2L, 1L, 1L, 10000L, 0L),
+      (3L, 0L, 0L, 0L, 0L)))
+  }
 }
