@@ -1342,6 +1342,24 @@ object SparkEntry {
     // window) grid — integer estimator, no Kaplan-Meier float chain
     "q222_survival" -> ((s, dir) =>
       Engagement.survivalCurve(Tables.events(s, dir))),
+    // interval-weighted mean price: lead-window durations, decimal(38,0)
+    // tick·µs products, last sample censored (zero weight)
+    "q223_twap" -> ((s, dir) =>
+      Ohlc.twap(Tables.events(s, dir))),
+    // join cardinality estimator audit: top-8 heavy keys exact + System-R
+    // uniform tail vs ground truth Σ c1·c2 — never a physical join
+    "q224_join_card" -> ((s, dir) =>
+      Sketch.joinCardinalityAudit(Seq(
+        ("events_self_user", Tables.events(s, dir), "user_id",
+          Tables.events(s, dir), "user_id"),
+        ("lineitem_part", Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey"),
+        ("orders_customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey")))),
+    // self-calibrated exact-phrase search: top corpus trigram, per-doc
+    // occurrence counts — transform-based adjacency, no position joins
+    "q225_phrase_match" -> ((s, dir) =>
+      TextAnalysis.phraseMatchTopTrigram(Tables.documents(s, dir))),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5647,6 +5665,38 @@ object SparkEntry {
         |       CAST(CASE WHEN elig = 0 THEN 0
         |            ELSE (surv * 10000) // elig END AS BIGINT) AS survival_bp
         |FROM a ORDER BY 1""".stripMargin,
+    // same lead-window micros durations; HUGEINT products, one int DIV
+    "q223_twap" ->
+      """WITH ev AS (SELECT event_type AS symbol,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id AS id,
+        |                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS ticks
+        |            FROM events
+        |            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |              AND value IS NOT NULL),
+        |d AS (SELECT symbol, ticks,
+        |             lead(us) OVER (PARTITION BY symbol ORDER BY us, id) - us AS dur
+        |      FROM ev)
+        |SELECT symbol, CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(dur) AS BIGINT) AS dur_us,
+        |       CAST(sum(CAST(ticks AS HUGEINT) * dur) // sum(dur) AS BIGINT)
+        |         AS twap_ticks
+        |FROM d WHERE dur IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    // three parametrized blocks of the same estimator, one WITH chain
+    "q224_join_card" -> JoinCardSql,
+    // same trigram stream from 1-based list indexing; top-1 tie order
+    "q225_phrase_match" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                         x -> x <> '') AS ws
+        |           FROM documents),
+        |tri AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+        |        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        |              FROM w WHERE len(ws) >= 3)),
+        |top AS (SELECT w1, w2, w3 FROM tri GROUP BY 1, 2, 3
+        |        ORDER BY count(*) DESC, w1, w2, w3 LIMIT 1)
+        |SELECT t.doc_id, t.w1, t.w2, t.w3, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM tri t JOIN top USING (w1, w2, w3)
+        |GROUP BY 1, 2, 3, 4 ORDER BY t.doc_id""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->
@@ -6469,6 +6519,47 @@ object SparkEntry {
       |                 CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC)
       |                   AS BIGINT) AS rank
       |          FROM sc)""".stripMargin
+
+  /** One q224 estimator block per probed join — same CTE chain with
+    * name-prefixed relations so three joins share one WITH. */
+  private def jcBlock(n: String, t1: String, k1: String,
+                      t2: String, k2: String): String =
+    s"""${n}_c1 AS (SELECT CAST($k1 AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c1
+       |           FROM $t1 WHERE $k1 IS NOT NULL GROUP BY 1),
+       |${n}_c2 AS (SELECT CAST($k2 AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c2
+       |           FROM $t2 WHERE $k2 IS NOT NULL GROUP BY 1),
+       |${n}_m AS (SELECT coalesce(a.k, b.k) AS k, coalesce(a.c1, 0) AS c1,
+       |                  coalesce(b.c2, 0) AS c2
+       |           FROM ${n}_c1 a FULL JOIN ${n}_c2 b ON b.k = a.k),
+       |${n}_h AS (SELECT * FROM ${n}_m ORDER BY (c1 + c2) DESC, k ASC LIMIT 8),
+       |${n}_t AS (SELECT m.* FROM ${n}_m m ANTI JOIN ${n}_h h ON h.k = m.k),
+       |${n}_he AS (SELECT coalesce(sum(CAST(c1 AS HUGEINT) * c2), 0) AS he
+       |            FROM ${n}_h),
+       |${n}_te AS (SELECT coalesce(sum(c1), 0) AS n1t, coalesce(sum(c2), 0) AS n2t,
+       |                   count(CASE WHEN c1 > 0 THEN 1 END) AS d1t,
+       |                   count(CASE WHEN c2 > 0 THEN 1 END) AS d2t
+       |            FROM ${n}_t),
+       |${n}_ac AS (SELECT coalesce(sum(CAST(c1 AS HUGEINT) * c2), 0) AS act
+       |            FROM ${n}_m),
+       |${n}_out AS (SELECT '$n' AS join_name,
+       |                    CAST(he + (CAST(n1t AS HUGEINT) * n2t)
+       |                         // greatest(d1t, d2t, 1) AS BIGINT) AS n_est,
+       |                    CAST(act AS BIGINT) AS n_actual,
+       |                    CAST(CASE WHEN act = 0 THEN 0
+       |                         ELSE (abs(he + (CAST(n1t AS HUGEINT) * n2t)
+       |                                   // greatest(d1t, d2t, 1) - act) * 10000)
+       |                              // act END AS BIGINT) AS err_abs_bp
+       |             FROM ${n}_he, ${n}_te, ${n}_ac)""".stripMargin
+
+  private val JoinCardSql: String = {
+    val probes = Seq(
+      ("events_self_user", "events", "user_id", "events", "user_id"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"))
+    "WITH " + probes.map((jcBlock _).tupled).mkString(",\n") + "\n" +
+      probes.map { case (n, _, _, _, _) => s"SELECT * FROM ${n}_out" }
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY join_name")
+  }
 
   private val QualitySql: String =
     """qt AS (

@@ -72,4 +72,47 @@ object Ohlc {
     candles.where(
       col("high") < greatest(col("open"), col("close")) ||
       col("low") > least(col("open"), col("close")))
+
+  /** Time-weighted average price per symbol — the benchmark rate when
+    * samples arrive irregularly: each observation holds until the next
+    * one, so its weight is the INTERVAL it was live, not 1. The mean of
+    * raw ticks over-weights bursts; TWAP is what execution quality and
+    * funding-rate calculations actually reference.
+    *
+    * Exact integer arithmetic end-to-end: price → HALF_UP 1e-4 ticks,
+    * interval → epoch-microsecond difference via one `lead` window per
+    * symbol (ordered ts, id — the q95 precision discipline), products
+    * and sums in decimal(38,0) so a 30-day × corpus-scale interval·tick
+    * product cannot overflow int64, and the final quotient is one
+    * integral DIV over non-negative operands. The last sample per
+    * symbol has no successor — zero weight by declared convention (its
+    * live interval is unobserved, the same censoring honesty as
+    * [[Engagement.survivalCurve]]).
+    * Output: symbol, n_samples, dur_us, twap_ticks (price·1e4).
+    */
+  def twap(events: DataFrame, symbolCol: String = "event_type",
+           tsCol: String = "ts", valueCol: String = "value",
+           idCol: String = "event_id"): DataFrame = {
+    events
+      .where(col(symbolCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(symbolCol).as("symbol"),
+        unix_micros(col(tsCol)).as("__us"),
+        col(idCol).as("__id"),
+        floor(col(valueCol) * 10000 + 0.5).cast("long").as("__ticks"))
+      .withColumn("__dur",
+        lead(col("__us"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("symbol")).orderBy(col("__us"), col("__id")))
+          - col("__us"))
+      .where(col("__dur").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("__dur")).as("dur_us"),
+        sum(col("__ticks").cast("decimal(38,0)") *
+          col("__dur").cast("decimal(38,0)")).as("__wsum"))
+      .select(col("symbol"), col("n_samples"), col("dur_us"),
+        expr("CAST(__wsum DIV dur_us AS BIGINT)").as("twap_ticks"))
+      .orderBy(col("symbol"))
+  }
 }

@@ -132,4 +132,57 @@ object Sketch {
       .select(col("key"), col("n_exact"), col("v_zero"), col("z_scaled"),
         col("n_est"), col("err_abs_bp"))
   }
+
+  /** Equi-join cardinality estimation audit — the cost-model primitive
+    * every join-order decision rides on, graded against ground truth.
+    * The estimator is the classic heavy-hitter + uniform-tail model: the
+    * top-`hh` keys by combined frequency contribute their EXACT c₁·c₂
+    * products (skew lives in the head, and a histogram that misses it
+    * mis-orders joins by orders of magnitude), the tail contributes
+    * N₁ᵗ·N₂ᵗ / max(d₁ᵗ, d₂ᵗ) — the System-R containment-of-values
+    * assumption. Ground truth Σ c₁(k)·c₂(k) comes from the same per-key
+    * count relation (never a physical join). All products and sums run
+    * in decimal(38,0): at corpus scale c₁·c₂ of a hot key alone can
+    * pass int64.
+    * Output per probed join: join_name, n_est, n_actual, err_abs_bp.
+    */
+  def joinCardinalityAudit(joins: Seq[(String, DataFrame, String, DataFrame, String)],
+                           hh: Int = 8): DataFrame = {
+    require(joins.nonEmpty, "need at least one join to audit")
+    joins.map { case (name, left, lKey, right, rKey) =>
+      val c1 = left.where(col(lKey).isNotNull)
+        .groupBy(col(lKey).cast("string").as("k")).agg(count(lit(1)).as("c1"))
+      val c2 = right.where(col(rKey).isNotNull)
+        .groupBy(col(rKey).cast("string").as("k")).agg(count(lit(1)).as("c2"))
+      val m = c1.join(c2, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      val head = m.orderBy((col("c1") + col("c2")).desc, col("k").asc).limit(hh)
+      val tail = m.join(head.select(col("k")), Seq("k"), "left_anti")
+      val headEst = head.agg(
+        coalesce(sum(col("c1").cast("decimal(38,0)") *
+          col("c2").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+          .as("he"))
+      val tailEst = tail.agg(
+        coalesce(sum(col("c1")), lit(0L)).as("n1t"),
+        coalesce(sum(col("c2")), lit(0L)).as("n2t"),
+        count(when(col("c1") > 0, 1)).as("d1t"),
+        count(when(col("c2") > 0, 1)).as("d2t"))
+      val actual = m.agg(
+        coalesce(sum(col("c1").cast("decimal(38,0)") *
+          col("c2").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+          .as("act"))
+      headEst.crossJoin(tailEst).crossJoin(actual)
+        .select(lit(name).as("join_name"),
+          expr("""CAST(he + (CAST(n1t AS DECIMAL(38,0)) * n2t)
+                  DIV greatest(d1t, d2t, CAST(1 AS BIGINT)) AS BIGINT)""")
+            .as("n_est"),
+          expr("CAST(act AS BIGINT)").as("n_actual"))
+        .withColumn("err_abs_bp",
+          expr("""CAST(CASE WHEN n_actual = 0 THEN 0
+                  ELSE (abs(n_est - n_actual) * CAST(10000 AS DECIMAL(38,0)))
+                       DIV n_actual END AS BIGINT)"""))
+    }.reduce(_ unionByName _).orderBy(col("join_name"))
+  }
 }

@@ -2074,4 +2074,44 @@ object TextAnalysis {
           .as("mean_uticks"),
         expr("CAST((sum(__p) * 10000) DIV count(1) AS BIGINT)").as("pass_bp"))
   }
+
+  /** Positional phrase match, self-calibrated: find the corpus's most
+    * frequent word trigram (ties broken lexicographically) and return
+    * every document containing it with its occurrence count — the
+    * retrieval primitive behind exact-phrase search over an inverted
+    * index with positions.
+    *
+    * Adjacency never joins: each document's trigram stream is a pure
+    * column expression (one `transform` over the token array — the
+    * explode-free equivalent of joining positional postings on
+    * pos+1/pos+2), computed ONCE and feeding both the global top-1
+    * (a TakeOrdered heap) and the per-doc match counts (one broadcast
+    * semi-join on the winning phrase). One corpus scan, one small
+    * shuffle on trigram keys, no position table materialized.
+    * Output: doc_id, w1, w2, w3, n_occ.
+    */
+  def phraseMatchTopTrigram(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val tri = docs
+      .select(col("doc_id"), toks.as("__w"))
+      .where(size(col("__w")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("__w")) - 2),
+          i => struct(
+            element_at(col("__w"), i).as("w1"),
+            element_at(col("__w"), i + 1).as("w2"),
+            element_at(col("__w"), i + 2).as("w3")))).as("__t"))
+      .select(col("doc_id"), col("__t.w1").as("w1"),
+        col("__t.w2").as("w2"), col("__t.w3").as("w3"))
+    val top = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("w1").asc, col("w2").asc, col("w3").asc)
+      .limit(1)
+      .select(col("w1"), col("w2"), col("w3"))
+    tri.join(broadcast(top), Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n_occ"))
+      .select(col("doc_id"), col("w1"), col("w2"), col("w3"), col("n_occ"))
+      .orderBy(col("doc_id"))
+  }
 }
