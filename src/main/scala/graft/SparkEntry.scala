@@ -1360,6 +1360,30 @@ object SparkEntry {
     // occurrence counts — transform-based adjacency, no position joins
     "q225_phrase_match" -> ((s, dir) =>
       TextAnalysis.phraseMatchTopTrigram(Tables.documents(s, dir))),
+    // SCD2 dimension build: run-length collapse of the value band per
+    // user, versions chained by lead — the producer side of q76/q85
+    "q226_scd2_build" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .withColumn("band", floor(col("value") / 100).cast("long"))
+      AsOf.scd2FromChangeLog(ev, "user_id", "ts", "event_id", "band")
+        .select(col("user_id"), col("version"),
+          wstr(col("valid_from")).as("valid_from"),
+          coalesce(wstr(col("valid_to")), lit("<current>")).as("valid_to"),
+          col("band"))
+        .orderBy("user_id", "version")
+    }),
+    // daily trending props.k values: top-8 per day vs yesterday's FULL
+    // ranking, absent → rank 0 sentinel
+    "q227_trending" -> ((s, dir) =>
+      Stats.trendingDaily(
+        Tables.events(s, dir).select(col("ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "ts", "item")),
+    // sweep-line peak concurrent sessions per day, midnight-clipped
+    // segments, +1-before-−1 boundary order
+    "q228_peak_concurrency" -> ((s, dir) =>
+      Engagement.peakConcurrency(Tables.events(s, dir))),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5697,6 +5721,87 @@ object SparkEntry {
         |SELECT t.doc_id, t.w1, t.w2, t.w3, CAST(count(*) AS BIGINT) AS n_occ
         |FROM tri t JOIN top USING (w1, w2, w3)
         |GROUP BY 1, 2, 3, 4 ORDER BY t.doc_id""".stripMargin,
+    // same change-point collapse + version chaining windows
+    "q226_scd2_build" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |                   CAST(floor(value / 100) AS BIGINT) AS band
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |              AND value IS NOT NULL),
+        |l AS (SELECT *, lag(band) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS prev
+        |      FROM ev),
+        |c AS (SELECT user_id, ts, event_id, band FROM l
+        |      WHERE prev IS NULL OR prev <> band),
+        |v AS (SELECT user_id, band, ts,
+        |             CAST(row_number() OVER w AS BIGINT) AS version,
+        |             lead(ts) OVER w AS vt
+        |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, version,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       coalesce(strftime(vt, '%Y-%m-%d %H:%M:%S'), '<current>')
+        |         AS valid_to,
+        |       band
+        |FROM v ORDER BY user_id, version""".stripMargin,
+    // yesterday's FULL ranking joined on (item, d−1); 0 sentinel for new
+    "q227_trending" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS d,
+        |                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |                     AS item
+        |            FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT d, item FROM ev WHERE item IS NOT NULL),
+        |daily AS (SELECT d, item, CAST(count(*) AS BIGINT) AS n
+        |          FROM f GROUP BY 1, 2),
+        |r AS (SELECT d, item, n,
+        |             CAST(row_number() OVER (PARTITION BY d
+        |               ORDER BY n DESC, item ASC) AS BIGINT) AS rank
+        |      FROM daily),
+        |p AS (SELECT d + 1 AS d, item, rank AS prev_rank FROM r)
+        |SELECT r.d, r.item, r.n, r.rank,
+        |       CAST(coalesce(p.prev_rank, 0) AS BIGINT) AS prev_rank,
+        |       CAST(CASE WHEN p.prev_rank IS NULL THEN 0
+        |            ELSE p.prev_rank - r.rank END AS BIGINT) AS delta
+        |FROM r LEFT JOIN p ON p.d = r.d AND p.item = r.item
+        |WHERE r.rank <= 8 ORDER BY r.d, r.rank""".stripMargin,
+    // same q20 gap cut; sweep per day with (µs, +1-first) boundary order
+    "q228_peak_concurrency" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT user_id, event_id, us,
+        |             lag(us) OVER (PARTITION BY user_id
+        |                           ORDER BY us, event_id) AS prev
+        |      FROM ev),
+        |m AS (SELECT user_id, event_id, us,
+        |             CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |                  THEN 1 ELSE 0 END AS nw
+        |      FROM l),
+        |sid AS (SELECT user_id, us,
+        |               sum(nw) OVER (PARTITION BY user_id
+        |                             ORDER BY us, event_id) AS sid
+        |        FROM m),
+        |sess AS (SELECT user_id, sid, min(us) AS s0, max(us) AS s1
+        |         FROM sid GROUP BY 1, 2),
+        |seg AS (SELECT CAST(dd AS DATE) AS d,
+        |               greatest(s0, epoch_us(CAST(CAST(dd AS DATE) AS TIMESTAMP)))
+        |                 AS a,
+        |               least(s1, epoch_us(CAST(CAST(dd AS DATE) AS TIMESTAMP))
+        |                         + 86399999999) AS b
+        |        FROM (SELECT s0, s1,
+        |                     unnest(generate_series(CAST(make_timestamp(s0) AS DATE),
+        |                       CAST(make_timestamp(s1) AS DATE),
+        |                       INTERVAL 1 DAY)) AS dd
+        |              FROM sess)),
+        |bounds AS (SELECT d, a AS us, 1 AS delta FROM seg
+        |           UNION ALL SELECT d, b AS us, -1 AS delta FROM seg),
+        |sw AS (SELECT d, sum(delta) OVER (PARTITION BY d
+        |                ORDER BY us ASC, delta DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |       FROM bounds)
+        |SELECT d, CAST(count(*) // 2 AS BIGINT) AS n_sessions,
+        |       CAST(max(c) AS BIGINT) AS peak
+        |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->

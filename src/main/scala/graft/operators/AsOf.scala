@@ -102,4 +102,37 @@ object AsOf {
       df.withColumn(c, when(contained, col(c)))
     }.drop(end)
   }
+
+  /** Build an SCD Type-2 dimension from a change log — the producer side
+    * of the interval tables [[asofJoin]]/[[intervalJoin]] consume: per
+    * key, collapse consecutive observations with an UNCHANGED state into
+    * one version (run-length compression — a change log mostly restates
+    * the current value), open a new version at every change point, and
+    * close it when the next one opens. The current version stays open
+    * (null valid_to).
+    *
+    * Two stacked windows per key, both on the pinned (ts, id) total
+    * order (the q95 precision discipline): `lag` marks change points,
+    * then `row_number`/`lead` over the SURVIVORS number versions and
+    * chain validity — the second window's input is already collapsed,
+    * so its cost tracks the number of CHANGES, not the log volume.
+    * Output: key, version, valid_from, valid_to (null = current), state.
+    */
+  def scd2FromChangeLog(events: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__id"))
+    val changes = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(stateCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"), col(stateCol).as("__s"))
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= col("__s"))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("__ts"), 1).over(w))
+      .select(col("__k").as(keyCol), col("version"),
+        col("__ts").as("valid_from"), col("valid_to"),
+        col("__s").as(stateCol))
+  }
 }

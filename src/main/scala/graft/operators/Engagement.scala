@@ -763,4 +763,59 @@ object Engagement {
           .as("survival_bp"))
       .orderBy(col("day_offset"))
   }
+
+  /** Peak concurrent sessions per day — the capacity-planning number: of
+    * all gap-cut sessions (the q20 30-minute rule), how many were live
+    * at the busiest instant of each day. Classic sweep line: every
+    * session contributes +1 at its start and −1 after its end, the
+    * running sum is the live count, the max is the peak.
+    *
+    * Determinism pins: sessions clip to day segments (a session crossing
+    * midnight is live in both days), boundary order within a day is
+    * (µs, +1-before-−1) so a session starting at the very instant
+    * another ends counts as concurrent — ties beyond that don't matter,
+    * the prefix-sum max is invariant within an equal-(µs, delta) run.
+    * The sweep window partitions BY DAY; at corpus scale a single day's
+    * boundary stream is still large, and the two-phase prefix sum
+    * [[TextAnalysis.packDocs]] documents is the drop-in replacement —
+    * the per-day partition is the declared simulation boundary here.
+    * Output: d, n_sessions (starting or continuing that day), peak.
+    */
+  def peakConcurrency(events: DataFrame,
+                      gapMinutes: Int = 30): DataFrame = {
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__us"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sess = events
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(wo))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(wo))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("__us")).as("__s0"), max(col("__us")).as("__s1"))
+    val seg = sess
+      .withColumn("d", explode(sequence(
+        to_date(timestamp_micros(col("__s0"))),
+        to_date(timestamp_micros(col("__s1"))))))
+      .withColumn("__day0", unix_micros(col("d").cast("timestamp")))
+      .select(col("d"),
+        greatest(col("__s0"), col("__day0")).as("__a"),
+        least(col("__s1"), col("__day0") + (86400000000L - 1L)).as("__b"))
+    val bounds = seg.select(col("d"), col("__a").as("__us"), lit(1L).as("__delta"))
+      .unionByName(seg.select(col("d"), col("__b").as("__us"),
+        lit(-1L).as("__delta")))
+    val wSweep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d")).orderBy(col("__us").asc, col("__delta").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bounds
+      .withColumn("__c", sum(col("__delta")).over(wSweep))
+      .groupBy(col("d"))
+      .agg(((count(lit(1)) / 2).cast("long")).as("n_sessions"),
+        max(col("__c")).as("peak"))
+      .orderBy(col("d"))
+  }
 }

@@ -608,4 +608,40 @@ object Stats {
       .select(col("__q").as(maxCol), col("__t").as(minCol),
         col("__n").as(nCol))
   }
+
+  /** Daily trending items: each day's top-`k` items by count next to
+    * their FULL rank the previous day — the "movers" table behind every
+    * trending feed (new entries, climbers, fallers). prev_rank joins
+    * against the previous day's COMPLETE ranking, not its top-k, so an
+    * item storming in from rank 40 reads 40, and a genuinely absent
+    * item reads 0 with delta 0 (the sentinel is part of the contract —
+    * NULL would be lost in the parquet/oracle compare).
+    *
+    * Ranking windows partition BY DAY (each day's item grid is bounded
+    * by the item domain), the day-over-day lookup is one equi-join on
+    * (item, day−1) — no global order anywhere.
+    * Output: d, item, n, rank, prev_rank, delta (prev − rank).
+    */
+  def trendingDaily(df: DataFrame, tsCol: String, itemCol: String,
+                    k: Int = 8): DataFrame = {
+    val daily = df
+      .where(col(tsCol).isNotNull && col(itemCol).isNotNull)
+      .select(to_date(col(tsCol).cast("timestamp")).as("d"),
+        col(itemCol).as("item"))
+      .groupBy(col("d"), col("item")).agg(count(lit(1)).as("n"))
+    val wDay = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d")).orderBy(col("n").desc, col("item").asc)
+    val ranked = daily.withColumn("rank", row_number().over(wDay).cast("long"))
+    val prev = ranked.select(date_add(col("d"), 1).as("d"), col("item"),
+      col("rank").as("prev_rank"))
+    ranked.where(col("rank") <= k)
+      .join(prev, Seq("d", "item"), "left")
+      .withColumn("prev_rank", coalesce(col("prev_rank"), lit(0L)))
+      .withColumn("delta",
+        when(col("prev_rank") === 0L, lit(0L))
+          .otherwise(col("prev_rank") - col("rank")))
+      .select(col("d"), col("item"), col("n"), col("rank"),
+        col("prev_rank"), col("delta"))
+      .orderBy(col("d"), col("rank"))
+  }
 }

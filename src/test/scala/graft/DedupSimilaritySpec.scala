@@ -3037,4 +3037,68 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, String, String, String, Long)].collect().toSeq
     assert(got2 === Seq((2L, "a", "b", "c", 1L)))
   }
+
+  test("scd2 build: run-length collapse, version chain, open current") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    // bands 1,1,2,2,1 → versions 1@00:00 (band 1), 2@00:20 (band 2),
+    // 3@00:40 (band 1, open); same-ts change pair ordered by event_id
+    val ev = Seq(
+      (1L, t("2024-01-01 00:00:00"), 7L, 1L),
+      (2L, t("2024-01-01 00:10:00"), 7L, 1L),
+      (3L, t("2024-01-01 00:20:00"), 7L, 2L),
+      (4L, t("2024-01-01 00:30:00"), 7L, 2L),
+      (5L, t("2024-01-01 00:40:00"), 7L, 1L)
+    ).toDF("event_id", "ts", "user_id", "band")
+    val got = graft.operators.AsOf
+      .scd2FromChangeLog(ev, "user_id", "ts", "event_id", "band")
+      .orderBy("version")
+      .select(col("version"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("band"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 00:20:00", 1L),
+      (2L, "2024-01-01 00:20:00", "2024-01-01 00:40:00", 2L),
+      (3L, "2024-01-01 00:40:00", null, 1L)))
+  }
+
+  test("trending: prev rank reads the FULL prior ranking, new items read 0") {
+    import java.sql.Timestamp
+    def day(d: Int, n: Int) = (1 to n).map(_ =>
+      Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"))
+    // day1 counts: A=3 B=2 C=1 (ranks 1,2,3). day2: C=3 B=2 D=1 —
+    // C climbs 3→1 (delta +2), B holds 2 (0), D is new (prev 0)
+    val rows =
+      day(1, 3).map(ts => (ts, "A")) ++ day(1, 2).map(ts => (ts, "B")) ++
+        day(1, 1).map(ts => (ts, "C")) ++
+        day(2, 3).map(ts => (ts, "C")) ++ day(2, 2).map(ts => (ts, "B")) ++
+        day(2, 1).map(ts => (ts, "D"))
+    val got = graft.operators.Stats
+      .trendingDaily(rows.toDF("ts", "item"), "ts", "item", k = 2)
+      .select(col("d").cast("string"), col("item"), col("n"), col("rank"),
+        col("prev_rank"), col("delta"))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01", "A", 3L, 1L, 0L, 0L),
+      ("2024-01-01", "B", 2L, 2L, 0L, 0L),
+      ("2024-01-02", "C", 3L, 1L, 3L, 2L),   // prev rank 3 is OUTSIDE top-2
+      ("2024-01-02", "B", 2L, 2L, 2L, 0L)))
+  }
+
+  test("peak concurrency: touching sessions concurrent, midnight session in both days") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    val ev = Seq(
+      // u1: session 10:40–11:00 (20-min gap, single session); u2 starts
+      // exactly at u1's end 11:00 (+1 before −1 → concurrent, peak 2);
+      // u3: 23:50–00:10 crosses midnight → live in both days
+      (1L, 1L, t("2024-01-01 10:40:00")), (2L, 1L, t("2024-01-01 11:00:00")),
+      (3L, 2L, t("2024-01-01 11:00:00")), (4L, 2L, t("2024-01-01 11:20:00")),
+      (5L, 3L, t("2024-01-01 23:50:00")), (6L, 3L, t("2024-01-02 00:10:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = graft.operators.Engagement.peakConcurrency(ev)
+      .select(col("d").cast("string"), col("n_sessions"), col("peak"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("2024-01-01", 3L, 2L), ("2024-01-02", 1L, 1L)))
+  }
 }
