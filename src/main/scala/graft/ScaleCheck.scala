@@ -233,6 +233,48 @@ object ScaleCheck {
       graft.operators.Bloom.prefilterAudit(
         uev.where(pmod(col("event_id"), lit(100)) === 0), "event_id",
         uev, "event_id", m = 1 << 20, k = 3).count())
+    // q218: registers are a 64-row state per key — cost must track the
+    // (key, register) hash agg, never the raw row count
+    time(s"hll distinct audit over $nUev events")(
+      graft.operators.Sketch.hllDistinctAudit(uev, "event_type", "user_id")
+        .count())
+    // q222: users collapse to the (span, window) grid before the
+    // offset explode — fan-out is grid×15, independent of user count
+    time(s"survival curve over $nUev events")(
+      graft.operators.Engagement.survivalCurve(uev).count())
+    // q223: one lead window per symbol, decimal products — ATR-class cost
+    time(s"twap over $nUev events")(
+      graft.operators.Ohlc.twap(uev).count())
+    // q224: per-key count aggs + a TakeOrdered head; actual from the
+    // same relation — NEVER a physical join
+    time(s"join cardinality audit (self) over $nUev events")(
+      graft.operators.Sketch.joinCardinalityAudit(
+        Seq(("self", uev, "user_id", uev, "user_id"))).count())
+    // q226: change-point lag + versions over SURVIVORS — second window
+    // cost tracks changes, not log volume
+    time(s"scd2 build over $nUev events")(
+      graft.operators.AsOf.scd2FromChangeLog(
+        uev.withColumn("band", floor(col("value") / 100).cast("long")),
+        "user_id", "ts", "event_id", "band").count())
+    // q227: windows partition BY DAY over the bounded item grid
+    time(s"trending daily over $nUev events")(
+      graft.operators.Stats.trendingDaily(
+        uev.withColumn("item", pmod(col("event_id"), lit(100L))),
+        "ts", "item").count())
+    // q228: q20 session prologue + per-day sweep window (declared
+    // simulation boundary; two-phase prefix sum is the 100× path)
+    time(s"peak concurrency over $nUev events")(
+      graft.operators.Engagement.peakConcurrency(uev).count())
+    // q229/q231: one lag / cumulative-max window per symbol — ATR-class
+    // cost, partition count = symbol cardinality
+    time(s"realized vol over $nUev events")(
+      graft.operators.Returns.realizedVolDaily(uev).count())
+    time(s"max drawdown over $nUev events")(
+      graft.operators.Returns.maxDrawdown(uev).count())
+    // q230: comparison runs on the (symbol × tick) counting grid, the
+    // latest sample is a struct extreme — no window anywhere
+    time(s"last value rank over $nUev events")(
+      graft.operators.Returns.lastValueRank(uev).count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise
@@ -656,6 +698,22 @@ object ScaleCheck {
       graft.operators.TextAnalysis.crossEpochPrefixDedup(
         sourced.where(pmod(col("doc_id"), lit(10)) < 8),
         sourced.where(pmod(col("doc_id"), lit(10)) >= 8)).count())
+    // q217: dominance via running min over the bounded quality grid —
+    // cost must track the (quality, tokens) cell agg, never O(n²)
+    time(s"pareto frontier over $nDocs docs")(
+      graft.operators.Stats.paretoFrontier(
+        graft.operators.TextAnalysis.qualityScore(docs),
+        "quality", "n_tokens").count())
+    // q220: candidates fan out on rare-token postings; replica families
+    // are the near-dup clusters, so pair volume is family-bounded
+    time(s"prefix-filter exact Jaccard join over $nDocs docs")(
+      Dedup.prefixFilterJaccardPairs(docs, 19, 20).count())
+    // q221: one fused scan (score + gate) + a ≤ ~200-key agg
+    time(s"classifier calibration over $nDocs docs")(
+      graft.operators.TextAnalysis.scoreCalibration(docs).count())
+    // q225: trigram transform + TakeOrdered top-1 + broadcast semi-join
+    time(s"phrase match over $nDocs docs")(
+      graft.operators.TextAnalysis.phraseMatchTopTrigram(docs).count())
     docs.unpersist()
 
     // cap at the embedding dim: each replica flips a DISTINCT component, so

@@ -1384,6 +1384,18 @@ object SparkEntry {
     // segments, +1-before-−1 boundary order
     "q228_peak_concurrency" -> ((s, dir) =>
       Engagement.peakConcurrency(Tables.events(s, dir))),
+    // realized variance per (symbol, day): HALF_UP bp returns on the
+    // pinned order, Σr² in decimal(38,0) — no ln() anywhere
+    "q229_realized_vol" -> ((s, dir) =>
+      Returns.realizedVolDaily(Tables.events(s, dir))),
+    // historical rank of the latest price: struct-extreme last sample,
+    // comparison on the (symbol × tick) counting grid
+    "q230_last_value_rank" -> ((s, dir) =>
+      Returns.lastValueRank(Tables.events(s, dir))),
+    // max peak-to-trough drawdown: one cumulative-max window, dd in bp
+    // of the peak (non-negative DIV), (dd, peak) struct-extreme report
+    "q231_max_drawdown" -> ((s, dir) =>
+      Returns.maxDrawdown(Tables.events(s, dir))),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5802,6 +5814,72 @@ object SparkEntry {
         |SELECT d, CAST(count(*) // 2 AS BIGINT) AS n_sessions,
         |       CAST(max(c) AS BIGINT) AS peak
         |FROM sw GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same lag pairing; float ratio only inside floor(x + 0.5)
+    "q229_realized_vol" ->
+      """WITH ev AS (SELECT event_type AS symbol,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id AS id,
+        |                   CAST(ts AS DATE) AS d,
+        |                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS t
+        |            FROM events
+        |            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |              AND value IS NOT NULL),
+        |l AS (SELECT symbol, d, t,
+        |             lag(t) OVER (PARTITION BY symbol ORDER BY us, id) AS prev
+        |      FROM ev),
+        |r AS (SELECT symbol, d,
+        |             CAST(floor((t - prev) * 10000.0 / prev + 0.5) AS BIGINT) AS r
+        |      FROM l WHERE prev IS NOT NULL AND prev > 0)
+        |SELECT symbol, d, CAST(count(*) AS BIGINT) AS n_returns,
+        |       CAST(sum(r) AS BIGINT) AS drift_bp,
+        |       CAST(sum(CAST(r AS HUGEINT) * r) AS BIGINT) AS rv
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // last sample via descending row_number (the q209 idiom); strict
+    // below-count over the tick grid
+    "q230_last_value_rank" ->
+      """WITH ev AS (SELECT event_type AS symbol,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id AS id,
+        |                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS t
+        |            FROM events
+        |            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |              AND value IS NOT NULL),
+        |r AS (SELECT symbol, t,
+        |             row_number() OVER (PARTITION BY symbol
+        |               ORDER BY us DESC, id DESC, t DESC) AS rn
+        |      FROM ev),
+        |last AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+        |                max(CASE WHEN rn = 1 THEN t END) AS last_ticks
+        |         FROM r GROUP BY 1)
+        |SELECT ev.symbol, last.n, last.last_ticks,
+        |       CAST(sum(CASE WHEN ev.t < last.last_ticks THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_below,
+        |       CAST((sum(CASE WHEN ev.t < last.last_ticks THEN 1 ELSE 0 END)
+        |             * 10000) // last.n AS BIGINT) AS rank_bp
+        |FROM ev JOIN last ON last.symbol = ev.symbol
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // same cumulative max; (dd desc, peak desc) pick mirrors the
+    // engine's struct extreme
+    "q231_max_drawdown" ->
+      """WITH ev AS (SELECT event_type AS symbol,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id AS id,
+        |                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS t
+        |            FROM events
+        |            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |              AND value IS NOT NULL),
+        |p AS (SELECT symbol, t,
+        |             max(t) OVER (PARTITION BY symbol ORDER BY us, id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |      FROM ev),
+        |d AS (SELECT symbol, peak,
+        |             CAST(((peak - t) * 10000) // peak AS BIGINT) AS dd
+        |      FROM p),
+        |r AS (SELECT symbol, peak, dd,
+        |             row_number() OVER (PARTITION BY symbol
+        |               ORDER BY dd DESC, peak DESC) AS rn,
+        |             count(*) OVER (PARTITION BY symbol) AS n
+        |      FROM d)
+        |SELECT symbol, CAST(n AS BIGINT) AS n, peak AS peak_ticks,
+        |       dd AS max_dd_bp
+        |FROM r WHERE rn = 1 ORDER BY symbol""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->

@@ -3101,4 +3101,62 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq
     assert(got === Seq(("2024-01-01", 3L, 2L), ("2024-01-02", 1L, 1L)))
   }
+
+  test("realized vol: HALF_UP bp returns, midnight return lands on the later day, same-ts tie by id") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    val ev = Seq(
+      // S: 1.0000→1.0100 (+100bp, day1), 1.0100→0.9999 across midnight
+      // (floor(-100+0.5) = -100bp, belongs to day2 — the later sample)
+      (1L, "S", t("2024-01-01 10:00:00"), 1.0000),
+      (2L, "S", t("2024-01-01 11:00:00"), 1.0100),
+      (3L, "S", t("2024-01-02 00:10:00"), 0.9999),
+      // T: both samples at the SAME microsecond — id order pins the
+      // pairing, 2.0→1.0 = -5000bp (floor(-5000+0.5) exact)
+      (4L, "T", t("2024-01-01 12:00:00"), 2.0),
+      (5L, "T", t("2024-01-01 12:00:00"), 1.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+      .withColumn("user_id", lit(1L))
+    val got = graft.operators.Returns.realizedVolDaily(ev)
+      .select(col("symbol"), col("d").cast("string"), col("n_returns"),
+        col("drift_bp"), col("rv"))
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("S", "2024-01-01", 1L, 100L, 10000L),
+      ("S", "2024-01-02", 1L, -100L, 10000L),
+      ("T", "2024-01-01", 1L, -5000L, 25000000L)))
+  }
+
+  test("last value rank: struct-extreme latest sample, strict below-count on the tick grid") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    // prices 1, 3, 2, 2 in ts order → last = 2.0 (20000 ticks);
+    // strictly below: only 1.0 → rank 1·10⁴ DIV 4 = 2500 bp
+    val ev = Seq(
+      (1L, "S", t("2024-01-01 10:00:00"), 1.0),
+      (2L, "S", t("2024-01-01 10:01:00"), 3.0),
+      (3L, "S", t("2024-01-01 10:02:00"), 2.0),
+      (4L, "S", t("2024-01-01 10:03:00"), 2.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+      .withColumn("user_id", lit(1L))
+    val got = graft.operators.Returns.lastValueRank(ev)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("S", 4L, 20000L, 1L, 2500L)))
+  }
+
+  test("max drawdown: worst peak-to-trough in bp of the running peak") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    // 10, 8, 12, 6: dd path 0, 2000 (vs peak 10), 0, 5000 (vs peak 12)
+    val ev = Seq(
+      (1L, "S", t("2024-01-01 10:00:00"), 10.0),
+      (2L, "S", t("2024-01-01 10:01:00"), 8.0),
+      (3L, "S", t("2024-01-01 10:02:00"), 12.0),
+      (4L, "S", t("2024-01-01 10:03:00"), 6.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+      .withColumn("user_id", lit(1L))
+    val got = graft.operators.Returns.maxDrawdown(ev)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("S", 4L, 120000L, 5000L)))
+  }
 }
