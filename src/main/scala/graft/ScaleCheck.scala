@@ -63,6 +63,16 @@ object ScaleCheck {
           col("event_type").as("symbol"), col("value")),
         candles, key = "symbol", leftTs = "ts", rightTs = "window_start",
         valueCols = Seq("close")).count())
+    // q232/q233: rolling windows over CANDLES — cost tracks the candle
+    // grid (symbols × buckets), not tick volume
+    time(s"bollinger over $nCandles candles")(
+      graft.operators.Returns.bollinger(candles).count())
+    time(s"cutler rsi over $nCandles candles")(
+      graft.operators.Returns.rsiCutler(candles).count())
+    // q234: the pair join moves the candle-sized return series; output
+    // is dimension-bounded (symbols² pairs)
+    time(s"return correlation over $nCandles candles")(
+      graft.operators.Returns.returnCorrelationMatrix(candles).count())
     println(s"[scale] ticks=$nTicks candles=$nCandles filled=$nFilled enriched=$nEnriched " +
       f"symbols=${factor * 5} tickRate=${nTicks / 1e6}%.1fM")
     // q85/q86 at xfactor USERS: replicate the user dimension so the

@@ -1396,6 +1396,19 @@ object SparkEntry {
     // of the peak (non-negative DIV), (dd, peak) struct-extreme report
     "q231_max_drawdown" -> ((s, dir) =>
       Returns.maxDrawdown(Tables.events(s, dir))),
+    // Bollinger bands: rolling mean ± 2σ in ticks, exact integer
+    // variance numerator, complete 8-candle windows only
+    "q232_bollinger" -> ((s, dir) =>
+      Returns.bollinger(candles(s, dir), nWin = 8, kBand = 2)
+        .withColumn("window_start", wstr(col("window_start")))),
+    // Cutler RSI: SMA gains/losses over 14 candle deltas, integer bp
+    "q233_rsi" -> ((s, dir) =>
+      Returns.rsiCutler(candles(s, dir), nWin = 14)
+        .withColumn("window_start", wstr(col("window_start")))),
+    // cross-symbol return correlation: candle-grid-aligned bp returns,
+    // exact integer Pearson sums, one final guarded quotient
+    "q234_return_corr" -> ((s, dir) =>
+      Returns.returnCorrelationMatrix(candles(s, dir))),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5880,6 +5893,87 @@ object SparkEntry {
         |SELECT symbol, CAST(n AS BIGINT) AS n, peak AS peak_ticks,
         |       dd AS max_dd_bp
         |FROM r WHERE rn = 1 ORDER BY symbol""".stripMargin,
+    // same rolling integer sums; σ from the exact variance numerator,
+    // sqrt the only float op; complete 8-candle windows only
+    "q232_bollinger" ->
+      s"""WITH $CandleCte,
+         |t AS (SELECT symbol, window_start,
+         |             CAST(floor(close * 10000 + 0.5) AS BIGINT) AS t
+         |      FROM candles),
+         |w AS (SELECT symbol, window_start, t,
+         |             count(*) OVER win AS n,
+         |             sum(t) OVER win AS st,
+         |             sum(CAST(t AS HUGEINT) * t) OVER win AS stt
+         |      FROM t
+         |      WINDOW win AS (PARTITION BY symbol ORDER BY window_start
+         |        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+         |b AS (SELECT symbol, window_start, t,
+         |             CAST(st // 8 AS BIGINT) AS mid_ticks,
+         |             CAST(floor(sqrt(CAST(8 * stt - CAST(st AS HUGEINT) * st
+         |               AS DOUBLE)) / 8) AS BIGINT) AS sd_ticks
+         |      FROM w WHERE n = 8)
+         |SELECT symbol, strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       t AS close_ticks, mid_ticks, sd_ticks,
+         |       mid_ticks + 2 * sd_ticks AS upper_ticks,
+         |       mid_ticks - 2 * sd_ticks AS lower_ticks,
+         |       (t > mid_ticks + 2 * sd_ticks OR t < mid_ticks - 2 * sd_ticks)
+         |         AS outside
+         |FROM b ORDER BY symbol, window_start""".stripMargin,
+    // SMA relative strength: rolling gain/loss sums over 14 deltas,
+    // non-negative DIV, flat window pinned to 10000
+    "q233_rsi" ->
+      s"""WITH $CandleCte,
+         |t AS (SELECT symbol, window_start,
+         |             CAST(floor(close * 10000 + 0.5) AS BIGINT) AS t
+         |      FROM candles),
+         |d AS (SELECT symbol, window_start, t,
+         |             lag(t) OVER (PARTITION BY symbol ORDER BY window_start) AS prev
+         |      FROM t),
+         |g AS (SELECT symbol, window_start,
+         |             greatest(t - prev, 0) AS gain, greatest(prev - t, 0) AS loss
+         |      FROM d WHERE prev IS NOT NULL),
+         |w AS (SELECT symbol, window_start,
+         |             count(*) OVER win AS n,
+         |             CAST(sum(gain) OVER win AS BIGINT) AS gain_sum,
+         |             CAST(sum(loss) OVER win AS BIGINT) AS loss_sum
+         |      FROM g
+         |      WINDOW win AS (PARTITION BY symbol ORDER BY window_start
+         |        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT symbol, strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       gain_sum, loss_sum,
+         |       CAST(CASE WHEN gain_sum + loss_sum = 0 THEN 10000
+         |            ELSE (gain_sum * 10000) // (gain_sum + loss_sum) END
+         |         AS BIGINT) AS rsi_bp
+         |FROM w WHERE n = 14 ORDER BY symbol, window_start""".stripMargin,
+    // q229's bp returns on the candle grid, q135's exact-integer
+    // Pearson shape; inner join keeps only shared buckets
+    "q234_return_corr" ->
+      s"""WITH $CandleCte,
+         |t AS (SELECT symbol, window_start,
+         |             CAST(floor(close * 10000 + 0.5) AS BIGINT) AS t
+         |      FROM candles),
+         |d AS (SELECT symbol, window_start, t,
+         |             lag(t) OVER (PARTITION BY symbol ORDER BY window_start) AS prev
+         |      FROM t),
+         |r AS (SELECT symbol, window_start,
+         |             CAST(floor((t - prev) * 10000.0 / prev + 0.5) AS BIGINT) AS r
+         |      FROM d WHERE prev IS NOT NULL AND prev > 0),
+         |s AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+         |             CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(a.r) AS BIGINT) AS sx, CAST(sum(b.r) AS BIGINT) AS sy,
+         |             sum(CAST(a.r AS HUGEINT) * b.r) AS sxy,
+         |             sum(CAST(a.r AS HUGEINT) * a.r) AS sxx,
+         |             sum(CAST(b.r AS HUGEINT) * b.r) AS syy
+         |      FROM r a JOIN r b ON a.window_start = b.window_start
+         |        AND a.symbol < b.symbol
+         |      GROUP BY 1, 2)
+         |SELECT sym_a, sym_b, n,
+         |       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |         / sqrt(greatest(0.000000000001,
+         |             (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |             * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))),
+         |         4) AS corr
+         |FROM s ORDER BY sym_a, sym_b""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->

@@ -91,6 +91,124 @@ object Returns {
       .orderBy(col("symbol"))
   }
 
+  /** Bollinger bands over the candle close series: rolling mean ±
+    * k·σ, all in integer ticks. The mean is `Σt DIV n` (non-negative
+    * operands — integral division identical in both engines); the
+    * standard deviation comes from the EXACT integer variance numerator
+    * `n·Σt² − (Σt)²` folded in decimal(38,0) (fold-order exact; no
+    * per-row float squares), with the only float op the final
+    * correctly-rounded IEEE `sqrt` — deterministic given identical
+    * integer inputs. Only COMPLETE n-candle windows emit (a band over
+    * 3 samples is noise, and partial frames would make the first rows
+    * engine-order-sensitive). Output: symbol, window_start, close_ticks,
+    * mid_ticks, sd_ticks, upper_ticks, lower_ticks, outside.
+    */
+  def bollinger(candles: DataFrame, nWin: Int = 8, kBand: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+      .rowsBetween(-(nWin - 1), 0)
+    candles
+      .select(col("symbol"), col("window_start"),
+        ticks(col("close")).as("__t"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__st", sum(col("__t")).over(w))
+      .withColumn("__stt",
+        sum((col("__t") * col("__t")).cast("decimal(38,0)")).over(w))
+      .where(col("__n") === nWin)
+      .withColumn("mid_ticks", expr(s"CAST(__st DIV $nWin AS BIGINT)"))
+      .withColumn("sd_ticks",
+        floor(sqrt(expr(s"CAST($nWin * __stt - CAST(__st AS DECIMAL(38,0)) * __st AS DOUBLE)")) /
+          lit(nWin)).cast("long"))
+      .withColumn("upper_ticks", col("mid_ticks") + lit(kBand.toLong) * col("sd_ticks"))
+      .withColumn("lower_ticks", col("mid_ticks") - lit(kBand.toLong) * col("sd_ticks"))
+      .select(col("symbol"), col("window_start"), col("__t").as("close_ticks"),
+        col("mid_ticks"), col("sd_ticks"), col("upper_ticks"), col("lower_ticks"),
+        (col("__t") > col("upper_ticks") || col("__t") < col("lower_ticks"))
+          .as("outside"))
+      .orderBy(col("symbol"), col("window_start"))
+  }
+
+  /** Cutler's RSI over candle closes: SMA-based relative strength
+    * (the non-recursive cousin of Wilder's — chosen deliberately so
+    * the statistic is a pure rolling-sum window, replayable in any
+    * engine without a recursion feature; the recursive Wilder fold
+    * already exists for ATR in [[Atr]]). Per symbol: Δ = t − prev on
+    * the candle order, gain = max(Δ,0), loss = max(−Δ,0), both summed
+    * over the last n deltas; RSI_bp = 10⁴·Σgain DIV (Σgain+Σloss)
+    * (non-negative DIV), with the flat-window Σ=0 case pinned to
+    * 10⁴ (Wilder's "no losses → RSI 100" convention). Complete
+    * windows only. Output: symbol, window_start, gain_sum, loss_sum,
+    * rsi_bp.
+    */
+  def rsiCutler(candles: DataFrame, nWin: Int = 14): DataFrame = {
+    val lagW = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+    val sumW = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+      .rowsBetween(-(nWin - 1), 0)
+    candles
+      .select(col("symbol"), col("window_start"), ticks(col("close")).as("__t"))
+      .withColumn("__prev", lag(col("__t"), 1).over(lagW))
+      .where(col("__prev").isNotNull)
+      .withColumn("__gain", greatest(col("__t") - col("__prev"), lit(0L)))
+      .withColumn("__loss", greatest(col("__prev") - col("__t"), lit(0L)))
+      .withColumn("__n", count(lit(1)).over(sumW))
+      .withColumn("gain_sum", sum(col("__gain")).over(sumW))
+      .withColumn("loss_sum", sum(col("__loss")).over(sumW))
+      .where(col("__n") === nWin)
+      .withColumn("rsi_bp",
+        when(col("gain_sum") + col("loss_sum") === 0L, lit(10000L))
+          .otherwise(expr(
+            "CAST((gain_sum * 10000) DIV (gain_sum + loss_sum) AS BIGINT)")))
+      .select(col("symbol"), col("window_start"), col("gain_sum"),
+        col("loss_sum"), col("rsi_bp"))
+      .orderBy(col("symbol"), col("window_start"))
+  }
+
+  /** Cross-symbol return correlation matrix: Pearson correlation of
+    * per-candle bp returns, paired on the shared candle grid
+    * (inner join on window_start — only buckets where BOTH symbols
+    * traded contribute, the standard aligned-series treatment).
+    * Returns are the q229 HALF_UP bp integers; all six Pearson sums
+    * fold exactly (decimal(38,0) cross/square sums — the
+    * [[graft.operators.TextAnalysis.lengthQualityCorrelation]]
+    * recipe), so the only float work is the final guarded
+    * round(·, 4) quotient. The join moves the CANDLE-sized return
+    * series (symbols × sessions × 75 rows), never ticks — at 100 TB
+    * the pair matrix is still dimension-bounded: symbols² pairs.
+    * Output: sym_a, sym_b, n, corr.
+    */
+  def returnCorrelationMatrix(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
+    val rets = candles
+      .select(col("symbol"), col("window_start"), ticks(col("close")).as("__t"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .where(col("__prev").isNotNull && col("__prev") > 0)
+      .select(col("symbol"), col("window_start"),
+        floor((col("__t") - col("__prev")).cast("double") * 10000.0 /
+          col("__prev") + 0.5).cast("long").as("__r"))
+    val a = rets.select(col("symbol").as("sym_a"), col("window_start"),
+      col("__r").as("__x"))
+    val b = rets.select(col("symbol").as("sym_b"), col("window_start"),
+      col("__r").as("__y"))
+    a.join(b, Seq("window_start"))
+      .where(col("sym_a") < col("sym_b"))
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("__sxy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("__syy"))
+      .select(col("sym_a"), col("sym_b"), col("n"),
+        round(
+          (col("n") * col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double")) /
+            sqrt(greatest(lit(1e-12),
+              (col("n") * col("__sxx").cast("double") -
+                col("__sx").cast("double") * col("__sx").cast("double")) *
+                (col("n") * col("__syy").cast("double") -
+                  col("__sy").cast("double") * col("__sy").cast("double")))),
+          4).as("corr"))
+      .orderBy(col("sym_a"), col("sym_b"))
+  }
+
   /** Maximum drawdown per symbol: the worst peak-to-trough loss an
     * investor holding through the whole stream could have realized,
     * in basis points of the peak. One cumulative-max window on the

@@ -3144,6 +3144,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 20000L, 1L, 2500L)))
   }
 
+  test("bollinger: integer variance numerator, complete windows only, outlier flags outside") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    // ticks 10000, 20000, 30000, 20000, 80000 — first complete 4-window
+    // at row 4: mid 20000, num = 4·18e8 − 8e4² = 8e8, σ = ⌊√(8e8)/4⌋ =
+    // 7071; row 5: mid 37500, num = 99e8, σ = 24874 — 80000 > 62374 → out
+    val c = Seq(
+      ("S", t("2024-01-01 09:00:00"), 1.0), ("S", t("2024-01-01 09:05:00"), 2.0),
+      ("S", t("2024-01-01 09:10:00"), 3.0), ("S", t("2024-01-01 09:15:00"), 2.0),
+      ("S", t("2024-01-01 09:20:00"), 8.0)
+    ).toDF("symbol", "window_start", "close")
+    val got = graft.operators.Returns.bollinger(c, nWin = 4, kBand = 1)
+      .select(col("symbol"), col("close_ticks"), col("mid_ticks"),
+        col("sd_ticks"), col("upper_ticks"), col("lower_ticks"), col("outside"))
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      ("S", 20000L, 20000L, 7071L, 27071L, 12929L, false),
+      ("S", 80000L, 37500L, 24874L, 62374L, 12626L, true)))
+  }
+
+  test("cutler rsi: rolling gain/loss sums, flat window pins to 10000") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    // S deltas: +10000, -5000, 0 → 2-windows: 10000/15000 → 6666 bp,
+    // then 0/5000 → 0 bp. T is flat → gain+loss = 0 → 10000 bp.
+    val c = Seq(
+      ("S", t("2024-01-01 09:00:00"), 1.0), ("S", t("2024-01-01 09:05:00"), 2.0),
+      ("S", t("2024-01-01 09:10:00"), 1.5), ("S", t("2024-01-01 09:15:00"), 1.5),
+      ("T", t("2024-01-01 09:00:00"), 1.0), ("T", t("2024-01-01 09:05:00"), 1.0),
+      ("T", t("2024-01-01 09:10:00"), 1.0)
+    ).toDF("symbol", "window_start", "close")
+    val got = graft.operators.Returns.rsiCutler(c, nWin = 2)
+      .select(col("symbol"), col("window_start").cast("string"),
+        col("gain_sum"), col("loss_sum"), col("rsi_bp"))
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("S", "2024-01-01 09:10:00", 10000L, 5000L, 6666L),
+      ("S", "2024-01-01 09:15:00", 0L, 5000L, 0L),
+      ("T", "2024-01-01 09:10:00", 0L, 0L, 10000L)))
+  }
+
+  test("return correlation: anticorrelated pair on the shared grid reads -1") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    // A returns (+100, -99), B returns (-100, +101): 2-point series are
+    // exactly anticorrelated — num = -39999, √(39601·40401) = 39999
+    val c = Seq(
+      ("A", t("2024-01-01 09:00:00"), 1.0), ("A", t("2024-01-01 09:05:00"), 1.01),
+      ("A", t("2024-01-01 09:10:00"), 1.0),
+      ("B", t("2024-01-01 09:00:00"), 2.0), ("B", t("2024-01-01 09:05:00"), 1.98),
+      ("B", t("2024-01-01 09:10:00"), 2.0)
+    ).toDF("symbol", "window_start", "close")
+    val got = graft.operators.Returns.returnCorrelationMatrix(c)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(("A", "B", 2L, -1.0)))
+  }
+
   test("max drawdown: worst peak-to-trough in bp of the running peak") {
     import java.sql.Timestamp
     def t(s2: String) = Timestamp.valueOf(s2)
