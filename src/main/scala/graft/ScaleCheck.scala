@@ -73,6 +73,9 @@ object ScaleCheck {
     // is dimension-bounded (symbols² pairs)
     time(s"return correlation over $nCandles candles")(
       graft.operators.Returns.returnCorrelationMatrix(candles).count())
+    // q235: one lag + conditional sums — candle-grid-sized
+    time(s"candle patterns over $nCandles candles")(
+      Ohlc.candlePatterns(candles).count())
     println(s"[scale] ticks=$nTicks candles=$nCandles filled=$nFilled enriched=$nEnriched " +
       f"symbols=${factor * 5} tickRate=${nTicks / 1e6}%.1fM")
     // q85/q86 at xfactor USERS: replicate the user dimension so the
@@ -275,6 +278,12 @@ object ScaleCheck {
     // simulation boundary; two-phase prefix sum is the 100× path)
     time(s"peak concurrency over $nUev events")(
       graft.operators.Engagement.peakConcurrency(uev).count())
+    // q236/q237: both run on the bounded (key × day/dow) grid after one
+    // corpus hash agg — day-dimension windows, never per-event sorts
+    time(s"dow seasonality over $nUev events")(
+      graft.operators.Stats.dowSeasonality(uev).count())
+    time(s"cusum changepoint over $nUev events")(
+      graft.operators.Stats.cusumChangepoint(uev).count())
     // q229/q231: one lag / cumulative-max window per symbol — ATR-class
     // cost, partition count = symbol cardinality
     time(s"realized vol over $nUev events")(

@@ -1409,6 +1409,18 @@ object SparkEntry {
     // exact integer Pearson sums, one final guarded quotient
     "q234_return_corr" -> ((s, dir) =>
       Returns.returnCorrelationMatrix(candles(s, dir))),
+    // candlestick pattern census: pure integer-tick predicates
+    // (cross-multiplied ratios), one lag + one scan over candles
+    "q235_candle_patterns" -> ((s, dir) =>
+      Ohlc.candlePatterns(candles(s, dir))),
+    // day-of-week seasonality: coverage-normalized index over the
+    // ≤ 7-row dow grid per type, Monday=0 pinned on both engines
+    "q236_dow_seasonality" -> ((s, dir) =>
+      Stats.dowSeasonality(Tables.events(s, dir))),
+    // CUSUM changepoint: integer ×n_days-scaled deviation cumsum over
+    // the bounded day series, earliest-day tiebreak
+    "q237_cusum" -> ((s, dir) =>
+      Stats.cusumChangepoint(Tables.events(s, dir))),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5974,6 +5986,68 @@ object SparkEntry {
          |             * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))),
          |         4) AS corr
          |FROM s ORDER BY sym_a, sym_b""".stripMargin,
+    // NULL lag comparisons fall to the ELSE 0 arm in both engines
+    "q235_candle_patterns" ->
+      s"""WITH $CandleCte,
+         |t AS (SELECT symbol, window_start,
+         |             CAST(floor(open * 10000 + 0.5) AS BIGINT) AS o,
+         |             CAST(floor(high * 10000 + 0.5) AS BIGINT) AS h,
+         |             CAST(floor(low * 10000 + 0.5) AS BIGINT) AS l,
+         |             CAST(floor(close * 10000 + 0.5) AS BIGINT) AS c
+         |      FROM candles),
+         |x AS (SELECT symbol, o, h, l, c,
+         |             lag(o) OVER win AS po, lag(c) OVER win AS pc,
+         |             abs(c - o) AS body, h - l AS rng,
+         |             h - greatest(o, c) AS up, least(o, c) - l AS dn
+         |      FROM t WINDOW win AS (PARTITION BY symbol ORDER BY window_start))
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n_candles,
+         |       CAST(sum(CASE WHEN rng > 0 AND body * 10 <= rng
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+         |       CAST(sum(CASE WHEN rng > 0 AND dn >= body * 2 AND up <= body
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_hammer,
+         |       CAST(sum(CASE WHEN pc < po AND c > o AND o <= pc AND c >= po
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_bull_engulf,
+         |       CAST(sum(CASE WHEN pc > po AND c < o AND o >= pc AND c <= po
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // isodow − 1 ≡ Spark weekday (Monday=0); non-negative DIVs
+    "q236_dow_seasonality" ->
+      """WITH ev AS (SELECT event_type AS key, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events
+        |            WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (SELECT key, CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |      FROM ev GROUP BY 1, 2),
+        |w AS (SELECT *, sum(n) OVER (PARTITION BY key) AS total,
+        |             sum(n_days) OVER (PARTITION BY key) AS days_total
+        |      FROM g)
+        |SELECT key, dow, n, n_days,
+        |       CAST(CAST(n AS HUGEINT) * 10000 // total AS BIGINT) AS share_bp,
+        |       CAST(CAST(n AS HUGEINT) * days_total * 10000
+        |         // (CAST(total AS HUGEINT) * n_days) AS BIGINT) AS index_bp
+        |FROM w ORDER BY key, dow""".stripMargin,
+    // deviation terms ×n_days stay integer; peak ties → earliest day
+    "q237_cusum" ->
+      """WITH ev AS (SELECT event_type AS key,
+        |                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |            FROM events
+        |            WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |daily AS (SELECT key, d, CAST(count(*) AS BIGINT) AS c
+        |          FROM ev GROUP BY 1, 2),
+        |w AS (SELECT key, d, c,
+        |             CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_days,
+        |             CAST(sum(c) OVER (PARTITION BY key) AS BIGINT) AS total
+        |      FROM daily),
+        |cu AS (SELECT key, d, n_days, total,
+        |             CAST(sum(c * n_days - total) OVER (PARTITION BY key
+        |               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS BIGINT) AS cusum
+        |      FROM w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY key
+        |        ORDER BY abs(cusum) DESC, d ASC) AS rn FROM cu)
+        |SELECT key, n_days, total, d AS cp_day, cusum AS cp_cusum
+        |FROM r WHERE rn = 1 ORDER BY key""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->

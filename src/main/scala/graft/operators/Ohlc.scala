@@ -115,4 +115,48 @@ object Ohlc {
         expr("CAST(__wsum DIV dur_us AS BIGINT)").as("twap_ticks"))
       .orderBy(col("symbol"))
   }
+
+  /** Candlestick pattern census: the classical single- and two-candle
+    * shapes every charting screen annotates, as PURE integer-tick
+    * predicates (no ratios, no floats — a body/range comparison is a
+    * cross-multiplication, so both engines evaluate the identical
+    * integer inequality):
+    *  - doji: body·10 ≤ range (body within 10% of the bar), range > 0;
+    *  - hammer: lower wick ≥ 2·body AND upper wick ≤ body, range > 0;
+    *  - bullish engulfing: previous bar bearish, this bar bullish, and
+    *    this body spans the previous body (o ≤ prev_c, c ≥ prev_o);
+    *  - bearish engulfing: the mirror.
+    * The lag pairing is per symbol on the candle order; counts are
+    * conditional sums in one scan — candle-grid-sized work at any tick
+    * volume. Output: symbol, n_candles, n_doji, n_hammer,
+    * n_bull_engulf, n_bear_engulf.
+    */
+  def candlePatterns(candles: DataFrame): DataFrame = {
+    def t(c: String) = floor(col(c) * 10000 + 0.5).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("window_start"))
+    val one = (p: Column) => sum(when(p, 1L).otherwise(0L))
+    candles
+      .select(col("symbol"), col("window_start"), t("open").as("__o"),
+        t("high").as("__h"), t("low").as("__l"), t("close").as("__c"))
+      .withColumn("__po", lag(col("__o"), 1).over(w))
+      .withColumn("__pc", lag(col("__c"), 1).over(w))
+      .withColumn("__body", abs(col("__c") - col("__o")))
+      .withColumn("__range", col("__h") - col("__l"))
+      .withColumn("__up", col("__h") - greatest(col("__o"), col("__c")))
+      .withColumn("__dn", least(col("__o"), col("__c")) - col("__l"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_candles"),
+        one(col("__range") > 0L && col("__body") * 10L <= col("__range"))
+          .as("n_doji"),
+        one(col("__range") > 0L && col("__dn") >= col("__body") * 2L &&
+          col("__up") <= col("__body")).as("n_hammer"),
+        one(col("__pc") < col("__po") && col("__c") > col("__o") &&
+          col("__o") <= col("__pc") && col("__c") >= col("__po"))
+          .as("n_bull_engulf"),
+        one(col("__pc") > col("__po") && col("__c") < col("__o") &&
+          col("__o") >= col("__pc") && col("__c") <= col("__po"))
+          .as("n_bear_engulf"))
+      .orderBy(col("symbol"))
+  }
 }

@@ -644,4 +644,78 @@ object Stats {
         col("prev_rank"), col("delta"))
       .orderBy(col("d"), col("rank"))
   }
+
+  /** Day-of-week seasonality index per key: how much busier each
+    * weekday is than the key's uniform expectation, normalized for
+    * uneven weekday coverage in the corpus span (a corpus spanning
+    * Mon–Wed has more Mondays than Sundays — raw shares would read
+    * that as seasonality). index_bp = (n·days_total·10⁴) DIV
+    * (total·days_dow), where days_dow counts the DISTINCT active days
+    * of that weekday; 10000 = exactly at expectation. Products fold in
+    * decimal(38,0) so n·days·10⁴ cannot overflow at corpus scale; the
+    * per-key totals come from a window over the ≤ 7-row dow grid.
+    * Weekday numbering pinned Monday=0 (Spark `weekday`, DuckDB
+    * `isodow − 1` — the only convention both engines express exactly).
+    * Output: key, dow, n, n_days, share_bp, index_bp.
+    */
+  def dowSeasonality(df: DataFrame, tsCol: String = "ts",
+                     keyCol: String = "event_type"): DataFrame = {
+    val grid = df
+      .where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        to_date(col(tsCol).cast("timestamp")).as("__d"),
+        weekday(col(tsCol).cast("timestamp")).cast("long").as("dow"))
+      .groupBy(col("key"), col("dow"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("__d")).as("n_days"))
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    grid
+      .withColumn("__total", sum(col("n")).over(wKey))
+      .withColumn("__days_total", sum(col("n_days")).over(wKey))
+      .select(col("key"), col("dow"), col("n"), col("n_days"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 10000 DIV __total AS BIGINT)")
+          .as("share_bp"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * __days_total * 10000" +
+          " DIV (CAST(__total AS DECIMAL(38,0)) * n_days) AS BIGINT)")
+          .as("index_bp"))
+      .orderBy(col("key"), col("dow"))
+  }
+
+  /** CUSUM changepoint on the daily volume series per key: the day
+    * where the cumulative deviation from the key's mean daily count
+    * peaks — the standard level-shift locator (a ramp reads near the
+    * middle, a step reads at the step). Kept integer-exact by scaling:
+    * cusum_d = Σ_{k≤d}(c_k·n_days − total) (each term is the deviation
+    * ×n_days, so no fractional mean ever exists). The series is the
+    * key's OBSERVED days (zero-event days contribute nothing to either
+    * side of the deviation — declared; densify upstream for gap-aware
+    * monitoring). The cumsum window runs per key over the bounded
+    * day dimension (corpus span), the [[trendingDaily]] posture.
+    * Ties break to the EARLIEST day. Output: key, n_days, total,
+    * cp_day, cp_cusum (signed, ×n_days scale).
+    */
+  def cusumChangepoint(df: DataFrame, tsCol: String = "ts",
+                       keyCol: String = "event_type"): DataFrame = {
+    val daily = df
+      .where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        to_date(col(tsCol).cast("timestamp")).as("d"))
+      .groupBy(col("key"), col("d")).agg(count(lit(1)).as("__c"))
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(abs(col("__cusum")).desc, col("d").asc)
+    daily
+      .withColumn("n_days", count(lit(1)).over(wKey))
+      .withColumn("total", sum(col("__c")).over(wKey))
+      .withColumn("__cusum",
+        sum(col("__c") * col("n_days") - col("total")).over(wCum))
+      .withColumn("__rn", row_number().over(wPick))
+      .where(col("__rn") === 1)
+      .select(col("key"), col("n_days"), col("total"),
+        col("d").as("cp_day"), col("__cusum").as("cp_cusum"))
+      .orderBy(col("key"))
+  }
 }

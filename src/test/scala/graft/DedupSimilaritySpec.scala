@@ -3201,6 +3201,64 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("A", "B", 2L, -1.0)))
   }
 
+  test("candle patterns: doji, hammer, and both engulfing shapes each fire exactly once") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    // c1 doji (body 10 vs range 2000), c2 hammer (wick 400 ≥ 2·150,
+    // upper 50 ≤ 150), c3→c4 bullish engulf, c5→c6 bearish engulf;
+    // every other (prev, cur) pair fails at least one predicate
+    val c = Seq(
+      ("S", t("2024-01-01 09:00:00"), 1.00, 1.100, 0.900, 1.001),
+      ("S", t("2024-01-01 09:05:00"), 1.04, 1.060, 1.000, 1.055),
+      ("S", t("2024-01-01 09:10:00"), 1.02, 1.030, 0.990, 1.000),
+      ("S", t("2024-01-01 09:15:00"), 0.99, 1.040, 0.980, 1.030),
+      ("S", t("2024-01-01 09:20:00"), 1.00, 1.025, 0.995, 1.020),
+      ("S", t("2024-01-01 09:25:00"), 1.03, 1.035, 0.985, 0.990)
+    ).toDF("symbol", "window_start", "open", "high", "low", "close")
+    val got = graft.operators.Ohlc.candlePatterns(c)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("S", 6L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("dow seasonality: index normalizes for uneven weekday coverage") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    // two Mondays carry 4 events, one Tuesday carries 1: Monday's RAW
+    // share is 8000 bp but its coverage-normalized index is 12000 bp
+    // (4/5 observed vs 2/3 of days); Tuesday reads 6000 bp
+    val ev = Seq(
+      (1L, "A", t("2024-01-01 10:00:00")), (2L, "A", t("2024-01-01 11:00:00")),
+      (3L, "A", t("2024-01-08 10:00:00")), (4L, "A", t("2024-01-08 11:00:00")),
+      (5L, "A", t("2024-01-02 10:00:00"))
+    ).toDF("event_id", "event_type", "ts")
+    val got = graft.operators.Stats.dowSeasonality(ev)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("A", 0L, 4L, 2L, 8000L, 12000L),
+      ("A", 1L, 1L, 1L, 2000L, 6000L)))
+  }
+
+  test("cusum changepoint: step locates the pre-step trough, flat series ties to earliest day") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    def rep(n: Int, key: String, day: String) =
+      (1 to n).map(_ => (key, t(s"$day 10:00:00")))
+    // A: daily counts 1,1,4 → ×3-scaled deviations −3,−3,+6 →
+    // cusum −3,−6,0 → peak |−6| at day 2. B flat → all-zero cusum,
+    // earliest day wins the tie.
+    val ev = (rep(1, "A", "2024-01-01") ++ rep(1, "A", "2024-01-02") ++
+      rep(4, "A", "2024-01-03") ++
+      rep(2, "B", "2024-01-01") ++ rep(2, "B", "2024-01-02"))
+      .toDF("event_type", "ts")
+    val got = graft.operators.Stats.cusumChangepoint(ev)
+      .select(col("key"), col("n_days"), col("total"),
+        col("cp_day").cast("string"), col("cp_cusum"))
+      .as[(String, Long, Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("A", 3L, 6L, "2024-01-02", -6L),
+      ("B", 2L, 4L, "2024-01-01", 0L)))
+  }
+
   test("max drawdown: worst peak-to-trough in bp of the running peak") {
     import java.sql.Timestamp
     def t(s2: String) = Timestamp.valueOf(s2)
