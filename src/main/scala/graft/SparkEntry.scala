@@ -1421,6 +1421,19 @@ object SparkEntry {
     // the bounded day series, earliest-day tiebreak
     "q237_cusum" -> ((s, dir) =>
       Stats.cusumChangepoint(Tables.events(s, dir))),
+    // semantic decontamination: best benchmark cosine per corpus
+    // vector, broadcast bench side, struct-extreme argmax
+    "q238_semantic_decontam" -> ((s, dir) =>
+      Similarity.semanticDecontamination(Tables.embeddings(s, dir),
+        pmod(col("vec_id"), lit(50)) === 0, threshold = 0.2)),
+    // mutual-kNN graph: reciprocal exact top-5 pairs within the sample
+    "q239_mutual_knn" -> ((s, dir) =>
+      Similarity.mutualKnnPairs(Tables.embeddings(s, dir),
+        pmod(col("vec_id"), lit(10)) === 0, k = 5)),
+    // dedup threshold tuning: pairs + docs touched per exact-Jaccard θ
+    // over the verified LSH candidate set
+    "q240_threshold_sweep" -> ((s, dir) =>
+      Dedup.thresholdSweep(Tables.documents(s, dir))),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -4508,59 +4521,11 @@ object SparkEntry {
     // q46's chain through est, then exact jaccard over the candidate
     // docs' shingle sets via the inverted index; err in 1e-4 ticks
     "q103_lsh_calibration" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id,
-        |           unnest(list_transform(range(1, len(words) - 3),
-        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
-        |    FROM w WHERE len(words) >= 5) t),
-        |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
-        |perms AS (
-        |  SELECT perm,
-        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
-        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
-        |  FROM (SELECT unnest(range(0, 16)) AS perm) t),
-        |sig AS (
-        |  SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
-        |  FROM bh CROSS JOIN perms GROUP BY doc_id, perm),
-        |banded AS (
-        |  SELECT doc_id, perm // 2 AS band,
-        |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key
-        |  FROM sig GROUP BY doc_id, perm // 2),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
-        |                              AND a.doc_id < b.doc_id),
-        |est AS (
-        |  SELECT c.doc_a, c.doc_b,
-        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
-        |  FROM cand c
-        |  JOIN sig sa ON sa.doc_id = c.doc_a
-        |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
-        |  GROUP BY c.doc_a, c.doc_b),
-        |prs AS (SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.2),
-        |cd AS (SELECT DISTINCT doc_id FROM
-        |        (SELECT doc_a AS doc_id FROM prs UNION ALL SELECT doc_b FROM prs) t),
-        |csh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cd USING (doc_id)),
-        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM csh GROUP BY 1),
-        |ish AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
-        |        FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |        GROUP BY 1, 2),
-        |j AS (SELECT p.doc_a, p.doc_b, p.est_jaccard,
-        |             round(coalesce(ish.i, 0) * 1.0 /
-        |                   (sa.sz + sb.sz - coalesce(ish.i, 0)), 4) AS exact_jaccard
-        |      FROM prs p
-        |      JOIN sz sa ON sa.doc_id = p.doc_a
-        |      JOIN sz sb ON sb.doc_id = p.doc_b
-        |      LEFT JOIN ish ON ish.doc_a = p.doc_a AND ish.doc_b = p.doc_b)
+      s"""WITH $LshCalibSql
         |SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
         |       CAST(round(est_jaccard * 10000) - round(exact_jaccard * 10000) AS BIGINT) AS err_ticks
         |FROM j ORDER BY doc_a, doc_b""".stripMargin,
-    // q32's score CTE + argmax CASE, grouped to the (source, lang) dim;
+        // q32's score CTE + argmax CASE, grouped to the (source, lang) dim;
     // share in the q95 integer-HALF_UP basis-point formula
     "q104_lang_composition" ->
       """WITH s AS (
@@ -6048,6 +6013,65 @@ object SparkEntry {
         |        ORDER BY abs(cusum) DESC, d ASC) AS rn FROM cu)
         |SELECT key, n_days, total, d AS cp_day, cusum AS cp_cusum
         |FROM r WHERE rn = 1 ORDER BY key""".stripMargin,
+    // zero-norm vectors excluded on both sides; argmax ties → lowest
+    // bench id; flag compares the 6dp-rounded cosine
+    "q238_semantic_decontam" ->
+      s"""WITH $VecBaseSql,
+        |pn AS (SELECT vec_id FROM norms WHERE nrm > 0),
+        |bcomp AS (SELECT c.vec_id, i, x FROM comp c JOIN pn USING (vec_id)
+        |          WHERE c.vec_id % 50 = 0),
+        |ccomp AS (SELECT c.vec_id, i, x FROM comp c JOIN pn USING (vec_id)
+        |          WHERE c.vec_id % 50 <> 0),
+        |dots AS (SELECT c.vec_id, b.vec_id AS bench_id, sum(c.x * b.x) AS dp
+        |         FROM ccomp c JOIN bcomp b ON b.i = c.i GROUP BY 1, 2),
+        |sc AS (SELECT d.vec_id, d.bench_id,
+        |              round(d.dp / (nc.nrm * nb.nrm), 6) AS cosine
+        |       FROM dots d
+        |       JOIN norms nc ON nc.vec_id = d.vec_id
+        |       JOIN norms nb ON nb.vec_id = d.bench_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cosine DESC, bench_id) AS rn FROM sc)
+        |SELECT vec_id, bench_id AS best_bench_id, cosine,
+        |       cosine >= 0.2 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // reciprocal exact top-5 within the sample; pairs emit once with
+    // both directed ranks
+    "q239_mutual_knn" ->
+      s"""WITH $VecBaseSql,
+        |scomp AS (SELECT vec_id, i, x FROM comp WHERE vec_id % 10 = 0),
+        |sdots AS (SELECT b.vec_id AS qa, a.vec_id AS qb, sum(b.x * a.x) AS dp
+        |          FROM scomp b JOIN scomp a ON a.i = b.i
+        |            AND b.vec_id <> a.vec_id
+        |          GROUP BY 1, 2),
+        |ss AS (SELECT qa, qb, round(dp / (na.nrm * nb.nrm), 6) AS cosine
+        |       FROM sdots JOIN norms na ON na.vec_id = qa
+        |                  JOIN norms nb ON nb.vec_id = qb),
+        |rk AS (SELECT qa, qb, cosine,
+        |              CAST(row_number() OVER (PARTITION BY qa
+        |                ORDER BY cosine DESC, qb) AS BIGINT) AS rnk
+        |       FROM ss),
+        |top AS (SELECT * FROM rk WHERE rnk <= 5)
+        |SELECT t1.qa AS vec_a, t1.qb AS vec_b, t1.cosine AS cosine,
+        |       t1.rnk AS rnk_ab, t2.rnk AS rnk_ba
+        |FROM top t1 JOIN top t2 ON t2.qa = t1.qb AND t2.qb = t1.qa
+        |WHERE t1.qa < t1.qb ORDER BY 1, 2""".stripMargin,
+    // θ grid over the shared verified-candidate chain; empty θ rows 0/0
+    "q240_threshold_sweep" ->
+      s"""WITH $LshCalibSql,
+        |grid AS (SELECT CAST(unnest([2000, 4000, 6000, 8000]) AS BIGINT)
+        |           AS theta_bp),
+        |hits AS (SELECT g.theta_bp, j.doc_a, j.doc_b FROM grid g
+        |         JOIN j ON j.exact_jaccard >= g.theta_bp / 10000.0),
+        |pc AS (SELECT theta_bp, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM hits GROUP BY 1),
+        |dc AS (SELECT theta_bp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM (SELECT theta_bp, doc_a AS doc_id FROM hits
+        |             UNION ALL SELECT theta_bp, doc_b FROM hits) t
+        |       GROUP BY 1)
+        |SELECT g.theta_bp, coalesce(pc.n_pairs, 0) AS n_pairs,
+        |       coalesce(dc.n_docs, 0) AS n_docs
+        |FROM grid g LEFT JOIN pc USING (theta_bp) LEFT JOIN dc USING (theta_bp)
+        |ORDER BY g.theta_bp""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->
@@ -6675,6 +6699,60 @@ object SparkEntry {
     * supplies `WITH RECURSIVE`. */
   /** Shared embedding-decomposition CTEs (e, dims, idx, comp, norms) —
     * single source of truth for the vector-search oracles q36/q44/q121/q122. */
+  /** q103's verified-candidate chain: MinHash-LSH candidates with
+    * estimated AND exact Jaccard, ending in j(doc_a, doc_b,
+    * est_jaccard, exact_jaccard) - shared by q103/q240. */
+  private val LshCalibSql: String =
+    """w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 3),
+        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 5) t),
+        |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+        |perms AS (
+        |  SELECT perm,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS perm) t),
+        |sig AS (
+        |  SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
+        |  FROM bh CROSS JOIN perms GROUP BY doc_id, perm),
+        |banded AS (
+        |  SELECT doc_id, perm // 2 AS band,
+        |         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm) AS key
+        |  FROM sig GROUP BY doc_id, perm // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+        |                              AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.doc_a
+        |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+        |  GROUP BY c.doc_a, c.doc_b),
+        |prs AS (SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.2),
+        |cd AS (SELECT DISTINCT doc_id FROM
+        |        (SELECT doc_a AS doc_id FROM prs UNION ALL SELECT doc_b FROM prs) t),
+        |csh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cd USING (doc_id)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM csh GROUP BY 1),
+        |ish AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+        |        FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |j AS (SELECT p.doc_a, p.doc_b, p.est_jaccard,
+        |             round(coalesce(ish.i, 0) * 1.0 /
+        |                   (sa.sz + sb.sz - coalesce(ish.i, 0)), 4) AS exact_jaccard
+        |      FROM prs p
+        |      JOIN sz sa ON sa.doc_id = p.doc_a
+        |      JOIN sz sb ON sb.doc_id = p.doc_b
+        |      LEFT JOIN ish ON ish.doc_a = p.doc_a AND ish.doc_b = p.doc_b)""".stripMargin
+
   private val VecBaseSql: String =
     """e AS (SELECT vec_id, embedding FROM embeddings),
       |dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS d FROM e),

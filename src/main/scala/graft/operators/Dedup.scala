@@ -535,6 +535,45 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard", "err_ticks")
   }
 
+  /** Dedup threshold tuning table: the "what would each θ remove"
+    * sweep every pipeline runs before committing a near-dup cutoff.
+    * Rides [[lshCalibration]]'s verified candidate pairs (estimated
+    * AND exact Jaccard already computed); each θ row counts the pairs
+    * whose EXACT Jaccard clears it and the distinct documents touched
+    * by those pairs — the upper bound on removals at that cutoff. The
+    * θ grid is a broadcast literal dimension (pairs × |θ| rows, never
+    * corpus-sized); comparisons run against the 4dp-rounded exact
+    * value, so band membership is engine-portable.
+    * Output: theta_bp, n_pairs, n_docs — one row per θ, zero rows
+    * counted via the left-join-free grid (θ with no pairs reads 0/0).
+    */
+  def thresholdSweep(docs: DataFrame,
+                     thetasBp: Seq[Long] = Seq(2000L, 4000L, 6000L, 8000L)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the verified pair set is tiny next to the LSH chain that produces
+    // it — cut lineage so the θ grid join evaluates the chain once
+    val cal = lshCalibration(docs)
+      .select(col("doc_a"), col("doc_b"), col("exact_jaccard"))
+      .localCheckpoint(true)
+    val grid = broadcast(thetasBp.toDF("theta_bp"))
+    val hits = grid.join(cal,
+      col("exact_jaccard") >= col("theta_bp").cast("double") / 10000.0)
+    val pairCounts = hits.groupBy(col("theta_bp"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = hits
+      .select(col("theta_bp"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("theta_bp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    grid.join(pairCounts, Seq("theta_bp"), "left")
+      .join(docCounts, Seq("theta_bp"), "left")
+      .select(col("theta_bp"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("theta_bp"))
+  }
+
   /** Dedup audit report — the cluster-size histogram a pipeline ships
     * next to its dedup decision: for every cluster size, how many
     * clusters, how many documents they cover, and how many documents

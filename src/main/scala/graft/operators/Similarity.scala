@@ -122,6 +122,70 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Semantic benchmark decontamination: for every corpus vector, its
+    * single best cosine against the BENCHMARK set and a contamination
+    * flag at `threshold` — the embedding-space complement of the n-gram
+    * decontamination scan ([[TextAnalysis]] shingle overlap), catching
+    * paraphrased eval leakage that exact n-grams miss. The benchmark
+    * side is broadcast (eval suites are bounded by construction — the
+    * same contract as the n-gram variant's broadcast shingle set), so
+    * the corpus streams once with zero shuffle: cost is
+    * O(|corpus|·|bench|·dim) of codegen'd arithmetic, embarrassingly
+    * parallel at any corpus size. The argmax is a struct extreme on
+    * (cosine, −bench_id) — max cosine, ties to the LOWEST benchmark id,
+    * no window. Flags compare the 6dp-ROUNDED cosine (portable).
+    * Zero-norm vectors are excluded on BOTH sides (cosine undefined —
+    * they surface in the [[embeddingAudit]]-style pre-flight instead
+    * of silently flagging as NaN). Output: vec_id, best_bench_id,
+    * cosine, contaminated.
+    */
+  def semanticDecontamination(embeddings: DataFrame, benchPred: Column,
+                              threshold: Double = 0.95): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("norm", l2norm(col("v")))
+        .where(col("norm") > 0)
+    val bench = prep(embeddings.where(benchPred))
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"),
+        col("norm").as("bnorm"))
+    prep(embeddings.where(!benchPred))
+      .join(broadcast(bench))
+      .select(col("vec_id"),
+        round(dot(col("v"), col("bv")) / (col("norm") * col("bnorm")), 6)
+          .as("cosine"),
+        col("bench_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("bench_id")).as("nb"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.nb")).as("best_bench_id"),
+        col("__m.cosine").as("cosine"),
+        (col("__m.cosine") >= threshold).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Mutual-kNN pairs over a sample: (a, b) where each is in the
+    * other's exact top-k — the reciprocal-neighbor graph that seeds
+    * density clustering and chunk-level near-dup review (one-directional
+    * kNN edges are dominated by hubs; mutuality is the standard hub
+    * filter). Exact brute kNN within the sample (both sides of each
+    * dot product come from the broadcast sample — sample² work by
+    * declaration); at corpus scale the same mutuality join composes
+    * over [[annIvfTopK]] output unchanged. Pairs emit once (a < b)
+    * with both directed ranks. Output: vec_a, vec_b, cosine, rnk_ab,
+    * rnk_ba.
+    */
+  def mutualKnnPairs(embeddings: DataFrame, samplePred: Column,
+                     k: Int = 5): DataFrame = {
+    val knn = knnCosineBrute(embeddings.where(samplePred), lit(true), k)
+    knn.as("f").join(knn.as("r"),
+        col("f.query_id") === col("r.neighbor_id") &&
+          col("f.neighbor_id") === col("r.query_id"))
+      .where(col("f.query_id") < col("f.neighbor_id"))
+      .select(col("f.query_id").as("vec_a"),
+        col("f.neighbor_id").as("vec_b"), col("f.cosine").as("cosine"),
+        col("f.rnk").as("rnk_ab"), col("r.rnk").as("rnk_ba"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Exact cosine-threshold pair join, block-partitioned: vectors are
     * assigned to `blocks` buckets by vec_id, every unordered block pair
     * (i ≤ j) becomes one equi-join key, and each input row is replicated to

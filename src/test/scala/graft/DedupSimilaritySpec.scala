@@ -3274,4 +3274,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
+
+  test("semantic decontamination: argmax ties to lowest bench id, zero-norm excluded") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),  // bench
+      (1L, Array(1f, 0f, 0f, 0f)),  // bench, identical → tie loser
+      (2L, Array(1f, 0f, 0f, 0f)),  // corpus: exact leak, cosine 1.0
+      (3L, Array(0f, 1f, 0f, 0f)),  // corpus: orthogonal
+      (4L, Array(0f, 0f, 0f, 0f))   // corpus: zero-norm → excluded
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontamination(emb, col("vec_id") < 2)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got === Seq((2L, 0L, 1.0, true), (3L, 0L, 0.0, false)))
+  }
+
+  test("mutual kNN pairs: non-reciprocal edges drop, pair emits once with both ranks") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.14f, 0f, 0f)),  // 0 and 1 are mutual top-1
+      (2L, Array(0.7f, 0.7f, 0f, 0f))     // 2's top-1 is 1, but 1's is 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mutualKnnPairs(emb, lit(true), k = 1)
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === Seq((0L, 1L)))
+    assert(got.head._4 === 1L && got.head._5 === 1L)
+  }
+
+  test("threshold sweep matches a direct recount of the verified candidate pairs") {
+    val thetas = Seq(5000L, 8500L, 10000L)
+    val cal = Dedup.lshCalibration(docs)
+      .select("doc_a", "doc_b", "exact_jaccard")
+      .as[(Long, Long, Double)].collect()
+    val want = thetas.map { t =>
+      val hit = cal.filter(_._3 >= t / 10000.0)
+      (t, hit.length.toLong,
+        hit.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    }
+    val got = Dedup.thresholdSweep(docs, thetas)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    // the exact-dup trio (1,4,5) survives θ = 1.0
+    val at10000 = got.find(_._1 == 10000L).get
+    assert(at10000._2 >= 3L && at10000._3 >= 3L)
+  }
 }
