@@ -76,6 +76,9 @@ object ScaleCheck {
     // q235: one lag + conditional sums — candle-grid-sized
     time(s"candle patterns over $nCandles candles")(
       Ohlc.candlePatterns(candles).count())
+    // q245: one hash agg over the candle grid — never re-scans ticks
+    time(s"ohlc resample 5m->30m over $nCandles candles")(
+      Ohlc.resample(candles).count())
     println(s"[scale] ticks=$nTicks candles=$nCandles filled=$nFilled enriched=$nEnriched " +
       f"symbols=${factor * 5} tickRate=${nTicks / 1e6}%.1fM")
     // q85/q86 at xfactor USERS: replicate the user dimension so the
@@ -294,6 +297,37 @@ object ScaleCheck {
     // latest sample is a struct extreme — no window anywhere
     time(s"last value rank over $nUev events")(
       graft.operators.Returns.lastValueRank(uev).count())
+    // q241: one keyed window + (user, conv-idx) hash aggs — the
+    // last-touch exchange shape; trailing touches drop in the equi-join
+    time(s"linear attribution over $nUev events")(
+      graft.operators.Engagement.linearAttribution(
+        uev, "user_id", "ts", "event_type", "event_id",
+        target = "purchase").count())
+    // q242: corpus collapses to distinct (day, user) once; month rollup
+    // is a bounded-dim agg over that grid
+    time(s"stickiness over $nUev events")(
+      graft.operators.Engagement.stickiness(uev).count())
+    // q248: two hash aggs, (key × day)-grid sized after the first
+    time(s"fano factor over $nUev events")(
+      graft.operators.Stats.fanoDaily(uev).count())
+    // q243: one scan, explode ×|candidates|, ≤ cand×64 rows per
+    // upstream partition after map-side partials — event_type is the
+    // deliberately-skewed candidate (5·factor values over 64 buckets)
+    time(s"partition skew advisor over $nUev events")(
+      graft.operators.Layout.partitionSkew(uev, Seq(
+        "event_id" -> Seq("event_id"),
+        "event_type" -> Seq("event_type"),
+        "user_type" -> Seq("user_id", "event_type"))).count())
+    // q244: the asof merge-interleave with both frames — one key
+    // shuffle, no join node, both sides at event scale
+    time(s"nearest join purchases->clicks over $nUev events")(
+      graft.operators.AsOf.nearestJoin(
+        uev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"), col("ts")),
+        uev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("cts")),
+        "user_id", "ts", "cts", Seq("click_id")).count())
     uev.unpersist()
     // release the core-pipeline caches before the dedup/similarity section —
     // lingering multi-GB cached stages turn the later timings into GC noise
@@ -707,6 +741,10 @@ object ScaleCheck {
     // q207: one scan + bounded source agg — charClassProfile's cost class
     time(s"readability profile over $nDocs docs")(
       graft.operators.TextAnalysis.readabilityProfile(sourced).count())
+    // q246: one classifier+quality scan, then the ≤2001-cell milli-bin
+    // grid — cost must track the q67 scan, not grow with corpus
+    time(s"classifier AUC over $nDocs docs")(
+      graft.operators.TextAnalysis.classifierAuc(docs).count())
     // q212: sketch = (d × w) bounded relation built from the vocab agg;
     // probe side is k rows — cost must track the vocab top-k probe
     time(s"cms heavy-hitter audit over $nDocs docs")(

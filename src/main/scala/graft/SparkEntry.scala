@@ -1434,6 +1434,68 @@ object SparkEntry {
     // over the verified LSH candidate set
     "q240_threshold_sweep" -> ((s, dir) =>
       Dedup.thresholdSweep(Tables.documents(s, dir))),
+    // even-split multi-touch credit in integer micro-units; one keyed
+    // window + hash aggs, <none> bucket for bare conversions
+    "q241_linear_attribution" -> ((s, dir) =>
+      Engagement.linearAttribution(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id", target = "purchase")),
+    // DAU/MAU per month from the distinct (day, user) presence grid
+    "q242_stickiness" -> ((s, dir) =>
+      Engagement.stickiness(Tables.events(s, dir))),
+    // bucketing-DDL advisor: hottest-bucket share per candidate shuffle
+    // key over 64 portable md5 hash buckets
+    "q243_partition_skew" -> ((s, dir) =>
+      Layout.partitionSkew(Tables.events(s, dir), Seq(
+        "event_id" -> Seq("event_id"),
+        "event_type" -> Seq("event_type"),
+        "user_id" -> Seq("user_id"),
+        "user_type" -> Seq("user_id", "event_type")))),
+    // candle-grid rollup 5-min → 30-min: min_by/max_by open/close on
+    // unique window_start, integer-µs bucket arithmetic
+    "q245_ohlc_resample" -> ((s, dir) =>
+      Ohlc.resample(candles(s, dir), minutes = 30)
+        .select(wstr(col("window_start")).as("window_start"), col("symbol"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("tick_count"))
+        .orderBy("window_start", "symbol")),
+    // Mann–Whitney rank-sum AUC over the bounded milli-bin score grid,
+    // midrank ties in integer halves, decimal(38,0) products
+    "q246_classifier_auc" -> ((s, dir) =>
+      TextAnalysis.classifierAuc(Tables.documents(s, dir))),
+    // burstiness: daily-volume Fano factor per type over each type's
+    // own span (silent days are zeros via the span identity)
+    "q248_fano_factor" -> ((s, dir) =>
+      Stats.fanoDaily(Tables.events(s, dir))),
+    // explicit GROUPING SETS ((status), (priority)) — the two
+    // one-dimension marginals in one pass, grouping_id parity
+    "q249_grouping_sets" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("lvl"),
+          count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("revenue_cents"))
+        .select(coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("lvl"), col("n_orders"), col("revenue_cents"))
+        .orderBy("lvl", "status", "priority")),
+    // bidirectional as-of: each purchase aligned to its |Δt|-nearest
+    // click in the same user stream, ties backward
+    "q244_nearest_event" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("cts"))
+      AsOf.nearestJoin(purchases, clicks, "user_id", "ts", "cts",
+          Seq("click_id"))
+        .select("purchase_id", "click_id", "nearest_gap_us")
+        .orderBy("purchase_id")
+    }),
     // source concentration: sources ranked by token mass, cumulative
     // share — "how few sources carry 90% of the corpus"
     "q198_source_concentration" -> ((s, dir) => {
@@ -5646,19 +5708,7 @@ object SparkEntry {
     // same md5 classifier + quality formulas; offset-tick integer means
     "q221_calibration" ->
       s"""WITH $QualitySql,
-        |tok AS (SELECT doc_id,
-        |          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-        |                             x -> x <> '')) AS token
-        |        FROM documents),
-        |wts AS (SELECT doc_id,
-        |          (('0x' || substr(md5('w:' ||
-        |              CAST((('0x' || substr(md5(token), 1, 8))::BIGINT % 1024) AS VARCHAR)),
-        |            1, 8))::BIGINT / 2147483648.0) - 1.0 AS w
-        |        FROM tok),
-        |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS raw FROM wts GROUP BY 1),
-        |scored AS (SELECT d.doc_id,
-        |                  coalesce(round(raw / n_tokens, 6), 0.0) AS score
-        |           FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+        |$ClassifierScoreSql,
         |b AS (SELECT CAST(floor(score * 100) AS BIGINT) AS bin,
         |             CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS t,
         |             CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS p
@@ -6072,6 +6122,155 @@ object SparkEntry {
         |       coalesce(dc.n_docs, 0) AS n_docs
         |FROM grid g LEFT JOIN pc USING (theta_bp) LEFT JOIN dc USING (theta_bp)
         |ORDER BY g.theta_bp""".stripMargin,
+    // even-split credit: 1e6 // n per touch (floor on non-negatives),
+    // touches attach to the NEXT conversion on the pinned (ts, id) order
+    "q241_linear_attribution" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+        |            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |o AS (SELECT user_id, event_type,
+        |             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |      FROM ev),
+        |conv AS (SELECT user_id, cb AS cidx FROM o WHERE event_type = 'purchase'),
+        |tch AS (SELECT o.user_id, o.cb + 1 AS cidx, o.event_type
+        |        FROM o JOIN conv ON conv.user_id = o.user_id AND conv.cidx = o.cb + 1
+        |        WHERE o.event_type <> 'purchase'),
+        |n AS (SELECT user_id, cidx, CAST(count(*) AS BIGINT) AS n
+        |      FROM tch GROUP BY 1, 2),
+        |cr AS (SELECT t.event_type, 1000000 // n.n AS credit
+        |       FROM tch t JOIN n ON n.user_id = t.user_id AND n.cidx = t.cidx),
+        |agg AS (SELECT event_type AS attr_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |               CAST(sum(credit) AS BIGINT) AS credit_micro
+        |        FROM cr GROUP BY 1),
+        |bare AS (SELECT '<none>' AS attr_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |                CAST(count(*) * 1000000 AS BIGINT) AS credit_micro
+        |         FROM conv LEFT JOIN n ON n.user_id = conv.user_id
+        |                               AND n.cidx = conv.cidx
+        |         WHERE n.n IS NULL)
+        |SELECT * FROM agg UNION ALL SELECT * FROM bare ORDER BY attr_type""".stripMargin,
+    // distinct (month, day, user) presence grid; stickiness from the
+    // three integer aggregates in one HALF_UP expression
+    "q242_stickiness" ->
+      """WITH e AS (SELECT DISTINCT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+        |                  date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+        |                  user_id AS u
+        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT month, CAST(count(DISTINCT u) AS BIGINT) AS mau,
+        |       CAST(count(*) AS BIGINT) AS sum_dau,
+        |       CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+        |       CAST(floor(count(*) * 10000.0 /
+        |                  (count(DISTINCT d) * count(DISTINCT u)) + 0.5) AS BIGINT)
+        |         AS stickiness_bp
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // md5-low-32 mod 64 buckets, null sentinel + chr(1) separator match
+    // the engine's concat exactly; skew = max/ideal in HALF_UP bp
+    "q243_partition_skew" ->
+      """WITH kb AS (
+        |  SELECT 'event_id' AS key_name,
+        |         ('0x' || substr(md5(coalesce(CAST(event_id AS VARCHAR), '∅')), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type',
+        |         ('0x' || substr(md5(coalesce(event_type, '∅')), 1, 8))::BIGINT % 64
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id',
+        |         ('0x' || substr(md5(coalesce(CAST(user_id AS VARCHAR), '∅')), 1, 8))::BIGINT % 64
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_type',
+        |         ('0x' || substr(md5(concat_ws(chr(1),
+        |            coalesce(CAST(user_id AS VARCHAR), '∅'),
+        |            coalesce(event_type, '∅'))), 1, 8))::BIGINT % 64
+        |  FROM events),
+        |b AS (SELECT key_name, bucket, CAST(count(*) AS BIGINT) AS n
+        |      FROM kb GROUP BY 1, 2)
+        |SELECT key_name, CAST(sum(n) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_buckets_hit,
+        |       CAST(max(n) AS BIGINT) AS max_bucket_rows,
+        |       CAST(floor(max(n) * 64 * 10000.0 / sum(n) + 0.5) AS BIGINT) AS skew_x_bp
+        |FROM b GROUP BY 1 ORDER BY key_name""".stripMargin,
+    // per purchase: min |Δµs| click, ties backward (earlier), then the
+    // engine's duplicate-ts tiebreak (max id backward, min id forward)
+    "q244_nearest_event" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |                   epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT event_id AS purchase_id, user_id, us FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, us AS cus FROM ev
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT p.purchase_id, c.click_id, abs(c.cus - p.us) AS gap,
+        |             row_number() OVER (PARTITION BY p.purchase_id
+        |               ORDER BY abs(c.cus - p.us),
+        |                        CASE WHEN c.cus <= p.us THEN 0 ELSE 1 END,
+        |                        CASE WHEN c.cus <= p.us THEN -c.click_id
+        |                             ELSE c.click_id END) AS rn
+        |      FROM p JOIN c USING (user_id))
+        |SELECT p.purchase_id, j.click_id, j.gap AS nearest_gap_us
+        |FROM p LEFT JOIN j ON j.purchase_id = p.purchase_id AND j.rn = 1
+        |ORDER BY p.purchase_id""".stripMargin,
+    // integer-µs 30-min buckets (// floors non-negative epochs);
+    // arg_min/arg_max pick open/close on the unique fine window_start
+    "q245_ohlc_resample" ->
+      s"""WITH $CandleCte,
+         |r AS (SELECT make_timestamp((epoch_us(window_start) // 1800000000)
+         |               * 1800000000) AS w, symbol,
+         |             arg_min(open, window_start) AS open, max(high) AS high,
+         |             min(low) AS low, arg_max(close, window_start) AS close,
+         |             CAST(sum(tick_count) AS BIGINT) AS tick_count
+         |      FROM candles GROUP BY 1, 2)
+         |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, symbol,
+         |       open, high, low, close, tick_count
+         |FROM r ORDER BY 1, symbol""".stripMargin,
+    // binned Mann–Whitney over milli-bins: num2 = Σ pos·(2·cumneg+neg),
+    // AUC = num2/(2PN) floored to micro; HUGEINT products
+    "q246_classifier_auc" ->
+      s"""WITH $QualitySql,
+        |$ClassifierScoreSql,
+        |b AS (SELECT CAST(floor(score * 1000) AS BIGINT) AS bin,
+        |             CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS p
+        |      FROM scored JOIN q USING (doc_id)),
+        |g AS (SELECT bin, CAST(sum(p) AS BIGINT) AS pos,
+        |             CAST(count(*) - sum(p) AS BIGINT) AS neg
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT bin, pos, neg,
+        |             coalesce(sum(neg) OVER (ORDER BY bin
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |      FROM g)
+        |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+        |       CAST(sum(neg) AS BIGINT) AS n_neg,
+        |       CAST((sum(CAST(pos AS HUGEINT) * (2 * cumneg + neg)) * 1000000)
+        |            // (2 * CAST(sum(pos) AS HUGEINT) * sum(neg)) AS BIGINT)
+        |         AS auc_micro
+        |FROM c""".stripMargin,
+    // span-identity Fano: zeros enter only through n_days; HUGEINT
+    // products, one final floored micro division
+    "q248_fano_factor" ->
+      """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS d2,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |           GROUP BY 1, 2)
+        |SELECT key,
+        |       CAST(date_diff('day', min(d2), max(d2)) + 1 AS BIGINT) AS n_days,
+        |       CAST(sum(c) AS BIGINT) AS total,
+        |       CAST(((CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
+        |               * sum(c * c) - CAST(sum(c) AS HUGEINT) * sum(c)) * 1000000)
+        |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
+        |               * sum(c)) AS BIGINT) AS fano_micro
+        |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // GROUPING(a,b) bit convention matches Spark grouping_id (q144)
+    "q249_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '<all>') AS status,
+        |       coalesce(o_orderpriority, '<all>') AS priority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY 3, 1, 2""".stripMargin,
     // fused ranking from the shared BM25 chain + the quality CTE:
     // integer 10^9 // (60 + rank) terms, absent ranks → 0
     "q204_rrf_fusion" ->
@@ -6989,6 +7188,23 @@ object SparkEntry {
       probes.map { case (n, _, _, _, _) => s"SELECT * FROM ${n}_out" }
         .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY join_name")
   }
+
+  /** q67's hashed-classifier score chain ending in scored(doc_id,
+    * score) — single source of truth for q221/q246. */
+  private val ClassifierScoreSql: String =
+    """tok AS (SELECT doc_id,
+        |          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             x -> x <> '')) AS token
+        |        FROM documents),
+        |wts AS (SELECT doc_id,
+        |          (('0x' || substr(md5('w:' ||
+        |              CAST((('0x' || substr(md5(token), 1, 8))::BIGINT % 1024) AS VARCHAR)),
+        |            1, 8))::BIGINT / 2147483648.0) - 1.0 AS w
+        |        FROM tok),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w) AS raw FROM wts GROUP BY 1),
+        |scored AS (SELECT d.doc_id,
+        |                  coalesce(round(raw / n_tokens, 6), 0.0) AS score
+        |           FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)""".stripMargin
 
   private val QualitySql: String =
     """qt AS (

@@ -135,4 +135,63 @@ object AsOf {
         col("__ts").as("valid_from"), col("valid_to"),
         col("__s").as(stateCol))
   }
+
+  /** Nearest-event join — the bidirectional sibling of [[asofJoin]]:
+    * each left row picks the right row MINIMIZING |Δts| within the key,
+    * ties resolving backward (the earlier candidate), the sensor-fusion
+    * / "closest quote to this trade" alignment primitive.
+    *
+    * Same merge-interleave shape as [[asofJoin]] — tag, union, ONE
+    * window per key — but with BOTH frames: the backward candidate is
+    * the last carried right payload before the row, the forward one the
+    * first after it; the winner is a row-local comparison of the two
+    * integer-µs gaps. No join node at all, both sides scale, one
+    * shuffle. A right row at the exact left timestamp sorts before the
+    * left row (side order), so it wins at gap 0 through the backward
+    * frame. Equal-(ts) right duplicates resolve deterministically like
+    * [[asofJoin]]: greatest payload struct backward, smallest forward.
+    * Left rows with no right row in the key at all keep NULL payloads
+    * (left-join semantics). Output: left.* ++ valueCols ++ nearest_gap_us.
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "nearest join needs at least one payload column")
+    require(valueCols.intersect(left.columns.toSeq).isEmpty,
+      s"payload columns ${valueCols.intersect(left.columns.toSeq).mkString(", ")} " +
+        "collide with left columns; rename upstream")
+    val lType = StructType(left.schema.fields)
+    val vType = StructType(
+      right.select((unix_micros(col(rightTs)).as("__rus") +:
+        valueCols.map(col)): _*).schema.fields)
+    val lU = left.select(
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      col(key).as("__k"), unix_micros(col(leftTs)).as("__us"),
+      lit(1).as("__side"), lit(null).cast(vType).as("__v"))
+    val rU = right.select(
+      lit(null).cast(lType).as("__l"),
+      col(key).as("__k"), unix_micros(col(rightTs)).as("__us"),
+      lit(0).as("__side"),
+      struct((unix_micros(col(rightTs)).as("__rus") +:
+        valueCols.map(col)): _*).as("__v"))
+    val ord = Seq(col("__us"), col("__side"), col("__v"))
+    val wB = Window.partitionBy("__k").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wF = Window.partitionBy("__k").orderBy(ord: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val gapB = col("__us") - col("__bv.__rus")
+    val gapF = col("__fv.__rus") - col("__us")
+    val pick = when(col("__bv").isNull, col("__fv"))
+      .when(col("__fv").isNull, col("__bv"))
+      .when(gapF < gapB, col("__fv"))
+      .otherwise(col("__bv"))
+    lU.unionByName(rU)
+      .withColumn("__bv", last(col("__v"), ignoreNulls = true).over(wB))
+      .withColumn("__fv", first(col("__v"), ignoreNulls = true).over(wF))
+      .where(col("__side") === 1)
+      .withColumn("__w", pick)
+      .select(col("__l.*") +:
+        (valueCols.map(c => col(s"__w.$c").as(c)) :+
+          abs(col("__us") - col("__w.__rus")).as("nearest_gap_us")): _*)
+  }
 }

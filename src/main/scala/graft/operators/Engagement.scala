@@ -818,4 +818,78 @@ object Engagement {
         max(col("__c")).as("peak"))
       .orderBy(col("d"))
   }
+
+  /** Linear (multi-touch) attribution — the even-split complement of
+    * [[lastTouchAttribution]]/[[firstTouchCensus]]: every non-target
+    * event strictly between two conversions shares the NEXT conversion's
+    * credit equally. Credit is integer micro-units — `1e6 DIV n` per
+    * touch, floor on non-negatives so both engines truncate identically;
+    * the ≤(n−1) dropped remainder micros are the declared cost of exact
+    * cross-engine arithmetic. Conversions with no preceding touch land
+    * in the `<none>` bucket at full credit (emitted even when zero, so
+    * the row set is schema-stable).
+    *
+    * One keyed window assigns every event its running conversion count
+    * on the pinned (µs, id) order: a conversion's 1-based index is that
+    * count, a touch attaches to index+1 (the conversion AFTER it).
+    * Everything downstream is hash aggregation + one equi-join on
+    * (user, index) — trailing touches after a user's last conversion
+    * drop out of the inner join, never skewing anything.
+    * Output: attr_type, n_touches, credit_micro.
+    */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, idCol: String,
+                        target: String): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__us"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__us"),
+        col(typeCol).as("__t"), col(idCol).as("__id"))
+      .withColumn("__cb",
+        sum(when(col("__t") === lit(target), 1L).otherwise(0L)).over(w))
+    val conv = ev.where(col("__t") === lit(target))
+      .select(col("__u"), col("__cb").as("__cidx"))
+    val touches = ev.where(col("__t") =!= lit(target))
+      .select(col("__u"), (col("__cb") + 1L).as("__cidx"), col("__t"))
+      .join(conv, Seq("__u", "__cidx"))
+    val groupN = touches.groupBy(col("__u"), col("__cidx"))
+      .agg(count(lit(1)).as("__n"))
+    val credited = touches.join(groupN, Seq("__u", "__cidx"))
+      .groupBy(col("__t").as("attr_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(expr("CAST(1000000 AS BIGINT) DIV __n")).as("credit_micro"))
+    val bare = conv.join(groupN, Seq("__u", "__cidx"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"))
+      .select(lit("<none>").as("attr_type"), col("n_touches"),
+        (col("n_touches") * 1000000L).as("credit_micro"))
+    credited.unionByName(bare).orderBy(col("attr_type"))
+  }
+
+  /** DAU/MAU stickiness — the engagement-health ratio every consumer
+    * dashboard leads with: per calendar month, monthly actives, the sum
+    * of daily-active counts, active days, and stickiness = avg DAU / MAU
+    * in HALF_UP basis points (computed from the three integer aggregates
+    * in one expression — no intermediate float mean). The corpus
+    * collapses to DISTINCT (day, user) presence first, so one exchange
+    * carries at most one row per user-day regardless of event volume,
+    * and the month rollup is a bounded-dim hash agg over that grid.
+    * Output: month, mau, sum_dau, n_days, stickiness_bp.
+    */
+  def stickiness(events: DataFrame, userCol: String = "user_id",
+                 tsCol: String = "ts"): DataFrame = {
+    events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(date_trunc("month", col(tsCol)).as("month"),
+        date_trunc("day", col(tsCol)).as("__d"), col(userCol).as("__u"))
+      .distinct()
+      .groupBy(col("month"))
+      .agg(countDistinct(col("__u")).as("mau"),
+        count(lit(1)).as("sum_dau"),
+        countDistinct(col("__d")).as("n_days"))
+      .select(col("month"), col("mau"), col("sum_dau"), col("n_days"),
+        floor(col("sum_dau") * 10000.0 / (col("n_days") * col("mau")) + 0.5)
+          .cast("long").as("stickiness_bp"))
+      .orderBy(col("month"))
+  }
 }

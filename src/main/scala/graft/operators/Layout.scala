@@ -88,4 +88,47 @@ object Layout {
     }
     scored.reduce(_.unionByName(_))
   }
+
+  /** Partition-skew advisor: for each candidate shuffle/bucket key, how
+    * evenly would the table's rows spread over `buckets` hash
+    * partitions? The answer that decides a bucketing/partitioning DDL
+    * before anyone pays the 100 TB shuffle — a key whose hottest bucket
+    * carries 40× the ideal share is disqualified no matter how natural
+    * it reads. Hashing is salted-free md5-low-32 mod `buckets`
+    * (engine-portable, like [[graft.operators.Bloom]]'s slots), nulls
+    * fixed to a sentinel BEFORE concat so (null, "a") ≠ ("a", null) and
+    * multi-column keys separate on the \\u0001 sentinel separator.
+    *
+    * One scan: each row explodes to (candidate, bucket) — candidate
+    * count is a plan-time constant — then two bounded hash aggs; the
+    * shuffle carries at most candidates × `buckets` rows per upstream
+    * partition (map-side partials). skew_x_bp = hottest bucket / ideal
+    * share in HALF_UP bp (10000 = perfectly even).
+    * Output: key_name, n_rows, n_buckets_hit, max_bucket_rows, skew_x_bp.
+    */
+  def partitionSkew(df: DataFrame, candidates: Seq[(String, Seq[String])],
+                    buckets: Int = 64): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate key")
+    require(buckets >= 1, "buckets must be positive")
+    def bucketOf(cols: Seq[String]): Column = pmod(
+      conv(substring(md5(concat_ws("\u0001",
+        cols.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*)),
+        1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+    val tagged = df.select(explode(array(candidates.map { case (name, cols) =>
+      struct(lit(name).as("key_name"), bucketOf(cols).as("bucket"))
+    }: _*)).as("kb"))
+    tagged
+      .groupBy(col("kb.key_name").as("key_name"), col("kb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("key_name"))
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_buckets_hit"),
+        max(col("__n")).as("max_bucket_rows"))
+      .select(col("key_name"), col("n_rows"), col("n_buckets_hit"),
+        col("max_bucket_rows"),
+        floor(col("max_bucket_rows") * buckets.toLong * 10000.0 /
+          col("n_rows") + 0.5).cast("long").as("skew_x_bp"))
+      .orderBy(col("key_name"))
+  }
 }

@@ -159,4 +159,32 @@ object Ohlc {
           .as("n_bear_engulf"))
       .orderBy(col("symbol"))
   }
+
+  /** Candle resample: roll fine candles up to a coarser bar (5-min →
+    * 30-min is the classic chart-zoom) — one hash aggregate over the
+    * candle grid, never a re-scan of ticks. Open/close pick by
+    * `min_by`/`max_by` on `window_start` (unique per symbol within a
+    * bucket by construction, so deterministic); high/low/volume are
+    * plain extremes/sums. The coarse bucket is pure integer-µs
+    * arithmetic (`DIV`) — engine-portable and alignment-explicit, no
+    * reliance on an engine's time_bucket origin convention. Cost tracks
+    * the candle-grid size (symbols × fine buckets), not tick volume.
+    * Output: window_start (coarse), symbol, open, high, low, close,
+    * tick_count.
+    */
+  def resample(candles: DataFrame, minutes: Int = 30): DataFrame = {
+    require(minutes >= 1, "minutes must be positive")
+    val span = minutes.toLong * 60000000L
+    candles
+      .withColumn("__w",
+        timestamp_micros(expr(s"unix_micros(window_start) DIV $span * $span")))
+      .groupBy(col("__w"), col("symbol"))
+      .agg(
+        min_by(col("open"), col("window_start")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("window_start")).as("close"),
+        sum(col("tick_count")).as("tick_count"))
+      .withColumnRenamed("__w", "window_start")
+  }
 }

@@ -718,4 +718,35 @@ object Stats {
         col("d").as("cp_day"), col("__cusum").as("cp_cusum"))
       .orderBy(col("key"))
   }
+
+  /** Fano factor (burstiness index) of daily volume per key: population
+    * variance over mean of the daily counts across the key's OWN active
+    * span — silent days inside the span count as zeros (a key that fires
+    * 7000 events one day and sleeps a month must read bursty, which
+    * active-days-only variance would hide). Zeros need no grid join:
+    * they contribute nothing to Σc or Σc², so only the span length
+    * enters the identity — Fano = (n·Σc² − S²)/(n·S), all integer until
+    * one final floored micro division (Cauchy–Schwarz keeps the
+    * numerator non-negative; decimal(38,0)/HUGEINT guards n·Σc² at
+    * corpus scale). Poisson arrivals read ≈ 1e6; >1e6 is burstier.
+    * Two hash aggs, day-grid sized after the first.
+    * Output: key, n_days, total, fano_micro.
+    */
+  def fanoDaily(df: DataFrame, keyCol: String = "event_type",
+                tsCol: String = "ts"): DataFrame = {
+    df.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("key"))
+      .agg((datediff(max(col("__d")), min(col("__d"))) + 1).cast("long")
+          .as("n_days"),
+        sum(col("__c")).as("total"),
+        sum(col("__c") * col("__c")).as("__sq"))
+      .select(col("key"), col("n_days"), col("total"),
+        expr("""CAST(((CAST(n_days AS DECIMAL(38,0)) * __sq
+                 - CAST(total AS DECIMAL(38,0)) * total) * 1000000)
+                DIV (CAST(n_days AS DECIMAL(38,0)) * total) AS BIGINT)""")
+          .as("fano_micro"))
+      .orderBy(col("key"))
+  }
 }

@@ -2075,6 +2075,54 @@ object TextAnalysis {
         expr("CAST((sum(__p) * 10000) DIV count(1) AS BIGINT)").as("pass_bp"))
   }
 
+  /** Classifier AUC — the single ranking-power number next to
+    * [[scoreCalibration]]'s reliability table: does the hashed
+    * classifier's score ORDER pass/fail docs correctly? Computed as the
+    * exact Mann–Whitney rank-sum over score MILLI-BINS (floor(score·1e3)
+    * — scores live in [−1, 1], so the grid is ≤ 2001 cells at ANY corpus
+    * size, the counting-dim discipline; binned-AUC is the declared
+    * semantic, not an approximation of something else). Ties take the
+    * standard midrank credit, kept in integer HALVES so the whole
+    * numerator is exact: num2 = Σ_bins pos·(2·cumneg_below + neg), AUC =
+    * num2 / (2·P·N), reported as floor micro-units. decimal(38,0)
+    * products (HUGEINT oracle-side) so P·N can't overflow at corpus
+    * scale. One corpus scan + one bounded-grid window.
+    * Output: n_pos, n_neg, auc_micro.
+    */
+  def classifierAuc(docs: DataFrame,
+                    passThreshold: Double = 0.5): DataFrame =
+    binnedAuc(docs.select(
+      classifierScoreExpr(col("text")).as("score"),
+      when(qualityExpr(col("text")) >= passThreshold, 1L).otherwise(0L)
+        .as("label")), "score", "label")
+
+  /** The rank-sum core of [[classifierAuc]], reusable for any
+    * (score, 0/1 label) relation. See the AUC scaladoc above for the
+    * milli-bin + midrank semantics. */
+  def binnedAuc(df: DataFrame, scoreCol: String,
+                labelCol: String): DataFrame = {
+    val grid = df
+      .select(floor(col(scoreCol) * 1000).cast("long").as("__bin"),
+        col(labelCol).cast("long").as("__p"))
+      .groupBy(col("__bin"))
+      .agg(sum(col("__p")).as("__pos"),
+        sum(lit(1L) - col("__p")).as("__neg"))
+    // bounded by the milli-bin grid (≤ 2001 rows) — the single-partition
+    // window is a declared constant-size simulation, like the quantile
+    // counting grids
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    grid
+      .withColumn("__cumneg", coalesce(sum(col("__neg")).over(w), lit(0L)))
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        sum(col("__pos").cast("decimal(38,0)") *
+          (col("__cumneg") * 2 + col("__neg"))).as("__num2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("""CAST((__num2 * 1000000)
+                DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)""")
+          .as("auc_micro"))
+  }
+
   /** Positional phrase match, self-calibrated: find the corpus's most
     * frequent word trigram (ties broken lexicographically) and return
     * every document containing it with its occurrence count — the

@@ -3275,6 +3275,130 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
 
+  test("ohlc resample: 30-min bar merges its 5-min candles, open/close by time") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    val candles = Seq(
+      // bucket 10:00: three 5-min candles — open from 10:00, close from 10:10
+      (t("2024-01-01 10:00:00"), "S", 10.0, 12.0, 9.0, 11.0, 3L),
+      (t("2024-01-01 10:05:00"), "S", 11.0, 15.0, 11.0, 14.0, 2L),
+      (t("2024-01-01 10:10:00"), "S", 14.0, 14.0, 8.0, 9.0, 4L),
+      // bucket 10:30: a single candle passes through
+      (t("2024-01-01 10:30:00"), "S", 9.0, 10.0, 9.0, 10.0, 1L)
+    ).toDF("window_start", "symbol", "open", "high", "low", "close", "tick_count")
+    val got = graft.operators.Ohlc.resample(candles, minutes = 30)
+      .select(col("window_start").cast("string"), col("symbol"), col("open"),
+        col("high"), col("low"), col("close"), col("tick_count"))
+      .as[(String, String, Double, Double, Double, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("2024-01-01 10:00:00", "S", 10.0, 15.0, 8.0, 9.0, 9L),
+      ("2024-01-01 10:30:00", "S", 9.0, 10.0, 9.0, 10.0, 1L)))
+  }
+
+  test("binned AUC: perfect separation 1e6, same-bin ties midrank to 5e5, hand case exact") {
+    def auc(rows: Seq[(Double, Long)]): (Long, Long, Long) =
+      graft.operators.TextAnalysis
+        .binnedAuc(rows.toDF("score", "label"), "score", "label")
+        .as[(Long, Long, Long)].collect().head
+    assert(auc(Seq((0.9, 1L), (0.8, 1L), (0.1, 0L), (0.2, 0L))) ===
+      ((2L, 2L, 1000000L)))
+    assert(auc(Seq((0.5, 1L), (0.5, 0L))) === ((1L, 1L, 500000L)))
+    // pos {0.3, 0.7}, neg {0.5}: one of two pairs correctly ordered
+    assert(auc(Seq((0.3, 1L), (0.7, 1L), (0.5, 0L))) === ((2L, 1L, 500000L)))
+  }
+
+  test("fano factor: silent span days count as zeros, constant rate reads 0") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    def rep(n: Int, k: String, d: String) =
+      (1 to n).map(i => (k, t(s"$d 10:0$i:00")))
+    // A: counts (4, 0, 2) over a 3-day span → (3·20−36)/(3·6) = 4/3
+    val ev = (rep(4, "A", "2024-01-01") ++ rep(2, "A", "2024-01-03") ++
+      rep(2, "B", "2024-01-01") ++ rep(2, "B", "2024-01-02"))
+      .toDF("event_type", "ts")
+    val got = graft.operators.Stats.fanoDaily(ev)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 3L, 6L, 1333333L), ("B", 2L, 4L, 0L)))
+  }
+
+  test("linear attribution: even integer split, <none> for bare conversions, trailing touches drop") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    val ev = Seq(
+      // user 1: click, view → P1 (500000 each); click → P2 (1000000);
+      // trailing view after P2 is unattributed
+      (1L, 1L, t("2024-01-01 10:00:00"), "click"),
+      (2L, 1L, t("2024-01-01 10:01:00"), "view"),
+      (3L, 1L, t("2024-01-01 10:02:00"), "purchase"),
+      (4L, 1L, t("2024-01-01 10:03:00"), "click"),
+      (5L, 1L, t("2024-01-01 10:04:00"), "purchase"),
+      (6L, 1L, t("2024-01-01 10:05:00"), "view"),
+      // user 2: conversion with no preceding touch → <none>
+      (7L, 2L, t("2024-01-01 11:00:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Engagement
+      .linearAttribution(ev, "user_id", "ts", "event_type", "event_id", "purchase")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("<none>", 1L, 1000000L),
+      ("click", 2L, 1500000L),
+      ("view", 1L, 500000L)))
+  }
+
+  test("stickiness: avg DAU over MAU from the distinct day-user grid") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    val ev = Seq(
+      (1L, 1L, t("2024-03-01 10:00:00")), // u1 d1 (twice — distinct collapses)
+      (2L, 1L, t("2024-03-01 11:00:00")),
+      (3L, 1L, t("2024-03-02 10:00:00")), // u1 d2
+      (4L, 2L, t("2024-03-01 10:00:00"))  // u2 d1
+    ).toDF("event_id", "user_id", "ts")
+    val got = graft.operators.Engagement.stickiness(ev)
+      .select(col("mau"), col("sum_dau"), col("n_days"), col("stickiness_bp"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // sum_dau 3 over 2 days × 2 MAU → 7500 bp
+    assert(got === Seq((2L, 3L, 2L, 7500L)))
+  }
+
+  test("partition skew advisor: a constant key saturates one bucket, a unique key spreads") {
+    val df = (0 until 64).map(i => (i.toLong, "x")).toDF("id", "c")
+    val got = graft.operators.Layout.partitionSkew(df,
+        Seq("const" -> Seq("c"), "id" -> Seq("id")), buckets = 64)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("const") === (("const", 64L, 1L, 64L, 640000L)))
+    val (_, n, hit, mx, skew) = got("id")
+    assert(n === 64L && hit > 30L && mx < 10L && skew < 100000L)
+  }
+
+  test("nearest join: min |gap| wins, ties go backward, empty key keeps nulls") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    val left = Seq(
+      (10L, "a", t("2024-01-01 00:01:40")), // rights at 90s/105s → forward, gap 5s
+      (11L, "a", t("2024-01-01 00:01:20")), // before all rights → forward, gap 10s
+      (12L, "b", t("2024-01-01 00:01:40")), // rights at 95s/105s → tie, backward wins
+      (13L, "z", t("2024-01-01 00:00:00"))  // no rights in key → nulls
+    ).toDF("lid", "k", "ts")
+    val right = Seq(
+      (1L, "a", t("2024-01-01 00:01:30")),
+      (2L, "a", t("2024-01-01 00:01:45")),
+      (3L, "b", t("2024-01-01 00:01:35")),
+      (4L, "b", t("2024-01-01 00:01:45"))
+    ).toDF("rid", "k", "rts")
+    val got = graft.operators.AsOf
+      .nearestJoin(left, right, "k", "ts", "rts", Seq("rid"))
+      .select(col("lid"), col("rid"), col("nearest_gap_us"))
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (10L, Some(2L), Some(5000000L)),
+      (11L, Some(1L), Some(10000000L)),
+      (12L, Some(3L), Some(5000000L)),
+      (13L, None, None)))
+  }
+
   test("semantic decontamination: argmax ties to lowest bench id, zero-norm excluded") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),  // bench
