@@ -79,6 +79,10 @@ object ScaleCheck {
     // q245: one hash agg over the candle grid — never re-scans ticks
     time(s"ohlc resample 5m->30m over $nCandles candles")(
       Ohlc.resample(candles).count())
+    // q250: the Atr fold shape — one symbol shuffle + streaming
+    // per-partition EMA recursion, candle-grid sized
+    time(s"macd over $nCandles candles")(
+      graft.operators.Returns.macd(candles).count())
     println(s"[scale] ticks=$nTicks candles=$nCandles filled=$nFilled enriched=$nEnriched " +
       f"symbols=${factor * 5} tickRate=${nTicks / 1e6}%.1fM")
     // q85/q86 at xfactor USERS: replicate the user dimension so the
@@ -745,6 +749,10 @@ object ScaleCheck {
     // grid — cost must track the q67 scan, not grow with corpus
     time(s"classifier AUC over $nDocs docs")(
       graft.operators.TextAnalysis.classifierAuc(docs).count())
+    // q247: one quality scan + bounded counting grids (≤10001 cells per
+    // source) × the 9-row decile dim
+    time(s"quantile norm table over $nDocs docs")(
+      graft.operators.TextAnalysis.quantileNormTable(docs).count())
     // q212: sketch = (d × w) bounded relation built from the vocab agg;
     // probe side is k rows — cost must track the vocab top-k probe
     time(s"cms heavy-hitter audit over $nDocs docs")(

@@ -1462,10 +1462,22 @@ object SparkEntry {
     // midrank ties in integer halves, decimal(38,0) products
     "q246_classifier_auc" -> ((s, dir) =>
       TextAnalysis.classifierAuc(Tables.documents(s, dir))),
+    // per-source → global quantile calibration map on the bounded
+    // (source × 4dp-quality) counting grids
+    "q247_quantile_norm" -> ((s, dir) =>
+      TextAnalysis.quantileNormTable(Tables.documents(s, dir))),
     // burstiness: daily-volume Fano factor per type over each type's
     // own span (silent days are zeros via the span identity)
     "q248_fano_factor" -> ((s, dir) =>
       Stats.fanoDaily(Tables.events(s, dir))),
+    // bit-replayable integer-tick EMA recursion (first-value seed),
+    // the Atr fold shape: one symbol shuffle + in-partition stream
+    "q250_macd" -> ((s, dir) =>
+      Returns.macd(candles(s, dir))
+        .select(wstr(col("window_start")).as("window_start"), col("symbol"),
+          col("close_ticks"), col("ema_fast_ticks"), col("ema_slow_ticks"),
+          col("macd_ticks"))
+        .orderBy("symbol", "window_start")),
     // explicit GROUPING SETS ((status), (priority)) — the two
     // one-dimension marginals in one pass, grouping_id parity
     "q249_grouping_sets" -> ((s, dir) =>
@@ -6261,6 +6273,56 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // type-1 cuts at d/10 per source AND globally on the same 4dp grid
+    "q247_quantile_norm" ->
+      s"""WITH $QualitySql,
+        |cells AS (SELECT d.source, q.quality, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM q JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |sl AS (SELECT source, quality,
+        |              sum(cnt) OVER (PARTITION BY source ORDER BY quality
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |              sum(cnt) OVER (PARTITION BY source) AS n
+        |       FROM cells),
+        |ds AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS decile),
+        |sc2 AS (SELECT source, decile,
+        |               min(CASE WHEN cum * 10 >= n * decile THEN quality END)
+        |                 AS source_cut
+        |        FROM sl CROSS JOIN ds GROUP BY 1, 2),
+        |gcells AS (SELECT quality, CAST(sum(cnt) AS BIGINT) AS cnt
+        |           FROM cells GROUP BY 1),
+        |gl AS (SELECT quality,
+        |              sum(cnt) OVER (ORDER BY quality
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |              sum(cnt) OVER () AS n
+        |       FROM gcells),
+        |gc AS (SELECT decile,
+        |              min(CASE WHEN cum * 10 >= n * decile THEN quality END)
+        |                AS global_cut
+        |       FROM gl CROSS JOIN ds GROUP BY 1)
+        |SELECT s.source, s.decile, s.source_cut, g.global_cut
+        |FROM sc2 s JOIN gc g USING (decile)
+        |ORDER BY s.source, s.decile""".stripMargin,
+    // first-value-seeded dual-EMA recursion in integer ticks; exact
+    // odd-denominator HALF_UP via the ×2 numerator trick
+    "q250_macd" ->
+      s"""WITH RECURSIVE $CandleCte,
+         |sc AS (SELECT symbol, window_start,
+         |              CAST(round(close * 10000) AS BIGINT) AS ct,
+         |              row_number() OVER (PARTITION BY symbol
+         |                ORDER BY window_start) AS rn
+         |       FROM candles),
+         |ema AS (
+         |  SELECT symbol, window_start, rn, ct, ct AS e12, ct AS e26
+         |  FROM sc WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.symbol, t.window_start, t.rn, t.ct,
+         |         (2 * (2 * t.ct + 11 * a.e12) + 13) // 26 AS e12,
+         |         (2 * (2 * t.ct + 25 * a.e26) + 27) // 54 AS e26
+         |  FROM ema a JOIN sc t ON t.symbol = a.symbol AND t.rn = a.rn + 1)
+         |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       symbol, ct AS close_ticks, e12 AS ema_fast_ticks,
+         |       e26 AS ema_slow_ticks, e12 - e26 AS macd_ticks
+         |FROM ema ORDER BY symbol, 1""".stripMargin,
     // GROUPING(a,b) bit convention matches Spark grouping_id (q144)
     "q249_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '<all>') AS status,

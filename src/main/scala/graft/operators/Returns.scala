@@ -239,4 +239,55 @@ object Returns {
         col("__m.__dd").as("max_dd_bp"))
       .orderBy(col("symbol"))
   }
+
+  /** MACD over candle closes: fast and slow EMAs plus their difference,
+    * the trend-following indicator next to [[bollinger]]/[[rsiCutler]].
+    * EMAs run in integer 1e-4 ticks with the exact HALF_UP recurrence
+    * ema' = round((2·close + (k−1)·ema) / (k+1)) — implemented as one
+    * non-negative integer floor division, so every step replays
+    * bit-for-bit in any engine with a recursive CTE (the [[Atr]] oracle
+    * discipline). Seeding is first-value (ema₁ = close₁, the fully
+    * defined convention — no warmup gap; declared, SMA-seeded variants
+    * shift early rows only). The signal line (an EMA of MACD) is out of
+    * scope — it rides the same fold if needed.
+    *
+    * Recursive state makes a window impossible, so this is the
+    * [[Atr.enrich]] shape: hash-partition by symbol, sort within
+    * partitions, ONE streaming fold per partition resetting at symbol
+    * boundaries — no per-group buffering, shuffle count 1.
+    * Output: symbol, window_start, close_ticks, ema_fast_ticks,
+    * ema_slow_ticks, macd_ticks.
+    */
+  def macd(candles: DataFrame, fast: Int = 12, slow: Int = 26): DataFrame = {
+    require(fast >= 1 && slow > fast, "need 1 <= fast < slow")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    // ema' = floor((2c + (k−1)·ema)/(k+1) + 1/2), exact via ×2 numerator
+    def step(prev: Long, c: Long, k: Int): Long = {
+      val x = 2L * c + (k - 1).toLong * prev
+      Math.floorDiv(2L * x + (k + 1), 2L * (k + 1))
+    }
+    candles
+      .select(col("symbol"),
+        unix_micros(col("window_start").cast("timestamp")).as("wkey"),
+        ticks(col("close")).as("ct"))
+      .as[(String, Long, Long)]
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("wkey"))
+      .mapPartitions { it =>
+        var cur: String = null
+        var e12 = 0L
+        var e26 = 0L
+        it.map { case (sym, wkey, c) =>
+          if (sym != cur) { cur = sym; e12 = c; e26 = c }
+          else { e12 = step(e12, c, fast); e26 = step(e26, c, slow) }
+          (sym, wkey, c, e12, e26, e12 - e26)
+        }
+      }
+      .toDF("symbol", "__wkey", "close_ticks", "ema_fast_ticks",
+        "ema_slow_ticks", "macd_ticks")
+      .select(col("symbol"), timestamp_micros(col("__wkey")).as("window_start"),
+        col("close_ticks"), col("ema_fast_ticks"), col("ema_slow_ticks"),
+        col("macd_ticks"))
+  }
 }

@@ -112,6 +112,49 @@ object TextAnalysis {
       .agg(max(col("n")).as("n_docs"), pick(25), pick(50), pick(75))
   }
 
+  /** Per-source quantile-normalization table — the calibration map that
+    * puts every source's quality scores on ONE comparable scale before a
+    * global cut (a source whose crawler produces systematically long
+    * docs would otherwise dominate any absolute-threshold gate). For
+    * each source and interior q-quantile d/q: the source's own type-1
+    * cut and the global cut at the same rank — "a doc at this source's
+    * d-th decile sits HERE globally". Type-1 quantiles as exact integer
+    * comparisons (smallest value with cum·q ≥ n·d) on the (source ×
+    * 4dp-quality) counting grid, the [[sourceQualityQuantiles]]
+    * discipline: ≤ 10001 cells per source (and globally) at any corpus
+    * size; the global-grid window is single-partition over that bounded
+    * grid by construction. Output: source, decile, source_cut,
+    * global_cut.
+    */
+  def quantileNormTable(docs: DataFrame, q: Int = 10): DataFrame = {
+    require(q >= 2, "need at least 2 quantile buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scored = docs.select(col("source"), qualityExpr(col("text")).as("quality"))
+    val deciles = broadcast((1 until q).map(_.toLong).toDF("decile"))
+    def cuts(cells: DataFrame, parts: Seq[String], out: String): DataFrame = {
+      val wCum = Window.partitionBy(parts.map(col): _*).orderBy(col("quality"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(parts.map(col): _*)
+      cells
+        .withColumn("__cum", sum(col("cnt")).over(wCum))
+        .withColumn("__n", sum(col("cnt")).over(wAll))
+        .crossJoin(deciles)
+        .groupBy((parts.map(col) :+ col("decile")): _*)
+        .agg(min(when(col("__cum") * q >= col("__n") * col("decile"),
+          col("quality"))).as(out))
+    }
+    val srcCuts = cuts(
+      scored.groupBy(col("source"), col("quality")).agg(count(lit(1)).as("cnt")),
+      Seq("source"), "source_cut")
+    val globalCuts = cuts(
+      scored.groupBy(col("quality")).agg(count(lit(1)).as("cnt")),
+      Seq.empty, "global_cut")
+    srcCuts.join(broadcast(globalCuts), Seq("decile"))
+      .select(col("source"), col("decile"), col("source_cut"), col("global_cut"))
+      .orderBy(col("source"), col("decile"))
+  }
+
   /** Marker-word lists per language for the n-gram heuristic language ID. */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),

@@ -3275,6 +3275,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
 
+  test("macd: integer HALF_UP EMA recurrence, first-value seed, symbol reset") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    val candles = Seq(
+      (t("2024-01-01 10:00:00"), "S", 1.0),
+      (t("2024-01-01 10:05:00"), "S", 2.0),
+      (t("2024-01-01 10:10:00"), "S", 3.0),
+      (t("2024-01-01 10:00:00"), "T", 5.0) // fresh symbol → both EMAs seed
+    ).toDF("window_start", "symbol", "close")
+    // fast=1 → EMA ≡ close; slow=2 → ema' = round((2c + e)/3)
+    val got = graft.operators.Returns.macd(candles, fast = 1, slow = 2)
+      .select(col("symbol"), col("close_ticks"), col("ema_fast_ticks"),
+        col("ema_slow_ticks"), col("macd_ticks"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      ("S", 10000L, 10000L, 10000L, 0L),
+      ("S", 20000L, 20000L, 16667L, 3333L), // 50000/3 HALF_UP
+      ("S", 30000L, 30000L, 25556L, 4444L), // 76667/3 HALF_UP
+      ("T", 50000L, 50000L, 50000L, 0L)))
+  }
+
+  test("quantile norm table: a lone source's cuts coincide with the global cuts") {
+    val texts = (1 to 40).map(i =>
+      (i.toLong, ("the quick brown fox " * i).trim, "web"))
+    val one = texts.toDF("doc_id", "text", "source")
+    val g1 = graft.operators.TextAnalysis.quantileNormTable(one)
+      .as[(String, Long, Double, Double)].collect()
+    assert(g1.length === 9)
+    assert(g1.forall(r => r._3 === r._4))
+    // two sources with identical distributions: everyone matches global
+    val two = texts.toDF("doc_id", "text", "source").unionByName(
+      texts.map { case (id, tx, _) => (id + 1000L, tx, "wiki") }
+        .toDF("doc_id", "text", "source"))
+    val g2 = graft.operators.TextAnalysis.quantileNormTable(two)
+      .as[(String, Long, Double, Double)].collect()
+    assert(g2.length === 18)
+    assert(g2.forall(r => r._3 === r._4))
+  }
+
   test("ohlc resample: 30-min bar merges its 5-min candles, open/close by time") {
     import java.sql.Timestamp
     def t(s2: String) = Timestamp.valueOf(s2)
