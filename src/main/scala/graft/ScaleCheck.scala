@@ -314,6 +314,14 @@ object ScaleCheck {
     // q248: two hash aggs, (key × day)-grid sized after the first
     time(s"fano factor over $nUev events")(
       graft.operators.Stats.fanoDaily(uev).count())
+    // q253: one (key, value) hash agg + struct extreme — no window
+    time(s"modal hour over $nUev events")(
+      graft.operators.Stats.modalByKey(
+        uev.select(col("event_type"), hour(col("ts")).as("hr")),
+        "event_type", "hr").count())
+    // q254: day-grid windows after one corpus hash agg
+    time(s"runs test over $nUev events")(
+      graft.operators.Stats.runsTestDaily(uev).count())
     // q243: one scan, explode ×|candidates|, ≤ cand×64 rows per
     // upstream partition after map-side partials — event_type is the
     // deliberately-skewed candidate (5·factor values over 64 buckets)
@@ -753,6 +761,11 @@ object ScaleCheck {
     // source) × the 9-row decile dim
     time(s"quantile norm table over $nDocs docs")(
       graft.operators.TextAnalysis.quantileNormTable(docs).count())
+    // q251: one distinct-count agg per candidate over the docs dim
+    time(s"fd audit over $nDocs docs")(
+      graft.operators.Stats.fdAudit(docs,
+        Seq(("doc_lang", "doc_id", "lang"), ("src_lang", "source", "lang")))
+        .count())
     // q212: sketch = (d × w) bounded relation built from the vocab agg;
     // probe side is k rows — cost must track the vocab top-k probe
     time(s"cms heavy-hitter audit over $nDocs docs")(
@@ -846,6 +859,11 @@ object ScaleCheck {
     time(s"label centroid matrix over $nVecs vectors")(
       Similarity.labelCentroidMatrix(
         embs.withColumn("label", pmod(col("vec_id"), lit(16)).cast("int"))).count())
+    // q252: same component-agg shape, then a (labels × dims) half join
+    time(s"embedding drift over $nVecs vectors")(
+      Similarity.embeddingDrift(
+        embs.withColumn("label", pmod(col("vec_id"), lit(16)).cast("int")),
+        pmod(col("vec_id"), lit(2)) === 0).count())
     // q199: brute scoring against the BOUNDED centroid set — vectors ×
     // labels × dims, far under brute kNN's n² pairs
     time(s"nearest-centroid accuracy over $nVecs vectors")(

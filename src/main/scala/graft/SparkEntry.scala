@@ -1470,6 +1470,29 @@ object SparkEntry {
     // own span (silent days are zeros via the span identity)
     "q248_fano_factor" -> ((s, dir) =>
       Stats.fanoDaily(Tables.events(s, dir))),
+    // schema-inference primitive: which part columns determine which —
+    // TPC-H's brand→mfgr holds, the others violate
+    "q251_fd_audit" -> ((s, dir) =>
+      Stats.fdAudit(Tables.part(s, dir), Seq(
+        ("partkey_brand", "p_partkey", "p_brand"),
+        ("brand_type", "p_brand", "p_type"),
+        ("size_type", "p_size", "p_type")))),
+    // train/serve-skew check: even vs odd half-centroid cosine per
+    // label via scale-invariant integer sum vectors
+    "q252_embedding_drift" -> ((s, dir) =>
+      Similarity.embeddingDrift(Tables.embeddings(s, dir),
+        pmod(col("vec_id"), lit(2)) === 0)),
+    // argmax primitive: modal hour-of-day per event type, ties to the
+    // smallest hour, struct extreme — no window
+    "q253_modal_hour" -> ((s, dir) =>
+      Stats.modalByKey(
+        Tables.events(s, dir)
+          .select(col("event_type"), hour(col("ts")).as("hr")),
+        "event_type", "hr")),
+    // Wald–Wolfowitz runs on daily volume direction: trending vs
+    // oscillating per type, exact integer E[R]
+    "q254_runs_test" -> ((s, dir) =>
+      Stats.runsTestDaily(Tables.events(s, dir))),
     // bit-replayable integer-tick EMA recursion (first-value seed),
     // the Atr fold shape: one symbol shuffle + in-partition stream
     "q250_macd" -> ((s, dir) =>
@@ -6273,6 +6296,95 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // per candidate: one distinct-count agg; nd>1 marks a violation
+    "q251_fd_audit" ->
+      """WITH a1 AS (SELECT p_partkey, CAST(count(DISTINCT p_brand) AS BIGINT) AS nd
+        |            FROM part WHERE p_partkey IS NOT NULL GROUP BY 1),
+        |a2 AS (SELECT p_brand, CAST(count(DISTINCT p_type) AS BIGINT) AS nd
+        |       FROM part WHERE p_brand IS NOT NULL GROUP BY 1),
+        |a3 AS (SELECT p_size, CAST(count(DISTINCT p_type) AS BIGINT) AS nd
+        |       FROM part WHERE p_size IS NOT NULL GROUP BY 1),
+        |u AS (
+        |  SELECT 'partkey_brand' AS dependency, count(*) AS n_keys,
+        |         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_violating,
+        |         max(nd) AS max_distinct FROM a1
+        |  UNION ALL
+        |  SELECT 'brand_type', count(*),
+        |         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd) FROM a2
+        |  UNION ALL
+        |  SELECT 'size_type', count(*),
+        |         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), max(nd) FROM a3)
+        |SELECT dependency, CAST(n_keys AS BIGINT) AS n_keys,
+        |       CAST(n_violating AS BIGINT) AS n_violating,
+        |       CAST(max_distinct AS BIGINT) AS max_distinct,
+        |       CAST(floor(n_violating * 10000.0 / n_keys + 0.5) AS BIGINT)
+        |         AS viol_bp
+        |FROM u ORDER BY dependency""".stripMargin,
+    // half-centroid cosine = sum-vector cosine; HUGEINT micro-tick sums,
+    // one final double; degenerate half → defined 0.0
+    "q252_embedding_drift" ->
+      s"""WITH $VecBaseSql,
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |               vec_id % 2 AS g
+        |        FROM embeddings),
+        |tick AS (SELECT l.label, l.g, c.i,
+        |                CAST(floor(c.x * 1000000 + 0.5) AS BIGINT) AS t
+        |         FROM comp c JOIN lab l USING (vec_id)),
+        |s AS (SELECT label, g, i, CAST(sum(t) AS HUGEINT) AS s2
+        |      FROM tick GROUP BY 1, 2, 3),
+        |cnt AS (SELECT label,
+        |               CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |               CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |        FROM lab GROUP BY 1),
+        |p AS (SELECT a.label, sum(a.s2 * b.s2) AS dp,
+        |             sum(a.s2 * a.s2) AS na2, sum(b.s2 * b.s2) AS nb2
+        |      FROM s a JOIN s b ON b.label = a.label AND b.i = a.i
+        |                        AND a.g = 0 AND b.g = 1
+        |      GROUP BY 1)
+        |SELECT c.label, c.n_a, c.n_b,
+        |       CASE WHEN p.na2 = 0 OR p.nb2 = 0 THEN 0.0
+        |            ELSE round(CAST(p.dp AS DOUBLE) /
+        |                   (sqrt(CAST(p.na2 AS DOUBLE)) *
+        |                    sqrt(CAST(p.nb2 AS DOUBLE))), 6) END AS drift_cosine
+        |FROM cnt c JOIN p USING (label) ORDER BY label""".stripMargin,
+    // rank-1 by (count DESC, value ASC) ≡ the engine's struct extreme
+    "q253_modal_hour" ->
+      """WITH h AS (SELECT event_type AS key,
+        |                  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS v,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |           GROUP BY 1, 2),
+        |r AS (SELECT key, v, n, row_number() OVER (PARTITION BY key
+        |        ORDER BY n DESC, v ASC) AS rn FROM h)
+        |SELECT key, v AS modal_value, n FROM r WHERE rn = 1
+        |ORDER BY key""".stripMargin,
+    // zero deltas dropped, runs at sign changes, E[R] exact micro
+    "q254_runs_test" ->
+      """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS d2,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |           GROUP BY 1, 2),
+        |dl AS (SELECT key, d2,
+        |              c - lag(c) OVER (PARTITION BY key ORDER BY d2) AS delta
+        |       FROM d),
+        |sg AS (SELECT key, d2, CASE WHEN delta > 0 THEN 1 ELSE -1 END AS sign
+        |       FROM dl WHERE delta IS NOT NULL AND delta <> 0),
+        |rn AS (SELECT key, sign,
+        |              CASE WHEN lag(sign) OVER w IS NULL
+        |                     OR lag(sign) OVER w <> sign THEN 1 ELSE 0 END AS run0
+        |       FROM sg WINDOW w AS (PARTITION BY key ORDER BY d2))
+        |SELECT key,
+        |       CAST(sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+        |       CAST(sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+        |       CAST(sum(run0) AS BIGINT) AS n_runs,
+        |       CAST(1000000 + (2000000 * sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END)
+        |              * sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END))
+        |            // (sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END)
+        |               + sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END)) AS BIGINT)
+        |         AS expected_runs_micro
+        |FROM rn GROUP BY key ORDER BY key""".stripMargin,
     // type-1 cuts at d/10 per source AND globally on the same 4dp grid
     "q247_quantile_norm" ->
       s"""WITH $QualitySql,

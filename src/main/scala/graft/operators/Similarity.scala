@@ -859,6 +859,48 @@ object Similarity {
           .as("cosine"))
   }
 
+  /** Per-label embedding drift between two halves of the table — the
+    * train/serve-skew or epoch-drift check: split each label's vectors
+    * by `groupExpr` (true → group A), compare the two half-centroids by
+    * cosine. Centroid cosine equals SUM-vector cosine (scale
+    * invariance), so no mean is ever materialized: per (label, half,
+    * dim) integer micro-tick sums (exact in any fold order, the
+    * [[labelCentroidMatrix]] discipline), one equi-join on (label, dim)
+    * over the bounded (labels × dims) relation, decimal(38,0) products,
+    * one final rounded double. A degenerate half (zero sum vector)
+    * yields the defined cosine 0.0 rather than an error. Drift ≈ 1 is
+    * healthy; a label whose halves diverge is the one whose upstream
+    * changed. Output: label, n_a, n_b, drift_cosine.
+    */
+  def embeddingDrift(embeddings: DataFrame, groupExpr: Column): DataFrame = {
+    val base = embeddings
+      .select(col("label").cast("long").as("label"),
+        when(groupExpr, 0L).otherwise(1L).as("__g"), col("embedding"))
+    val sums = base
+      .select(col("label"), col("__g"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))).as(Seq("i", "t")))
+      .groupBy(col("label"), col("__g"), col("i"))
+      .agg(sum(col("t")).as("s"))
+    val counts = base.groupBy(col("label"))
+      .agg(sum(when(col("__g") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__g") === 1L, 1L).otherwise(0L)).as("n_b"))
+    val paired = sums.where(col("__g") === 0L).as("a")
+      .join(sums.where(col("__g") === 1L).as("b"),
+        col("a.label") === col("b.label") && col("a.i") === col("b.i"))
+      .groupBy(col("a.label").as("label"))
+      .agg(sum(col("a.s").cast("decimal(38,0)") * col("b.s")).as("__dp"),
+        sum(col("a.s").cast("decimal(38,0)") * col("a.s")).as("__na2"),
+        sum(col("b.s").cast("decimal(38,0)") * col("b.s")).as("__nb2"))
+    counts.join(paired, Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(col("__na2") === 0 || col("__nb2") === 0, lit(0.0))
+          .otherwise(round(col("__dp").cast("double") /
+            (sqrt(col("__na2").cast("double")) *
+              sqrt(col("__nb2").cast("double"))), 6)).as("drift_cosine"))
+      .orderBy(col("label"))
+  }
+
   /** Embedding-table health audit — the pre-flight check before any
     * similarity/dedup stage trusts the vectors: per (dimension,
     * 0.25-wide norm bucket), vector count, zero-norm count (degenerate

@@ -749,4 +749,88 @@ object Stats {
           .as("fano_micro"))
       .orderBy(col("key"))
   }
+
+  /** Functional-dependency audit: does column `det` determine column
+    * `dep`? The schema-inference / data-quality primitive behind "can I
+    * key my dimension on this column" — per candidate, how many
+    * determinant keys exist, how many map to MORE than one dependent
+    * value (violations), the worst fan-out, and the violation share in
+    * HALF_UP bp. Null determinants are excluded (a null key determines
+    * nothing); `countDistinct` ignores null dependents, so an
+    * all-null-dependent key reads 0 distinct — never a violation.
+    * One hash agg per candidate (candidate list is a plan-time
+    * constant), each output one row.
+    * Output: dependency, n_keys, n_violating, max_distinct, viol_bp.
+    */
+  def fdAudit(df: DataFrame,
+              candidates: Seq[(String, String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate dependency")
+    candidates.map { case (name, det, dep) =>
+      df.where(col(det).isNotNull)
+        .groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("__nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("__nd")).as("max_distinct"))
+        .select(lit(name).as("dependency"), col("n_keys"),
+          col("n_violating"), col("max_distinct"),
+          floor(col("n_violating") * 10000.0 / col("n_keys") + 0.5)
+            .cast("long").as("viol_bp"))
+    }.reduce(_.unionByName(_)).orderBy(col("dependency"))
+  }
+
+  /** Statistical mode per key with a deterministic tie-break (highest
+    * count, then SMALLEST value) — the missing argmax primitive next to
+    * plain counts: one (key, value) hash agg, then a struct extreme —
+    * no window, no per-key sort. Value must be numeric (the negation
+    * tie-break); null keys/values are excluded.
+    * Output: key, modal_value, n.
+    */
+  def modalByKey(df: DataFrame, keyCol: String,
+                 valueCol: String): DataFrame = {
+    df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("key"))
+      .agg(max(struct(col("__n"), (-col("__v")).as("__nv"))).as("__m"))
+      .select(col("key"), (-col("__m.__nv")).as("modal_value"),
+        col("__m.__n").as("n"))
+      .orderBy(col("key"))
+  }
+
+  /** Wald–Wolfowitz runs test on daily volume direction, per key: are
+    * up-days and down-days randomly interleaved, or does volume trend /
+    * mean-revert? Day-over-day deltas on the key's active-day series,
+    * zero deltas dropped (the classic dichotomization), runs counted at
+    * sign changes, and the null-hypothesis expectation E[R] = 1 +
+    * 2·n₊·n₋/(n₊+n₋) reported in exact floored micro-units — fewer runs
+    * than expected reads "trending", more reads "oscillating". Both
+    * windows run over the key's bounded day grid (one hash agg
+    * collapses the corpus first).
+    * Output: key, n_plus, n_minus, n_runs, expected_runs_micro.
+    */
+  def runsTestDaily(df: DataFrame, keyCol: String = "event_type",
+                    tsCol: String = "ts"): DataFrame = {
+    val wDay = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("__d"))
+    val daily = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__delta", col("__c") - lag(col("__c"), 1).over(wDay))
+      .where(col("__delta").isNotNull && col("__delta") =!= 0)
+      .withColumn("__sign", when(col("__delta") > 0, 1L).otherwise(-1L))
+      .withColumn("__run",
+        when(lag(col("__sign"), 1).over(wDay).isNull ||
+          lag(col("__sign"), 1).over(wDay) =!= col("__sign"), 1L)
+          .otherwise(0L))
+    daily.groupBy(col("key"))
+      .agg(sum(when(col("__sign") === 1L, 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("__sign") === -1L, 1L).otherwise(0L)).as("n_minus"),
+        sum(col("__run")).as("n_runs"))
+      .select(col("key"), col("n_plus"), col("n_minus"), col("n_runs"),
+        (lit(1000000L) +
+          expr("(2000000 * n_plus * n_minus) DIV (n_plus + n_minus)"))
+          .as("expected_runs_micro"))
+      .orderBy(col("key"))
+  }
 }

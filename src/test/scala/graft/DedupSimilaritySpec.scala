@@ -3275,6 +3275,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
 
+  test("fd audit: a held dependency reads zero violations, a broken one is counted") {
+    val df = Seq(
+      ("B1", "M1", 1L), ("B1", "M1", 2L),     // b→m holds for B1
+      ("B2", "M2", 1L), ("B2", "M3", 3L),     // B2 maps to two m → violation
+      ("B3", "M4", 1L)
+    ).toDF("b", "m", "s")
+    val got = graft.operators.Stats.fdAudit(df,
+        Seq(("b_m", "b", "m"), ("s_b", "s", "b")))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // b→m: 3 keys, 1 violating (B2, fan-out 2) → 3333 bp
+    // s→b: key 1 → {B1,B2,B3}, key 2 → {B1}, key 3 → {B2}: 1 of 3, max 3
+    assert(got === Seq(
+      ("b_m", 3L, 1L, 2L, 3333L),
+      ("s_b", 3L, 1L, 3L, 3333L)))
+  }
+
+  test("embedding drift: identical halves read 1.0, orthogonal halves 0.0, zero half defined 0.0") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 1),  // label 1 even
+      (1L, Array(1f, 0f, 0f, 0f), 1),  // label 1 odd — identical → 1.0
+      (2L, Array(1f, 0f, 0f, 0f), 2),  // label 2 even
+      (3L, Array(0f, 1f, 0f, 0f), 2),  // label 2 odd — orthogonal → 0.0
+      (4L, Array(1f, 0f, 0f, 0f), 3),
+      (5L, Array(0f, 0f, 0f, 0f), 3)   // label 3 odd degenerate → defined 0.0
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .embeddingDrift(emb, pmod(col("vec_id"), lit(2)) === 0)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1L, 1.0), (2L, 1L, 1L, 0.0), (3L, 1L, 1L, 0.0)))
+  }
+
+  test("modal value: highest count wins, ties break to the smallest value") {
+    val df = Seq(("A", 3L), ("A", 3L), ("A", 1L),
+      ("B", 7L), ("B", 2L)).toDF("k", "v")   // B tie 1-1 → smallest (2)
+    val got = graft.operators.Stats.modalByKey(df, "k", "v")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 3L, 2L), ("B", 2L, 1L)))
+  }
+
+  test("runs test: alternating signs count max runs, zero deltas drop, exact E[R]") {
+    import java.sql.Timestamp
+    def rep(n: Int, k: String, d: String) =
+      (1 to n).map(i => (k, Timestamp.valueOf(s"$d 10:0$i:00")))
+    // A daily counts: 1, 3, 2, 2, 4 → deltas +2, −1, 0(drop), +2 →
+    // signs +,−,+ → 3 runs; n+=2, n−=1, E[R] = 1 + 2·2·1/3 = 2333333
+    val ev = (rep(1, "A", "2024-01-01") ++ rep(3, "A", "2024-01-02") ++
+      rep(2, "A", "2024-01-03") ++ rep(2, "A", "2024-01-04") ++
+      rep(4, "A", "2024-01-05")).toDF("event_type", "ts")
+    val got = graft.operators.Stats.runsTestDaily(ev)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 2L, 1L, 3L, 2333333L)))
+  }
+
   test("macd: integer HALF_UP EMA recurrence, first-value seed, symbol reset") {
     import java.sql.Timestamp
     def t(s2: String) = Timestamp.valueOf(s2)
