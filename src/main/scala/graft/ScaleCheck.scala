@@ -322,6 +322,19 @@ object ScaleCheck {
     // q254: day-grid windows after one corpus hash agg
     time(s"runs test over $nUev events")(
       graft.operators.Stats.runsTestDaily(uev).count())
+    // q256: one key-dim agg + broadcast total; output ≤ parts rows
+    time(s"salt advisor over $nUev events")(
+      graft.operators.Skew.saltAdvisor(uev, "event_type").count())
+    // q257: dow/day-grid aggregates only
+    time(s"dow variance explained over $nUev events")(
+      graft.operators.Stats.dowVarianceExplained(uev).count())
+    // q258: one hash agg to the quasi-id grid × 3 thresholds
+    time(s"k-anonymity over $nUev events")(
+      graft.operators.Stats.kAnonymity(
+        uev.where(col("ts").isNotNull)
+          .select(col("event_type"), dayofweek(col("ts")).as("dow"),
+            hour(col("ts")).as("hr")),
+        Seq("event_type", "dow", "hr")).count())
     // q243: one scan, explode ×|candidates|, ≤ cand×64 rows per
     // upstream partition after map-side partials — event_type is the
     // deliberately-skewed candidate (5·factor values over 64 buckets)
@@ -766,6 +779,9 @@ object ScaleCheck {
       graft.operators.Stats.fdAudit(docs,
         Seq(("doc_lang", "doc_id", "lang"), ("src_lang", "source", "lang")))
         .count())
+    // q255: vocab-dim aggregates + WindowGroupLimit top-k per source
+    time(s"signature terms over $nDocs docs")(
+      graft.operators.TextAnalysis.sourceSignatureTerms(docs).count())
     // q212: sketch = (d × w) bounded relation built from the vocab agg;
     // probe side is k rows — cost must track the vocab top-k probe
     time(s"cms heavy-hitter audit over $nDocs docs")(

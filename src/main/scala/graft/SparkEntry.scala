@@ -1493,6 +1493,27 @@ object SparkEntry {
     // oscillating per type, exact integer E[R]
     "q254_runs_test" -> ((s, dir) =>
       Stats.runsTestDaily(Tables.events(s, dir))),
+    // dataset-card signature terms: per-source top-3 lift over the
+    // global token share, exact integer micro lifts
+    "q255_signature_terms" -> ((s, dir) =>
+      TextAnalysis.sourceSignatureTerms(Tables.documents(s, dir))),
+    // pre-join salt sizing: heavy keys (share > 1/32) + exact ceil
+    // salt factor; event_type is the deliberately skewed probe
+    "q256_salt_advisor" -> ((s, dir) =>
+      Skew.saltAdvisor(Tables.events(s, dir), "event_type", parts = 32)),
+    // weekly-seasonality strength: dow-means R² in bp from per-group
+    // floored micro sums of squares
+    "q257_dow_r2" -> ((s, dir) =>
+      Stats.dowVarianceExplained(Tables.events(s, dir))),
+    // release-review k-anonymity over the (type, dow, hour) quasi-id
+    // grid: cells and rows below each k
+    "q258_k_anonymity" -> ((s, dir) =>
+      Stats.kAnonymity(
+        Tables.events(s, dir)
+          .where(col("ts").isNotNull)
+          .select(col("event_type"), dayofweek(col("ts")).as("dow"),
+            hour(col("ts")).as("hr")),
+        Seq("event_type", "dow", "hr"))),
     // bit-replayable integer-tick EMA recursion (first-value seed),
     // the Atr fold shape: one symbol shuffle + in-partition stream
     "q250_macd" -> ((s, dir) =>
@@ -6296,6 +6317,82 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // exact integer micro lifts over vocab-dim aggregates; rank ties
+    // lexicographic; minCount 20 gates hapax noise
+    "q255_signature_terms" ->
+      """WITH tok AS (SELECT source,
+        |               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                  x -> x <> '')) AS token
+        |             FROM documents),
+        |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY 1),
+        |gt AS (SELECT token, CAST(sum(c) AS BIGINT) AS cg FROM st GROUP BY 1),
+        |ng AS (SELECT CAST(sum(cg) AS BIGINT) AS ng FROM gt),
+        |lf AS (SELECT st.source, st.token, st.c,
+        |              CAST((CAST(st.c AS HUGEINT) * ng.ng * 1000000)
+        |                   // (CAST(ns.ns AS HUGEINT) * gt.cg) AS BIGINT)
+        |                AS lift_micro
+        |       FROM st JOIN gt USING (token) JOIN ns USING (source)
+        |       CROSS JOIN ng WHERE st.c >= 20),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY lift_micro DESC, token) AS BIGINT) AS rank FROM lf)
+        |SELECT source, rank, token, c, lift_micro FROM r WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin,
+    // heavy = share > 1/32; salt = exact ceil(c·32/n)
+    "q256_salt_advisor" ->
+      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key,
+        |                  CAST(count(*) AS BIGINT) AS n_rows
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM c)
+        |SELECT key, n_rows,
+        |       CAST(floor(n_rows * 10000.0 / n + 0.5) AS BIGINT) AS share_bp,
+        |       CAST((n_rows * 32 + n - 1) // n AS BIGINT) AS salt_factor
+        |FROM c CROSS JOIN t WHERE n_rows * 32 > n ORDER BY key""".stripMargin,
+    // per-group floored micro sums of squares; dow labels differ across
+    // engines but partition the days identically (grouping key only)
+    "q257_dow_r2" ->
+      """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS d2,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |           GROUP BY 1, 2),
+        |g AS (SELECT key, dayofweek(d2) AS g2, CAST(sum(c) AS BIGINT) AS sg,
+        |             CAST(count(*) AS BIGINT) AS ng
+        |      FROM d GROUP BY 1, 2),
+        |sb AS (SELECT key,
+        |              sum(CAST((CAST(sg AS HUGEINT) * sg * 1000000) // ng
+        |                       AS HUGEINT)) AS ssb_raw
+        |       FROM g GROUP BY 1),
+        |k2 AS (SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+        |              CAST(sum(c) AS BIGINT) AS s,
+        |              CAST(sum(c * c) AS BIGINT) AS sq
+        |       FROM d GROUP BY 1),
+        |j AS (SELECT k2.key, k2.n_days,
+        |             (CAST(k2.s AS HUGEINT) * k2.s * 1000000) // k2.n_days AS corr,
+        |             CAST(k2.sq AS HUGEINT) * 1000000 AS sqm, sb.ssb_raw
+        |      FROM k2 JOIN sb USING (key))
+        |SELECT key, n_days,
+        |       CAST(CASE WHEN sqm - corr <= 0 THEN 0
+        |            ELSE (greatest(ssb_raw - corr, 0) * 10000) // (sqm - corr)
+        |            END AS BIGINT) AS r2_bp
+        |FROM j ORDER BY key""".stripMargin,
+    // NULL quasi-id values form their own cell on both engines
+    "q258_k_anonymity" ->
+      """WITH cell AS (SELECT event_type,
+        |                     dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+        |                     hour(CAST(ts AS TIMESTAMP)) AS hr,
+        |                     CAST(count(*) AS BIGINT) AS c
+        |              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+        |ks AS (SELECT CAST(unnest([2, 5, 10]) AS BIGINT) AS k)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_cells,
+        |       CAST(sum(CASE WHEN c < k THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_cells_below,
+        |       CAST(sum(CASE WHEN c < k THEN c ELSE 0 END) AS BIGINT)
+        |         AS n_rows_below,
+        |       CAST(floor(sum(CASE WHEN c < k THEN c ELSE 0 END) * 10000.0
+        |                  / sum(c) + 0.5) AS BIGINT) AS rows_below_bp
+        |FROM cell CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
     // per candidate: one distinct-count agg; nd>1 marks a violation
     "q251_fd_audit" ->
       """WITH a1 AS (SELECT p_partkey, CAST(count(DISTINCT p_brand) AS BIGINT) AS nd

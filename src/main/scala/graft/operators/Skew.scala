@@ -66,4 +66,31 @@ object Skew {
       .hint("shuffle_hash")
     salted.join(dimRep, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Salt advisor — the measurement that decides [[saltedJoin]]'s
+    * `salts` parameter BEFORE paying the skewed shuffle: per join key
+    * whose row count exceeds the ideal per-partition share (n/`parts`),
+    * the key's share in HALF_UP bp and the minimum salt factor that
+    * brings its heaviest shard back under the ideal —
+    * ceil(c·parts/n), one exact integer ceiling. Uniform keys produce
+    * NO rows (nothing to fix); output is bounded by the number of
+    * genuinely heavy keys (≤ parts, since each needs share > 1/parts).
+    * One hash agg over the key dim + one broadcast total.
+    * Output: key, n_rows, share_bp, salt_factor.
+    */
+  def saltAdvisor(df: DataFrame, keyCol: String,
+                  parts: Int = 32): DataFrame = {
+    require(parts >= 1, "parts must be positive")
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = broadcast(counts.agg(sum(col("n_rows")).as("__n")))
+    counts.crossJoin(total)
+      .where(col("n_rows") * parts > col("__n"))
+      .select(col("key"), col("n_rows"),
+        floor(col("n_rows") * 10000.0 / col("__n") + 0.5).cast("long")
+          .as("share_bp"),
+        expr(s"(n_rows * $parts + __n - 1) DIV __n").as("salt_factor"))
+      .orderBy(col("key"))
+  }
 }

@@ -833,4 +833,74 @@ object Stats {
           .as("expected_runs_micro"))
       .orderBy(col("key"))
   }
+
+  /** Day-of-week variance explained, per key: how much of the daily-
+    * volume variance is weekly seasonality? The one-number complement
+    * of [[dowSeasonality]]'s per-dow index table — R² of the dow-means
+    * model over the key's ACTIVE days (declared; silent days belong to
+    * the trend question, [[fanoDaily]]). Between/total sums of squares
+    * in per-group floored micro-units — floor(S_g²·1e6/n_g) is applied
+    * identically in both engines, so the statistic is deterministic
+    * without ever forming a float mean; the ≤|groups| floor slack is
+    * clamped at 0. r2_bp = 10⁴·SSB DIV SST (0 when SST = 0 — constant
+    * volume has no variance to explain). Day-grid aggregates only.
+    * Output: key, n_days, r2_bp.
+    */
+  def dowVarianceExplained(df: DataFrame, keyCol: String = "event_type",
+                           tsCol: String = "ts"): DataFrame = {
+    val daily = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__g", dayofweek(col("__d")).cast("long"))
+    val byDow = daily.groupBy(col("key"), col("__g"))
+      .agg(sum(col("__c")).as("__sg"), count(lit(1)).as("__ng"))
+      .groupBy(col("key"))
+      .agg(sum(expr("""CAST((CAST(__sg AS DECIMAL(38,0)) * __sg * 1000000)
+                      DIV __ng AS DECIMAL(38,0))""")).as("__ssbRaw"))
+    val byKey = daily.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__c")).as("__s"),
+        sum(col("__c") * col("__c")).as("__sq"))
+    byKey.join(byDow, Seq("key"))
+      .withColumn("__corr", expr(
+        "CAST((CAST(__s AS DECIMAL(38,0)) * __s * 1000000) DIV n_days AS DECIMAL(38,0))"))
+      .withColumn("__sst", expr(
+        "CAST(__sq AS DECIMAL(38,0)) * 1000000 - __corr"))
+      .withColumn("__ssb",
+        greatest(expr("__ssbRaw - __corr"), expr("CAST(0 AS DECIMAL(38,0))")))
+      .select(col("key"), col("n_days"),
+        when(col("__sst") <= 0, 0L)
+          .otherwise(expr("CAST((__ssb * 10000) DIV __sst AS BIGINT)"))
+          .as("r2_bp"))
+      .orderBy(col("key"))
+  }
+
+  /** k-anonymity audit over a quasi-identifier cell grid: for each
+    * candidate re-identification threshold k, how many occupied cells
+    * sit below k occupants and how many rows they carry — the table a
+    * release review reads before publishing "anonymized" event data
+    * (a cell of size 1 IS an individual). One hash agg to the cell
+    * grid, then a broadcast threshold dim × conditional sums.
+    * Output: k, n_cells, n_cells_below, n_rows_below, rows_below_bp.
+    */
+  def kAnonymity(df: DataFrame, quasiIdCols: Seq[String],
+                 ks: Seq[Long] = Seq(2L, 5L, 10L)): DataFrame = {
+    require(quasiIdCols.nonEmpty && ks.nonEmpty, "need columns and thresholds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    cells.crossJoin(broadcast(ks.toDF("k")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("__c") < col("k"), 1L).otherwise(0L))
+          .as("n_cells_below"),
+        sum(when(col("__c") < col("k"), col("__c")).otherwise(0L))
+          .as("n_rows_below"),
+        sum(col("__c")).as("__n"))
+      .select(col("k"), col("n_cells"), col("n_cells_below"),
+        col("n_rows_below"),
+        floor(col("n_rows_below") * 10000.0 / col("__n") + 0.5).cast("long")
+          .as("rows_below_bp"))
+      .orderBy(col("k"))
+  }
 }

@@ -680,6 +680,42 @@ object TextAnalysis {
         (col("__score") / lit(1e6)).as("tfidf"))
   }
 
+  /** Source signature terms: per source, the k tokens most
+    * over-represented relative to the whole corpus — the dataset-card
+    * "what does this source talk about" table, and the drift probe run
+    * per crawl snapshot. Lift = (token share in source) / (global token
+    * share), computed as one exact integer micro division
+    * (c·N_global·10⁶ DIV n_source·c_global) so ranking is
+    * engine-portable; `minCount` gates hapax noise (a token seen twice
+    * in a tiny source would otherwise top every list). All shuffles are
+    * vocabulary-dim; the per-source top-k is a rank window Spark plans
+    * as WindowGroupLimit (map-side heap). Ties break lexicographically.
+    * Output: source, rank, token, c, lift_micro.
+    */
+  def sourceSignatureTerms(docs: DataFrame, k: Int = 3,
+                           minCount: Long = 20L): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(tokens(lower(col("text")))).as("token"))
+    val srcTok = tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val srcTot = srcTok.groupBy(col("source")).agg(sum(col("c")).as("__ns"))
+    val globTok = srcTok.groupBy(col("token")).agg(sum(col("c")).as("__cg"))
+    val globTot = broadcast(globTok.agg(sum(col("__cg")).as("__ng")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift_micro").desc, col("token"))
+    srcTok.where(col("c") >= minCount)
+      .join(globTok, Seq("token"))
+      .join(srcTot, Seq("source"))
+      .crossJoin(globTot)
+      .withColumn("lift_micro", expr(
+        "CAST((CAST(c AS DECIMAL(38,0)) * __ng * 1000000) DIV (CAST(__ns AS DECIMAL(38,0)) * __cg) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("source"), col("rank"), col("token"), col("c"),
+        col("lift_micro"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Per-document negative log-likelihood under the corpus's own unigram
     * language model — the perplexity-proxy quality filter (the CCNet
     * recipe scores documents with an LM and drops the high-perplexity

@@ -3275,6 +3275,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
 
+  test("signature terms: a source-exclusive token tops its source's lift ranking") {
+    val webText = ("alpha beta gamma " * 10).trim   // shared vocabulary
+    val wikiText = ("alpha beta quark " * 10).trim  // quark only in wiki
+    val docs = (1 to 2).map(i => (i.toLong, webText, "web")) ++
+      (3 to 4).map(i => (i.toLong, wikiText, "wiki"))
+    val got = graft.operators.TextAnalysis
+      .sourceSignatureTerms(docs.toDF("doc_id", "text", "source"),
+        k = 1, minCount = 5L)
+      .as[(String, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got("wiki") === "quark")
+    assert(got("web") === "gamma")
+  }
+
+  test("salt advisor: uniform keys emit nothing, a hot key gets the exact ceil factor") {
+    // 64 rows: key H owns 32 (50%), 32 unique keys own 1 each
+    val df = ((1 to 32).map(_ => "H") ++ (1 to 32).map(i => s"u$i"))
+      .toDF("k")
+    val got = graft.operators.Skew.saltAdvisor(df, "k", parts = 8)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // ideal = 64/8 = 8 rows; H at 32 rows → salt ceil(32·8/64) = 4
+    assert(got === Seq(("H", 32L, 5000L, 4L)))
+  }
+
+  test("dow R2: pure weekly pattern reads 10000 bp, constant volume reads 0") {
+    import java.sql.Timestamp
+    def rep(n: Int, k: String, d: String) =
+      (1 to n).map(i => (k, Timestamp.valueOf(s"$d 10:0$i:00")))
+    // A: two weeks, Mon=8 Tue=2 exactly repeating → dow explains all
+    val a = rep(8, "A", "2024-01-01") ++ rep(2, "A", "2024-01-02") ++
+      rep(8, "A", "2024-01-08") ++ rep(2, "A", "2024-01-09")
+    // B: constant 3/day → SST = 0 → defined 0
+    val b = rep(3, "B", "2024-01-01") ++ rep(3, "B", "2024-01-02")
+    val got = graft.operators.Stats
+      .dowVarianceExplained((a ++ b).toDF("event_type", "ts"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 4L, 10000L), ("B", 2L, 0L)))
+  }
+
+  test("k-anonymity: singleton cells are flagged below every threshold") {
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 1L),  // cell of 3
+      ("b", 2L),                        // singleton
+      ("c", 3L), ("c", 3L)              // cell of 2
+    ).toDF("q1", "q2")
+    val got = graft.operators.Stats.kAnonymity(df, Seq("q1", "q2"),
+        ks = Seq(2L, 5L))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (2L, 3L, 1L, 1L, 1667L),   // only the singleton below 2
+      (5L, 3L, 3L, 6L, 10000L))) // everything below 5
+  }
+
   test("fd audit: a held dependency reads zero violations, a broken one is counted") {
     val df = Seq(
       ("B1", "M1", 1L), ("B1", "M1", 2L),     // b→m holds for B1
