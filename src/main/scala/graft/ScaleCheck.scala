@@ -335,6 +335,33 @@ object ScaleCheck {
           .select(col("event_type"), dayofweek(col("ts")).as("dow"),
             hour(col("ts")).as("hr")),
         Seq("event_type", "dow", "hr")).count())
+    // q260: change log collapses to one struct-extreme row per key
+    // BEFORE the single full-outer join
+    time(s"cdc apply over $nUev events")(
+      graft.operators.AsOf.cdcApply(
+        uev.where(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(max(col("value")).as("value")),
+        uev.where(col("event_type").isin("purchase", "error"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "error", "delete").otherwise("upsert")
+              .as("op"), col("value")),
+        "user_id", "ts", "event_id", "op", "value").count())
+    // q261: distinct (entity, block) + [2, 50]-sized blocks bound the
+    // pair volume at maxBlockSize² per block
+    time(s"blocked entity pairs over $nUev events")(
+      graft.operators.Dedup.blockedEntityPairs(
+        uev.where(col("ts").isNotNull && col("value").isNotNull),
+        "user_id",
+        Seq(to_date(col("ts")), col("event_type"),
+          floor(col("value") / 100).cast("long"))).count())
+    // q262: the asof shape + a row-local staleness residual — must
+    // track the plain asof probe above
+    time(s"asof tolerance join over $nTicks ticks")(
+      graft.operators.AsOf.asofJoinTolerance(
+        expanded.select(col("event_id"), col("ts"),
+          col("event_type").as("symbol"), col("value")),
+        candles, key = "symbol", leftTs = "ts", rightTs = "window_start",
+        valueCols = Seq("close"), toleranceSeconds = 120L).count())
     // q243: one scan, explode ×|candidates|, ≤ cand×64 rows per
     // upstream partition after map-side partials — event_type is the
     // deliberately-skewed candidate (5·factor values over 64 buckets)
@@ -782,6 +809,15 @@ object ScaleCheck {
     // q255: vocab-dim aggregates + WindowGroupLimit top-k per source
     time(s"signature terms over $nDocs docs")(
       graft.operators.TextAnalysis.sourceSignatureTerms(docs).count())
+    // q259: one quality scan + the fixed (sources × 11 × 2) grid
+    time(s"psi drift over $nDocs docs")(
+      graft.operators.TextAnalysis.psiDrift(docs,
+        pmod(col("doc_id"), lit(2)) === 0).count())
+    // q220 (re-plan): chunked posting lists parallelize a hot prefix
+    // token's c² pair explosion across nchunks² join keys; verify is
+    // row-local array_intersect, never an exploded token join
+    time(s"exact prefix-filter join over $nDocs docs")(
+      graft.operators.Dedup.prefixFilterJaccardPairs(docs, 19, 20).count())
     // q212: sketch = (d × w) bounded relation built from the vocab agg;
     // probe side is k rows — cost must track the vocab top-k probe
     time(s"cms heavy-hitter audit over $nDocs docs")(

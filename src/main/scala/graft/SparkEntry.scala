@@ -1493,6 +1493,54 @@ object SparkEntry {
     // oscillating per type, exact integer E[R]
     "q254_runs_test" -> ((s, dir) =>
       Stats.runsTestDaily(Tables.events(s, dir))),
+    // ML-ops drift gate: PSI between corpus halves per source over the
+    // fixed 11-bin quality grid, add-one smoothed, micro-nat logs
+    "q259_psi_drift" -> ((s, dir) =>
+      TextAnalysis.psiDrift(Tables.documents(s, dir),
+        pmod(col("doc_id"), lit(2)) === 0)),
+    // MERGE semantics: signup snapshot + purchase upserts + error
+    // deletes, latest change per key on the pinned (ts, id) order
+    "q260_cdc_apply" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+      val base = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"),
+          round(col("value"), 4).as("v"))).as("__m"))
+        .select(col("user_id"), col("__m.v").as("value"))
+      val changes = ev.where(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", "delete").otherwise("upsert")
+            .as("op"),
+          round(col("value"), 4).as("value"))
+      AsOf.cdcApply(base, changes, "user_id", "ts", "event_id", "op",
+        "value").orderBy("user_id")
+    }),
+    // record-linkage candidates: users sharing ≥2 (day, type, value-band)
+    // blocks; hot blocks (>50 users) dropped — the df-cap discipline
+    "q261_entity_blocks" -> ((s, dir) =>
+      Dedup.blockedEntityPairs(
+        Tables.events(s, dir).where(col("ts").isNotNull &&
+          col("value").isNotNull && col("event_type").isNotNull),
+        "user_id",
+        Seq(to_date(col("ts")), col("event_type"),
+          floor(col("value") / 100).cast("long")),
+        minShared = 2, maxBlockSize = 50)),
+    // merge_asof tolerance: the q76 chain with a 120 s staleness gate —
+    // stale carries null out row-locally, same single shuffle
+    "q262_asof_tolerance" -> ((s, dir) => {
+      val ticks = Tables.events(s, dir)
+        .where(col("ts").isNotNull)
+        .select(col("event_id"), col("ts"),
+          col("event_type").as("symbol"), col("value"))
+      AsOf.asofJoinTolerance(ticks, candles(s, dir), key = "symbol",
+        leftTs = "ts", rightTs = "window_start",
+        valueCols = Seq("window_start", "close"), toleranceSeconds = 120L)
+        .select(col("event_id"), col("symbol"),
+          unix_micros(col("ts")).as("ts_us"),
+          wstr(col("window_start")).as("window_start"), col("close"))
+        .orderBy("event_id")
+    }),
     // dataset-card signature terms: per-source top-3 lift over the
     // global token share, exact integer micro lifts
     "q255_signature_terms" -> ((s, dir) =>
@@ -6317,6 +6365,95 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // fixed 11-bin grid, add-one smoothing over the FULL grid, floored
+    // micro shares, round-half-away micro-nat logs on both engines
+    "q259_psi_drift" ->
+      s"""WITH $QualitySql,
+        |h AS (SELECT d.source, d.doc_id % 2 AS g,
+        |             CAST(floor(q.quality * 10) AS BIGINT) AS bin
+        |      FROM q JOIN documents d USING (doc_id)),
+        |cnt AS (SELECT source, g, bin, count(*) AS c FROM h GROUP BY 1, 2, 3),
+        |grid AS (SELECT s.source, gg.g, b.bin
+        |         FROM (SELECT DISTINCT source FROM documents) s
+        |         CROSS JOIN (SELECT unnest([0, 1]) AS g) gg
+        |         CROSS JOIN (SELECT unnest(range(0, 11)) AS bin) b),
+        |f AS (SELECT grid.source, grid.g, grid.bin,
+        |             coalesce(cnt.c, 0) + 1 AS c1
+        |      FROM grid LEFT JOIN cnt ON cnt.source = grid.source
+        |        AND cnt.g = grid.g AND cnt.bin = grid.bin),
+        |tot AS (SELECT source, g, CAST(sum(c1) AS BIGINT) AS n1
+        |        FROM f GROUP BY 1, 2),
+        |sh AS (SELECT f.source, f.g, f.bin, (f.c1 * 1000000) // t.n1 AS p,
+        |              f.c1, t.n1
+        |       FROM f JOIN tot t ON t.source = f.source AND t.g = f.g),
+        |t2 AS (SELECT a.source, a.n1 AS na, b.n1 AS nb,
+        |              (a.p - b.p) * CAST(round(ln(CAST(a.c1 * b.n1 AS DOUBLE)
+        |                / (b.c1 * a.n1)) * 1000000, 0) AS BIGINT) AS term
+        |       FROM sh a JOIN sh b ON b.source = a.source
+        |         AND b.bin = a.bin AND a.g = 0 AND b.g = 1)
+        |SELECT source, CAST(max(na) - 11 AS BIGINT) AS n_a,
+        |       CAST(max(nb) - 11 AS BIGINT) AS n_b,
+        |       CAST(greatest(sum(term), 0) // 1000000 AS BIGINT) AS psi_micro
+        |FROM t2 GROUP BY source ORDER BY source""".stripMargin,
+    // latest change per key wins (ts, id order); delete drops; status
+    // partitions the survivors
+    "q260_cdc_apply" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |                   event_type, round(value, 4) AS v
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |base AS (SELECT user_id, v AS bval FROM (
+        |           SELECT user_id, v, row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC, event_id DESC, v DESC) AS rn
+        |           FROM ev WHERE event_type = 'signup') t WHERE rn = 1),
+        |ch AS (SELECT user_id,
+        |              CASE WHEN event_type = 'error' THEN 'delete'
+        |                   ELSE 'upsert' END AS op, v,
+        |              row_number() OVER (PARTITION BY user_id
+        |                ORDER BY ts DESC, event_id DESC) AS rn
+        |       FROM ev WHERE event_type IN ('purchase', 'error')),
+        |l AS (SELECT user_id, op, v FROM ch WHERE rn = 1),
+        |m AS (SELECT coalesce(b.user_id, l.user_id) AS user_id, b.bval,
+        |             l.op, l.v, b.user_id IS NOT NULL AS inb
+        |      FROM base b FULL OUTER JOIN l ON l.user_id = b.user_id)
+        |SELECT user_id,
+        |       CASE WHEN op IS NOT NULL THEN v ELSE bval END AS value,
+        |       CASE WHEN op IS NULL THEN 'kept'
+        |            WHEN inb THEN 'updated' ELSE 'inserted' END AS status
+        |FROM m WHERE op IS NULL OR op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
+    // distinct (entity, block) first; blocks sized [2, 50]; pairs a < b
+    "q261_entity_blocks" ->
+      """WITH eb AS (SELECT DISTINCT user_id AS e,
+        |              concat_ws(chr(1), CAST(CAST(ts AS DATE) AS VARCHAR),
+        |                        event_type,
+        |                        CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR))
+        |                AS b
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |              AND value IS NOT NULL AND event_type IS NOT NULL),
+        |sz AS (SELECT b FROM eb GROUP BY b
+        |       HAVING count(*) BETWEEN 2 AND 50),
+        |sv AS (SELECT eb.e, eb.b FROM eb JOIN sz USING (b)),
+        |p AS (SELECT x.e AS entity_a, y.e AS entity_b,
+        |             CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM sv x JOIN sv y ON y.b = x.b AND x.e < y.e GROUP BY 1, 2)
+        |SELECT * FROM p WHERE n_shared >= 2 ORDER BY 1, 2""".stripMargin,
+    // DuckDB native ASOF + the same row-local 120 s staleness gate
+    "q262_asof_tolerance" ->
+      s"""WITH $CandleCte
+         |SELECT ev.event_id, ev.symbol, epoch_us(ev.ts) AS ts_us,
+         |       CASE WHEN c.window_start IS NOT NULL
+         |              AND epoch_us(ev.ts) - epoch_us(c.window_start) <= 120000000
+         |            THEN strftime(c.window_start, '%Y-%m-%d %H:%M:%S')
+         |       END AS window_start,
+         |       CASE WHEN c.window_start IS NOT NULL
+         |              AND epoch_us(ev.ts) - epoch_us(c.window_start) <= 120000000
+         |            THEN c.close END AS close
+         |FROM ev ASOF LEFT JOIN candles c
+         |  ON ev.symbol = c.symbol AND ev.ts >= c.window_start
+         |WHERE ev.ts IS NOT NULL
+         |ORDER BY ev.event_id""".stripMargin,
     // exact integer micro lifts over vocab-dim aggregates; rank ties
     // lexicographic; minCount 20 gates hapax noise
     "q255_signature_terms" ->

@@ -70,6 +70,63 @@ object AsOf {
                valueCols: Seq[String]): DataFrame =
     asofJoin(left, right, key, ts, ts, valueCols)
 
+  /** As-of join with a staleness tolerance (pandas `merge_asof
+    * tolerance` semantics): the carried right row must lie within
+    * `toleranceSeconds` of the left timestamp or the payload reads NULL
+    * — a quote from last Tuesday should not price today's trade. Same
+    * single-shuffle merge-interleave: the right timestamp rides as one
+    * extra payload field and the gate is a row-local integer-µs
+    * residual, so the tolerance costs nothing at any scale.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        leftTs: String, rightTs: String,
+                        valueCols: Seq[String],
+                        toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0, "tolerance must be non-negative")
+    val tsTag = "__asof_rts"
+    require(!left.columns.contains(tsTag), s"$tsTag collides; rename upstream")
+    val joined = asofJoin(left,
+      right.withColumn(tsTag, col(rightTs)), key, leftTs, rightTs,
+      tsTag +: valueCols)
+    val fresh = col(tsTag).isNotNull &&
+      unix_micros(col(leftTs).cast("timestamp")) -
+        unix_micros(col(tsTag).cast("timestamp")) <=
+        toleranceSeconds * 1000000L
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(fresh, col(c)))
+    }.drop(tsTag)
+  }
+
+  /** Batch CDC apply (MERGE semantics): fold a change log into a base
+    * snapshot — the latest change per key wins on the pinned (ts, id)
+    * order, `delete` removes the key, any other op upserts its payload;
+    * untouched base rows pass through. The change log collapses to one
+    * row per key FIRST (a struct-extreme hash agg — never a window over
+    * the log), then ONE full-outer equi-join against the base: both
+    * sides scale, and a key churned a million times costs one max, not
+    * a million joined rows. Output: key, `valCol` (post-merge), status
+    * (kept | updated | inserted); deleted keys are absent.
+    */
+  def cdcApply(base: DataFrame, changes: DataFrame, key: String,
+               tsCol: String, idCol: String, opCol: String,
+               valCol: String): DataFrame = {
+    val latest = changes
+      .where(col(key).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(key))
+      .agg(max(struct(col(tsCol).as("__ts"), col(idCol).as("__id"),
+        col(opCol).as("__op"), col(valCol).as("__v"))).as("__m"))
+      .select(col(key), col("__m.__op").as("__op"), col("__m.__v").as("__v"))
+    base.select(col(key), col(valCol).as("__base"), lit(true).as("__inBase"))
+      .join(latest, Seq(key), "full_outer")
+      .where(col("__op").isNull || col("__op") =!= "delete")
+      .select(col(key),
+        when(col("__op").isNotNull, col("__v")).otherwise(col("__base"))
+          .as(valCol),
+        when(col("__op").isNull, "kept")
+          .when(col("__inBase").isNotNull, "updated")
+          .otherwise("inserted").as("status"))
+  }
+
   /** Point-in-validity (interval) join: each left row picks the right
     * interval containing its timestamp — `start <= ts < end` within the
     * same key — the SCD-2 / session / rate-card lookup.

@@ -716,6 +716,60 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Population-stability-index drift, per source: how far did the
+    * quality-score distribution move between two halves of the corpus
+    * (two crawls, two epochs — split by `groupExpr`)? The standard
+    * ML-ops drift gate: PSI < 0.1 stable, > 0.25 action. Scores bucket
+    * into the 11 fixed-width bins floor(quality·10) (quality ∈ [0,1] by
+    * construction — a bounded plan-time grid, never a data-dependent
+    * one), counts add-one smoothed over the FULL grid so empty bins are
+    * defined, shares carried as floored micro fractions and the log
+    * ratio in [[lnMicros]] micro-nats: psi term = (pa−pb)·ln(pa/pb),
+    * summed in 1e-12 units then floored back to micro. Mathematically
+    * non-negative; floor slack is clamped at 0 identically in both
+    * engines. Bounded-dim aggregates only (sources × 11 bins × 2).
+    * Output: source, n_a, n_b, psi_micro.
+    */
+  def psiDrift(docs: DataFrame, groupExpr: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val binned = docs.select(col("source"),
+      when(groupExpr, 0L).otherwise(1L).as("__g"),
+      floor(qualityExpr(col("text")) * 10).cast("long").as("__bin"))
+    val counts = binned.groupBy(col("source"), col("__g"), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val grid = binned.select(col("source")).distinct()
+      .crossJoin(broadcast((0L to 10L).toDF("__bin")))
+      .crossJoin(broadcast(Seq(0L, 1L).toDF("__g")))
+    val full = grid.join(counts, Seq("source", "__g", "__bin"), "left")
+      .select(col("source"), col("__g"), col("__bin"),
+        (coalesce(col("__c"), lit(0L)) + 1L).as("__c1"))
+    val tot = full.groupBy(col("source"), col("__g"))
+      .agg(sum(col("__c1")).as("__n1"))
+    val shares = full.join(tot, Seq("source", "__g"))
+      .select(col("source"), col("__g"), col("__bin"),
+        expr("(__c1 * 1000000) DIV __n1").as("__p"),
+        col("__c1"), col("__n1"))
+    val a = shares.where(col("__g") === 0L)
+      .select(col("source"), col("__bin"), col("__p").as("__pa"),
+        col("__c1").as("__ca"), col("__n1").as("__na"))
+    val b = shares.where(col("__g") === 1L)
+      .select(col("source"), col("__bin"), col("__p").as("__pb"),
+        col("__c1").as("__cb"), col("__n1").as("__nb"))
+    a.join(b, Seq("source", "__bin"))
+      .select(col("source"), col("__na"), col("__nb"),
+        ((col("__pa") - col("__pb")) *
+          lnMicros((col("__ca") * col("__nb")).cast("double") /
+            (col("__cb") * col("__na")))).as("__t"))
+      .groupBy(col("source"))
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        sum(col("__t")).as("__s"))
+      .select(col("source"),
+        (col("__na") - 11L).as("n_a"), (col("__nb") - 11L).as("n_b"),
+        expr("CAST(greatest(__s, 0) DIV 1000000 AS BIGINT)").as("psi_micro"))
+      .orderBy(col("source"))
+  }
+
   /** Per-document negative log-likelihood under the corpus's own unigram
     * language model — the perplexity-proxy quality filter (the CCNet
     * recipe scores documents with an LM and drops the high-perplexity

@@ -3275,6 +3275,75 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
 
+  test("psi drift: identical halves read exactly 0, a distribution shift reads positive") {
+    val shortText = "word " * 5
+    val longText = ("the and of is to in that " * 40).trim
+    // identical halves: every doc duplicated across both groups
+    val same = ((1 to 10).map(i => (i * 2L, shortText, "web")) ++
+      (1 to 10).map(i => (i * 2L + 1, shortText, "web")))
+      .toDF("doc_id", "text", "source")
+    val g0 = graft.operators.TextAnalysis
+      .psiDrift(same, pmod(col("doc_id"), lit(2)) === 0)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(g0 === (("web", 10L, 10L, 0L)))
+    // shifted halves: even docs short/low-quality, odd docs long/high
+    val shifted = ((1 to 10).map(i => (i * 2L, shortText, "web")) ++
+      (1 to 10).map(i => (i * 2L + 1, longText, "web")))
+      .toDF("doc_id", "text", "source")
+    val g1 = graft.operators.TextAnalysis
+      .psiDrift(shifted, pmod(col("doc_id"), lit(2)) === 0)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(g1._4 > 100000L) // a wholesale bin shift is far past the 0.25 gate
+  }
+
+  test("cdc apply: latest change wins, deletes drop, inserts and kept pass through") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val changes = Seq(
+      (2L, t("2024-01-01 10:00:00"), 1L, "upsert", 22.0),
+      (2L, t("2024-01-01 11:00:00"), 2L, "upsert", 25.0), // latest wins
+      (3L, t("2024-01-01 10:00:00"), 3L, "delete", 0.0),
+      (4L, t("2024-01-01 10:00:00"), 4L, "upsert", 40.0), // insert
+      (5L, t("2024-01-01 10:00:00"), 5L, "delete", 0.0)   // delete absent key
+    ).toDF("k", "ts", "id", "op", "v")
+    val got = graft.operators.AsOf
+      .cdcApply(base, changes, "k", "ts", "id", "op", "v")
+      .as[(Long, Double, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 10.0, "kept"), (2L, 25.0, "updated"),
+      (4L, 40.0, "inserted")))
+  }
+
+  test("blocked entity pairs: minShared gates, hot blocks drop") {
+    val rows =
+      Seq((1L, "b1"), (1L, "b2"), (2L, "b1"), (2L, "b2"),  // pair (1,2) ×2
+        (3L, "b1")) ++                                     // 3 shares only b1
+        (1L to 60L).map(e => (e + 100L, "hot"))            // block of 60 → dropped
+    val df = rows.toDF("e", "b")
+    val got = graft.operators.Dedup
+      .blockedEntityPairs(df, "e", Seq(col("b")), minShared = 2,
+        maxBlockSize = 50)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L)))
+  }
+
+  test("asof tolerance: fresh carry survives, stale carry nulls out") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    val left = Seq(
+      (1L, "a", t("2024-01-01 00:01:40")),  // right at 95 s → gap 5 s, fresh
+      (2L, "a", t("2024-01-01 00:05:00"))   // same right → gap 205 s, stale
+    ).toDF("lid", "k", "ts")
+    val right = Seq((9L, "a", t("2024-01-01 00:01:35"), 7.0))
+      .toDF("rid", "k", "rts", "px")
+    val got = graft.operators.AsOf
+      .asofJoinTolerance(left, right, "k", "ts", "rts", Seq("px"),
+        toleranceSeconds = 10L)
+      .select(col("lid"), col("px"))
+      .as[(Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, Some(7.0)), (2L, None)))
+  }
+
   test("signature terms: a source-exclusive token tops its source's lift ranking") {
     val webText = ("alpha beta gamma " * 10).trim   // shared vocabulary
     val wikiText = ("alpha beta quark " * 10).trim  // quark only in wiki
