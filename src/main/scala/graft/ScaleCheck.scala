@@ -800,24 +800,19 @@ object ScaleCheck {
     // q247: one quality scan + bounded counting grids (≤10001 cells per
     // source) × the 9-row decile dim
     time(s"quantile norm table over $nDocs docs")(
-      graft.operators.TextAnalysis.quantileNormTable(docs).count())
+      graft.operators.TextAnalysis.quantileNormTable(sourced).count())
     // q251: one distinct-count agg per candidate over the docs dim
     time(s"fd audit over $nDocs docs")(
-      graft.operators.Stats.fdAudit(docs,
-        Seq(("doc_lang", "doc_id", "lang"), ("src_lang", "source", "lang")))
+      graft.operators.Stats.fdAudit(sourced,
+        Seq(("doc_src", "doc_id", "source"), ("src_text", "source", "text")))
         .count())
     // q255: vocab-dim aggregates + WindowGroupLimit top-k per source
     time(s"signature terms over $nDocs docs")(
-      graft.operators.TextAnalysis.sourceSignatureTerms(docs).count())
+      graft.operators.TextAnalysis.sourceSignatureTerms(sourced).count())
     // q259: one quality scan + the fixed (sources × 11 × 2) grid
     time(s"psi drift over $nDocs docs")(
-      graft.operators.TextAnalysis.psiDrift(docs,
+      graft.operators.TextAnalysis.psiDrift(sourced,
         pmod(col("doc_id"), lit(2)) === 0).count())
-    // q220 (re-plan): chunked posting lists parallelize a hot prefix
-    // token's c² pair explosion across nchunks² join keys; verify is
-    // row-local array_intersect, never an exploded token join
-    time(s"exact prefix-filter join over $nDocs docs")(
-      graft.operators.Dedup.prefixFilterJaccardPairs(docs, 19, 20).count())
     // q212: sketch = (d × w) bounded relation built from the vocab agg;
     // probe side is k rows — cost must track the vocab top-k probe
     time(s"cms heavy-hitter audit over $nDocs docs")(

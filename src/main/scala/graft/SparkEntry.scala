@@ -1493,6 +1493,27 @@ object SparkEntry {
     // oscillating per type, exact integer E[R]
     "q254_runs_test" -> ((s, dir) =>
       Stats.runsTestDaily(Tables.events(s, dir))),
+    // multiset INTERSECT ALL / EXCEPT ALL semantics pinned: min(ma,mb)
+    // and max(0, ma−mb) multiplicities between two quantity bags
+    "q263_bag_setops" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.where(pmod(col("l_suppkey"), lit(2)) === 0)
+        .select(col("l_quantity").cast("long").as("qty"))
+      val b = li.where(pmod(col("l_suppkey"), lit(2)) === 1)
+        .select(col("l_quantity").cast("long").as("qty"))
+      val inter = a.intersectAll(b).groupBy(col("qty"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val exc = a.exceptAll(b).groupBy(col("qty"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      inter.unionByName(exc).select("op", "qty", "n").orderBy("op", "qty")
+    }),
+    // Wilson lower bound per type for P(value > 100) — the
+    // small-sample-honest rate ranking; identical double formula both
+    // engines (z² spelled 1.96*1.96 so both compute the same IEEE value)
+    "q264_wilson_bounds" -> ((s, dir) =>
+      Stats.wilsonLowerBound(
+        Tables.events(s, dir).where(col("value").isNotNull),
+        col("value") > 100)),
     // ML-ops drift gate: PSI between corpus halves per source over the
     // fixed 11-bin quality grid, add-one smoothed, micro-nat logs
     "q259_psi_drift" -> ((s, dir) =>
@@ -6365,6 +6386,33 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // standard-SQL bag semantics on both engines
+    "q263_bag_setops" ->
+      """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |           WHERE l_suppkey % 2 = 0),
+        |b AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |      WHERE l_suppkey % 2 = 1),
+        |i AS (SELECT 'intersect_all' AS op, qty FROM
+        |        (SELECT qty FROM a INTERSECT ALL SELECT qty FROM b) t),
+        |e AS (SELECT 'except_all' AS op, qty FROM
+        |        (SELECT qty FROM a EXCEPT ALL SELECT qty FROM b) t),
+        |u AS (SELECT * FROM i UNION ALL SELECT * FROM e)
+        |SELECT op, qty, CAST(count(*) AS BIGINT) AS n
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same double expression shape, left-associative, z² = 1.96*1.96
+    "q264_wilson_bounds" ->
+      """WITH e AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |                  CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+        |                       AS BIGINT) AS x
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |           GROUP BY 1)
+        |SELECT event_type, n, x,
+        |       round((x / n + 1.96*1.96 / (2.0 * n) -
+        |              1.96 * sqrt(x / n * (1.0 - x / n) / n +
+        |                          1.96*1.96 / (4.0 * n * n))) /
+        |             (1.0 + 1.96*1.96 / n), 6) AS wilson_lb
+        |FROM e ORDER BY event_type""".stripMargin,
     // fixed 11-bin grid, add-one smoothing over the FULL grid, floored
     // micro shares, round-half-away micro-nat logs on both engines
     "q259_psi_drift" ->

@@ -874,6 +874,30 @@ object Stats {
       .orderBy(col("key"))
   }
 
+  /** Wilson-score lower bound per key for P(success): the
+    * small-sample-honest rate ranking (a 1/1 key must NOT outrank a
+    * 95/100 key — raw rates do exactly that). z is pinned at 1.96 and
+    * z² spelled `1.96*1.96` so both engines constant-fold the same IEEE
+    * double; the formula is one left-associative double expression
+    * rounded to 6dp (the cosine discipline — a display value, not a
+    * join key). Output: key (as `keyCol`), n, x, wilson_lb.
+    */
+  def wilsonLowerBound(df: DataFrame, successExpr: Column,
+                       keyCol: String = "event_type"): DataFrame = {
+    df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successExpr, 1L).otherwise(0L)).as("x"))
+      .select(col(keyCol), col("n"), col("x"),
+        round(
+          (col("x") / col("n") + lit(1.96 * 1.96) / (lit(2.0) * col("n")) -
+            lit(1.96) * sqrt(col("x") / col("n") *
+              (lit(1.0) - col("x") / col("n")) / col("n") +
+              lit(1.96 * 1.96) / (lit(4.0) * col("n") * col("n")))) /
+            (lit(1.0) + lit(1.96 * 1.96) / col("n")), 6).as("wilson_lb"))
+      .orderBy(col(keyCol))
+  }
+
   /** k-anonymity audit over a quasi-identifier cell grid: for each
     * candidate re-identification threshold k, how many occupied cells
     * sit below k occupants and how many rows they carry — the table a

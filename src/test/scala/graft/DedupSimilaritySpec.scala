@@ -3275,6 +3275,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
 
+  test("bag set ops: intersect-all takes min multiplicity, except-all the positive excess") {
+    val a = Seq(1L, 1L, 2L, 3L).toDF("qty")
+    val b = Seq(1L, 2L, 2L).toDF("qty")
+    val inter = a.intersectAll(b).as[Long].collect().sorted.toSeq
+    val exc = a.exceptAll(b).as[Long].collect().sorted.toSeq
+    assert(inter === Seq(1L, 2L)) // min(2,1)=1 one, min(1,2)=1 two
+    assert(exc === Seq(1L, 3L))   // 1: 2−1, 3: 1−0
+  }
+
+  test("wilson lower bound: engine matches the closed form at x=1, n=4") {
+    import java.sql.Timestamp
+    val ev = (1 to 4).map(i => (s"A", Timestamp.valueOf(s"2024-01-01 10:0$i:00"),
+      if (i == 1) 150.0 else 50.0)).toDF("event_type", "ts", "value")
+    val got = graft.operators.Stats.wilsonLowerBound(ev, col("value") > 100)
+      .as[(String, Long, Long, Double)].collect().head
+    val (n, x, z2) = (4.0, 1.0, 1.96 * 1.96)
+    val p = x / n
+    val want = BigDecimal((p + z2 / (2.0 * n) -
+      1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) / (1.0 + z2 / n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === (("A", 4L, 1L, want)))
+  }
+
   test("psi drift: identical halves read exactly 0, a distribution shift reads positive") {
     val shortText = "word " * 5
     val longText = ("the and of is to in that " * 40).trim
