@@ -354,6 +354,20 @@ object ScaleCheck {
         "user_id",
         Seq(to_date(col("ts")), col("event_type"),
           floor(col("value") / 100).cast("long"))).count())
+    // q265: eps-bucket band join — ×3 left replication, exact residual;
+    // pair volume tracks true matches, never per-key Cartesian
+    time(s"band join purchases~clicks over $nUev events")(
+      graft.operators.AsOf.bandJoin(
+        uev.where(col("event_type") === "purchase" && col("value").isNotNull)
+          .select(col("event_id").as("pid"), col("user_id"),
+            col("value").as("pv")),
+        uev.where(col("event_type") === "click" && col("value").isNotNull)
+          .select(col("user_id"), col("value").as("cv"),
+            col("event_id").as("cid")),
+        "user_id", "pv", "cv", eps = 5.0, Seq("cid")).count())
+    // q266: one broadcast scalar + one hash agg
+    time(s"time-decayed volume over $nUev events")(
+      graft.operators.Stats.timeDecayedVolume(uev).count())
     // q262: the asof shape + a row-local staleness residual — must
     // track the plain asof probe above
     time(s"asof tolerance join over $nTicks ticks")(
@@ -813,6 +827,10 @@ object ScaleCheck {
     time(s"psi drift over $nDocs docs")(
       graft.operators.TextAnalysis.psiDrift(sourced,
         pmod(col("doc_id"), lit(2)) === 0).count())
+    // q267: (source × distinct token) relation; per-token fan-out ≤
+    // sources²
+    time(s"vocab overlap matrix over $nDocs docs")(
+      graft.operators.TextAnalysis.vocabOverlapMatrix(sourced).count())
     // q212: sketch = (d × w) bounded relation built from the vocab agg;
     // probe side is k rows — cost must track the vocab top-k probe
     time(s"cms heavy-hitter audit over $nDocs docs")(

@@ -1493,6 +1493,30 @@ object SparkEntry {
     // oscillating per type, exact integer E[R]
     "q254_runs_test" -> ((s, dir) =>
       Stats.runsTestDaily(Tables.events(s, dir))),
+    // inequality join made equi: purchases × clicks same user within
+    // |Δvalue| ≤ 5, eps-bucket ±1 replication, exact residual
+    "q265_band_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("value").as("pv"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("value").as("cv"),
+          col("event_id").as("click_id"))
+      AsOf.bandJoin(p, c, "user_id", "pv", "cv", eps = 5.0,
+          Seq("click_id"))
+        .select("purchase_id", "click_id", "val_diff_micro")
+        .orderBy("purchase_id", "click_id")
+    }),
+    // freshness-weighted volume: exact power-of-2 half-life decay via
+    // bit shift — no float exp on the decision path
+    "q266_time_decay" -> ((s, dir) =>
+      Stats.timeDecayedVolume(Tables.events(s, dir))),
+    // vocabulary overlap coefficient per source pair on the
+    // (source × distinct token) relation
+    "q267_vocab_overlap" -> ((s, dir) =>
+      TextAnalysis.vocabOverlapMatrix(Tables.documents(s, dir))),
     // multiset INTERSECT ALL / EXCEPT ALL semantics pinned: min(ma,mb)
     // and max(0, ma−mb) multiplicities between two quantity bags
     "q263_bag_setops" -> ((s, dir) => {
@@ -6386,6 +6410,52 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // the oracle states the SEMANTICS directly (plain inequality join);
+    // the engine's eps-bucket plan must reproduce it exactly
+    "q265_band_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |                   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vt
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |p AS (SELECT event_id AS purchase_id, user_id, vt FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, vt AS cvt FROM ev
+        |      WHERE event_type = 'click')
+        |SELECT p.purchase_id, c.click_id,
+        |       abs(p.vt - c.cvt) AS val_diff_micro
+        |FROM p JOIN c USING (user_id)
+        |WHERE abs(p.vt - c.cvt) <= 5000000
+        |ORDER BY p.purchase_id, c.click_id""".stripMargin,
+    // exact >> decay; age vs the corpus max day
+    "q266_time_decay" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM events
+        |            WHERE ts IS NOT NULL),
+        |e AS (SELECT event_type AS key,
+        |             date_diff('day', CAST(ts AS DATE), mxd) AS age
+        |      FROM events CROSS JOIN mx
+        |      WHERE event_type IS NOT NULL AND ts IS NOT NULL)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(1000000 >> least(age // 7, 30)) AS BIGINT)
+        |         AS decayed_micro
+        |FROM e GROUP BY key ORDER BY key""".stripMargin,
+    // (source × distinct token) relation; floor-bp coefficient
+    "q267_vocab_overlap" ->
+      """WITH v AS (SELECT DISTINCT source,
+        |             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                x -> x <> '')) AS tok
+        |           FROM documents),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY 1),
+        |i AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             CAST(count(*) AS BIGINT) AS n_common
+        |      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT i.source_a, i.source_b, sa.nv AS nv_a, sb.nv AS nv_b,
+        |       i.n_common,
+        |       CAST((i.n_common * 10000) // least(sa.nv, sb.nv) AS BIGINT)
+        |         AS overlap_bp
+        |FROM i JOIN sz sa ON sa.source = i.source_a
+        |       JOIN sz sb ON sb.source = i.source_b
+        |ORDER BY i.source_a, i.source_b""".stripMargin,
     // standard-SQL bag semantics on both engines
     "q263_bag_setops" ->
       """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem

@@ -97,6 +97,42 @@ object AsOf {
     }.drop(tsTag)
   }
 
+  /** Banded value join (|left.val − right.val| ≤ eps within a key) —
+    * the inequality join Spark would otherwise plan as a per-key
+    * Cartesian filter. Buckets of width eps turn it into an equi-join:
+    * a qualifying pair's buckets differ by at most 1, so the left side
+    * replicates to its bucket ± 1 (a plan-time ×3, the standard band
+    * trick) and joins on (key, bucket) with the exact |Δ| residual
+    * row-local. Bucketing uses integer micro-ticks (floor), so bucket
+    * assignment is engine-portable at any value. Output: left.* ++
+    * valueCols ++ val_diff_micro.
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, key: String,
+               leftVal: String, rightVal: String, eps: Double,
+               valueCols: Seq[String]): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    require(valueCols.intersect(left.columns.toSeq).isEmpty,
+      "payload columns collide with left columns; rename upstream")
+    val epsMicro = math.round(eps * 1e6)
+    def tick(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
+    // exact integer bucket — floorDiv semantics on both engines
+    def bucket(t: Column): Column =
+      floor(t.cast("double") / epsMicro).cast("long")
+    val l = left
+      .withColumn("__lt", tick(col(leftVal)))
+      .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__b", col("__off") + bucket(col("__lt")))
+      .drop("__off")
+    val r = right
+      .withColumn("__rt", tick(col(rightVal)))
+      .withColumn("__b", bucket(col("__rt")))
+    l.join(r.select((col(key) +: col("__b") +: col("__rt") +:
+        valueCols.map(col)): _*), Seq(key, "__b"))
+      .where(abs(col("__lt") - col("__rt")) <= epsMicro)
+      .withColumn("val_diff_micro", abs(col("__lt") - col("__rt")))
+      .drop("__b", "__rt", "__lt")
+  }
+
   /** Batch CDC apply (MERGE semantics): fold a change log into a base
     * snapshot — the latest change per key wins on the pinned (ts, id)
     * order, `delete` removes the key, any other op upserts its payload;

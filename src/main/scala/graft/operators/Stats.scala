@@ -898,6 +898,33 @@ object Stats {
       .orderBy(col(keyCol))
   }
 
+  /** Time-decayed volume per key: each event contributes a credit that
+    * halves every `halfLifeDays` relative to the corpus's last day —
+    * the freshness-weighted activity score behind trending/ranking
+    * surfaces. The decay is an EXACT integer: credit = 10⁶ >>
+    * min(age_days DIV halfLife, 30) (power-of-2 halving, bit-shift —
+    * no float exp whose last ulp is engine-specific; 30 caps the shift
+    * at zero-credit). One broadcast max-day scalar + one hash agg.
+    * Output: key, n, decayed_micro.
+    */
+  def timeDecayedVolume(df: DataFrame, keyCol: String = "event_type",
+                        tsCol: String = "ts",
+                        halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1, "half life must be positive")
+    val mx = df.where(col(tsCol).isNotNull)
+      .agg(max(to_date(col(tsCol))).as("__mx"))
+    df.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .crossJoin(broadcast(mx))
+      .select(col(keyCol).as("key"),
+        datediff(col("__mx"), to_date(col(tsCol))).cast("long").as("__age"))
+      .select(col("key"), expr(
+        s"shiftright(CAST(1000000 AS BIGINT), CAST(least(__age DIV $halfLifeDays, 30) AS INT))")
+        .as("__credit"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("__credit")).as("decayed_micro"))
+      .orderBy(col("key"))
+  }
+
   /** k-anonymity audit over a quasi-identifier cell grid: for each
     * candidate re-identification threshold k, how many occupied cells
     * sit below k occupants and how many rows they carry — the table a

@@ -716,6 +716,36 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Pairwise vocabulary overlap between sources: |Vₐ ∩ V_b| and the
+    * overlap coefficient |Vₐ ∩ V_b| / min(|Vₐ|, |V_b|) in floor bp —
+    * the "are these two crawls the same site family" signal next to
+    * the near-dup source matrix (document-level) and KL divergence
+    * (distributional): overlap compares the VOCABULARIES, so a small
+    * source fully nested in a big one reads 10000 even when sizes
+    * differ 100×. Everything runs on the (source × distinct token)
+    * relation — per-token pair fan-out is bounded by sources², never
+    * corpus-sized. Output: source_a < source_b, nv_a, nv_b, n_common,
+    * overlap_bp.
+    */
+  def vocabOverlapMatrix(docs: DataFrame): DataFrame = {
+    val v = docs
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .distinct()
+    val sz = v.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    v.as("a").join(v.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sz.select(col("source").as("source_a"), col("nv").as("nv_a")),
+        Seq("source_a"))
+      .join(sz.select(col("source").as("source_b"), col("nv").as("nv_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("nv_a"), col("nv_b"),
+        col("n_common"),
+        expr("(n_common * 10000) DIV least(nv_a, nv_b)").as("overlap_bp"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Population-stability-index drift, per source: how far did the
     * quality-score distribution move between two halves of the corpus
     * (two crawls, two epochs — split by `groupExpr`)? The standard

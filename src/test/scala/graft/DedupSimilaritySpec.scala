@@ -3275,6 +3275,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
 
+  test("band join: within-eps pairs found exactly once, outside-eps dropped") {
+    val left = Seq((1L, "u", 10.0), (2L, "u", 99.0)).toDF("lid", "k", "lv")
+    val right = Seq(
+      (7L, "u", 12.5),   // |Δ|=2.5 ≤ 5 from lid 1 (different bucket — ±1 covers it)
+      (8L, "u", 15.5),   // |Δ|=5.5 > 5 from lid 1
+      (9L, "u", 10.0)    // exact match, same bucket — must appear ONCE
+    ).toDF("rid", "k", "rv")
+    val got = graft.operators.AsOf
+      .bandJoin(left, right, "k", "lv", "rv", eps = 5.0, Seq("rid"))
+      .select(col("lid"), col("rid"), col("val_diff_micro"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq((1L, 7L, 2500000L), (1L, 9L, 0L)))
+  }
+
+  test("time decay: credit halves per half-life via exact bit shift") {
+    import java.sql.Timestamp
+    def t(s2: String) = Timestamp.valueOf(s2)
+    val ev = Seq(
+      ("A", t("2024-01-15 10:00:00")), // age 0  → 1000000
+      ("A", t("2024-01-08 10:00:00")), // age 7  → 500000
+      ("A", t("2024-01-01 10:00:00")), // age 14 → 250000
+      ("B", t("2024-01-15 10:00:00"))  // age 0
+    ).toDF("event_type", "ts")
+    val got = graft.operators.Stats.timeDecayedVolume(ev, halfLifeDays = 7)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 3L, 1750000L), ("B", 1L, 1000000L)))
+  }
+
+  test("vocab overlap: nested vocabulary reads 10000 bp regardless of size gap") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "big"),
+      (2L, "epsilon zeta eta theta", "big"),
+      (3L, "alpha beta", "small")        // fully nested in big's vocab
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.vocabOverlapMatrix(docs)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("big", "small", 8L, 2L, 2L, 10000L)))
+  }
+
   test("bag set ops: intersect-all takes min multiplicity, except-all the positive excess") {
     val a = Seq(1L, 1L, 2L, 3L).toDF("qty")
     val b = Seq(1L, 2L, 2L).toDF("qty")
