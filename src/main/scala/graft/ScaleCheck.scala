@@ -368,6 +368,9 @@ object ScaleCheck {
     // q266: one broadcast scalar + one hash agg
     time(s"time-decayed volume over $nUev events")(
       graft.operators.Stats.timeDecayedVolume(uev).count())
+    // q269: lag over the bounded (key × week) grid
+    time(s"week-over-week over $nUev events")(
+      graft.operators.Stats.weekOverWeek(uev).count())
     // q262: the asof shape + a row-local staleness residual — must
     // track the plain asof probe above
     time(s"asof tolerance join over $nTicks ticks")(
@@ -831,6 +834,9 @@ object ScaleCheck {
     // sources²
     time(s"vocab overlap matrix over $nDocs docs")(
       graft.operators.TextAnalysis.vocabOverlapMatrix(sourced).count())
+    // q268: bigram agg + prefix gate + WindowGroupLimit top-k
+    time(s"bigram autocomplete over $nDocs docs")(
+      graft.operators.TextAnalysis.bigramAutocomplete(docs).count())
     // q212: sketch = (d × w) bounded relation built from the vocab agg;
     // probe side is k rows — cost must track the vocab top-k probe
     time(s"cms heavy-hitter audit over $nDocs docs")(

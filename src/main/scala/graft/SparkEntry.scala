@@ -1493,6 +1493,26 @@ object SparkEntry {
     // oscillating per type, exact integer E[R]
     "q254_runs_test" -> ((s, dir) =>
       Stats.runsTestDaily(Tables.events(s, dir))),
+    // serving-side bigram suggest table: top-3 continuations per
+    // eligible prefix, lexicographic ties
+    "q268_autocomplete" -> ((s, dir) =>
+      TextAnalysis.bigramAutocomplete(Tables.documents(s, dir))),
+    // dashboard WoW: weekly counts, lag over the (key × week) grid,
+    // HALF_UP bp of the previous week
+    "q269_wow_change" -> ((s, dir) =>
+      Stats.weekOverWeek(Tables.events(s, dir))),
+    // running supply: per-brand daily shipped quantity cumsum over the
+    // bounded (brand × shipdate) grid; part side broadcasts
+    "q270_cumulative_shipments" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("d"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_shipdate").as("d"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .withColumn("cum_qty", sum(col("qty")).over(w))
+        .orderBy("p_brand", "d")
+    }),
     // inequality join made equi: purchases × clicks same user within
     // |Δvalue| ≤ 5, eps-bucket ±1 replication, exact residual
     "q265_band_join" -> ((s, dir) => {
@@ -6410,6 +6430,52 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // bigram pairs via list_transform; minCount prefix gate; ties
+    // lexicographic
+    "q268_autocomplete" ->
+      """WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                              x -> x <> '') AS words
+        |           FROM documents),
+        |bi0 AS (SELECT unnest(list_transform(range(1, len(words)),
+        |                 i -> words[i] || chr(1) || words[i+1])) AS pw
+        |        FROM w WHERE len(words) >= 2),
+        |bi AS (SELECT split_part(pw, chr(1), 1) AS prefix,
+        |              split_part(pw, chr(1), 2) AS next_word
+        |       FROM bi0),
+        |cnt AS (SELECT prefix, next_word, CAST(count(*) AS BIGINT) AS n
+        |        FROM bi GROUP BY 1, 2),
+        |el AS (SELECT prefix FROM cnt GROUP BY prefix HAVING sum(n) >= 10),
+        |r AS (SELECT c.prefix, c.next_word, c.n,
+        |             CAST(row_number() OVER (PARTITION BY c.prefix
+        |               ORDER BY c.n DESC, c.next_word) AS BIGINT) AS rank
+        |      FROM cnt c JOIN el USING (prefix))
+        |SELECT prefix, rank, next_word, n FROM r WHERE rank <= 3
+        |ORDER BY prefix, rank""".stripMargin,
+    // Monday-anchored weeks on both engines; first week drops
+    "q269_wow_change" ->
+      """WITH wk AS (SELECT event_type AS key,
+        |                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+        |                   CAST(count(*) AS BIGINT) AS n
+        |            FROM events
+        |            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |            GROUP BY 1, 2),
+        |l AS (SELECT key, week, n,
+        |             lag(n) OVER (PARTITION BY key ORDER BY week) AS prev_n
+        |      FROM wk)
+        |SELECT key, week, n, prev_n,
+        |       CAST(floor((n - prev_n) * 10000.0 / prev_n + 0.5) AS BIGINT)
+        |         AS wow_bp
+        |FROM l WHERE prev_n IS NOT NULL ORDER BY key, week""".stripMargin,
+    // day-grid cumsum per brand
+    "q270_cumulative_shipments" ->
+      """WITH g AS (SELECT p.p_brand, l.l_shipdate AS d,
+        |                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |           GROUP BY 1, 2)
+        |SELECT p_brand, d, qty,
+        |       CAST(sum(qty) OVER (PARTITION BY p_brand ORDER BY d) AS BIGINT)
+        |         AS cum_qty
+        |FROM g ORDER BY p_brand, d""".stripMargin,
     // the oracle states the SEMANTICS directly (plain inequality join);
     // the engine's eps-bucket plan must reproduce it exactly
     "q265_band_join" ->

@@ -898,6 +898,31 @@ object Stats {
       .orderBy(col(keyCol))
   }
 
+  /** Week-over-week volume change per key: weekly event counts on the
+    * Monday-anchored week grid, previous week via one lag over the
+    * bounded (key × week) dim, change in HALF_UP bp of the PREVIOUS
+    * week (the dashboard convention; first week reads null-free by
+    * dropping — no baseline, no number). Adjacent calendar weeks only:
+    * a gap week makes `prev` the last ACTIVE week (declared — the
+    * alternative zero-fill belongs to [[fanoDaily]]'s span identity).
+    * Output: key, week, n, prev_n, wow_bp.
+    */
+  def weekOverWeek(df: DataFrame, keyCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("week"))
+    df.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        date_trunc("week", col(tsCol)).as("week"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .where(col("prev_n").isNotNull)
+      .select(col("key"), col("week"), col("n"), col("prev_n"),
+        floor((col("n") - col("prev_n")) * 10000.0 / col("prev_n") + 0.5)
+          .cast("long").as("wow_bp"))
+      .orderBy(col("key"), col("week"))
+  }
+
   /** Time-decayed volume per key: each event contributes a credit that
     * halves every `halfLifeDays` relative to the corpus's last day —
     * the freshness-weighted activity score behind trending/ranking

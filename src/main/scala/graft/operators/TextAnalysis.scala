@@ -716,6 +716,38 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Bigram autocomplete table: for each prefix word, the top-k next
+    * words by corpus bigram count — the suggest-as-you-type /
+    * next-token-frequency surface, and the serving-side artifact of the
+    * bigram LM. Prefixes below `minCount` total continuations drop
+    * (suggestions from two sightings are noise). One bigram hash agg
+    * (vocab²-bounded in distinct terms, corpus-bounded in rows), a
+    * prefix-sum agg for the gate, and a WindowGroupLimit top-k; ties
+    * break lexicographically. Output: prefix, rank, next_word, n.
+    */
+  def bigramAutocomplete(docs: DataFrame, k: Int = 3,
+                         minCount: Long = 10L): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val bi = docs
+      .select(toks.as("__w"))
+      .where(size(col("__w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__w")) - 1),
+        i => struct(element_at(col("__w"), i).as("prefix"),
+          element_at(col("__w"), i + 1).as("next_word")))).as("__b"))
+      .select(col("__b.prefix").as("prefix"), col("__b.next_word").as("next_word"))
+      .groupBy(col("prefix"), col("next_word"))
+      .agg(count(lit(1)).as("n"))
+    val eligible = bi.groupBy(col("prefix")).agg(sum(col("n")).as("__tot"))
+      .where(col("__tot") >= minCount).select("prefix")
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("n").desc, col("next_word"))
+    bi.join(eligible, Seq("prefix"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("prefix"), col("rank"), col("next_word"), col("n"))
+      .orderBy(col("prefix"), col("rank"))
+  }
+
   /** Pairwise vocabulary overlap between sources: |Vₐ ∩ V_b| and the
     * overlap coefficient |Vₐ ∩ V_b| / min(|Vₐ|, |V_b|) in floor bp —
     * the "are these two crawls the same site family" signal next to

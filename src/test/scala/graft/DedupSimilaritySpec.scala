@@ -3275,6 +3275,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
 
+  test("autocomplete: top continuations per prefix, minCount gates sparse prefixes") {
+    val docs = (1 to 6).map(i => (i.toLong, "to be or to go or to be")) :+
+      (7L, "rare word")
+    val got = graft.operators.TextAnalysis
+      .bigramAutocomplete(docs.toDF("doc_id", "text"), k = 2, minCount = 6L)
+      .as[(String, Long, String, Long)].collect().toSeq
+    // "to": be ×12, go ×6; "or": to ×12; "rare word" below minCount 6
+    assert(got === Seq(
+      ("be", 1L, "or", 6L),
+      ("go", 1L, "or", 6L),
+      ("or", 1L, "to", 12L),
+      ("to", 1L, "be", 12L), ("to", 2L, "go", 6L)))
+  }
+
+  test("week over week: bp change of the previous week, first week drops") {
+    import java.sql.Timestamp
+    def rep(n: Int, d: String) =
+      (1 to n).map(i => ("A", Timestamp.valueOf(s"$d 10:0$i:00")))
+    // ISO weeks: 2024-01-01 and 2024-01-08 are consecutive Mondays
+    val ev = (rep(4, "2024-01-01") ++ rep(5, "2024-01-08") ++
+      rep(2, "2024-01-15")).toDF("event_type", "ts")
+    val got = graft.operators.Stats.weekOverWeek(ev)
+      .select(col("key"), col("n"), col("prev_n"), col("wow_bp"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 5L, 4L, 2500L), ("A", 2L, 5L, -6000L)))
+  }
+
   test("band join: within-eps pairs found exactly once, outside-eps dropped") {
     val left = Seq((1L, "u", 10.0), (2L, "u", 99.0)).toDF("lid", "k", "lv")
     val right = Seq(
