@@ -371,6 +371,13 @@ object ScaleCheck {
     // q269: lag over the bounded (key × week) grid
     time(s"week-over-week over $nUev events")(
       graft.operators.Stats.weekOverWeek(uev).count())
+    // q271: ONE scan — per-column sums + a plan-time explode
+    time(s"null profile over $nUev events")(
+      graft.operators.Stats.nullProfile(uev).count())
+    // q273: the transitions window + type-grid entropy terms
+    time(s"transition entropy over $nUev events")(
+      graft.operators.Engagement.transitionEntropy(uev, "user_id", "ts",
+        "event_type", "event_id").count())
     // q262: the asof shape + a row-local staleness residual — must
     // track the plain asof probe above
     time(s"asof tolerance join over $nTicks ticks")(

@@ -1493,6 +1493,33 @@ object SparkEntry {
     // oscillating per type, exact integer E[R]
     "q254_runs_test" -> ((s, dir) =>
       Stats.runsTestDaily(Tables.events(s, dir))),
+    // generic data-quality profiler: per-column null rates, one scan
+    "q271_null_profile" -> ((s, dir) =>
+      Stats.nullProfile(Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"))),
+    // natural-key duplicate audit: full-row dups ignoring the surrogate
+    // id — the ingestion double-write check at row granularity. The
+    // corpus has no natural full-row dups, so every event_id%37==0 row
+    // is re-ingested under a shifted id (the q145/q151 planted-twin
+    // convention) and the audit must recover exactly those
+    "q272_duplicate_rows" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val doubled = ev.unionByName(
+        ev.where(pmod(col("event_id"), lit(37)) === 0)
+          .withColumn("event_id", col("event_id") + 7000000000L))
+      doubled
+        .groupBy(col("user_id"), col("ts"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("event_id")).as("first_id"))
+        .where(col("n_copies") > 1)
+        .orderBy("user_id", "ts", "event_type")
+    }),
+    // next-event predictability: transition entropy per type in
+    // floored micro-nats over the (from, to) grid
+    "q273_transition_entropy" -> ((s, dir) =>
+      Engagement.transitionEntropy(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id")),
     // serving-side bigram suggest table: top-3 continuations per
     // eligible prefix, lexicographic ties
     "q268_autocomplete" -> ((s, dir) =>
@@ -6430,6 +6457,64 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // one aggregate row stacked over the plan-time column dim
+    "q271_null_profile" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_event_id,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_event_type,
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_props,
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_ts,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_user_id,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_value
+        |  FROM events),
+        |u AS (
+        |  SELECT 'event_id' AS column, n, c_event_id AS n_null FROM a
+        |  UNION ALL SELECT 'event_type', n, c_event_type FROM a
+        |  UNION ALL SELECT 'props', n, c_props FROM a
+        |  UNION ALL SELECT 'ts', n, c_ts FROM a
+        |  UNION ALL SELECT 'user_id', n, c_user_id FROM a
+        |  UNION ALL SELECT 'value', n, c_value FROM a)
+        |SELECT "column", n, n_null,
+        |       CAST(floor(n_null * 10000.0 / n + 0.5) AS BIGINT) AS null_bp
+        |FROM u ORDER BY "column"""".stripMargin,
+    // planted %37 re-ingestion twins; natural keys group both copies
+    "q272_duplicate_rows" ->
+      """WITH doubled AS (
+        |  SELECT * FROM events
+        |  UNION ALL
+        |  SELECT event_id + 7000000000, ts, user_id, event_type, value, props
+        |  FROM events WHERE event_id % 37 = 0),
+        |g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |             round(value, 4) AS value,
+        |             CAST(count(*) AS BIGINT) AS n_copies,
+        |             CAST(min(event_id) AS BIGINT) AS first_id
+        |      FROM doubled GROUP BY 1, 2, 3, 4)
+        |SELECT * FROM g WHERE n_copies > 1
+        |ORDER BY user_id, ts, event_type""".stripMargin,
+    // H = Σ c·ln(tot/c)/tot in micro-nats; terms non-negative so the
+    // final floor DIV is engine-consistent
+    "q273_transition_entropy" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |                   event_type
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS to_type
+        |      FROM ev),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot,
+        |             CAST(count(*) AS BIGINT) AS n_next_types
+        |      FROM c GROUP BY 1),
+        |j AS (SELECT c.from_type, t.tot, t.n_next_types,
+        |             c.n * CAST(round(ln(CAST(t.tot AS DOUBLE) / c.n)
+        |               * 1000000, 0) AS BIGINT) AS term
+        |      FROM c JOIN t USING (from_type))
+        |SELECT from_type, max(tot) AS n,
+        |       max(n_next_types) AS n_next_types,
+        |       CAST(sum(term) // max(tot) AS BIGINT) AS entropy_micro
+        |FROM j GROUP BY from_type ORDER BY from_type""".stripMargin,
     // bigram pairs via list_transform; minCount prefix gate; ties
     // lexicographic
     "q268_autocomplete" ->

@@ -135,6 +135,34 @@ object Engagement {
           "(2 * sum(n) OVER (PARTITION BY from_type))"))
   }
 
+  /** Next-event predictability: Shannon entropy of each type's
+    * transition distribution, in floored micro-nats — 0 means the next
+    * event is fully determined (a rigid funnel step), ln(k) means
+    * uniform chaos over k continuations. Rides the [[transitions]]
+    * counts: H = Σ c·ln(n/c) / n with each log a round-half-away
+    * micro-nat term (the PMI/lnMicros discipline — deterministic given
+    * IEEE libm, accepted engine-wide), the weighted sum exact integer,
+    * one final floor DIV. Type-grid aggregates only.
+    * Output: from_type, n, n_next_types, entropy_micro.
+    */
+  def transitionEntropy(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, tieCol: String): DataFrame = {
+    val counts = transitions(events, userCol, tsCol, typeCol, tieCol)
+      .select(col("from_type"), col("to_type"), col("n"))
+    val tot = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"), count(lit(1)).as("n_next_types"))
+    counts.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("__tot"), col("n_next_types"),
+        (col("n") * round(log(col("__tot").cast("double") / col("n")) * 1e6)
+          .cast("long")).as("__term"))
+      .groupBy(col("from_type"))
+      .agg(max(col("__tot")).as("n"), max(col("n_next_types")).as("n_next_types"),
+        sum(col("__term")).as("__s"))
+      .select(col("from_type"), col("n"), col("n_next_types"),
+        expr("__s DIV n").as("entropy_micro"))
+      .orderBy(col("from_type"))
+  }
+
   /** Cohort retention: users bucketed by first-activity day (their
     * cohort), counted distinct per (cohort, periods-since-cohort).
     *

@@ -898,6 +898,32 @@ object Stats {
       .orderBy(col(keyCol))
   }
 
+  /** Column null-rate profile: one row per column with total, null
+    * count, and null share in HALF_UP bp — the first table of any
+    * data-quality report and the generic side of the declarative
+    * expectations audit. One scan: every column collapses to one
+    * conditional sum (no per-column jobs); column list is plan-time.
+    * Output: column, n, n_null, null_bp — ordered by column name.
+    */
+  def nullProfile(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one aggregate row, then an explode over the plan-time column dim —
+    // a per-column union would re-run the scan once per column
+    val agg = df.agg(count(lit(1)).as("__n"),
+      df.columns.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c")).toIndexedSeq: _*)
+    agg.select(col("__n").as("n"),
+        explode(array(df.columns.sorted.map(c =>
+          struct(lit(c).as("column"), col(s"__null_$c").as("n_null"))).toIndexedSeq: _*))
+          .as("__s"))
+      .select(col("__s.column").as("column"), col("n"),
+        col("__s.n_null").as("n_null"),
+        floor(col("__s.n_null") * 10000.0 / col("n") + 0.5).cast("long")
+          .as("null_bp"))
+      .orderBy(col("column"))
+  }
+
   /** Week-over-week volume change per key: weekly event counts on the
     * Monday-anchored week grid, previous week via one lag over the
     * bounded (key × week) dim, change in HALF_UP bp of the PREVIOUS

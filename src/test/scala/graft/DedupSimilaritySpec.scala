@@ -3275,6 +3275,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
 
+  test("null profile: per-column null counts and HALF_UP bp in one scan") {
+    val df = Seq(
+      (Some(1L), Some("a")), (None, Some("b")), (Some(3L), None),
+      (None, None)
+    ).toDF("num", "txt")
+    val got = graft.operators.Stats.nullProfile(df)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("num", 4L, 2L, 5000L), ("txt", 4L, 2L, 5000L)))
+  }
+
+  test("transition entropy: deterministic chain reads 0, uniform split reads ln(2)") {
+    import java.sql.Timestamp
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00")
+    // user 1: A→B, A→B (deterministic); users 2/3: B→A, B→C (uniform 2-way)
+    val ev = Seq(
+      (1L, 1L, t(1), "A"), (2L, 1L, t(2), "B"), (3L, 1L, t(3), "A"),
+      (4L, 1L, t(4), "B"),
+      (5L, 2L, t(1), "B"), (6L, 2L, t(2), "A"),
+      (7L, 3L, t(1), "B"), (8L, 3L, t(2), "C")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Engagement
+      .transitionEntropy(ev, "user_id", "ts", "event_type", "event_id")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A")._4 === 0L)                       // A always → B
+    assert(got("B")._2 === 3L)                       // B→A ×2, B→C ×1
+    // H = (2·ln(3/2) + 1·ln 3)/3 micro-floored
+    val want = (2L * math.round(math.log(1.5) * 1e6) +
+      math.round(math.log(3.0) * 1e6)) / 3L
+    assert(got("B")._4 === want)
+  }
+
   test("autocomplete: top continuations per prefix, minCount gates sparse prefixes") {
     val docs = (1 to 6).map(i => (i.toLong, "to be or to go or to be")) :+
       (7L, "rare word")
