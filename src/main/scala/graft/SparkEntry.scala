@@ -1493,6 +1493,73 @@ object SparkEntry {
     // oscillating per type, exact integer E[R]
     "q254_runs_test" -> ((s, dir) =>
       Stats.runsTestDaily(Tables.events(s, dir))),
+    // revenue cohorts: purchase cents per (cohort week, week offset) +
+    // net revenue retention vs the cohort's own first week
+    "q274_revenue_cohorts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull && col("event_type") === "purchase")
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("w"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("w")).as("cohort"))
+      val rev = ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort"),
+          expr("CAST(datediff(w, cohort) DIV 7 AS BIGINT)").as("week_offset"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val base = rev.where(col("week_offset") === 0)
+        .select(col("cohort"), col("rev_cents").as("__base"))
+      rev.join(base, Seq("cohort"))
+        .select(col("cohort"), col("week_offset"), col("rev_cents"),
+          expr("(rev_cents * 10000) DIV __base").as("ndr_bp"))
+        .orderBy("cohort", "week_offset")
+    }),
+    // Horvitz–Thompson estimate audit: scale the q68 sample back up by
+    // exact tick-rational inverse rates, err vs truth in HALF_UP bp
+    "q275_ht_estimate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ticks = when(col("source") === "src0", 10000L)
+        .when(col("source") === "src1", 7500L)
+        .when(col("source") === "src2", 5000L)
+        .when(col("source") === "src3", 2500L).otherwise(1000L)
+      val kept = TextAnalysis
+        .mixtureSample(docs, MixtureRates, defaultRate = 0.1)
+        .where(col("kept"))
+        .groupBy(col("source")).agg(count(lit(1)).as("__k"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_actual"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_actual"),
+          coalesce(col("__k"), lit(0L)).as("n_kept"),
+          expr("CAST(coalesce(__k, 0) * 10000 AS BIGINT)").as("__scaled"),
+          ticks.as("__t"))
+        .select(col("source"), col("n_actual"), col("n_kept"),
+          expr("__scaled DIV __t").as("n_est"))
+        .withColumn("err_bp",
+          floor(abs(col("n_est") - col("n_actual")) * 10000.0 /
+            col("n_actual") + 0.5).cast("long"))
+        .orderBy("source")
+    }),
+    // release-diff trending tokens: both halves' top-200 vocab ranks
+    // joined, top movers by |Δrank|
+    "q276_trending_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def ranked(pred: Column): DataFrame = {
+        val w = Window.orderBy(col("n").desc, col("token"))
+        docs.where(pred)
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(200)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+      }
+      val a = ranked(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("token"), col("rnk").as("rank_a"))
+      val b = ranked(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("token"), col("rnk").as("rank_b"))
+      a.join(b, Seq("token"))
+        .withColumn("abs_delta", abs(col("rank_a") - col("rank_b")))
+        .orderBy(col("abs_delta").desc, col("token"))
+        .limit(20)
+    }),
     // generic data-quality profiler: per-column null rates, one scan
     "q271_null_profile" -> ((s, dir) =>
       Stats.nullProfile(Tables.events(s, dir)
@@ -6457,6 +6524,65 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // Monday weeks; offset in whole weeks; NDR vs the cohort's week 0
+    "q274_revenue_cohorts" ->
+      """WITH p AS (SELECT user_id,
+        |                  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w,
+        |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |             AND value IS NOT NULL AND event_type = 'purchase'),
+        |c AS (SELECT user_id, min(w) AS cohort FROM p GROUP BY 1),
+        |r AS (SELECT c.cohort, date_diff('day', c.cohort, p.w) // 7 AS woff,
+        |             CAST(sum(p.cents) AS BIGINT) AS rev_cents
+        |      FROM p JOIN c USING (user_id) GROUP BY 1, 2),
+        |b AS (SELECT cohort, rev_cents AS base FROM r WHERE woff = 0)
+        |SELECT r.cohort, CAST(r.woff AS BIGINT) AS week_offset, r.rev_cents,
+        |       CAST((r.rev_cents * 10000) // b.base AS BIGINT) AS ndr_bp
+        |FROM r JOIN b USING (cohort) ORDER BY r.cohort, r.woff""".stripMargin,
+    // the q68 kept predicate scaled back by exact tick inverse rates
+    "q275_ht_estimate" ->
+      """WITH k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+        |           FROM documents
+        |           WHERE (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |                   % 10000) <
+        |                 (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
+        |                              WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500
+        |                              ELSE 1000 END)
+        |           GROUP BY 1),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_actual
+        |      FROM documents GROUP BY 1),
+        |j AS (SELECT a.source, a.n_actual,
+        |             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |             CAST((coalesce(k.n_kept, 0) * 10000) //
+        |                  (CASE a.source WHEN 'src0' THEN 10000
+        |                                 WHEN 'src1' THEN 7500
+        |                                 WHEN 'src2' THEN 5000
+        |                                 WHEN 'src3' THEN 2500
+        |                                 ELSE 1000 END) AS BIGINT) AS n_est
+        |      FROM a LEFT JOIN k USING (source))
+        |SELECT source, n_actual, n_kept, n_est,
+        |       CAST(floor(abs(n_est - n_actual) * 10000.0 / n_actual + 0.5)
+        |            AS BIGINT) AS err_bp
+        |FROM j ORDER BY source""".stripMargin,
+    // both halves' top-200 ranks (total order: count desc, token), top
+    // movers by |Δrank|
+    "q276_trending_tokens" ->
+      """WITH tk AS (SELECT doc_id % 2 AS h,
+        |              unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                 x -> x <> '')) AS token
+        |            FROM documents),
+        |cnt AS (SELECT h, token, CAST(count(*) AS BIGINT) AS n
+        |        FROM tk GROUP BY 1, 2),
+        |rk AS (SELECT h, token, CAST(row_number() OVER (PARTITION BY h
+        |         ORDER BY n DESC, token) AS BIGINT) AS rnk FROM cnt),
+        |a AS (SELECT token, rnk AS rank_a FROM rk WHERE h = 0 AND rnk <= 200),
+        |b AS (SELECT token, rnk AS rank_b FROM rk WHERE h = 1 AND rnk <= 200),
+        |j AS (SELECT a.token, a.rank_a, b.rank_b,
+        |             abs(a.rank_a - b.rank_b) AS abs_delta
+        |      FROM a JOIN b USING (token))
+        |SELECT token, rank_a, rank_b, abs_delta FROM j
+        |ORDER BY abs_delta DESC, token LIMIT 20""".stripMargin,
     // one aggregate row stacked over the plan-time column dim
     "q271_null_profile" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
