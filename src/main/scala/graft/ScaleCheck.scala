@@ -374,6 +374,25 @@ object ScaleCheck {
     // q271: ONE scan — per-column sums + a plan-time explode
     time(s"null profile over $nUev events")(
       graft.operators.Stats.nullProfile(uev).count())
+    // q278: two calendar self-joins over the bounded day grid
+    time(s"seasonal backtest over $nUev events")(
+      graft.operators.Stats.seasonalNaiveBacktest(uev).count())
+    // q277: ≤2-hop closure over the capped entity-pair graph —
+    // maxBlockSize bounds degree, so the 2-hop join is cap²-bounded
+    time(s"two-hop reach over $nUev events")({
+      val edges = graft.operators.Dedup.blockedEntityPairs(
+        uev.where(col("ts").isNotNull && col("value").isNotNull),
+        "user_id",
+        Seq(to_date(col("ts")), col("event_type"),
+          floor(col("value") / 100).cast("long")))
+        .select(col("entity_a").as("a"), col("entity_b").as("b"))
+      val und = edges.unionByName(
+        edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+      val two = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("y.b").as("b"))
+        .where(col("a") =!= col("b"))
+      und.unionByName(two).distinct().groupBy(col("a")).count().count()
+    })
     // q273: the transitions window + type-grid entropy terms
     time(s"transition entropy over $nUev events")(
       graft.operators.Engagement.transitionEntropy(uev, "user_id", "ts",
@@ -844,6 +863,12 @@ object ScaleCheck {
     // q268: bigram agg + prefix gate + WindowGroupLimit top-k
     time(s"bigram autocomplete over $nDocs docs")(
       graft.operators.TextAnalysis.bigramAutocomplete(docs).count())
+    // q279: cross-multiplied KS over the bounded 4dp-quality grid
+    time(s"ks test over $nDocs docs")(
+      graft.operators.Stats.ksTest(
+        docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.qualityExpr(col("text")).as("q")),
+        "q", pmod(col("doc_id"), lit(2)) === 0).count())
     // q212: sketch = (d × w) bounded relation built from the vocab agg;
     // probe side is k rows — cost must track the vocab top-k probe
     time(s"cms heavy-hitter audit over $nDocs docs")(

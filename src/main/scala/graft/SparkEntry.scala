@@ -1493,6 +1493,40 @@ object SparkEntry {
     // oscillating per type, exact integer E[R]
     "q254_runs_test" -> ((s, dir) =>
       Stats.runsTestDaily(Tables.events(s, dir))),
+    // friends-of-friends: 1-hop and ≤2-hop distinct reach over the
+    // blocked entity-pair graph (edge set bounded by q261's caps)
+    "q277_two_hop_reach" -> ((s, dir) => {
+      val edges = Dedup.blockedEntityPairs(
+        Tables.events(s, dir).where(col("ts").isNotNull &&
+          col("value").isNotNull && col("event_type").isNotNull),
+        "user_id",
+        Seq(to_date(col("ts")), col("event_type"),
+          floor(col("value") / 100).cast("long")),
+        minShared = 2, maxBlockSize = 50)
+        .select(col("entity_a").as("a"), col("entity_b").as("b"))
+      val und = edges.unionByName(
+          edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+      val twoHop = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("y.b").as("b"))
+        .where(col("a") =!= col("b"))
+      val reach = und.unionByName(twoHop).distinct()
+      und.groupBy(col("a").as("entity")).agg(count(lit(1)).as("n_1hop"))
+        .join(reach.groupBy(col("a").as("entity"))
+          .agg(count(lit(1)).as("n_2hop")), Seq("entity"))
+        .orderBy("entity")
+    }),
+    // forecast baselines: lag-7 vs lag-1 MAE per type on the calendar
+    // day grid — "seasonal or momentum"
+    "q278_seasonal_backtest" -> ((s, dir) =>
+      Stats.seasonalNaiveBacktest(Tables.events(s, dir))),
+    // exact cross-multiplied KS distance between corpus halves'
+    // 4dp-quality distributions
+    "q279_ks_test" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.qualityExpr(col("text")).as("q"))
+      Stats.ksTest(scored, "q", pmod(col("doc_id"), lit(2)) === 0)
+    }),
     // revenue cohorts: purchase cents per (cohort week, week offset) +
     // net revenue retention vs the cohort's own first week
     "q274_revenue_cohorts" -> ((s, dir) => {
@@ -6524,6 +6558,72 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // same q261 candidate chain, then undirected closure at depth 2;
+    // UNION (distinct) matches the engine's distinct unions
+    "q277_two_hop_reach" ->
+      """WITH eb AS (SELECT DISTINCT user_id AS e,
+        |              concat_ws(chr(1), CAST(CAST(ts AS DATE) AS VARCHAR),
+        |                        event_type,
+        |                        CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR))
+        |                AS b
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |              AND value IS NOT NULL AND event_type IS NOT NULL),
+        |sz AS (SELECT b FROM eb GROUP BY b
+        |       HAVING count(*) BETWEEN 2 AND 50),
+        |sv AS (SELECT eb.e, eb.b FROM eb JOIN sz USING (b)),
+        |p AS (SELECT x.e AS a, y.e AS b2 FROM sv x
+        |      JOIN sv y ON y.b = x.b AND x.e < y.e
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT a, b2 FROM p UNION SELECT b2, a FROM p),
+        |two AS (SELECT DISTINCT x.a, y.b2 FROM und x
+        |        JOIN und y ON y.a = x.b2 WHERE x.a <> y.b2),
+        |reach AS (SELECT a, b2 FROM und UNION SELECT a, b2 FROM two),
+        |h1 AS (SELECT a AS entity, CAST(count(*) AS BIGINT) AS n_1hop
+        |       FROM und GROUP BY 1),
+        |h2 AS (SELECT a AS entity, CAST(count(*) AS BIGINT) AS n_2hop
+        |       FROM reach GROUP BY 1)
+        |SELECT h1.entity, h1.n_1hop, h2.n_2hop
+        |FROM h1 JOIN h2 USING (entity) ORDER BY entity""".stripMargin,
+    // calendar self-joins (d = p.d + lag); missing days contribute no
+    // pair on either engine
+    "q278_seasonal_backtest" ->
+      """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS d2,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |           GROUP BY 1, 2),
+        |m7 AS (SELECT t.key, CAST(count(*) AS BIGINT) AS n7,
+        |              CAST(sum(abs(t.c - p.c)) * 1000000 // count(*) AS BIGINT)
+        |                AS mae7_micro
+        |       FROM d t JOIN d p ON p.key = t.key AND t.d2 = p.d2 + 7
+        |       GROUP BY 1),
+        |m1 AS (SELECT t.key, CAST(count(*) AS BIGINT) AS n1,
+        |              CAST(sum(abs(t.c - p.c)) * 1000000 // count(*) AS BIGINT)
+        |                AS mae1_micro
+        |       FROM d t JOIN d p ON p.key = t.key AND t.d2 = p.d2 + 1
+        |       GROUP BY 1)
+        |SELECT m7.key, m7.n7, m7.mae7_micro, m1.n1, m1.mae1_micro
+        |FROM m7 JOIN m1 ON m1.key = m7.key ORDER BY m7.key""".stripMargin,
+    // exact cross-multiplied CDF distance over the 4dp-quality grid
+    "q279_ks_test" ->
+      s"""WITH $QualitySql,
+        |g AS (SELECT q.quality AS v,
+        |             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |      FROM q GROUP BY 1),
+        |c AS (SELECT v,
+        |             sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW) AS cumA,
+        |             sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW) AS cumB,
+        |             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        |      FROM g)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |       CAST((max(abs(CAST(cumA AS HUGEINT) * nb
+        |                     - CAST(cumB AS HUGEINT) * na)) * 1000000)
+        |            // (CAST(max(na) AS HUGEINT) * max(nb)) AS BIGINT) AS d_micro
+        |FROM c""".stripMargin,
     // Monday weeks; offset in whole weeks; NDR vs the cohort's week 0
     "q274_revenue_cohorts" ->
       """WITH p AS (SELECT user_id,

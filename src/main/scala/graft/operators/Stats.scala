@@ -874,6 +874,66 @@ object Stats {
       .orderBy(col("key"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between the `groupExpr`
+    * split of a bounded-grid value column (4dp-rounded scores, counts,
+    * ticks): D = max over the merged value grid of |F_a − F_b|,
+    * computed EXACTLY as cross-multiplied cumulative counts
+    * (|cumA·n_b − cumB·n_a|, decimal(38,0)) so no float CDF ever forms;
+    * reported as floor micro. The distribution-shift tester next to
+    * [[chiSquare]] (categorical) and PSI (binned shares) — KS reads the
+    * worst single point of divergence, unbinned. The cumulative window
+    * runs over the DISTINCT value grid (bounded for 4dp measures by
+    * construction — the counting-dim discipline).
+    * Output: n_a, n_b, d_micro.
+    */
+  def ksTest(df: DataFrame, valueCol: String, groupExpr: Column): DataFrame = {
+    val grid = df
+      .select(col(valueCol).as("__v"),
+        when(groupExpr, 0L).otherwise(1L).as("__g"))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__g") === 0L, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === 1L, 1L).otherwise(0L)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    grid
+      .withColumn("__cumA", sum(col("__ca")).over(w))
+      .withColumn("__cumB", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__cumA").cast("decimal(38,0)") * col("__nb") -
+          col("__cumB").cast("decimal(38,0)") * col("__na"))).as("__d"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST((__d * 1000000) DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("d_micro"))
+  }
+
+  /** Seasonal-naive backtest per key: how well do "same day last week"
+    * (lag-7) and "yesterday" (lag-1) predict today's daily volume — the
+    * two baselines every forecast must beat, and the measured answer to
+    * "is this series weekly-seasonal or momentum-driven". Calendar
+    * self-joins on the bounded (key × day) grid (a missing day simply
+    * contributes no pair — declared); MAE in floor micro.
+    * Output: key, n7, mae7_micro, n1, mae1_micro.
+    */
+  def seasonalNaiveBacktest(df: DataFrame, keyCol: String = "event_type",
+                            tsCol: String = "ts"): DataFrame = {
+    val daily = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    def mae(lagDays: Int, n: String, m: String): DataFrame =
+      daily.as("t").join(daily.as("p"),
+          col("t.key") === col("p.key") &&
+            col("t.__d") === date_add(col("p.__d"), lagDays))
+        .groupBy(col("t.key").as("key"))
+        .agg(count(lit(1)).as(n),
+          expr(s"CAST(sum(abs(t.__c - p.__c)) * 1000000 DIV count(1) AS BIGINT)")
+            .as(m))
+    mae(7, "n7", "mae7_micro").join(mae(1, "n1", "mae1_micro"), Seq("key"))
+      .orderBy(col("key"))
+  }
+
   /** Wilson-score lower bound per key for P(success): the
     * small-sample-honest rate ranking (a 1/1 key must NOT outrank a
     * 95/100 key — raw rates do exactly that). z is pinned at 1.96 and

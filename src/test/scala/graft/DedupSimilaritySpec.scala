@@ -3275,6 +3275,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
 
+  test("ks test: identical samples read 0, disjoint samples read 1e6, hand case exact") {
+    def ks(rows: Seq[(Double, Long)]): (Long, Long, Long) =
+      graft.operators.Stats.ksTest(
+        rows.toDF("v", "g"), "v", col("g") === 0L)
+        .as[(Long, Long, Long)].collect().head
+    val same = Seq((0.1, 0L), (0.2, 0L), (0.1, 1L), (0.2, 1L))
+    assert(ks(same) === ((2L, 2L, 0L)))
+    val disjoint = Seq((0.1, 0L), (0.2, 0L), (0.8, 1L), (0.9, 1L))
+    assert(ks(disjoint) === ((2L, 2L, 1000000L)))
+    // a={1,2}, b={2,3}: at v=1 |1/2−0|=1/2; at v=2 |1−1/2|=1/2 → D=0.5
+    val hand = Seq((1.0, 0L), (2.0, 0L), (2.0, 1L), (3.0, 1L))
+    assert(ks(hand) === ((2L, 2L, 500000L)))
+  }
+
+  test("seasonal backtest: a perfect weekly pattern has zero lag-7 error, nonzero lag-1") {
+    import java.sql.Timestamp
+    def rep(n: Int, d: String) =
+      (1 to n).map(i => ("A", Timestamp.valueOf(s"$d 10:0$i:00")))
+    // two identical weeks: Mon=8, Tue=2 — consecutive days so lag-1 pairs exist
+    val ev = (rep(8, "2024-01-01") ++ rep(2, "2024-01-02") ++
+      rep(8, "2024-01-08") ++ rep(2, "2024-01-09"))
+      .toDF("event_type", "ts")
+    val got = graft.operators.Stats.seasonalNaiveBacktest(ev)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // lag-7: (8→8, 2→2) exact; lag-1: |2−8| twice → MAE 6
+    assert(got === (("A", 2L, 0L, 2L, 6000000L)))
+  }
+
   test("null profile: per-column null counts and HALF_UP bp in one scan") {
     val df = Seq(
       (Some(1L), Some("a")), (None, Some("b")), (Some(3L), None),
