@@ -377,6 +377,16 @@ object ScaleCheck {
     // q278: two calendar self-joins over the bounded day grid
     time(s"seasonal backtest over $nUev events")(
       graft.operators.Stats.seasonalNaiveBacktest(uev).count())
+    // q280: grid windows after one corpus hash agg
+    time(s"lorenz points over $nUev events")(
+      graft.operators.Stats.lorenzPoints(uev, "user_id").count())
+    // q281: distinct (type, user) relation, pair join keyed on the user
+    time(s"audience overlap over $nUev events")(
+      graft.operators.Engagement.audienceOverlap(uev).count())
+    // q282: two keyed windows + grid aggs
+    time(s"run length census over $nUev events")(
+      graft.operators.Engagement.runLengthCensus(uev, "user_id", "ts",
+        "event_type", "event_id").count())
     // q277: ≤2-hop closure over the capped entity-pair graph —
     // maxBlockSize bounds degree, so the 2-hop join is cap²-bounded
     time(s"two-hop reach over $nUev events")({

@@ -1493,6 +1493,20 @@ object SparkEntry {
     // oscillating per type, exact integer E[R]
     "q254_runs_test" -> ((s, dir) =>
       Stats.runsTestDaily(Tables.events(s, dir))),
+    // concentration curve points on the (count × multiplicity) grid —
+    // the table behind the q208 gini number
+    "q280_lorenz_points" -> ((s, dir) =>
+      Stats.lorenzPoints(
+        Tables.events(s, dir).where(col("user_id").isNotNull), "user_id")),
+    // audience planning: distinct-user Jaccard per type pair, keyed on
+    // the user so nothing squares
+    "q281_audience_overlap" -> ((s, dir) =>
+      Engagement.audienceOverlap(Tables.events(s, dir))),
+    // binge-vs-alternate shape: consecutive same-type run lengths on
+    // the pinned (µs, id) order
+    "q282_run_lengths" -> ((s, dir) =>
+      Engagement.runLengthCensus(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id")),
     // friends-of-friends: 1-hop and ≤2-hop distinct reach over the
     // blocked entity-pair graph (edge set bounded by q261's caps)
     "q277_two_hop_reach" -> ((s, dir) => {
@@ -6558,6 +6572,53 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // exact grid Lorenz points; share in floor bp
+    "q280_lorenz_points" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |g AS (SELECT c, CAST(count(*) AS BIGINT) AS n_units FROM u GROUP BY 1),
+        |w AS (SELECT c, n_units,
+        |             CAST(sum(n_units) OVER (ORDER BY c) AS BIGINT) AS cum_units,
+        |             sum(c * n_units) OVER (ORDER BY c) AS cum_act,
+        |             sum(c * n_units) OVER () AS tot
+        |      FROM g)
+        |SELECT c, n_units, cum_units,
+        |       CAST((cum_act * 10000) // tot AS BIGINT) AS cum_share_bp
+        |FROM w ORDER BY c""".stripMargin,
+    // distinct (type, user) relation; pair join keyed on the user
+    "q281_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |sz AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+        |i AS (SELECT a.t AS type_a, b.t AS type_b,
+        |             CAST(count(*) AS BIGINT) AS n_common
+        |      FROM tu a JOIN tu b ON b.u = a.u AND a.t < b.t GROUP BY 1, 2)
+        |SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+        |       CAST((i.n_common * 10000) // (sa.n + sb.n - i.n_common)
+        |            AS BIGINT) AS jaccard_bp
+        |FROM i JOIN sz sa ON sa.t = i.type_a JOIN sz sb ON sb.t = i.type_b
+        |ORDER BY i.type_a, i.type_b""".stripMargin,
+    // run starts at type changes on the pinned (ts, id) order
+    "q282_run_lengths" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |                   event_type
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |              AND event_type IS NOT NULL),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |             CASE WHEN lag(event_type) OVER w IS NULL
+        |                    OR lag(event_type) OVER w <> event_type
+        |                  THEN 1 ELSE 0 END AS start0
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, event_type,
+        |             sum(start0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |      FROM s),
+        |l AS (SELECT user_id, run, event_type, CAST(count(*) AS BIGINT) AS len
+        |      FROM r GROUP BY 1, 2, 3)
+        |SELECT event_type, len AS run_len, CAST(count(*) AS BIGINT) AS n_runs
+        |FROM l GROUP BY 1, 2 ORDER BY event_type, run_len""".stripMargin,
     // same q261 candidate chain, then undirected closure at depth 2;
     // UNION (distinct) matches the engine's distinct unions
     "q277_two_hop_reach" ->

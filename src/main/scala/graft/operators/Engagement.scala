@@ -163,6 +163,64 @@ object Engagement {
       .orderBy(col("from_type"))
   }
 
+  /** Audience-overlap matrix: per event-type pair, how many distinct
+    * users do both — the "are these features the same crowd" planning
+    * table. Jaccard of user SETS in floor bp; everything runs on the
+    * distinct (type, user) relation (one exchange collapses raw
+    * volume), and the pair join keys on the USER so a type done by
+    * everyone fans out |types|² per user, never user². Output:
+    * type_a < type_b, n_a, n_b, n_common, jaccard_bp.
+    */
+  def audienceOverlap(events: DataFrame, userCol: String = "user_id",
+                      typeCol: String = "event_type"): DataFrame = {
+    val tu = events
+      .where(col(userCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(typeCol).as("__t"), col(userCol).as("__u"))
+      .distinct()
+    val sz = tu.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    tu.as("a").join(tu.as("b"),
+        col("a.__u") === col("b.__u") && col("a.__t") < col("b.__t"))
+      .groupBy(col("a.__t").as("type_a"), col("b.__t").as("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sz.select(col("__t").as("type_a"), col("__n").as("n_a")),
+        Seq("type_a"))
+      .join(sz.select(col("__t").as("type_b"), col("__n").as("n_b")),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("(n_common * 10000) DIV (n_a + n_b - n_common)").as("jaccard_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Run-length census: distribution of consecutive same-type runs per
+    * user stream — the "do users binge one action or alternate" shape
+    * (and the retry-storm detector at run lengths no [[doubleFire]]
+    * window catches). One keyed window marks run starts on the pinned
+    * (µs, id) order, a second cumulative sum numbers runs, then two
+    * hash aggs to the (type, run length) grid.
+    * Output: event_type, run_len, n_runs.
+    */
+  def runLengthCensus(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    val wCum = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), col(typeCol).as("__t"))
+      .withColumn("__start",
+        when(lag(col("__t"), 1).over(w).isNull ||
+          lag(col("__t"), 1).over(w) =!= col("__t"), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__start")).over(wCum))
+      .groupBy(col("__u"), col("__run"), col("__t"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col("__t").as("event_type"), col("__len").as("run_len"))
+      .agg(count(lit(1)).as("n_runs"))
+      .orderBy(col("event_type"), col("run_len"))
+  }
+
   /** Cohort retention: users bucketed by first-activity day (their
     * cohort), counted distinct per (cohort, periods-since-cohort).
     *

@@ -874,6 +874,29 @@ object Stats {
       .orderBy(col("key"))
   }
 
+  /** Lorenz-curve points for per-unit activity concentration — the
+    * table behind [[giniByKey]]'s single number: units (users) sorted
+    * by their activity count ascending, each DISTINCT count value one
+    * point with cumulative units and cumulative activity share in floor
+    * bp. Exact on the (count-value × multiplicity) grid — ≤ |distinct
+    * counts| rows, one corpus hash agg then grid windows, never a
+    * per-unit sort. Output: c, n_units, cum_units, cum_share_bp.
+    */
+  def lorenzPoints(df: DataFrame, unitCol: String): DataFrame = {
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.where(col(unitCol).isNotNull)
+      .groupBy(col(unitCol)).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_units"))
+      .withColumn("cum_units", sum(col("n_units")).over(wCum))
+      .withColumn("__cumAct", sum(col("c") * col("n_units")).over(wCum))
+      .withColumn("__tot", sum(col("c") * col("n_units")).over(wAll))
+      .select(col("c"), col("n_units"), col("cum_units"),
+        expr("(__cumAct * 10000) DIV __tot").as("cum_share_bp"))
+      .orderBy(col("c"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between the `groupExpr`
     * split of a bounded-grid value column (4dp-rounded scores, counts,
     * ticks): D = max over the merged value grid of |F_a − F_b|,

@@ -3275,6 +3275,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
 
+  test("lorenz points: cumulative shares land exactly on the concentration curve") {
+    // users: 2 with 1 event, 1 with 8 → total 10
+    val df = (Seq(1L, 2L) ++ Seq.fill(8)(3L)).toDF("u")
+    val got = graft.operators.Stats.lorenzPoints(df, "u")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L, 2000L), (8L, 1L, 3L, 10000L)))
+  }
+
+  test("audience overlap: exact set jaccard per type pair") {
+    val ev = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"),
+      (2L, "B"), (3L, "B"), (4L, "B"),
+      (9L, "C")
+    ).toDF("user_id", "event_type")
+    val got = graft.operators.Engagement.audienceOverlap(ev)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // A∩B = {2,3}, |A∪B| = 4 → 5000 bp; C overlaps nobody → no row
+    assert(got === Seq(("A", "B", 3L, 3L, 2L, 5000L)))
+  }
+
+  test("run length census: runs split at type changes, lengths counted per type") {
+    import java.sql.Timestamp
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00")
+    // user 1: A A A B A → runs A:3, B:1, A:1
+    val ev = Seq(
+      (1L, 1L, t(1), "A"), (2L, 1L, t(2), "A"), (3L, 1L, t(3), "A"),
+      (4L, 1L, t(4), "B"), (5L, 1L, t(5), "A")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Engagement
+      .runLengthCensus(ev, "user_id", "ts", "event_type", "event_id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("A", 1L, 1L), ("A", 3L, 1L), ("B", 1L, 1L)))
+  }
+
   test("ks test: identical samples read 0, disjoint samples read 1e6, hand case exact") {
     def ks(rows: Seq[(Double, Long)]): (Long, Long, Long) =
       graft.operators.Stats.ksTest(
