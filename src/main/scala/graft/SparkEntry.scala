@@ -1493,6 +1493,10 @@ object SparkEntry {
     // oscillating per type, exact integer E[R]
     "q254_runs_test" -> ((s, dir) =>
       Stats.runsTestDaily(Tables.events(s, dir))),
+    // Herfindahl concentration of user activity per type — Σ share² as
+    // one exact decimal ratio
+    "q283_hhi" -> ((s, dir) =>
+      Stats.hhiByKey(Tables.events(s, dir), "event_type", "user_id")),
     // concentration curve points on the (count × multiplicity) grid —
     // the table behind the q208 gini number
     "q280_lorenz_points" -> ((s, dir) =>
@@ -6572,6 +6576,18 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // HHI = Σc²·1e6 // S², HUGEINT products
+    "q283_hhi" ->
+      """WITH u AS (SELECT event_type AS key, user_id,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |           GROUP BY 1, 2)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_units,
+        |       CAST(sum(c) AS BIGINT) AS total,
+        |       CAST((sum(CAST(c AS HUGEINT) * c) * 1000000)
+        |            // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS hhi_micro
+        |FROM u GROUP BY key ORDER BY key""".stripMargin,
     // exact grid Lorenz points; share in floor bp
     "q280_lorenz_points" ->
       """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c

@@ -874,6 +874,28 @@ object Stats {
       .orderBy(col("key"))
   }
 
+  /** Herfindahl–Hirschman concentration index per key: Σ share² over
+    * units (users) in floor micro — the antitrust-style "is this
+    * activity a monopoly of a few users" number, sharper than gini in
+    * the heavy-head regime and O(1) per key: HHI = Σc²/S² computed as
+    * one exact decimal(38,0) ratio, no shares ever materialized.
+    * 1e6 = one unit owns everything; 1e6/n = perfectly even.
+    * Output: key, n_units, total, hhi_micro.
+    */
+  def hhiByKey(df: DataFrame, keyCol: String, unitCol: String): DataFrame = {
+    df.where(col(keyCol).isNotNull && col(unitCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), col(unitCol).as("__u"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_units"), sum(col("__c")).as("total"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__sq"))
+      .select(col("key"), col("n_units"), col("total"),
+        expr("""CAST((__sq * 1000000)
+                DIV (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)""")
+          .as("hhi_micro"))
+      .orderBy(col("key"))
+  }
+
   /** Lorenz-curve points for per-unit activity concentration — the
     * table behind [[giniByKey]]'s single number: units (users) sorted
     * by their activity count ascending, each DISTINCT count value one

@@ -3275,6 +3275,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got === Seq(("S", 4L, 120000L, 5000L)))
   }
 
+  test("hhi: monopoly reads 1e6, an even split reads 1e6/n") {
+    val ev = (Seq.fill(5)(("M", 1L)) ++
+      Seq(("E", 1L), ("E", 2L), ("E", 3L), ("E", 4L))).toDF("k", "u")
+    val got = graft.operators.Stats.hhiByKey(ev, "k", "u")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("E", 4L, 4L, 250000L), ("M", 1L, 5L, 1000000L)))
+  }
+
   test("lorenz points: cumulative shares land exactly on the concentration curve") {
     // users: 2 with 1 event, 1 with 8 → total 10
     val df = (Seq(1L, 2L) ++ Seq.fill(8)(3L)).toDF("u")
