@@ -380,6 +380,9 @@ object ScaleCheck {
     // q280: grid windows after one corpus hash agg
     time(s"lorenz points over $nUev events")(
       graft.operators.Stats.lorenzPoints(uev, "user_id").count())
+    // q283: two hash aggs, one exact decimal ratio per key
+    time(s"hhi over $nUev events")(
+      graft.operators.Stats.hhiByKey(uev, "event_type", "user_id").count())
     // q281: distinct (type, user) relation, pair join keyed on the user
     time(s"audience overlap over $nUev events")(
       graft.operators.Engagement.audienceOverlap(uev).count())
