@@ -1493,6 +1493,16 @@ object SparkEntry {
     // oscillating per type, exact integer E[R]
     "q254_runs_test" -> ((s, dir) =>
       Stats.runsTestDaily(Tables.events(s, dir))),
+    // the churn-model feature-store row: one hash agg per user
+    "q284_user_features" -> ((s, dir) =>
+      Engagement.userFeatures(Tables.events(s, dir))),
+    // code-switching detector: second-best marker score within 4/5 of
+    // the best; exact integer comparisons
+    "q285_mixed_lang" -> ((s, dir) =>
+      TextAnalysis.mixedLanguageCensus(Tables.documents(s, dir))),
+    // unit economics: weekly ARPU/ARPPU in exact floor cents
+    "q286_weekly_arpu" -> ((s, dir) =>
+      Engagement.weeklyArpu(Tables.events(s, dir))),
     // Herfindahl concentration of user activity per type — Σ share² as
     // one exact decimal ratio
     "q283_hhi" -> ((s, dir) =>
@@ -6576,6 +6586,59 @@ object SparkEntry {
         |            // (CAST(date_diff('day', min(d2), max(d2)) + 1 AS HUGEINT)
         |               * sum(c)) AS BIGINT) AS fano_micro
         |FROM d GROUP BY key ORDER BY key""".stripMargin,
+    // one agg per user; recency vs the corpus max day; purchase cents
+    "q284_user_features" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mxd FROM events
+        |            WHERE ts IS NOT NULL),
+        |e AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type, value
+        |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT user_id,
+        |       CAST(date_diff('day', max(d), (SELECT mxd FROM mx)) AS BIGINT)
+        |         AS recency_days,
+        |       CAST(count(*) AS BIGINT) AS frequency,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS monetary_cents,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |       CAST(count(DISTINCT d) AS BIGINT) AS active_days,
+        |       CAST(date_diff('day', min(d), max(d)) AS BIGINT) AS tenure_days
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the q104 marker scores, second-best within 4/5 of the best
+    "q285_mixed_lang" ->
+      """WITH s AS (
+        |  SELECT source, list_reverse_sort([
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT),
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT),
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT),
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT),
+        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT)]) AS l
+        |  FROM documents),
+        |m AS (SELECT source, l[1] AS b, l[2] AS b2 FROM s)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN b > 0 AND b2 * 5 >= b * 4 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_mixed,
+        |       CAST(floor(sum(CASE WHEN b > 0 AND b2 * 5 >= b * 4
+        |                           THEN 1 ELSE 0 END) * 10000.0 / count(*)
+        |                  + 0.5) AS BIGINT) AS mixed_bp
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // Monday weeks; floor cents-per-user; 0 when no payers
+    "q286_weekly_arpu" ->
+      """WITH w AS (SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+        |                  user_id, event_type, value
+        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS actives,
+        |             CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+        |                                      THEN user_id END) AS BIGINT) AS payers,
+        |             CAST(sum(CASE WHEN event_type = 'purchase'
+        |                            AND value IS NOT NULL
+        |                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |                           ELSE 0 END) AS BIGINT) AS revenue_cents
+        |      FROM w GROUP BY 1)
+        |SELECT week, actives, payers, revenue_cents,
+        |       CAST(revenue_cents // actives AS BIGINT) AS arpu_cents,
+        |       CAST(CASE WHEN payers = 0 THEN 0
+        |                 ELSE revenue_cents // payers END AS BIGINT) AS arppu_cents
+        |FROM g ORDER BY week""".stripMargin,
     // HHI = Σc²·1e6 // S², HUGEINT products
     "q283_hhi" ->
       """WITH u AS (SELECT event_type AS key, user_id,

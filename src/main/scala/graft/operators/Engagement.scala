@@ -221,6 +221,65 @@ object Engagement {
       .orderBy(col("event_type"), col("run_len"))
   }
 
+  /** Per-user feature extract — the classic churn-model feature-store
+    * row: recency (days since last event, vs the corpus max day),
+    * frequency (events), monetary (exact purchase cents), breadth
+    * (distinct types), active days, and tenure (first→last span). ONE
+    * hash aggregate over the user key plus a broadcast max-day scalar;
+    * this is the table every downstream model join starts from, so it
+    * stays one exchange wide. Output: user_id, recency_days, frequency,
+    * monetary_cents, n_types, active_days, tenure_days.
+    */
+  def userFeatures(events: DataFrame, userCol: String = "user_id",
+                   tsCol: String = "ts", typeCol: String = "event_type",
+                   valueCol: String = "value",
+                   purchaseType: String = "purchase"): DataFrame = {
+    val mx = events.where(col(tsCol).isNotNull)
+      .agg(max(to_date(col(tsCol))).as("__mx"))
+    events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .crossJoin(broadcast(mx))
+      .groupBy(col(userCol).as("user_id"))
+      .agg(
+        datediff(max(col("__mx")), max(to_date(col(tsCol)))).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(when(col(typeCol) === purchaseType && col(valueCol).isNotNull,
+          floor(col(valueCol) * 100 + 0.5).cast("long")).otherwise(0L))
+          .as("monetary_cents"),
+        countDistinct(col(typeCol)).as("n_types"),
+        countDistinct(to_date(col(tsCol))).as("active_days"),
+        datediff(max(to_date(col(tsCol))), min(to_date(col(tsCol))))
+          .cast("long").as("tenure_days"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Weekly ARPU / ARPPU: revenue cents per active user and per paying
+    * user on the Monday week grid — the unit-economics dashboard pair.
+    * Floor cents-per-user division (exact integers end-to-end).
+    * Output: week, actives, payers, revenue_cents, arpu_cents,
+    * arppu_cents (0 when no payers).
+    */
+  def weeklyArpu(events: DataFrame, userCol: String = "user_id",
+                 tsCol: String = "ts", typeCol: String = "event_type",
+                 valueCol: String = "value",
+                 purchaseType: String = "purchase"): DataFrame = {
+    events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(date_trunc("week", col(tsCol)).as("week"))
+      .agg(countDistinct(col(userCol)).as("actives"),
+        countDistinct(when(col(typeCol) === purchaseType, col(userCol)))
+          .as("payers"),
+        sum(when(col(typeCol) === purchaseType && col(valueCol).isNotNull,
+          floor(col(valueCol) * 100 + 0.5).cast("long")).otherwise(0L))
+          .as("revenue_cents"))
+      .select(col("week"), col("actives"), col("payers"), col("revenue_cents"),
+        expr("revenue_cents DIV actives").as("arpu_cents"),
+        when(col("payers") === 0, 0L)
+          .otherwise(expr("revenue_cents DIV payers")).as("arppu_cents"))
+      .orderBy(col("week"))
+  }
+
   /** Cohort retention: users bucketed by first-activity day (their
     * cohort), counted distinct per (cohort, periods-since-cohort).
     *

@@ -716,6 +716,30 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Mixed-language census per source: documents whose SECOND-best
+    * language-marker score sits within num/den of the best are "mixed"
+    * — the code-switching / concatenated-crawl detector languageId's
+    * single argmax hides (a 50/50 en-de page still gets one label).
+    * Exact integer comparison (s₂·den ≥ s₁·num, best > 0), one fused
+    * scan, bounded source agg. Output: source, n_docs, n_mixed,
+    * mixed_bp.
+    */
+  def mixedLanguageCensus(docs: DataFrame, num: Int = 4,
+                          den: Int = 5): DataFrame = {
+    val sorted = sort_array(array(langScoreCols(col("text")): _*), asc = false)
+    docs
+      .select(col("source"), element_at(sorted, 1).as("__b"),
+        element_at(sorted, 2).as("__b2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__b") > 0 && col("__b2") * den >= col("__b") * num,
+          1L).otherwise(0L)).as("n_mixed"))
+      .select(col("source"), col("n_docs"), col("n_mixed"),
+        floor(col("n_mixed") * 10000.0 / col("n_docs") + 0.5).cast("long")
+          .as("mixed_bp"))
+      .orderBy(col("source"))
+  }
+
   /** Bigram autocomplete table: for each prefix word, the top-k next
     * words by corpus bigram count — the suggest-as-you-type /
     * next-token-frequency surface, and the serving-side artifact of the
