@@ -4514,9 +4514,13 @@ object SparkEntry {
     // null-filter parity with Engagement.transitions (null users/ts are
     // not a flow); ordering precision is pinned on both sides to micros
     // (DuckDB CAST(TIMESTAMP_NS -> TIMESTAMP) truncates exactly like the
-    // engine's `ts div 1000` in Tables.events) with event_id tiebreak
+    // engine's `ts div 1000` in Tables.events) with event_id tiebreak.
+    // NULL event_type is bucketed as the '<none>' sentinel on BOTH sides:
+    // a null output key would sort NULLS FIRST in Spark / NULLS LAST in
+    // DuckDB — identical multisets, divergent row order, hash mismatch
     "q95_transitions" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |                  coalesce(event_type, '<none>') AS event_type FROM events
         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |x AS (SELECT event_type AS f,
         |             lead(event_type) OVER (PARTITION BY user_id
@@ -4913,10 +4917,12 @@ object SparkEntry {
         |       CAST(round(est_jaccard * 10000) - round(exact_jaccard * 10000) AS BIGINT) AS err_ticks
         |FROM j ORDER BY doc_a, doc_b""".stripMargin,
         // q32's score CTE + argmax CASE, grouped to the (source, lang) dim;
-    // share in the q95 integer-HALF_UP basis-point formula
+    // share in the q95 integer-HALF_UP basis-point formula. NULL source
+    // → '<none>' sentinel on BOTH sides (it is the first ORDER BY key;
+    // Spark NULLS FIRST vs DuckDB NULLS LAST would flip the row order)
     "q104_lang_composition" ->
       """WITH s AS (
-        |  SELECT doc_id, source,
+        |  SELECT doc_id, coalesce(source, '<none>') AS source,
         |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
         |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
         |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
@@ -5844,7 +5850,10 @@ object SparkEntry {
     "q211_rfm_segments" ->
       """WITH per AS (SELECT user_id AS u, max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_d,
         |                    CAST(count(*) AS BIGINT) AS freq,
-        |                    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |                    CAST(sum(CAST(floor(coalesce(
+        |                      CASE WHEN isnan(CAST(value AS DOUBLE)) THEN 0.0
+        |                           ELSE CAST(value AS DOUBLE) END, 0.0)
+        |                      * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
         |             FROM events
         |             WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |             GROUP BY 1),
@@ -6858,10 +6867,11 @@ object SparkEntry {
         |SELECT * FROM g WHERE n_copies > 1
         |ORDER BY user_id, ts, event_type""".stripMargin,
     // H = Σ c·ln(tot/c)/tot in micro-nats; terms non-negative so the
-    // final floor DIV is engine-consistent
+    // final floor DIV is engine-consistent. NULL event_type → '<none>'
+    // sentinel, matching Engagement.transitions (q95)
     "q273_transition_entropy" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-        |                   event_type
+        |                   coalesce(event_type, '<none>') AS event_type
         |            FROM events
         |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |p AS (SELECT event_type AS from_type,

@@ -117,13 +117,21 @@ object Engagement {
     * points, integer HALF_UP ((20000·n + tot) div (2·tot)) — exact and
     * engine-portable, per the repo's rounded-ratio discipline.
     *
+    * A NULL `typeCol` is a real observation (an untyped event is still a
+    * step in the flow) but a poisonous output key: Spark sorts NULLS
+    * FIRST, DuckDB NULLS LAST, so any downstream ORDER BY on the pair
+    * diverges in row order with identical row multisets. It is bucketed
+    * as the `'<none>'` sentinel on BOTH sides (the linearAttribution
+    * pattern), keeping every output key non-null and totally ordered.
+    *
     * Emits (from_type, to_type, n long, prob_bp long).
     */
   def transitions(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
     val pairs = events.select(col(userCol).as("__u"), col(tsCol).as("__ts"),
-      col(tieCol).as("__tie"), col(typeCol).as("__t"))
+      col(tieCol).as("__tie"),
+      coalesce(col(typeCol).cast("string"), lit("<none>")).as("__t"))
       .where(col("__u").isNotNull && col("__ts").isNotNull)
       .withColumn("__next", lead(col("__t"), 1).over(w))
       .where(col("__next").isNotNull)
@@ -487,9 +495,15 @@ object Engagement {
   def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
                   valueCol: String, q: Int = 4): DataFrame = {
     require(q >= 2, "need at least two segments")
+    // NULL/NaN value → 0 cents, pinned on BOTH engine and oracle sides:
+    // a null __cents would make an all-null user's sum NULL, flow a NULL
+    // row through stack (Spark emits it; SQL UNPIVOT silently excludes
+    // it) and land a NULL segment key in the final ORDER BY — three
+    // distinct engine-divergence paths closed by one zero-coalesce.
     val per = events
       .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"),
-        floor(col(valueCol).cast("double") * 100 + 0.5).cast("long").as("__cents"))
+        floor(coalesce(nanvl(col(valueCol).cast("double"), lit(0.0)), lit(0.0))
+          * 100 + 0.5).cast("long").as("__cents"))
       .where(col("__u").isNotNull && col("__d").isNotNull)
       .groupBy(col("__u"))
       .agg(max(col("__d")).as("__last"), count(lit(1)).as("__freq"),

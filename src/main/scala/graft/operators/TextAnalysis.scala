@@ -220,11 +220,18 @@ object TextAnalysis {
     * (the [[languageId]] argmax as fused column exprs) + one bounded
     * (sources × languages) aggregate; the share window runs on that
     * bounded dim, never the corpus.
+    *
+    * A NULL `source` is bucketed as the `'<none>'` sentinel (the
+    * transitions/linearAttribution pattern): it is the FIRST output
+    * ORDER BY key, and Spark's NULLS FIRST vs DuckDB's NULLS LAST would
+    * otherwise diverge in row order on identical row multisets.
     * Output: source, predicted_lang, n_docs, share_bp.
     */
   def langComposition(docs: DataFrame): DataFrame = {
     val wsrc = Window.partitionBy(col("source"))
-    docs.select(col("doc_id") +: col("source") +: langScoreCols(col("text")): _*)
+    docs.select(col("doc_id") +:
+        coalesce(col("source").cast("string"), lit("<none>")).as("source") +:
+        langScoreCols(col("text")): _*)
       .withColumn("predicted_lang", predictedFromScores)
       .groupBy(col("source"), col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"))
