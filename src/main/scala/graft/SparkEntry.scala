@@ -22,19 +22,35 @@ object SparkEntry {
   private def wstr(c: Column): Column = date_format(c, WFmt)
   private def dec(name: String): Column = col(name).cast("decimal(18,2)")
 
-  /** events as the tick stream: symbol=event_type, price=value, seq=event_id. */
+  /** events as the tick stream: symbol=event_type, price=value, seq=event_id.
+    *
+    * Malformed ticks — null symbol, null ts, null or NaN price — are dropped
+    * at ingest on BOTH engine and oracle sides, the reference's
+    * null/invalid-field-drop contract (TickIngest.parse): a tick without a
+    * symbol cannot belong to a candle, a null symbol would otherwise spawn
+    * a phantom census symbol, and a NaN price poisons every aggregate.
+    */
+  private def ticks(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).where(
+      col("event_type").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull && !isnan(col("value")))
   private def candles(s: SparkSession, dir: String): DataFrame =
-    Ohlc.candles(Tables.events(s, dir))
+    Ohlc.candles(ticks(s, dir))
+
+  /** The same malformed-tick drop for the oracle side. */
+  private val TickWhere =
+    "event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)"
 
   /** Shared DuckDB CTE chain producing the same candle set. */
   private val CandleCte =
-    """ev AS (
+    s"""ev AS (
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS symbol, value FROM events
+      |  WHERE $TickWhere
       |), ranked AS (
       |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, symbol, value,
       |         row_number() OVER (PARTITION BY symbol, time_bucket(INTERVAL 5 MINUTE, ts) ORDER BY ts, event_id) AS rn_a,
       |         row_number() OVER (PARTITION BY symbol, time_bucket(INTERVAL 5 MINUTE, ts) ORDER BY ts DESC, event_id DESC) AS rn_d
-      |  FROM ev WHERE ts IS NOT NULL
+      |  FROM ev
       |), candles AS (
       |  SELECT window_start, symbol,
       |         max(CASE WHEN rn_a = 1 THEN value END) AS open,
@@ -143,7 +159,7 @@ object SparkEntry {
     }),
 
     "q28_count_distinct" -> ((s, dir) => {
-      Tables.events(s, dir)
+      ticks(s, dir)
         .groupBy(col("event_type").as("symbol"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
@@ -160,7 +176,7 @@ object SparkEntry {
         .select(col("user_id"), col("click").as("n_click"), col("error").as("n_error"),
           col("purchase").as("n_purchase"), col("signup").as("n_signup"),
           col("view").as("n_view"))
-        .orderBy("user_id")
+        .orderBy(col("user_id").asc_nulls_last)
     }),
     "q25_set_ops" -> ((s, dir) => {
       // EXCEPT/INTERSECT surface: customers with orders vs customers with
@@ -257,13 +273,13 @@ object SparkEntry {
         .orderBy("symbol", "window_start")
     }),
     "q17_sink_readback_max" -> ((s, dir) => {
-      Tables.events(s, dir)
+      ticks(s, dir)
         .groupBy(col("event_type").as("symbol"))
         .agg(wstr(max(col("ts"))).as("max_ts"), count(lit(1)).as("n"))
         .orderBy("symbol")
     }),
     "q18_state_reconcile" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
+      val ev = ticks(s, dir)
       def lastClose(df: DataFrame, name: String): DataFrame = {
         val w = Window.partitionBy(col("event_type"))
           .orderBy(col("ts").desc, col("event_id").desc)
@@ -303,8 +319,13 @@ object SparkEntry {
         .groupBy(col("user_id"), col("session_id"))
         .agg(wstr(min(col("ts"))).as("session_start"), wstr(max(col("ts"))).as("session_end"),
           count(lit(1)).as("n_events"),
-          sum(dec("value")).cast("double").as("total_value"))
-        .orderBy("user_id", "session_id")
+          // NaN is junk, not revenue: summed as NULL on both sides (a NaN
+          // would also fail DuckDB's decimal cast outright)
+          sum(when(!isnan(col("value")), dec("value"))).cast("double")
+            .as("total_value"))
+        // null user_id is a real session key; pin its sort to DuckDB's
+        // NULLS LAST (Spark ascending default is NULLS FIRST)
+        .orderBy(col("user_id").asc_nulls_last, col("session_id"))
     }),
     "q24_session_window" -> ((s, dir) => {
       // Spark's NATIVE session-window operator (vs q20's manual lag-based
@@ -313,10 +334,11 @@ object SparkEntry {
       Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          sum(dec("value")).cast("double").as("total_value"))
+          sum(when(!isnan(col("value")), dec("value"))).cast("double")
+            .as("total_value"))
         .select(col("user_id"), wstr(col("sw.start")).as("session_start"),
           wstr(col("sw.end")).as("session_end"), col("n_events"), col("total_value"))
-        .orderBy("user_id", "session_start")
+        .orderBy(col("user_id").asc_nulls_last, col("session_start"))
     }),
     "q21_moving_avg" -> ((s, dir) => {
       val w = Window.partitionBy(col("symbol")).orderBy(col("window_start"))
@@ -356,7 +378,7 @@ object SparkEntry {
       // groupBy: same answer as the plain aggregate, but every hot key is
       // spread over 32 sub-partitions in the first shuffle (Skew.scala)
       Skew.saltedAgg(
-        Tables.events(s, dir).select(col("event_type").as("symbol"), col("value")),
+        ticks(s, dir).select(col("event_type").as("symbol"), col("value")),
         Seq("symbol"), salts = 32)(Seq(
         ("n_events", count(lit(1)), c => sum(col(c))),
         ("total_value", sum(dec("value")), c => sum(col(c)))))
@@ -367,7 +389,7 @@ object SparkEntry {
     "q50_full_pipeline" -> ((s, dir) => {
       // one trading day, like the reference's per-session operation — also
       // bounds the oracle's ATR recursion depth to windows-per-day
-      val day = Tables.events(s, dir)
+      val day = ticks(s, dir)
         .where(col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-06"))
       graft.sink.EdgeFormat.sheetRows(
         Atr.enrich(GapFill.fillSessions(Ohlc.candles(day))).toDF(),
@@ -385,7 +407,8 @@ object SparkEntry {
     "q33_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
     "q34_dedup_exact" -> ((s, dir) =>
-      Dedup.exactGroups(Tables.documents(s, dir)).orderBy("fingerprint")),
+      Dedup.exactGroups(Tables.documents(s, dir))
+        .orderBy(col("fingerprint").asc_nulls_last)), // null text -> null fp
     "q35_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     "q38_minhash_portable" -> ((s, dir) =>
@@ -526,7 +549,7 @@ object SparkEntry {
         bucketSize = 64).orderBy("doc_id")),
     "q73_composition_report" -> ((s, dir) =>
       TextAnalysis.compositionReport(piiDecorated(Tables.documents(s, dir)))
-        .orderBy("source", "split")),
+        .orderBy(col("source").asc_nulls_last, col("split").asc_nulls_last)),
     // 12k of the corpus's 27,939 tokens: the budget genuinely cuts ~57%
     // of docs and the straddling doc is exercised
     "q74_token_budget" -> ((s, dir) =>
@@ -545,14 +568,13 @@ object SparkEntry {
     // or the latest before it) — oracle is DuckDB's NATIVE ASOF JOIN, a
     // genuinely independent implementation of the semantics
     "q76_asof_join" -> ((s, dir) => {
-      val ticks = Tables.events(s, dir)
-        // a tick with no timestamp has no "as of" instant; DuckDB's ASOF
-        // sorts NULL last and would pair it with the LATEST candle —
-        // drop it on both sides instead
-        .where(col("ts").isNotNull)
+      // the probe side is the TICK stream: a null-ts event has no "as
+      // of" instant, and a null-symbol / null-or-NaN-price event is not
+      // a tick (the ingest drop contract) — filtered on BOTH sides
+      val probes = ticks(s, dir)
         .select(col("event_id"), col("ts"),
           col("event_type").as("symbol"), col("value"))
-      AsOf.asofJoin(ticks, candles(s, dir), key = "symbol",
+      AsOf.asofJoin(probes, candles(s, dir), key = "symbol",
         leftTs = "ts", rightTs = "window_start",
         valueCols = Seq("window_start", "close"))
         .select(col("event_id"), col("symbol"),
@@ -663,7 +685,7 @@ object SparkEntry {
         Tables.events(s, dir).groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events")),
         valueCol = "n_events", k = 10, bucketCol = "decile")
-        .orderBy("user_id")),
+        .orderBy(col("user_id").asc_nulls_last)),
     // quality-aware canonicalization: dedup keeps each cluster's BEST
     // member (max quality, min id on ties), not an arbitrary one;
     // singletons are their own winners so keep is a full corpus verdict
@@ -688,7 +710,7 @@ object SparkEntry {
     // by quality — window per source, no global sort
     "q94_source_cap" -> ((s, dir) =>
       TextAnalysis.perSourceCap(Tables.documents(s, dir), n = 20)
-        .orderBy("source", "src_rank")),
+        .orderBy(col("source").asc_nulls_last, col("src_rank").asc_nulls_last)),
     // event-flow transition matrix (Sankey/Markov input): per-user lead
     // window + one pair agg; conditional probability in integer HALF_UP bp
     "q95_transitions" -> ((s, dir) =>
@@ -699,7 +721,7 @@ object SparkEntry {
     // content checksum — the integrity handshake a shipped dataset carries
     "q96_manifest" -> ((s, dir) =>
       TextAnalysis.datasetManifest(Tables.documents(s, dir))
-        .orderBy("split", "source")),
+        .orderBy(col("split").asc_nulls_last, col("source").asc_nulls_last)),
     // the third modality DECODED for real: genuine YUV4MPEG2 containers
     // (uncompressed 4:2:0), header + sampled-frame luma stats all parsed
     // from bytes — the oracle recomputes every luma byte from the same
@@ -720,7 +742,7 @@ object SparkEntry {
       TextAnalysis.datasetManifestDiff(
         TextAnalysis.datasetManifest(docs.join(kept, Seq("doc_id"))),
         TextAnalysis.datasetManifest(docs))
-        .orderBy("split", "source")
+        .orderBy(col("split").asc_nulls_last, col("source").asc_nulls_last)
     }),
     // held-out unigram surprisal: model trained on the train split,
     // scored on val with add-one OOV smoothing — the generalization
@@ -748,7 +770,8 @@ object SparkEntry {
     // salted reproducible hash — per-cell rank pushed map-side
     "q119_stratified_eval" -> ((s, dir) =>
       TextAnalysis.stratifiedEvalDraw(Tables.documents(s, dir))
-        .orderBy("source", "predicted_lang", "rk")),
+        .orderBy(col("source").asc_nulls_last, col("predicted_lang"),
+          col("rk"))),
     // exact cross-source duplicate matrix over a planted mirror/recrawl
     // fixture (the synthetic corpus has no natural exact dups) —
     // combination arithmetic, no pair materialization
@@ -761,7 +784,7 @@ object SparkEntry {
         .select((col("doc_id") + 3000000000L).as("doc_id"), col("text"),
           col("source"))
       Dedup.exactOverlapMatrix(docs.unionByName(mirrored).unionByName(recrawled))
-        .orderBy("source_a", "source_b")
+        .orderBy(col("source_a").asc_nulls_last, col("source_b").asc_nulls_last)
     }),
     // ANN recall calibration: exact brute top-k ground truth vs the IVF
     // probe on the same query sample — the (nLists, nProbe) tuning loop
@@ -792,7 +815,7 @@ object SparkEntry {
     // per-source doc-id continuity: ids absent from the source's own
     // [min, max] span — the dropped-batch ingest audit
     "q143_id_continuity" -> ((s, dir) =>
-      TextAnalysis.idContinuity(Tables.documents(s, dir)).orderBy("source")),
+      TextAnalysis.idContinuity(Tables.documents(s, dir)).orderBy(col("source").asc_nulls_last)),
     // top-10% user share of each type's volume — grid cumsums, exact
     // integer split at the threshold count, HALF_UP bp
     "q139_concentration" -> ((s, dir) =>
@@ -802,7 +825,7 @@ object SparkEntry {
     // in 1-second ticks through the counting-grid quantiles
     "q140_gap_quantiles" -> ((s, dir) =>
       Engagement.interEventGapQuantiles(Tables.events(s, dir), "user_id",
-        "ts", "event_type", "event_id").orderBy("event_type")),
+        "ts", "event_type", "event_id").orderBy(col("event_type").asc_nulls_last)),
     // per-doc character Shannon entropy in exact micro-nat terms —
     // the gibberish/encoding detector orthogonal to word gates
     "q136_char_entropy" -> ((s, dir) =>
@@ -817,7 +840,7 @@ object SparkEntry {
     // remainder evenly (deterministic integer remainder placement)
     "q138_budget_allocation" -> ((s, dir) =>
       TextAnalysis.budgetAllocation(Tables.documents(s, dir), budget = 26000L)
-        .orderBy("source")),
+        .orderBy(col("source").asc_nulls_last)),
     // KL(source || corpus) over the corpus top-100 vocab: bounded
     // (sources × k) grid, add-one smoothing, micro-nat term ticks
     "q133_source_divergence" -> ((s, dir) =>
@@ -835,7 +858,7 @@ object SparkEntry {
     // gate a length proxy?" audit; exact integer sums, 4dp
     "q135_length_quality_corr" -> ((s, dir) =>
       TextAnalysis.lengthQualityCorrelation(Tables.documents(s, dir))
-        .orderBy("source")),
+        .orderBy(col("source").asc_nulls_last)),
     // top session-opening paths: 30-min gap sessions, first-3-type
     // pivot (no per-session collect), TakeOrdered top-k
     "q129_session_paths" -> ((s, dir) =>
@@ -845,7 +868,7 @@ object SparkEntry {
     // cuts, integer comparisons, no per-type sort
     "q130_value_quantiles" -> ((s, dir) =>
       Stats.tickQuantiles(Tables.events(s, dir), keyCol = "event_type",
-        valueCol = "value").orderBy("event_type")),
+        valueCol = "value").orderBy(col("event_type").asc_nulls_last)),
     // distinct-user lift per event-type pair — co-adoption vs
     // independence in HALF_UP bp
     "q131_event_affinity" -> ((s, dir) =>
@@ -900,7 +923,7 @@ object SparkEntry {
     // char-class composition per source: the encoding/markup health
     // card — disjoint classes, HALF_UP bp shares, one scan
     "q112_charclass" -> ((s, dir) =>
-      TextAnalysis.charClassProfile(Tables.documents(s, dir)).orderBy("source")),
+      TextAnalysis.charClassProfile(Tables.documents(s, dir)).orderBy(col("source").asc_nulls_last)),
     // top boilerplate lines by document frequency over the lineified
     // corpus — the pre-commit audit for q66's minDf choice
     "q113_boilerplate_topk" -> ((s, dir) =>
@@ -912,7 +935,7 @@ object SparkEntry {
     // per-source quality quantiles: type-1 cuts on the 4dp counting grid
     "q115_source_quality" -> ((s, dir) =>
       TextAnalysis.sourceQualityQuantiles(Tables.documents(s, dir))
-        .orderBy("source")),
+        .orderBy(col("source").asc_nulls_last)),
     // one-sided shingle containment: the sub-document duplication axis
     // symmetric jaccard misses (quotes/embeds) — q35's inverted-index
     // chain + df cap, scored per side, kept when either side clears 0.6
@@ -1011,7 +1034,7 @@ object SparkEntry {
     // clamp+agg pass
     "q146_winsorized_means" -> ((s, dir) =>
       Stats.winsorizedMeans(Tables.documents(s, dir), keyCol = "source",
-        valueCol = "n_chars").orderBy("source")),
+        valueCol = "n_chars").orderBy(col("source").asc_nulls_last)),
     // semi-structured props: JSON field extraction (codegen'd path
     // expression, null on missing/malformed) + per-type stats in one
     // hash agg
@@ -1023,7 +1046,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
           sum(col("k")).as("sum_k"), countDistinct(col("k")).as("distinct_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-        .orderBy("event_type")),
+        .orderBy(col("event_type").asc_nulls_last)),
     // last-touch attribution: purchases credited to the most recent
     // prior non-purchase touch within 1 day — one keyed window pass,
     // "<none>" stays in the share denominator
@@ -1057,7 +1080,7 @@ object SparkEntry {
           expr("ts + INTERVAL 500 MILLISECOND").as("ts"),
           col("user_id"), col("event_type"))
       Engagement.doubleFire(ev.unionByName(retries), "user_id", "ts",
-        "event_type", "event_id", withinSeconds = 1L).orderBy("event_type")
+        "event_type", "event_id", withinSeconds = 1L).orderBy(col("event_type").asc_nulls_last)
     }),
     // per-source robust outliers: type-1 median + MAD on counting
     // grids, flag beyond 3·MAD — the rule σ-inflation can't hide from
@@ -1080,7 +1103,7 @@ object SparkEntry {
           conv(substring(md5(col("event_id").cast("string")), 1, 12), 16, 10)
             .cast("long"))
       Engagement.watermarkLateness(ev, "ts", "arrival", "event_type",
-        tieCol = Some("event_id")).orderBy("event_type")
+        tieCol = Some("event_id")).orderBy(col("event_type").asc_nulls_last)
     }),
     // relational pivot with an explicit value list (deterministic
     // schema): the (source × lang) doc-count matrix as wide columns,
@@ -1093,7 +1116,7 @@ object SparkEntry {
         .agg(count(lit(1)))
         .select(col("source") +:
           langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
-        .orderBy("source")
+        .orderBy(col("source").asc_nulls_last)
     }),
     // 2-round integer-tick PageRank on the q53 LSH pair graph — rank
     // the duplicate-family nuclei, bit-replayable floor arithmetic
@@ -1132,7 +1155,7 @@ object SparkEntry {
     // purchase-first users are the broken-attribution signal
     "q162_first_touch" -> ((s, dir) =>
       Engagement.firstTouchCensus(Tables.events(s, dir), "user_id", "ts",
-        "event_type", "event_id").orderBy("event_type")),
+        "event_type", "event_id").orderBy(col("event_type").asc_nulls_last)),
     // 30-min gap sessions → duration/depth grid percentiles — the
     // session-timeout sizing table
     "q163_session_stats" -> ((s, dir) =>
@@ -1151,7 +1174,7 @@ object SparkEntry {
     // per-declared-row recall share (the diagonal IS the recall column)
     "q165_lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))
-        .orderBy("lang", "predicted_lang")),
+        .orderBy(col("lang").asc_nulls_last, col("predicted_lang"))),
     // weekly growth ledger: new / retained / resurrected / churned per
     // observed week — distinct (user, week) first, user-keyed joins only
     "q166_growth_accounting" -> ((s, dir) =>
@@ -1169,7 +1192,7 @@ object SparkEntry {
     // integer power sums — the tail-drift monitor
     "q168_higher_moments" -> ((s, dir) =>
       Stats.higherMoments(Tables.documents(s, dir), keyCol = "source",
-        valueCol = "n_chars").orderBy("source")),
+        valueCol = "n_chars").orderBy(col("source").asc_nulls_last)),
     // trailing 7-day mean of daily volumes per type — RANGE window over
     // the (type × day-index) grid, calendar-width denominator
     "q169_rolling_mean" -> ((s, dir) =>
@@ -1186,7 +1209,7 @@ object SparkEntry {
           TextAnalysis.qualityExpr(col("text")).as("quality"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
-        .orderBy("source", "rk")
+        .orderBy(col("source").asc_nulls_last, col("rk").asc_nulls_last)
     }),
     // unpivot (stack) melts the q155 wide matrix back to long — the
     // oracle is the round-trip identity: pivot ∘ unpivot = groupBy
@@ -1201,7 +1224,7 @@ object SparkEntry {
         .select(col("source"), expr(
           "stack(5, 'de', de, 'en', en, 'es', es, 'fr', fr, 'zh', zh) AS (lang, n_docs)"))
         .where(col("n_docs") > 0)
-        .orderBy("source", "lang")
+        .orderBy(col("source").asc_nulls_last, col("lang"))
     }),
     // BM25 top-20 for a literal 3-term query — micro-tick term scores,
     // exact any-fold-order totals, (score desc, doc_id) rank
@@ -1239,7 +1262,7 @@ object SparkEntry {
     // the clamped Flesch milli-mean
     "q207_readability" -> ((s, dir) =>
       TextAnalysis.readabilityProfile(Tables.documents(s, dir))
-        .orderBy("source")),
+        .orderBy(col("source").asc_nulls_last)),
     // per-type Gini of events-per-user — exact rank-weighted sums on the
     // (type × activity-count) grid, decimal(38,0) final quotient
     "q208_activity_gini" -> ((s, dir) =>
@@ -1249,7 +1272,7 @@ object SparkEntry {
     // sessionize convention
     "q209_entry_exit" -> ((s, dir) =>
       Engagement.sessionEntryExit(Tables.events(s, dir), "user_id", "ts",
-        "event_type", "event_id").orderBy("entry_type", "exit_type")),
+        "event_type", "event_id").orderBy(col("entry_type").asc_nulls_last, col("exit_type").asc_nulls_last)),
     // incremental ingest gate: new-epoch docs (doc_id%10 ≥ 8) already
     // present in the old epoch by normalized-prefix fingerprint
     "q210_epoch_ingest_dedup" -> ((s, dir) => {
@@ -1364,7 +1387,7 @@ object SparkEntry {
     // user, versions chained by lead — the producer side of q76/q85
     "q226_scd2_build" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .where(col("value").isNotNull)
+        .where(col("value").isNotNull && !isnan(col("value")))
         .withColumn("band", floor(col("value") / 100).cast("long"))
       AsOf.scd2FromChangeLog(ev, "user_id", "ts", "event_id", "band")
         .select(col("user_id"), col("version"),
@@ -1526,7 +1549,7 @@ object SparkEntry {
     "q277_two_hop_reach" -> ((s, dir) => {
       val edges = Dedup.blockedEntityPairs(
         Tables.events(s, dir).where(col("ts").isNotNull &&
-          col("value").isNotNull && col("event_type").isNotNull),
+          col("value").isNotNull && !isnan(col("value")) && col("event_type").isNotNull),
         "user_id",
         Seq(to_date(col("ts")), col("event_type"),
           floor(col("value") / 100).cast("long")),
@@ -1560,7 +1583,7 @@ object SparkEntry {
     "q274_revenue_cohorts" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .where(col("user_id").isNotNull && col("ts").isNotNull &&
-          col("value").isNotNull && col("event_type") === "purchase")
+          col("value").isNotNull && !isnan(col("value")) && col("event_type") === "purchase")
         .select(col("user_id"),
           to_date(date_trunc("week", col("ts"))).as("w"),
           floor(col("value") * 100 + 0.5).cast("long").as("cents"))
@@ -1599,7 +1622,7 @@ object SparkEntry {
         .withColumn("err_bp",
           floor(abs(col("n_est") - col("n_actual")) * 10000.0 /
             col("n_actual") + 0.5).cast("long"))
-        .orderBy("source")
+        .orderBy(col("source").asc_nulls_last)
     }),
     // release-diff trending tokens: both halves' top-200 vocab ranks
     // joined, top movers by |Δrank|
@@ -1608,7 +1631,7 @@ object SparkEntry {
       def ranked(pred: Column): DataFrame = {
         val w = Window.orderBy(col("n").desc, col("token"))
         docs.where(pred)
-          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+          .select(explode(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("token")).limit(200)
           .withColumn("rnk", row_number().over(w).cast("long"))
@@ -1642,7 +1665,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_copies"),
           min(col("event_id")).as("first_id"))
         .where(col("n_copies") > 1)
-        .orderBy("user_id", "ts", "event_type")
+        .orderBy(col("user_id").asc_nulls_last, col("ts").asc_nulls_last, col("event_type").asc_nulls_last)
     }),
     // next-event predictability: transition entropy per type in
     // floored micro-nats over the (from, to) grid
@@ -1673,7 +1696,7 @@ object SparkEntry {
     // |Δvalue| ≤ 5, eps-bucket ±1 replication, exact residual
     "q265_band_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .where(col("user_id").isNotNull && col("value").isNotNull && !isnan(col("value")))
       val p = ev.where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("value").as("pv"))
@@ -1712,7 +1735,7 @@ object SparkEntry {
     // engines (z² spelled 1.96*1.96 so both compute the same IEEE value)
     "q264_wilson_bounds" -> ((s, dir) =>
       Stats.wilsonLowerBound(
-        Tables.events(s, dir).where(col("value").isNotNull),
+        Tables.events(s, dir).where(col("value").isNotNull && !isnan(col("value"))),
         col("value") > 100)),
     // ML-ops drift gate: PSI between corpus halves per source over the
     // fixed 11-bin quality grid, add-one smoothed, micro-nat logs
@@ -1742,7 +1765,7 @@ object SparkEntry {
     "q261_entity_blocks" -> ((s, dir) =>
       Dedup.blockedEntityPairs(
         Tables.events(s, dir).where(col("ts").isNotNull &&
-          col("value").isNotNull && col("event_type").isNotNull),
+          col("value").isNotNull && !isnan(col("value")) && col("event_type").isNotNull),
         "user_id",
         Seq(to_date(col("ts")), col("event_type"),
           floor(col("value") / 100).cast("long")),
@@ -1750,11 +1773,10 @@ object SparkEntry {
     // merge_asof tolerance: the q76 chain with a 120 s staleness gate —
     // stale carries null out row-locally, same single shuffle
     "q262_asof_tolerance" -> ((s, dir) => {
-      val ticks = Tables.events(s, dir)
-        .where(col("ts").isNotNull)
+      val probes = ticks(s, dir) // malformed ticks dropped on both sides
         .select(col("event_id"), col("ts"),
           col("event_type").as("symbol"), col("value"))
-      AsOf.asofJoinTolerance(ticks, candles(s, dir), key = "symbol",
+      AsOf.asofJoinTolerance(probes, candles(s, dir), key = "symbol",
         leftTs = "ts", rightTs = "window_start",
         valueCols = Seq("window_start", "close"), toleranceSeconds = 120L)
         .select(col("event_id"), col("symbol"),
@@ -1845,7 +1867,8 @@ object SparkEntry {
     // label-separability eval over exact micro-tick centroids
     "q199_centroid_accuracy" -> ((s, dir) =>
       Similarity.nearestCentroidAccuracy(Tables.embeddings(s, dir))
-        .orderBy("label")),
+        // null label is a real group; pin to DuckDB's NULLS LAST
+        .orderBy(col("label").asc_nulls_last)),
     // the corpus one-pager: six families' headline numbers as one
     // (metric, value) table — every term reuses an already-gated
     // expression
@@ -1857,10 +1880,10 @@ object SparkEntry {
         sum((TextAnalysis.splitExpr() === "train").cast("long"))
           .as("train_docs"))
       val vocab = docs
-        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("t"))
+        .select(explode(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))).as("t"))
         .agg(countDistinct(col("t")).as("vocab_size"))
       val dups = docs
-        .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .select(md5(trim(regexp_replace(TextAnalysis.asciiLower(col("text")), "\\s+", " ")))
           .as("f"))
         .groupBy(col("f")).agg(count(lit(1)).as("n"))
         .where(col("n") > 1)
@@ -1883,7 +1906,7 @@ object SparkEntry {
     // one-number diversity complement to the zipf slope
     "q195_vocab_entropy" -> ((s, dir) => {
       val counts = Tables.documents(s, dir)
-        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .select(explode(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       val n = org.apache.spark.sql.expressions.Window.partitionBy()
       counts
@@ -2028,7 +2051,7 @@ object SparkEntry {
     // seasonality/momentum audit next to the trend slope
     "q190_autocorr" -> ((s, dir) =>
       Stats.dailyAutocorr(Tables.events(s, dir), keyCol = "event_type",
-        tsCol = "ts").orderBy("event_type")),
+        tsCol = "ts").orderBy(col("event_type").asc_nulls_last)),
     // exclusion funnel: first-view → first-purchase conversions split
     // by whether a click fell INSIDE the interval — pattern negation
     // via one interval join + distinct, never a per-user history array
@@ -2075,7 +2098,7 @@ object SparkEntry {
       ev.join(dim, col("k") <=> col("k2"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n_rows"), max(col("n_k")).as("n_k"))
-        .orderBy("k")
+        .orderBy(col("k").asc_nulls_last)
     }),
     // scene-cut detection on ALL decoded frames (stride 1): 6dp luma
     // micro-ticks, |Δ| ≥ 0.04 flags a cut; per-video cut census
@@ -2119,7 +2142,7 @@ object SparkEntry {
         .select(col("source"), col("n_docs"), col("lcp_len"),
           col("__a").substr(lit(1), least(col("lcp_len"), lit(40L)).cast("int"))
             .as("lcp_prefix"))
-        .orderBy("source")
+        .orderBy(col("source").asc_nulls_last)
     }),
     // the q87 fold per user-parity segment — funnels are composable
     // over any partition of the user space
@@ -2173,7 +2196,7 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("source"),
           col("n_chars"), TextAnalysis.nTokensExpr(col("text")).as("n_tokens")),
         keyCol = "source", valueCol = "n_chars", weightCol = "n_tokens")
-        .orderBy("source")),
+        .orderBy(col("source").asc_nulls_last)),
     // skew-safe salted join (hot keys: 5 types across the corpus) — the
     // salt must not change the RESULT, so the oracle is the plain join
     "q177_salted_join" -> ((s, dir) => {
@@ -2225,7 +2248,7 @@ object SparkEntry {
       val ticks = floor(col("value") * 100).cast("long")
       val exp = expr("elt(digit, 3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)")
       Tables.events(s, dir)
-        .where(col("value").isNotNull && ticks >= 1)
+        .where(col("value").isNotNull && !isnan(col("value")) && ticks >= 1)
         .select(substring(ticks.cast("string"), 1, 1).cast("long").as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
         .withColumn("obs_bp", expr("(n * 10000) DIV sum(n) OVER ()"))
@@ -2245,7 +2268,7 @@ object SparkEntry {
         .withColumn("share_bp",
           expr("(n * 10000) DIV sum(n) OVER (PARTITION BY event_type)"))
         .select("event_type", "hour", "n", "share_bp")
-        .orderBy("event_type", "hour")
+        .orderBy(col("event_type").asc_nulls_last, col("hour").asc_nulls_last)
     }),
   )
 
@@ -2297,7 +2320,7 @@ object SparkEntry {
     * lines (the corpus carries no natural newlines). The SQL twin is
     * [[LineifySql]]. */
   private def lineified(docs: DataFrame): DataFrame = {
-    val w = TextAnalysis.tokens(lower(col("text")))
+    val w = TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))
     docs.where(size(w) > 0)
       .select(col("doc_id"),
         array_join(
@@ -2381,8 +2404,9 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "q28_count_distinct" ->
-      """SELECT event_type AS symbol, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-        |FROM events GROUP BY event_type ORDER BY symbol""".stripMargin,
+      s"""SELECT event_type AS symbol, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events WHERE $TickWhere
+        |GROUP BY event_type ORDER BY symbol""".stripMargin,
     "q29_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS n_click,
@@ -2553,12 +2577,14 @@ object SparkEntry {
          |                  WHERE c.window_start = g.window_start AND c.symbol = g.symbol)
          |ORDER BY g.symbol, g.window_start""".stripMargin,
     "q17_sink_readback_max" ->
-      """SELECT event_type AS symbol,
+      s"""SELECT event_type AS symbol,
         |       strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS max_ts,
         |       count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY symbol""".stripMargin,
+        |FROM events WHERE $TickWhere
+        |GROUP BY event_type ORDER BY symbol""".stripMargin,
     "q18_state_reconcile" ->
-      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      s"""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+        |            WHERE $TickWhere),
         |a AS (SELECT event_type AS symbol, value AS close_a FROM (
         |        SELECT event_type, value,
         |               row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
@@ -2593,7 +2619,8 @@ object SparkEntry {
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
         |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |       CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+        |                AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // WHERE ts IS NOT NULL mirrors Spark's session_window, whose
     // event-time rewrite silently filters null timestamps
@@ -2610,7 +2637,8 @@ object SparkEntry {
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
         |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |       CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+        |                AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q21_moving_avg" ->
       s"""WITH $CandleCte
@@ -2669,7 +2697,7 @@ object SparkEntry {
         |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
         |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|on|for|with)\b')) AS DOUBLE) AS n_stop
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE) AS n_stop
         |  FROM documents),
         |qual AS (
         |  SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
@@ -2680,11 +2708,11 @@ object SparkEntry {
         |  FROM t),
         |ls AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT) AS s_fr,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT) AS s_zh
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('der', 'die', 'das', 'und', 'nicht', 'ist', 'ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'and', 'of', 'is', 'to', 'in', 'that'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('el', 'la', 'los', 'las', 'es', 'un', 'una', 'que'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('le', 'la', 'les', 'est', 'une', 'des', 'dans'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('de', 'shi', 'bu', 'le', 'zai', 'wo', 'you'))) AS BIGINT) AS s_zh
         |  FROM documents),
         |lang AS (
         |  SELECT doc_id, CASE
@@ -2694,12 +2722,12 @@ object SparkEntry {
         |    WHEN s_fr >= s_zh THEN 'fr'
         |    ELSE 'zh' END AS predicted_lang
         |  FROM ls),
-        |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |fp AS (SELECT doc_id, md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))) AS fingerprint
         |       FROM documents),
         |canon AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint),
         |w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -2750,14 +2778,16 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = q.doc_id)
         |ORDER BY q.doc_id""".stripMargin,
     "q49_salted_agg" ->
-      """SELECT event_type AS symbol, count(*) AS n_events,
+      s"""SELECT event_type AS symbol, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY event_type ORDER BY symbol""".stripMargin,
+        |FROM events WHERE $TickWhere
+        |GROUP BY event_type ORDER BY symbol""".stripMargin,
     "q50_full_pipeline" ->
       s"""WITH RECURSIVE ev AS (
          |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS symbol, value FROM events
          |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05'
          |    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-06'
+         |    AND $TickWhere
          |), ranked AS (
          |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, symbol, value,
          |         row_number() OVER (PARTITION BY symbol, time_bucket(INTERVAL 5 MINUTE, ts) ORDER BY ts, event_id) AS rn_a,
@@ -2839,7 +2869,7 @@ object SparkEntry {
         |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
         |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|on|for|with)\b')) AS DOUBLE) AS n_stop
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE) AS n_stop
         |  FROM documents)
         |SELECT doc_id,
         |  round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 4) AS punct_ratio,
@@ -2854,11 +2884,11 @@ object SparkEntry {
     "q32_lang_id" ->
       """WITH s AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT) AS s_fr,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT) AS s_zh
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('der', 'die', 'das', 'und', 'nicht', 'ist', 'ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'and', 'of', 'is', 'to', 'in', 'that'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('el', 'la', 'los', 'las', 'es', 'un', 'una', 'que'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('le', 'la', 'les', 'est', 'une', 'des', 'dans'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('de', 'shi', 'bu', 'le', 'zai', 'wo', 'you'))) AS BIGINT) AS s_zh
         |  FROM documents)
         |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
         |  CASE
@@ -2870,17 +2900,17 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
     "q33_fingerprint" ->
       """SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
-        |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+        |  md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))) AS fingerprint,
+        |  CAST(length(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q34_dedup_exact" ->
-      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      """SELECT md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))) AS fingerprint,
         |       count(*) AS n_docs, min(doc_id) AS canonical_doc_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q35_jaccard_pairs" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -2905,7 +2935,7 @@ object SparkEntry {
     "q38_minhash_portable" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -2927,7 +2957,7 @@ object SparkEntry {
         |  SELECT doc_id, tok, count(*) AS cnt,
         |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
         |  FROM (SELECT doc_id,
-        |               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+        |               unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '')) AS tok
         |        FROM documents) t
         |  GROUP BY doc_id, tok),
         |bits AS (SELECT unnest(range(0, 32)) AS b),
@@ -2941,7 +2971,7 @@ object SparkEntry {
     "q46_minhash_lsh_pairs" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -2981,7 +3011,8 @@ object SparkEntry {
         |idx AS (SELECT unnest(range(0, (SELECT d FROM dims))) AS j),
         |comp AS (SELECT vec_id, j, CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS x
         |         FROM e CROSS JOIN idx),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp
+        |          GROUP BY vec_id HAVING sum(x * x) > 0),
         |tp AS (SELECT t, p FROM (SELECT unnest(range(0, 4)) AS t) a
         |       CROSS JOIN (SELECT unnest(range(0, 12)) AS p) b),
         |planes AS (
@@ -3053,7 +3084,7 @@ object SparkEntry {
     "q122_kmeans_refine" ->
       s"""WITH $VecBaseSql,
          |cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS j
-         |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8) t),
+         |         FROM (SELECT vec_id FROM nz ORDER BY vec_id LIMIT 8) t),
          |ccomp AS (SELECT cent.j, comp.i, comp.x
          |          FROM comp JOIN cent ON cent.cvid = comp.vec_id),
          |cnorm AS (SELECT j, sqrt(sum(x * x)) AS nrm FROM ccomp GROUP BY j),
@@ -3061,7 +3092,7 @@ object SparkEntry {
          |  SELECT comp.vec_id, cc.j,
          |         round(sum(comp.x * cc.x) / (n1.nrm * n2.nrm), 6) AS c
          |  FROM comp JOIN ccomp cc ON cc.i = comp.i
-         |  JOIN norms n1 ON n1.vec_id = comp.vec_id
+         |  JOIN nz n1 ON n1.vec_id = comp.vec_id
          |  JOIN cnorm n2 ON n2.j = cc.j
          |  GROUP BY comp.vec_id, cc.j, n1.nrm, n2.nrm),
          |asg AS (SELECT vec_id, j AS cluster FROM (
@@ -3074,7 +3105,7 @@ object SparkEntry {
          |              THEN CAST(floor(round(comp.x / n.nrm, 6) * 1000000 + 0.5) AS BIGINT)
          |              ELSE 0 END AS t
          |  FROM asg a JOIN comp ON comp.vec_id = a.vec_id
-         |  JOIN norms n ON n.vec_id = a.vec_id),
+         |  JOIN nz n ON n.vec_id = a.vec_id),
          |agg AS (SELECT cluster, CAST(i AS BIGINT) AS i,
          |               CAST(count(*) AS BIGINT) AS n_members,
          |               CAST(sum(t) AS BIGINT) AS s
@@ -3103,7 +3134,7 @@ object SparkEntry {
       s"""WITH RECURSIVE $LshClusterSql,
          |$QualitySql,
          |fp AS (SELECT doc_id, source,
-         |              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+         |              md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g'))) AS f
          |       FROM documents),
          |canon AS (SELECT f, min(doc_id) AS canon FROM fp GROUP BY 1),
          |j AS (SELECT fp.doc_id, fp.source, c.canon, q.quality, lab.cluster_id
@@ -3129,7 +3160,7 @@ object SparkEntry {
     "q141_padding_efficiency" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |         CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                              x -> x <> '')) AS BIGINT) AS v
         |  FROM documents),
         |d AS (SELECT v, count(*) AS c FROM w GROUP BY 1),
@@ -3226,7 +3257,8 @@ object SparkEntry {
     "q136_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
         |            FROM documents),
-        |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+        |cc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch
+        |       WHERE ch <> '' GROUP BY 1, 2),
         |cn AS (SELECT doc_id, ch, c,
         |              CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM cc),
         |tm AS (SELECT doc_id, n,
@@ -3254,7 +3286,7 @@ object SparkEntry {
     "q138_budget_allocation" ->
       """WITH w AS (
         |  SELECT source,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |av AS (SELECT source, CAST(sum(len(words)) AS BIGINT) AS a FROM w GROUP BY 1),
         |o AS (SELECT source, a,
@@ -3280,7 +3312,7 @@ object SparkEntry {
     "q133_source_divergence" ->
       """WITH w AS (
         |  SELECT source,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |t1 AS (SELECT source, unnest(words) AS token FROM w),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t1 GROUP BY 1),
@@ -3362,7 +3394,7 @@ object SparkEntry {
     "q130_value_quantiles" ->
       """WITH c AS (SELECT event_type, CAST(floor(value / 0.01) AS BIGINT) AS v,
         |                  CAST(count(*) AS BIGINT) AS c
-        |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |           FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2),
         |w AS (SELECT event_type, v, c,
         |             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
@@ -3456,7 +3488,7 @@ object SparkEntry {
       s"""WITH $QualitySql,
          |w AS (
          |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+         |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), x -> x <> '') AS words
          |  FROM documents),
          |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
          |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
@@ -3492,7 +3524,7 @@ object SparkEntry {
     // tight cap is what keeps the pair set meaning "copied span")
     "q126_winnow_overlap" ->
       """WITH n AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  SELECT doc_id, trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g')) AS norm
         |  FROM documents),
         |h AS (
         |  SELECT doc_id,
@@ -3522,8 +3554,8 @@ object SparkEntry {
         |      FROM documents),
         |px AS (
         |  SELECT media_id, w, h,
-        |         ('0x' || substr(md5(text || '#' || CAST(i // 16 AS VARCHAR)),
-        |                         CAST((i % 16) * 2 + 1 AS INT), 2))::BIGINT AS v
+        |         coalesce(('0x' || substr(md5(text || '#' || CAST(i // 16 AS VARCHAR)),
+        |                         CAST((i % 16) * 2 + 1 AS INT), 2))::BIGINT, 0) AS v
         |  FROM m JOIN idx ON idx.i < m.w * m.h),
         |s AS (SELECT media_id, w, h, sum(v) AS sv, count(*) AS n
         |      FROM px GROUP BY media_id, w, h)
@@ -3533,7 +3565,7 @@ object SparkEntry {
     "q40_minhash_lsh" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -3573,7 +3605,7 @@ object SparkEntry {
         |         ('0x' || substr(md5(tok || '#lo'), 1, 8))::BIGINT AS hlo,
         |         ('0x' || substr(md5(tok || '#hi'), 1, 8))::BIGINT AS hhi
         |  FROM (SELECT doc_id,
-        |               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+        |               unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '')) AS tok
         |        FROM documents) t
         |  GROUP BY doc_id, tok),
         |bits AS (SELECT unnest(range(0, 64)) AS b),
@@ -3594,7 +3626,7 @@ object SparkEntry {
     "q53_dup_clusters" ->
       """WITH RECURSIVE w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -3641,7 +3673,8 @@ object SparkEntry {
         |idx AS (SELECT unnest(range(0, (SELECT d FROM dims))) AS j),
         |comp AS (SELECT vec_id, j, CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) AS x
         |         FROM e CROSS JOIN idx),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp
+        |          GROUP BY vec_id HAVING sum(x * x) > 0),
         |tp AS (SELECT t, p FROM (SELECT unnest(range(0, 4)) AS t) a
         |       CROSS JOIN (SELECT unnest(range(0, 8)) AS p) b),
         |planes AS (
@@ -3677,7 +3710,7 @@ object SparkEntry {
         |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
     "q45_winnowing" ->
       """WITH n AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  SELECT doc_id, trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g')) AS norm
         |  FROM documents),
         |h AS (
         |  SELECT doc_id,
@@ -3697,7 +3730,8 @@ object SparkEntry {
         |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
         |comp AS (SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
         |         FROM e CROSS JOIN idx),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp
+        |          GROUP BY vec_id HAVING sum(x * x) > 0),
         |dots AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dp
         |  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
@@ -3712,7 +3746,7 @@ object SparkEntry {
     "q55_repetition" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, words,
@@ -3745,7 +3779,7 @@ object SparkEntry {
     "q56_decontamination" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -3759,7 +3793,7 @@ object SparkEntry {
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
     "q58_vocab_topk" ->
       """WITH tok AS (
-        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |  SELECT unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                            x -> x <> '')) AS token
         |  FROM documents),
         |c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
@@ -3789,10 +3823,10 @@ object SparkEntry {
         |idx AS (SELECT unnest(range(0, 280)) AS i),
         |smp AS (
         |  SELECT media_id, rate, ch, frames,
-        |         ('0x' || substr(md5(text || '#' || CAST((i*2) // 16 AS VARCHAR)),
+        |         coalesce(('0x' || substr(md5(text || '#' || CAST((i*2) // 16 AS VARCHAR)),
         |                         CAST(((i*2) % 16) * 2 + 1 AS INT), 2))::BIGINT
         |         + 256 * ('0x' || substr(md5(text || '#' || CAST((i*2+1) // 16 AS VARCHAR)),
-        |                                 CAST(((i*2+1) % 16) * 2 + 1 AS INT), 2))::BIGINT AS u
+        |                                 CAST(((i*2+1) % 16) * 2 + 1 AS INT), 2))::BIGINT, 0) AS u
         |  FROM m JOIN idx ON idx.i < m.frames * m.ch),
         |sv AS (SELECT media_id, rate, ch, frames,
         |              abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a
@@ -3809,9 +3843,9 @@ object SparkEntry {
          |  SELECT doc_id, $PiiDecorateSql AS text FROM documents),
          |c AS (
          |  SELECT doc_id,
-         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
-         |    CAST(len(regexp_extract_all(lower(text), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
-         |    CAST(len(regexp_extract_all(lower(text), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips
+         |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS BIGINT) AS n_phones,
+         |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips
          |  FROM d)
          |SELECT doc_id, n_emails, n_phones, n_ips,
          |       (n_emails > 0 OR n_phones > 0 OR n_ips > 0) AS has_pii
@@ -3819,7 +3853,7 @@ object SparkEntry {
     "q61_chunking" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |k AS (
         |  SELECT doc_id, words, unnest(range(0, (len(words) - 1) // 48 + 1)) AS chunk_id
@@ -3844,7 +3878,7 @@ object SparkEntry {
     "q64_repeated_ngrams" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -3858,7 +3892,7 @@ object SparkEntry {
     "q65_oov_rate" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |         unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                            x -> x <> '')) AS token
         |  FROM documents),
         |v AS (SELECT token FROM (
@@ -3879,7 +3913,7 @@ object SparkEntry {
          |SELECT doc_id,
          |  regexp_replace(
          |    regexp_replace(
-         |      regexp_replace(lower(text),
+         |      regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
          |        '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
          |      '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
          |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS redacted
@@ -3903,7 +3937,7 @@ object SparkEntry {
     "q67_quality_classifier" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |         unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                            x -> x <> '')) AS token
         |  FROM documents),
         |wts AS (
@@ -3935,9 +3969,10 @@ object SparkEntry {
         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
         |         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
         |  FROM e),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp
+        |          GROUP BY vec_id HAVING sum(x * x) > 0),
         |cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS j
-        |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8) t),
+        |         FROM (SELECT vec_id FROM norms ORDER BY vec_id LIMIT 8) t),
         |ccomp AS (SELECT cent.j, comp.i, comp.x
         |          FROM comp JOIN cent ON cent.cvid = comp.vec_id),
         |cnorm AS (SELECT j, sqrt(sum(x * x)) AS nrm FROM ccomp GROUP BY j),
@@ -3970,7 +4005,7 @@ object SparkEntry {
     "q70_split_contamination" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |sp AS (
         |  SELECT doc_id,
@@ -4000,7 +4035,7 @@ object SparkEntry {
          |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
          |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
          |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS DOUBLE) AS n_stop
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE) AS n_stop
          |  FROM dd),
          |qual AS (
          |  SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
@@ -4011,11 +4046,11 @@ object SparkEntry {
          |  FROM t),
          |ls AS (
          |  SELECT doc_id,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|nicht|ist|ein)\\b')) AS BIGINT) AS s_de,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|in|that)\\b')) AS BIGINT) AS s_en,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|un|una|que)\\b')) AS BIGINT) AS s_es,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(le|la|les|est|une|des|dans)\\b')) AS BIGINT) AS s_fr,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(de|shi|bu|le|zai|wo|you)\\b')) AS BIGINT) AS s_zh
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('der', 'die', 'das', 'und', 'nicht', 'ist', 'ein'))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'and', 'of', 'is', 'to', 'in', 'that'))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('el', 'la', 'los', 'las', 'es', 'un', 'una', 'que'))) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('le', 'la', 'les', 'est', 'une', 'des', 'dans'))) AS BIGINT) AS s_fr,
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('de', 'shi', 'bu', 'le', 'zai', 'wo', 'you'))) AS BIGINT) AS s_zh
          |  FROM dd),
          |lang AS (
          |  SELECT doc_id, CASE
@@ -4027,13 +4062,13 @@ object SparkEntry {
          |  FROM ls),
          |pii AS (
          |  SELECT doc_id,
-         |    (len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) > 0
-         |     OR len(regexp_extract_all(lower(text), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) > 0
-         |     OR len(regexp_extract_all(lower(text), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0) AS has_pii
+         |    (len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) > 0
+         |     OR len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) > 0
+         |     OR len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0) AS has_pii
          |  FROM dd),
          |ctok AS (
          |  SELECT doc_id,
-         |         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |         unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
          |                            x -> x <> '')) AS token
          |  FROM dd),
          |cwts AS (
@@ -4059,12 +4094,12 @@ object SparkEntry {
          |         WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 95
          |         THEN 'val' ELSE 'test' END AS split
          |  FROM dd),
-         |fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+         |fp AS (SELECT doc_id, md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g'))) AS fingerprint
          |       FROM dd),
          |canon AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint),
          |w AS (
          |  SELECT doc_id,
-         |         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words
+         |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), x -> x <> '') AS words
          |  FROM dd),
          |sh AS (
          |  SELECT DISTINCT doc_id, shingle FROM (
@@ -4142,10 +4177,10 @@ object SparkEntry {
          |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
          |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
          |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS DOUBLE) AS n_stop,
-         |    (len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) > 0
-         |     OR len(regexp_extract_all(lower(text), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) > 0
-         |     OR len(regexp_extract_all(lower(text), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0) AS has_pii
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE) AS n_stop,
+         |    (len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) > 0
+         |     OR len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) > 0
+         |     OR len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0) AS has_pii
          |  FROM dd),
          |q AS (
          |  SELECT doc_id, source,
@@ -4300,7 +4335,7 @@ object SparkEntry {
     "q81_ngram_novelty" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -4335,7 +4370,7 @@ object SparkEntry {
     "q83_tfidf_topk" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
@@ -4353,7 +4388,7 @@ object SparkEntry {
     "q84_lm_score" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
@@ -4425,7 +4460,8 @@ object SparkEntry {
         |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
         |comp AS (SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
         |         FROM e CROSS JOIN idx),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp
+        |          GROUP BY vec_id HAVING sum(x * x) > 0),
         |qcomp AS (SELECT vec_id AS query_id, i, x FROM comp WHERE vec_id % 50 = 0),
         |dots AS (
         |  SELECT q.query_id, c.vec_id AS neighbor_id, sum(c.x * q.x) AS dp
@@ -4480,7 +4516,7 @@ object SparkEntry {
     "q93_curriculum" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
@@ -4539,7 +4575,7 @@ object SparkEntry {
     "q116_heldout_surprisal" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |         unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '')) AS token
         |  FROM documents),
         |sp AS (
         |  SELECT doc_id,
@@ -4585,8 +4621,8 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 7 <> 0
         |  UNION ALL
         |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 11 = 0),
-        |fo AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM v1),
-        |fn AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f FROM documents),
+        |fo AS (SELECT doc_id, md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))) AS f FROM v1),
+        |fn AS (SELECT doc_id, md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))) AS f FROM documents),
         |j AS (SELECT coalesce(fo.doc_id, fn.doc_id) AS doc_id, fo.f AS f_old, fn.f AS f_new
         |      FROM fo FULL OUTER JOIN fn ON fn.doc_id = fo.doc_id),
         |s AS (SELECT doc_id, CASE WHEN f_old IS NULL THEN 'added'
@@ -4600,11 +4636,11 @@ object SparkEntry {
     "q119_stratified_eval" ->
       """WITH s AS (
         |  SELECT doc_id, source,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT) AS s_fr,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT) AS s_zh
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('der', 'die', 'das', 'und', 'nicht', 'ist', 'ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'and', 'of', 'is', 'to', 'in', 'that'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('el', 'la', 'los', 'las', 'es', 'un', 'una', 'que'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('le', 'la', 'les', 'est', 'une', 'des', 'dans'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('de', 'shi', 'bu', 'le', 'zai', 'wo', 'you'))) AS BIGINT) AS s_zh
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, source, CASE
@@ -4632,7 +4668,7 @@ object SparkEntry {
         |  SELECT doc_id + 2000000000, text, 'mirror' FROM documents WHERE doc_id % 9 = 0
         |  UNION ALL
         |  SELECT doc_id + 3000000000, text, source FROM documents WHERE doc_id % 15 = 0),
-        |f AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp, source FROM base),
+        |f AS (SELECT md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'))) AS fp, source FROM base),
         |cells AS (SELECT fp, source, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2),
         |cx AS (SELECT a.source AS source_a, b.source AS source_b,
         |              CAST(sum(a.c * b.c) AS BIGINT) AS n_pairs
@@ -4651,9 +4687,9 @@ object SparkEntry {
          |  SELECT doc_id, source, $PiiDecorateSql AS text FROM documents),
          |pii AS (
          |  SELECT doc_id,
-         |    (len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) > 0
-         |     OR len(regexp_extract_all(lower(text), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) > 0
-         |     OR len(regexp_extract_all(lower(text), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0) AS has_pii
+         |    (len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) > 0
+         |     OR len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) > 0
+         |     OR len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0) AS has_pii
          |  FROM d),
          |qt AS (
          |  SELECT doc_id,
@@ -4661,7 +4697,7 @@ object SparkEntry {
          |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
          |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
          |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS DOUBLE) AS n_stop
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE) AS n_stop
          |  FROM d),
          |q AS (
          |  SELECT doc_id,
@@ -4672,11 +4708,11 @@ object SparkEntry {
          |  FROM qt),
          |ls AS (
          |  SELECT doc_id,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|nicht|ist|ein)\\b')) AS BIGINT) AS s_de,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to|in|that)\\b')) AS BIGINT) AS s_en,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|un|una|que)\\b')) AS BIGINT) AS s_es,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(le|la|les|est|une|des|dans)\\b')) AS BIGINT) AS s_fr,
-         |    CAST(len(regexp_extract_all(lower(text), '\\b(de|shi|bu|le|zai|wo|you)\\b')) AS BIGINT) AS s_zh
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('der', 'die', 'das', 'und', 'nicht', 'ist', 'ein'))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'and', 'of', 'is', 'to', 'in', 'that'))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('el', 'la', 'los', 'las', 'es', 'un', 'una', 'que'))) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('le', 'la', 'les', 'est', 'une', 'des', 'dans'))) AS BIGINT) AS s_fr,
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('de', 'shi', 'bu', 'le', 'zai', 'wo', 'you'))) AS BIGINT) AS s_zh
          |  FROM d),
          |lang AS (
          |  SELECT doc_id, CASE
@@ -4688,7 +4724,7 @@ object SparkEntry {
          |  FROM ls),
          |tok AS (
          |  SELECT doc_id,
-         |         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |         unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
          |                            x -> x <> '')) AS token
          |  FROM d),
          |wts AS (
@@ -4760,7 +4796,7 @@ object SparkEntry {
     // exact BIGINT sums, one double division rounded 6dp
     "q114_zipf_slope" ->
       """WITH tok AS (
-        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  SELECT unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '')) AS token
         |  FROM documents),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
         |top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100),
@@ -4794,7 +4830,7 @@ object SparkEntry {
     "q106_containment" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -4820,7 +4856,7 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q107_vocab_coverage" ->
       """WITH tok AS (
-        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        |  SELECT unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '')) AS token
         |  FROM documents),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
@@ -4865,11 +4901,11 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
         |    CAST(length(text) AS BIGINT) AS n_ch,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT) AS s_fr,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT) AS s_zh
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('der', 'die', 'das', 'und', 'nicht', 'ist', 'ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'and', 'of', 'is', 'to', 'in', 'that'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('el', 'la', 'los', 'las', 'es', 'un', 'una', 'que'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('le', 'la', 'les', 'est', 'une', 'des', 'dans'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('de', 'shi', 'bu', 'le', 'zai', 'wo', 'you'))) AS BIGINT) AS s_zh
         |  FROM documents),
         |p AS (
         |  SELECT n_toks, n_ch,
@@ -4890,7 +4926,7 @@ object SparkEntry {
     "q105_collocations" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
         |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
@@ -4923,11 +4959,11 @@ object SparkEntry {
     "q104_lang_composition" ->
       """WITH s AS (
         |  SELECT doc_id, coalesce(source, '<none>') AS source,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT) AS s_fr,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT) AS s_zh
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('der', 'die', 'das', 'und', 'nicht', 'ist', 'ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'and', 'of', 'is', 'to', 'in', 'that'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('el', 'la', 'los', 'las', 'es', 'un', 'una', 'que'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('le', 'la', 'les', 'est', 'une', 'des', 'dans'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('de', 'shi', 'bu', 'le', 'zai', 'wo', 'you'))) AS BIGINT) AS s_zh
         |  FROM documents),
         |p AS (
         |  SELECT source,
@@ -4949,7 +4985,7 @@ object SparkEntry {
     "q101_bigram_lm" ->
       """WITH w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
         |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1),
@@ -4978,9 +5014,10 @@ object SparkEntry {
         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
         |         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
         |  FROM e),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp
+        |          GROUP BY vec_id HAVING sum(x * x) > 0),
         |cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS j
-        |         FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8) t),
+        |         FROM (SELECT vec_id FROM norms ORDER BY vec_id LIMIT 8) t),
         |ccomp AS (SELECT cent.j, comp.i, comp.x
         |          FROM comp JOIN cent ON cent.cvid = comp.vec_id),
         |cnorm AS (SELECT j, sqrt(sum(x * x)) AS nrm FROM ccomp GROUP BY j),
@@ -5013,7 +5050,8 @@ object SparkEntry {
         |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
         |comp AS (SELECT vec_id, label, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
         |         FROM e CROSS JOIN idx),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp
+        |          GROUP BY vec_id HAVING sum(x * x) > 0),
         |qcomp AS (SELECT vec_id AS query_id, i, x FROM comp WHERE vec_id % 100 = 0),
         |dots AS (
         |  SELECT q.query_id, c.vec_id AS neighbor_id, sum(c.x * q.x) AS dp
@@ -5038,7 +5076,7 @@ object SparkEntry {
     "q98_manifest_diff" ->
       """WITH s AS (
         |  SELECT doc_id, source,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS ntok,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '')) AS BIGINT) AS ntok,
         |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h,
         |    CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90
         |         THEN 'train'
@@ -5055,7 +5093,8 @@ object SparkEntry {
         |n AS (SELECT split, source, CAST(count(*) AS BIGINT) AS nd,
         |             CAST(sum(ntok) AS BIGINT) AS nt, CAST(sum(h) AS BIGINT) AS ns
         |      FROM s GROUP BY 1, 2)
-        |SELECT split, source,
+        |SELECT coalesce(o.split, n.split) AS split,
+        |       coalesce(o.source, n.source) AS source,
         |       coalesce(od, 0) AS old_docs, coalesce(nd, 0) AS new_docs,
         |       coalesce(nd, 0) - coalesce(od, 0) AS delta_docs,
         |       coalesce(nt, 0) - coalesce(ot, 0) AS delta_tokens,
@@ -5063,7 +5102,8 @@ object SparkEntry {
         |            WHEN nd IS NULL THEN 'removed'
         |            WHEN od = nd AND ot = nt AND os = ns THEN 'unchanged'
         |            ELSE 'changed' END AS status
-        |FROM o FULL OUTER JOIN n USING (split, source)
+        |FROM o FULL OUTER JOIN n
+        |  ON o.split = n.split AND o.source IS NOT DISTINCT FROM n.source
         |ORDER BY split, source""".stripMargin,
     "q99_cluster_sizes" ->
       s"""WITH RECURSIVE $LshClusterSql,
@@ -5090,8 +5130,8 @@ object SparkEntry {
         |pidx AS (SELECT unnest(range(0, 192)) AS p),
         |px AS (
         |  SELECT media_id, w, h, fps, nf, f,
-        |         ('0x' || substr(md5(text || '#' || CAST((f * (w * h * 3 // 2) + p) // 16 AS VARCHAR)),
-        |                         CAST(((f * (w * h * 3 // 2) + p) % 16) * 2 + 1 AS INT), 2))::BIGINT AS b
+        |         coalesce(('0x' || substr(md5(text || '#' || CAST((f * (w * h * 3 // 2) + p) // 16 AS VARCHAR)),
+        |                         CAST(((f * (w * h * 3 // 2) + p) % 16) * 2 + 1 AS INT), 2))::BIGINT, 0) AS b
         |  FROM fr JOIN pidx ON pidx.p < fr.w * fr.h),
         |agg AS (SELECT media_id, w, h, fps, nf, f,
         |               sum(b) AS sb, max(b) AS mb, count(*) AS n
@@ -5104,7 +5144,7 @@ object SparkEntry {
     "q96_manifest" ->
       """WITH s AS (
         |  SELECT doc_id, source,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS ntok,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '')) AS BIGINT) AS ntok,
         |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h,
         |    CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90
         |         THEN 'train'
@@ -5135,7 +5175,7 @@ object SparkEntry {
         |  SELECT doc_id + 4000000000, '  ' || upper(text) || '!!'
         |  FROM documents WHERE doc_id % 7 = 0),
         |n AS (SELECT doc_id,
-        |             md5(trim(regexp_replace(regexp_replace(lower(text),
+        |             md5(trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
         |               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_key
         |      FROM all_docs),
         |g AS (SELECT norm_key, CAST(count(*) AS BIGINT) AS n_docs,
@@ -5146,7 +5186,7 @@ object SparkEntry {
     // engine's integer-ceil target), clamp, per-source 4dp-tick means
     "q146_winsorized_means" ->
       """WITH g AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
-        |           FROM documents GROUP BY 1),
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
         |w AS (SELECT v, c,
         |             CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
         |               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
@@ -5160,7 +5200,8 @@ object SparkEntry {
         |         / 10000.0 AS mean_raw,
         |       CAST(floor(sum(greatest(cuts.lo, least(cuts.hi, n_chars)))
         |         * 10000.0 / count(*) + 0.5) AS BIGINT) / 10000.0 AS mean_winsor
-        |FROM documents, cuts GROUP BY source, cuts.lo, cuts.hi
+        |FROM documents, cuts WHERE n_chars IS NOT NULL
+        |GROUP BY source, cuts.lo, cuts.hi
         |ORDER BY source""".stripMargin,
     // JSON path extraction with null-on-missing semantics on both
     // engines (get_json_object ↔ json_extract_string + TRY_CAST)
@@ -5209,7 +5250,7 @@ object SparkEntry {
         |         substr(text, 1, CAST(length(text) * 2 // 3 AS INT))
         |  FROM documents WHERE doc_id % 8 = 0),
         |n AS (SELECT doc_id,
-        |             trim(regexp_replace(regexp_replace(lower(text),
+        |             trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
         |               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
         |      FROM all_docs),
         |k AS (SELECT doc_id, md5(substr(norm, 1, 120)) AS prefix_key,
@@ -5362,7 +5403,7 @@ object SparkEntry {
     // vocabulary-collapsed adjacent char pairs, (count desc, pair asc)
     // total tie order
     "q157_bpe_pairs" ->
-      """WITH wd AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      """WITH wd AS (SELECT unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                   x -> x <> '')) AS word
         |            FROM documents),
         |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM wd GROUP BY 1),
@@ -5378,7 +5419,7 @@ object SparkEntry {
     // (source × value) grid, strictly-below cumulative share in floor bp
     "q158_relative_rank" ->
       """WITH c AS (SELECT source AS k, n_chars AS v, CAST(count(*) AS BIGINT) AS c
-        |           FROM documents GROUP BY 1, 2),
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
         |w AS (SELECT k, v, c,
         |             CAST(sum(c) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN
         |               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cle,
@@ -5509,11 +5550,11 @@ object SparkEntry {
     "q165_lang_confusion" ->
       """WITH s AS (
         |  SELECT lang,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT) AS s_de,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT) AS s_en,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT) AS s_es,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT) AS s_fr,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT) AS s_zh
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('der', 'die', 'das', 'und', 'nicht', 'ist', 'ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'and', 'of', 'is', 'to', 'in', 'that'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('el', 'la', 'los', 'las', 'es', 'un', 'una', 'que'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('le', 'la', 'les', 'est', 'une', 'des', 'dans'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('de', 'shi', 'bu', 'le', 'zai', 'wo', 'you'))) AS BIGINT) AS s_zh
         |  FROM documents),
         |p AS (
         |  SELECT lang,
@@ -5565,7 +5606,10 @@ object SparkEntry {
     // empty-prefix pairs define as identical
     "q167_edit_verify" ->
       s"""WITH RECURSIVE $LshClusterSql,
-        |t AS (SELECT doc_id, substr(text, 1, 500) AS tx FROM documents),
+        |t AS (SELECT doc_id,
+        |             substr(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'),
+        |                    1, 500) AS tx
+        |      FROM documents),
         |p AS (SELECT pr.doc_a, pr.doc_b,
         |             CAST(levenshtein(a.tx, b.tx) AS BIGINT) AS lev,
         |             CAST(greatest(length(a.tx), length(b.tx)) AS BIGINT) AS mx
@@ -5633,13 +5677,16 @@ object SparkEntry {
         |SELECT doc_id, source, quality, rk FROM r WHERE rk <= 3
         |ORDER BY source, rk""".stripMargin,
     // pivot ∘ unpivot must equal the plain long-form group-by
+    // lang IS NOT NULL: the engine pivots over the explicit language
+    // list, so a null lang can never round-trip through pivot∘unpivot
     "q171_unpivot" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM documents WHERE lang IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // integer-tick first digit via string head; literal Benford bp
     "q172_benford" ->
       """WITH t AS (SELECT CAST(floor(value * 100) AS BIGINT) AS ticks
-        |           FROM events WHERE value IS NOT NULL
+        |           FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         |             AND CAST(floor(value * 100) AS BIGINT) >= 1),
         |d AS (SELECT CAST(substr(CAST(ticks AS VARCHAR), 1, 1) AS BIGINT) AS digit
         |      FROM t),
@@ -5763,7 +5810,7 @@ object SparkEntry {
         |                    x -> x <> '')) AS BIGINT), 1) AS w,
         |                  greatest(CAST(len(regexp_extract_all(text, '[\.!\?]+')) AS BIGINT), 1) AS s,
         |                  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS a,
-        |                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl0
+        |                  CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+')) AS BIGINT) AS syl0
         |           FROM documents),
         |f AS (SELECT source, w, s, a,
         |             greatest(CAST(floor((206.835
@@ -5834,7 +5881,7 @@ object SparkEntry {
     // q149's normalized-prefix fingerprint; old epoch distinct-first
     "q210_epoch_ingest_dedup" ->
       """WITH n AS (SELECT doc_id, source,
-        |                  trim(regexp_replace(regexp_replace(lower(text),
+        |                  trim(regexp_replace(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
         |                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
         |           FROM documents),
         |k AS (SELECT doc_id, source, md5(substr(norm, 1, 120)) AS fp FROM n),
@@ -5886,7 +5933,7 @@ object SparkEntry {
     // identical salted-md5 slots; sketch built from the exact vocab agg
     // (counts are additive), estimate = min over the d probed slots
     "q212_cms_audit" ->
-      """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      """WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                       x -> x <> '')) AS tok
         |              FROM documents),
         |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
@@ -5971,7 +6018,8 @@ object SparkEntry {
     "q217_pareto_frontier" ->
       s"""WITH $QualitySql,
         |p AS (SELECT q.quality, CAST(qt.n_toks AS BIGINT) AS n_tokens
-        |      FROM q JOIN qt USING (doc_id))
+        |      FROM q JOIN qt USING (doc_id)
+        |      WHERE q.quality IS NOT NULL AND qt.n_toks IS NOT NULL)
         |SELECT quality, n_tokens, CAST(count(*) AS BIGINT) AS n_docs
         |FROM p
         |WHERE NOT EXISTS (
@@ -6026,7 +6074,7 @@ object SparkEntry {
     // NOTHING vs brute-force exact token Jaccard at threshold 19/20
     "q220_prefix_filter_join" ->
       """WITH tk AS (SELECT DISTINCT doc_id,
-        |              unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |              unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                                 x -> x <> '')) AS tok
         |            FROM documents),
         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
@@ -6082,7 +6130,7 @@ object SparkEntry {
         |                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS ticks
         |            FROM events
         |            WHERE event_type IS NOT NULL AND ts IS NOT NULL
-        |              AND value IS NOT NULL),
+        |              AND value IS NOT NULL AND NOT isnan(value)),
         |d AS (SELECT symbol, ticks,
         |             lead(us) OVER (PARTITION BY symbol ORDER BY us, id) - us AS dur
         |      FROM ev)
@@ -6096,7 +6144,7 @@ object SparkEntry {
     // same trigram stream from 1-based list indexing; top-1 tie order
     "q225_phrase_match" ->
       """WITH w AS (SELECT doc_id,
-        |             list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |             list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                         x -> x <> '') AS ws
         |           FROM documents),
         |tri AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
@@ -6113,7 +6161,7 @@ object SparkEntry {
         |                   CAST(floor(value / 100) AS BIGINT) AS band
         |            FROM events
         |            WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |              AND value IS NOT NULL),
+        |              AND value IS NOT NULL AND NOT isnan(value)),
         |l AS (SELECT *, lag(band) OVER (PARTITION BY user_id
         |                                ORDER BY ts, event_id) AS prev
         |      FROM ev),
@@ -6196,7 +6244,7 @@ object SparkEntry {
         |                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS t
         |            FROM events
         |            WHERE event_type IS NOT NULL AND ts IS NOT NULL
-        |              AND value IS NOT NULL),
+        |              AND value IS NOT NULL AND NOT isnan(value)),
         |l AS (SELECT symbol, d, t,
         |             lag(t) OVER (PARTITION BY symbol ORDER BY us, id) AS prev
         |      FROM ev),
@@ -6215,7 +6263,7 @@ object SparkEntry {
         |                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS t
         |            FROM events
         |            WHERE event_type IS NOT NULL AND ts IS NOT NULL
-        |              AND value IS NOT NULL),
+        |              AND value IS NOT NULL AND NOT isnan(value)),
         |r AS (SELECT symbol, t,
         |             row_number() OVER (PARTITION BY symbol
         |               ORDER BY us DESC, id DESC, t DESC) AS rn
@@ -6238,7 +6286,7 @@ object SparkEntry {
         |                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS t
         |            FROM events
         |            WHERE event_type IS NOT NULL AND ts IS NOT NULL
-        |              AND value IS NOT NULL),
+        |              AND value IS NOT NULL AND NOT isnan(value)),
         |p AS (SELECT symbol, t,
         |             max(t) OVER (PARTITION BY symbol ORDER BY us, id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
@@ -6605,7 +6653,7 @@ object SparkEntry {
         |       CAST(date_diff('day', max(d), (SELECT mxd FROM mx)) AS BIGINT)
         |         AS recency_days,
         |       CAST(count(*) AS BIGINT) AS frequency,
-        |       CAST(sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |       CAST(sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL AND NOT isnan(value)
         |                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
         |                     ELSE 0 END) AS BIGINT) AS monetary_cents,
         |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
@@ -6616,11 +6664,11 @@ object SparkEntry {
     "q285_mixed_lang" ->
       """WITH s AS (
         |  SELECT source, list_reverse_sort([
-        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ist|ein)\b')) AS BIGINT),
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|in|that)\b')) AS BIGINT),
-        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|un|una|que)\b')) AS BIGINT),
-        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|est|une|des|dans)\b')) AS BIGINT),
-        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|wo|you)\b')) AS BIGINT)]) AS l
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('der', 'die', 'das', 'und', 'nicht', 'ist', 'ein'))) AS BIGINT),
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'and', 'of', 'is', 'to', 'in', 'that'))) AS BIGINT),
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('el', 'la', 'los', 'las', 'es', 'un', 'una', 'que'))) AS BIGINT),
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('le', 'la', 'les', 'est', 'une', 'des', 'dans'))) AS BIGINT),
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('de', 'shi', 'bu', 'le', 'zai', 'wo', 'you'))) AS BIGINT)]) AS l
         |  FROM documents),
         |m AS (SELECT source, l[1] AS b, l[2] AS b2 FROM s)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -6639,7 +6687,7 @@ object SparkEntry {
         |             CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
         |                                      THEN user_id END) AS BIGINT) AS payers,
         |             CAST(sum(CASE WHEN event_type = 'purchase'
-        |                            AND value IS NOT NULL
+        |                            AND value IS NOT NULL AND NOT isnan(value)
         |                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
         |                           ELSE 0 END) AS BIGINT) AS revenue_cents
         |      FROM w GROUP BY 1)
@@ -6717,7 +6765,7 @@ object SparkEntry {
         |                AS b
         |            FROM events
         |            WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |              AND value IS NOT NULL AND event_type IS NOT NULL),
+        |              AND value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL),
         |sz AS (SELECT b FROM eb GROUP BY b
         |       HAVING count(*) BETWEEN 2 AND 50),
         |sv AS (SELECT eb.e, eb.b FROM eb JOIN sz USING (b)),
@@ -6780,7 +6828,7 @@ object SparkEntry {
         |                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
         |           FROM events
         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |             AND value IS NOT NULL AND event_type = 'purchase'),
+        |             AND value IS NOT NULL AND NOT isnan(value) AND event_type = 'purchase'),
         |c AS (SELECT user_id, min(w) AS cohort FROM p GROUP BY 1),
         |r AS (SELECT c.cohort, date_diff('day', c.cohort, p.w) // 7 AS woff,
         |             CAST(sum(p.cents) AS BIGINT) AS rev_cents
@@ -6818,7 +6866,7 @@ object SparkEntry {
     // movers by |Δrank|
     "q276_trending_tokens" ->
       """WITH tk AS (SELECT doc_id % 2 AS h,
-        |              unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |              unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                                 x -> x <> '')) AS token
         |            FROM documents),
         |cnt AS (SELECT h, token, CAST(count(*) AS BIGINT) AS n
@@ -6894,7 +6942,7 @@ object SparkEntry {
     // bigram pairs via list_transform; minCount prefix gate; ties
     // lexicographic
     "q268_autocomplete" ->
-      """WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+      """WITH w AS (SELECT list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                              x -> x <> '') AS words
         |           FROM documents),
         |bi0 AS (SELECT unnest(list_transform(range(1, len(words)),
@@ -6943,7 +6991,7 @@ object SparkEntry {
       """WITH ev AS (SELECT event_id, user_id, event_type,
         |                   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vt
         |            FROM events
-        |            WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |            WHERE user_id IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
         |p AS (SELECT event_id AS purchase_id, user_id, vt FROM ev
         |      WHERE event_type = 'purchase'),
         |c AS (SELECT event_id AS click_id, user_id, vt AS cvt FROM ev
@@ -6968,7 +7016,7 @@ object SparkEntry {
     // (source × distinct token) relation; floor-bp coefficient
     "q267_vocab_overlap" ->
       """WITH v AS (SELECT DISTINCT source,
-        |             unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |             unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                                x -> x <> '')) AS tok
         |           FROM documents),
         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY 1),
@@ -7002,7 +7050,7 @@ object SparkEntry {
         |                  CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
         |                       AS BIGINT) AS x
         |           FROM events
-        |           WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |           WHERE event_type IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
         |           GROUP BY 1)
         |SELECT event_type, n, x,
         |       round((x / n + 1.96*1.96 / (2.0 * n) -
@@ -7076,7 +7124,7 @@ object SparkEntry {
         |                AS b
         |            FROM events
         |            WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |              AND value IS NOT NULL AND event_type IS NOT NULL),
+        |              AND value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL),
         |sz AS (SELECT b FROM eb GROUP BY b
         |       HAVING count(*) BETWEEN 2 AND 50),
         |sv AS (SELECT eb.e, eb.b FROM eb JOIN sz USING (b)),
@@ -7103,7 +7151,7 @@ object SparkEntry {
     // lexicographic; minCount 20 gates hapax noise
     "q255_signature_terms" ->
       """WITH tok AS (SELECT source,
-        |               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |               unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                                  x -> x <> '')) AS token
         |             FROM documents),
         |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
@@ -7413,10 +7461,10 @@ object SparkEntry {
         |                           THEN 1 ELSE 0 END) AS BIGINT) AS train_docs
         |      FROM documents),
         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
-        |      FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |      FROM (SELECT unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
         |              x -> x <> '')) AS tok FROM documents) t),
         |dg AS (SELECT CAST(count(*) AS BIGINT) AS exact_dup_groups
-        |       FROM (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        |       FROM (SELECT md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g'))) AS f
         |             FROM documents GROUP BY 1 HAVING count(*) > 1) g0),
         |mq AS (SELECT CAST((2 * sum(CAST(floor(quality * 10000 + 0.5) AS BIGINT))
         |               + count(*)) // (2 * count(*)) AS BIGINT)
@@ -7432,7 +7480,7 @@ object SparkEntry {
         |ORDER BY metric""".stripMargin,
     // the charEntropy micro-nat discipline over the global vocab
     "q195_vocab_entropy" ->
-      """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      """WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                  x -> x <> '')) AS tok
         |           FROM documents),
         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
@@ -7497,7 +7545,7 @@ object SparkEntry {
     "q193_sortkey_advisor" ->
       """WITH js AS (SELECT unnest(range(1, 16)) AS j),
         |g1 AS (SELECT n_chars AS kv, CAST(count(*) AS BIGINT) AS c
-        |       FROM documents GROUP BY 1),
+        |       FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
         |w1 AS (SELECT kv, c,
         |              CAST(sum(c) OVER (ORDER BY kv ROWS BETWEEN UNBOUNDED
         |                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
@@ -7507,7 +7555,7 @@ object SparkEntry {
         |b1 AS (SELECT d.n_chars AS p,
         |              1 + (SELECT count(*) FROM cut1 WHERE cut1.cut < d.n_chars)
         |                AS b
-        |       FROM documents d),
+        |       FROM documents d WHERE d.n_chars IS NOT NULL),
         |z1 AS (SELECT b, min(p) AS lo, max(p) AS hi FROM b1 GROUP BY 1),
         |s1 AS (SELECT CAST(count(*) AS BIGINT) AS nz,
         |              CAST(sum(hi - lo) AS BIGINT) AS sp,
@@ -7524,7 +7572,7 @@ object SparkEntry {
         |b2 AS (SELECT d.n_chars AS p,
         |              1 + (SELECT count(*) FROM cut2 WHERE cut2.cut < d.doc_id)
         |                AS b
-        |       FROM documents d),
+        |       FROM documents d WHERE d.n_chars IS NOT NULL),
         |z2 AS (SELECT b, min(p) AS lo, max(p) AS hi FROM b2 GROUP BY 1),
         |s2 AS (SELECT CAST(count(*) AS BIGINT) AS nz,
         |              CAST(sum(hi - lo) AS BIGINT) AS sp,
@@ -7591,7 +7639,10 @@ object SparkEntry {
     // the q167 chain collapsed to one precision row
     "q192_lsh_precision" ->
       s"""WITH RECURSIVE $LshClusterSql,
-        |t AS (SELECT doc_id, substr(text, 1, 500) AS tx FROM documents),
+        |t AS (SELECT doc_id,
+        |             substr(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'),
+        |                    1, 500) AS tx
+        |      FROM documents),
         |p AS (SELECT pr.doc_a, pr.doc_b,
         |             CAST(levenshtein(a.tx, b.tx) AS BIGINT) AS lev,
         |             CAST(greatest(length(a.tx), length(b.tx)) AS BIGINT) AS mx
@@ -7712,8 +7763,8 @@ object SparkEntry {
         |pidx AS (SELECT unnest(range(0, 192)) AS p),
         |px AS (
         |  SELECT media_id, w, h, f,
-        |         ('0x' || substr(md5(text || '#' || CAST((f * (w * h * 3 // 2) + p) // 16 AS VARCHAR)),
-        |                         CAST(((f * (w * h * 3 // 2) + p) % 16) * 2 + 1 AS INT), 2))::BIGINT AS b
+        |         coalesce(('0x' || substr(md5(text || '#' || CAST((f * (w * h * 3 // 2) + p) // 16 AS VARCHAR)),
+        |                         CAST(((f * (w * h * 3 // 2) + p) % 16) * 2 + 1 AS INT), 2))::BIGINT, 0) AS b
         |  FROM fr JOIN pidx ON pidx.p < fr.w * fr.h),
         |agg AS (SELECT media_id, f,
         |               CAST(floor(round(sum(b) / (count(*) * 255.0), 6) * 1000000
@@ -7957,7 +8008,7 @@ object SparkEntry {
   private val LshCalibSql: String =
     """w AS (
         |  SELECT doc_id,
-        |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, shingle FROM (
@@ -8011,7 +8062,8 @@ object SparkEntry {
       |idx AS (SELECT unnest(range(1, (SELECT d FROM dims) + 1)) AS i),
       |comp AS (SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
       |         FROM e CROSS JOIN idx),
-      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id)""".stripMargin
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp GROUP BY vec_id),
+      |nz AS (SELECT vec_id, nrm FROM norms WHERE nrm > 0)""".stripMargin
 
   /** Exact brute-force top-10 over the vec_id %% 100 = 0 query sample,
     * ending in brute(query_id, neighbor_id, cosine, rnk) — composes after
@@ -8026,8 +8078,8 @@ object SparkEntry {
       |  SELECT d.query_id, d.neighbor_id,
       |         round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
       |  FROM bdots d
-      |  JOIN norms nn ON nn.vec_id = d.neighbor_id
-      |  JOIN norms nq ON nq.vec_id = d.query_id),
+      |  JOIN nz nn ON nn.vec_id = d.neighbor_id
+      |  JOIN nz nq ON nq.vec_id = d.query_id),
       |brute AS (SELECT * FROM (
       |  SELECT query_id, neighbor_id, cosine,
       |         CAST(row_number() OVER (PARTITION BY query_id
@@ -8040,7 +8092,7 @@ object SparkEntry {
   private val IvfKnnSql: String =
     """cent AS (
       |  SELECT vec_id AS cvid, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS list_id
-      |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16) t),
+      |  FROM (SELECT vec_id FROM nz ORDER BY vec_id LIMIT 16) t),
       |cdots AS (
       |  SELECT c.vec_id, ct.list_id, ct.cvid, sum(c.x * cc.x) AS dp
       |  FROM comp c CROSS JOIN cent ct
@@ -8049,8 +8101,8 @@ object SparkEntry {
       |csims AS (
       |  SELECT d.vec_id, d.list_id, d.dp / (nv.nrm * nc.nrm) AS csim
       |  FROM cdots d
-      |  JOIN norms nv ON nv.vec_id = d.vec_id
-      |  JOIN norms nc ON nc.vec_id = d.cvid),
+      |  JOIN nz nv ON nv.vec_id = d.vec_id
+      |  JOIN nz nc ON nc.vec_id = d.cvid),
       |cranked AS (
       |  SELECT vec_id, list_id,
       |         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, list_id) AS crank
@@ -8071,8 +8123,8 @@ object SparkEntry {
       |iscored AS (
       |  SELECT d.query_id, d.neighbor_id, round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
       |  FROM idots d
-      |  JOIN norms nn ON nn.vec_id = d.neighbor_id
-      |  JOIN norms nq ON nq.vec_id = d.query_id),
+      |  JOIN nz nn ON nn.vec_id = d.neighbor_id
+      |  JOIN nz nq ON nq.vec_id = d.query_id),
       |ivf AS (SELECT * FROM (
       |  SELECT query_id, neighbor_id, cosine,
       |         CAST(row_number() OVER (PARTITION BY query_id
@@ -8082,7 +8134,7 @@ object SparkEntry {
   private val LshClusterSql: String =
     """w AS (
       |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+      |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
@@ -8139,7 +8191,7 @@ object SparkEntry {
       |         ('0x' || substr(md5(tok || '#lo'), 1, 8))::BIGINT AS hlo,
       |         ('0x' || substr(md5(tok || '#hi'), 1, 8))::BIGINT AS hhi
       |  FROM (SELECT doc_id,
-      |               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok
+      |               unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '')) AS tok
       |        FROM documents) t
       |  GROUP BY doc_id, tok),
       |sbits AS (SELECT unnest(range(0, 64)) AS b),
@@ -8175,7 +8227,7 @@ object SparkEntry {
     * `bmtop(doc_id, s, rank)` — the single source of truth for q201/q204. */
   private val Bm25Sql: String =
     """toks AS (SELECT doc_id,
-      |                unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
       |                  x -> x <> '')) AS tok
       |         FROM documents),
       |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
@@ -8246,7 +8298,7 @@ object SparkEntry {
     * score) — single source of truth for q221/q246. */
   private val ClassifierScoreSql: String =
     """tok AS (SELECT doc_id,
-        |          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |          unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                             x -> x <> '')) AS token
         |        FROM documents),
         |wts AS (SELECT doc_id,
@@ -8266,7 +8318,7 @@ object SparkEntry {
       |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
       |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|on|for|with)\b')) AS DOUBLE) AS n_stop
+      |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE) AS n_stop
       |  FROM documents),
       |q AS (
       |  SELECT doc_id,
@@ -8281,7 +8333,7 @@ object SparkEntry {
   private val LineifySql: String =
     """w AS (
       |  SELECT doc_id,
-      |         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+      |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> '') AS words
       |  FROM documents),
       |d AS (
       |  SELECT doc_id,

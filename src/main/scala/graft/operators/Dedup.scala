@@ -33,7 +33,7 @@ object Dedup {
     * Output: doc_id, shingle (exploded).
     */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col("text")))
+    val toks = TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))
     docs
       .select(col("doc_id"), toks.as("w"))
       .where(size(col("w")) >= n)
@@ -263,7 +263,7 @@ object Dedup {
     */
   def simhashPortable(docs: DataFrame): DataFrame = {
     val tf = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val votes = voteBits(tf, 32, b => shiftright(col("h"), b))
@@ -280,7 +280,7 @@ object Dedup {
     */
   def simhash64Portable(docs: DataFrame): DataFrame = {
     val tf = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("hlo", conv(substring(md5(concat(col("tok"), lit("#lo"))), 1, 8), 16, 10).cast("long"))
       .withColumn("hhi", conv(substring(md5(concat(col("tok"), lit("#hi"))), 1, 8), 16, 10).cast("long"))
@@ -332,7 +332,7 @@ object Dedup {
     * variants, single long output). */
   def simhash(docs: DataFrame): DataFrame = {
     val tf = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("tok")))
     val votes = voteBits(tf, 64, b => shiftright(col("h"), b))
@@ -875,8 +875,12 @@ object Dedup {
   def editDistanceVerify(docs: DataFrame, pairs: DataFrame,
                          prefixChars: Int = 500): DataFrame = {
     require(prefixChars >= 1, "prefixChars must be positive")
+    // non-ASCII folds to '?' BEFORE the distance: Spark's levenshtein
+    // counts codepoints while DuckDB's counts BYTES, so a 4-byte emoji
+    // costs 1 vs 4 — pinning to pure ASCII makes the two identical
     val t = docs.select(col("doc_id"),
-      substring(col("text"), 1, prefixChars).as("__t"))
+      substring(regexp_replace(col("text"), "[^\\x00-\\x7F]", "?"),
+        1, prefixChars).as("__t"))
     pairs.select(col("doc_a"), col("doc_b"))
       .join(t.select(col("doc_id").as("doc_a"), col("__t").as("__ta")), Seq("doc_a"))
       .join(t.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), Seq("doc_b"))
@@ -928,7 +932,7 @@ object Dedup {
                                den: Int = 2): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
     val base = docs.select(col("doc_id"),
-      array_sort(array_distinct(TextAnalysis.tokens(lower(col("text")))))
+      array_sort(array_distinct(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))))
         .as("__toks"))
     val tk = base.select(col("doc_id"), explode(col("__toks")).as("tok"))
     val dfreq = tk.groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -252,7 +252,7 @@ object Engagement {
         datediff(max(col("__mx")), max(to_date(col(tsCol)))).cast("long")
           .as("recency_days"),
         count(lit(1)).as("frequency"),
-        sum(when(col(typeCol) === purchaseType && col(valueCol).isNotNull,
+        sum(when(col(typeCol) === purchaseType && col(valueCol).isNotNull && !isnan(col(valueCol)),
           floor(col(valueCol) * 100 + 0.5).cast("long")).otherwise(0L))
           .as("monetary_cents"),
         countDistinct(col(typeCol)).as("n_types"),
@@ -278,7 +278,7 @@ object Engagement {
       .agg(countDistinct(col(userCol)).as("actives"),
         countDistinct(when(col(typeCol) === purchaseType, col(userCol)))
           .as("payers"),
-        sum(when(col(typeCol) === purchaseType && col(valueCol).isNotNull,
+        sum(when(col(typeCol) === purchaseType && col(valueCol).isNotNull && !isnan(col(valueCol)),
           floor(col(valueCol) * 100 + 0.5).cast("long")).otherwise(0L))
           .as("revenue_cents"))
       .select(col("week"), col("actives"), col("payers"), col("revenue_cents"),

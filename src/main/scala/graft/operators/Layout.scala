@@ -71,9 +71,13 @@ object Layout {
                      probeCol: String, k: Int = 16): DataFrame = {
     require(candidates.nonEmpty, "need at least one candidate key")
     val scored = candidates.map { case (name, keyCol) =>
+      // a row with a null key or null probe has no zone: excluded on
+      // both engine and oracle sides (null-ordering inside the cut
+      // window would otherwise diverge between engines)
       val zones = Stats.quantileBuckets(
         df.select(col(keyCol).cast("long").as("__key"),
-          col(probeCol).cast("long").as("__p")),
+          col(probeCol).cast("long").as("__p"))
+          .where(col("__key").isNotNull && col("__p").isNotNull),
         "__key", k)
         .groupBy(col("bucket"))
         .agg(min(col("__p")).as("__lo"), max(col("__p")).as("__hi"))

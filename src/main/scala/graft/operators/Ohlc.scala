@@ -95,7 +95,7 @@ object Ohlc {
            idCol: String = "event_id"): DataFrame = {
     events
       .where(col(symbolCol).isNotNull && col(tsCol).isNotNull &&
-        col(valueCol).isNotNull)
+        col(valueCol).isNotNull && !isnan(col(valueCol)))
       .select(col(symbolCol).as("symbol"),
         unix_micros(col(tsCol)).as("__us"),
         col(idCol).as("__id"),

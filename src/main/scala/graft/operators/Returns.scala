@@ -37,7 +37,7 @@ object Returns {
       .orderBy(col("__us"), col("__id"))
     events
       .where(col(symbolCol).isNotNull && col(tsCol).isNotNull &&
-        col(valueCol).isNotNull)
+        col(valueCol).isNotNull && !isnan(col(valueCol)))
       .select(col(symbolCol).as("symbol"),
         unix_micros(col(tsCol).cast("timestamp")).as("__us"),
         col(idCol).as("__id"),
@@ -70,7 +70,7 @@ object Returns {
                     idCol: String = "event_id"): DataFrame = {
     val base = events
       .where(col(symbolCol).isNotNull && col(tsCol).isNotNull &&
-        col(valueCol).isNotNull)
+        col(valueCol).isNotNull && !isnan(col(valueCol)))
       .select(col(symbolCol).as("symbol"),
         unix_micros(col(tsCol).cast("timestamp")).as("__us"),
         col(idCol).as("__id"), ticks(col(valueCol)).as("__t"))
@@ -224,7 +224,7 @@ object Returns {
       .rowsBetween(Window.unboundedPreceding, 0)
     events
       .where(col(symbolCol).isNotNull && col(tsCol).isNotNull &&
-        col(valueCol).isNotNull)
+        col(valueCol).isNotNull && !isnan(col(valueCol)))
       .select(col(symbolCol).as("symbol"),
         unix_micros(col(tsCol).cast("timestamp")).as("__us"),
         col(idCol).as("__id"), ticks(col(valueCol)).as("__t"))

@@ -71,6 +71,9 @@ object Similarity {
     def prep(df: DataFrame): DataFrame =
       df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("norm", l2norm(col("v")))
+        // cosine is undefined for the zero vector: it can be neither a
+        // query nor a neighbor (ANSI would raise on the 0-norm division)
+        .where(col("norm") > 0)
     val queries = prep(embeddings.where(queryPred))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     prep(embeddings.where(candidatePred))
@@ -116,6 +119,7 @@ object Similarity {
   def cosineDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
+      .where(col("norm") > 0) // zero-norm: no cosine, excluded on both sides
     base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6).as("cosine"))
@@ -211,6 +215,7 @@ object Similarity {
                             blocks: Int = 8): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
+      .where(col("norm") > 0) // zero-norm: no cosine, excluded on both sides
       .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
     // row in block b joins pairs (b, j) j ≥ b on the left, (i, b) i ≤ b on
     // the right — each unordered block pair meets exactly once
@@ -273,6 +278,7 @@ object Similarity {
                     numTables: Int = 4, dim: Int = 64): Unit = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
+      .where(col("norm") > 0) // zero-norm: no cosine, excluded on both sides
     writeVersion(base, dir, numPlanes, numTables, dim)
   }
 
@@ -433,6 +439,7 @@ object Similarity {
                         numPlanes: Int = 8, numTables: Int = 4, dim: Int = 64): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
+      .where(col("norm") > 0) // zero-norm: no cosine, excluded on both sides
     // pinch-point: bucket hashing feeds both sides of the self-join
     val tabled = tableBuckets(base, "v", numPlanes, numTables, dim)
       .repartition(col("vec_id"))
@@ -549,6 +556,7 @@ object Similarity {
                  centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
+      .where(col("norm") > 0) // zero-norm: no cosine, excluded on both sides
     // TakeOrderedAndProject (per-partition top-k, no global shuffle) picks
     // the default centroid rows; list ids are then assigned driver-side over
     // the collected nLists rows — a window over an unpartitioned frame, even
@@ -595,6 +603,7 @@ object Similarity {
                  numPlanes: Int = 12, numTables: Int = 4, dim: Int = 64): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
+      .where(col("norm") > 0) // zero-norm: no cosine, excluded on both sides
     // one bucket id per table, with the table index salted into the planes;
     // only (vec_id, table, bucket) flows into the candidate join — vectors
     // re-join AFTER the distinct, so the dedup shuffle moves ids, not
@@ -808,6 +817,7 @@ object Similarity {
                     centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
+      .where(col("norm") > 0) // zero-norm: no cosine, excluded on both sides
     val centroidRows = centroidRowsOf(base, k, centroidsOpt)
     require(centroidRows.nonEmpty, "no centroids: empty input")
     assignToCells(base, centroidRows)
@@ -1008,6 +1018,7 @@ object Similarity {
                     centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
+      .where(col("norm") > 0) // zero-norm: no cosine, excluded on both sides
     val centroidRows = centroidRowsOf(base, k, centroidsOpt)
     require(centroidRows.nonEmpty, "no centroids: empty input")
     val assigned = assignToCells(base, centroidRows)
@@ -1078,6 +1089,7 @@ object Similarity {
                        centroidsOpt: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
+      .where(col("norm") > 0) // zero-norm: no cosine, excluded on both sides
     val centroidRows = centroidRowsOf(base, k, centroidsOpt)
     require(centroidRows.nonEmpty, "no centroids: empty input")
     assignToCells(base, centroidRows)
@@ -1136,8 +1148,11 @@ object Similarity {
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") === 1)
       .groupBy(col("true_label").as("label"))
+      // null-safe correctness term: a null true_label can never be
+      // "correct" (0, not NULL — the SQL CASE ... ELSE 0 semantics)
       .agg(count(lit(1)).as("n_vecs"),
-        sum((col("clabel") === col("true_label")).cast("long")).as("n_correct"))
+        sum(when(col("clabel") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
       .select(col("label"), col("n_vecs"), col("n_correct"),
         expr("(n_correct * 10000) DIV n_vecs").as("acc_bp"))
   }

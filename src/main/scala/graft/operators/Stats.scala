@@ -148,6 +148,9 @@ object Stats {
                     tick: Double = 0.01): DataFrame = {
     require(tick > 0, "tick must be positive")
     val cells = df
+      // NaN is junk, not a quantile observation — excluded on both
+      // sides (the oracle filters NOT isnan(value))
+      .where(!isnan(col(valueCol).cast("double")))
       .select(col(keyCol), floor(col(valueCol) / tick).cast("long").as("__v"))
       .where(col("__v").isNotNull)
       .groupBy(col(keyCol), col("__v")).agg(count(lit(1)).as("__c"))

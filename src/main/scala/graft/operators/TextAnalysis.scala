@@ -52,8 +52,7 @@ object TextAnalysis {
     val nToks = size(tokens(text)).cast("double")
     val nPunct = size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0))).cast("double")
     val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double")
-    val stopRe = "\\b(" + stopwords.mkString("|") + ")\\b"
-    val nStop = size(regexp_extract_all(lower(text), lit(stopRe), lit(0))).cast("double")
+    val nStop = markerCount(text, stopwords).cast("double")
     // composite: reward length (saturating at 200 tokens) + stopword presence,
     // penalize digit/punct noise
     round(
@@ -74,8 +73,7 @@ object TextAnalysis {
     val nToks = size(toks).cast("double")
     val nPunct = size(regexp_extract_all(col("text"), lit("[\\.,;:!\\?]"), lit(0))).cast("double")
     val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double")
-    val stopRe = "\\b(" + stopwords.mkString("|") + ")\\b"
-    val nStop = size(regexp_extract_all(lower(col("text")), lit(stopRe), lit(0))).cast("double")
+    val nStop = markerCount(col("text"), stopwords).cast("double")
     docs.select(
       col("doc_id"),
       round(when(nChars > 0, nPunct / nChars).otherwise(0.0), 4).as("punct_ratio"),
@@ -152,7 +150,7 @@ object TextAnalysis {
       Seq.empty, "global_cut")
     srcCuts.join(broadcast(globalCuts), Seq("decile"))
       .select(col("source"), col("decile"), col("source_cut"), col("global_cut"))
-      .orderBy(col("source"), col("decile"))
+      .orderBy(col("source").asc_nulls_last, col("decile")) // null source: DuckDB NULLS LAST
   }
 
   /** Marker-word lists per language for the n-gram heuristic language ID. */
@@ -165,10 +163,30 @@ object TextAnalysis {
 
   /** Marker-hit score columns `s_<lang>` over `text` — the first projection
     * of [[languageId]], exposed for fused pipelines. */
+  /** ASCII-pinned case fold: A-Z -> a-z ONLY. java.lang full case
+    * mapping and utf8proc/ICU codepoint mapping disagree outside ASCII
+    * (U+0130 Istanbul-I lowers to "i"+combining-dot in Java but "i" in
+    * DuckDB; eszett/ligatures differ too), so any tokenization built on
+    * engine `lower` diverges between engines on non-ASCII corpora. The
+    * whole text pipeline folds case through this translate instead --
+    * non-ASCII case is preserved as-is, identically everywhere.
+    */
+  def asciiLower(c: Column): Column =
+    translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+  /** Marker-word count with ASCII word semantics, pinned across engines:
+    * split on maximal non-[a-z0-9_] runs and count tokens in `words`.
+    * Equivalent to \\b-delimited matching for ASCII words, but Java's \\b
+    * treats combining marks (U+0300+) as word characters while RE2's is
+    * ASCII-only — the split form evaluates identically in both.
+    */
+  private[operators] def markerCount(text: Column, words: Seq[String]): Column =
+    size(filter(split(asciiLower(text), "[^a-z0-9_]+"),
+      t => t.isin(words: _*)))
+
   private[operators] def langScoreCols(text: Column): Seq[Column] =
     langMarkers.map { case (lang, words) =>
-      val re = "\\b(" + words.mkString("|") + ")\\b"
-      size(regexp_extract_all(lower(text), lit(re), lit(0))).cast("long").as(s"s_$lang")
+      markerCount(text, words).cast("long").as(s"s_$lang")
     }
 
   /** Argmax over the `s_<lang>` columns with deterministic alphabetical
@@ -176,9 +194,15 @@ object TextAnalysis {
     * (alphabetically smallest) wins ties. Evaluate over a projection that
     * already computed [[langScoreCols]] (the scores are attribute refs, so
     * the fold never recomputes a regex).
+    *
+    * Seeded with the LAST language so a null-text row (all scores NULL —
+    * every `when` condition unknown) resolves to the same answer as the
+    * oracle's CASE chain, whose all-NULL comparisons fall through to
+    * `ELSE 'zh'`. Non-null scores always beat the -1 seed, so real rows
+    * are unaffected.
     */
   private[operators] def predictedFromScores: Column =
-    langMarkers.map(_._1).foldLeft((lit(""), lit(-1L))) {
+    langMarkers.map(_._1).foldLeft((lit(langMarkers.last._1), lit(-1L))) {
       case ((bestLang, bestScore), lang) =>
         val s = col(s"s_$lang")
         (when(s > bestScore, lit(lang)).otherwise(bestLang),
@@ -314,7 +338,7 @@ object TextAnalysis {
       size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
     val w = greatest(nTokensExpr(col("text")), lit(1L))
     val s = greatest(cnt(col("text"), "[\\.!\\?]+"), lit(1L))
-    val syl = greatest(cnt(lower(col("text")), "[aeiouy]+"), w)
+    val syl = greatest(cnt(asciiLower(col("text")), "[aeiouy]+"), w)
     val flesch = lit(206.835) -
       lit(1.015) * (w.cast("double") / s.cast("double")) -
       lit(84.6) * (syl.cast("double") / w.cast("double"))
@@ -334,7 +358,7 @@ object TextAnalysis {
 
   /** Canonical text normalization: lowercase, collapse whitespace, trim. */
   def normalized(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(asciiLower(text), "\\s+", " "))
 
   /** Deterministic document fingerprint: md5 over normalized text. */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -432,7 +456,7 @@ object TextAnalysis {
           size(xs).cast("double"), 4))
         .otherwise(0.0)
     docs
-      .select(col("doc_id"), tokens(lower(col("text"))).as("w"))
+      .select(col("doc_id"), tokens(asciiLower(col("text"))).as("w"))
       // CaseWhen evaluates branches lazily per row, so the descending
       // sequence(1, size-2) for short docs is never constructed
       .withColumn("ng",
@@ -461,7 +485,7 @@ object TextAnalysis {
   /** (token, n) corpus token counts — one scan + one hash aggregate; the
     * shared head of [[vocab]] and [[oovRate]]. */
   private def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(explode(tokens(lower(col("text")))).as("token"))
+    docs.select(explode(tokens(asciiLower(col("text")))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
 
   def vocab(docs: DataFrame, k: Int = 100): DataFrame = {
@@ -630,7 +654,7 @@ object TextAnalysis {
     val v = tokenCounts(docs)
       .orderBy(col("n").desc, col("token")).limit(vocabSize)
       .select(col("token"), lit(1).as("in_vocab"))
-    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+    docs.select(col("doc_id"), explode(tokens(asciiLower(col("text")))).as("token"))
       .join(broadcast(v), Seq("token"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -671,7 +695,7 @@ object TextAnalysis {
     */
   def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
     val tf = docs
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .select(col("doc_id"), explode(tokens(asciiLower(col("text")))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
@@ -702,7 +726,7 @@ object TextAnalysis {
   def sourceSignatureTerms(docs: DataFrame, k: Int = 3,
                            minCount: Long = 20L): DataFrame = {
     val tok = docs.select(col("source"),
-      explode(tokens(lower(col("text")))).as("token"))
+      explode(tokens(asciiLower(col("text")))).as("token"))
     val srcTok = tok.groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("c"))
     val srcTot = srcTok.groupBy(col("source")).agg(sum(col("c")).as("__ns"))
@@ -744,7 +768,7 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("n_mixed"),
         floor(col("n_mixed") * 10000.0 / col("n_docs") + 0.5).cast("long")
           .as("mixed_bp"))
-      .orderBy(col("source"))
+      .orderBy(col("source").asc_nulls_last) // null source: DuckDB NULLS LAST
   }
 
   /** Bigram autocomplete table: for each prefix word, the top-k next
@@ -758,7 +782,7 @@ object TextAnalysis {
     */
   def bigramAutocomplete(docs: DataFrame, k: Int = 3,
                          minCount: Long = 10L): DataFrame = {
-    val toks = tokens(lower(col("text")))
+    val toks = tokens(asciiLower(col("text")))
     val bi = docs
       .select(toks.as("__w"))
       .where(size(col("__w")) >= 2)
@@ -792,7 +816,7 @@ object TextAnalysis {
     */
   def vocabOverlapMatrix(docs: DataFrame): DataFrame = {
     val v = docs
-      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .select(col("source"), explode(tokens(asciiLower(col("text")))).as("tok"))
       .distinct()
     val sz = v.groupBy(col("source")).agg(count(lit(1)).as("nv"))
     v.as("a").join(v.as("b"),
@@ -887,7 +911,7 @@ object TextAnalysis {
     val model = counts.crossJoin(broadcast(total))
       .select(col("token"),
         lnMicros(col("__t").cast("double") / col("n")).as("__nll"))
-    docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+    docs.select(col("doc_id"), explode(tokens(asciiLower(col("text")))).as("token"))
       .join(model, Seq("token"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__nll")).as("nll_micro"))
@@ -906,7 +930,7 @@ object TextAnalysis {
     */
   def paddingEfficiency(docs: DataFrame, k: Int = 4): DataFrame = {
     val lens = docs.select(col("doc_id"),
-      size(tokens(lower(col("text")))).cast("long").as("__len"))
+      size(tokens(asciiLower(col("text")))).cast("long").as("__len"))
     Stats.quantileBuckets(lens, valueCol = "__len", k = k, bucketCol = "bucket")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), max(col("__len")).as("max_len"),
@@ -1000,7 +1024,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val avail = docs
-      .select(col("source"), size(tokens(lower(col("text")))).cast("long").as("__t"))
+      .select(col("source"), size(tokens(asciiLower(col("text")))).cast("long").as("__t"))
       .groupBy(col("source")).agg(sum(col("__t")).as("__a"))
       .orderBy(col("__a"), col("source"))
       .as[(String, Long)].collect()
@@ -1047,7 +1071,7 @@ object TextAnalysis {
       .select(col("token"), col("n").as("__cq"))
     val nq = top.agg(sum(col("__cq")).as("__nq"))
     val srcTok = docs
-      .select(col("source"), explode(tokens(lower(col("text")))).as("token"))
+      .select(col("source"), explode(tokens(asciiLower(col("text")))).as("token"))
       .join(broadcast(top.select("token")), Seq("token"))
       .groupBy(col("source"), col("token")).agg(count(lit(1)).as("__cs"))
     val grid = docs.select(col("source")).distinct()
@@ -1163,14 +1187,14 @@ object TextAnalysis {
                        valPct: Int = 5): DataFrame = {
     val tagged = docs.withColumn("__split", splitExpr(trainPct, valPct))
     val counts = tagged.where(col("__split") === "train")
-      .select(explode(tokens(lower(col("text")))).as("token"))
+      .select(explode(tokens(asciiLower(col("text")))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum(col("__c")).as("__t"))
     val vocabN = docs
-      .select(explode(tokens(lower(col("text")))).as("token"))
+      .select(explode(tokens(asciiLower(col("text")))).as("token"))
       .agg(countDistinct(col("token")).as("__v"))
     tagged.where(col("__split") === "val")
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .select(col("doc_id"), explode(tokens(asciiLower(col("text")))).as("token"))
       .join(counts, Seq("token"), "left")
       .crossJoin(broadcast(total)).crossJoin(broadcast(vocabN))
       .select(col("doc_id"),
@@ -1258,7 +1282,7 @@ object TextAnalysis {
   /** The (doc_id, prev, cur) bigram stream with multiplicity — shared by
     * [[bigramLmScore]] and [[collocations]]. */
   private def bigramPairs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(lower(col("text"))).as("__w"))
+    docs.select(col("doc_id"), tokens(asciiLower(col("text"))).as("__w"))
       .where(size(col("__w")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("__w")) - 1),
@@ -1338,14 +1362,14 @@ object TextAnalysis {
   /** The composite PII flag as a pure column over `text` — exposed for
     * [[CorpusPrep]] fusion (same patterns and match domain as [[piiScan]]). */
   def piiFlagExpr(text: Column): Column = {
-    val low = lower(text)
+    val low = asciiLower(text)
     piiPatterns.map { case (_, pat, _) =>
       size(regexp_extract_all(low, lit(pat), lit(0))) > 0
     }.reduce(_ || _)
   }
 
   def piiScan(docs: DataFrame): DataFrame = {
-    val low = lower(col("text"))
+    val low = asciiLower(col("text"))
     val counts = piiPatterns.map { case (name, pat, _) =>
       size(regexp_extract_all(low, lit(pat), lit(0))).cast("long").as(s"n_$name")
     }
@@ -1361,7 +1385,7 @@ object TextAnalysis {
     * Output: doc_id, redacted.
     */
   def redactPii(docs: DataFrame): DataFrame = {
-    val redacted = piiPatterns.foldLeft(lower(col("text"))) {
+    val redacted = piiPatterns.foldLeft(asciiLower(col("text"))) {
       case (acc, (_, pat, token)) => regexp_replace(acc, pat, token)
     }
     docs.select(col("doc_id"), redacted.as("redacted"))
@@ -1378,7 +1402,7 @@ object TextAnalysis {
   def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
     require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
       "need 0 < stride <= chunkTokens (gaps would drop tokens)")
-    val words = tokens(lower(col("text")))
+    val words = tokens(asciiLower(col("text")))
     docs
       .select(col("doc_id"), words.as("w"))
       .where(size(col("w")) > 0)
@@ -1463,7 +1487,7 @@ object TextAnalysis {
                       valPct: Int = 5,
                       hash32: Column => Column = md5Hash32): DataFrame =
     docs.select(col("doc_id"), col("source"),
-      size(tokens(lower(col("text")))).cast("long").as("__ntok"),
+      size(tokens(asciiLower(col("text")))).cast("long").as("__ntok"),
       hash32(col("text")).as("__h"),
       splitExpr(trainPct, valPct, hash32).as("split"))
       .groupBy(col("split"), col("source"))
@@ -1496,8 +1520,16 @@ object TextAnalysis {
     val n = newManifest.select(col("split"), col("source"),
       col("n_docs").as("__nd"), col("n_tokens").as("__nt"),
       col("content_sum").as("__ns"))
-    o.join(n, Seq("split", "source"), "full_outer")
-      .select(col("split"), col("source"),
+    // null-SAFE source match: a null-source bucket in both manifests is
+    // the SAME bucket and must diff as one row, not split into a
+    // spurious added/removed pair (whose tie order then diverges
+    // between engines); the oracle uses IS NOT DISTINCT FROM
+    o.as("mo").join(n.as("mn"),
+        col("mo.split") === col("mn.split") &&
+          col("mo.source") <=> col("mn.source"),
+        "full_outer")
+      .select(coalesce(col("mo.split"), col("mn.split")).as("split"),
+        coalesce(col("mo.source"), col("mn.source")).as("source"),
         coalesce(col("__od"), lit(0L)).as("old_docs"),
         coalesce(col("__nd"), lit(0L)).as("new_docs"),
         (coalesce(col("__nd"), lit(0L)) - coalesce(col("__od"), lit(0L)))
@@ -1703,7 +1735,7 @@ object TextAnalysis {
     def weight(b: Column): Column =
       hash32(concat(lit("w:"), b.cast("string")))
         .cast("double") / lit(2147483648.0) - lit(1.0)
-    val toks = tokens(lower(text))
+    val toks = tokens(asciiLower(text))
     round(
       when(size(toks) > 0,
         aggregate(transform(toks, tk => weight(bucket(tk))), lit(0.0), _ + _) /
@@ -1715,7 +1747,9 @@ object TextAnalysis {
                             threshold: Double = 0.0,
                             hash32: Column => Column = md5Hash32): DataFrame =
     docs.select(col("doc_id"),
-      nTokensExpr(col("text")).as("n_tokens"),
+      // null text has zero tokens, not a null count (the oracle's
+      // LEFT JOIN + coalesce(n_tokens, 0) convention)
+      coalesce(nTokensExpr(col("text")), lit(0L)).as("n_tokens"),
       classifierScoreExpr(col("text"), numBuckets, hash32).as("score"))
       .withColumn("keep", col("score") > threshold)
 
@@ -2058,7 +2092,7 @@ object TextAnalysis {
     * locale-sensitive case folding is out of scope by design.
     */
   def normalizedTextExpr(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    trim(regexp_replace(regexp_replace(asciiLower(text), "[^a-z0-9 ]", " "), " +", " "))
 
   /** Normalized exact-dedup groups: documents that collide after
     * [[normalizedTextExpr]] — the cheap recall layer between exact-hash
@@ -2179,7 +2213,7 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
     val toks = docs.select(col("doc_id"),
-      explode(tokens(lower(col("text")))).as("tok"))
+      explode(tokens(asciiLower(col("text")))).as("tok"))
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("__len"))
     val stats = lens.agg(count(lit(1)).as("__N"), sum(col("__len")).as("__L"))
     val tf = toks.where(col("tok").isin(query: _*))
@@ -2258,7 +2292,7 @@ object TextAnalysis {
   def bpePairCounts(docs: DataFrame, k: Int = 20): DataFrame = {
     val ord = Seq(col("n").desc, col("pair").asc)
     docs
-      .select(explode(tokens(lower(col("text")))).as("word"))
+      .select(explode(tokens(asciiLower(col("text")))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .where(length(col("word")) >= 2)
       .select(col("wc"), explode(expr(
@@ -2365,7 +2399,7 @@ object TextAnalysis {
     * Output: doc_id, w1, w2, w3, n_occ.
     */
   def phraseMatchTopTrigram(docs: DataFrame): DataFrame = {
-    val toks = tokens(lower(col("text")))
+    val toks = tokens(asciiLower(col("text")))
     val tri = docs
       .select(col("doc_id"), toks.as("__w"))
       .where(size(col("__w")) >= 3)

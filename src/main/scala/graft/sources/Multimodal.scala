@@ -45,6 +45,11 @@ object Multimodal {
     * engine-portable pseudo-random pixel source.
     */
   def pixelBytes(text: String, n: Int): Array[Byte] = {
+    // a null payload is an all-zero raster/PCM field on BOTH sides:
+    // the oracle's md5(NULL || ...) is NULL, which its pixel extraction
+    // reads as 0 — Scala's ("" + null) would instead hash the literal
+    // string "null" and silently diverge
+    if (text == null) return new Array[Byte](n)
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Byte](n)
     var off = 0

@@ -2090,28 +2090,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
         bp === (nHit * 20000 + nExact) / (2 * nExact) })
   }
 
-  test("kmeans refine: pure cells recover their axis, counts partition the corpus, zero-norm adds zero ticks") {
+  test("kmeans refine: pure cells recover their axis, counts partition the non-zero corpus, zero-norm excluded") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),   // seed 0 (axis e1)
       (1L, Array(0f, 1f, 0f, 0f)),   // seed 1 (axis e2)
       (2L, Array(2f, 0f, 0f, 0f)),   // cluster 0: unit-normalizes to e1
       (3L, Array(5f, 0f, 0f, 0f)),   // cluster 0: unit-normalizes to e1
       (4L, Array(0f, 3f, 0f, 0f)),   // cluster 1: unit-normalizes to e2
-      (5L, Array(0f, 0f, 0f, 0f))    // zero norm: no direction to contribute
+      (5L, Array(0f, 0f, 0f, 0f))    // zero norm: no cosine — excluded
     ).toDF("vec_id", "embedding")
     val got = Similarity.kmeansRefineStep(vecs, k = 2)
       .orderBy("cluster", "i").as[(Long, Long, Long, Double)].collect()
     assert(got.length === 8) // 2 clusters × 4 dims
-    // n_members is constant across a cluster's dims and partitions the corpus
+    // n_members is constant across a cluster's dims and partitions the
+    // NON-ZERO corpus: the zero vector has no cosine to any centroid and
+    // is excluded at the scan on both engine and oracle sides (ANSI would
+    // otherwise raise on the 0-norm division)
     val counts = got.groupBy(_._1).map { case (c, rows) =>
       assert(rows.map(_._3).distinct.length === 1); c -> rows.head._3 }
-    assert(counts.values.sum === 6L)
-    // cluster 0 = {0,2,3} plus the zero vector (zero-norm cosine is defined
-    // as 0.0, ties to the lowest cell): three exact-e1 members at 1e6 ticks
-    // each + one zero contribution over n=4 → c_new(i=1) = 3e6/4/1e6 = 0.75
-    assert(counts(0L) === 4L && counts(1L) === 2L)
+    assert(counts.values.sum === 5L)
+    // cluster 0 = {0,2,3}: three exact-e1 members at 1e6 ticks over n=3
+    assert(counts(0L) === 3L && counts(1L) === 2L)
     val c0 = got.filter(_._1 == 0L).map(_._4)
-    assert(c0.toSeq === Seq(0.75, 0.0, 0.0, 0.0))
+    assert(c0.toSeq === Seq(1.0, 0.0, 0.0, 0.0))
     val c1 = got.filter(_._1 == 1L).map(_._4)
     assert(c1.toSeq === Seq(0.0, 1.0, 0.0, 0.0))
   }
