@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as one JSON object. Two sbt default behaviors have broken
+// that parse every round so far: the logger prefixes forked program output
+// with "[info] ", and sbt appends a "[success] Total time: ..." line AFTER
+// the program's output. StdoutOutput passes the forked JVM's stdout
+// through verbatim, and showSuccess drops the trailing banner, so the
+// bench's final println IS the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -144,13 +144,19 @@ object Bench {
     val (qj, omitted) = qsParts()
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qj,""" +
       s""""omitted_fastest":$omitted,"sf":"$sfDir","iters":$iters,"pass_totals":$passTotals}"""
-    // hard guard on the driver's 2000-char stdout tail (minus sbt's
-    // trailing success line): if a future query explosion ever overruns
-    // it, fail to a bare-summary line rather than an unparseable one
-    println(
+    // the ONE parseable stdout line, printed as the very LAST thing the
+    // process writes to stdout, AFTER spark.stop() (so no Spark shutdown
+    // output can trail it) — build.sbt's StdoutOutput + showSuccess=false
+    // keep sbt from prefixing it or appending a success banner. Hard
+    // guard on the driver's 2000-char tail: if a future query explosion
+    // ever overruns it, fail to a bare-summary line, never an
+    // unparseable one.
+    val out =
       if (line.length <= 1900) line
       else s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},""" +
-        s""""omitted_fastest":${names.length},"sf":"$sfDir","iters":$iters,"pass_totals":$passTotals}""")
+        s""""omitted_fastest":${names.length},"sf":"$sfDir","iters":$iters,"pass_totals":$passTotals}"""
     spark.stop()
+    println(out)
+    System.out.flush()
   }
 }
