@@ -902,6 +902,45 @@ object ScaleCheck {
     // are the near-dup clusters, so pair volume is family-bounded
     time(s"prefix-filter exact Jaccard join over $nDocs docs")(
       Dedup.prefixFilterJaccardPairs(docs, 19, 20).count())
+    // q220 adversarial: tokens shared by 100% of docs land in every
+    // doc's PREFIX, but every cross-doc pair fails the positional filter
+    // (each doc: 5 unique fillers ranked 1-5 by df, then 7 universal
+    // commons; prefix at θ=1/2 covers ranks 1-7, so two commons per doc
+    // post with slack ≤ 6, and 1 + min slack = 7 < minOverlap
+    // ceil(24/3) = 8 kills every candidate — true Jaccard is ≤ 7/17).
+    // The r7 shape still materialized ≈ N²/chunk rows on BOTH candidate-
+    // join inputs for this corpus before filtering anything; the size-
+    // ordered chunk STATS carry the same positional bound per chunk, so
+    // every hot chunk pair prunes wholesale and ZERO candidate rows are
+    // ever materialized. Probed at two sizes: exact-zero candidates and
+    // near-linear wall time, at a scale (N²/512 ≈ 20M rows) where the
+    // old shape was distinctly super-linear.
+    locally {
+      def hotCorpus(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+        concat(
+          array_join(transform(sequence(lit(0L), lit(4L)),
+            j => concat(lit("w"), col("id") * 8 + j)), " "),
+          lit(" c1x c2x c3x c4x c5x c6x c7x")).as("text"))
+      def candRows(n: Int): Long = {
+        val base = hotCorpus(n).select(col("doc_id"),
+          array_sort(array_distinct(graft.operators.TextAnalysis.tokens(
+            graft.operators.TextAnalysis.asciiLower(col("text"))))).as("__toks"))
+        Dedup.prefixFilterCandidates(base, 1, 2).count()
+      }
+      val (nA, nB) = (50000, 100000)
+      val t0 = System.nanoTime()
+      val cA = time(s"prefix-filter CANDIDATES, 7 tokens in 100% of $nA docs")(candRows(nA))
+      val tA = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val cB = time(s"prefix-filter CANDIDATES, 7 tokens in 100% of $nB docs")(candRows(nB))
+      val tB = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] q220 hot-token probe: candidates $cA%d/$cB%d, ${tB / tA}%.2fx time at 2x docs")
+      assert(cA == 0 && cB == 0,
+        s"positional chunk pruning regressed: $cA/$cB candidate rows " +
+          "materialized on a corpus where every pair fails the positional filter")
+      assert(tB / tA < 3.5,
+        f"hot-token candidate time grew super-linearly (${tB / tA}%.2fx at 2x docs)")
+    }
     // q221: one fused scan (score + gate) + a ≤ ~200-key agg
     time(s"classifier calibration over $nDocs docs")(
       graft.operators.TextAnalysis.scoreCalibration(docs).count())

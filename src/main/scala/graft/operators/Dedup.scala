@@ -934,6 +934,29 @@ object Dedup {
     val base = docs.select(col("doc_id"),
       array_sort(array_distinct(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))))
         .as("__toks"))
+    val cand = prefixFilterCandidates(base, num, den)
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("__toks").as("__ta")),
+        Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("__toks").as("__tb")),
+        Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .where(col("n_common") * den >= (col("n_a") + col("n_b") - col("n_common")) * num)
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
+  }
+
+  /** The candidate set behind [[prefixFilterJaccardPairs]] — every pair
+    * surviving the prefix, length, and positional filters, BEFORE exact
+    * verification. Exposed for the scale probes: the operator's 100 TB
+    * risk is candidate-row growth on hot prefix tokens, and this is the
+    * relation whose cardinality measures it. Expects (doc_id, __toks).
+    */
+  private[graft] def prefixFilterCandidates(base: DataFrame, num: Int,
+                                            den: Int): DataFrame = {
     val tk = base.select(col("doc_id"), explode(col("__toks")).as("tok"))
     val dfreq = tk.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
@@ -947,44 +970,64 @@ object Dedup {
     // help when the whole corpus shares a small vocabulary — measured
     // 3.8k-doc postings at 5k docs) would generate its c²/2 pairs inside
     // ONE join key = one task. Split each token's posting list into
-    // 512-row chunks ordered by doc_id and join on (tok, loChunk,
-    // hiChunk): doc_a < doc_b implies chunk_a ≤ chunk_b, every pair
-    // meets at exactly one chunk pair, and the explosion parallelizes
-    // across nchunks² keys. Replication is explode-bounded: ≤ nchunks
-    // keys per row, and only hot tokens have nchunks > 1.
+    // 512-row chunks ordered by DOC SIZE (ties by doc_id) — a chunk then
+    // spans a narrow contiguous size window, which makes chunk pairs
+    // prunable WHOLESALE before any doc-level row is replicated:
+    //
+    //   stats(tok, cid)   = (min sz, max sz, max positional slack)
+    //   feasible (lo, hi) = chunk-level relaxations of the pairwise
+    //                       length and positional filters — a chunk pair
+    //                       is dropped only when NO member pair could
+    //                       pass them (min sizes vs max sizes, best
+    //                       slack vs smallest possible minOverlap), so
+    //                       pruning is recall-lossless by construction.
+    //
+    // The candidate join then replicates ONLY the lo side, and only
+    // across its FEASIBLE partners (the r7 shape exploded lhs across
+    // every hi ∈ [cid, nc) AND rhs across every lo ∈ [0, cid] — a token
+    // in all N docs materialized ≈ N²/chunk rows on BOTH join inputs;
+    // here the hi side joins at ×1 replication, and on size-spread
+    // corpora the θ-window feasibility cuts the lo side to the near-
+    // linear band of chunk pairs whose size windows actually overlap).
     val chunk = 512
-    val wTok = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    val wTok = Window.partitionBy(col("tok")).orderBy(col("sz"), col("doc_id"))
     val px = prefix
       .withColumn("cid", ((row_number().over(wTok) - 1) / chunk).cast("long"))
-    val nch = px.groupBy(col("tok")).agg((max(col("cid")) + 1L).as("nc"))
-    val pxn = px.join(nch, Seq("tok"))
-    val lhs = pxn.select(col("tok"), col("doc_id"), col("rn"), col("sz"),
-      col("cid").as("lo"), explode(sequence(col("cid"), col("nc") - 1)).as("hi"))
-    val rhs = pxn.select(col("tok"), col("doc_id"), col("rn"), col("sz"),
-      explode(sequence(lit(0L), col("cid"))).as("lo"), col("cid").as("hi"))
+    val stats = px.groupBy(col("tok"), col("cid"))
+      .agg(min(col("sz")).as("mnSz"), max(col("sz")).as("mxSz"),
+        max(col("sz") - col("rn")).as("mxSlack"))
+    val cp = stats.as("x").join(stats.as("y"),
+        col("x.tok") === col("y.tok") && col("x.cid") <= col("y.cid") &&
+          // chunk-level length window: some (sa, sb) can satisfy the
+          // mutual θ band only if the windows overlap under θ
+          col("y.mxSz") * den >= col("x.mnSz") * num &&
+          col("x.mxSz") * den >= col("y.mnSz") * num &&
+          // chunk-level positional filter: best-case overlap bound vs
+          // the smallest minOverlap any member pair could need
+          lit(1L) + least(col("x.mxSlack"), col("y.mxSlack")) >=
+            expr(s"CAST(($num * (x.mnSz + y.mnSz) + ${num + den - 1}) " +
+              s"div ${num + den} AS BIGINT)"))
+      .select(col("x.tok").as("tok"), col("x.cid").as("lo"), col("y.cid").as("hi"))
     val minOverlap = expr(
-      s"CAST(($num * (a.sz + b.sz) + ${num + den - 1}) div ${num + den} AS BIGINT)")
-    val cand = lhs.as("a").join(rhs.as("b"),
-        col("a.tok") === col("b.tok") && col("a.lo") === col("b.lo") &&
-          col("a.hi") === col("b.hi") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.sz") * den >= col("a.sz") * num &&
-          col("a.sz") * den >= col("b.sz") * num &&
-          lit(1L) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))
-            >= minOverlap)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("n_a"), col("b.sz").as("n_b"))
+      s"CAST(($num * (sa + sb) + ${num + den - 1}) div ${num + den} AS BIGINT)")
+    px
+      .select(col("tok"), col("cid").as("lo"), col("doc_id").as("da"),
+        col("rn").as("ra"), col("sz").as("sa"))
+      .join(cp, Seq("tok", "lo"))
+      .join(px.select(col("tok"), col("cid").as("hi"), col("doc_id").as("db"),
+          col("rn").as("rb"), col("sz").as("sb")),
+        Seq("tok", "hi"))
+      .where(col("da") =!= col("db") &&
+        // a same-chunk pair meets in both (a,b) orders; emit it once
+        (col("lo") =!= col("hi") || col("da") < col("db")) &&
+        col("sb") * den >= col("sa") * num &&
+        col("sa") * den >= col("sb") * num &&
+        lit(1L) + least(col("sa") - col("ra"), col("sb") - col("rb"))
+          >= minOverlap)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("sa")).otherwise(col("sb")).as("n_a"),
+        when(col("da") < col("db"), col("sb")).otherwise(col("sa")).as("n_b"))
       .distinct()
-    cand
-      .join(base.select(col("doc_id").as("doc_a"), col("__toks").as("__ta")),
-        Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"), col("__toks").as("__tb")),
-        Seq("doc_b"))
-      .withColumn("n_common",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
-      .where(col("n_common") * den >= (col("n_a") + col("n_b") - col("n_common")) * num)
-      .withColumn("jaccard",
-        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
-      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
-        col("n_common"), col("jaccard"))
   }
 }
