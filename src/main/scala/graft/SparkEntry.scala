@@ -6808,7 +6808,7 @@ object SparkEntry {
         |g AS (SELECT q.quality AS v,
         |             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
         |             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
-        |      FROM q GROUP BY 1),
+        |      FROM q WHERE q.quality IS NOT NULL GROUP BY 1),
         |c AS (SELECT v,
         |             sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
         |               AND CURRENT ROW) AS cumA,
@@ -7269,11 +7269,11 @@ object SparkEntry {
         |                        AND a.g = 0 AND b.g = 1
         |      GROUP BY 1)
         |SELECT c.label, c.n_a, c.n_b,
-        |       CASE WHEN p.na2 = 0 OR p.nb2 = 0 THEN 0.0
+        |       CASE WHEN p.na2 IS NULL OR p.na2 = 0 OR p.nb2 = 0 THEN 0.0
         |            ELSE round(CAST(p.dp AS DOUBLE) /
         |                   (sqrt(CAST(p.na2 AS DOUBLE)) *
         |                    sqrt(CAST(p.nb2 AS DOUBLE))), 6) END AS drift_cosine
-        |FROM cnt c JOIN p USING (label) ORDER BY label""".stripMargin,
+        |FROM cnt c LEFT JOIN p USING (label) ORDER BY label""".stripMargin,
     // rank-1 by (count DESC, value ASC) ≡ the engine's struct extreme
     "q253_modal_hour" ->
       """WITH h AS (SELECT event_type AS key,

@@ -115,13 +115,18 @@ object AsOf {
       "payload columns collide with left columns; rename upstream")
     val epsMicro = math.round(eps * 1e6)
     def tick(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
-    // exact integer bucket — floorDiv semantics on both engines
-    def bucket(t: Column): Column =
-      floor(t.cast("double") / epsMicro).cast("long")
+    // exact integer bucket — the join key is the floor MULTIPLE
+    // t - pmod(t, eps) itself (pmod is always non-negative, so this is
+    // floorDiv·eps for every long tick), never a quotient: both long
+    // `/` and a double floor-divide lose ulps past 2^53 and would land
+    // boundary ticks in the wrong bucket, silently dropping true pairs
+    // in an operator advertised as exact. Neighbor probes step by
+    // ±epsMicro instead of ±1.
+    def bucket(t: Column): Column = t - pmod(t, lit(epsMicro))
     val l = left
       .withColumn("__lt", tick(col(leftVal)))
       .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("__b", col("__off") + bucket(col("__lt")))
+      .withColumn("__b", col("__off") * lit(epsMicro) + bucket(col("__lt")))
       .drop("__off")
     val r = right
       .withColumn("__rt", tick(col(rightVal)))

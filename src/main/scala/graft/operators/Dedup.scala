@@ -593,8 +593,14 @@ object Dedup {
     require(blockCols.nonEmpty, "need at least one blocking column")
     val eb = df
       .where(col(entityCol).isNotNull)
+      // concat_ws SKIPS null arguments, so (d, NULL, b) and (d, b, NULL)
+      // would collapse to one block key and an all-NULL tuple to "" —
+      // coalesce each column to a sentinel so distinct tuples stay
+      // distinct blocks (the partitionSkew recipe)
       .select(col(entityCol).as("__e"),
-        concat_ws("\u0001", blockCols.map(_.cast("string")): _*).as("__b"))
+        concat_ws("\u0001",
+          blockCols.map(c => coalesce(c.cast("string"), lit("\u2205"))): _*)
+          .as("__b"))
       .distinct()
     val sized = eb.groupBy(col("__b")).agg(count(lit(1)).as("__sz"))
       .where(col("__sz") <= maxBlockSize && col("__sz") >= 2)

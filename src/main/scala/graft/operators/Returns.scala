@@ -51,7 +51,7 @@ object Returns {
       .groupBy(col("symbol"), col("d"))
       .agg(count(lit(1)).as("n_returns"),
         sum(col("__r")).as("drift_bp"),
-        sum((col("__r") * col("__r")).cast("decimal(38,0)")).as("__rv"))
+        sum(col("__r").cast("decimal(38,0)") * col("__r")).as("__rv"))
       .select(col("symbol"), col("d"), col("n_returns"), col("drift_bp"),
         expr("CAST(__rv AS BIGINT)").as("rv"))
       .orderBy(col("symbol"), col("d"))
@@ -112,7 +112,7 @@ object Returns {
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__st", sum(col("__t")).over(w))
       .withColumn("__stt",
-        sum((col("__t") * col("__t")).cast("decimal(38,0)")).over(w))
+        sum(col("__t").cast("decimal(38,0)") * col("__t")).over(w))
       .where(col("__n") === nWin)
       .withColumn("mid_ticks", expr(s"CAST(__st DIV $nWin AS BIGINT)"))
       .withColumn("sd_ticks",
@@ -193,9 +193,9 @@ object Returns {
       .groupBy(col("sym_a"), col("sym_b"))
       .agg(count(lit(1)).as("n"),
         sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
-        sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("__sxy"),
-        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"),
-        sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("__syy"))
+        sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"),
+        sum(col("__y").cast("decimal(38,0)") * col("__y")).as("__syy"))
       .select(col("sym_a"), col("sym_b"), col("n"),
         round(
           (col("n") * col("__sxy").cast("double") -

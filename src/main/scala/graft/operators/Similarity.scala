@@ -902,13 +902,18 @@ object Similarity {
       .agg(sum(col("a.s").cast("decimal(38,0)") * col("b.s")).as("__dp"),
         sum(col("a.s").cast("decimal(38,0)") * col("a.s")).as("__na2"),
         sum(col("b.s").cast("decimal(38,0)") * col("b.s")).as("__nb2"))
-    counts.join(paired, Seq("label"))
+    // LEFT join: a label whose split puts every vector in ONE half has
+    // no paired row — the docstring's defined cosine 0.0, not a dropped
+    // label (the oracle mirrors with LEFT JOIN + the same CASE)
+    counts.join(paired, Seq("label"), "left")
       .select(col("label"), col("n_a"), col("n_b"),
-        when(col("__na2") === 0 || col("__nb2") === 0, lit(0.0))
-          .otherwise(round(col("__dp").cast("double") /
-            (sqrt(col("__na2").cast("double")) *
-              sqrt(col("__nb2").cast("double"))), 6)).as("drift_cosine"))
-      .orderBy(col("label"))
+        coalesce(
+          when(col("__na2") === 0 || col("__nb2") === 0, lit(0.0))
+            .otherwise(round(col("__dp").cast("double") /
+              (sqrt(col("__na2").cast("double")) *
+                sqrt(col("__nb2").cast("double"))), 6)),
+          lit(0.0)).as("drift_cosine"))
+      .orderBy(col("label").asc_nulls_last)
   }
 
   /** Embedding-table health audit — the pre-flight check before any

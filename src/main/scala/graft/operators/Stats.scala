@@ -744,7 +744,7 @@ object Stats {
       .agg((datediff(max(col("__d")), min(col("__d"))) + 1).cast("long")
           .as("n_days"),
         sum(col("__c")).as("total"),
-        sum(col("__c") * col("__c")).as("__sq"))
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__sq"))
       .select(col("key"), col("n_days"), col("total"),
         expr("""CAST(((CAST(n_days AS DECIMAL(38,0)) * __sq
                  - CAST(total AS DECIMAL(38,0)) * total) * 1000000)
@@ -862,7 +862,7 @@ object Stats {
                       DIV __ng AS DECIMAL(38,0))""")).as("__ssbRaw"))
     val byKey = daily.groupBy(col("key"))
       .agg(count(lit(1)).as("n_days"), sum(col("__c")).as("__s"),
-        sum(col("__c") * col("__c")).as("__sq"))
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__sq"))
     byKey.join(byDow, Seq("key"))
       .withColumn("__corr", expr(
         "CAST((CAST(__s AS DECIMAL(38,0)) * __s * 1000000) DIV n_days AS DECIMAL(38,0))"))
@@ -936,6 +936,10 @@ object Stats {
     */
   def ksTest(df: DataFrame, valueCol: String, groupExpr: Column): DataFrame = {
     val grid = df
+      // the CDF is over observed values only: a NULL value is not an
+      // observation, and as a grid cell it would sort NULLS FIRST in
+      // Spark / NULLS LAST in DuckDB inside the cumulative window
+      .where(col(valueCol).isNotNull)
       .select(col(valueCol).as("__v"),
         when(groupExpr, 0L).otherwise(1L).as("__g"))
       .groupBy(col("__v"))
