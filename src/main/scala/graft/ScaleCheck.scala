@@ -944,6 +944,30 @@ object ScaleCheck {
     // q221: one fused scan (score + gate) + a ≤ ~200-key agg
     time(s"classifier calibration over $nDocs docs")(
       graft.operators.TextAnalysis.scoreCalibration(docs).count())
+    // q287/q289: one token-df hash agg (+ a distinct presence relation /
+    // a TakeOrdered top-k) — pure map-side-combine shapes
+    time(s"hapax census over $nDocs docs")(
+      graft.operators.TextAnalysis.hapaxCensus(sourced).count())
+    time(s"token dispersion over $nDocs docs")(
+      graft.operators.TextAnalysis.tokenDispersion(docs).count())
+    // q288: fingerprint scan + per-source distinct count
+    time(s"dup inflation over $nDocs docs")(
+      graft.operators.Dedup.dupInflation(sourced).count())
+    // q291: bounded per-source agg + a strata-dim remainder window
+    time(s"neyman allocation over $nDocs docs")(
+      graft.operators.Stats.neymanAllocation(
+        sourced.select(col("source").as("k"),
+          floor(graft.operators.TextAnalysis.qualityExpr(col("text")) * 10000
+            + 0.5).cast("long").as("t")),
+        "k", "t", budget = 10000L).count())
+    // q293: min-doc-per-token agg + a log₂(n)-row checkpoint join — the
+    // no-running-distinct claim is exactly what this times
+    time(s"heaps-law curve over $nDocs docs")(
+      graft.operators.TextAnalysis.heapsLawCurve(docs).count())
+    // q292: rides the verified-LSH candidate chain (probed at q103) +
+    // two windows over candidate rows only
+    time(s"mutual best match over $nDocs docs")(
+      graft.operators.Dedup.mutualBestMatch(docs).count())
     // q225: trigram transform + TakeOrdered top-1 + broadcast semi-join
     time(s"phrase match over $nDocs docs")(
       graft.operators.TextAnalysis.phraseMatchTopTrigram(docs).count())

@@ -2270,6 +2270,43 @@ object SparkEntry {
         .select("event_type", "hour", "n", "share_bp")
         .orderBy(col("event_type").asc_nulls_last, col("hour").asc_nulls_last)
     }),
+    // vocabulary health: hapax share per source on corpus-global
+    // occurrence counts — Zipf-healthy text runs ~40-60%, templated
+    // text collapses, OCR junk explodes
+    "q287_hapax_census" -> ((s, dir) =>
+      TextAnalysis.hapaxCensus(Tables.documents(s, dir))),
+    // raw docs over distinct normalized fingerprints per source, the
+    // "how much of this source is re-posts" pre-dedup review number
+    "q288_dup_inflation" -> ((s, dir) =>
+      Dedup.dupInflation(Tables.documents(s, dir))),
+    // corpus-head burstiness: of each top-20 token's occurrences, the
+    // distinct-doc share in floor bp (10000 = function word, low =
+    // templated/bursty)
+    "q289_token_dispersion" -> ((s, dir) =>
+      TextAnalysis.tokenDispersion(Tables.documents(s, dir)).orderBy("rank")),
+    // label-noise candidates: worst-20 own-centroid-minus-best-rival
+    // cosine margins (negative = another class explains the vector
+    // better than its own label)
+    "q290_label_margin" -> ((s, dir) =>
+      Similarity.labelMarginWorst(Tables.embeddings(s, dir)).orderBy("rank")),
+    // Neyman-optimal annotation-budget split across sources: exact
+    // integer spread weights (sqrt of N·Σt²−(Σt)² over quality ticks),
+    // largest-remainder rounding sums to exactly the budget
+    "q291_neyman_allocation" -> ((s, dir) =>
+      Stats.neymanAllocation(
+        Tables.documents(s, dir).select(
+          coalesce(col("source").cast("string"), lit("<none>")).as("src"),
+          floor(TextAnalysis.qualityExpr(col("text")) * 10000 + 0.5)
+            .cast("long").as("qt")),
+        keyCol = "src", tickCol = "qt", budget = 10000L)),
+    // reciprocal best-Jaccard partners across the doc-parity split —
+    // the cross-snapshot alignment primitive over verified LSH pairs
+    "q292_mutual_best" -> ((s, dir) =>
+      Dedup.mutualBestMatch(Tables.documents(s, dir)).orderBy("doc_even")),
+    // Heaps-law vocab-growth checkpoints + log-log OLS slope: tokens
+    // are new at their MIN doc rank, so no running distinct anywhere
+    "q293_heaps_law" -> ((s, dir) =>
+      TextAnalysis.heapsLawCurve(Tables.documents(s, dir))),
   )
 
   /** q98's mixture config: one source kept whole, one dropped whole,
@@ -7993,6 +8030,166 @@ object SparkEntry {
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
         |      FROM orders) t
         |WHERE rk = 1 ORDER BY o_custkey""".stripMargin,
+    // occurrence-count df; a df=1 token belongs to one source, so the
+    // census partitions the global hapax set; HALF_UP bp
+    "q287_hapax_census" ->
+      s"""WITH tok AS (SELECT coalesce(source, '<none>') AS source, doc_id,
+        |         unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
+        |                            x -> x <> '')) AS token
+        |       FROM documents),
+        |d AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+        |p AS (SELECT DISTINCT source, token FROM tok)
+        |SELECT p.source, CAST(count(*) AS BIGINT) AS vocab_size,
+        |       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       (20000 * sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) + count(*))
+        |         // (2 * count(*)) AS hapax_bp
+        |FROM p JOIN d USING (token) GROUP BY 1 ORDER BY source""".stripMargin,
+    // q34's normalized fingerprint grouped per source; HALF_UP bp
+    "q288_dup_inflation" ->
+      s"""WITH f AS (SELECT coalesce(source, '<none>') AS source,
+        |         md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g'))) AS fp
+        |       FROM documents WHERE text IS NOT NULL)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+        |       (20000 * count(*) + count(DISTINCT fp))
+        |         // (2 * count(DISTINCT fp)) AS inflation_bp
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
+    // (tf desc, token) top-20 with floor-bp distinct-doc share
+    "q289_token_dispersion" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
+        |                            x -> x <> '')) AS token
+        |       FROM documents),
+        |st AS (SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |              CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY 1),
+        |top AS (SELECT token, tf, df,
+        |               CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT)
+        |                 AS rank
+        |        FROM st)
+        |SELECT rank, token, tf, df, (df * 10000) // tf AS dispersion_bp
+        |FROM top WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // q199's centroid/cosine chain + own-minus-best-rival micro margin,
+    // worst-20 by (margin asc, vec_id)
+    "q290_label_margin" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+        |           FROM embeddings WHERE label IS NOT NULL),
+        |ccomp AS (SELECT label AS clabel,
+        |                 unnest(range(1, len(embedding) + 1)) AS i,
+        |                 unnest(list_transform(embedding,
+        |                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+        |                     AS BIGINT))) AS t
+        |          FROM e),
+        |cent AS (SELECT clabel, i,
+        |                CAST(sum(t) AS DOUBLE) / count(*) / 1000000.0 AS m
+        |         FROM ccomp GROUP BY 1, 2),
+        |cn AS (SELECT clabel, sqrt(sum(m * m)) AS nc FROM cent GROUP BY 1),
+        |vcomp AS (SELECT vec_id, label,
+        |                 unnest(range(1, len(embedding) + 1)) AS i,
+        |                 unnest(list_transform(embedding,
+        |                   v -> CAST(v AS DOUBLE))) AS x
+        |          FROM e),
+        |vn AS (SELECT vec_id, sqrt(sum(x * x)) AS nv FROM vcomp GROUP BY 1),
+        |dp AS (SELECT v.vec_id, v.label, c.clabel, sum(v.x * c.m) AS dp
+        |       FROM vcomp v JOIN cent c ON c.i = v.i GROUP BY 1, 2, 3),
+        |sc AS (SELECT dp.vec_id, dp.label, dp.clabel,
+        |              CASE WHEN vn.nv * cn.nc = 0 THEN 0.0
+        |                   ELSE round(dp.dp / (vn.nv * cn.nc), 6) END AS cos
+        |       FROM dp JOIN vn ON vn.vec_id = dp.vec_id
+        |               JOIN cn ON cn.clabel = dp.clabel),
+        |own AS (SELECT vec_id, cos AS own_cos FROM sc WHERE clabel = label),
+        |riv AS (SELECT vec_id, label, clabel, cos,
+        |               row_number() OVER (PARTITION BY vec_id
+        |                 ORDER BY cos DESC, clabel) AS rn
+        |        FROM sc WHERE clabel <> label),
+        |m AS (SELECT r.vec_id, r.label, r.clabel AS rival_label,
+        |             CAST(round(o.own_cos * 1000000) - round(r.cos * 1000000)
+        |               AS BIGINT) AS margin_micro
+        |      FROM riv r JOIN own o USING (vec_id) WHERE r.rn = 1),
+        |t AS (SELECT *, CAST(row_number() OVER (ORDER BY margin_micro, vec_id)
+        |               AS BIGINT) AS rank FROM m)
+        |SELECT rank, vec_id, label, rival_label, margin_micro
+        |FROM t WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // exact integer spread weights (sqrt of N·Σt²−(Σt)² HALF_UP) +
+    // largest-remainder rounding; quotas floor, remainders by
+    // (rem desc, key asc)
+    "q291_neyman_allocation" ->
+      s"""WITH $QualitySql,
+        |sv AS (SELECT coalesce(d.source, '<none>') AS key,
+        |              CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS t
+        |       FROM q JOIN documents d USING (doc_id)
+        |       WHERE q.quality IS NOT NULL),
+        |st AS (SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+        |              CAST(sum(t) AS HUGEINT) AS s1,
+        |              CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS s2
+        |       FROM sv GROUP BY 1),
+        |w AS (SELECT key, n_rows,
+        |             CAST(floor(sqrt(CAST(greatest(n_rows * s2 - s1 * s1,
+        |               CAST(0 AS HUGEINT)) AS DOUBLE)) + 0.5) AS BIGINT)
+        |               AS spread_w
+        |      FROM st),
+        |tw AS (SELECT CASE WHEN sum(spread_w) > 0 THEN CAST(sum(spread_w) AS BIGINT)
+        |                   ELSE 1 END AS ww FROM w),
+        |b AS (SELECT key, n_rows, spread_w,
+        |             (10000 * spread_w) // ww AS base,
+        |             (10000 * spread_w) % ww AS rem
+        |      FROM w CROSS JOIN tw),
+        |l AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, key) AS rk FROM b)
+        |SELECT key, n_rows, spread_w,
+        |       CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+        |         AS alloc
+        |FROM r CROSS JOIN l ORDER BY key""".stripMargin,
+    // the verified-LSH exact-jaccard pairs, parity-split, reciprocal
+    // rank-1 on the pinned (jaccard desc, partner asc) order
+    "q292_mutual_best" ->
+      s"""WITH $LshCalibSql,
+        |x AS (SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS doc_even,
+        |             CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS doc_odd,
+        |             exact_jaccard AS jaccard
+        |      FROM j WHERE doc_a % 2 <> doc_b % 2),
+        |e AS (SELECT *,
+        |             row_number() OVER (PARTITION BY doc_even
+        |               ORDER BY jaccard DESC, doc_odd) AS re,
+        |             row_number() OVER (PARTITION BY doc_odd
+        |               ORDER BY jaccard DESC, doc_even) AS ro
+        |      FROM x)
+        |SELECT doc_even, doc_odd, jaccard FROM e WHERE re = 1 AND ro = 1
+        |ORDER BY doc_even""".stripMargin,
+    // a token is new at its MIN doc rank; power-of-two checkpoints +
+    // the corpus size; micro log-ticks, exact integer OLS sums
+    "q293_heaps_law" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
+        |                            x -> x <> '')) AS token
+        |       FROM documents),
+        |rk AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+        |              AS rk FROM documents),
+        |fs AS (SELECT min(doc_id) AS doc_id FROM tok GROUP BY token),
+        |fr AS (SELECT rk.rk, CAST(count(*) AS BIGINT) AS nnew
+        |       FROM fs JOIN rk USING (doc_id) GROUP BY 1),
+        |nn AS (SELECT max(rk) AS n FROM rk),
+        |cps AS (SELECT DISTINCT checkpoint FROM (
+        |          SELECT CAST(pow(2, g) AS BIGINT) AS checkpoint
+        |          FROM range(0, 62) t(g), nn WHERE pow(2, g) < nn.n
+        |          UNION ALL SELECT n FROM nn)),
+        |curve AS (SELECT c.checkpoint, CAST(sum(f.nnew) AS BIGINT) AS vocab
+        |          FROM cps c JOIN fr f ON f.rk <= c.checkpoint GROUP BY 1),
+        |pts AS (SELECT checkpoint, vocab,
+        |               CAST(round(ln(checkpoint) * 1000000) AS BIGINT) AS x,
+        |               CAST(round(ln(vocab) * 1000000) AS BIGINT) AS y
+        |        FROM curve),
+        |beta AS (SELECT CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |                ELSE ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx)
+        |                END AS BIGINT) AS beta_milli
+        |         FROM (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |                      CAST(sum(x) AS HUGEINT) AS sx,
+        |                      CAST(sum(y) AS HUGEINT) AS sy,
+        |                      CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |                      CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |               FROM pts) s)
+        |SELECT p.checkpoint, p.vocab, b.beta_milli
+        |FROM pts p CROSS JOIN beta b ORDER BY checkpoint""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

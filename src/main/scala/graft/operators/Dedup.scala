@@ -1036,4 +1036,56 @@ object Dedup {
         when(col("da") < col("db"), col("sb")).otherwise(col("sa")).as("n_b"))
       .distinct()
   }
+
+  /** Duplication-inflation factor per source: raw docs over distinct
+    * normalized fingerprints, HALF_UP bp — the "how much of this source
+    * is copies" number a curation review reads before spending dedup
+    * compute on it (10000 = no duplication, 20000 = half the source is
+    * re-posts). One fingerprint scan + one distinct + one bounded
+    * per-source agg. Null-text docs carry no fingerprint and are
+    * excluded on both sides; null source buckets as `'<none>'`.
+    * Output: source, n_docs, n_unique, inflation_bp.
+    */
+  def dupInflation(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(coalesce(col("source").cast("string"), lit("<none>")).as("source"),
+        md5(TextAnalysis.normalized(col("text"))).as("__fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__fp")).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        expr("(20000 * n_docs + n_unique) div (2 * n_unique)").as("inflation_bp"))
+      .orderBy(col("source"))
+
+  /** Reciprocal-best-match pairs across the doc_id-parity split: for
+    * each even doc its highest-EXACT-Jaccard odd partner and vice
+    * versa, kept only when mutual — the standard cross-snapshot /
+    * cross-mirror alignment primitive (a one-directional best is a
+    * containment artifact; a reciprocal best is a real counterpart).
+    * Rides [[lshCalibration]]'s verified candidate pairs, so candidate
+    * volume is the banded-LSH bound, never all-pairs; the best-pick is
+    * one window per side over candidate rows with the pinned
+    * (jaccard desc, partner asc) order.
+    * Output: doc_even, doc_odd, jaccard (4dp).
+    */
+  def mutualBestMatch(docs: DataFrame, n: Int = 5, numPerms: Int = 16,
+                      bands: Int = 8, threshold: Double = 0.2): DataFrame = {
+    val cross = lshCalibration(docs, n, numPerms, bands, threshold)
+      .where(pmod(col("doc_a"), lit(2)) =!= pmod(col("doc_b"), lit(2)))
+      .select(
+        when(pmod(col("doc_a"), lit(2)) === 0, col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_even"),
+        when(pmod(col("doc_a"), lit(2)) === 0, col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_odd"),
+        col("exact_jaccard").as("jaccard"))
+    val wE = Window.partitionBy(col("doc_even"))
+      .orderBy(col("jaccard").desc, col("doc_odd").asc)
+    val wO = Window.partitionBy(col("doc_odd"))
+      .orderBy(col("jaccard").desc, col("doc_even").asc)
+    cross
+      .withColumn("__re", row_number().over(wE))
+      .withColumn("__ro", row_number().over(wO))
+      .where(col("__re") === 1 && col("__ro") === 1)
+      .select(col("doc_even"), col("doc_odd"), col("jaccard"))
+  }
 }

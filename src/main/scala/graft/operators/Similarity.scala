@@ -1161,4 +1161,62 @@ object Similarity {
       .select(col("label"), col("n_vecs"), col("n_correct"),
         expr("(n_correct * 10000) DIV n_vecs").as("acc_bp"))
   }
+
+  /** Label-noise candidates by centroid margin: per labeled vector,
+    * cosine to its OWN label centroid minus the best cosine to any
+    * OTHER label's centroid — a negative margin means another class
+    * explains the vector better than its own, the standard cheap
+    * mislabel detector run before trusting label-conditioned sampling.
+    * Exactly [[nearestCentroidAccuracy]]'s machinery (micro-tick
+    * centroid means broadcast, one i-keyed join + hash agg per vector,
+    * 6dp cosines, zero norms define cosine 0.0); margins are exact
+    * integer micro differences of the 6dp cosines, worst-k by
+    * (margin asc, vec_id) — TakeOrdered, no global sort.
+    * Output: rank, vec_id, label, rival_label, margin_micro.
+    */
+  def labelMarginWorst(embeddings: DataFrame, k: Int = 20): DataFrame = {
+    val labeled = embeddings.where(col("label").isNotNull)
+    val cent = labeled
+      .select(col("label").cast("long").as("clabel"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))).as(Seq("i", "t")))
+      .groupBy(col("clabel"), col("i"))
+      .agg(sum(col("t")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("clabel"), col("i"),
+        (col("__s").cast("double") / col("__n") / lit(1e6)).as("m"))
+    val cnorm = cent.groupBy(col("clabel"))
+      .agg(sqrt(sum(col("m") * col("m"))).as("__nc"))
+    val vcomp = labeled
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(transform(col("embedding"), _.cast("double")))
+          .as(Seq("i", "x")))
+    val vnorm = vcomp.groupBy(col("vec_id"))
+      .agg(sqrt(sum(col("x") * col("x"))).as("__nv"))
+    val scored = vcomp.join(broadcast(cent), Seq("i"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(col("x") * col("m")).as("__dp"))
+      .join(vnorm, Seq("vec_id"))
+      .join(broadcast(cnorm), Seq("clabel"))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        when(col("__nv") * col("__nc") === 0, lit(0.0))
+          .otherwise(round(col("__dp") / (col("__nv") * col("__nc")), 6))
+          .as("cos"))
+    val own = scored.where(col("clabel") === col("label"))
+      .select(col("vec_id"), col("cos").as("__own"))
+    val wBest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("clabel").asc)
+    val rival = scored.where(col("clabel") =!= col("label"))
+      .withColumn("__rn", row_number().over(wBest)).where(col("__rn") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("rival_label"),
+        col("cos").as("__riv"))
+    val ord = Seq(col("margin_micro").asc, col("vec_id").asc)
+    val margins = rival.join(own, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("rival_label"),
+        (round(col("__own") * 1e6) - round(col("__riv") * 1e6)).cast("long")
+          .as("margin_micro"))
+    margins.orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(col("rank"), col("vec_id"), col("label"), col("rival_label"),
+        col("margin_micro"))
+  }
 }

@@ -1117,4 +1117,48 @@ object Stats {
           .as("rows_below_bp"))
       .orderBy(col("k"))
   }
+
+  /** Neyman-optimal stratified sample allocation: split a labeling /
+    * eval budget across strata proportionally to N_h·σ_h — the
+    * variance-minimizing allocation for a stratified mean, and the
+    * standard answer to "how many docs per source do we send to
+    * annotators". The spread weight is EXACT: N·Σt² − (Σt)² over
+    * integer value ticks equals N²σ², so its HALF_UP square root is
+    * the integer N_h·σ_h·tick. Integer largest-remainder rounding
+    * makes the allocations sum to exactly `budget` (floor quotas, the
+    * +1 remainders to the largest B·w mod W with key-ascending ties) —
+    * engine-portable, no float shares anywhere. One bounded per-key
+    * agg; the remainder window runs on the strata dim.
+    * Output: key, n_rows, spread_w, alloc.
+    */
+  def neymanAllocation(df: DataFrame, keyCol: String, tickCol: String,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val st = df
+      .where(col(keyCol).isNotNull && col(tickCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"), sum(col(tickCol)).as("__s"),
+        sum(col(tickCol).cast("decimal(38,0)") * col(tickCol)).as("__s2"))
+      .select(col("key"), col("n_rows"),
+        floor(sqrt(expr(
+          "CAST(greatest(n_rows * __s2 - CAST(__s AS DECIMAL(38,0)) * __s, " +
+            "CAST(0 AS DECIMAL(38,0))) AS DOUBLE)")) + 0.5).cast("long")
+          .as("spread_w"))
+    val tot = st.agg(sum(col("spread_w")).as("__w")).select(
+      when(col("__w") > 0, col("__w")).otherwise(lit(1L)).as("__w"))
+    val based = st.crossJoin(broadcast(tot))
+      .withColumn("__base", expr(s"(${budget}L * spread_w) DIV __w"))
+      .withColumn("__rem", expr(s"(${budget}L * spread_w) % __w"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("key").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    based
+      .withColumn("__left", lit(budget) - sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(wRem))
+      .select(col("key"), col("n_rows"), col("spread_w"),
+        (col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("key"))
+  }
 }

@@ -2422,4 +2422,92 @@ object TextAnalysis {
       .select(col("doc_id"), col("w1"), col("w2"), col("w3"), col("n_occ"))
       .orderBy(col("doc_id"))
   }
+
+  /** Hapax-legomena census per source — the vocabulary-health number
+    * reviewers read first: a healthy natural corpus runs ~40-60% hapax
+    * (Zipf), synthetic/templated text collapses toward 0, OCR junk
+    * explodes toward 1. A corpus-global df per token (one hash agg),
+    * a distinct (source, token) presence relation, one bounded
+    * per-source rollup — a df=1 token belongs to exactly one source,
+    * so the census partitions the global hapax set. HALF_UP bp share.
+    * Output: source, vocab_size, n_hapax, hapax_bp.
+    */
+  def hapaxCensus(docs: DataFrame): DataFrame = {
+    val tok = docs.select(
+      coalesce(col("source").cast("string"), lit("<none>")).as("source"),
+      col("doc_id"), explode(tokens(asciiLower(col("text")))).as("token"))
+    val df_ = tok.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    tok.select(col("source"), col("token")).distinct()
+      .join(df_, Seq("token"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("vocab_size"), col("n_hapax"),
+        expr("(20000 * n_hapax + vocab_size) div (2 * vocab_size)").as("hapax_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Token dispersion for the corpus head: of a token's total
+    * occurrences, how many land in DISTINCT documents — df·10⁴ div tf
+    * in floor bp. 10000 means every use is a new document (a function
+    * word), a low score means the token is bursty/templated (the
+    * within-doc repetition that inflates naive tf weighting). Top-k by
+    * tf with (tf desc, token) rank — the [[tokenCounts]] top-k shape,
+    * TakeOrdered, no full sort.
+    * Output: rank, token, tf, df, dispersion_bp.
+    */
+  def tokenDispersion(docs: DataFrame, k: Int = 20): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(asciiLower(col("text")))).as("token"))
+    val stats = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val ord = Seq(col("tf").desc, col("token").asc)
+    stats.orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(col("rank"), col("token"), col("tf"), col("df"),
+        expr("(df * 10000) DIV tf").as("dispersion_bp"))
+  }
+
+  /** Heaps'-law checkpoints: vocabulary size after the first n documents
+    * (doc_id order) at power-of-two prefixes — the sublinear vocab-growth
+    * curve whose log-log slope β (healthy natural text: ~0.4-0.6) is the
+    * standard "is the corpus still giving new words" saturation monitor
+    * for tokenizer sizing. NO running distinct anywhere: a token is new
+    * at its MIN doc rank, so one agg per token + a broadcast checkpoint
+    * grid gives every prefix count exactly; the OLS slope folds on the
+    * bounded checkpoint dim in integer micro log-ticks.
+    * Output: checkpoint (docs), vocab, plus the corpus-level slope
+    * replicated per row (beta_milli) for one-table reading.
+    */
+  def heapsLawCurve(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked = docs.select(col("doc_id"))
+      .withColumn("__rk", row_number().over(Window.orderBy(col("doc_id"))).cast("long"))
+    val firstSeen = docs.select(col("doc_id"),
+        explode(tokens(asciiLower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("doc_id"))
+      .join(ranked, Seq("doc_id"))
+      .groupBy(col("__rk")).agg(count(lit(1)).as("__new"))
+    val n = ranked.agg(max(col("__rk"))).as[Long].head()
+    val cps = Iterator.iterate(1L)(_ * 2).takeWhile(_ < n).toSeq :+ n
+    val grid = broadcast(cps.toDF("checkpoint"))
+    val curve = firstSeen.join(grid, col("__rk") <= col("checkpoint"))
+      .groupBy(col("checkpoint")).agg(sum(col("__new")).as("vocab"))
+    // log-log OLS over the ≤ log₂(n)+1 checkpoints: integer micro
+    // log-ticks (round-half-away, the lnMicros discipline), exact sums
+    val pts = curve.select(col("checkpoint"), col("vocab"),
+      round(log(col("checkpoint").cast("double")) * 1e6).cast("long").as("__x"),
+      round(log(col("vocab").cast("double")) * 1e6).cast("long").as("__y"))
+    val beta = pts.agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__y")).as("__sxy"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"))
+      .select(expr("""CAST(CASE WHEN __n * __sxx - CAST(__sx AS DECIMAL(38,0)) * __sx = 0
+                       THEN 0 ELSE ((__n * __sxy - CAST(__sx AS DECIMAL(38,0)) * __sy) * 1000)
+                            DIV (__n * __sxx - CAST(__sx AS DECIMAL(38,0)) * __sx)
+                       END AS BIGINT)""").as("beta_milli"))
+    pts.select(col("checkpoint"), col("vocab")).crossJoin(broadcast(beta))
+      .orderBy(col("checkpoint"))
+  }
 }
