@@ -968,6 +968,15 @@ object ScaleCheck {
     // two windows over candidate rows only
     time(s"mutual best match over $nDocs docs")(
       graft.operators.Dedup.mutualBestMatch(docs).count())
+    // q295: ONE signature pass + a hash agg per band config — candidate
+    // volume from bucket sizes, zero pair materialization by design
+    time(s"lsh design table over $nDocs docs")(
+      graft.operators.Dedup.lshDesignTable(docs).count())
+    // q296: per-source integer log-tick moments, one bounded agg
+    time(s"lognormal fit over $nDocs docs")(
+      graft.operators.Stats.lognormalFit(
+        sourced.select(col("source").as("k"), length(col("text")).as("v")),
+        "k", "v").count())
     // q225: trigram transform + TakeOrdered top-1 + broadcast semi-join
     time(s"phrase match over $nDocs docs")(
       graft.operators.TextAnalysis.phraseMatchTopTrigram(docs).count())

@@ -2307,6 +2307,28 @@ object SparkEntry {
     // are new at their MIN doc rank, so no running distinct anywhere
     "q293_heaps_law" -> ((s, dir) =>
       TextAnalysis.heapsLawCurve(Tables.documents(s, dir))),
+    // unsupervised-vs-labels agreement: majority-label share per
+    // deterministic Voronoi cell (zero-norm and unlabeled excluded)
+    "q294_cluster_purity" -> ((s, dir) =>
+      Similarity.clusterLabelPurity(Tables.embeddings(s, dir))),
+    // banding design table from ONE signature set: exact candidate-pair
+    // volume from bucket sizes (zero pair materialization) + exact
+    // rational expected recall at θ=1/2
+    "q295_lsh_design" -> ((s, dir) =>
+      Dedup.lshDesignTable(Tables.documents(s, dir))),
+    // per-source log-normal length fit: integer log-tick moments, μ as
+    // one floor DIV, σ from the exact variance numerator
+    "q296_lognormal_fit" -> ((s, dir) =>
+      Stats.lognormalFit(
+        Tables.documents(s, dir).select(
+          coalesce(col("source").cast("string"), lit("<none>")).as("src"),
+          col("n_chars")),
+        keyCol = "src", valueCol = "n_chars")),
+    // recall@10 vs probes bought: micro-averaged IVF recall per nProbe
+    // against the shared exact brute top-k
+    "q297_ivf_probe_curve" -> ((s, dir) =>
+      Similarity.ivfProbeCurve(Tables.embeddings(s, dir),
+        pmod(col("vec_id"), lit(100)) === 0)),
   )
 
   /** q98's mixture config: one source kept whole, one dropped whole,
@@ -8190,6 +8212,154 @@ object SparkEntry {
         |               FROM pts) s)
         |SELECT p.checkpoint, p.vocab, b.beta_milli
         |FROM pts p CROSS JOIN beta b ORDER BY checkpoint""".stripMargin,
+    // q102's assignment chain over labeled non-zero vectors + majority
+    // label via (count desc, label asc) rank; HALF_UP bp
+    "q294_cluster_purity" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl, embedding
+        |           FROM embeddings WHERE label IS NOT NULL),
+        |comp AS (
+        |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+        |         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+        |  FROM e),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM comp
+        |          GROUP BY vec_id HAVING sum(x * x) > 0),
+        |cent AS (SELECT vec_id AS cvid, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |         FROM (SELECT vec_id FROM norms ORDER BY vec_id LIMIT 8) t),
+        |ccomp AS (SELECT cent.j, comp.i, comp.x
+        |          FROM comp JOIN cent ON cent.cvid = comp.vec_id),
+        |cnorm AS (SELECT j, sqrt(sum(x * x)) AS nrm FROM ccomp GROUP BY j),
+        |cos AS (
+        |  SELECT comp.vec_id, cc.j,
+        |         round(sum(comp.x * cc.x) / (n1.nrm * n2.nrm), 6) AS c
+        |  FROM comp JOIN ccomp cc ON cc.i = comp.i
+        |  JOIN norms n1 ON n1.vec_id = comp.vec_id
+        |  JOIN cnorm n2 ON n2.j = cc.j
+        |  GROUP BY comp.vec_id, cc.j, n1.nrm, n2.nrm),
+        |asg AS (SELECT vec_id, j AS cluster FROM (
+        |          SELECT vec_id, j, c,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, j) AS rn
+        |          FROM cos) t WHERE rn = 1),
+        |g AS (SELECT a.cluster, e.lbl, CAST(count(*) AS BIGINT) AS c
+        |      FROM asg a JOIN e USING (vec_id) GROUP BY 1, 2),
+        |m AS (SELECT cluster, lbl, c,
+        |             row_number() OVER (PARTITION BY cluster
+        |               ORDER BY c DESC, lbl) AS rn,
+        |             CAST(sum(c) OVER (PARTITION BY cluster) AS BIGINT) AS n
+        |      FROM g)
+        |SELECT cluster, n AS n_vectors, lbl AS majority_label,
+        |       (20000 * c + n) // (2 * n) AS purity_bp
+        |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin,
+    // the q38 signature chain, banded three ways from ONE signature
+    // set; candidate volume Σ c·(c−1)/2 from bucket sizes alone; the
+    // expected-recall constant is exact rational over 2^16
+    "q295_lsh_design" ->
+      s"""WITH w AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), x -> x <> '') AS words
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(words) - 3),
+        |                                 i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |    FROM w WHERE len(words) >= 5) t),
+        |bh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+        |perms AS (
+        |  SELECT perm,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 1, 7))::BIGINT + 1 AS a,
+        |         ('0x' || substr(md5('perm#' || CAST(perm AS VARCHAR)), 9, 7))::BIGINT AS b
+        |  FROM (SELECT unnest(range(0, 16)) AS perm) t),
+        |mh AS (SELECT doc_id, perm, min((a * h + b) % 4294967311) AS minhash
+        |       FROM bh CROSS JOIN perms GROUP BY doc_id, perm),
+        |grid AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS bands),
+        |g AS (SELECT grid.bands, mh.doc_id, mh.minhash, mh.perm,
+        |             mh.perm // (16 // grid.bands) AS band
+        |      FROM mh CROSS JOIN grid),
+        |bk AS (SELECT bands, band, doc_id,
+        |              list(minhash ORDER BY perm) AS key
+        |       FROM g GROUP BY 1, 2, 3),
+        |bc AS (SELECT bands, band, key, CAST(count(*) AS BIGINT) AS c
+        |       FROM bk GROUP BY 1, 2, 3),
+        |agg AS (SELECT bands, CAST(count(*) AS BIGINT) AS n_buckets,
+        |               CAST(sum(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+        |        FROM bc GROUP BY 1)
+        |SELECT bands, 16 // bands AS rows_per_band, n_buckets, candidate_pairs,
+        |       (2 * (65536 - CAST(pow(pow(2, 16 // bands) - 1, bands) AS BIGINT))
+        |          * 1000000 + 65536) // (2 * 65536) AS est_recall_micro
+        |FROM agg ORDER BY bands""".stripMargin,
+    // integer log-tick moments; μ floor DIV (log ticks non-negative for
+    // n_chars ≥ 1), σ from the exact HUGEINT variance numerator
+    "q296_lognormal_fit" ->
+      """WITH x AS (SELECT coalesce(source, '<none>') AS key,
+        |                  CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000)
+        |                    AS BIGINT) AS x
+        |           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |s AS (SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+        |             CAST(sum(x) AS HUGEINT) AS sx,
+        |             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |      FROM x GROUP BY 1)
+        |SELECT key, n_rows, CAST(sx // n_rows AS BIGINT) AS mu_micro,
+        |       CAST(floor(sqrt(CAST(greatest(n_rows * sxx - sx * sx,
+        |              CAST(0 AS HUGEINT)) AS DOUBLE)) / n_rows + 0.5) AS BIGINT)
+        |         AS sigma_micro
+        |FROM s ORDER BY key""".stripMargin,
+    // the shared IVF chain with a probe grid folded into the rank
+    // filter; recall micro-averaged over summed hit/exact counts
+    "q297_ivf_probe_curve" ->
+      s"""WITH $VecBaseSql,
+        |$BruteKnnSql,
+        |cent2 AS (SELECT vec_id AS cvid,
+        |                 CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS list_id
+        |          FROM (SELECT vec_id FROM nz ORDER BY vec_id LIMIT 16) t),
+        |cdots2 AS (SELECT c.vec_id, ct.list_id, ct.cvid, sum(c.x * cc.x) AS dp
+        |           FROM comp c CROSS JOIN cent2 ct
+        |           JOIN comp cc ON cc.vec_id = ct.cvid AND cc.i = c.i
+        |           GROUP BY c.vec_id, ct.list_id, ct.cvid),
+        |csims2 AS (SELECT d.vec_id, d.list_id, d.dp / (nv.nrm * nc.nrm) AS csim
+        |           FROM cdots2 d JOIN nz nv ON nv.vec_id = d.vec_id
+        |                         JOIN nz nc ON nc.vec_id = d.cvid),
+        |cranked2 AS (SELECT vec_id, list_id,
+        |                    row_number() OVER (PARTITION BY vec_id
+        |                      ORDER BY csim DESC, list_id) AS crank
+        |             FROM csims2),
+        |assigned2 AS (SELECT vec_id, list_id FROM cranked2 WHERE crank = 1),
+        |pgrid AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS n_probe),
+        |probes2 AS (SELECT g.n_probe, c.vec_id AS query_id, c.list_id
+        |            FROM cranked2 c CROSS JOIN pgrid g
+        |            WHERE c.crank <= g.n_probe AND c.vec_id % 100 = 0),
+        |cand2 AS (SELECT DISTINCT p.n_probe, p.query_id, a.vec_id AS neighbor_id
+        |          FROM assigned2 a JOIN probes2 p ON a.list_id = p.list_id
+        |                                        AND a.vec_id <> p.query_id),
+        |idots2 AS (SELECT c.n_probe, c.query_id, c.neighbor_id,
+        |                  sum(ca.x * cb.x) AS dp
+        |           FROM cand2 c
+        |           JOIN comp ca ON ca.vec_id = c.neighbor_id
+        |           JOIN comp cb ON cb.vec_id = c.query_id AND cb.i = ca.i
+        |           GROUP BY 1, 2, 3),
+        |iscored2 AS (SELECT d.n_probe, d.query_id, d.neighbor_id,
+        |                    round(d.dp / (nn.nrm * nq.nrm), 6) AS cosine
+        |             FROM idots2 d
+        |             JOIN nz nn ON nn.vec_id = d.neighbor_id
+        |             JOIN nz nq ON nq.vec_id = d.query_id),
+        |ivf2 AS (SELECT * FROM (
+        |  SELECT n_probe, query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY n_probe, query_id
+        |           ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM iscored2) t WHERE rnk <= 10),
+        |jj AS (SELECT g.n_probe, b.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |              CAST(coalesce(sum(CASE WHEN v.neighbor_id IS NOT NULL
+        |                                     THEN 1 END), 0) AS BIGINT) AS n_hit
+        |       FROM pgrid g CROSS JOIN brute b
+        |       LEFT JOIN ivf2 v ON v.n_probe = g.n_probe
+        |                       AND v.query_id = b.query_id
+        |                       AND v.neighbor_id = b.neighbor_id
+        |       GROUP BY 1, 2)
+        |SELECT n_probe, CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(sum(n_exact) AS BIGINT) AS n_exact,
+        |       CAST(sum(n_hit) AS BIGINT) AS n_hit,
+        |       (sum(n_hit) * 20000 + sum(n_exact)) // (2 * sum(n_exact))
+        |         AS recall_bp
+        |FROM jj GROUP BY 1 ORDER BY n_probe""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

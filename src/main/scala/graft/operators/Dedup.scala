@@ -1088,4 +1088,40 @@ object Dedup {
       .where(col("__re") === 1 && col("__ro") === 1)
       .select(col("doc_even"), col("doc_odd"), col("jaccard"))
   }
+
+  /** LSH banding design table: for each candidate band count over ONE
+    * shared signature set, the bucket census and the EXACT candidate-
+    * pair volume Σ c·(c−1)/2 — computed from bucket sizes alone, zero
+    * pair materialization, so the "what does each (bands, rows) point
+    * cost" question is answered for the price of one signature pass
+    * plus a hash agg per config. The expected recall at the reference
+    * θ=1/2 is exact rational arithmetic: with r·b = numPerms and
+    * 2^(r·b) = 65536, recall = 1 − ((2^r−1)^b)/2^16, reported HALF_UP
+    * micro — no float pow on either engine.
+    * Output: bands, rows_per_band, n_buckets, candidate_pairs,
+    * est_recall_micro.
+    */
+  def lshDesignTable(docs: DataFrame, n: Int = 5, numPerms: Int = 16,
+                     bandCounts: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    require(bandCounts.forall(b => b > 0 && numPerms % b == 0),
+      "every band count must divide numPerms")
+    val sig = minhashSignatures(docs, n, numPerms, md5Base)
+    bandCounts.map { b =>
+      val r = numPerms / b
+      val est = { // 1 − ((2^r − 1)^b) / 2^numPerms, HALF_UP micro, exact
+        val den = BigInt(2).pow(numPerms)
+        val miss = (BigInt(2).pow(r) - 1).pow(b)
+        ((BigInt(2) * (den - miss) * 1000000 + den) / (den * 2)).toLong
+      }
+      sig.select(explode(sequence(lit(0), lit(b - 1))).as("__band"),
+          expr(s"slice(sig, __band * $r + 1, $r)").as("__key"))
+        .groupBy(col("__band"), col("__key"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("__c * (__c - 1) div 2")).as("candidate_pairs"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_buckets"), col("candidate_pairs"),
+          lit(est).as("est_recall_micro"))
+    }.reduce(_ unionByName _).orderBy(col("bands"))
+  }
 }

@@ -1219,4 +1219,55 @@ object Similarity {
       .select(col("rank"), col("vec_id"), col("label"), col("rival_label"),
         col("margin_micro"))
   }
+
+  /** Cluster-label purity: per IVF/Voronoi cell, the majority label's
+    * HALF_UP bp share — the unsupervised-vs-labels agreement card (pure
+    * cells mean the embedding geometry respects the labels; a 50%-pure
+    * cell poisons any cell-level curation decision). Assignment is the
+    * engine-portable [[assignToCells]] argmax over the deterministic
+    * codebook; the purity fold runs on the bounded (cell × label) grid.
+    * Zero-norm and unlabeled vectors are excluded on both sides.
+    * Output: cluster, n_vectors, majority_label, purity_bp.
+    */
+  def clusterLabelPurity(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val base = embeddings.where(col("label").isNotNull)
+      .select(col("vec_id"), col("label").cast("long").as("__lbl"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+      .where(col("norm") > 0)
+    val centroidRows = centroidRowsOf(base, k, None)
+    require(centroidRows.nonEmpty, "no centroids: empty labeled input")
+    val grid = assignToCells(base, centroidRows)
+      .join(base.select(col("vec_id"), col("__lbl")), Seq("vec_id"))
+      .groupBy(col("cluster"), col("__lbl"))
+      .agg(count(lit(1)).as("__c"))
+    grid.groupBy(col("cluster"))
+      .agg(sum(col("__c")).as("n_vectors"),
+        max(struct(col("__c"), (-col("__lbl")).as("__nl"))).as("__m"))
+      .select(col("cluster"), col("n_vectors"),
+        (-col("__m.__nl")).as("majority_label"),
+        expr("(20000 * __m.__c + n_vectors) div (2 * n_vectors)").as("purity_bp"))
+      .orderBy(col("cluster"))
+  }
+
+  /** IVF probe-count tuning curve: micro-averaged recall@k against the
+    * exact brute top-k, one row per nProbe design point — the table an
+    * ANN deployment reads to buy recall with probes instead of lists.
+    * Each point rides [[annRecallReport]] (same deterministic codebook,
+    * same query sample); the micro-average is exact integer arithmetic
+    * over the summed hit/exact counts.
+    * Output: n_probe, n_queries, n_exact, n_hit, recall_bp.
+    */
+  def ivfProbeCurve(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+                    nLists: Int = 16, probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe count")
+    probes.map { p =>
+      annRecallReport(embeddings, queryPred, k, nLists, p)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_exact")).as("n_exact"), sum(col("n_hit")).as("n_hit"))
+        .select(lit(p.toLong).as("n_probe"), col("n_queries"),
+          col("n_exact"), col("n_hit"),
+          expr("(n_hit * 20000 + n_exact) div (2 * n_exact)").as("recall_bp"))
+    }.reduce(_ unionByName _).orderBy(col("n_probe"))
+  }
 }

@@ -1161,4 +1161,30 @@ object Stats {
           .as("alloc"))
       .orderBy(col("key"))
   }
+
+  /** Log-normal fit per key over a POSITIVE measure (doc lengths are
+    * the canonical case — natural text lengths are approximately
+    * log-normal, and the (μ, σ) pair is the two-number shape card a
+    * source review reads): per-row log micro-ticks (round-half-away,
+    * the lnMicros discipline), then exact integer moment sums — μ as
+    * one floor DIV, σ from the exact variance numerator n·Σx²−(Σx)²
+    * (decimal(38,0)) with one HALF_UP square root. Non-positive and
+    * null values are excluded on both sides (no log).
+    * Output: key, n_rows, mu_micro, sigma_micro.
+    */
+  def lognormalFit(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.where(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        col(valueCol) > 0)
+      .select(col(keyCol).as("key"),
+        round(log(col(valueCol).cast("double")) * 1e6).cast("long").as("__x"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__x")).as("__sx"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"))
+      .select(col("key"), col("n_rows"),
+        expr("__sx DIV n_rows").as("mu_micro"),
+        floor(sqrt(expr(
+          """CAST(greatest(n_rows * __sxx - CAST(__sx AS DECIMAL(38,0)) * __sx,
+            |CAST(0 AS DECIMAL(38,0))) AS DOUBLE)""".stripMargin)) /
+          col("n_rows") + 0.5).cast("long").as("sigma_micro"))
+      .orderBy(col("key"))
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Similarity, Stats, TextAnalysis}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Hand-computed fixtures for the round-8 operator batch (q287–q293):
@@ -105,5 +106,64 @@ class NewOpsR8Spec extends AnyFunSuite {
     val got = TextAnalysis.heapsLawCurve(docs)
       .as[(Long, Long, Long)].collect().toSeq
     assert(got === Seq((1L, 1L, 1000L), (2L, 2L, 1000L), (4L, 4L, 1000L)))
+  }
+
+  test("cluster purity: pure axis cells read 10000 bp, a mixed cell reads its majority") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), Option(0)),  // seed 0 (cluster 0, axis e1)
+      (1L, Array(0f, 1f), Option(1)),  // seed 1 (cluster 1, axis e2)
+      (2L, Array(2f, 0f), Option(0)),
+      (3L, Array(3f, 0f), Option(0)),
+      (4L, Array(0f, 2f), Option(1)),
+      (5L, Array(0f, 3f), Option(0)),  // mislabeled into cluster 1
+      (6L, Array(0f, 0f), Option(0)),  // zero norm: excluded
+      (7L, Array(1f, 1f), Option.empty[Int]) // unlabeled: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.clusterLabelPurity(emb, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster 0 = {0,2,3} all label 0 -> 10000; cluster 1 = {1,4,5}
+    // labels (1,1,0) -> majority 1, HALF_UP(20000*2+3 / 6) = 3334? no:
+    // (2*20000+3) div 6 = 40003 div 6 = 6667
+    assert(got === Seq((0L, 3L, 0L, 10000L), (1L, 3L, 1L, 6667L)))
+  }
+
+  test("lsh design: candidate volume from bucket sizes; exact rational recall constants") {
+    // two identical docs share every shingle -> same signature -> in
+    // EVERY config each band has one bucket of size 2 => pairs = bands
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "k l m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lshDesignTable(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    got.foreach { case (b, r, nb, pairs, est) =>
+      assert(r === 16L / b)
+      assert(pairs === b, s"bands=$b: dup pair once per band")
+      assert(nb === 2L * b, s"bands=$b: dup bucket + the lone doc's bucket per band")
+    }
+    // est recall at θ=1/2: 1 − ((2^r−1)^b)/2^16, HALF_UP micro
+    assert(got.map(_._5) === Seq(7797L, 227524L, 899887L))
+  }
+
+  test("lognormal fit: constant lengths give sigma 0 and mu = ln micro") {
+    val docs = Seq(("s", 100L), ("s", 100L), ("t", 1L)).toDF("k", "v")
+    val got = Stats.lognormalFit(docs, "k", "v")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val ln100 = math.round(math.log(100.0) * 1e6)
+    assert(got === Seq(("s", 2L, ln100, 0L), ("t", 1L, 0L, 0L)))
+  }
+
+  test("ivf probe curve: recall grows monotonically with probes and tops out exact") {
+    val emb = Seq.tabulate(40) { i =>
+      (i.toLong * 100, Array.tabulate(4)(j => if (j == i % 4) 1f + i / 8f else 0.1f * (i % 3)))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.ivfProbeCurve(emb, pmod(col("vec_id"), lit(100)) === 0,
+      k = 5, nLists = 4, probes = Seq(1, 2, 4))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 4L))
+    val recalls = got.map(_._5)
+    assert(recalls === recalls.sorted, s"recall must be monotone in probes: $recalls")
+    assert(recalls.last === 10000L, "probing every list is exhaustive -> exact recall")
   }
 }
