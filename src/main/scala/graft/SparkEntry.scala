@@ -2246,7 +2246,9 @@ object SparkEntry {
     // float), deviation in abs bp
     "q172_benford" -> ((s, dir) => {
       val ticks = floor(col("value") * 100).cast("long")
-      val exp = expr("elt(digit, 3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)")
+      // element_at keeps the literal array's LONG type; elt would
+      // string-coerce its varargs and leak a VARCHAR exp_bp column
+      val exp = expr("element_at(array(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L), cast(digit AS INT))")
       Tables.events(s, dir)
         .where(col("value").isNotNull && !isnan(col("value")) && ticks >= 1)
         .select(substring(ticks.cast("string"), 1, 1).cast("long").as("digit"))
@@ -4624,8 +4626,8 @@ object SparkEntry {
         |p AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n
         |      FROM x WHERE t IS NOT NULL GROUP BY 1, 2)
         |SELECT f AS from_type, t AS to_type, n,
-        |       (20000 * n + sum(n) OVER (PARTITION BY f))
-        |         // (2 * sum(n) OVER (PARTITION BY f)) AS prob_bp
+        |       CAST((20000 * n + sum(n) OVER (PARTITION BY f))
+        |         // (2 * sum(n) OVER (PARTITION BY f)) AS BIGINT) AS prob_bp
         |FROM p ORDER BY from_type, to_type""".stripMargin,
     // the q101 bigram stream aggregated to pair types; PMI rounded once
     // to micro-nats so the top-k boundary is integer-deterministic
@@ -5036,8 +5038,8 @@ object SparkEntry {
         |g AS (SELECT source, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
         |      FROM p GROUP BY 1, 2)
         |SELECT source, predicted_lang, n_docs,
-        |       (20000 * n_docs + sum(n_docs) OVER (PARTITION BY source))
-        |         // (2 * sum(n_docs) OVER (PARTITION BY source)) AS share_bp
+        |       CAST((20000 * n_docs + sum(n_docs) OVER (PARTITION BY source))
+        |         // (2 * sum(n_docs) OVER (PARTITION BY source)) AS BIGINT) AS share_bp
         |FROM g ORDER BY source, predicted_lang""".stripMargin,
     // add-one-smoothed conditional NLL per bigram TYPE, rounded once to
     // integer micro-nats; per-doc sums and HALF_UP mean exact after that
@@ -5973,9 +5975,9 @@ object SparkEntry {
         |sm AS (SELECT CASE WHEN m = 'mon' THEN 'm' ELSE m END AS m, u, v FROM st),
         |grid AS (SELECT m, v, CAST(count(*) AS BIGINT) AS c FROM sm GROUP BY 1, 2),
         |seg AS (SELECT m, v,
-        |               least(4, (4 * coalesce(sum(c) OVER (PARTITION BY m ORDER BY v
+        |               CAST(least(4, (4 * coalesce(sum(c) OVER (PARTITION BY m ORDER BY v
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
-        |                 // (sum(c) OVER (PARTITION BY m)) + 1) AS sg
+        |                 // (sum(c) OVER (PARTITION BY m)) + 1) AS BIGINT) AS sg
         |        FROM grid),
         |cube AS (SELECT u,
         |                max(CASE WHEN sm.m = 'r' THEN sg END) AS r_seg,
@@ -6593,7 +6595,7 @@ object SparkEntry {
     // distinct (month, day, user) presence grid; stickiness from the
     // three integer aggregates in one HALF_UP expression
     "q242_stickiness" ->
-      """WITH e AS (SELECT DISTINCT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+      """WITH e AS (SELECT DISTINCT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month,
         |                  date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
         |                  user_id AS u
         |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
@@ -6739,7 +6741,7 @@ object SparkEntry {
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
     // Monday weeks; floor cents-per-user; 0 when no payers
     "q286_weekly_arpu" ->
-      """WITH w AS (SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+      """WITH w AS (SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week,
         |                  user_id, event_type, value
         |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |g AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS actives,
@@ -7022,7 +7024,7 @@ object SparkEntry {
     // Monday-anchored weeks on both engines; first week drops
     "q269_wow_change" ->
       """WITH wk AS (SELECT event_type AS key,
-        |                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+        |                   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week,
         |                   CAST(count(*) AS BIGINT) AS n
         |            FROM events
         |            WHERE event_type IS NOT NULL AND ts IS NOT NULL
@@ -8063,8 +8065,8 @@ object SparkEntry {
         |p AS (SELECT DISTINCT source, token FROM tok)
         |SELECT p.source, CAST(count(*) AS BIGINT) AS vocab_size,
         |       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-        |       (20000 * sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) + count(*))
-        |         // (2 * count(*)) AS hapax_bp
+        |       CAST((20000 * sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) + count(*))
+        |         // (2 * count(*)) AS BIGINT) AS hapax_bp
         |FROM p JOIN d USING (token) GROUP BY 1 ORDER BY source""".stripMargin,
     // q34's normalized fingerprint grouped per source; HALF_UP bp
     "q288_dup_inflation" ->
@@ -8357,8 +8359,8 @@ object SparkEntry {
         |SELECT n_probe, CAST(count(*) AS BIGINT) AS n_queries,
         |       CAST(sum(n_exact) AS BIGINT) AS n_exact,
         |       CAST(sum(n_hit) AS BIGINT) AS n_hit,
-        |       (sum(n_hit) * 20000 + sum(n_exact)) // (2 * sum(n_exact))
-        |         AS recall_bp
+        |       CAST((sum(n_hit) * 20000 + sum(n_exact)) // (2 * sum(n_exact))
+        |         AS BIGINT) AS recall_bp
         |FROM jj GROUP BY 1 ORDER BY n_probe""".stripMargin,
   )
 

@@ -484,12 +484,19 @@ object Engagement {
     * Segment cuts are RANK-based on a (metric × value) counting grid,
     * never a per-user sort: ties share the segment of their first
     * position (seg = min(q, (q·cum0) DIV n + 1) with cum0 = users
-    * strictly below the value), the three grids stack into one window
-    * partitioned by metric (cells bounded by distinct metric values —
-    * recency by the day span, frequency by activity skew, monetary
-    * DISCRETIZED to whole units per the quantileBucketsTicked
-    * discipline), and per-event values fix to integer cents before
-    * summing so the monetary metric is fold-order exact.
+    * strictly below the value — IDENTICALLY 1 + |{j : cut_j < v}| with
+    * cut_j the first grid value whose inclusive cum reaches ⌈j·n/q⌉,
+    * because cum0(v) ≥ ⌈j·n/q⌉ ⟺ cut_j < v on an ordered grid). The
+    * cut values come off the counting grid through the same gated
+    * driver collect as [[Stats.quantileBuckets]] (loud `require` above
+    * `maxDistinct` cells per metric — recency is bounded by the day
+    * span, frequency by activity skew, monetary by whole-unit
+    * discretization; a measure that still exceeds the cap must be
+    * re-ticked, per the quantileBucketsTicked discipline), so the plan
+    * carries NO data-cardinality window — 3·(q−1) cut literals
+    * broadcast back instead of a per-metric sorted prefix sum. Per-
+    * event values fix to integer cents before summing so the monetary
+    * metric is fold-order exact.
     * Output: r_seg, f_seg, m_seg, n_users, share_bp.
     */
   def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
@@ -515,15 +522,39 @@ object Engagement {
           |  'r', CAST(datediff(__ref, __last) AS BIGINT),
           |  'f', __freq,
           |  'm', __sc DIV 100) AS (__m, __v)""".stripMargin))
-    val wCum = Window.partitionBy(col("__m")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wN = Window.partitionBy(col("__m"))
-    val seg = stacked.groupBy(col("__m"), col("__v")).agg(count(lit(1)).as("__c"))
-      .withColumn("__cum0", coalesce(sum(col("__c")).over(wCum), lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(wN))
-      .select(col("__m"), col("__v"),
-        expr(s"least(${q}L, ($q * __cum0) DIV __n + 1)").as("__seg"))
-    val cube = stacked.join(seg, Seq("__m", "__v"))
+    val maxDistinct = 100000
+    val spark = events.sparkSession
+    import spark.implicits._
+    // counting grid, collected under the quantileBuckets cap discipline:
+    // ≤ 3·maxDistinct cells of ~24 bytes, ordered so the scan order IS
+    // the cumulation order — the driver does only the prefix sums and
+    // the q−1 target lookups per metric
+    val gridRows = stacked.groupBy(col("__m"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__m"), col("__v"))
+      .limit(3 * maxDistinct + 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cuts: Map[String, Seq[Long]] = gridRows.groupBy(_._1).map {
+      case (metric, cells) =>
+        require(cells.length <= maxDistinct,
+          s"rfm metric '$metric' has more than $maxDistinct distinct " +
+            "grid values: discretize the measure onto a coarser tick " +
+            "first (see Stats.quantileBucketsTicked)")
+        var running = 0L
+        val cum = cells.map { case (_, v, c) => running += c; (v, running) }
+        val n = running
+        metric -> (1 until q).flatMap { j =>
+          val target = (j * n + q - 1) / q // integer ceil(j*n/q)
+          cum.find(_._2 >= target).map(_._1)
+        }
+    }
+    val segCuts = broadcast(Seq("r", "f", "m")
+      .map(mk => (mk, cuts.getOrElse(mk, Seq.empty)))
+      .toDF("__m", "__cuts"))
+    val cube = stacked.join(segCuts, Seq("__m"))
+      .withColumn("__seg",
+        least(lit(q.toLong),
+          lit(1L) + size(filter(col("__cuts"), c => c < col("__v"))).cast("long")))
       .groupBy(col("__u"))
       .agg(max(when(col("__m") === "r", col("__seg"))).as("r_seg"),
         max(when(col("__m") === "f", col("__seg"))).as("f_seg"),

@@ -1129,6 +1129,13 @@ object Stats {
     * +1 remainders to the largest B·w mod W with key-ascending ties) —
     * engine-portable, no float shares anywhere. One bounded per-key
     * agg; the remainder window runs on the strata dim.
+    * Degenerate case: when EVERY stratum has zero spread (all-constant
+    * ticks) the total weight coalesces to 1, all base quotas are 0,
+    * and only min(#strata, budget) units are handed out via the
+    * remainder pass (one each, key-ascending) — there is no variance
+    * signal to allocate against, so the sum-to-budget invariant is
+    * intentionally relaxed rather than inventing a proportional
+    * fallback the oracle contract doesn't state.
     * Output: key, n_rows, spread_w, alloc.
     */
   def neymanAllocation(df: DataFrame, keyCol: String, tickCol: String,
@@ -1167,9 +1174,14 @@ object Stats {
     * log-normal, and the (μ, σ) pair is the two-number shape card a
     * source review reads): per-row log micro-ticks (round-half-away,
     * the lnMicros discipline), then exact integer moment sums — μ as
-    * one floor DIV, σ from the exact variance numerator n·Σx²−(Σx)²
-    * (decimal(38,0)) with one HALF_UP square root. Non-positive and
-    * null values are excluded on both sides (no log).
+    * one floor division, σ from the exact variance numerator
+    * n·Σx²−(Σx)² (decimal(38,0)) with one HALF_UP square root.
+    * Non-positive and null values are excluded on both sides (no log).
+    * μ's division FLOORS (Spark's DIV truncates toward zero, DuckDB's
+    * `//` floors — they disagree exactly when Σx < 0, i.e. a measure
+    * in (0,1); `(Σx − pmod(Σx, n)) DIV n` is exact long arithmetic
+    * with a non-negative remainder, so both engines agree for any
+    * positive measure, not just ≥ 1).
     * Output: key, n_rows, mu_micro, sigma_micro.
     */
   def lognormalFit(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
@@ -1181,7 +1193,7 @@ object Stats {
       .agg(count(lit(1)).as("n_rows"), sum(col("__x")).as("__sx"),
         sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__sxx"))
       .select(col("key"), col("n_rows"),
-        expr("__sx DIV n_rows").as("mu_micro"),
+        expr("(__sx - pmod(__sx, n_rows)) DIV n_rows").as("mu_micro"),
         floor(sqrt(expr(
           """CAST(greatest(n_rows * __sxx - CAST(__sx AS DECIMAL(38,0)) * __sx,
             |CAST(0 AS DECIMAL(38,0))) AS DOUBLE)""".stripMargin)) /

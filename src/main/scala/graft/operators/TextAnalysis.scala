@@ -2489,7 +2489,15 @@ object TextAnalysis {
       .groupBy(col("token")).agg(min(col("doc_id")).as("doc_id"))
       .join(ranked, Seq("doc_id"))
       .groupBy(col("__rk")).agg(count(lit(1)).as("__new"))
-    val n = ranked.agg(max(col("__rk"))).as[Long].head()
+    // empty corpus: max(__rk) is a single NULL row — return the empty
+    // curve instead of NPE-ing on head(), like the sibling operators
+    val n = ranked.agg(max(col("__rk"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getLong(0)))
+      .getOrElse(0L)
+    if (n == 0L)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("checkpoint"), lit(0L).as("vocab"),
+          lit(0L).as("beta_milli"))
     val cps = Iterator.iterate(1L)(_ * 2).takeWhile(_ < n).toSeq :+ n
     val grid = broadcast(cps.toDF("checkpoint"))
     val curve = firstSeen.join(grid, col("__rk") <= col("checkpoint"))
