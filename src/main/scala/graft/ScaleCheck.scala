@@ -902,6 +902,11 @@ object ScaleCheck {
     // are the near-dup clusters, so pair volume is family-bounded
     time(s"prefix-filter exact Jaccard join over $nDocs docs")(
       Dedup.prefixFilterJaccardPairs(docs, 19, 20).count())
+    // q220 production path: exact-set collapse + pigeonhole bucket
+    // agreement — candidate volume tracks bucket-subset collisions,
+    // not single-token postings
+    time(s"pigeonhole exact Jaccard join over $nDocs docs")(
+      Dedup.exactJaccardPairs(docs, 19, 20).count())
     // q220 adversarial: tokens shared by 100% of docs land in every
     // doc's PREFIX, but every cross-doc pair fails the positional filter
     // (each doc: 5 unique fillers ranked 1-5 by df, then 7 universal
@@ -945,6 +950,49 @@ object ScaleCheck {
         println(f"[scale] WARNING: hot-token candidate time ratio " +
           f"${tB / tA}%.2fx at 2x docs (advisory; zero-candidate assert passed)")
     }
+    // q220 pigeonhole worst-case probe: UNIFORM-size docs over a fully
+    // SHARED vocabulary (each doc = 50 of 200 tokens, hash-selected per
+    // doc) — every token is hot (df ≈ n/4, no rare end for a prefix to
+    // ride), every size pair is inside the θ window, so the df-ordered
+    // prefix scheme would candidate ~n²·(prefix/50)² pairs here. The
+    // pigeonhole route keys on (bucket, token-subset) agreement with
+    // agree ≥ m−k(sa,sb): a candidate pair needs ≥ 3 of its 5 buckets
+    // IDENTICAL, i.e. ≤ k=2 differing tokens confined to ≤ 2 buckets —
+    // random 50-of-200 subsets differ in ~75 tokens, so candidate
+    // volume is exactly zero while signature build and join stay
+    // linear in docs. Deterministic corpus (xxhash64) → exact asserts.
+    locally {
+      def uniformCorpus(n: Int) = spark.range(n).select(col("id").as("doc_id"),
+        array_join(transform(
+          slice(array_sort(transform(sequence(lit(0), lit(199)),
+            j => struct(
+              xxhash64(concat(col("id").cast("string"), lit("#"),
+                j.cast("string"))).as("h"),
+              concat(lit("v"), j.cast("string")).as("w")))), 1, 50),
+          s => s.getField("w")), " ").as("text"))
+      def candRows(n: Int): Long = {
+        val base = uniformCorpus(n).select(col("doc_id"),
+          array_sort(array_distinct(graft.operators.TextAnalysis.tokens(
+            graft.operators.TextAnalysis.asciiLower(col("text"))))).as("__toks"))
+          .withColumn("sz", size(col("__toks")).cast("long"))
+        // m as exactJaccardPairs derives it: szmax=50 → kmax=2 → m=5
+        Dedup.pigeonholeCandidates(base, 19, 20, 5).count()
+      }
+      val (nA, nB) = (50000, 100000)
+      val t0 = System.nanoTime()
+      val cA = time(s"pigeonhole CANDIDATES, shared 200-vocab, $nA uniform docs")(candRows(nA))
+      val tA = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val cB = time(s"pigeonhole CANDIDATES, shared 200-vocab, $nB uniform docs")(candRows(nB))
+      val tB = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] q220 pigeonhole probe: candidates $cA%d/$cB%d, ${tB / tA}%.2fx time at 2x docs")
+      assert(cA == 0 && cB == 0,
+        s"pigeonhole agree-count filter regressed: $cA/$cB candidates on a " +
+          "shared-vocabulary corpus where every pair differs in ~75 tokens")
+      if (tB / tA >= 3.5)
+        println(f"[scale] WARNING: pigeonhole candidate time ratio " +
+          f"${tB / tA}%.2fx at 2x docs (advisory; zero-candidate assert passed)")
+    }
     // q221: one fused scan (score + gate) + a ≤ ~200-key agg
     time(s"classifier calibration over $nDocs docs")(
       graft.operators.TextAnalysis.scoreCalibration(docs).count())
@@ -952,6 +1000,16 @@ object ScaleCheck {
     // a TakeOrdered top-k) — pure map-side-combine shapes
     time(s"hapax census over $nDocs docs")(
       graft.operators.TextAnalysis.hapaxCensus(sourced).count())
+    // q298/q299: one bounded hash agg over the (output-sized) exact
+    // pair graph — cost must track exactJaccardPairs itself
+    time(s"jaccard band census over $nDocs docs")(
+      Dedup.jaccardBandCensus(docs, 19, 20).count())
+    time(s"dup degree census over $nDocs docs")(
+      Dedup.dupDegreeCensus(docs, 19, 20).count())
+    // q300: shingle first-seen is one min-agg + one equi-join; the
+    // band rollup is a ≤ 10-key agg
+    time(s"arrival novelty decay over $nDocs docs")(
+      graft.operators.TextAnalysis.arrivalNoveltyDecay(docs).count())
     time(s"token dispersion over $nDocs docs")(
       graft.operators.TextAnalysis.tokenDispersion(docs).count())
     // q288: fingerprint scan + per-source distinct count

@@ -1351,10 +1351,11 @@ object SparkEntry {
             col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey"), col("p_brand")),
         "l_orderkey", "p_brand")),
-    // EXACT token-Jaccard join via PPJoin prefix filtering — complete
-    // recall (no df cap), candidates fan out on the rare vocabulary end
+    // EXACT token-Jaccard join, complete recall — exact-set collapse +
+    // pigeonhole bucket-agreement candidates at this threshold's tiny
+    // set-difference budget (|AΔB| ≤ (sa+sb)/39), exact array verify
     "q220_prefix_filter_join" -> ((s, dir) =>
-      Dedup.prefixFilterJaccardPairs(Tables.documents(s, dir), 19, 20)
+      Dedup.exactJaccardPairs(Tables.documents(s, dir), 19, 20)
         .orderBy("doc_a", "doc_b")),
     // classifier reliability diagram: score centibins vs quality-gate
     // pass rate, exact offset-tick means
@@ -2331,6 +2332,16 @@ object SparkEntry {
     "q297_ivf_probe_curve" -> ((s, dir) =>
       Similarity.ivfProbeCurve(Tables.embeddings(s, dir),
         pmod(col("vec_id"), lit(100)) === 0)),
+    // similarity-band census over the exact 19/20 pair graph — integer
+    // percent bands, complete recall inherited from exactJaccardPairs
+    "q298_jaccard_bands" -> ((s, dir) =>
+      Dedup.jaccardBandCensus(Tables.documents(s, dir), 19, 20)),
+    // duplicate-degree histogram: mega-family vs long-tail diagnostic
+    "q299_dup_degree" -> ((s, dir) =>
+      Dedup.dupDegreeCensus(Tables.documents(s, dir), 19, 20)),
+    // shingle novelty by ingest epoch: the diminishing-returns curve
+    "q300_novelty_decay" -> ((s, dir) =>
+      TextAnalysis.arrivalNoveltyDecay(Tables.documents(s, dir))),
   )
 
   /** q98's mixture config: one source kept whole, one dropped whole,
@@ -8362,6 +8373,64 @@ object SparkEntry {
         |       CAST((sum(n_hit) * 20000 + sum(n_exact)) // (2 * sum(n_exact))
         |         AS BIGINT) AS recall_bp
         |FROM jj GROUP BY 1 ORDER BY n_probe""".stripMargin,
+    // brute all-pairs exact Jaccard at 19/20, banded by integer percent
+    "q298_jaccard_bands" ->
+      """WITH tk AS (SELECT DISTINCT doc_id,
+        |              unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
+        |                                 x -> x <> '')) AS tok
+        |            FROM documents),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+        |it AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS c
+        |       FROM tk a JOIN tk b ON b.tok = a.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |p AS (SELECT c, sa.n AS na, sb.n AS nb
+        |      FROM it JOIN sz sa ON sa.doc_id = it.da
+        |              JOIN sz sb ON sb.doc_id = it.db
+        |      WHERE c * 20 >= (sa.n + sb.n - c) * 19)
+        |SELECT CAST((100 * c) // (na + nb - c) AS BIGINT) AS band_pct,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same brute pair graph, degree histogram over both orientations
+    "q299_dup_degree" ->
+      """WITH tk AS (SELECT DISTINCT doc_id,
+        |              unnest(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
+        |                                 x -> x <> '')) AS tok
+        |            FROM documents),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+        |it AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS c
+        |       FROM tk a JOIN tk b ON b.tok = a.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |p AS (SELECT it.da, it.db
+        |      FROM it JOIN sz sa ON sa.doc_id = it.da
+        |              JOIN sz sb ON sb.doc_id = it.db
+        |      WHERE c * 20 >= (sa.n + sb.n - c) * 19),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+        |        (SELECT da AS doc_id FROM p UNION ALL SELECT db AS doc_id FROM p) u
+        |      GROUP BY 1)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-shingle min(doc_id) first-seen; ingest epochs by integer
+    // doc_id cuts; HALF_UP bp
+    "q300_novelty_decay" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
+        |                         x -> x <> '') AS words
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 1),
+        |                                       i -> array_to_string(words[i:i+2], ' '))) AS shingle
+        |  FROM w WHERE len(words) >= 3) t),
+        |f AS (SELECT shingle, min(doc_id) AS first FROM sh GROUP BY 1),
+        |pd AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+        |              CAST(sum(CASE WHEN f.first = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |       FROM sh JOIN f USING (shingle) GROUP BY 1),
+        |mx AS (SELECT max(doc_id) AS m FROM documents)
+        |SELECT CAST((10 * pd.doc_id) // (mx.m + 1) AS BIGINT) AS band,
+        |       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+        |       CAST(sum(n_new) AS BIGINT) AS n_novel,
+        |       CAST((20000 * sum(n_new) + sum(n_sh)) // (2 * sum(n_sh)) AS BIGINT)
+        |         AS novelty_bp
+        |FROM pd CROSS JOIN mx GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

@@ -1037,6 +1037,219 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT token-set similarity self-join — same contract and output as
+    * [[prefixFilterJaccardPairs]] (complete recall at threshold num/den,
+    * exact verification, doc_a < doc_b) with a candidate scheme chosen
+    * by the threshold's SET-DIFFERENCE budget, plus an exact-duplicate
+    * collapse that runs all pairwise work once per DISTINCT token set.
+    *
+    * Two ideas, both recall-lossless:
+    *
+    * 1. COLLAPSE. Identical token sets behave identically in every
+    *    pair, so docs group by an unambiguous set fingerprint
+    *    (md5 of the JSON-encoded sorted array — JSON escaping makes
+    *    distinct arrays distinct strings, no separator ambiguity).
+    *    Within-group pairs are Jaccard exactly 1 and emit directly
+    *    (they pass any θ ≤ 1); cross-group pairs run on one
+    *    representative per set and expand |A|×|B| at the end. On web
+    *    corpora (30–50 % exact re-posts) this takes whole dup families
+    *    out of the candidate join — the quadratic part — leaving them
+    *    only in the output-sized expansion, which is the result's own
+    *    cardinality and irreducible for an exact operator.
+    *
+    * 2. PIGEONHOLE CANDIDATES at high thresholds. A pair passing the
+    *    gate c·den ≥ num·(|A|+|B|−c) has |AΔB| ≤ k(sa,sb) =
+    *    ⌊(sa+sb)(den−num)/(num+den)⌋ differing tokens. Hash every token
+    *    into m buckets: the differing tokens touch ≤ k buckets, so the
+    *    pair's per-bucket token SUBSETS are identical in ≥ m−k buckets
+    *    (an empty bucket on both sides is an agreement too, so every
+    *    doc emits exactly m signature rows). Candidates are pairs
+    *    sharing a (bucket, subset-hash) key with ≥ m−k(sa,sb)
+    *    agreements — far more selective than "shares one rare token"
+    *    when the corpus shares a small vocabulary, the regime where
+    *    df-ascending prefixes stop helping (measured on the sf0.1
+    *    documents table at 19/20: hottest prefix token posts 3,789 of
+    *    5,000 docs; prefix-filter candidates 1.81 M vs true pairs
+    *    190,925, while m=8 bucket agreement admits 212,106 — 1.11×
+    *    the true set). Signatures are ROW-LOCAL array expressions (no
+    *    df table, no per-doc/per-token rank windows — the prefix path
+    *    spends three shuffles before its first candidate; this spends
+    *    none). Subset-hash collisions only ADD candidates; exact
+    *    array_intersect verification decides every pair.
+    *
+    * Routing: m = kmax+3 (so the loosest pair still needs 3 bucket
+    * agreements), with kmax from the corpus' max set size (one bounded
+    * scalar job). When kmax+3 > 16 — low thresholds, where per-bucket
+    * subsets get too small to discriminate — candidates fall back to
+    * [[prefixFilterCandidates]] (the PPJoin prefix scheme), still over
+    * representatives. Verification and expansion are shared.
+    *
+    * 100 TB posture: signature build is scan-local; the candidate join
+    * keys on (bucket, subset-hash) and a hot key (a whole near-dup
+    * family agreeing on one bucket) is split into size-ordered 512-row
+    * chunks with wholesale chunk-pair pruning under the θ size window —
+    * the same discipline as the prefix path, so no single task owns a
+    * family's pair space. Reference contract preserved: the reference's
+    * near-dup pass is lossy MinHash (no exact join anywhere under the
+    * reference's `modules` tree);
+    * this operator is the engine's exact complement, so completeness is
+    * non-negotiable and every filter above is provably lossless.
+    */
+  def exactJaccardPairs(docs: DataFrame, num: Int = 1, den: Int = 2): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
+    val keyed = docs.select(col("doc_id"),
+        array_sort(array_distinct(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))))
+          .as("__toks"))
+      .where(size(col("__toks")) >= 1)
+      .withColumn("gid", md5(to_json(col("__toks"))))
+      .withColumn("sz", size(col("__toks")).cast("long"))
+    val members = keyed.select(col("gid"), col("doc_id"), col("sz"))
+    val reps = keyed.groupBy(col("gid"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("__toks")).as("__toks"),
+        first(col("sz")).as("sz"))
+    // identical sets: Jaccard exactly 1, passes every num ≤ den gate
+    val within = members.as("a").join(members.as("b"),
+        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("n_a"), col("b.sz").as("n_b"),
+        col("a.sz").as("n_common"), lit(1.0).as("jaccard"))
+    val mxRow = reps.agg(max(col("sz"))).collect()
+    val szmax = if (mxRow.isEmpty || mxRow.head.isNullAt(0)) 0L
+                else mxRow.head.getLong(0)
+    if (szmax == 0L) within
+    else {
+      val kmax = 2L * szmax * (den - num) / (num + den)
+      val cand =
+        if (kmax + 3 <= 16)
+          pigeonholeCandidates(reps.select(col("doc_id"), col("__toks"), col("sz")),
+            num, den, (kmax + 3).toInt)
+        else
+          prefixFilterCandidates(reps.select(col("doc_id"), col("__toks")), num, den)
+      val verified = cand
+        .join(reps.select(col("doc_id").as("doc_a"), col("gid").as("ga"),
+          col("__toks").as("__ta")), Seq("doc_a"))
+        .join(reps.select(col("doc_id").as("doc_b"), col("gid").as("gb"),
+          col("__toks").as("__tb")), Seq("doc_b"))
+        .withColumn("n_common",
+          size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+        .where(col("n_common") * den >=
+          (col("n_a") + col("n_b") - col("n_common")) * num)
+        .select(col("ga"), col("gb"), col("n_a"), col("n_b"), col("n_common"))
+      val cross = verified
+        .join(members.select(col("gid").as("ga"), col("doc_id").as("da")), Seq("ga"))
+        .join(members.select(col("gid").as("gb"), col("doc_id").as("db")), Seq("gb"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"),
+          when(col("da") < col("db"), col("n_a")).otherwise(col("n_b")).as("__na"),
+          when(col("da") < col("db"), col("n_b")).otherwise(col("n_a")).as("__nb"),
+          col("n_common"))
+        .select(col("doc_a"), col("doc_b"),
+          col("__na").as("n_a"), col("__nb").as("n_b"), col("n_common"),
+          round(col("n_common") /
+            (col("__na") + col("__nb") - col("n_common")), 4).as("jaccard"))
+      within.unionByName(cross)
+    }
+  }
+
+  /** The pigeonhole candidate set behind [[exactJaccardPairs]]' high-
+    * threshold route — every representative pair sharing ≥ m−k(sa,sb)
+    * identical (bucket, token-subset) signatures under the θ size
+    * window, BEFORE exact verification. Exposed for the scale probes
+    * (candidate-row growth on uniform-size shared-vocabulary corpora is
+    * this operator's worst-case axis). Expects (doc_id, __toks, sz);
+    * m must exceed every feasible pair's k — the caller derives it from
+    * the corpus max set size.
+    */
+  private[graft] def pigeonholeCandidates(base: DataFrame, num: Int, den: Int,
+                                          m: Int): DataFrame = {
+    require(m >= 2, "need at least two buckets")
+    // one row per (doc, bucket), sig = hash of the JSON-encoded subset —
+    // built entirely inside the scan (empty subsets hash to a shared
+    // constant: both-empty is a legitimate agreement)
+    val sigs = base.select(col("doc_id"), col("sz"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          b => xxhash64(to_json(filter(col("__toks"),
+            t => pmod(xxhash64(t), lit(m)) === b))))))
+      .select(col("doc_id"), col("sz"), col("pos").as("bkt"), col("col").as("sig"))
+    // hot-key discipline (same as the prefix path): a (bucket, sig) key
+    // shared by a whole family would pair inside ONE join task — chunk
+    // each key's postings by size order and prune chunk pairs wholesale
+    // under the θ length window before any doc-level replication
+    val chunk = 512
+    val wSig = Window.partitionBy(col("bkt"), col("sig"))
+      .orderBy(col("sz"), col("doc_id"))
+    val px = sigs.withColumn("cid",
+      ((row_number().over(wSig) - 1) / chunk).cast("long"))
+    val stats = px.groupBy(col("bkt"), col("sig"), col("cid"))
+      .agg(min(col("sz")).as("mnSz"), max(col("sz")).as("mxSz"))
+    val cp = stats.as("x").join(stats.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.sig") === col("y.sig") &&
+          col("x.cid") <= col("y.cid") &&
+          col("y.mxSz") * den >= col("x.mnSz") * num &&
+          col("x.mxSz") * den >= col("y.mnSz") * num)
+      .select(col("x.bkt").as("bkt"), col("x.sig").as("sig"),
+        col("x.cid").as("lo"), col("y.cid").as("hi"))
+    px.select(col("bkt"), col("sig"), col("cid").as("lo"),
+        col("doc_id").as("da"), col("sz").as("sa"))
+      .join(cp, Seq("bkt", "sig", "lo"))
+      .join(px.select(col("bkt"), col("sig"), col("cid").as("hi"),
+          col("doc_id").as("db"), col("sz").as("sb")),
+        Seq("bkt", "sig", "hi"))
+      .where((col("lo") =!= col("hi") || col("da") < col("db")) &&
+        col("sb") * den >= col("sa") * num &&
+        col("sa") * den >= col("sb") * num)
+      // canonicalize BEFORE counting: chunk ids are per-bucket, so a
+      // pair can meet in either (lo, hi) orientation across buckets
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("sa")).otherwise(col("sb")).as("n_a"),
+        when(col("da") < col("db"), col("sb")).otherwise(col("sa")).as("n_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("__agree"))
+      // the pigeonhole bound: ≥ m − k(n_a, n_b) agreeing buckets
+      .where(col("__agree") >= lit(m.toLong) -
+        expr(s"CAST(((n_a + n_b) * ${den - num}) div ${num + den} AS BIGINT)"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+  }
+
+  /** Near-duplicate similarity band census over the EXACT pair graph at
+    * threshold num/den: pairs bucketed by integer percent of Jaccard
+    * ((100·c) div u — exact integer arithmetic, no float banding), so a
+    * curation review reads "how close are my near-dups" as ≤
+    * (100·(den−num)/den + 1) rows instead of a pair dump. Rides
+    * [[exactJaccardPairs]], so the census inherits complete recall; the
+    * grouping adds one bounded hash agg over output-sized input.
+    * Output: band_pct, n_pairs.
+    */
+  def jaccardBandCensus(docs: DataFrame, num: Int = 19, den: Int = 20): DataFrame =
+    exactJaccardPairs(docs, num, den)
+      .select(expr("CAST((100 * n_common) div (n_a + n_b - n_common) AS BIGINT)")
+        .as("band_pct"))
+      .groupBy(col("band_pct"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("band_pct"))
+
+  /** Duplicate-degree census at threshold num/den: how many docs have
+    * exactly d near-duplicate partners in the exact pair graph — the
+    * "is duplication a few mega-families or a long tail" diagnostic
+    * that decides whether cluster-canonicalization (q53) or pairwise
+    * drop lists are the right dedup action. Degree counts both pair
+    * orientations (union of the a- and b-sides), docs with zero
+    * partners are excluded (the census is over the graph's nodes).
+    * Two bounded hash aggs over output-sized input.
+    * Output: degree, n_docs.
+    */
+  def dupDegreeCensus(docs: DataFrame, num: Int = 19, den: Int = 20): DataFrame = {
+    val pairs = exactJaccardPairs(docs, num, den)
+    pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
+  }
+
   /** Duplication-inflation factor per source: raw docs over distinct
     * normalized fingerprints, HALF_UP bp — the "how much of this source
     * is copies" number a curation review reads before spending dedup

@@ -2447,6 +2447,43 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Arrival-order novelty decay: docs banded into `bands` ingest
+    * epochs by doc_id ((bands·id) div (max_id+1) — integer cuts, no
+    * rank window), each doc's distinct word n-gram shingles split into
+    * first-appearances vs already-seen via the min-first-doc trick
+    * (per-shingle min(doc_id), one hash agg — no running state, no
+    * ordered scan), then one bounded per-band rollup. The curve is the
+    * "diminishing returns of more data from this source" read a
+    * curation review does before extending a crawl: a healthy corpus
+    * decays slowly; a templated one collapses after the first band.
+    * Docs with < n tokens carry no shingles and drop from both the
+    * numerator and denominator. HALF_UP bp.
+    * Output: band, n_shingles, n_novel, novelty_bp.
+    */
+  def arrivalNoveltyDecay(docs: DataFrame, n: Int = 3,
+                          bands: Int = 10): DataFrame = {
+    require(n >= 1 && bands >= 1, "need positive shingle size and bands")
+    val sh = Dedup.shingles(docs, n)
+    val firstSeen = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("__first"))
+    val perDoc = sh.join(firstSeen, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_sh"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+          .as("__n_new"))
+    val mx = docs.agg(max(col("doc_id")).as("__mx"))
+    perDoc.crossJoin(broadcast(mx))
+      .select(expr(s"CAST(($bands * doc_id) div (__mx + 1) AS BIGINT)").as("band"),
+        col("__n_sh"), col("__n_new"))
+      .groupBy(col("band"))
+      .agg(sum(col("__n_sh")).as("n_shingles"),
+        sum(col("__n_new")).as("n_novel"))
+      .select(col("band"), col("n_shingles"), col("n_novel"),
+        expr("(20000 * n_novel + n_shingles) div (2 * n_shingles)")
+          .as("novelty_bp"))
+      .orderBy(col("band"))
+  }
+
   /** Token dispersion for the corpus head: of a token's total
     * occurrences, how many land in DISTINCT documents — df·10⁴ div tf
     * in floor bp. 10000 means every use is a new document (a function

@@ -2917,6 +2917,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("exact Jaccard (pigeonhole + collapse): complete vs brute on dup-heavy corpus") {
+    // duplicate-heavy corpus with empty/null/whitespace docs: exercises
+    // the exact-set collapse (within-group emission), the cross-group
+    // candidate paths, and the sz >= 1 exclusion contract
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 25).map(i => s"w$i")
+    val uniq = (0 until 30).map { i =>
+      (i.toLong, (0 until 10 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(25)))
+        .mkString(" "))
+    }
+    // exact replicas (same token multiset modulo order/case/whitespace)
+    val dups = (0 until 15).map { i =>
+      val (_, t) = uniq(rnd.nextInt(uniq.size))
+      (100L + i, t.split(" ").reverse.mkString("  ").toUpperCase)
+    }
+    val degenerate = Seq((900L, ""), (901L, "   "), (902L, null.asInstanceOf[String]))
+    val docs = uniq ++ dups ++ degenerate
+    val df = docs.toDF("doc_id", "text")
+    val sets = docs.collect { case (id, t) if t != null =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    }.filter(_._2.nonEmpty).toMap
+    // (19, 20) routes through pigeonhole buckets, (1, 2) through the
+    // prefix-filter fallback (kmax too large for subset buckets)
+    for ((num, den) <- Seq((19, 20), (1, 2), (20, 20))) {
+      val got = Dedup.exactJaccardPairs(df, num, den)
+        .orderBy("doc_a", "doc_b")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      val brute = (for {
+        a <- sets.keys.toSeq; b <- sets.keys.toSeq if a < b
+        c = (sets(a) & sets(b)).size
+        u = sets(a).size + sets(b).size - c
+        if c * den >= u * num
+      } yield (a, b, sets(a).size.toLong, sets(b).size.toLong, c.toLong,
+        BigDecimal(c.toDouble / u).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)).sortBy(p => (p._1, p._2))
+      assert(got === brute, s"threshold $num/$den")
+    }
+    // agreement with the PPJoin path on the same corpus
+    val viaPrefix = Dedup.prefixFilterJaccardPairs(df, 19, 20)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val viaExact = Dedup.exactJaccardPairs(df, 19, 20)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(viaExact === viaPrefix)
+  }
+
+  test("exact Jaccard: empty corpus and all-degenerate corpus return empty") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactJaccardPairs(empty, 19, 20).count() === 0L)
+    val degen = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, " \t "))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactJaccardPairs(degen, 1, 2).count() === 0L)
+  }
+
   test("calibration: bins partition the corpus, rates match direct recompute") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val cal = TextAnalysis.scoreCalibration(docs).orderBy("bin")
