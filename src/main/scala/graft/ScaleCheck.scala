@@ -970,27 +970,34 @@ object ScaleCheck {
                 j.cast("string"))).as("h"),
               concat(lit("v"), j.cast("string")).as("w")))), 1, 50),
           s => s.getField("w")), " ").as("text"))
-      def candRows(n: Int): Long = {
-        val base = uniformCorpus(n).select(col("doc_id"),
-          array_sort(array_distinct(graft.operators.TextAnalysis.tokens(
-            graft.operators.TextAnalysis.asciiLower(col("text"))))).as("__toks"))
-          .withColumn("sz", size(col("__toks")).cast("long"))
-        // m as exactJaccardPairs derives it: szmax=50 → kmax=2 → m=5
-        Dedup.pigeonholeCandidates(base, 19, 20, 5).count()
-      }
+      def baseOf(n: Int) = uniformCorpus(n).select(col("doc_id"),
+        array_sort(array_distinct(graft.operators.TextAnalysis.tokens(
+          graft.operators.TextAnalysis.asciiLower(col("text"))))).as("__toks"))
+        .withColumn("sz", size(col("__toks")).cast("long"))
       val (nA, nB) = (50000, 100000)
+      // production route for this corpus (szmax=50 → kmax=2 → m=5,
+      // C(5,2)=10 masked keys, 3-wise agreement)
       val t0 = System.nanoTime()
-      val cA = time(s"pigeonhole CANDIDATES, shared 200-vocab, $nA uniform docs")(candRows(nA))
+      val cA = time(s"masked-sig CANDIDATES, shared 200-vocab, $nA uniform docs")(
+        Dedup.maskedSigCandidates(baseOf(nA), 19, 20, 5, 2).count())
       val tA = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val cB = time(s"pigeonhole CANDIDATES, shared 200-vocab, $nB uniform docs")(candRows(nB))
+      val cB = time(s"masked-sig CANDIDATES, shared 200-vocab, $nB uniform docs")(
+        Dedup.maskedSigCandidates(baseOf(nB), 19, 20, 5, 2).count())
       val tB = (System.nanoTime() - t1) / 1e9
-      println(f"[scale] q220 pigeonhole probe: candidates $cA%d/$cB%d, ${tB / tA}%.2fx time at 2x docs")
+      println(f"[scale] q220 masked-sig probe: candidates $cA%d/$cB%d, ${tB / tA}%.2fx time at 2x docs")
       assert(cA == 0 && cB == 0,
-        s"pigeonhole agree-count filter regressed: $cA/$cB candidates on a " +
+        s"masked-sig join regressed: $cA/$cB candidates on a " +
+          "shared-vocabulary corpus where every pair differs in ~75 tokens")
+      // middle route (single-bucket agreement + count bound) probed at
+      // the same sizes — also exactly zero here
+      val cP = time(s"pigeonhole CANDIDATES, shared 200-vocab, $nA uniform docs")(
+        Dedup.pigeonholeCandidates(baseOf(nA), 19, 20, 5).count())
+      assert(cP == 0,
+        s"pigeonhole agree-count filter regressed: $cP candidates on a " +
           "shared-vocabulary corpus where every pair differs in ~75 tokens")
       if (tB / tA >= 3.5)
-        println(f"[scale] WARNING: pigeonhole candidate time ratio " +
+        println(f"[scale] WARNING: masked-sig candidate time ratio " +
           f"${tB / tA}%.2fx at 2x docs (advisory; zero-candidate assert passed)")
     }
     // q221: one fused scan (score + gate) + a ≤ ~200-key agg

@@ -1077,12 +1077,20 @@ object Dedup {
     *    none). Subset-hash collisions only ADD candidates; exact
     *    array_intersect verification decides every pair.
     *
-    * Routing: m = kmax+3 (so the loosest pair still needs 3 bucket
-    * agreements), with kmax from the corpus' max set size (one bounded
-    * scalar job). When kmax+3 > 16 — low thresholds, where per-bucket
-    * subsets get too small to discriminate — candidates fall back to
-    * [[prefixFilterCandidates]] (the PPJoin prefix scheme), still over
-    * representatives. Verification and expansion are shared.
+    * Routing, by the corpus Hamming budget kmax (from the corpus' max
+    * set size, one bounded scalar job; m = kmax+3):
+    *   - kmax ≤ 2 (the common high-θ text regime): the ONE-DELETION
+    *     masked-vector join ([[maskedSigCandidates]]) — C(m, kmax) ≤ 10
+    *     keys per doc, each requiring m−kmax bucket subsets identical
+    *     at once, so hot keys are true near-identical families rather
+    *     than single-bucket crowds (25× fewer join rows than
+    *     single-bucket agreement on the sf0.1 measurement above);
+    *   - kmax ≤ 13: single-bucket agreement with the ≥ m−k count bound
+    *     ([[pigeonholeCandidates]]);
+    *   - beyond (low thresholds, per-bucket subsets too small to
+    *     discriminate): [[prefixFilterCandidates]] (the PPJoin prefix
+    *     scheme), still over representatives.
+    * Verification and expansion are shared by all three routes.
     *
     * 100 TB posture: signature build is scan-local; the candidate join
     * keys on (bucket, subset-hash) and a hot key (a whole near-dup
@@ -1119,10 +1127,14 @@ object Dedup {
     if (szmax == 0L) within
     else {
       val kmax = 2L * szmax * (den - num) / (num + den)
+      val repSel = reps.select(col("doc_id"), col("__toks"), col("sz"))
       val cand =
-        if (kmax + 3 <= 16)
-          pigeonholeCandidates(reps.select(col("doc_id"), col("__toks"), col("sz")),
-            num, den, (kmax + 3).toInt)
+        if (kmax <= 2)
+          // tiny Hamming budget: the one-deletion masked-vector join's
+          // (m−k)-wise keys collapse hot groups to true families
+          maskedSigCandidates(repSel, num, den, (kmax + 3).toInt, kmax.toInt)
+        else if (kmax + 3 <= 16)
+          pigeonholeCandidates(repSel, num, den, (kmax + 3).toInt)
         else
           prefixFilterCandidates(reps.select(col("doc_id"), col("__toks")), num, den)
       val verified = cand
@@ -1170,46 +1182,98 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           b => xxhash64(to_json(filter(col("__toks"),
             t => pmod(xxhash64(t), lit(m)) === b))))))
-      .select(col("doc_id"), col("sz"), col("pos").as("bkt"), col("col").as("sig"))
-    // hot-key discipline (same as the prefix path): a (bucket, sig) key
-    // shared by a whole family would pair inside ONE join task — chunk
-    // each key's postings by size order and prune chunk pairs wholesale
-    // under the θ length window before any doc-level replication
-    val chunk = 512
-    val wSig = Window.partitionBy(col("bkt"), col("sig"))
-      .orderBy(col("sz"), col("doc_id"))
-    val px = sigs.withColumn("cid",
-      ((row_number().over(wSig) - 1) / chunk).cast("long"))
-    val stats = px.groupBy(col("bkt"), col("sig"), col("cid"))
-      .agg(min(col("sz")).as("mnSz"), max(col("sz")).as("mxSz"))
-    val cp = stats.as("x").join(stats.as("y"),
-        col("x.bkt") === col("y.bkt") && col("x.sig") === col("y.sig") &&
-          col("x.cid") <= col("y.cid") &&
-          col("y.mxSz") * den >= col("x.mnSz") * num &&
-          col("x.mxSz") * den >= col("y.mnSz") * num)
-      .select(col("x.bkt").as("bkt"), col("x.sig").as("sig"),
-        col("x.cid").as("lo"), col("y.cid").as("hi"))
-    px.select(col("bkt"), col("sig"), col("cid").as("lo"),
-        col("doc_id").as("da"), col("sz").as("sa"))
-      .join(cp, Seq("bkt", "sig", "lo"))
-      .join(px.select(col("bkt"), col("sig"), col("cid").as("hi"),
-          col("doc_id").as("db"), col("sz").as("sb")),
-        Seq("bkt", "sig", "hi"))
-      .where((col("lo") =!= col("hi") || col("da") < col("db")) &&
-        col("sb") * den >= col("sa") * num &&
-        col("sa") * den >= col("sb") * num)
-      // canonicalize BEFORE counting: chunk ids are per-bucket, so a
-      // pair can meet in either (lo, hi) orientation across buckets
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"),
-        when(col("da") < col("db"), col("sa")).otherwise(col("sb")).as("n_a"),
-        when(col("da") < col("db"), col("sb")).otherwise(col("sa")).as("n_b"))
+      .select(col("pos").cast("int").as("k1"), col("col").as("k2"),
+        col("doc_id"), col("sz"))
+    chunkedKeyedPairs(sigs, num, den)
       .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("__agree"))
       // the pigeonhole bound: ≥ m − k(n_a, n_b) agreeing buckets
       .where(col("__agree") >= lit(m.toLong) -
         expr(s"CAST(((n_a + n_b) * ${den - num}) div ${num + den} AS BIGINT)"))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+  }
+
+  /** The one-deletion (masked signature vector) candidate set behind
+    * [[exactJaccardPairs]]' HIGHEST-threshold route. With a global
+    * Hamming budget kmax over the m-bucket signature vector (a gate
+    * pair differs in ≤ k(sa,sb) ≤ kmax tokens, each touching one
+    * bucket), the pair's vectors agree on every bucket outside some
+    * kmax-subset — so joining on ALL C(m, kmax) masked sub-vectors
+    * (each key = the (m−kmax)-wise hash of the unmasked bucket sigs)
+    * finds every gate pair. The (m−kmax)-wise key is the point: it
+    * needs m−kmax bucket subsets identical AT ONCE, so a hot key is a
+    * genuine near-identical family, not "everyone who shares one
+    * bucket" (measured on sf0.1 documents at 19/20, m=4, kmax=1:
+    * join rows 360 k / hottest key 489 docs, vs 8.8 M / 3,191 for
+    * single-bucket agreement and 13.4 M for df-ordered prefixes; the
+    * 253 k distinct candidates are 1.3× the 190,925 true pairs).
+    * Candidate volume only; verification stays exact downstream.
+    * Expects (doc_id, __toks, sz); emits each pair once (distinct over
+    * agreeing masks). Mask count C(m, kmax) is the caller's routing
+    * concern — keep it small (kmax ≤ 2 with m = kmax+3 gives ≤ 10).
+    */
+  private[graft] def maskedSigCandidates(base: DataFrame, num: Int, den: Int,
+                                         m: Int, kmax: Int): DataFrame = {
+    require(m > kmax && kmax >= 0, "need more buckets than the Hamming budget")
+    val combos = (0 until m).combinations(kmax).toSeq
+    val keys = array(combos.zipWithIndex.map { case (masked, i) =>
+      val unmasked = (0 until m).filterNot(masked.toSet)
+      struct(lit(i).as("k1"),
+        xxhash64(unmasked.map(p => element_at(col("__sigs"), p + 1)): _*)
+          .as("k2"))
+    }: _*)
+    val sigs = base
+      .withColumn("__sigs", transform(sequence(lit(0), lit(m - 1)),
+        b => xxhash64(to_json(filter(col("__toks"),
+          t => pmod(xxhash64(t), lit(m)) === b)))))
+      .select(col("doc_id"), col("sz"), explode(keys).as("__mk"))
+      .select(col("__mk.k1").as("k1"), col("__mk.k2").as("k2"),
+        col("doc_id"), col("sz"))
+    chunkedKeyedPairs(sigs, num, den)
+      .distinct()
+  }
+
+  /** Canonicalized equi-self-join on a (k1, k2) posting key with the
+    * hot-key chunk discipline shared by every candidate scheme here: a
+    * key shared by a whole family would otherwise pair inside ONE join
+    * task, so each key's postings split into size-ordered 512-row
+    * chunks whose pairs prune WHOLESALE under the θ length window
+    * before any doc-level replication, and only the lo side replicates.
+    * Expects (k1, k2, doc_id, sz); output (doc_a, doc_b, n_a, n_b),
+    * one row per (pair, agreeing key) — callers dedup or count.
+    */
+  private def chunkedKeyedPairs(postings: DataFrame, num: Int,
+                                den: Int): DataFrame = {
+    val chunk = 512
+    val wKey = Window.partitionBy(col("k1"), col("k2"))
+      .orderBy(col("sz"), col("doc_id"))
+    val px = postings.withColumn("cid",
+      ((row_number().over(wKey) - 1) / chunk).cast("long"))
+    val stats = px.groupBy(col("k1"), col("k2"), col("cid"))
+      .agg(min(col("sz")).as("mnSz"), max(col("sz")).as("mxSz"))
+    val cp = stats.as("x").join(stats.as("y"),
+        col("x.k1") === col("y.k1") && col("x.k2") === col("y.k2") &&
+          col("x.cid") <= col("y.cid") &&
+          col("y.mxSz") * den >= col("x.mnSz") * num &&
+          col("x.mxSz") * den >= col("y.mnSz") * num)
+      .select(col("x.k1").as("k1"), col("x.k2").as("k2"),
+        col("x.cid").as("lo"), col("y.cid").as("hi"))
+    px.select(col("k1"), col("k2"), col("cid").as("lo"),
+        col("doc_id").as("da"), col("sz").as("sa"))
+      .join(cp, Seq("k1", "k2", "lo"))
+      .join(px.select(col("k1"), col("k2"), col("cid").as("hi"),
+          col("doc_id").as("db"), col("sz").as("sb")),
+        Seq("k1", "k2", "hi"))
+      .where((col("lo") =!= col("hi") || col("da") < col("db")) &&
+        col("sb") * den >= col("sa") * num &&
+        col("sa") * den >= col("sb") * num)
+      // canonicalize BEFORE the caller's dedup/count: chunk ids are
+      // per-key, so a pair can meet in either (lo, hi) orientation
+      // across different keys
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("sa")).otherwise(col("sb")).as("n_a"),
+        when(col("da") < col("db"), col("sb")).otherwise(col("sa")).as("n_b"))
   }
 
   /** Near-duplicate similarity band census over the EXACT pair graph at

@@ -2932,15 +2932,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       val (_, t) = uniq(rnd.nextInt(uniq.size))
       (100L + i, t.split(" ").reverse.mkString("  ").toUpperCase)
     }
+    // long docs (~23 distinct of 25) push szmax so (1,2) genuinely
+    // routes through the prefix fallback (kmax > 13)
+    val long = (0 until 5).map { i =>
+      (200L + i, (0 until 60).map(_ => vocab(rnd.nextInt(25))).mkString(" "))
+    }
     val degenerate = Seq((900L, ""), (901L, "   "), (902L, null.asInstanceOf[String]))
-    val docs = uniq ++ dups ++ degenerate
+    val docs = uniq ++ dups ++ long ++ degenerate
     val df = docs.toDF("doc_id", "text")
     val sets = docs.collect { case (id, t) if t != null =>
       id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
     }.filter(_._2.nonEmpty).toMap
-    // (19, 20) routes through pigeonhole buckets, (1, 2) through the
-    // prefix-filter fallback (kmax too large for subset buckets)
-    for ((num, den) <- Seq((19, 20), (1, 2), (20, 20))) {
+    // route coverage at szmax ~23: (19,20) masked-vector (kmax 1),
+    // (20,20) masked k=0, (2,3) single-bucket agreement (kmax ~9),
+    // (1,2) prefix fallback (kmax ~15 > 13)
+    for ((num, den) <- Seq((19, 20), (2, 3), (1, 2), (20, 20))) {
       val got = Dedup.exactJaccardPairs(df, num, den)
         .orderBy("doc_a", "doc_b")
         .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
