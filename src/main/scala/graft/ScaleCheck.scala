@@ -1017,6 +1017,15 @@ object ScaleCheck {
     // band rollup is a ≤ 10-key agg
     time(s"arrival novelty decay over $nDocs docs")(
       graft.operators.TextAnalysis.arrivalNoveltyDecay(docs).count())
+    // q301/q302: bounded rollups over the LSH-calibration / simhash
+    // pair relations — cost must track the pair machinery itself
+    time(s"minhash error census over $nDocs docs")(
+      Dedup.minhashErrorCensus(docs).count())
+    time(s"simhash hamming census over $nDocs docs")(
+      Dedup.simhashHammingCensus(docs).count())
+    // q303: one shingle-df hash agg + a ≤ ~40-key rollup
+    time(s"shingle df spectrum over $nDocs docs")(
+      Dedup.shingleDfSpectrum(docs).count())
     time(s"token dispersion over $nDocs docs")(
       graft.operators.TextAnalysis.tokenDispersion(docs).count())
     // q288: fingerprint scan + per-source distinct count

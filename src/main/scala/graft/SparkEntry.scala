@@ -2342,6 +2342,15 @@ object SparkEntry {
     // shingle novelty by ingest epoch: the diminishing-returns curve
     "q300_novelty_decay" -> ((s, dir) =>
       TextAnalysis.arrivalNoveltyDecay(Tables.documents(s, dir))),
+    // sketch-error-by-band card over q103's verified candidate pairs
+    "q301_minhash_error" -> ((s, dir) =>
+      Dedup.minhashErrorCensus(Tables.documents(s, dir))),
+    // Hamming spectrum of the simhash candidate pairs (radius tuning)
+    "q302_simhash_census" -> ((s, dir) =>
+      Dedup.simhashHammingCensus(Tables.documents(s, dir))),
+    // shingle df mass in power-of-two bands (the maxDf knob card)
+    "q303_df_spectrum" -> ((s, dir) =>
+      Dedup.shingleDfSpectrum(Tables.documents(s, dir))),
   )
 
   /** q98's mixture config: one source kept whole, one dropped whole,
@@ -8431,6 +8440,41 @@ object SparkEntry {
         |       CAST((20000 * sum(n_new) + sum(n_sh)) // (2 * sum(n_sh)) AS BIGINT)
         |         AS novelty_bp
         |FROM pd CROSS JOIN mx GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q103's verified-candidate chain (j has est+exact), banded by exact
+    // ticks with HALF_UP mean |est−exact| ticks
+    "q301_minhash_error" ->
+      s"""WITH $LshCalibSql,
+        |er AS (SELECT CAST(CAST(round(exact_jaccard * 10000) AS BIGINT) // 1000
+        |                AS BIGINT) AS band,
+        |              abs(CAST(round(est_jaccard * 10000) AS BIGINT)
+        |                  - CAST(round(exact_jaccard * 10000) AS BIGINT)) AS ae
+        |       FROM j)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST((2 * sum(ae) + count(*)) // (2 * count(*)) AS BIGINT)
+        |         AS mean_abs_err_ticks
+        |FROM er GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q39/q41 portable simhash chain (sp), censused by distance
+    "q302_simhash_census" ->
+      s"""WITH $SimhashPairsSql
+        |SELECT CAST(hamming AS BIGINT) AS hamming,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // 5-gram shingle df in power-of-two bands — integer bit-length
+    // banding on both engines (bin() is minimal-width in both)
+    "q303_df_spectrum" ->
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
+        |                         x -> x <> '') AS words
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |                                       i -> array_to_string(words[i:i+4], ' '))) AS shingle
+        |  FROM w WHERE len(words) >= 5) t),
+        |d AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+        |SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_band,
+        |       CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(df) AS BIGINT) AS n_postings
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The LSH dup-cluster CTE chain (shingles → minhash → bands →

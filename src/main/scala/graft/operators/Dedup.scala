@@ -1281,7 +1281,10 @@ object Dedup {
     * ((100·c) div u — exact integer arithmetic, no float banding), so a
     * curation review reads "how close are my near-dups" as ≤
     * (100·(den−num)/den + 1) rows instead of a pair dump. Rides
-    * [[exactJaccardPairs]], so the census inherits complete recall; the
+    * [[exactJaccardPairs]], so the census inherits complete recall —
+    * the ground-truth sibling of [[thresholdSweep]], which sweeps θ
+    * over the LSH-candidate pair relation and so only sees pairs the
+    * banding surfaced; this one is complete above its threshold. The
     * grouping adds one bounded hash agg over output-sized input.
     * Output: band_pct, n_pairs.
     */
@@ -1294,13 +1297,18 @@ object Dedup {
       .orderBy(col("band_pct"))
 
   /** Duplicate-degree census at threshold num/den: how many docs have
-    * exactly d near-duplicate partners in the exact pair graph — the
+    * exactly d near-duplicate partners in the EXACT pair graph — the
     * "is duplication a few mega-families or a long tail" diagnostic
     * that decides whether cluster-canonicalization (q53) or pairwise
-    * drop lists are the right dedup action. Degree counts both pair
-    * orientations (union of the a- and b-sides), docs with zero
-    * partners are excluded (the census is over the graph's nodes).
-    * Two bounded hash aggs over output-sized input.
+    * drop lists are the right dedup action. The exact-graph sibling of
+    * [[dupDegreeHistogram]] (which histograms an ESTIMATED banded-LSH
+    * pair relation and keeps degree-0 rows as a completeness check):
+    * this one reads token-Jaccard ground truth at a hard threshold, so
+    * its tail is what the LSH histogram's tail is calibrated AGAINST.
+    * Degree counts both pair orientations (union of the a- and
+    * b-sides); docs with zero partners are excluded (the census is
+    * over the graph's nodes). Two bounded hash aggs over output-sized
+    * input.
     * Output: degree, n_docs.
     */
   def dupDegreeCensus(docs: DataFrame, num: Int = 19, den: Int = 20): DataFrame = {
@@ -1313,6 +1321,62 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("degree"))
   }
+
+  /** MinHash estimator error census: verified LSH candidate pairs
+    * bucketed by EXACT-Jaccard decile, with the count and the HALF_UP
+    * mean |estimated − exact| in 1e-4 ticks per band — the "how wrong
+    * is my sketch, and where" card that turns [[lshCalibration]]'s
+    * per-pair audit into the bounded table a banding review actually
+    * reads (16-perm signatures are noisy at mid Jaccard and tight at
+    * the extremes; this measures that curve on the real corpus).
+    * Banding and the error metric both run on round(x·10⁴) tick longs
+    * (the err_ticks discipline), never raw doubles. One bounded hash
+    * agg over candidate-sized input.
+    * Output: band, n_pairs, mean_abs_err_ticks.
+    */
+  def minhashErrorCensus(docs: DataFrame, n: Int = 5, numPerms: Int = 16,
+                         bands: Int = 8, threshold: Double = 0.2): DataFrame =
+    lshCalibration(docs, n, numPerms, bands, threshold)
+      .select(
+        expr("CAST(round(exact_jaccard * 10000) AS BIGINT) div 1000").as("band"),
+        abs(col("err_ticks")).as("__ae"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__ae")).as("__sae"))
+      .select(col("band"), col("n_pairs"),
+        expr("(2 * __sae + n_pairs) div (2 * n_pairs)").as("mean_abs_err_ticks"))
+      .orderBy(col("band"))
+
+  /** SimHash Hamming-distance census over the banded candidate pairs —
+    * the radius-tuning card for [[simhashPairsPortable]]: how many
+    * near-dup pairs live at each Hamming distance within the pigeonhole
+    * radius, so the maxHamming knob is set from the corpus' own
+    * distance spectrum instead of folklore. One bounded hash agg over
+    * pair-sized input (≤ maxHamming+1 rows out).
+    * Output: hamming, n_pairs.
+    */
+  def simhashHammingCensus(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsPortable(docs, maxHamming)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+
+  /** Shingle document-frequency spectrum in power-of-two bands: how the
+    * corpus' n-gram vocabulary mass distributes across df — the card
+    * that sets [[jaccardPairs]]' maxDf cap and predicts inverted-index
+    * join cost (posting work is Σ df², dominated by the top band).
+    * Banding is INTEGER-exact (band = bit length of df − 1, i.e.
+    * ⌊log₂ df⌋ without a float log anywhere near a boundary). One df
+    * hash agg + one ≤ ~40-key rollup.
+    * Output: df_band, n_shingles, n_postings.
+    */
+  def shingleDfSpectrum(docs: DataFrame, n: Int = 5): DataFrame =
+    shingles(docs, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .select((length(bin(col("__df"))) - 1).cast("long").as("df_band"),
+        col("__df"))
+      .groupBy(col("df_band"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("__df")).as("n_postings"))
+      .orderBy(col("df_band"))
 
   /** Duplication-inflation factor per source: raw docs over distinct
     * normalized fingerprints, HALF_UP bp — the "how much of this source

@@ -57,4 +57,41 @@ class NewOpsR9Spec extends AnyFunSuite {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(TextAnalysis.arrivalNoveltyDecay(empty).count() === 0L)
   }
+
+  test("shingle df spectrum: bit-length bands, postings sum to df mass") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // shingles: "a b c d e", "b c d e f"
+      (2L, "a b c d e f"),  // same two
+      (3L, "a b c d e"),    // "a b c d e" again -> its df = 3
+      (4L, "x y z w v")     // unique shingle, df = 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.shingleDfSpectrum(docs, n = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    // df=1 -> band 0 (1 shingle); df=2 and df=3 -> band 1 (2 shingles,
+    // 5 postings)
+    assert(got === Seq((0L, 1L, 1L), (1L, 2L, 5L)))
+  }
+
+  test("minhash error census: identical docs land in band 10 with zero error") {
+    val docs = (1L to 4L).map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashErrorCensus(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    // all 4 docs share every shingle: every LSH bucket collides, est = 1,
+    // exact = 1 -> band 10, C(4,2) = 6 pairs, error 0
+    assert(got === Seq((10L, 6L, 0L)))
+  }
+
+  test("simhash hamming census: identical docs at distance 0, sums match the pair relation") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta"), (4L, "totally different words here"),
+      (5L, "unrelated content entirely now")
+    ).toDF("doc_id", "text")
+    val census = Dedup.simhashHammingCensus(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(census.getOrElse(0L, 0L) >= 3L) // the three identical-doc pairs
+    assert(census.values.sum === Dedup.simhashPairsPortable(docs).count())
+  }
+
 }
