@@ -1026,6 +1026,12 @@ object ScaleCheck {
     // q303: one shingle-df hash agg + a ≤ ~40-key rollup
     time(s"shingle df spectrum over $nDocs docs")(
       Dedup.shingleDfSpectrum(docs).count())
+    // q304: PNG encode+decode is embarrassingly parallel mapPartitions;
+    // the pair join is the shared 4×16 banded-Hamming machinery, so
+    // candidate volume is band-collision-bounded like the simhash path
+    time(s"phash near-dup pairs over $nDocs docs")(
+      graft.sources.Multimodal.phashNearDupPairs(
+        graft.sources.Multimodal.fromDocuments(docs)).count())
     time(s"token dispersion over $nDocs docs")(
       graft.operators.TextAnalysis.tokenDispersion(docs).count())
     // q288: fingerprint scan + per-source distinct count

@@ -2351,6 +2351,12 @@ object SparkEntry {
     // shingle df mass in power-of-two bands (the maxDf knob card)
     "q303_df_spectrum" -> ((s, dir) =>
       Dedup.shingleDfSpectrum(Tables.documents(s, dir))),
+    // image near-dedup: dHash pairs within Hamming 3 via the shared
+    // 4x16 banded pigeonhole join; oracle is brute all-pairs
+    "q304_phash_pairs" -> ((s, dir) =>
+      Multimodal.phashNearDupPairs(
+        Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .orderBy("media_a", "media_b")),
   )
 
   /** q98's mixture config: one source kept whole, one dropped whole,
@@ -7958,32 +7964,21 @@ object SparkEntry {
     // the q43 md5 pixel field sampled on the same integer 9x8 grid;
     // pow-packed lo/hi bits (the simhash oracle pattern)
     "q178_image_phash" ->
-      """WITH xs AS (SELECT unnest(range(0, 8)) AS x),
-        |ys AS (SELECT unnest(range(0, 8)) AS y),
-        |m AS (SELECT doc_id AS media_id, text,
-        |             CAST(4 + (doc_id % 5) * 2 AS BIGINT) AS w,
-        |             CAST(4 + (doc_id % 7) * 2 AS BIGINT) AS h
-        |      FROM documents),
-        |c AS (SELECT media_id, text, x, y,
-        |             ((y * h) // 8) * w + ((x * w) // 9) AS ia,
-        |             ((y * h) // 8) * w + (((x + 1) * w) // 9) AS ib
-        |      FROM m CROSS JOIN xs CROSS JOIN ys),
-        |v AS (SELECT media_id, x, y,
-        |             ('0x' || substr(md5(text || '#' || CAST(ia // 16 AS VARCHAR)),
-        |                             CAST((ia % 16) * 2 + 1 AS INT), 2))::BIGINT AS a,
-        |             ('0x' || substr(md5(text || '#' || CAST(ib // 16 AS VARCHAR)),
-        |                             CAST((ib % 16) * 2 + 1 AS INT), 2))::BIGINT AS b
-        |      FROM c),
-        |bits AS (SELECT media_id, y * 8 + x AS idx,
-        |                CASE WHEN b > a THEN 1 ELSE 0 END AS bit FROM v)
-        |SELECT media_id,
-        |       CAST(sum(CASE WHEN bit = 1 AND idx < 32
-        |                     THEN CAST(pow(2, idx) AS BIGINT) ELSE 0 END) AS BIGINT)
-        |         AS phash_lo,
-        |       CAST(sum(CASE WHEN bit = 1 AND idx >= 32
-        |                     THEN CAST(pow(2, idx - 32) AS BIGINT) ELSE 0 END) AS BIGINT)
-        |         AS phash_hi
-        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin,
+      s"""WITH $PhashSql
+        |SELECT media_id, phash_lo, phash_hi FROM ph
+        |ORDER BY media_id""".stripMargin,
+    // pHash near-dup pairs: INDEPENDENT brute formulation — all pairs
+    // with bit_count(xor) <= 3; the engine's 4x16 banded join must
+    // lose nothing against it (pigeonhole completeness)
+    "q304_phash_pairs" ->
+      s"""WITH $PhashSql,
+        |pr AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |              CAST(bit_count(xor(a.phash_lo, b.phash_lo))
+        |                   + bit_count(xor(a.phash_hi, b.phash_hi)) AS BIGINT)
+        |                AS hamming
+        |       FROM ph a JOIN ph b ON a.media_id < b.media_id)
+        |SELECT media_a, media_b, hamming FROM pr WHERE hamming <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
     // same arithmetic over the +35k-shifted twins; byte-identical
     // payloads must collapse to one hash group
     "q179_phash_groups" ->
@@ -8487,6 +8482,38 @@ object SparkEntry {
   /** q103's verified-candidate chain: MinHash-LSH candidates with
     * estimated AND exact Jaccard, ending in j(doc_a, doc_b,
     * est_jaccard, exact_jaccard) - shared by q103/q240. */
+  /** The dHash chain over the synthetic PNG fixture (9x8 nearest-neighbor
+    * grid on the md5-pixel raster, id-derived dimensions), ending in
+    * ph(media_id, phash_lo, phash_hi) — single source of truth for
+    * q178/q304. q179 inlines a twin-augmented variant. */
+  private val PhashSql: String =
+    """xs AS (SELECT unnest(range(0, 8)) AS x),
+      |ys AS (SELECT unnest(range(0, 8)) AS y),
+      |m AS (SELECT doc_id AS media_id, text,
+      |             CAST(4 + (doc_id % 5) * 2 AS BIGINT) AS w,
+      |             CAST(4 + (doc_id % 7) * 2 AS BIGINT) AS h
+      |      FROM documents),
+      |c AS (SELECT media_id, text, x, y,
+      |             ((y * h) // 8) * w + ((x * w) // 9) AS ia,
+      |             ((y * h) // 8) * w + (((x + 1) * w) // 9) AS ib
+      |      FROM m CROSS JOIN xs CROSS JOIN ys),
+      |v AS (SELECT media_id, x, y,
+      |             ('0x' || substr(md5(text || '#' || CAST(ia // 16 AS VARCHAR)),
+      |                             CAST((ia % 16) * 2 + 1 AS INT), 2))::BIGINT AS a,
+      |             ('0x' || substr(md5(text || '#' || CAST(ib // 16 AS VARCHAR)),
+      |                             CAST((ib % 16) * 2 + 1 AS INT), 2))::BIGINT AS b
+      |      FROM c),
+      |bits AS (SELECT media_id, y * 8 + x AS idx,
+      |                CASE WHEN b > a THEN 1 ELSE 0 END AS bit FROM v),
+      |ph AS (SELECT media_id,
+      |              CAST(sum(CASE WHEN bit = 1 AND idx < 32
+      |                            THEN CAST(pow(2, idx) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |                AS phash_lo,
+      |              CAST(sum(CASE WHEN bit = 1 AND idx >= 32
+      |                            THEN CAST(pow(2, idx - 32) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |                AS phash_hi
+      |       FROM bits GROUP BY media_id)""".stripMargin
+
   private val LshCalibSql: String =
     """w AS (
         |  SELECT doc_id,

@@ -302,29 +302,46 @@ object Dedup {
     // pinch-point exchange: the sketch pipeline feeds both sides of the
     // band self-join — one computation, reused shuffle output
     val sh = simhash64Portable(docs).repartition(col("doc_id"))
-    val banded = sh.select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+    bandedHamming64Pairs(sh.select(col("doc_id").as("id"),
+        col("simhash_lo").as("lo"), col("simhash_hi").as("hi")), maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+
+  /** Pigeonhole banded-Hamming self-join over 64-bit (lo, hi) sketches —
+    * the candidate machinery shared by [[simhashPairsPortable]] (text)
+    * and [[graft.sources.Multimodal.phashNearDupPairs]] (images): the
+    * 64 bits split into four 16-bit band keys; ≤ 3 differing bits leave
+    * ≥ 1 band untouched, so the equi-join on (band, key) is COMPLETE
+    * for Hamming ≤ 3, and the exact bit_count on the joined pair
+    * decides. Expects (id, lo, hi); output (id_a < id_b, hamming).
+    * The hamming cut runs BEFORE the pair dedup: hamming is identical
+    * for every copy of a pair, and most band collisions fail it —
+    * discarding first keeps the distinct shuffle to qualifying pairs.
+    */
+  private[graft] def bandedHamming64Pairs(hashes: DataFrame,
+                                          maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4×16-bit banding is complete only up to Hamming 3")
+    val banded = hashes.select(col("id"), col("lo"), col("hi"),
       explode(array(
-        struct(lit(0).as("band"), col("simhash_lo").bitwiseAND(0xFFFFL).as("key")),
+        struct(lit(0).as("band"), col("lo").bitwiseAND(0xFFFFL).as("key")),
         struct(lit(1).as("band"),
-          call_function("shiftright", col("simhash_lo"), lit(16)).bitwiseAND(0xFFFFL).as("key")),
-        struct(lit(2).as("band"), col("simhash_hi").bitwiseAND(0xFFFFL).as("key")),
+          call_function("shiftright", col("lo"), lit(16)).bitwiseAND(0xFFFFL).as("key")),
+        struct(lit(2).as("band"), col("hi").bitwiseAND(0xFFFFL).as("key")),
         struct(lit(3).as("band"),
-          call_function("shiftright", col("simhash_hi"), lit(16)).bitwiseAND(0xFFFFL).as("key"))
+          call_function("shiftright", col("hi"), lit(16)).bitwiseAND(0xFFFFL).as("key"))
       )).as("bk"))
-      .select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+      .select(col("id"), col("lo"), col("hi"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo"))) +
-          bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi")))).cast("long").as("hamming"))
-      // filter BEFORE the pair dedup: hamming is identical for every copy
-      // of a pair, and most band collisions fail the cut — discarding them
-      // first keeps the distinct shuffle to qualifying pairs only
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+          bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .dropDuplicates("doc_a", "doc_b")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** 64-bit SimHash over whitespace tokens weighted by term frequency

@@ -658,4 +658,21 @@ object Multimodal {
       }
     }
   }
+
+  /** Near-duplicate IMAGE pairs: [[perceptualHashes]] (dHash over the
+    * real decoded raster) fed through the shared pigeonhole
+    * banded-Hamming join ([[graft.operators.Dedup.bandedHamming64Pairs]],
+    * complete for Hamming ≤ 3 over 4×16-bit bands) — the image analogue
+    * of the text corpus's SimHash near-dedup, closing the multimodal
+    * dedup loop: re-encoded/byte-shuffled copies collapse at distance 0
+    * (the q179 exact groups), close crops/re-renders surface at 1–3.
+    * Undecodable payloads carry no hash and never pair.
+    * Output: media_a < media_b, hamming.
+    */
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.bandedHamming64Pairs(
+      perceptualHashes(media).toDF().select(col("media_id").as("id"),
+        col("phash_lo").as("lo"), col("phash_hi").as("hi")), maxHamming)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
+        col("hamming"))
 }

@@ -288,6 +288,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.perceptualHashes(junk).count() === 0L)
   }
 
+  test("phash near-dup pairs: complete vs brute Hamming <= 3, twins at distance 0") {
+    // ids 35 apart share (w, h) so same-text twins are byte-identical
+    val docs = Seq(
+      (1L, "same picture text"), (36L, "same picture text"),
+      (71L, "same picture text"),
+      (2L, "a completely different image"), (5L, "yet another frame")
+    ).toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs)
+    val got = Multimodal.phashNearDupPairs(media)
+      .orderBy("media_a", "media_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    // independent brute force over the hashes the operator itself rides
+    val ph = Multimodal.perceptualHashes(media).collect()
+      .map(p => p.media_id -> (p.phash_lo, p.phash_hi)).toMap
+    val brute = (for {
+      a <- ph.keys.toSeq; b <- ph.keys.toSeq if a < b
+      d = java.lang.Long.bitCount(ph(a)._1 ^ ph(b)._1) +
+        java.lang.Long.bitCount(ph(a)._2 ^ ph(b)._2)
+      if d <= 3
+    } yield (a, b, d.toLong)).sortBy(p => (p._1, p._2))
+    assert(got === brute)
+    // the three byte-identical twins pair pairwise at distance 0
+    assert(got.filter(_._3 == 0L).map(p => (p._1, p._2))
+      .containsSlice(Seq((1L, 36L), (1L, 71L), (36L, 71L))))
+  }
+
   test("audio contour: positional bits, identical audio collapses, junk drops") {
     // ids 20 apart share (rate, channels, frames) = id % lcm(4,2,10);
     // same text → byte-identical WAV → same contour
