@@ -1270,5 +1270,4 @@ object Similarity {
           expr("(n_hit * 20000 + n_exact) div (2 * n_exact)").as("recall_bp"))
     }.reduce(_ unionByName _).orderBy(col("n_probe"))
   }
-
 }
