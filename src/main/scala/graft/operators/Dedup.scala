@@ -297,8 +297,18 @@ object Dedup {
     * verified with exact bit counts. Band keys and the distance are pure
     * 32-bit arithmetic on the two halves, so the whole sub-quadratic path
     * carries a DuckDB oracle. Output: doc_a < doc_b, hamming ≤ maxHamming.
+    *
+    * @param maxHamming must be in [0, 3]: the 4×16-bit banding is
+    *   complete only up to Hamming 3 (a pair differing in 4+ bits can
+    *   touch every band), so larger budgets are rejected at plan build
+    *   rather than silently under-recalling — use
+    *   [[simhashPairsMultiProbe]] for budgets 4–7.
     */
   def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairsPortable: maxHamming=$maxHamming out of [0, 3] — the " +
+        "4-band pigeonhole join is complete only up to Hamming 3; use " +
+        "simhashPairsMultiProbe for budgets 4-7")
     // pinch-point exchange: the sketch pipeline feeds both sides of the
     // band self-join — one computation, reused shuffle output
     val sh = simhash64Portable(docs).repartition(col("doc_id"))
@@ -317,11 +327,26 @@ object Dedup {
     * The hamming cut runs BEFORE the pair dedup: hamming is identical
     * for every copy of a pair, and most band collisions fail it —
     * discarding first keeps the distinct shuffle to qualifying pairs.
+    *
+    * Hot-key discipline (the exact-Jaccard [[chunkedKeyedPairs]] shape):
+    * a 16-bit band key shared by a whole crowd — flat-color/letterboxed
+    * images posting identical dHash bands, boilerplate templates doing
+    * the same for SimHash — would otherwise pair inside ONE join task.
+    * Each key's postings split into id-ordered 512-row chunks; the join
+    * distributes over (band, key, chunk-pair), so a crowd of f docs
+    * squares across (f/512)²/2 tasks instead of one. No wholesale
+    * chunk-pair prune exists for Hamming (unlike the θ size window),
+    * so every chunk pair survives — the discipline here is purely
+    * spreading the irreducible pair work. Pair canonicalization is
+    * unchanged: chunks are id-ordered, so lo-chunk < hi-chunk already
+    * implies id_a < id_b and the original predicate applies verbatim —
+    * the output is byte-identical to the flat self-join.
     */
   private[graft] def bandedHamming64Pairs(hashes: DataFrame,
                                           maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4×16-bit banding is complete only up to Hamming 3")
+    val chunk = 512
     val banded = hashes.select(col("id"), col("lo"), col("hi"),
       explode(array(
         struct(lit(0).as("band"), col("lo").bitwiseAND(0xFFFFL).as("key")),
@@ -333,13 +358,101 @@ object Dedup {
       )).as("bk"))
       .select(col("id"), col("lo"), col("hi"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
-          bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).cast("long").as("hamming"))
+    val wKey = Window.partitionBy(col("band"), col("key")).orderBy(col("id"))
+    val px = banded.withColumn("cid",
+      ((row_number().over(wKey) - 1) / chunk).cast("long"))
+    val chunks = px.select(col("band"), col("key"), col("cid")).distinct()
+    val cp = chunks.as("x").join(chunks.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.cid") <= col("y.cid"))
+      .select(col("x.band").as("band"), col("x.key").as("key"),
+        col("x.cid").as("clo"), col("y.cid").as("chi"))
+    px.select(col("band"), col("key"), col("cid").as("clo"),
+        col("id").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+      .join(cp, Seq("band", "key", "clo"))
+      .join(px.select(col("band"), col("key"), col("cid").as("chi"),
+          col("id").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b")),
+        Seq("band", "key", "chi"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs at Hamming budgets the 4-band join can't
+    * reach (4–7) via MULTI-PROBE banding — the standard LSH trick of
+    * probing perturbed keys instead of widening bands: with ≤ 7
+    * differing bits over four 16-bit bands, some band holds ≤ 1 of
+    * them (pigeonhole: 2 per band needs ≥ 8), so joining every doc's
+    * {exact key} ∪ {16 one-bit flips} per band against exact keys is
+    * COMPLETE for Hamming ≤ 7. The alternative — eight 8-bit bands —
+    * is also complete to 7 but collapses onto 256 key values per band
+    * (candidate volume n²/256 per band at corpus scale); 17 probes on
+    * a 16-bit key keep the per-band collision rate at 17/2¹⁶. The
+    * knob's value is read off the q302 Hamming census: mass at
+    * distances 4–6 that [[simhashPairsPortable]] can't see.
+    * Output: doc_a < doc_b, hamming ≤ maxHamming.
+    */
+  def simhashPairsMultiProbe(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sh = simhash64Portable(docs).repartition(col("doc_id"))
+    multiProbeHamming64Pairs(sh.select(col("doc_id").as("id"),
+        col("simhash_lo").as("lo"), col("simhash_hi").as("hi")), maxHamming)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+
+  /** Multi-probe banded-Hamming self-join over 64-bit (lo, hi)
+    * sketches — [[bandedHamming64Pairs]]' budget-4–7 sibling (see
+    * [[simhashPairsMultiProbe]] for the completeness argument). The
+    * asymmetric probe→index join finds each unordered pair once from
+    * the lower id's probe set (one-bit flips are symmetric: if
+    * hamming(key_a, key_b) ≤ 1 then key_b ∈ probes(a) AND key_a ∈
+    * probes(b), so orienting on id_a < id_b loses nothing); exact
+    * bit_count verifies. Both sides carry the id-ordered 512-row
+    * chunk discipline on their (band, key) postings — a flat-image /
+    * boilerplate crowd shares exact AND probed keys, so the probe
+    * side is 17× as crowd-prone as the exact join, not less.
+    * Expects (id, lo, hi); output (id_a < id_b, hamming).
+    */
+  private[graft] def multiProbeHamming64Pairs(hashes: DataFrame,
+                                              maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "4×16-bit banding with one-bit probes is complete only up to Hamming 7")
+    val chunk = 512
+    val banded = hashes.select(col("id"), col("lo"), col("hi"),
+      explode(array(
+        struct(lit(0).as("band"), col("lo").bitwiseAND(0xFFFFL).as("key")),
+        struct(lit(1).as("band"),
+          call_function("shiftright", col("lo"), lit(16)).bitwiseAND(0xFFFFL).as("key")),
+        struct(lit(2).as("band"), col("hi").bitwiseAND(0xFFFFL).as("key")),
+        struct(lit(3).as("band"),
+          call_function("shiftright", col("hi"), lit(16)).bitwiseAND(0xFFFFL).as("key"))
+      )).as("bk"))
+      .select(col("id"), col("lo"), col("hi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val wKey = Window.partitionBy(col("band"), col("key")).orderBy(col("id"))
+    val idx = banded.withColumn("cid",
+      ((row_number().over(wKey) - 1) / chunk).cast("long"))
+    val probeKeys = col("key") +:
+      (0 until 16).map(b => col("key").bitwiseXOR(lit(1L << b)))
+    val prb = banded
+      .select(col("id"), col("lo"), col("hi"), col("band"),
+        explode(array(probeKeys: _*)).as("key"))
+      .withColumn("pid", ((row_number().over(wKey) - 1) / chunk).cast("long"))
+    val cp = prb.select(col("band"), col("key"), col("pid")).distinct()
+      .join(idx.select(col("band"), col("key"), col("cid")).distinct(),
+        Seq("band", "key"))
+    prb.select(col("band"), col("key"), col("pid"),
+        col("id").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+      .join(cp, Seq("band", "key", "pid"))
+      .join(idx.select(col("band"), col("key"), col("cid"),
+          col("id").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b")),
+        Seq("band", "key", "cid"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }

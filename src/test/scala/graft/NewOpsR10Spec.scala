@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 operator specs: chunked banded-Hamming hot-key discipline
+  * (brute parity on a crowd larger than one 512-row chunk), the
+  * multi-probe Hamming 4–7 join, mega-family-chunked exact Jaccard,
+  * epoch-aware novelty decay, and span-level exact-substring dedup.
+  */
+class NewOpsR10Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ham(a: (Long, Long), b: (Long, Long)): Int =
+    java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+
+  /** Sketch corpus with a 600-strong identical crowd (two chunks on every
+    * band key), a ladder of 1..8-bit perturbations of the crowd value, and
+    * a scatter of unrelated sketches. All values stay in unsigned-32 range
+    * (the lo/hi halves contract).
+    */
+  private lazy val sketches: Seq[(Long, Long, Long)] = {
+    val baseLo = 0xABCD1234L
+    val baseHi = 0x0F1E2D3CL
+    val crowd = (0L until 600L).map(i => (i, baseLo, baseHi))
+    // flip k bits spread across both halves: k = 1..8 at ids 1000+k
+    val ladder = (1 to 8).map { k =>
+      val flips = (0 until k).map(j => 7 * j + 3) // distinct positions < 64
+      val lo = flips.filter(_ < 32).foldLeft(baseLo)((v, b) => v ^ (1L << b))
+      val hi = flips.filter(_ >= 32).foldLeft(baseHi)((v, b) => v ^ (1L << (b - 32)))
+      (1000L + k, lo, hi)
+    }
+    val rnd = new scala.util.Random(7)
+    val scatter = (0 until 50).map(i =>
+      (2000L + i, rnd.nextLong() & 0xFFFFFFFFL, rnd.nextLong() & 0xFFFFFFFFL))
+    crowd ++ ladder ++ scatter
+  }
+
+  private def brutePairs(maxHamming: Int): Set[(Long, Long, Long)] = {
+    val m = sketches.map(t => t._1 -> (t._2, t._3)).toMap
+    val ids = m.keys.toSeq.sorted
+    (for {
+      a <- ids; b <- ids if a < b
+      d = ham(m(a), m(b)) if d <= maxHamming
+    } yield (a, b, d.toLong)).toSet
+  }
+
+  test("bandedHamming64Pairs: chunked join is brute-parity on a 600-doc identical crowd") {
+    val df = sketches.toDF("id", "lo", "hi")
+    val got = Dedup.bandedHamming64Pairs(df, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // banding is COMPLETE at Hamming <= 3, so the banded set IS the brute set
+    assert(got === brutePairs(3))
+    // the crowd alone contributes C(600,2) exact-dup pairs — two chunks per key
+    assert(got.count { case (a, b, d) => a < 600 && b < 600 && d == 0L } === 600 * 599 / 2)
+  }
+
+  test("multiProbeHamming64Pairs: brute parity at budgets 4..7, crowd included") {
+    val df = sketches.toDF("id", "lo", "hi")
+    for (k <- 4 to 7) {
+      val got = Dedup.multiProbeHamming64Pairs(df, maxHamming = k)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === brutePairs(k), s"multi-probe mismatch at maxHamming=$k")
+    }
+    // ladder sanity: the crowd pairs with perturbations up to the budget
+    val got6 = Dedup.multiProbeHamming64Pairs(df, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    for (k <- 1 to 8)
+      assert(got6.contains((0L, 1000L + k, k.toLong)) === (k <= 6))
+  }
+
+  test("simhashPairsMultiProbe is a superset of the 4-band portable pairs and exact on hamming") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappax"),
+      (3L, "alpha beta gamma delta epsilon zeta eta thetaz iotaz kappaz"),
+      (4L, "totally different words about catalyst plans and shuffles"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val p3 = Dedup.simhashPairsPortable(docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val p6 = Dedup.simhashPairsMultiProbe(docs, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p3.subsetOf(p6))
+    // exactness: every emitted pair matches the sketch-level distance
+    val h = Dedup.simhash64Portable(docs)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    p6.foreach { case (a, b, d) => assert(ham(h(a), h(b)).toLong === d && d <= 6) }
+    assert(p6.contains((1L, 5L, 0L)))
+  }
+
+  test("simhashPairsPortable rejects budgets past the 4-band completeness bound") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashPairsPortable(docs, maxHamming = 4))
+    assert(e.getMessage.contains("simhashPairsMultiProbe"))
+  }
+}
