@@ -1227,7 +1227,13 @@ object Dedup {
     * family agreeing on one bucket) is split into size-ordered 512-row
     * chunks with wholesale chunk-pair pruning under the θ size window —
     * the same discipline as the prefix path, so no single task owns a
-    * family's pair space. Reference contract preserved: the reference's
+    * family's pair space. The exact-set WITHIN join and the member
+    * EXPANSION joins carry the same 512-row chunking on (gid, chunk)
+    * keys: a mega-family of identical docs (10⁶ re-posts of one page)
+    * emits its irreducibly-quadratic pair output across its chunk-pair
+    * grid instead of one gid-keyed task. For families where even the
+    * distributed pair LISTING is the wrong artifact, [[dupClusters]]
+    * labels are the intended escape hatch. Reference contract preserved: the reference's
     * near-dup pass is lossy MinHash (no exact join anywhere under the
     * reference's `modules` tree);
     * this operator is the engine's exact complement, so completeness is
@@ -1235,23 +1241,48 @@ object Dedup {
     */
   def exactJaccardPairs(docs: DataFrame, num: Int = 1, den: Int = 2): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
+    val chunk = 512
+    // eagerly pinned (localCheckpoint = block storage + plan cut): the
+    // szmax routing probe below is a separate job, and the tokenize/
+    // collapse scan feeds members, reps, AND the within join — without
+    // the pin each consumer re-tokenizes the corpus (the r9 advice item)
     val keyed = docs.select(col("doc_id"),
         array_sort(array_distinct(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))))
           .as("__toks"))
       .where(size(col("__toks")) >= 1)
       .withColumn("gid", md5(to_json(col("__toks"))))
       .withColumn("sz", size(col("__toks")).cast("long"))
+      .localCheckpoint(true)
     val members = keyed.select(col("gid"), col("doc_id"), col("sz"))
     val reps = keyed.groupBy(col("gid"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("__toks")).as("__toks"),
         first(col("sz")).as("sz"))
-    // identical sets: Jaccard exactly 1, passes every num ≤ den gate
-    val within = members.as("a").join(members.as("b"),
-        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("n_a"), col("b.sz").as("n_b"),
-        col("a.sz").as("n_common"), lit(1.0).as("jaccard"))
-    val mxRow = reps.agg(max(col("sz"))).collect()
+    // mega-family discipline (the bandedHamming64Pairs chunk shape): a
+    // gid with f members — 10⁶ re-posts of one page at web scale — would
+    // pair its f²/2 within-family output inside ONE join task keyed on
+    // the raw gid; id-ordered 512-row chunks spread it over (f/512)²/2
+    // chunk-pair tasks, and the member-expansion joins below key on
+    // (gid, chunk) for the same reason
+    val wGid = Window.partitionBy(col("gid")).orderBy(col("doc_id"))
+    val memC = members.withColumn("cid",
+      ((row_number().over(wGid) - 1) / chunk).cast("long"))
+    val gidChunks = memC.select(col("gid"), col("cid")).distinct()
+    val wcp = gidChunks.as("x").join(gidChunks.as("y"),
+        col("x.gid") === col("y.gid") && col("x.cid") <= col("y.cid"))
+      .select(col("x.gid").as("gid"), col("x.cid").as("clo"), col("y.cid").as("chi"))
+    // identical sets: Jaccard exactly 1, passes every num ≤ den gate;
+    // chunks are id-ordered so clo < chi already implies da < db and the
+    // row predicate is the original a.doc_id < b.doc_id verbatim
+    val within = memC.select(col("gid"), col("cid").as("clo"),
+        col("doc_id").as("da"), col("sz").as("sa"))
+      .join(wcp, Seq("gid", "clo"))
+      .join(memC.select(col("gid"), col("cid").as("chi"), col("doc_id").as("db")),
+        Seq("gid", "chi"))
+      .where(col("da") < col("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("sa").as("n_a"), col("sa").as("n_b"),
+        col("sa").as("n_common"), lit(1.0).as("jaccard"))
+    val mxRow = keyed.agg(max(col("sz"))).collect()
     val szmax = if (mxRow.isEmpty || mxRow.head.isNullAt(0)) 0L
                 else mxRow.head.getLong(0)
     if (szmax == 0L) within
@@ -1277,9 +1308,21 @@ object Dedup {
         .where(col("n_common") * den >=
           (col("n_a") + col("n_b") - col("n_common")) * num)
         .select(col("ga"), col("gb"), col("n_a"), col("n_b"), col("n_common"))
+      // member expansion over (gid, chunk) keys: each verified family
+      // pair first fans out to its chunk grid (metadata-sized rows),
+      // then each expansion join matches exactly one ≤512-member chunk
+      // per key — a (10⁶ × 10⁶)-member family pair lands on
+      // chunks(ga)·chunks(gb) distinct keys instead of one gid key (the
+      // residual per-key concentration on the LAST join — all da rows
+      // sharing one (gb, cb) — is the AQE skew-split shape: bounded
+      // right side, splittable left)
       val cross = verified
-        .join(members.select(col("gid").as("ga"), col("doc_id").as("da")), Seq("ga"))
-        .join(members.select(col("gid").as("gb"), col("doc_id").as("db")), Seq("gb"))
+        .join(gidChunks.select(col("gid").as("ga"), col("cid").as("ca")), Seq("ga"))
+        .join(gidChunks.select(col("gid").as("gb"), col("cid").as("cb")), Seq("gb"))
+        .join(memC.select(col("gid").as("ga"), col("cid").as("ca"),
+          col("doc_id").as("da")), Seq("ga", "ca"))
+        .join(memC.select(col("gid").as("gb"), col("cid").as("cb"),
+          col("doc_id").as("db")), Seq("gb", "cb"))
         .select(least(col("da"), col("db")).as("doc_a"),
           greatest(col("da"), col("db")).as("doc_b"),
           when(col("da") < col("db"), col("n_a")).otherwise(col("n_b")).as("__na"),

@@ -91,6 +91,30 @@ class NewOpsR10Spec extends AnyFunSuite {
     assert(p6.contains((1L, 5L, 0L)))
   }
 
+  test("exactJaccardPairs: mega-family chunking keeps counts exact across chunk boundaries") {
+    // one identical family of 1200 (three 512-chunks), a second identical
+    // family of 600 whose token set differs from the first by one token of
+    // 30 (Jaccard 29/31 ≥ 19/20 is false; 29/31 ≥ 9/10 true → cross pairs
+    // appear at the lower threshold only), plus unrelated docs
+    val toks30 = (0 until 30).map(i => s"t$i")
+    val famA = (0L until 1200L).map(i => (i, toks30.mkString(" ")))
+    val famB = (2000L until 2600L).map(i => (i, (toks30.drop(1) :+ "zz").mkString(" ")))
+    val other = Seq((9000L, "completely different words here"), (9001L, "more unrelated text"))
+    val df = (famA ++ famB ++ other).toDF("doc_id", "text")
+    val high = Dedup.exactJaccardPairs(df, 19, 20)
+    val nA = 1200L * 1199L / 2; val nB = 600L * 599L / 2
+    assert(high.count() === nA + nB)
+    assert(high.where(col("jaccard") < 1.0).count() === 0L)
+    assert(high.distinct().count() === nA + nB) // no duplicate emissions across chunks
+    val low = Dedup.exactJaccardPairs(df, 9, 10)
+    assert(low.count() === nA + nB + 1200L * 600L)
+    val cross = low.where(col("jaccard") < 1.0)
+    assert(cross.count() === 1200L * 600L)
+    // cross stats: |A|=30, |B|=30, common=29 → jaccard 29/31 ≈ 0.9355
+    val one = cross.limit(1).as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(one._3 === 30L && one._4 === 30L && one._5 === 29L && one._6 === 0.9355)
+  }
+
   test("simhashPairsPortable rejects budgets past the 4-band completeness bound") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException](
