@@ -2458,6 +2458,12 @@ object TextAnalysis {
     * decays slowly; a templated one collapses after the first band.
     * Docs with < n tokens carry no shingles and drop from both the
     * numerator and denominator. HALF_UP bp.
+    *
+    * doc_id-as-arrival-order is this variant's CONTRACT, not an
+    * assumption: with sparse or non-chronological ids the "epochs" are
+    * id-range bands. When ingest order lives in a timestamp or batch
+    * column, use [[noveltyDecayByEpoch]], which takes the epoch
+    * expression explicitly (this default stays for the q300 oracle).
     * Output: band, n_shingles, n_novel, novelty_bp.
     */
   def arrivalNoveltyDecay(docs: DataFrame, n: Int = 3,
@@ -2479,6 +2485,34 @@ object TextAnalysis {
       .agg(sum(col("__n_sh")).as("n_shingles"),
         sum(col("__n_new")).as("n_novel"))
       .select(col("band"), col("n_shingles"), col("n_novel"),
+        expr("(20000 * n_novel + n_shingles) div (2 * n_shingles)")
+          .as("novelty_bp"))
+      .orderBy(col("band"))
+  }
+
+  /** [[arrivalNoveltyDecay]] with an EXPLICIT ingest-epoch expression —
+    * the variant for corpora whose arrival order lives in a timestamp,
+    * crawl-batch, or snapshot column rather than the doc_id (sparse or
+    * non-chronological ids make id-range bands meaningless). A shingle
+    * is novel in exactly one (epoch, doc) — the lexicographic minimum,
+    * via the same per-shingle min agg (one hash agg, no running state);
+    * the rollup groups by the caller's epoch values directly, so the
+    * caller picks the granularity (`date_trunc`, batch id, ...).
+    * Output: band (the epoch value), n_shingles, n_novel, novelty_bp.
+    */
+  def noveltyDecayByEpoch(docs: DataFrame, epochCol: Column,
+                          n: Int = 3): DataFrame = {
+    val ep = docs.select(col("doc_id"), epochCol.cast("long").as("__epoch"))
+    val sh = Dedup.shingles(docs, n).join(ep, Seq("doc_id"))
+    val firstSeen = sh.groupBy(col("shingle"))
+      .agg(min(struct(col("__epoch"), col("doc_id"))).as("__first"))
+    sh.join(firstSeen, Seq("shingle"))
+      .groupBy(col("__epoch"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first.__epoch") === col("__epoch") &&
+          col("__first.doc_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("__epoch").as("band"), col("n_shingles"), col("n_novel"),
         expr("(20000 * n_novel + n_shingles) div (2 * n_shingles)")
           .as("novelty_bp"))
       .orderBy(col("band"))

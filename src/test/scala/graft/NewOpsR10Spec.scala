@@ -115,6 +115,31 @@ class NewOpsR10Spec extends AnyFunSuite {
     assert(one._3 === 30L && one._4 === 30L && one._5 === 29L && one._6 === 0.9355)
   }
 
+  test("noveltyDecayByEpoch: hand-computed curve on shuffled ids with explicit epochs") {
+    // ids deliberately NON-chronological: doc 10 arrives in epoch 0, doc 1
+    // in epoch 1 — id-range banding would invert the story
+    val docs = Seq(
+      (10L, "a b c", 0L), (5L, "b c d", 0L), (1L, "a b x", 1L)
+    ).toDF("doc_id", "text", "batch")
+    val got = TextAnalysis.noveltyDecayByEpoch(docs, col("batch"), n = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // firstSeen (epoch, doc): "a b"→(0,10), "b c"→(0,5), "c d"→(0,5), "b x"→(1,1)
+    // epoch 0: 4 shingles, 3 novel → 7500 bp; epoch 1: 2 shingles, 1 novel → 5000 bp
+    assert(got === Seq((0L, 4L, 3L, 7500L), (1L, 2L, 1L, 5000L)))
+  }
+
+  test("noveltyDecayByEpoch under id-derived monotone epochs agrees with arrivalNoveltyDecay") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val bands = 10
+    val viaEpoch = TextAnalysis.noveltyDecayByEpoch(
+        docs, expr(s"CAST(($bands * doc_id) div (${mx + 1}) AS BIGINT)"), n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val viaId = TextAnalysis.arrivalNoveltyDecay(docs, n = 3, bands = bands)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaEpoch === viaId)
+  }
+
   test("simhashPairsPortable rejects budgets past the 4-band completeness bound") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException](
