@@ -926,12 +926,11 @@ object ScaleCheck {
           array_join(transform(sequence(lit(0L), lit(4L)),
             j => concat(lit("w"), col("id") * 8 + j)), " "),
           lit(" c1x c2x c3x c4x c5x c6x c7x")).as("text"))
-      def candRows(n: Int): Long = {
-        val base = hotCorpus(n).select(col("doc_id"),
-          array_sort(array_distinct(graft.operators.TextAnalysis.tokens(
-            graft.operators.TextAnalysis.asciiLower(col("text"))))).as("__toks"))
-        Dedup.prefixFilterCandidates(base, 1, 2).count()
-      }
+      def baseOf(n: Int) = hotCorpus(n).select(col("doc_id"),
+        array_sort(array_distinct(graft.operators.TextAnalysis.tokens(
+          graft.operators.TextAnalysis.asciiLower(col("text"))))).as("__toks"))
+      def candRows(n: Int): Long =
+        Dedup.prefixFilterCandidates(baseOf(n), 1, 2).count()
       val (nA, nB) = (50000, 100000)
       val t0 = System.nanoTime()
       val cA = time(s"prefix-filter CANDIDATES, 7 tokens in 100% of $nA docs")(candRows(nA))
@@ -949,6 +948,19 @@ object ScaleCheck {
       if (tB / tA >= 3.5)
         println(f"[scale] WARNING: hot-token candidate time ratio " +
           f"${tB / tA}%.2fx at 2x docs (advisory; zero-candidate assert passed)")
+      // deterministic PLAN-SHAPE gate (r9 advice): a regression that
+      // re-inflates the candidate-join INPUTS keeps post-join
+      // candidates at zero while time goes super-linear — the feasible
+      // chunk-pair relation is the join-input bound, and on this corpus
+      // the chunk-level positional filter must prune EVERY pair of it
+      val cpA = time(s"prefix-filter feasible CHUNK PAIRS, $nA hot docs")(
+        Dedup.prefixChunkPairs(Dedup.prefixPostings(baseOf(nA), 1, 2), 1, 2).count())
+      val cpB = time(s"prefix-filter feasible CHUNK PAIRS, $nB hot docs")(
+        Dedup.prefixChunkPairs(Dedup.prefixPostings(baseOf(nB), 1, 2), 1, 2).count())
+      assert(cpA == 0 && cpB == 0,
+        s"chunk-pair wholesale pruning regressed: $cpA/$cpB feasible chunk " +
+          "pairs on a corpus where the positional bound kills every pair — " +
+          "the candidate join would re-inflate to N²/chunk input rows")
     }
     // q220 pigeonhole worst-case probe: UNIFORM-size docs over a fully
     // SHARED vocabulary (each doc = 50 of 200 tokens, hash-selected per
@@ -999,6 +1011,47 @@ object ScaleCheck {
       if (tB / tA >= 3.5)
         println(f"[scale] WARNING: masked-sig candidate time ratio " +
           f"${tB / tA}%.2fx at 2x docs (advisory; zero-candidate assert passed)")
+    }
+    // r10 adversarial crowd probes: a key shared by a whole crowd —
+    // flat-color/letterboxed images posting identical pHash bands,
+    // boilerplate templates posting identical SimHash bands, 10k
+    // re-posts of one page collapsing to one gid — must square across
+    // chunk-pair tasks, not inside ONE join task. Both probes assert
+    // exact pair counts (chunking is a physical change only) AND that
+    // the pair-producing join spreads over many output partitions (the
+    // pre-chunking shapes concentrated on ≤ 4 / exactly 1 key).
+    locally {
+      val nCrowd = 10000L
+      val expect = nCrowd * (nCrowd - 1) / 2
+      // q48/q302/q304 shared join: 10k identical 64-bit sketches (the
+      // sketch-level image/text crowd; identical inputs give identical
+      // sketches, so probing below the decode loses nothing)
+      val crowd = spark.range(nCrowd).select(col("id"),
+        lit(0xABCD1234L).as("lo"), lit(0x0F1E2D3CL).as("hi"))
+      val byPart = time(s"banded-Hamming pairs over a $nCrowd-sketch identical crowd")(
+        Dedup.bandedHamming64PairsRaw(crowd, 3)
+          .groupBy(spark_partition_id().as("p"))
+          .agg(count(lit(1)).as("n")).collect())
+      val rawTotal = byPart.map(_.getLong(1)).sum
+      assert(rawTotal == 4 * expect, // every pair meets in all 4 bands
+        s"banded crowd completeness regressed: $rawTotal raw rows vs ${4 * expect}")
+      assert(byPart.length >= 10,
+        s"banded crowd work concentrated on ${byPart.length} partitions — " +
+          "the chunk-pair spread regressed toward the flat (band, key) join")
+      assert(Dedup.bandedHamming64Pairs(crowd, 3).count() == expect,
+        "banded crowd pair dedup regressed")
+      // q220 within-family path: 10k identical documents = one gid
+      val famDocs = spark.range(nCrowd).select(col("id").as("doc_id"),
+        lit("the very same page text re posted ten thousand times").as("text"))
+      val famParts = time(s"exact-Jaccard pairs over a $nCrowd-member identical family")(
+        Dedup.exactJaccardPairs(famDocs, 19, 20)
+          .groupBy(spark_partition_id().as("p"))
+          .agg(count(lit(1)).as("n")).collect())
+      assert(famParts.map(_.getLong(1)).sum == expect,
+        s"mega-family pair count regressed: ${famParts.map(_.getLong(1)).sum} vs $expect")
+      assert(famParts.length >= 10,
+        s"mega-family pair work concentrated on ${famParts.length} partitions — " +
+          "the (gid, chunk) spread regressed toward the raw-gid join")
     }
     // q221: one fused scan (score + gate) + a ≤ ~200-key agg
     time(s"classifier calibration over $nDocs docs")(

@@ -343,7 +343,18 @@ object Dedup {
     * the output is byte-identical to the flat self-join.
     */
   private[graft] def bandedHamming64Pairs(hashes: DataFrame,
-                                          maxHamming: Int): DataFrame = {
+                                          maxHamming: Int): DataFrame =
+    bandedHamming64PairsRaw(hashes, maxHamming)
+      .dropDuplicates("id_a", "id_b")
+
+  /** [[bandedHamming64Pairs]] BEFORE the pair dedup — one row per
+    * (pair, agreeing band-chunk meeting). Exposed so the ScaleCheck
+    * crowd probe can census rows per task at the join output (the
+    * dedup exchange re-hashes on the pair key and would erase the
+    * spread being asserted).
+    */
+  private[graft] def bandedHamming64PairsRaw(hashes: DataFrame,
+                                             maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4×16-bit banding is complete only up to Hamming 3")
     val chunk = 512
@@ -378,7 +389,6 @@ object Dedup {
         (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
           bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash near-dup pairs at Hamming budgets the 4-band join can't
@@ -1093,6 +1103,40 @@ object Dedup {
     */
   private[graft] def prefixFilterCandidates(base: DataFrame, num: Int,
                                             den: Int): DataFrame = {
+    val px = prefixPostings(base, num, den)
+    val cp = prefixChunkPairs(px, num, den)
+    val minOverlap = expr(
+      s"CAST(($num * (sa + sb) + ${num + den - 1}) div ${num + den} AS BIGINT)")
+    px
+      .select(col("tok"), col("cid").as("lo"), col("doc_id").as("da"),
+        col("rn").as("ra"), col("sz").as("sa"))
+      .join(cp, Seq("tok", "lo"))
+      .join(px.select(col("tok"), col("cid").as("hi"), col("doc_id").as("db"),
+          col("rn").as("rb"), col("sz").as("sb")),
+        Seq("tok", "hi"))
+      .where(col("da") =!= col("db") &&
+        // a same-chunk pair meets in both (a,b) orders; emit it once
+        (col("lo") =!= col("hi") || col("da") < col("db")) &&
+        col("sb") * den >= col("sa") * num &&
+        col("sa") * den >= col("sb") * num &&
+        lit(1L) + least(col("sa") - col("ra"), col("sb") - col("rb"))
+          >= minOverlap)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("sa")).otherwise(col("sb")).as("n_a"),
+        when(col("da") < col("db"), col("sb")).otherwise(col("sa")).as("n_b"))
+      .distinct()
+  }
+
+  /** The df-ordered prefix posting relation behind
+    * [[prefixFilterCandidates]]: one row per (doc, prefix token) with
+    * the doc's distinct-token size, the token's df-ascending rank, and
+    * the size-ordered 512-row chunk id. Split out so the scale gate can
+    * count the chunk-pair relation deterministically (see
+    * [[prefixChunkPairs]]).
+    */
+  private[graft] def prefixPostings(base: DataFrame, num: Int,
+                                    den: Int): DataFrame = {
     val tk = base.select(col("doc_id"), explode(col("__toks")).as("tok"))
     val dfreq = tk.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
@@ -1127,8 +1171,20 @@ object Dedup {
     // linear band of chunk pairs whose size windows actually overlap).
     val chunk = 512
     val wTok = Window.partitionBy(col("tok")).orderBy(col("sz"), col("doc_id"))
-    val px = prefix
-      .withColumn("cid", ((row_number().over(wTok) - 1) / chunk).cast("long"))
+    prefix.withColumn("cid", ((row_number().over(wTok) - 1) / chunk).cast("long"))
+  }
+
+  /** The FEASIBLE chunk-pair relation of [[prefixFilterCandidates]] —
+    * the join-input metadata whose cardinality bounds the candidate
+    * join's work wholesale. Exposed (over [[prefixPostings]] output)
+    * for the ScaleCheck hot-token gate: on a corpus where every pair
+    * fails the positional filter this must count ZERO rows, a
+    * deterministic stand-in for the flaky wall-clock ratio — a plan
+    * regression that re-inflates the join inputs shows up here even
+    * when the post-join candidate count stays zero.
+    */
+  private[graft] def prefixChunkPairs(px: DataFrame, num: Int,
+                                      den: Int): DataFrame = {
     val stats = px.groupBy(col("tok"), col("cid"))
       .agg(min(col("sz")).as("mnSz"), max(col("sz")).as("mxSz"),
         max(col("sz") - col("rn")).as("mxSlack"))
@@ -1144,27 +1200,7 @@ object Dedup {
             expr(s"CAST(($num * (x.mnSz + y.mnSz) + ${num + den - 1}) " +
               s"div ${num + den} AS BIGINT)"))
       .select(col("x.tok").as("tok"), col("x.cid").as("lo"), col("y.cid").as("hi"))
-    val minOverlap = expr(
-      s"CAST(($num * (sa + sb) + ${num + den - 1}) div ${num + den} AS BIGINT)")
-    px
-      .select(col("tok"), col("cid").as("lo"), col("doc_id").as("da"),
-        col("rn").as("ra"), col("sz").as("sa"))
-      .join(cp, Seq("tok", "lo"))
-      .join(px.select(col("tok"), col("cid").as("hi"), col("doc_id").as("db"),
-          col("rn").as("rb"), col("sz").as("sb")),
-        Seq("tok", "hi"))
-      .where(col("da") =!= col("db") &&
-        // a same-chunk pair meets in both (a,b) orders; emit it once
-        (col("lo") =!= col("hi") || col("da") < col("db")) &&
-        col("sb") * den >= col("sa") * num &&
-        col("sa") * den >= col("sb") * num &&
-        lit(1L) + least(col("sa") - col("ra"), col("sb") - col("rb"))
-          >= minOverlap)
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"),
-        when(col("da") < col("db"), col("sa")).otherwise(col("sb")).as("n_a"),
-        when(col("da") < col("db"), col("sb")).otherwise(col("sa")).as("n_b"))
-      .distinct()
+    cp
   }
 
   /** EXACT token-set similarity self-join — same contract and output as

@@ -2768,6 +2768,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cells === 10L)
   }
 
+  test("rfm segments: grid cap fires loudly when ONE metric exceeds maxDistinct") {
+    // 100,001 users, each with a distinct whole-unit monetary value —
+    // the 'm' counting grid exceeds the 100k cap while 'r' and 'f' stay
+    // single-celled, so the collect limit (3·cap+3) does NOT truncate and
+    // the per-metric require must be what stops the silent quantile drift
+    val ev = spark.range(100001L).selectExpr(
+      "id AS uid",
+      "timestamp'2026-01-05 12:00:00' AS ts",
+      "CAST(id AS DOUBLE) AS v")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Engagement.rfmSegments(ev, "uid", "ts", "v"))
+    assert(e.getMessage.contains("'m'") &&
+      e.getMessage.contains("100000 distinct"))
+  }
+
   test("cms heavy hitters: estimates never under-count, wide sketch is exact") {
     val ds = Seq(
       (1L, "alpha alpha alpha beta beta gamma"),

@@ -212,6 +212,11 @@ def main(sf_dir: str, out_dir: str, ordered: bool = False) -> None:
     tail = f" / {n_order} order-fail" if ordered else ""
     ttail = f" ({n_type} type-fail)" if n_type else ""
     print(f"== {n_pass} pass / {n_fail} fail{ttail}{tail} ==")
+    return 1 if (n_fail or n_order) else 0
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], "--ordered" in sys.argv[3:])
+    if len(sys.argv) < 3:
+        print("usage: oracle_check.py <sfDir> <verifyOutDir> [--ordered]",
+              file=sys.stderr)
+        sys.exit(2)
+    sys.exit(main(sys.argv[1], sys.argv[2], "--ordered" in sys.argv[3:]))
