@@ -540,6 +540,14 @@ object ScaleCheck {
     // line-DF-join, and pure-scan ops — none may grow super-linearly
     time(s"repeated 13-grams over $nDocs docs")(
       graft.operators.TextAnalysis.repeatedNgrams(docs).count())
+    // q305: the q64 shingle agg + one shingle-key join; the cut and
+    // reassembly are doc-local column exprs — must track repeatedNgrams
+    time(s"span-level dedup over $nDocs docs")(
+      graft.operators.TextAnalysis.dedupSpans(docs).count())
+    // q306: 17 probe keys per (doc, band) — the multi-probe join's cost
+    // must stay a small constant over the 4-band q48 path
+    time(s"multi-probe simhash pairs (H<=6) over $nDocs docs")(
+      Dedup.simhashPairsMultiProbe(docs, maxHamming = 6).count())
     time(s"OOV rate (top-1k vocab) over $nDocs docs")(
       graft.operators.TextAnalysis.oovRate(docs).count())
     val lw = graft.operators.TextAnalysis.tokens(lower(col("text")))

@@ -2357,6 +2357,17 @@ object SparkEntry {
       Multimodal.phashNearDupPairs(
         Multimodal.fromDocuments(Tables.documents(s, dir)))
         .orderBy("media_a", "media_b")),
+    // span-level exact-substring REMOVAL (the q64 detection's action):
+    // repeated 13-gram spans cut from every doc but the first container
+    "q305_span_dedup" -> ((s, dir) =>
+      TextAnalysis.dedupSpans(Tables.documents(s, dir)).orderBy("doc_id")),
+    // SimHash pairs past the 4-band completeness radius: multi-probe
+    // (one-bit flips per band) reaches Hamming 6; oracle is brute
+    // all-pairs over the same portable sketches, so the driver compare
+    // proves probe completeness the way q304's does for banding
+    "q306_multiprobe_simhash" -> ((s, dir) =>
+      Dedup.simhashPairsMultiProbe(Tables.documents(s, dir), maxHamming = 6)
+        .orderBy("doc_a", "doc_b")),
   )
 
   /** q98's mixture config: one source kept whole, one dropped whole,
@@ -7979,6 +7990,52 @@ object SparkEntry {
         |       FROM ph a JOIN ph b ON a.media_id < b.media_id)
         |SELECT media_a, media_b, hamming FROM pr WHERE hamming <= 3
         |ORDER BY media_a, media_b""".stripMargin,
+    // independent replay of the span cut: repeated-13-gram starts in
+    // non-first docs cover positions; survivors reassemble by position
+    "q305_span_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         coalesce(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'), x -> x <> ''),
+        |                  CAST([] AS VARCHAR[])) AS words
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, s, array_to_string(words[s:s+12], ' ') AS shingle
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 11)) AS s
+        |        FROM w WHERE len(words) >= 13) t),
+        |rep AS (
+        |  SELECT shingle, min(doc_id) AS first_doc
+        |  FROM (SELECT DISTINCT doc_id, shingle FROM sp) d
+        |  GROUP BY shingle HAVING count(*) >= 2),
+        |dr AS (SELECT DISTINCT sp.doc_id, sp.s
+        |       FROM sp JOIN rep ON rep.shingle = sp.shingle
+        |       WHERE sp.doc_id <> rep.first_doc),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + 13)) AS pos FROM dr),
+        |p AS (SELECT doc_id, unnest(range(1, len(words) + 1)) AS pos,
+        |             unnest(words) AS tok
+        |      FROM w),
+        |kept AS (SELECT p.doc_id, p.pos, p.tok
+        |         FROM p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.pos = p.pos
+        |         WHERE c.pos IS NULL),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |               array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+        |        FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(agg.cleaned, '') AS cleaned
+        |FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+    // INDEPENDENT brute all-pairs at Hamming <= 6 over the same
+    // portable sketches — the driver compare proves the multi-probe
+    // join's completeness past the 4-band radius (the q304 pattern)
+    "q306_multiprobe_simhash" ->
+      s"""WITH $SimhashPairsSql,
+        |bp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |              CAST(bit_count(xor(a.simhash_lo, b.simhash_lo))
+        |                   + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS BIGINT)
+        |                AS hamming
+        |       FROM ssim a JOIN ssim b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM bp WHERE hamming <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // same arithmetic over the +35k-shifted twins; byte-identical
     // payloads must collapse to one hash group
     "q179_phash_groups" ->

@@ -588,6 +588,60 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
 
+  /** Span-level exact-substring deduplication — the REMOVAL action for
+    * what [[repeatedNgrams]] detects (the "Deduplicating Training Data
+    * Makes Language Models Better" pass): every word n-gram appearing
+    * in ≥ `minDocs` DISTINCT documents is dropped, token-by-token, from
+    * every document EXCEPT the first (min doc_id) that contains it; the
+    * surviving tokens reassemble in original order. A doc position is
+    * cut when ANY repeated span from a non-first doc covers it, so
+    * overlapping spans merge naturally and a verbatim re-quoted
+    * paragraph vanishes from the re-poster while the origin keeps it.
+    *
+    * Shape at 100 TB: one per-occurrence span scan; the repeated-span
+    * table is the [[repeatedNgrams]] distinct-first df agg extended
+    * with min(doc_id) (both map-side combining on the shingle); one
+    * shingle-key equi-join marks drop starts; everything after is
+    * DOC-LOCAL — drop starts aggregate to a per-doc array (bounded by
+    * doc length) and the position cut + reassembly are pure column
+    * expressions over the token array, so corpus tokens never shuffle
+    * for the cut (the coverage test is O(len · drops) per doc — fine
+    * for web-document lengths; book-length docs should chunk first).
+    * Output: doc_id, n_tokens, n_kept, cleaned (space-joined survivors;
+    * "" when everything was cut or the doc had no tokens).
+    */
+  def dedupSpans(docs: DataFrame, n: Int = 13, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      "need a positive span length; minDocs < 2 would cut every document")
+    val base = docs.select(col("doc_id"),
+      coalesce(tokens(asciiLower(col("text"))), array()).as("__w"))
+    val spans = base.where(size(col("__w")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("__w")) - (n - 1)),
+          s => struct(s.as("s"),
+            array_join(slice(col("__w"), s, lit(n)), " ").as("shingle")))).as("__sp"))
+      .select(col("doc_id"), col("__sp.s").as("s"), col("__sp.shingle").as("shingle"))
+    val rep = spans.select(col("shingle"), col("doc_id")).distinct()
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("__first"))
+      .where(col("__df") >= minDocs)
+    val dropStarts = spans.join(rep, Seq("shingle"))
+      .where(col("doc_id") =!= col("__first"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("s"))).as("__drops"))
+    base.join(dropStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("__w")).cast("long").as("n_tokens"),
+        when(col("__drops").isNull, col("__w"))
+          .otherwise(transform(
+            filter(sequence(lit(1), size(col("__w"))),
+              p => !exists(col("__drops"),
+                s => s <= p && p < s + lit(n))),
+            p => element_at(col("__w"), p))).as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("cleaned"))
+  }
+
   /** Per-document n-gram novelty — the per-doc complement of
     * [[repeatedNgrams]]'s span listing: what fraction of a document's
     * distinct memorization-length shingles appear NOWHERE else in the

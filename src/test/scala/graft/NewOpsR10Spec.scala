@@ -140,6 +140,42 @@ class NewOpsR10Spec extends AnyFunSuite {
     assert(viaEpoch === viaId)
   }
 
+  test("dedupSpans: hand-computed span cut — first container keeps, overlaps merge") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // first container of "a b c" and "b c d"
+      (2L, "x a b c d y"),     // both repeated spans cut -> positions 2-5 covered
+      (3L, "z z a b c"),       // one repeated span -> positions 3-5 covered
+      (4L, "q r"),             // shorter than n: kept whole
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupSpans(docs, n = 3, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 5L, 5L, "a b c d e"),
+      (2L, 6L, 2L, "x y"),
+      (3L, 5L, 2L, "z z"),
+      (4L, 2L, 2L, "q r"),
+      (5L, 0L, 0L, "")))
+  }
+
+  test("dedupSpans: within-first-doc repeats survive; minDocs gate respected") {
+    // "m n o" repeats twice inside doc 1 (the first container) and once in
+    // doc 2; doc 1 keeps both occurrences, doc 2 loses its one
+    val docs = Seq(
+      (1L, "m n o p m n o"),
+      (2L, "k m n o k")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupSpans(docs, n = 3, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 7L, 7L, "m n o p m n o"),
+      (2L, 5L, 2L, "k k")))
+    // minDocs = 3: nothing repeats in >= 3 docs, everything kept
+    val loose = TextAnalysis.dedupSpans(docs, n = 3, minDocs = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(loose.forall(r => r._2 === r._3))
+  }
+
   test("simhashPairsPortable rejects budgets past the 4-band completeness bound") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException](
