@@ -81,6 +81,41 @@ object DedupScaleCheck {
         f"first3=$head3%.2f s last3=$tail3%.2f s max=${times.max}%.2f s " +
         f"growth=${tail3 / head3}%.2fx (index grew ${nBatches}x over the run)")
     }
+
+    // GATED INGEST THROUGHPUT (VERDICT r9 #5): the number a 100 TB ingest
+    // design actually needs — the sf corpus replayed as DISJOINT
+    // micro-batch slices (a real ingest, unlike the mutually-dissimilar
+    // replica batches above) through the full front door: per-doc gate
+    // stack (PII/quality/language/classifier) → decontamination gate →
+    // incremental LSH index on the epoch backend. Reports input rows/s
+    // over the whole run plus per-batch p50/p95 seconds.
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft-ingest-tp").toString
+      val stores = DedupStream.epochStores(s"$root/index")
+      // ~1% of the corpus plays the benchmark/eval set (broadcast side)
+      val bench = base.where(pmod(col("doc_id"), lit(97)) === 0)
+      val gate = DedupStream.ContaminationGate(bench, s"$root/quarantine")
+      val docGate = DedupStream.DocGate(s"$root/rejects", minQuality = 0.2,
+        classifierThreshold = -1.0)
+      val times = (0 until nBatches).map { i =>
+        val slice = base.where(pmod(col("doc_id"), lit(nBatches)) === i)
+        val t0 = System.nanoTime()
+        val pairs = DedupStream.processBatch(slice, stores, s"$root/pairs",
+          n = 5, numPerms = 32, bands = 8, threshold = 0.5,
+          gate = Some(gate), docGate = Some(docGate))
+        val s = (System.nanoTime() - t0) / 1e9
+        stores.maintain(spark)
+        println(f"[dedup-scale] gated-ingest batch=$i docs~${nBase / nBatches} pairs=$pairs t=$s%.2f s")
+        s
+      }
+      val sorted = times.sorted
+      def pct(p: Double) = sorted(math.min(sorted.length - 1,
+        math.ceil(p * sorted.length).toInt - 1))
+      val total = times.sum
+      println(f"[dedup-scale] gated-ingest SUMMARY: docs=$nBase batches=$nBatches " +
+        f"total=$total%.1f s rows/s=${nBase / total}%.0f " +
+        f"p50=${pct(0.5)}%.2f s p95=${pct(0.95)}%.2f s max=${sorted.last}%.2f s")
+    }
     spark.stop()
   }
 }
