@@ -666,13 +666,21 @@ object Multimodal {
     * of the text corpus's SimHash near-dedup, closing the multimodal
     * dedup loop: re-encoded/byte-shuffled copies collapse at distance 0
     * (the q179 exact groups), close crops/re-renders surface at 1–3.
+    * Budgets 4–7 (the looser "same scene, heavier re-render" radius the
+    * q302-style census motivates) route through the multi-probe join
+    * ([[graft.operators.Dedup.multiProbeHamming64Pairs]]) — one-bit
+    * probe keys per band keep completeness without 8-bit band keys.
     * Undecodable payloads carry no hash and never pair.
     * Output: media_a < media_b, hamming.
     */
-  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
-    graft.operators.Dedup.bandedHamming64Pairs(
-      perceptualHashes(media).toDF().select(col("media_id").as("id"),
-        col("phash_lo").as("lo"), col("phash_hi").as("hi")), maxHamming)
-      .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
-        col("hamming"))
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashes = perceptualHashes(media).toDF().select(
+      col("media_id").as("id"),
+      col("phash_lo").as("lo"), col("phash_hi").as("hi"))
+    val pairs =
+      if (maxHamming <= 3) graft.operators.Dedup.bandedHamming64Pairs(hashes, maxHamming)
+      else graft.operators.Dedup.multiProbeHamming64Pairs(hashes, maxHamming)
+    pairs.select(col("id_a").as("media_a"), col("id_b").as("media_b"),
+      col("hamming"))
+  }
 }

@@ -314,6 +314,32 @@ class MultimodalSpec extends AnyFunSuite {
       .containsSlice(Seq((1L, 36L), (1L, 71L), (36L, 71L))))
   }
 
+  test("phash near-dup pairs at Hamming <= 6 route through multi-probe, complete vs brute") {
+    // wider corpus so the 4-6 radius genuinely has members the 3-band
+    // radius misses (distinct md5 pixel fields scatter hashes broadly;
+    // the brute compare is the completeness proof either way)
+    val docs = ((1L to 40L) :+ 36L).distinct
+      .map(i => (i, s"frame number ${i % 7} of the same scene"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs)
+    val got = Multimodal.phashNearDupPairs(media, maxHamming = 6)
+      .orderBy("media_a", "media_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    val ph = Multimodal.perceptualHashes(media).collect()
+      .map(p => p.media_id -> (p.phash_lo, p.phash_hi)).toMap
+    val brute = (for {
+      a <- ph.keys.toSeq; b <- ph.keys.toSeq if a < b
+      d = java.lang.Long.bitCount(ph(a)._1 ^ ph(b)._1) +
+        java.lang.Long.bitCount(ph(a)._2 ^ ph(b)._2)
+      if d <= 6
+    } yield (a, b, d.toLong)).sortBy(p => (p._1, p._2))
+    assert(got === brute)
+    // the radius-3 set is a strict subset of what the probe join surfaces
+    val r3 = Multimodal.phashNearDupPairs(media, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r3.subsetOf(got.toSet))
+  }
+
   test("audio contour: positional bits, identical audio collapses, junk drops") {
     // ids 20 apart share (rate, channels, frames) = id % lcm(4,2,10);
     // same text → byte-identical WAV → same contour
