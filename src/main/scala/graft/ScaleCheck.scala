@@ -959,16 +959,30 @@ object ScaleCheck {
       // deterministic PLAN-SHAPE gate (r9 advice): a regression that
       // re-inflates the candidate-join INPUTS keeps post-join
       // candidates at zero while time goes super-linear — the feasible
-      // chunk-pair relation is the join-input bound, and on this corpus
-      // the chunk-level positional filter must prune EVERY pair of it
+      // chunk-pair relation is the join-input bound. On this corpus the
+      // only survivors are the SINGLETON self-chunks of each doc's 5
+      // unique filler tokens (df=1 posting lists; their one-member
+      // "pair" dies at the da<db row filter, never in chunk stats), so
+      // the relation is EXACTLY 5 rows per doc and linear by
+      // construction; every chunk pair of the 7 all-docs-hot commons —
+      // the N²/chunk² quadratic threat, cross-chunk ones first — must
+      // prune wholesale under the chunk-level positional bound
+      def cpRelation(n: Int) =
+        Dedup.prefixChunkPairs(Dedup.prefixPostings(baseOf(n), 1, 2), 1, 2)
       val cpA = time(s"prefix-filter feasible CHUNK PAIRS, $nA hot docs")(
-        Dedup.prefixChunkPairs(Dedup.prefixPostings(baseOf(nA), 1, 2), 1, 2).count())
+        cpRelation(nA).count())
       val cpB = time(s"prefix-filter feasible CHUNK PAIRS, $nB hot docs")(
-        Dedup.prefixChunkPairs(Dedup.prefixPostings(baseOf(nB), 1, 2), 1, 2).count())
-      assert(cpA == 0 && cpB == 0,
-        s"chunk-pair wholesale pruning regressed: $cpA/$cpB feasible chunk " +
-          "pairs on a corpus where the positional bound kills every pair — " +
-          "the candidate join would re-inflate to N²/chunk input rows")
+        cpRelation(nB).count())
+      val cpCross = cpRelation(nB).where(col("lo") =!= col("hi")).count()
+      assert(cpCross == 0,
+        s"chunk-pair wholesale pruning regressed: $cpCross CROSS-chunk " +
+          "feasible pairs on a corpus where the positional bound kills every " +
+          "hot-token chunk pair — the candidate join would re-inflate " +
+          "toward N²/chunk² input rows")
+      assert(cpA == 5L * nA && cpB == 5L * nB,
+        s"feasible chunk-pair relation no longer linear-by-construction: " +
+          s"$cpA/$cpB rows vs the ${5L * nA}/${5L * nB} singleton " +
+          "self-chunks the unique fillers contribute")
     }
     // q220 pigeonhole worst-case probe: UNIFORM-size docs over a fully
     // SHARED vocabulary (each doc = 50 of 200 tokens, hash-selected per

@@ -358,6 +358,7 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4×16-bit banding is complete only up to Hamming 3")
     val chunk = 512
+    val parts = hashes.sparkSession.sessionState.conf.numShufflePartitions
     val banded = hashes.select(col("id"), col("lo"), col("hi"),
       explode(array(
         struct(lit(0).as("band"), col("lo").bitwiseAND(0xFFFFL).as("key")),
@@ -370,8 +371,15 @@ object Dedup {
       .select(col("id"), col("lo"), col("hi"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val wKey = Window.partitionBy(col("band"), col("key")).orderBy(col("id"))
+    // the EXPLICIT-count repartition on the chunked key is load-bearing:
+    // a chunk pair's join INPUT is ≤ 1024 thin rows but its output is up
+    // to 512² pairs, and AQE's coalescing reads input sizes only — left
+    // to itself it folds every chunk of a hot key back into one task
+    // (REPARTITION_BY_NUM shuffles are exempt from coalescing, and the
+    // pair join executes in this partitioning whichever side broadcasts)
     val px = banded.withColumn("cid",
       ((row_number().over(wKey) - 1) / chunk).cast("long"))
+      .repartition(parts, col("band"), col("key"), col("cid"))
     val chunks = px.select(col("band"), col("key"), col("cid")).distinct()
     val cp = chunks.as("x").join(chunks.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -441,15 +449,21 @@ object Dedup {
       )).as("bk"))
       .select(col("id"), col("lo"), col("hi"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+    val parts = hashes.sparkSession.sessionState.conf.numShufflePartitions
     val wKey = Window.partitionBy(col("band"), col("key")).orderBy(col("id"))
+    // explicit-count repartitions on the chunked keys (see
+    // bandedHamming64PairsRaw): AQE's input-sized coalescing would fold
+    // a crowd's chunks back into one task otherwise
     val idx = banded.withColumn("cid",
       ((row_number().over(wKey) - 1) / chunk).cast("long"))
+      .repartition(parts, col("band"), col("key"), col("cid"))
     val probeKeys = col("key") +:
       (0 until 16).map(b => col("key").bitwiseXOR(lit(1L << b)))
     val prb = banded
       .select(col("id"), col("lo"), col("hi"), col("band"),
         explode(array(probeKeys: _*)).as("key"))
       .withColumn("pid", ((row_number().over(wKey) - 1) / chunk).cast("long"))
+      .repartition(parts, col("band"), col("key"), col("pid"))
     val cp = prb.select(col("band"), col("key"), col("pid")).distinct()
       .join(idx.select(col("band"), col("key"), col("cid")).distinct(),
         Seq("band", "key"))
@@ -1293,34 +1307,65 @@ object Dedup {
     val reps = keyed.groupBy(col("gid"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("__toks")).as("__toks"),
         first(col("sz")).as("sz"))
+    // ONE bounded probe job for both routing decisions: the θ budget
+    // (max set size) and the mega-family check (max docs per gid)
+    val mxRow = keyed.groupBy(col("gid"))
+      .agg(count(lit(1)).as("__fam"), first(col("sz")).as("__sz"))
+      .agg(max(col("__sz")), max(col("__fam"))).collect()
+    val szmax = if (mxRow.isEmpty || mxRow.head.isNullAt(0)) 0L
+                else mxRow.head.getLong(0)
+    val fammax = if (mxRow.isEmpty || mxRow.head.isNullAt(1)) 0L
+                 else mxRow.head.getLong(1)
     // mega-family discipline (the bandedHamming64Pairs chunk shape): a
     // gid with f members — 10⁶ re-posts of one page at web scale — would
     // pair its f²/2 within-family output inside ONE join task keyed on
     // the raw gid; id-ordered 512-row chunks spread it over (f/512)²/2
-    // chunk-pair tasks, and the member-expansion joins below key on
-    // (gid, chunk) for the same reason
-    val wGid = Window.partitionBy(col("gid")).orderBy(col("doc_id"))
-    val memC = members.withColumn("cid",
-      ((row_number().over(wGid) - 1) / chunk).cast("long"))
-    val gidChunks = memC.select(col("gid"), col("cid")).distinct()
-    val wcp = gidChunks.as("x").join(gidChunks.as("y"),
-        col("x.gid") === col("y.gid") && col("x.cid") <= col("y.cid"))
-      .select(col("x.gid").as("gid"), col("x.cid").as("clo"), col("y.cid").as("chi"))
+    // chunk-pair tasks, and the member-expansion joins key on
+    // (gid, chunk) for the same reason. ROUTED like the dupClusters
+    // driver shortcut: when no family exceeds one chunk (every corpus
+    // that isn't a re-post crowd), the chunk ids are identically zero
+    // and the flat gid-keyed joins are the same join minus a window —
+    // so small-family corpora skip the chunk machinery entirely.
+    val chunked = fammax > chunk
+    val memC =
+      if (chunked) {
+        val wGid = Window.partitionBy(col("gid")).orderBy(col("doc_id"))
+        // explicit-count repartition on the chunked key (see
+        // bandedHamming64PairsRaw): chunk-pair join inputs are thin but
+        // outputs quadratic, so AQE's input-sized coalescing would fold
+        // the family's chunks back into one task without it
+        members.withColumn("cid",
+          ((row_number().over(wGid) - 1) / chunk).cast("long"))
+          .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+            col("gid"), col("cid"))
+      } else members.withColumn("cid", lit(0L))
+    val gidChunks =
+      if (chunked) memC.select(col("gid"), col("cid")).distinct()
+      else reps.select(col("gid"), lit(0L).as("cid"))
     // identical sets: Jaccard exactly 1, passes every num ≤ den gate;
     // chunks are id-ordered so clo < chi already implies da < db and the
     // row predicate is the original a.doc_id < b.doc_id verbatim
-    val within = memC.select(col("gid"), col("cid").as("clo"),
-        col("doc_id").as("da"), col("sz").as("sa"))
-      .join(wcp, Seq("gid", "clo"))
-      .join(memC.select(col("gid"), col("cid").as("chi"), col("doc_id").as("db")),
-        Seq("gid", "chi"))
-      .where(col("da") < col("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        col("sa").as("n_a"), col("sa").as("n_b"),
-        col("sa").as("n_common"), lit(1.0).as("jaccard"))
-    val mxRow = keyed.agg(max(col("sz"))).collect()
-    val szmax = if (mxRow.isEmpty || mxRow.head.isNullAt(0)) 0L
-                else mxRow.head.getLong(0)
+    val within =
+      if (chunked) {
+        val wcp = gidChunks.as("x").join(gidChunks.as("y"),
+            col("x.gid") === col("y.gid") && col("x.cid") <= col("y.cid"))
+          .select(col("x.gid").as("gid"),
+            col("x.cid").as("clo"), col("y.cid").as("chi"))
+        memC.select(col("gid"), col("cid").as("clo"),
+            col("doc_id").as("da"), col("sz").as("sa"))
+          .join(wcp, Seq("gid", "clo"))
+          .join(memC.select(col("gid"), col("cid").as("chi"),
+            col("doc_id").as("db")), Seq("gid", "chi"))
+          .where(col("da") < col("db"))
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            col("sa").as("n_a"), col("sa").as("n_b"),
+            col("sa").as("n_common"), lit(1.0).as("jaccard"))
+      } else
+        members.as("a").join(members.as("b"),
+            col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.sz").as("n_a"), col("b.sz").as("n_b"),
+            col("a.sz").as("n_common"), lit(1.0).as("jaccard"))
     if (szmax == 0L) within
     else {
       val kmax = 2L * szmax * (den - num) / (num + den)
@@ -1351,14 +1396,21 @@ object Dedup {
       // chunks(ga)·chunks(gb) distinct keys instead of one gid key (the
       // residual per-key concentration on the LAST join — all da rows
       // sharing one (gb, cb) — is the AQE skew-split shape: bounded
-      // right side, splittable left)
-      val cross = verified
-        .join(gidChunks.select(col("gid").as("ga"), col("cid").as("ca")), Seq("ga"))
-        .join(gidChunks.select(col("gid").as("gb"), col("cid").as("cb")), Seq("gb"))
-        .join(memC.select(col("gid").as("ga"), col("cid").as("ca"),
-          col("doc_id").as("da")), Seq("ga", "ca"))
-        .join(memC.select(col("gid").as("gb"), col("cid").as("cb"),
-          col("doc_id").as("db")), Seq("gb", "cb"))
+      // right side, splittable left). On the unchunked route the two
+      // grid joins are flat (gid, 0) lookups: same plan as the r9
+      // raw-gid expansion plus two broadcast-sized no-ops.
+      val expanded =
+        if (chunked) verified
+          .join(gidChunks.select(col("gid").as("ga"), col("cid").as("ca")), Seq("ga"))
+          .join(gidChunks.select(col("gid").as("gb"), col("cid").as("cb")), Seq("gb"))
+          .join(memC.select(col("gid").as("ga"), col("cid").as("ca"),
+            col("doc_id").as("da")), Seq("ga", "ca"))
+          .join(memC.select(col("gid").as("gb"), col("cid").as("cb"),
+            col("doc_id").as("db")), Seq("gb", "cb"))
+        else verified
+          .join(members.select(col("gid").as("ga"), col("doc_id").as("da")), Seq("ga"))
+          .join(members.select(col("gid").as("gb"), col("doc_id").as("db")), Seq("gb"))
+      val cross = expanded
         .select(least(col("da"), col("db")).as("doc_a"),
           greatest(col("da"), col("db")).as("doc_b"),
           when(col("da") < col("db"), col("n_a")).otherwise(col("n_b")).as("__na"),
