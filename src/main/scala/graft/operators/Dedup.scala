@@ -377,8 +377,19 @@ object Dedup {
     // to itself it folds every chunk of a hot key back into one task
     // (REPARTITION_BY_NUM shuffles are exempt from coalescing, and the
     // pair join executes in this partitioning whichever side broadcasts)
+    // eagerly pinned BELOW the repartition: px feeds the chunk census
+    // AND both join sides — three consumers across separate AQE query
+    // stages, where exchange reuse does NOT hold (measured: the pHash
+    // caller re-ran its image decode per consumer, 4.8 s → 28 s). The
+    // checkpoint runs the sketch/decode upstream exactly once into a
+    // 4n-row thin posting relation; the BY_NUM repartition must sit ON
+    // TOP of it because a checkpoint erases partitioning metadata —
+    // checkpointing the repartitioned relation hands the joins plain
+    // coalescible exchanges and AQE folds the crowd back into one task
+    // (measured: spread 30 partitions → 1)
     val px = banded.withColumn("cid",
       ((row_number().over(wKey) - 1) / chunk).cast("long"))
+      .localCheckpoint(true)
       .repartition(parts, col("band"), col("key"), col("cid"))
     val chunks = px.select(col("band"), col("key"), col("cid")).distinct()
     val cp = chunks.as("x").join(chunks.as("y"),
@@ -449,6 +460,12 @@ object Dedup {
       )).as("bk"))
       .select(col("id"), col("lo"), col("hi"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      // eagerly pinned for the same reason as bandedHamming64PairsRaw's
+      // px: the index and probe relations both re-derive from this, each
+      // with two consumers, and exchange reuse does not hold across AQE
+      // query stages — without the pin the upstream sketch/decode runs
+      // once per consumer
+      .localCheckpoint(true)
     val parts = hashes.sparkSession.sessionState.conf.numShufflePartitions
     val wKey = Window.partitionBy(col("band"), col("key")).orderBy(col("id"))
     // explicit-count repartitions on the chunked keys (see
