@@ -541,9 +541,12 @@ object ScaleCheck {
     time(s"repeated 13-grams over $nDocs docs")(
       graft.operators.TextAnalysis.repeatedNgrams(docs).count())
     // q305: the q64 shingle agg + one shingle-key join; the cut and
-    // reassembly are doc-local column exprs — must track repeatedNgrams
+    // reassembly are doc-local column exprs — must track repeatedNgrams.
+    // Summed (not counted): under count() Catalyst ELIMINATES the
+    // unique-key left join and the probe times an empty plan
     time(s"span-level dedup over $nDocs docs")(
-      graft.operators.TextAnalysis.dedupSpans(docs).count())
+      graft.operators.TextAnalysis.dedupSpans(docs)
+        .agg(sum(col("n_kept"))).collect())
     // q306: 17 probe keys per (doc, band) — the multi-probe join's cost
     // must stay a small constant over the 4-band q48 path
     time(s"multi-probe simhash pairs (H<=6) over $nDocs docs")(
