@@ -309,9 +309,10 @@ object Dedup {
       s"simhashPairsPortable: maxHamming=$maxHamming out of [0, 3] — the " +
         "4-band pigeonhole join is complete only up to Hamming 3; use " +
         "simhashPairsMultiProbe for budgets 4-7")
-    // pinch-point exchange: the sketch pipeline feeds both sides of the
-    // band self-join — one computation, reused shuffle output
-    val sh = simhash64Portable(docs).repartition(col("doc_id"))
+    // sketch pinned once (24 bytes/doc): the banded join re-derives its
+    // posting relation per consumer across AQE query stages, so an
+    // unpinned sketch pipeline (md5 per token) would run 3×
+    val sh = simhash64Portable(docs).localCheckpoint(true)
     bandedHamming64Pairs(sh.select(col("doc_id").as("id"),
         col("simhash_lo").as("lo"), col("simhash_hi").as("hi")), maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
@@ -377,19 +378,23 @@ object Dedup {
     // to itself it folds every chunk of a hot key back into one task
     // (REPARTITION_BY_NUM shuffles are exempt from coalescing, and the
     // pair join executes in this partitioning whichever side broadcasts)
-    // eagerly pinned BELOW the repartition: px feeds the chunk census
-    // AND both join sides — three consumers across separate AQE query
-    // stages, where exchange reuse does NOT hold (measured: the pHash
-    // caller re-ran its image decode per consumer, 4.8 s → 28 s). The
-    // checkpoint runs the sketch/decode upstream exactly once into a
-    // 4n-row thin posting relation; the BY_NUM repartition must sit ON
-    // TOP of it because a checkpoint erases partitioning metadata —
-    // checkpointing the repartitioned relation hands the joins plain
-    // coalescible exchanges and AQE folds the crowd back into one task
-    // (measured: spread 30 partitions → 1)
+    // px is consumed three times (chunk census + both join sides) and
+    // exchange reuse does NOT hold across AQE query stages, so each
+    // consumer re-derives it from `hashes` — callers with an expensive
+    // sketch/decode upstream MUST pin their hashes relation (all three
+    // in-repo callers localCheckpoint a ≤ 24-byte-per-doc sketch; the
+    // unpinned pHash caller re-ran its image decode per consumer,
+    // 4.8 s of decode inflating the operator to 28 s). Deliberately NO
+    // pin here: the posting relation is 4× wider, and session-lived
+    // pinned blocks accumulate — a full bench sweep measurably slowed
+    // UNRELATED decode queries (q178 1.8 s → 4.8 s) before the pins
+    // were moved caller-side and shrunk. The repartition must stay
+    // BELOW the joins and carry an explicit count: a checkpoint above
+    // it erases partitioning metadata, handing the joins plain
+    // coalescible exchanges, and AQE folds the crowd back into one
+    // task (measured: 30 partitions → 1)
     val px = banded.withColumn("cid",
       ((row_number().over(wKey) - 1) / chunk).cast("long"))
-      .localCheckpoint(true)
       .repartition(parts, col("band"), col("key"), col("cid"))
     val chunks = px.select(col("band"), col("key"), col("cid")).distinct()
     val cp = chunks.as("x").join(chunks.as("y"),
@@ -425,7 +430,9 @@ object Dedup {
     * Output: doc_a < doc_b, hamming ≤ maxHamming.
     */
   def simhashPairsMultiProbe(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val sh = simhash64Portable(docs).repartition(col("doc_id"))
+    // sketch pinned once — the multi-probe join's index AND probe
+    // relations both re-derive from it (see simhashPairsPortable)
+    val sh = simhash64Portable(docs).localCheckpoint(true)
     multiProbeHamming64Pairs(sh.select(col("doc_id").as("id"),
         col("simhash_lo").as("lo"), col("simhash_hi").as("hi")), maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
@@ -460,12 +467,6 @@ object Dedup {
       )).as("bk"))
       .select(col("id"), col("lo"), col("hi"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-      // eagerly pinned for the same reason as bandedHamming64PairsRaw's
-      // px: the index and probe relations both re-derive from this, each
-      // with two consumers, and exchange reuse does not hold across AQE
-      // query stages — without the pin the upstream sketch/decode runs
-      // once per consumer
-      .localCheckpoint(true)
     val parts = hashes.sparkSession.sessionState.conf.numShufflePartitions
     val wKey = Window.partitionBy(col("band"), col("key")).orderBy(col("id"))
     // explicit-count repartitions on the chunked keys (see
@@ -1309,10 +1310,13 @@ object Dedup {
   def exactJaccardPairs(docs: DataFrame, num: Int = 1, den: Int = 2): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
     val chunk = 512
-    // eagerly pinned (localCheckpoint = block storage + plan cut): the
-    // szmax routing probe below is a separate job, and the tokenize/
-    // collapse scan feeds members, reps, AND the within join — without
-    // the pin each consumer re-tokenizes the corpus (the r9 advice item)
+    // eagerly pinned (localCheckpoint, NOT cache: checkpointed RDDs are
+    // freed by the ContextCleaner once the plan is unreferenced, while
+    // CacheManager entries live until an explicit unpersist — the wrong
+    // lifetime for a library operator): the routing probe below is a
+    // separate job, and the tokenize/collapse scan feeds members, reps,
+    // AND the within join — without the pin each consumer re-tokenizes
+    // the corpus (the r9 advice item)
     val keyed = docs.select(col("doc_id"),
         array_sort(array_distinct(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))))
           .as("__toks"))

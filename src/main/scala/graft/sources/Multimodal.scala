@@ -674,9 +674,14 @@ object Multimodal {
     * Output: media_a < media_b, hamming.
     */
   def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // decoded hashes pinned once (24 bytes/image): the banded join
+    // re-derives its posting relation per consumer across AQE query
+    // stages — unpinned, the PNG decode ran once per consumer
+    // (measured 4.8 s of decode inflating the operator to 28 s)
     val hashes = perceptualHashes(media).toDF().select(
       col("media_id").as("id"),
       col("phash_lo").as("lo"), col("phash_hi").as("hi"))
+      .localCheckpoint(true)
     val pairs =
       if (maxHamming <= 3) graft.operators.Dedup.bandedHamming64Pairs(hashes, maxHamming)
       else graft.operators.Dedup.multiProbeHamming64Pairs(hashes, maxHamming)
