@@ -1077,6 +1077,24 @@ object ScaleCheck {
       assert(famParts.length >= 10,
         s"mega-family pair work concentrated on ${famParts.length} partitions — " +
           "the (gid, chunk) spread regressed toward the raw-gid join")
+      // q220 candidate machinery: a NEAR-identical family (each doc one
+      // token off a shared set) is NOT collapsed by the exact-set gid —
+      // its masked/pigeonhole signatures agree on one hot posting key
+      // and the candidate join must emit across chunk pairs, not one
+      // task. Probed directly on the shared chunked self-join with a
+      // 10k-posting hot key of uniform size (every chunk pair survives
+      // the θ window): one emission per pair, spread asserted.
+      val posts = spark.range(nCrowd).select(lit(0).as("k1"),
+        lit(42L).as("k2"), col("id").as("doc_id"), lit(40L).as("sz"))
+      val candParts = time(s"chunked candidate join over a $nCrowd-posting hot key")(
+        Dedup.chunkedKeyedPairs(posts, 19, 20)
+          .groupBy(spark_partition_id().as("p"))
+          .agg(count(lit(1)).as("n")).collect())
+      assert(candParts.map(_.getLong(1)).sum == expect,
+        s"hot-key candidate count regressed: ${candParts.map(_.getLong(1)).sum} vs $expect")
+      assert(candParts.length >= 10,
+        s"hot-key candidate emission concentrated on ${candParts.length} " +
+          "partitions — the (key, chunk) repartition regressed toward AQE folding")
     }
     // q221: one fused scan (score + gate) + a ≤ ~200-key agg
     time(s"classifier calibration over $nDocs docs")(

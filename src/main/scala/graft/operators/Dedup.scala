@@ -1523,14 +1523,22 @@ object Dedup {
     * before any doc-level replication, and only the lo side replicates.
     * Expects (k1, k2, doc_id, sz); output (doc_a, doc_b, n_a, n_b),
     * one row per (pair, agreeing key) — callers dedup or count.
+    * private[graft] for the ScaleCheck near-identical-family census.
     */
-  private def chunkedKeyedPairs(postings: DataFrame, num: Int,
-                                den: Int): DataFrame = {
+  private[graft] def chunkedKeyedPairs(postings: DataFrame, num: Int,
+                                       den: Int): DataFrame = {
     val chunk = 512
     val wKey = Window.partitionBy(col("k1"), col("k2"))
       .orderBy(col("sz"), col("doc_id"))
+    // explicit-count repartition on the chunked key (the
+    // bandedHamming64PairsRaw lesson): a surviving chunk pair's join
+    // input is ≤ 1024 thin rows but its output up to 512² candidate
+    // rows, and AQE's input-sized coalescing would fold a hot key's
+    // chunks back into one emission task without it
     val px = postings.withColumn("cid",
       ((row_number().over(wKey) - 1) / chunk).cast("long"))
+      .repartition(postings.sparkSession.sessionState.conf.numShufflePartitions,
+        col("k1"), col("k2"), col("cid"))
     val stats = px.groupBy(col("k1"), col("k2"), col("cid"))
       .agg(min(col("sz")).as("mnSz"), max(col("sz")).as("mxSz"))
     val cp = stats.as("x").join(stats.as("y"),
