@@ -67,6 +67,15 @@ import org.apache.spark.sql.functions._
   *   would replace.
   * @param partitionCols hive layout beneath each epoch (e.g. the band
   *   store's (band, kb)) — the probe side's pruning granularity
+  * @param partitionDeltas apply `partitionCols` to DELTA writes too
+  *   (default). Directory pruning pays off on the O(corpus) base/merge
+  *   tiers; a delta is O(batch), and row-group filtering over a handful
+  *   of plain files reads it just as well — while a partitioned delta
+  *   write fans one batch into |live partition values| tiny files whose
+  *   driver-side commit dominates the batch (measured on the dedup-stream
+  *   band store: ~600 files, ~16 s of a 26 s batch at probe scale). Set
+  *   false for high-frequency upsert streams; folds keep the hive layout
+  *   either way, so steady-state reads still prune
   * @param compactAfterDeltas committed deltas above the base tolerated
   *   before a write auto-compacts
   * @param coalesceTo small-file control applied to delta AND base writes;
@@ -98,6 +107,7 @@ import org.apache.spark.sql.functions._
 final class EpochKeyedStore(dir: String,
                             mergeKeys: Seq[String],
                             partitionCols: Seq[String] = Nil,
+                            partitionDeltas: Boolean = true,
                             compactAfterDeltas: Int = 16,
                             coalesceTo: Option[Int] = Some(1),
                             verifyMergeDependency: Boolean = false,
@@ -202,10 +212,14 @@ final class EpochKeyedStore(dir: String,
     snap.merge.foreach { case (n, p) =>
       members += spark.read.parquet(p.toString).withColumn("__epoch", lit(n))
     }
-    if (snap.deltas.nonEmpty)
-      members += spark.read.option("basePath", s"$dir/delta")
-        .parquet(snap.deltas.map(_._2.toString): _*)
-        .withColumn("__epoch", col("epoch").cast("long")).drop("epoch")
+    // deltas read per-directory: a store that switched `partitionDeltas`
+    // mid-life holds hive-partitioned AND flat delta epochs side by side,
+    // and one multi-path read cannot infer both layouts — per-dir reads
+    // auto-detect each epoch's own layout (the delta count is bounded by
+    // compactAfterDeltas, so this stays a handful of scans)
+    snap.deltas.foreach { case (n, p) =>
+      members += spark.read.parquet(p.toString).withColumn("__epoch", lit(n))
+    }
     val parts = members.result()
     if (parts.isEmpty) None
     else {
@@ -267,7 +281,8 @@ final class EpochKeyedStore(dir: String,
     // Append, not Overwrite: the claimed dir already exists (holding the
     // `_STAGE` marker), and an Overwrite would delete the claim mid-write
     val w = shaped.write.mode(SaveMode.Append)
-    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*).parquet(target.toString)
+    if (partitionCols.nonEmpty && partitionDeltas)
+      w.partitionBy(partitionCols: _*).parquet(target.toString)
     else w.parquet(target.toString)
     layout.commit(f, target, recordFileCount = true)
     if (!deferCompaction && foldDue(f)) compact(spark)

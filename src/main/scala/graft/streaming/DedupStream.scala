@@ -100,8 +100,16 @@ object DedupStream {
     ids = new EpochKeyedStore(s"$indexDir/ids", mergeKeys = Seq("doc_id"),
       compactAfterDeltas = compactAfterDeltas, deferCompaction = deferCompaction,
       fullCompactEvery = 4),
+    // partitionDeltas=false: a batch touches up to bands × KeyBuckets
+    // partition values, so a partitioned DELTA write fans each batch into
+    // hundreds of tiny files whose driver-side commit dominated the whole
+    // batch (measured: ~6 s write + ~10 s commit of a 26 s gated batch at
+    // probe scale). Deltas are O(batch) — the probe row-filters them just
+    // as well — and folds keep the (band, kb) hive layout, so the
+    // O(corpus) base still directory-prunes
     bands = new EpochKeyedStore(s"$indexDir/bands",
       mergeKeys = Seq("doc_id", "band", "kb"), partitionCols = Seq("band", "kb"),
+      partitionDeltas = false,
       coalesceTo = None, compactAfterDeltas = compactAfterDeltas,
       deferCompaction = deferCompaction, fullCompactEvery = 4),
     sigs = new EpochKeyedStore(s"$indexDir/sigs", mergeKeys = Seq("doc_id"),
@@ -154,42 +162,68 @@ object DedupStream {
                            defaultRate: Double = 1.0,
                            systemLogDir: Option[String] = None)
 
-  /** Apply the per-doc gates: quarantine rejects (with reasons), return
-    * the admitted remainder. */
-  private def applyDocGate(fresh: DataFrame, g: DocGate): DataFrame = {
-    // no extra persist: the micro-batch itself is persisted by the caller
-    // and the verdict is pure column exprs — re-projection is cheaper than
-    // caching another copy of the batch
-    val v = TextAnalysis.gateVerdict(fresh, g.minQuality, g.lang,
-      g.classifierThreshold, g.rates, g.defaultRate)
-    val rejected = v.where(col("reject_reason").isNotNull)
-    val nRejected = IdempotentSink.appendDedup(
-      rejected.withColumn("id", col("doc_id").cast("string")), g.rejectsDir)
-    if (nRejected > 0) g.systemLogDir.foreach { d =>
-      // reason histogram: bounded by the number of gates (≤ 5 rows)
-      val hist = rejected.groupBy("reject_reason").count()
-        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
-        .sorted.mkString(" ")
-      IdempotentSink.logEvents(fresh.sparkSession, d, Seq((
-        java.time.Instant.now.toString, "WARNING", "doc_gate", "-",
-        s"rejected=$nRejected $hist dir=${g.rejectsDir}")))
-    }
-    v.where(col("reject_reason").isNull).drop("reject_reason")
+  /** ONE triage projection for both ingest gates: the per-doc gate stack's
+    * `reject_reason` and the decontamination gate's `n_shared` computed
+    * together over the batch and CACHED — the audit writes, the log rows,
+    * and the admitted remainder all read the same materialization. The
+    * r10 floor came from each gate consumer being its own job over the
+    * raw batch (gate stack re-run ~5×, contamination ~3× per batch).
+    * Caller must unpersist the returned frame once the admitted rows'
+    * signatures are materialized. Semantics preserved from the split
+    * gates: the doc gates fire first (a rejected doc is never checked for
+    * contamination), contamination runs on the survivors only.
+    */
+  private def triageBatch(seen: DataFrame, docGate: Option[DocGate],
+                          gate: Option[ContaminationGate]): DataFrame = {
+    val verdict = docGate.fold(
+      seen.withColumn("reject_reason", lit(null).cast("string")))(g =>
+      TextAnalysis.gateVerdict(seen, g.minQuality, g.lang,
+        g.classifierThreshold, g.rates, g.defaultRate))
+    gate.fold(verdict.withColumn("n_shared", lit(null).cast("long"))) { g =>
+      // (doc_id, n_shared) hits over the gate survivors; the benchmark
+      // side broadcasts, so this adds no shuffle to the corpus side
+      val hits = TextAnalysis.contamination(
+        verdict.where(col("reject_reason").isNull), g.benchmark, g.n)
+      verdict.join(hits, Seq("doc_id"), "left_outer")
+    }.cache()
   }
 
-  /** Apply the gate: quarantine hits, return the clean remainder. */
-  private def decontaminate(fresh: DataFrame, g: ContaminationGate): DataFrame = {
-    val hits = TextAnalysis.contamination(fresh, g.benchmark, g.n) // (doc_id, n_shared)
-    val quarantined = IdempotentSink.appendDedup(
-      fresh.join(hits, Seq("doc_id"))
-        .withColumn("id", col("doc_id").cast("string")),
-      g.quarantineDir)
-    if (quarantined > 0) g.systemLogDir.foreach { d =>
-      IdempotentSink.logEvents(fresh.sparkSession, d, Seq((
-        java.time.Instant.now.toString, "WARNING", "decontamination_gate", "-",
-        s"quarantined=$quarantined dir=${g.quarantineDir}")))
+  /** Audit writes off the cached triage: rejects (with reasons) and
+    * quarantine hits land id-deduped in their dirs, WARNING rows to the
+    * system logs. Returns the admitted remainder (still reading the
+    * triage cache — unpersist only after its signatures materialize).
+    */
+  private def writeTriage(triage: DataFrame, docGate: Option[DocGate],
+                          gate: Option[ContaminationGate]): DataFrame = {
+    val spark = triage.sparkSession
+    docGate.foreach { g =>
+      val rejected = triage.where(col("reject_reason").isNotNull).drop("n_shared")
+      val nRejected = IdempotentSink.appendDedup(
+        rejected.withColumn("id", col("doc_id").cast("string")), g.rejectsDir)
+      if (nRejected > 0) g.systemLogDir.foreach { d =>
+        // reason histogram: bounded by the number of gates (≤ 5 rows)
+        val hist = rejected.groupBy("reject_reason").count()
+          .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+          .sorted.mkString(" ")
+        IdempotentSink.logEvents(spark, d, Seq((
+          java.time.Instant.now.toString, "WARNING", "doc_gate", "-",
+          s"rejected=$nRejected $hist dir=${g.rejectsDir}")))
+      }
     }
-    fresh.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+    gate.foreach { g =>
+      val quarantined = IdempotentSink.appendDedup(
+        triage.where(col("reject_reason").isNull && col("n_shared").isNotNull)
+          .drop("reject_reason")
+          .withColumn("id", col("doc_id").cast("string")),
+        g.quarantineDir)
+      if (quarantined > 0) g.systemLogDir.foreach { d =>
+        IdempotentSink.logEvents(spark, d, Seq((
+          java.time.Instant.now.toString, "WARNING", "decontamination_gate", "-",
+          s"quarantined=$quarantined dir=${g.quarantineDir}")))
+      }
+    }
+    triage.where(col("reject_reason").isNull && col("n_shared").isNull)
+      .drop("reject_reason", "n_shared")
   }
 
   private def antiJoin(rows: DataFrame, existing: Option[DataFrame],
@@ -253,14 +287,19 @@ object DedupStream {
     // gates run AFTER the replay check (quarantine writes are id-deduped
     // anyway, but no point rehashing docs the ledger already admitted) and
     // BEFORE signatures: a rejected doc never reaches index or pairs.
-    // Order: the zero-shuffle per-doc gates first, the (broadcast-join)
-    // decontamination gate on the survivors only
-    val gated = docGate.fold(seen)(applyDocGate(seen, _))
-    val fresh = gate.fold(gated)(decontaminate(gated, _))
+    // Both gates triage in ONE cached pass; the triage cache lives until
+    // the admitted docs' signatures are themselves materialized below
+    val triage = if (docGate.isEmpty && gate.isEmpty) None
+                 else Some(triageBatch(seen, docGate, gate))
+    val fresh = triage.fold(seen)(writeTriage(_, docGate, gate))
     val newSigs = Dedup.minhashSignatures(fresh, n, numPerms)
       .repartition(col("doc_id")).cache()
     try {
-      if (newSigs.isEmpty) return 0L
+      // materializes newSigs through the triage cache, after which the
+      // triage copy of the batch is dead weight — release it now
+      val noneAdmitted = newSigs.isEmpty
+      triage.foreach(_.unpersist())
+      if (noneAdmitted) return 0L
       // kb = hash bucket of the band key: the store partitions by
       // (band, kb), and the probe joins on kb too, so a batch's candidate
       // fetch dynamic-partition-prunes to the key buckets it actually

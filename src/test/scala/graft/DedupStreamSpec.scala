@@ -56,10 +56,19 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(deltas.nonEmpty && deltas.forall(_.startsWith("epoch=")))
     assert(deltas.forall(d =>
       new java.io.File(s"$indexDir/sigs/delta/$d/_COMMIT").exists()))
-    // band deltas carry the (band, kb) hive layout beneath the epoch
+    // band DELTAS are flat (partitionDeltas=false): a partitioned delta
+    // write fans one batch into |bands × kb| tiny files whose commit
+    // dominated the batch; the hive layout belongs to the fold tiers
     val bandDelta = new java.io.File(s"$indexDir/bands/delta").listFiles()
       .filter(_.isDirectory).head
-    assert(bandDelta.listFiles().exists(f =>
+    assert(!bandDelta.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("band=")))
+    // ... and reappears on the compacted base, where pruning pays off
+    val bands = DedupStream.epochStores(indexDir).bands
+    bands.asInstanceOf[graft.sink.EpochKeyedStore].compact(spark)
+    val base = new java.io.File(s"$indexDir/bands/base").listFiles()
+      .filter(_.isDirectory).head
+    assert(base.listFiles().exists(f =>
       f.isDirectory && f.getName.startsWith("band=")))
   }
 
@@ -88,6 +97,10 @@ class DedupStreamSpec extends AnyFunSuite {
     val stores = DedupStream.epochStores(indexDir)
     DedupStream.processBatch(batch(1L -> base, 3L -> other),
       stores, pairsDir, n = 5, numPerms = 64, bands = 16, threshold = 0.3)
+    // fold the flat delta into the hive-partitioned BASE — deltas are
+    // deliberately unpartitioned (O(batch), row-filtered), so directory
+    // pruning is a property of the folded tiers
+    stores.bands.asInstanceOf[graft.sink.EpochKeyedStore].compact(spark)
     val totalFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$indexDir/bands"))
       .filter(p => p.toString.endsWith(".parquet")).count()
     // probe with a copy of doc 1: its (band, kb) combos miss most of the

@@ -123,6 +123,38 @@ class EpochStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed delta layouts: partitioned and flat epochs read side by side") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    // a store that switched partitionDeltas mid-life: epoch 1 partitioned,
+    // epoch 2 flat — per-dir delta reads must auto-detect each layout and
+    // the merge must still resolve newest-wins across them
+    val partitioned = new EpochKeyedStore(dir, mergeKeys = Seq("id", "band", "kb"),
+      partitionCols = Seq("band", "kb"), coalesceTo = None)
+    partitioned.upsert(Seq((1L, 0, 0, "old"), (2L, 1, 1, "keep"))
+      .toDF("id", "band", "kb", "payload"), Seq("id", "band"))
+    val flat = new EpochKeyedStore(dir, mergeKeys = Seq("id", "band", "kb"),
+      partitionCols = Seq("band", "kb"), partitionDeltas = false, coalesceTo = None)
+    flat.upsert(Seq((1L, 0, 0, "new"), (3L, 2, 2, "added"))
+      .toDF("id", "band", "kb", "payload"), Seq("id", "band"))
+    // layout on disk matches each epoch's own setting
+    assert(new java.io.File(s"$dir/delta/epoch=1").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("band=")))
+    assert(!new java.io.File(s"$dir/delta/epoch=2").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("band=")))
+    val got = flat.read(spark).get.select("id", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "new", 2L -> "keep", 3L -> "added"))
+    // pruning predicate still selects correctly across both layouts
+    assert(flat.read(spark).get.where(col("band") === 1 && col("kb") === 1)
+      .select("payload").as[String].collect().toSeq === Seq("keep"))
+    // and the fold writes one hive-partitioned base over the mix
+    flat.compact(spark)
+    assert(new java.io.File(s"$dir/base").listFiles().filter(_.isDirectory)
+      .head.listFiles().exists(f => f.isDirectory && f.getName.startsWith("band=")))
+    assert(flat.read(spark).get.count() === 3L)
+  }
+
   test("a data file missing under a committed marker raises instead of reading empty") {
     val dir = tmp()
     val s = new EpochKeyedStore(dir, mergeKeys = Seq("k"))
