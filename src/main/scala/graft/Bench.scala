@@ -43,6 +43,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // pinned-block discipline between entries: operators pin sketch
+    // relations (localCheckpoint) whose blocks are session-lived until
+    // the ContextCleaner notices the plan is dead — across a 300-entry
+    // sweep they accumulate and slow UNRELATED queries (r10: q37
+    // 2.8 → 10.9 s monotone across passes). Each entry's pre-sweep
+    // census is recorded (the adjudication column), then everything
+    // block-persisted is released — entries are independent, so no
+    // swept plan is ever re-executed.
+    val pinCensus = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    val loadTrace = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ").head.toDouble
+      catch { case _: Throwable => -1.0 }
+
     // warmup: run every query once at the smallest SF — generated code is
     // identical across input paths, so Janino's compile cache is hot and the
     // timed pass measures steady-state execution, not per-plan codegen
@@ -115,6 +130,9 @@ object Bench {
         val s = force(n)
         samples(n) = samples(n) :+ s
         if (s >= 0) passTotal += s
+        val (_, mem, disk) = graft.operators.Pins.sweepAll(spark)
+        pinCensus(n) = pinCensus(n) :+ (mem + disk) / 1e6
+        loadTrace(n) = loadTrace(n) :+ load1()
       }
       System.err.println(f"[bench] pass $pass/$iters total = $passTotal%.1f s {${boxState()}}")
       // cumulative-medians line to stderr after EVERY pass: a run killed
@@ -129,6 +147,40 @@ object Bench {
     val passTotals = (0 until iters).map { i =>
       names.map(n => samples(n)(i)).filter(_ >= 0).sum
     }.map(f3).mkString("[", ",", "]")
+    // FRESH-SESSION controls (SPARK_GRAFT_BENCH_FRESH=q37,q38): each named
+    // query re-measured in its own brand-new SparkContext — the one-line
+    // read that separates "this operator regressed" from "this operator
+    // inherits session state accumulated by 300 earlier entries"
+    val freshRuns: Map[String, Vector[Double]] =
+      sys.env.get("SPARK_GRAFT_BENCH_FRESH").map(_.split(",").toSeq) match {
+        case None => Map.empty
+        case Some(prefixes) =>
+          val targets = names.filter(n => prefixes.exists(n.startsWith))
+          spark.stop()
+          targets.map { n =>
+            val s2 = SparkSession.builder()
+              .master(s"local[$cpus]")
+              .config("spark.sql.shuffle.partitions", cpus)
+              .config("spark.sql.adaptive.enabled", "true")
+              .config("spark.sql.session.timeZone", "UTC")
+              .config("spark.ui.enabled", "false")
+              .getOrCreate()
+            s2.sparkContext.setLogLevel("WARN")
+            try benchQueries(n)(s2, warmDir)
+              .write.format("noop").mode("overwrite").save()
+            catch { case _: Throwable => () }
+            val ts = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              try {
+                benchQueries(n)(s2, sfDir).write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9
+              } catch { case _: Throwable => -1.0 }
+            }.toVector
+            s2.stop()
+            System.err.println(s"[bench] fresh-session $n = ${ts.map(f3).mkString(",")} s")
+            n -> ts
+          }.toMap
+      }
     // full per-pass per-query detail + box state goes to a repo-side file
     // (NOT the stdout line, which must stay under the driver's capture
     // limit); the round driver commits it with the rest of the work tree
@@ -137,9 +189,22 @@ object Bench {
       val perQuery = names.map { n =>
         "\"" + n + "\":[" + samples(n).map(f3).mkString(",") + "]"
       }.mkString("{", ",", "}")
+      // adjudication columns (VERDICT r10 #6): per-entry pre-sweep pinned
+      // megabytes and 1-min load — a monotone pinned climb or a load spike
+      // names the mechanism behind any outlier without a re-run
+      val pins = names.map { n =>
+        "\"" + n + "\":[" + pinCensus(n).map(f3).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val loads = names.map { n =>
+        "\"" + n + "\":[" + loadTrace(n).map(f3).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val fresh = freshRuns.toSeq.sortBy(_._1).map { case (n, ts) =>
+        "\"" + n + "\":[" + ts.map(f3).mkString(",") + "]"
+      }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
         s"""{"sf":"$sfDir","iters":$iters,"box_start":{$boxStart},"box_end":{${boxState()}},""" +
-          s""""pass_totals":$passTotals,"per_pass":$perQuery}""" + "\n")
+          s""""pass_totals":$passTotals,"per_pass":$perQuery,""" +
+          s""""per_pass_pinned_mb":$pins,"per_pass_load":$loads,"fresh_session":$fresh}""" + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     val (qj, omitted) = qsParts()
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qj,""" +

@@ -311,8 +311,9 @@ object Dedup {
         "simhashPairsMultiProbe for budgets 4-7")
     // sketch pinned once (24 bytes/doc): the banded join re-derives its
     // posting relation per consumer across AQE query stages, so an
-    // unpinned sketch pipeline (md5 per token) would run 3×
-    val sh = simhash64Portable(docs).localCheckpoint(true)
+    // unpinned sketch pipeline (md5 per token) would run 3× — pin
+    // mechanism is session-configured, see [[Pins]]
+    val sh = Pins.pin(simhash64Portable(docs))
     bandedHamming64Pairs(sh.select(col("doc_id").as("id"),
         col("simhash_lo").as("lo"), col("simhash_hi").as("hi")), maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
@@ -431,8 +432,9 @@ object Dedup {
     */
   def simhashPairsMultiProbe(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     // sketch pinned once — the multi-probe join's index AND probe
-    // relations both re-derive from it (see simhashPairsPortable)
-    val sh = simhash64Portable(docs).localCheckpoint(true)
+    // relations both re-derive from it (see simhashPairsPortable;
+    // pin mechanism session-configured via [[Pins]])
+    val sh = Pins.pin(simhash64Portable(docs))
     multiProbeHamming64Pairs(sh.select(col("doc_id").as("id"),
         col("simhash_lo").as("lo"), col("simhash_hi").as("hi")), maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
@@ -1310,20 +1312,19 @@ object Dedup {
   def exactJaccardPairs(docs: DataFrame, num: Int = 1, den: Int = 2): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "threshold must be in (0, 1]")
     val chunk = 512
-    // eagerly pinned (localCheckpoint, NOT cache: checkpointed RDDs are
-    // freed by the ContextCleaner once the plan is unreferenced, while
-    // CacheManager entries live until an explicit unpersist — the wrong
-    // lifetime for a library operator): the routing probe below is a
-    // separate job, and the tokenize/collapse scan feeds members, reps,
-    // AND the within join — without the pin each consumer re-tokenizes
-    // the corpus (the r9 advice item)
-    val keyed = docs.select(col("doc_id"),
+    // pinned (checkpoint, NOT cache: checkpointed RDDs are freed by the
+    // ContextCleaner once the plan is unreferenced, while CacheManager
+    // entries live until an explicit unpersist — the wrong lifetime for a
+    // library operator): the routing probe below is a separate job, and
+    // the tokenize/collapse scan feeds members, reps, AND the within join
+    // — without the pin each consumer re-tokenizes the corpus (the r9
+    // advice item). Pin mechanism session-configured via [[Pins]].
+    val keyed = Pins.pin(docs.select(col("doc_id"),
         array_sort(array_distinct(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))))
           .as("__toks"))
       .where(size(col("__toks")) >= 1)
       .withColumn("gid", md5(to_json(col("__toks"))))
-      .withColumn("sz", size(col("__toks")).cast("long"))
-      .localCheckpoint(true)
+      .withColumn("sz", size(col("__toks")).cast("long")))
     val members = keyed.select(col("gid"), col("doc_id"), col("sz"))
     val reps = keyed.groupBy(col("gid"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("__toks")).as("__toks"),

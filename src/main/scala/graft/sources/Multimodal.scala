@@ -677,11 +677,12 @@ object Multimodal {
     // decoded hashes pinned once (24 bytes/image): the banded join
     // re-derives its posting relation per consumer across AQE query
     // stages — unpinned, the PNG decode ran once per consumer
-    // (measured 4.8 s of decode inflating the operator to 28 s)
-    val hashes = perceptualHashes(media).toDF().select(
-      col("media_id").as("id"),
-      col("phash_lo").as("lo"), col("phash_hi").as("hi"))
-      .localCheckpoint(true)
+    // (measured 4.8 s of decode inflating the operator to 28 s).
+    // Pin mechanism session-configured via [[graft.operators.Pins]].
+    val hashes = graft.operators.Pins.pin(
+      perceptualHashes(media).toDF().select(
+        col("media_id").as("id"),
+        col("phash_lo").as("lo"), col("phash_hi").as("hi")))
     val pairs =
       if (maxHamming <= 3) graft.operators.Dedup.bandedHamming64Pairs(hashes, maxHamming)
       else graft.operators.Dedup.multiProbeHamming64Pairs(hashes, maxHamming)
