@@ -210,9 +210,28 @@ object Similarity {
     * @param blocks block count; per-task work is (n/blocks)²·dim, so at
     *               corpus scale pick blocks ≈ n·dim / flops-per-task. Block
     *               pair count B(B+1)/2 should be ≥ shuffle parallelism.
+    *               Default 0 = derive from the session: the smallest B with
+    *               B(B+1)/2 ≥ spark.sql.shuffle.partitions (≈ √(2·parts)),
+    *               so the pair stage can occupy every shuffle slot whatever
+    *               the cluster size — a FIXED B caps the exact path at
+    *               B(B+1)/2 tasks no matter how many executors exist (the
+    *               old blocks=8 ceiling was 36 tasks). Output is identical
+    *               for any B: blocking only partitions the pair space.
     */
   def cosineDupPairsBlocked(embeddings: DataFrame, threshold: Double,
-                            blocks: Int = 8): DataFrame = {
+                            blocks: Int = 0): DataFrame = {
+    val blocks0 =
+      if (blocks > 0) blocks
+      else {
+        val parts = embeddings.sparkSession.sessionState.conf.numShufflePartitions
+        // smallest B with B(B+1)/2 >= parts (ceil of the quadratic root)
+        math.max(2, math.ceil((math.sqrt(8.0 * parts + 1) - 1) / 2).toInt)
+      }
+    cosineDupPairsBlockedAt(embeddings, threshold, blocks0)
+  }
+
+  private def cosineDupPairsBlockedAt(embeddings: DataFrame, threshold: Double,
+                                      blocks: Int): DataFrame = {
     val base = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("norm", l2norm(col("v")))
       .where(col("norm") > 0) // zero-norm: no cosine, excluded on both sides
