@@ -403,11 +403,21 @@ object Dedup {
           col("x.cid") <= col("y.cid"))
       .select(col("x.band").as("band"), col("x.key").as("key"),
         col("x.cid").as("clo"), col("y.cid").as("chi"))
+    // shuffle_hash hints pin the join STRATEGY, not just the partition
+    // count: on a small corpus both px sides fit under the broadcast
+    // threshold, Spark broadcasts them, and the thin chunk-pair relation
+    // becomes the streamed side — AQE-coalesced to ONE partition, putting
+    // the crowd's whole quadratic emission back in one task (measured:
+    // the 10k-crowd probe emitted 50M rows in 1 partition). Forcing
+    // shuffled joins keeps the BY_NUM-partitioned px exchanges in the
+    // join, and their coalescing exemption anchors the output spread at
+    // every corpus size
     px.select(col("band"), col("key"), col("cid").as("clo"),
         col("id").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
-      .join(cp, Seq("band", "key", "clo"))
+      .join(cp.hint("shuffle_hash"), Seq("band", "key", "clo"))
       .join(px.select(col("band"), col("key"), col("cid").as("chi"),
-          col("id").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b")),
+          col("id").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
+          .hint("shuffle_hash"),
         Seq("band", "key", "chi"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -487,11 +497,15 @@ object Dedup {
     val cp = prb.select(col("band"), col("key"), col("pid")).distinct()
       .join(idx.select(col("band"), col("key"), col("cid")).distinct(),
         Seq("band", "key"))
+    // shuffle_hash: see bandedHamming64PairsRaw — without it a small
+    // corpus broadcasts both posting sides and streams the thin
+    // probe-pair relation in one AQE-coalesced partition
     prb.select(col("band"), col("key"), col("pid"),
         col("id").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
-      .join(cp, Seq("band", "key", "pid"))
+      .join(cp.hint("shuffle_hash"), Seq("band", "key", "pid"))
       .join(idx.select(col("band"), col("key"), col("cid"),
-          col("id").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b")),
+          col("id").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
+          .hint("shuffle_hash"),
         Seq("band", "key", "cid"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -1373,11 +1387,14 @@ object Dedup {
             col("x.gid") === col("y.gid") && col("x.cid") <= col("y.cid"))
           .select(col("x.gid").as("gid"),
             col("x.cid").as("clo"), col("y.cid").as("chi"))
+        // shuffle_hash: see bandedHamming64PairsRaw — a small corpus
+        // would broadcast both member sides and stream the thin
+        // chunk-pair relation in one AQE-coalesced partition
         memC.select(col("gid"), col("cid").as("clo"),
             col("doc_id").as("da"), col("sz").as("sa"))
-          .join(wcp, Seq("gid", "clo"))
+          .join(wcp.hint("shuffle_hash"), Seq("gid", "clo"))
           .join(memC.select(col("gid"), col("cid").as("chi"),
-            col("doc_id").as("db")), Seq("gid", "chi"))
+            col("doc_id").as("db")).hint("shuffle_hash"), Seq("gid", "chi"))
           .where(col("da") < col("db"))
           .select(col("da").as("doc_a"), col("db").as("doc_b"),
             col("sa").as("n_a"), col("sa").as("n_b"),
@@ -1536,10 +1553,9 @@ object Dedup {
     // input is ≤ 1024 thin rows but its output up to 512² candidate
     // rows, and AQE's input-sized coalescing would fold a hot key's
     // chunks back into one emission task without it
+    val parts = postings.sparkSession.sessionState.conf.numShufflePartitions
     val px = postings.withColumn("cid",
       ((row_number().over(wKey) - 1) / chunk).cast("long"))
-      .repartition(postings.sparkSession.sessionState.conf.numShufflePartitions,
-        col("k1"), col("k2"), col("cid"))
     val stats = px.groupBy(col("k1"), col("k2"), col("cid"))
       .agg(min(col("sz")).as("mnSz"), max(col("sz")).as("mxSz"))
     val cp = stats.as("x").join(stats.as("y"),
@@ -1549,11 +1565,25 @@ object Dedup {
           col("x.mxSz") * den >= col("y.mnSz") * num)
       .select(col("x.k1").as("k1"), col("x.k2").as("k2"),
         col("x.cid").as("lo"), col("y.cid").as("hi"))
+    // Two disciplines keep the quadratic emission spread across tasks at
+    // EVERY corpus size (each was individually defeated in measurement):
+    //   - shuffle_hash hints pin the join STRATEGY: on a small corpus both
+    //     posting sides fit under the broadcast threshold, Spark broadcasts
+    //     them, and the thin chunk-pair relation becomes the streamed side
+    //     — AQE-coalesced to ONE partition (measured: the 10k-posting
+    //     hot-key probe emitted all C(10⁴,2) rows in 1 task);
+    //   - the explicit-count repartitions sit directly under the joins ON
+    //     THE JOIN KEYS (post-rename): a repartition below a renaming
+    //     Project re-exchanged on the join keys anyway, burying the
+    //     coalescing-exempt BY_NUM shuffle under a coalescible one.
     px.select(col("k1"), col("k2"), col("cid").as("lo"),
         col("doc_id").as("da"), col("sz").as("sa"))
-      .join(cp, Seq("k1", "k2", "lo"))
+      .repartition(parts, col("k1"), col("k2"), col("lo"))
+      .join(cp.hint("shuffle_hash"), Seq("k1", "k2", "lo"))
       .join(px.select(col("k1"), col("k2"), col("cid").as("hi"),
-          col("doc_id").as("db"), col("sz").as("sb")),
+          col("doc_id").as("db"), col("sz").as("sb"))
+          .repartition(parts, col("k1"), col("k2"), col("hi"))
+          .hint("shuffle_hash"),
         Seq("k1", "k2", "hi"))
       .where((col("lo") =!= col("hi") || col("da") < col("db")) &&
         col("sb") * den >= col("sa") * num &&

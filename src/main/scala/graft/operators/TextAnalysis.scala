@@ -603,10 +603,16 @@ object TextAnalysis {
     * with min(doc_id) (both map-side combining on the shingle); one
     * shingle-key equi-join marks drop starts; everything after is
     * DOC-LOCAL — drop starts aggregate to a per-doc array (bounded by
-    * doc length) and the position cut + reassembly are pure column
-    * expressions over the token array, so corpus tokens never shuffle
-    * for the cut (the coverage test is O(len · drops) per doc — fine
-    * for web-document lengths; book-length docs should chunk first).
+    * doc length) and the cut + reassembly are pure column expressions
+    * over the token array, so corpus tokens never shuffle for the cut.
+    * The cut is O(len + drops) per document: every drop start covers
+    * the fixed-width interval [s, s+n−1] and the starts arrive sorted,
+    * so the SURVIVING positions are exactly the gaps — head
+    * [1, s₁−1], between-drops [sⱼ₋₁+n, sⱼ−1] (empty when spans
+    * overlap or touch), tail [s_last+n, len] — and the kept array is a
+    * concat of O(drops) slices totaling O(len) copied tokens. No
+    * per-position coverage scan, so a book-length doc dense with
+    * repeated spans costs the same as a clean one.
     * Output: doc_id, n_tokens, n_kept, cleaned (space-joined survivors;
     * "" when everything was cut or the doc had no tokens).
     */
@@ -629,14 +635,25 @@ object TextAnalysis {
       .where(col("doc_id") =!= col("__first"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("s"))).as("__drops"))
+    // gap-slice reassembly over the sorted starts (O(len + drops)): each
+    // start covers [s, s+n-1], so survivors are the head gap, the
+    // between-drop gaps (length clamped at 0 when spans overlap/touch),
+    // and the tail gap — concat of slices, never a per-position scan
+    val d = col("__drops")
+    val len = size(col("__w"))
+    val head = slice(col("__w"), lit(1),
+      greatest(lit(0), element_at(d, 1) - 1))
+    val mids = when(size(d) >= 2,
+      flatten(transform(sequence(lit(2), size(d)), j =>
+        slice(col("__w"), element_at(d, j - 1) + lit(n),
+          greatest(lit(0), element_at(d, j) - element_at(d, j - 1) - lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val tail = slice(col("__w"), element_at(d, size(d)) + lit(n),
+      greatest(lit(0), len - element_at(d, size(d)) - lit(n - 1)))
     base.join(dropStarts, Seq("doc_id"), "left")
-      .select(col("doc_id"), size(col("__w")).cast("long").as("n_tokens"),
+      .select(col("doc_id"), len.cast("long").as("n_tokens"),
         when(col("__drops").isNull, col("__w"))
-          .otherwise(transform(
-            filter(sequence(lit(1), size(col("__w"))),
-              p => !exists(col("__drops"),
-                s => s <= p && p < s + lit(n))),
-            p => element_at(col("__w"), p))).as("__kept"))
+          .otherwise(concat(head, mids, tail)).as("__kept"))
       .select(col("doc_id"), col("n_tokens"),
         size(col("__kept")).cast("long").as("n_kept"),
         array_join(col("__kept"), " ").as("cleaned"))
