@@ -82,6 +82,33 @@ object DedupScaleCheck {
         f"growth=${tail3 / head3}%.2fx (index grew ${nBatches}x over the run)")
     }
 
+    // HAMMING SKETCH INDEX growth: per-batch cost of the incremental
+    // banded-Hamming front door (text SimHash / image pHash near-dup at
+    // ingest) over a growing persisted index — writes are one flat
+    // O(batch) delta per batch, so the trend must stay flat like the
+    // MinHash index's
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft-hscale").toString
+      val stores = graft.streaming.HammingStream.epochStores(s"$root/index")
+      val times = (0 until nBatches).map { i =>
+        val sk = graft.operators.Dedup.simhash64Portable(batchDf(i))
+          .select(col("doc_id").as("id"), col("simhash_lo").as("lo"),
+            col("simhash_hi").as("hi"))
+        val t0 = System.nanoTime()
+        val written = graft.streaming.HammingStream.processBatch(
+          sk, stores, s"$root/pairs")
+        val s = (System.nanoTime() - t0) / 1e9
+        stores.maintain(spark)
+        println(f"[dedup-scale] hamming-index batch=$i docs=${nBase * docFactor} pairs=$written t=$s%.2f s")
+        s
+      }
+      val head3 = times.take(3).sum / 3
+      val tail3 = times.takeRight(3).sum / 3
+      println(f"[dedup-scale] hamming-index SUMMARY: batches=$nBatches " +
+        f"docs/batch=${nBase * docFactor} first3=$head3%.2f s last3=$tail3%.2f s " +
+        f"growth=${tail3 / head3}%.2fx (index grew ${nBatches}x over the run)")
+    }
+
     // GATED INGEST THROUGHPUT (VERDICT r9 #5): the number a 100 TB ingest
     // design actually needs — the sf corpus replayed as DISJOINT
     // micro-batch slices (a real ingest, unlike the mutually-dissimilar

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import graft.sink.{EpochKeyedStore, IdempotentSink, KeyedStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental banded-Hamming near-duplicate detection over a STREAM of
+  * 64-bit sketches — the continuously-running form of
+  * [[graft.operators.Dedup.bandedHamming64Pairs]], closing the ingest
+  * loop for the sketch modalities [[DedupStream]] (MinHash bands) does
+  * not cover: text SimHash ([[Dedup.simhash64Portable]]) and image pHash
+  * ([[graft.sources.Multimodal.perceptualHashes]]) both produce the
+  * (id, lo, hi) shape this front door indexes, so re-encoded images and
+  * boilerplate-templated text are caught AT INGEST against everything
+  * seen so far — the reference's dedup-scan-before-append discipline
+  * (write_pipeline.py:151-183), applied to sketch near-dup instead of
+  * exact row ids.
+  *
+  * State under `indexDir` — two [[EpochKeyedStore]] tables:
+  *   - `ids/`   — ledger of indexed ids, written LAST per batch (same
+  *                replay contract as [[DedupStream]]: a doc reaches the
+  *                ledger only if the whole batch landed before it);
+  *   - `bands/` — (id, band, kb, key, lo, hi): the four 16-bit band
+  *                postings with the full sketch DENORMALIZED onto each
+  *                row, so the history probe verifies exact Hamming
+  *                distance from the posting itself — no second store
+  *                round-trip per batch. Partitioned (band, kb) on the
+  *                fold tiers only (flat deltas — the [[DedupStream]]
+  *                band-store lesson).
+  *
+  * Per batch: ledger anti-join → within-batch pairs via the chunk-
+  * hardened batch join (identical code path, so the crowd discipline
+  * and its ScaleCheck gates apply verbatim) → new×history candidates
+  * via a (band, kb, key) equi-join against the pruned posting store →
+  * exact bit_count verify → pairs append idempotently → bands upsert →
+  * ledger append. Within-batch and cross-batch pairs are disjoint by
+  * construction (fresh is anti-joined against the ledger), and the
+  * 4×16 banding is complete to Hamming ≤ 3 across the split — any
+  * qualifying pair shares a band whichever batches its ends arrived
+  * in — so a replayed corpus yields EXACTLY the batch operator's pairs
+  * (spec-pinned).
+  *
+  * Scale posture: index writes are one flat O(batch) delta per batch;
+  * the probe prunes to the (band, kb) combos the batch hashes into.
+  * The history-probe join keys on (band, key), so a hot history key (a
+  * flat-color crowd accumulated over months) concentrates its per-batch
+  * candidate output in one task — bounded by |batch postings on that
+  * key| × |history postings on it| per batch, not corpus²; chunking the
+  * pruned history slice per (band, key) is the known hardening if an
+  * ingest ever crowds a single key (the batch side is already chunked
+  * inside [[Dedup.bandedHamming64Pairs]]).
+  */
+object HammingStream {
+
+  /** Key-hash fan-out of the band store — the probe's pruning granularity
+    * (shared shape with [[DedupStream.KeyBuckets]]). */
+  val KeyBuckets = 64
+
+  final case class HammingStores(ids: KeyedStore, bands: KeyedStore) {
+    def maintain(spark: SparkSession): Unit = {
+      ids.maintain(spark); bands.maintain(spark)
+    }
+  }
+
+  def epochStores(indexDir: String, compactAfterDeltas: Int = 6,
+                  deferCompaction: Boolean = false): HammingStores = HammingStores(
+    ids = new EpochKeyedStore(s"$indexDir/ids", mergeKeys = Seq("id"),
+      compactAfterDeltas = compactAfterDeltas, deferCompaction = deferCompaction,
+      fullCompactEvery = 4),
+    bands = new EpochKeyedStore(s"$indexDir/bands",
+      mergeKeys = Seq("id", "band", "kb"), partitionCols = Seq("band", "kb"),
+      partitionDeltas = false,
+      coalesceTo = None, compactAfterDeltas = compactAfterDeltas,
+      deferCompaction = deferCompaction, fullCompactEvery = 4))
+
+  /** The four 16-bit band keys of a (id, lo, hi) sketch relation, plus
+    * the kb pruning bucket, sketch denormalized onto every row. */
+  private def bandPostings(sketches: DataFrame): DataFrame =
+    sketches.select(col("id"), col("lo"), col("hi"),
+      explode(array(
+        struct(lit(0).as("band"), col("lo").bitwiseAND(0xFFFFL).as("key")),
+        struct(lit(1).as("band"),
+          call_function("shiftright", col("lo"), lit(16)).bitwiseAND(0xFFFFL).as("key")),
+        struct(lit(2).as("band"), col("hi").bitwiseAND(0xFFFFL).as("key")),
+        struct(lit(3).as("band"),
+          call_function("shiftright", col("hi"), lit(16)).bitwiseAND(0xFFFFL).as("key"))
+      )).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"),
+        col("lo"), col("hi"))
+      .withColumn("kb", pmod(xxhash64(col("key")), lit(KeyBuckets)))
+
+  /** Process one micro-batch of 64-bit sketches (columns: id long,
+    * lo long, hi long — e.g. [[Dedup.simhash64Portable]] output renamed,
+    * or [[graft.sources.Multimodal.perceptualHashes]]) against the
+    * persisted index. Returns the number of new near-dup pairs written.
+    */
+  def processBatch(sketches: DataFrame, stores: HammingStores, pairsDir: String,
+                   maxHamming: Int = 3): Long = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4×16-bit banding is complete only up to Hamming 3")
+    val spark = sketches.sparkSession
+    val fresh0 = stores.ids.read(spark) match {
+      case Some(ex) => sketches.join(ex.select("id").distinct(), Seq("id"), "left_anti")
+      case None => sketches
+    }
+    val fresh = fresh0.cache()
+    try {
+      if (fresh.isEmpty) return 0L
+      val newBands = bandPostings(fresh)
+      // within-batch pairs ride the batch operator itself — identical
+      // banding, chunk-hardening, and dedup semantics
+      val nn = Dedup.bandedHamming64Pairs(fresh, maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      // new × history: equi-join on (band, kb, key) against the pruned
+      // posting store; the posting carries the historical sketch, so the
+      // exact verify needs no second store read
+      val nh = stores.bands.read(spark) match {
+        case Some(idx0) =>
+          val idx = DedupStream.pruneToBatchCombos(idx0, newBands)
+          newBands.as("a").join(idx.as("b"),
+              col("a.band") === col("b.band") && col("a.kb") === col("b.kb") &&
+                col("a.key") === col("b.key") && col("a.id") =!= col("b.id"))
+            .select(least(col("a.id"), col("b.id")).as("id_a"),
+              greatest(col("a.id"), col("b.id")).as("id_b"),
+              (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+                bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).cast("long").as("hamming"))
+            .where(col("hamming") <= maxHamming)
+            .dropDuplicates("id_a", "id_b")
+        case None => nn.limit(0)
+      }
+      val pairs = nn.unionByName(nh)
+        .select(concat_ws("_", col("id_a"), col("id_b")).as("id"),
+          col("id_a"), col("id_b"), col("hamming"))
+      val written = IdempotentSink.appendDedup(pairs, pairsDir)
+      // bands upsert replay-idempotently at (id, band) granularity; the
+      // ledger lands LAST as an unchecked append (fresh was anti-joined
+      // against it at the top) — do not reorder these writes
+      stores.bands.upsert(newBands, Seq("id", "band"))
+      stores.ids.append(fresh.select("id"))
+      written
+    } finally { fresh.unpersist(); () }
+  }
+}
