@@ -2569,11 +2569,17 @@ object TextAnalysis {
     * via the same per-shingle min agg (one hash agg, no running state);
     * the rollup groups by the caller's epoch values directly, so the
     * caller picks the granularity (`date_trunc`, batch id, ...).
+    * Documents whose epoch expression is NULL (missing timestamps) are
+    * EXCLUDED: a null epoch has no place on an arrival axis, and
+    * silently banding it (nulls group together and sort into the
+    * output) would skew the curve — callers that want them must
+    * coalesce to a sentinel epoch explicitly.
     * Output: band (the epoch value), n_shingles, n_novel, novelty_bp.
     */
   def noveltyDecayByEpoch(docs: DataFrame, epochCol: Column,
                           n: Int = 3): DataFrame = {
     val ep = docs.select(col("doc_id"), epochCol.cast("long").as("__epoch"))
+      .where(col("__epoch").isNotNull)
     val sh = Dedup.shingles(docs, n).join(ep, Seq("doc_id"))
     val firstSeen = sh.groupBy(col("shingle"))
       .agg(min(struct(col("__epoch"), col("doc_id"))).as("__first"))

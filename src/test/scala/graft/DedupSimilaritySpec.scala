@@ -2994,7 +2994,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("calibration: bins partition the corpus, rates match direct recompute") {
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, s"${TestSpark.testdataDir}/sf0.001")
     val cal = TextAnalysis.scoreCalibration(docs).orderBy("bin")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(cal.map(_._2).sum === docs.count())

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class EntrySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = s"${TestSpark.testdataDir}/sf0.001"
 
   test("entry returns enriched candles") {
     val df = SparkEntry.entry(spark)

@@ -129,7 +129,7 @@ class NewOpsR10Spec extends AnyFunSuite {
   }
 
   test("noveltyDecayByEpoch under id-derived monotone epochs agrees with arrivalNoveltyDecay") {
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, s"${TestSpark.testdataDir}/sf0.001")
     val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
     val bands = 10
     val viaEpoch = TextAnalysis.noveltyDecayByEpoch(

@@ -44,6 +44,18 @@ class NewOpsR11Spec extends AnyFunSuite {
       (2L, 7L, 4L, "h1 h2 t1 t2")))
   }
 
+  test("noveltyDecayByEpoch excludes null-epoch docs instead of banding them") {
+    val docs = Seq(
+      (1L, "a b c d", Some(10L)),
+      (2L, "a b c d", Some(20L)),   // all shingles first seen at epoch 10
+      (3L, "a b c d", None)         // null epoch: excluded, not a null band
+    ).toDF("doc_id", "text", "epoch")
+    val got = TextAnalysis.noveltyDecayByEpoch(docs, col("epoch"), n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(10L, 20L)) // no null band in the output
+    assert(got === Seq((10L, 2L, 2L, 10000L), (20L, 2L, 0L, 0L)))
+  }
+
   test("dedupSpans gap cut: randomized parity with the per-position coverage formula") {
     // 40 docs over a 6-token alphabet: dense repeated 3-grams with every
     // overlap/touch/containment pattern. The gap-slice cut must equal the

@@ -4,6 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared session for the whole forked test JVM. */
 object TestSpark {
+  /** Fixture root for specs that read the driver-generated parquet —
+    * overridable via TESTDATA_DIR so the suite runs on any machine
+    * layout (tools/verify_all.sh reads the same variable). */
+  val testdataDir: String = sys.env.getOrElse("TESTDATA_DIR", "/root/testdata")
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")

@@ -16,6 +16,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 WORK="${1:-/tmp/verify_all}"
+# fixture root is overridable so the gate runs on any machine layout
+# (TESTDATA_DIR also steers the TestSpark-based specs in sbt test)
+TESTDATA="${TESTDATA_DIR:-/root/testdata}"
 mkdir -p "$WORK"
 
 echo "== 1/4 sbt compile + test =="
@@ -25,7 +28,7 @@ echo "== 2/4 oracle sweeps (ordered) =="
 if [ ! -d testdata-adv ]; then
   python3 tools/make_adversarial.py
 fi
-for fixture in /root/testdata/sf0.001 /root/testdata/sf0.01 "$PWD/testdata-adv"; do
+for fixture in "$TESTDATA/sf0.001" "$TESTDATA/sf0.01" "$PWD/testdata-adv"; do
   out="$WORK/$(basename "$fixture")"
   echo "-- Verify + oracle_check: $fixture -> $out"
   sbt -batch "runMain graft.Verify $fixture $out"
@@ -33,7 +36,7 @@ for fixture in /root/testdata/sf0.001 /root/testdata/sf0.01 "$PWD/testdata-adv";
 done
 
 echo "== 3/4 type audit (sf0.01) =="
-python3 tools/type_audit.py /root/testdata/sf0.01 "$WORK/sf0.01"
+python3 tools/type_audit.py "$TESTDATA/sf0.01" "$WORK/sf0.01"
 
 echo "== 4/4 type-gate regression pin =="
 python3 tools/test_type_gate.py
