@@ -2791,18 +2791,26 @@ object SparkEntry {
     "q52_corpus_prep" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,
-        |    CAST(length(text) AS DOUBLE) AS n_chars,
-        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
-        |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
-        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE) AS n_stop
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
+        |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS BIGINT) AS n_punct,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS BIGINT) AS n_stop
         |  FROM documents),
         |qual AS (
         |  SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
-        |    round(least(n_toks / 200.0, 1.0) * 0.5
-        |        + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
-        |        + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
-        |        4) AS quality
+        |    CAST(CAST(CASE
+        |      WHEN n_chars = 0 THEN 2000 + 25 * least(n_toks, 200)
+        |      WHEN n_toks = 0 THEN
+        |        (4000 * (n_chars - least(4 * (n_punct + n_digit), n_chars)) + n_chars)
+        |          // (2 * n_chars)
+        |      ELSE 25 * least(n_toks, 200)
+        |        + (2 * (3000 * least(5 * n_stop, n_toks) * n_chars
+        |                - 2000 * least(4 * (n_punct + n_digit), n_chars) * n_toks
+        |                + 2000 * n_toks * n_chars)
+        |           + n_toks * n_chars)
+        |          // (2 * n_toks * n_chars)
+        |    END AS BIGINT) AS DOUBLE) / 10000.0 AS quality
         |  FROM t),
         |ls AS (
         |  SELECT doc_id,
@@ -2963,21 +2971,29 @@ object SparkEntry {
     "q31_quality_score" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(length(text) AS DOUBLE) AS n_chars,
-        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
-        |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
-        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE) AS n_stop
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
+        |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS BIGINT) AS n_punct,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS BIGINT) AS n_stop
         |  FROM documents)
         |SELECT doc_id,
         |  round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 4) AS punct_ratio,
         |  round(CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END, 4) AS digit_ratio,
         |  round(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END, 4) AS stopword_ratio,
         |  CAST(n_toks AS BIGINT) AS n_tokens,
-        |  round(least(n_toks / 200.0, 1.0) * 0.5
-        |      + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
-        |      + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
-        |      4) AS quality
+        |  CAST(CAST(CASE
+        |      WHEN n_chars = 0 THEN 2000 + 25 * least(n_toks, 200)
+        |      WHEN n_toks = 0 THEN
+        |        (4000 * (n_chars - least(4 * (n_punct + n_digit), n_chars)) + n_chars)
+        |          // (2 * n_chars)
+        |      ELSE 25 * least(n_toks, 200)
+        |        + (2 * (3000 * least(5 * n_stop, n_toks) * n_chars
+        |                - 2000 * least(4 * (n_punct + n_digit), n_chars) * n_toks
+        |                + 2000 * n_toks * n_chars)
+        |           + n_toks * n_chars)
+        |          // (2 * n_toks * n_chars)
+        |    END AS BIGINT) AS DOUBLE) / 10000.0 AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
     "q32_lang_id" ->
       """WITH s AS (
@@ -3658,7 +3674,8 @@ object SparkEntry {
         |s AS (SELECT media_id, w, h, sum(v) AS sv, count(*) AS n
         |      FROM px GROUP BY media_id, w, h)
         |SELECT media_id, 'png' AS format, w AS width, h AS height,
-        |       round(sv / (n * 255.0), 6) AS brightness
+        |       CAST((2 * sv * 1000000 + n * 255) // (2 * n * 255) AS DOUBLE)
+        |         / 1000000.0 AS brightness
         |FROM s ORDER BY media_id""".stripMargin,
     "q40_minhash_lsh" ->
       """WITH w AS (
@@ -3895,8 +3912,10 @@ object SparkEntry {
         |                            x -> x <> '')) AS token
         |  FROM documents),
         |c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
-        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
-        |SELECT c.token, c.n, round(c.n / t.total, 6) AS freq
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT c.token, c.n,
+        |  CAST((2 * c.n * 1000000 + t.total) // (2 * t.total) AS DOUBLE)
+        |    / 1000000.0 AS freq
         |FROM c CROSS JOIN t
         |ORDER BY c.n DESC, c.token LIMIT 100""".stripMargin,
     "q57_quantize_int8" ->
@@ -3932,9 +3951,12 @@ object SparkEntry {
         |agg AS (SELECT media_id, rate, ch, frames, sum(a) AS sa, max(a) AS pk, count(*) AS n
         |        FROM sv GROUP BY media_id, rate, ch, frames)
         |SELECT media_id, 'wav' AS format, rate AS sample_rate, ch AS channels, frames,
-        |       round(frames / (rate * 1.0), 6) AS duration_sec,
-        |       round(sa / (n * 32768.0), 6) AS mean_abs,
-        |       round(pk / 32768.0, 6) AS peak_abs
+        |       CAST((2 * frames * 1000000 + rate) // (2 * rate) AS DOUBLE)
+        |         / 1000000.0 AS duration_sec,
+        |       CAST((2 * sa * 1000000 + n * 32768) // (2 * n * 32768) AS DOUBLE)
+        |         / 1000000.0 AS mean_abs,
+        |       CAST((2 * pk * 1000000 + 32768) // 65536 AS DOUBLE)
+        |         / 1000000.0 AS peak_abs
         |FROM agg ORDER BY media_id""".stripMargin,
     "q60_pii_scan" ->
       s"""WITH d AS (
@@ -4129,18 +4151,26 @@ object SparkEntry {
          |  SELECT doc_id, source, $PiiDecorateSql AS text FROM documents),
          |t AS (
          |  SELECT doc_id,
-         |    CAST(length(text) AS DOUBLE) AS n_chars,
-         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
-         |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
-         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE) AS n_stop
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
+         |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS BIGINT) AS n_punct,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS BIGINT) AS n_stop
          |  FROM dd),
          |qual AS (
          |  SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens,
-         |    round(least(n_toks / 200.0, 1.0) * 0.5
-         |        + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
-         |        + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
-         |        4) AS quality
+         |    CAST(CAST(CASE
+         |      WHEN n_chars = 0 THEN 2000 + 25 * least(n_toks, 200)
+         |      WHEN n_toks = 0 THEN
+         |        (4000 * (n_chars - least(4 * (n_punct + n_digit), n_chars)) + n_chars)
+         |          // (2 * n_chars)
+         |      ELSE 25 * least(n_toks, 200)
+         |        + (2 * (3000 * least(5 * n_stop, n_toks) * n_chars
+         |                - 2000 * least(4 * (n_punct + n_digit), n_chars) * n_toks
+         |                + 2000 * n_toks * n_chars)
+         |           + n_toks * n_chars)
+         |          // (2 * n_toks * n_chars)
+         |    END AS BIGINT) AS DOUBLE) / 10000.0 AS quality
          |  FROM t),
          |ls AS (
          |  SELECT doc_id,
@@ -4271,11 +4301,11 @@ object SparkEntry {
          |  SELECT doc_id, source, $PiiDecorateSql AS text FROM documents),
          |t AS (
          |  SELECT doc_id, source,
-         |    CAST(length(text) AS DOUBLE) AS n_chars,
-         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
-         |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
-         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE) AS n_stop,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
+         |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS BIGINT) AS n_punct,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS BIGINT) AS n_stop,
          |    (len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) > 0
          |     OR len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) > 0
          |     OR len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0) AS has_pii
@@ -4283,10 +4313,18 @@ object SparkEntry {
          |q AS (
          |  SELECT doc_id, source,
          |    CAST(n_toks AS BIGINT) AS n_tokens,
-         |    CAST(round(round(least(n_toks / 200.0, 1.0) * 0.5
-         |        + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
-         |        + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
-         |        4) * 10000, 0) AS BIGINT) AS q_ticks,
+         |    CAST(CASE
+         |      WHEN n_chars = 0 THEN 2000 + 25 * least(n_toks, 200)
+         |      WHEN n_toks = 0 THEN
+         |        (4000 * (n_chars - least(4 * (n_punct + n_digit), n_chars)) + n_chars)
+         |          // (2 * n_chars)
+         |      ELSE 25 * least(n_toks, 200)
+         |        + (2 * (3000 * least(5 * n_stop, n_toks) * n_chars
+         |                - 2000 * least(4 * (n_punct + n_digit), n_chars) * n_toks
+         |                + 2000 * n_toks * n_chars)
+         |           + n_toks * n_chars)
+         |          // (2 * n_toks * n_chars)
+         |    END AS BIGINT) AS q_ticks,
          |    CASE WHEN has_pii THEN 1 ELSE 0 END AS pii,
          |    CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 90 THEN 'train'
          |         WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) < 95 THEN 'val'
@@ -4791,18 +4829,26 @@ object SparkEntry {
          |  FROM d),
          |qt AS (
          |  SELECT doc_id,
-         |    CAST(length(text) AS DOUBLE) AS n_chars,
-         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
-         |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) AS n_punct,
-         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE) AS n_stop
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
+         |    CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS BIGINT) AS n_punct,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS BIGINT) AS n_stop
          |  FROM d),
          |q AS (
          |  SELECT doc_id,
-         |    round(least(n_toks / 200.0, 1.0) * 0.5
-         |        + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
-         |        + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
-         |        4) AS quality
+         |    CAST(CAST(CASE
+         |      WHEN n_chars = 0 THEN 2000 + 25 * least(n_toks, 200)
+         |      WHEN n_toks = 0 THEN
+         |        (4000 * (n_chars - least(4 * (n_punct + n_digit), n_chars)) + n_chars)
+         |          // (2 * n_chars)
+         |      ELSE 25 * least(n_toks, 200)
+         |        + (2 * (3000 * least(5 * n_stop, n_toks) * n_chars
+         |                - 2000 * least(4 * (n_punct + n_digit), n_chars) * n_toks
+         |                + 2000 * n_toks * n_chars)
+         |           + n_toks * n_chars)
+         |          // (2 * n_toks * n_chars)
+         |    END AS BIGINT) AS DOUBLE) / 10000.0 AS quality
          |  FROM qt),
          |ls AS (
          |  SELECT doc_id,
@@ -5236,8 +5282,10 @@ object SparkEntry {
         |        FROM px GROUP BY media_id, w, h, fps, nf, f)
         |SELECT media_id, w AS width, h AS height, CAST(fps AS DOUBLE) AS fps,
         |       nf AS n_frames, f AS frame_index,
-        |       round(sb / (n * 255.0), 6) AS luma_mean,
-        |       round(mb / 255.0, 6) AS luma_peak
+        |       CAST((2 * sb * 1000000 + n * 255) // (2 * n * 255) AS DOUBLE)
+        |         / 1000000.0 AS luma_mean,
+        |       CAST((2 * mb * 1000000 + 255) // 510 AS DOUBLE)
+        |         / 1000000.0 AS luma_peak
         |FROM agg ORDER BY media_id, frame_index""".stripMargin,
     "q96_manifest" ->
       """WITH s AS (
@@ -7865,8 +7913,8 @@ object SparkEntry {
         |                         CAST(((f * (w * h * 3 // 2) + p) % 16) * 2 + 1 AS INT), 2))::BIGINT, 0) AS b
         |  FROM fr JOIN pidx ON pidx.p < fr.w * fr.h),
         |agg AS (SELECT media_id, f,
-        |               CAST(floor(round(sum(b) / (count(*) * 255.0), 6) * 1000000
-        |                 + 0.5) AS BIGINT) AS lm
+        |               (2 * sum(b) * 1000000 + count(*) * 255)
+        |                 // (2 * count(*) * 255) AS lm
         |        FROM px GROUP BY media_id, f),
         |l AS (SELECT media_id, f, lm,
         |             lag(lm) OVER (PARTITION BY media_id ORDER BY f) AS prev
@@ -8877,21 +8925,33 @@ object SparkEntry {
         |                  coalesce(round(raw / n_tokens, 6), 0.0) AS score
         |           FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)""".stripMargin
 
+  // quality ticks: ONE exact integer rational with a single HALF_UP
+  // rounding (see TextAnalysis.qualityExpr — float round(x, 4) half-tie
+  // diverged between engines at sf0.1); // floors and all operands are
+  // non-negative, matching Spark's truncating div
   private val QualitySql: String =
     """qt AS (
       |  SELECT doc_id,
-      |    CAST(length(text) AS DOUBLE) AS n_chars,
-      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS n_toks,
-      |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE) AS n_punct,
-      |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
-      |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS DOUBLE) AS n_stop
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
+      |    CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS BIGINT) AS n_punct,
+      |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+      |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS BIGINT) AS n_stop
       |  FROM documents),
       |q AS (
       |  SELECT doc_id,
-      |    round(least(n_toks / 200.0, 1.0) * 0.5
-      |        + least(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END * 5.0, 1.0) * 0.3
-      |        + (1.0 - least(CASE WHEN n_chars > 0 THEN (n_punct + n_digit) / n_chars ELSE 0.0 END * 4.0, 1.0)) * 0.2,
-      |        4) AS quality
+      |    CAST(CAST(CASE
+      |      WHEN n_chars = 0 THEN 2000 + 25 * least(n_toks, 200)
+      |      WHEN n_toks = 0 THEN
+      |        (4000 * (n_chars - least(4 * (n_punct + n_digit), n_chars)) + n_chars)
+      |          // (2 * n_chars)
+      |      ELSE 25 * least(n_toks, 200)
+      |        + (2 * (3000 * least(5 * n_stop, n_toks) * n_chars
+      |                - 2000 * least(4 * (n_punct + n_digit), n_chars) * n_toks
+      |                + 2000 * n_toks * n_chars)
+      |           + n_toks * n_chars)
+      |          // (2 * n_toks * n_chars)
+      |    END AS BIGINT) AS DOUBLE) / 10000.0 AS quality
       |  FROM qt)""".stripMargin
 
   /** The SQL twin of [[lineified]]: documents rebuilt as newline-delimited

@@ -46,20 +46,39 @@ object TextAnalysis {
     * pipelines ([[CorpusPrep]]) can fuse the gate into a single scan
     * instead of re-reading the corpus per signal. Codegen's subexpression
     * elimination dedupes the shared regex counts within one projection.
+    *
+    * Semantics: 0.5·min(nToks/200, 1) + 0.3·min(5·nStop/nToks, 1) +
+    * 0.2·(1 − min(4·(nPunct+nDigit)/nChars, 1)), on the 4dp grid —
+    * computed as ONE exact integer rational with a single HALF_UP
+    * rounding (all inputs are counts, so the three terms share the
+    * common denominator nToks·nChars). The float formulation
+    * (`round(0.5·a + 0.3·b + 0.2·c, 4)`) half-tie-diverged between
+    * engines on 6 of 5000 sf0.1 docs (1e-4 each) — the same class as
+    * the q73 lesson, caught by the sf0.1 stress sweep. Operands stay
+    * non-negative so Spark `div` (truncate) and DuckDB `//` (floor)
+    * agree.
     */
   def qualityExpr(text: Column): Column = {
-    val nChars = length(text).cast("double")
-    val nToks = size(tokens(text)).cast("double")
-    val nPunct = size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0))).cast("double")
-    val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double")
-    val nStop = markerCount(text, stopwords).cast("double")
-    // composite: reward length (saturating at 200 tokens) + stopword presence,
-    // penalize digit/punct noise
-    round(
-      least(nToks / 200.0, lit(1.0)) * 0.5 +
-        least(when(nToks > 0, nStop / nToks).otherwise(0.0) * 5.0, lit(1.0)) * 0.3 +
-        (lit(1.0) - least(when(nChars > 0, (nPunct + nDigit) / nChars).otherwise(0.0) * 4.0, lit(1.0))) * 0.2,
-      4)
+    val nChars = length(text).cast("long")
+    val nToks = size(tokens(text)).cast("long")
+    val nPunct = size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0))).cast("long")
+    val nDigit = size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("long")
+    val nStop = markerCount(text, stopwords).cast("long")
+    def div(n: Column, d: Column): Column = call_function("div", n, d)
+    // c1 = 10⁴·0.5·min(nToks/200, 1) — exact (25 divides 10⁴·min/200)
+    val c1 = lit(25L) * least(nToks, lit(200L))
+    val a = least(lit(5L) * nStop, nToks)                  // min(5·nStop/nToks,1)·nToks
+    val b = least(lit(4L) * (nPunct + nDigit), nChars)     // min(4·(p+d)/nChars,1)·nChars
+    val den = nToks * nChars
+    // ticks = c1 + HALF_UP((3000·a·nChars + 2000·den − 2000·b·nToks)/den);
+    // numerator ≥ 0 because b ≤ nChars
+    val n3 = lit(3000L) * a * nChars - lit(2000L) * b * nToks + lit(2000L) * den
+    val ticks =
+      when(nChars === 0L, lit(2000L) + c1) // no chars ⇒ nStop = 0, ratios 0
+        .when(nToks === 0L, // t1 = t2 = 0; t3 = 2000·(nChars−b)/nChars
+          div(lit(4000L) * (nChars - b) + nChars, lit(2L) * nChars))
+        .otherwise(c1 + div(lit(2L) * n3 + den, lit(2L) * den))
+    ticks.cast("double") / 10000.0
   }
 
   /** Per-document quality signals (length, punctuation ratio, stopword ratio,
@@ -490,10 +509,15 @@ object TextAnalysis {
 
   def vocab(docs: DataFrame, k: Int = 100): DataFrame = {
     val counts = tokenCounts(docs)
-    val total = counts.agg(sum(col("n")).cast("double").as("total"))
+    val total = counts.agg(sum(col("n")).as("total"))
     counts.crossJoin(broadcast(total))
       .select(col("token"), col("n"),
-        round(col("n") / col("total"), 6).as("freq"))
+        // exact HALF_UP 6dp of the integer rational n/total — float
+        // round(n/total, 6) is the engine-divergent half-tie class the
+        // sf0.1 stress sweep flagged on quality/luma (same discipline)
+        (call_function("div",
+          lit(2L) * col("n") * lit(1000000L) + col("total"),
+          lit(2L) * col("total")).cast("double") / 1e6).as("freq"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
   }

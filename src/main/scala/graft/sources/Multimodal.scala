@@ -73,6 +73,15 @@ object Multimodal {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** HALF_UP 6dp of the integer rational num/den as a double — EXACT
+    * (one integer division), replacing round6 over a double QUOTIENT of
+    * integers: BigDecimal-of-double vs DuckDB round half-tie semantics
+    * diverged by 1e-6 on 2 of 5000 sf0.1 video frames (the sf0.1 stress
+    * sweep). Requires num ≥ 0, den > 0 (both engines' integer division
+    * then agrees). */
+  private def ticks6(num: Long, den: Long): Double =
+    ((2L * num * 1000000L + den) / (2L * den)).toDouble / 1e6
+
   /** Real pixel decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF readers ship
     * with the JRE). Returns (width, height, mean sample brightness in [0,1]
     * over all bands, rounded 6dp), or None when the payload is not a
@@ -99,7 +108,7 @@ object Multimodal {
             }
             y += 1
           }
-          Some((w, h, round6(s.toDouble / (w.toLong * h * bands * 255.0))))
+          Some((w, h, ticks6(s, w.toLong * h * bands * 255L)))
         }
         // ImageIO plugins throw RuntimeExceptions (IllegalArgument, CMM,
         // NegativeArraySize…) on malformed payloads, not just IOException —
@@ -146,7 +155,7 @@ object Multimodal {
           val bsum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
           (r.declared_width, r.declared_height,
             if (r.payload.isEmpty) 0.0
-            else round6(bsum.toDouble / (r.payload.length * 255.0)))
+            else ticks6(bsum, r.payload.length.toLong * 255L))
         }
         MediaFeatures(r.media_id, r.format, r.payload.length.toLong,
           crc.getValue, w, h, brightness)
@@ -454,13 +463,13 @@ object Multimodal {
           j += 1
         }
         VideoFrameFeatures(id, w, h, fps, frames.length.toLong, i.toLong,
-          if (n == 0) 0.0 else round6(s.toDouble / (n.toDouble * 255.0)),
-          round6(peak.toDouble / 255.0))
+          if (n == 0) 0.0 else ticks6(s, n.toLong * 255L),
+          ticks6(peak.toLong, 255L))
       }
     media.as[VideoRow].flatMap { r =>
       VideoCodec.decode(r.payload) match {
         case Some((w, h, fn, fd, frames)) =>
-          lumaRows(r.media_id, w, h, round6(fn.toDouble / fd.toDouble), frames)
+          lumaRows(r.media_id, w, h, ticks6(fn, fd), frames)
         case None =>
           val w = math.max(1, r.declared_width)
           val h = math.max(1, r.declared_height)
@@ -517,8 +526,8 @@ object Multimodal {
     }
     if (n == 0) (0L, 0.0, 0.0)
     else (n.toLong,
-      round6(sumAbs.toDouble / (n.toDouble * 32768.0)),
-      round6(peak.toDouble / 32768.0))
+      ticks6(sumAbs, n.toLong * 32768L),
+      ticks6(peak.toLong, 32768L))
   }
 
   /** Real WAV parse via the JDK's `javax.sound.sampled` (the WAVE reader
@@ -542,7 +551,7 @@ object Multimodal {
             val frames = samples / channels
             val rate = fmt.getSampleRate.toInt
             Some((rate, channels, frames,
-              round6(frames.toDouble / rate.toDouble), meanAbs, peakAbs))
+              ticks6(frames.toLong, rate.toLong), meanAbs, peakAbs))
           }
         } finally ais.close()
         // the sound API throws UnsupportedAudioFileException and friends on
@@ -589,7 +598,7 @@ object Multimodal {
             val (samples, m, p) = pcmStats(r.payload, bigEndian = false)
             val frames = samples / ch
             (r.declared_rate, ch, frames,
-              if (r.declared_rate > 0) round6(frames.toDouble / r.declared_rate) else 0.0,
+              if (r.declared_rate > 0) ticks6(frames.toLong, r.declared_rate.toLong) else 0.0,
               m, p)
           }
         AudioFeatures(r.media_id, r.format, r.payload.length.toLong,

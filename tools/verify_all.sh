@@ -35,6 +35,15 @@ for fixture in "$TESTDATA/sf0.001" "$TESTDATA/sf0.01" "$PWD/testdata-adv"; do
   python3 tools/oracle_check.py "$fixture" "$out" --ordered
 done
 
+# optional stress leg: the sf0.1 sweep is 10x the driver's fixture and
+# is what exposed the r11 half-tie class (quality/luma/freq float
+# rounds) — slow (~25 min), so opt-in
+if [ "${VERIFY_SF01:-0}" = "1" ]; then
+  echo "-- Verify + oracle_check (stress): $TESTDATA/sf0.1 -> $WORK/sf0.1"
+  sbt -batch "runMain graft.Verify $TESTDATA/sf0.1 $WORK/sf0.1"
+  python3 tools/oracle_check.py "$TESTDATA/sf0.1" "$WORK/sf0.1" --ordered
+fi
+
 echo "== 3/4 type audit (sf0.01) =="
 python3 tools/type_audit.py "$TESTDATA/sf0.01" "$WORK/sf0.01"
 
