@@ -588,7 +588,8 @@ object SparkEntry {
       Stats.quantileBuckets(
         Tables.documents(s, dir).select(col("doc_id"),
           TextAnalysis.qualityExpr(col("text")).as("quality")),
-        valueCol = "quality", k = 10, bucketCol = "decile")
+        valueCol = "quality", k = 10, bucketCol = "decile",
+        pinInput = true) // quality tokenizes every doc — score once, not twice
         .orderBy("doc_id")),
     // q70 detects split leakage; this PREVENTS it — same LSH clusters as
     // q53, split drawn from the cluster canonical so members never straddle
@@ -684,7 +685,8 @@ object SparkEntry {
       Stats.quantileBuckets(
         Tables.events(s, dir).groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events")),
-        valueCol = "n_events", k = 10, bucketCol = "decile")
+        valueCol = "n_events", k = 10, bucketCol = "decile",
+        pinInput = true) // per-user agg shuffles the event table — once, not twice
         .orderBy(col("user_id").asc_nulls_last)),
     // quality-aware canonicalization: dedup keeps each cluster's BEST
     // member (max quality, min id on ties), not an arbitrary one;
@@ -704,7 +706,8 @@ object SparkEntry {
       Stats.quantileBuckets(
         TextAnalysis.lmScore(Tables.documents(s, dir))
           .select(col("doc_id"), col("avg_nll")),
-        valueCol = "avg_nll", k = 4, bucketCol = "phase")
+        valueCol = "avg_nll", k = 4, bucketCol = "phase",
+        pinInput = true) // lmScore tokenizes + joins the model — once, not twice
         .orderBy("doc_id")),
     // per-source quality cap (domain balancing): top-20 docs per source
     // by quality — window per source, no global sort
@@ -1165,10 +1168,12 @@ object SparkEntry {
     // banded SimHash pair-set agreement in floor bp
     "q164_dedup_agreement" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // both sketch families derive from ONE tokenized relation
+      val toks = Dedup.tokenized(docs)
       Dedup.pairAgreement(
-        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2,
-          baseHash = Dedup.md5Base),
-        Dedup.simhashPairsPortable(docs))
+        Dedup.minhashLshPairsFromTokens(toks, numPerms = 16, bands = 8,
+          threshold = 0.2, baseHash = Dedup.md5Base),
+        Dedup.simhashPairsPortableFromTokens(toks))
     }),
     // language-ID eval: declared lang vs marker-argmax prediction, with
     // per-declared-row recall share (the diagonal IS the recall column)
@@ -1185,8 +1190,9 @@ object SparkEntry {
     "q167_edit_verify" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.editDistanceVerify(docs,
-        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2,
-          baseHash = Dedup.md5Base)).orderBy("doc_a", "doc_b")
+        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+          threshold = 0.2, baseHash = Dedup.md5Base))
+        .orderBy("doc_a", "doc_b")
     }),
     // per-source shape moments: skewness + excess kurtosis from exact
     // integer power sums — the tail-drift monitor
@@ -1992,7 +1998,11 @@ object SparkEntry {
         floor(TextAnalysis.qualityExpr(col("text")) * 10000 + 0.5).cast("long")
           .as("q_ticks"),
         TextAnalysis.nTokensExpr(col("text")).as("n_tokens"))
-      val byB = Stats.quantileBuckets(scored, "q_ticks", k = 10)
+      // quality + token-count projection is the expensive pass of this
+      // entry — pin it so the counting grid and the bucket assignment
+      // both read the materialized rows instead of re-tokenizing
+      val byB = Stats.quantileBuckets(scored, "q_ticks", k = 10,
+          pinInput = true)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       val wDesc = org.apache.spark.sql.expressions.Window
@@ -2015,8 +2025,8 @@ object SparkEntry {
     "q192_lsh_precision" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.editDistanceVerify(docs,
-        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8, threshold = 0.2,
-          baseHash = Dedup.md5Base))
+        Dedup.minhashLshPairs(docs, numPerms = 16, bands = 8,
+          threshold = 0.2, baseHash = Dedup.md5Base))
         .agg(count(lit(1)).as("n_candidates"),
           sum((col("sim_bp") >= 8000L).cast("long")).as("n_verified"))
         .select(col("n_candidates"),

@@ -29,19 +29,33 @@ object Dedup {
         count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("canonical_doc_id"))
 
+  /** The (doc_id, w: array&lt;string&gt;) token relation every sketch family
+    * starts from — MinHash shingles and SimHash term frequencies both
+    * derive from these tokens. An entry comparing two sketch families
+    * over the same corpus (q164-class) should derive this ONCE, pin it
+    * ([[graft.operators.Pins.pin]]), and feed the `...FromTokens`
+    * variants — tokenization (a regex split over the full text) is the
+    * shared expensive prefix, and two operators each re-tokenizing is
+    * the double-scan class the r11 verdict flagged.
+    */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextAnalysis.tokens(TextAnalysis.asciiLower(col("text"))).as("w"))
+
   /** Distinct word n-gram shingles per doc, for docs with ≥ n tokens.
     * Output: doc_id, shingle (exploded).
     */
-  def shingles(docs: DataFrame, n: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))
-    docs
-      .select(col("doc_id"), toks.as("w"))
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    shinglesFromTokens(tokenized(docs), n)
+
+  /** [[shingles]] over a pre-tokenized (doc_id, w) relation. */
+  def shinglesFromTokens(toks: DataFrame, n: Int): DataFrame =
+    toks
       .where(size(col("w")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(
           transform(sequence(lit(1), size(col("w")) - (n - 1)),
             i => array_join(slice(col("w"), i, lit(n)), " ")))).as("shingle"))
-  }
 
   /** Exact n-gram Jaccard near-duplicate pairs via inverted shingle index.
     *
@@ -147,8 +161,13 @@ object Dedup {
     * slower at 5k docs × 64 perms).
     */
   def minhashSignatures(docs: DataFrame, n: Int = 5, numPerms: Int = 64,
-                        baseHash: Column => Column = xxhashBase): DataFrame = {
-    val h = shingles(docs, n).select(col("doc_id"), baseHash(col("shingle")).as("h"))
+                        baseHash: Column => Column = xxhashBase): DataFrame =
+    minhashSignaturesFromTokens(tokenized(docs), n, numPerms, baseHash)
+
+  /** [[minhashSignatures]] over a pre-tokenized (doc_id, w) relation. */
+  def minhashSignaturesFromTokens(toks: DataFrame, n: Int = 5, numPerms: Int = 64,
+                                  baseHash: Column => Column = xxhashBase): DataFrame = {
+    val h = shinglesFromTokens(toks, n).select(col("doc_id"), baseHash(col("shingle")).as("h"))
     val aggs = (0 until numPerms).map { p =>
       val (a, b) = permCoeff(p)
       min((col("h") * a + b) % MinhashPrime).as(s"m$p")
@@ -213,14 +232,24 @@ object Dedup {
 
   def minhashLshPairs(docs: DataFrame, n: Int = 5, numPerms: Int = 64,
                       bands: Int = 16, threshold: Double = 0.5,
-                      baseHash: Column => Column = xxhashBase): DataFrame = {
+                      baseHash: Column => Column = xxhashBase): DataFrame =
+    minhashLshPairsFromTokens(tokenized(docs), n, numPerms, bands, threshold,
+      baseHash)
+
+  /** [[minhashLshPairs]] over a pre-tokenized (doc_id, w) relation — the
+    * entry point for callers sharing one pinned token pass across sketch
+    * families (see [[tokenized]]).
+    */
+  def minhashLshPairsFromTokens(toks: DataFrame, n: Int = 5, numPerms: Int = 64,
+                                bands: Int = 16, threshold: Double = 0.5,
+                                baseHash: Column => Column = xxhashBase): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     // the explicit repartition is a shared pinch-point: the signature
     // pipeline (shingles → base hashes → 64 min-aggs) feeds three
     // consumers (both sides of the band join + the estimate re-join), and
     // an identical exchange lets Spark compute it ONCE and reuse the
     // shuffle output instead of re-running the pipeline per consumer
-    val sigs = minhashSignatures(docs, n, numPerms, baseHash)
+    val sigs = minhashSignaturesFromTokens(toks, n, numPerms, baseHash)
       .repartition(col("doc_id"))
     // candidates carry IDS ONLY — signatures re-join after the distinct,
     // so the dedup shuffle moves 16-byte pairs, not 2×numPerms-long arrays
@@ -278,9 +307,13 @@ object Dedup {
     * reproducible in DuckDB (the oracle-checked variant of [[simhash]]).
     * Output: (doc_id, simhash_lo, simhash_hi).
     */
-  def simhash64Portable(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))).as("tok"))
+  def simhash64Portable(docs: DataFrame): DataFrame =
+    simhash64PortableFromTokens(tokenized(docs))
+
+  /** [[simhash64Portable]] over a pre-tokenized (doc_id, w) relation. */
+  def simhash64PortableFromTokens(toks: DataFrame): DataFrame = {
+    val tf = toks
+      .select(col("doc_id"), explode(col("w")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("hlo", conv(substring(md5(concat(col("tok"), lit("#lo"))), 1, 8), 16, 10).cast("long"))
       .withColumn("hhi", conv(substring(md5(concat(col("tok"), lit("#hi"))), 1, 8), 16, 10).cast("long"))
@@ -304,7 +337,14 @@ object Dedup {
     *   rather than silently under-recalling — use
     *   [[simhashPairsMultiProbe]] for budgets 4–7.
     */
-  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsPortableFromTokens(tokenized(docs), maxHamming)
+
+  /** [[simhashPairsPortable]] over a pre-tokenized (doc_id, w) relation —
+    * the entry point for callers sharing one pinned token pass across
+    * sketch families (see [[tokenized]]).
+    */
+  def simhashPairsPortableFromTokens(toks: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"simhashPairsPortable: maxHamming=$maxHamming out of [0, 3] — the " +
         "4-band pigeonhole join is complete only up to Hamming 3; use " +
@@ -313,7 +353,7 @@ object Dedup {
     // posting relation per consumer across AQE query stages, so an
     // unpinned sketch pipeline (md5 per token) would run 3× — pin
     // mechanism is session-configured, see [[Pins]]
-    val sh = Pins.pin(simhash64Portable(docs))
+    val sh = Pins.pin(simhash64PortableFromTokens(toks))
     bandedHamming64Pairs(sh.select(col("doc_id").as("id"),
         col("simhash_lo").as("lo"), col("simhash_hi").as("hi")), maxHamming)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))

@@ -40,11 +40,22 @@ object Stats {
     * The cumulative counts are then driver arithmetic over ≤ cap rows.
     * Driver payload at the merge is min(cardinality, cap+1) rows per
     * upstream partition of ~16 bytes each — bounded and declared.
+    *
+    * `df` is evaluated TWICE by construction — once for the counting
+    * grid and once for the bucket-assignment pass (they are separate
+    * actions, so no exchange reuse applies). For a cheap input (a table
+    * scan, a column pick) that is the right trade; when the input is an
+    * expensive projection (a quality score tokenizing every document),
+    * set `pinInput = true` to materialize it once via [[Pins.pin]] and
+    * serve both passes from the pinned blocks — the measured fix for the
+    * double quality scan in the q191/q77 calibration entries.
     */
-  def quantileBuckets(df: DataFrame, valueCol: String, k: Int,
+  def quantileBuckets(df0: DataFrame, valueCol: String, k: Int,
                       bucketCol: String = "bucket",
-                      maxDistinct: Int = 100000): DataFrame = {
+                      maxDistinct: Int = 100000,
+                      pinInput: Boolean = false): DataFrame = {
     require(k >= 2, "need at least two buckets")
+    val df = if (pinInput) Pins.pin(df0) else df0
     val counts = df.groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
     // ascending, nulls first (Spark default) — the collected order IS the
@@ -86,11 +97,12 @@ object Stats {
   def quantileBucketsTicked(df: DataFrame, valueCol: String, k: Int,
                             tick: Double,
                             bucketCol: String = "bucket",
-                            maxDistinct: Int = 100000): DataFrame = {
+                            maxDistinct: Int = 100000,
+                            pinInput: Boolean = false): DataFrame = {
     require(tick > 0, "tick must be positive")
     val g = s"__grid_$valueCol"
     quantileBuckets(df.withColumn(g, floor(col(valueCol) / tick)),
-      g, k, bucketCol, maxDistinct).drop(g)
+      g, k, bucketCol, maxDistinct, pinInput).drop(g)
   }
 
   /** Trailing-`windowDays`-day distinct-id count per active day — the

@@ -1026,7 +1026,8 @@ object TextAnalysis {
   def paddingEfficiency(docs: DataFrame, k: Int = 4): DataFrame = {
     val lens = docs.select(col("doc_id"),
       size(tokens(asciiLower(col("text")))).cast("long").as("__len"))
-    Stats.quantileBuckets(lens, valueCol = "__len", k = k, bucketCol = "bucket")
+    Stats.quantileBuckets(lens, valueCol = "__len", k = k, bucketCol = "bucket",
+        pinInput = true) // token counting scans every doc — once, not twice
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), max(col("__len")).as("max_len"),
         sum(col("__len")).as("sum_tokens"))
@@ -1248,10 +1249,14 @@ object TextAnalysis {
       import spark.implicits._
       broadcast(rows.toDF(tickCol, "__p"))
     }
-    val q = docs.select(col("doc_id"),
-      floor(qualityExpr(col("text")) * 10000 + 0.5).cast("long").as("__qt"))
-    val s = lmScore(docs).select(col("doc_id"),
-      floor(col("avg_nll") * 1000 + 0.5).cast("long").as("__st"))
+    // each signal feeds TWO passes (its pctDim grid collect + the dim
+    // join) — pin the 16-byte tick rows so the quality tokenization and
+    // the LM scoring chain each run ONCE, not twice (the q125/q191
+    // double-scan class)
+    val q = Pins.pin(docs.select(col("doc_id"),
+      floor(qualityExpr(col("text")) * 10000 + 0.5).cast("long").as("__qt")))
+    val s = Pins.pin(lmScore(docs).select(col("doc_id"),
+      floor(col("avg_nll") * 1000 + 0.5).cast("long").as("__st")))
     val qp = q.join(pctDim(q, "__qt"), Seq("__qt"))
       .select(col("doc_id"), col("__p").as("q_bp"))
     val sp = s.join(pctDim(s, "__st"), Seq("__st"))

@@ -291,6 +291,13 @@ object DedupStream {
     // the admitted docs' signatures are themselves materialized below
     val triage = if (docGate.isEmpty && gate.isEmpty) None
                  else Some(triageBatch(seen, docGate, gate))
+    // triage unpersists on the success path as soon as newSigs
+    // materializes through it (below), but a throw anywhere before that
+    // point — writeTriage's quarantine write, the isEmpty job — must not
+    // leave the cached batch persisted for the session (the same
+    // block-accumulation class Pins.sweepAll exists for); the outer
+    // finally re-unpersists, a no-op when the early release already ran
+    try {
     val fresh = triage.fold(seen)(writeTriage(_, docGate, gate))
     val newSigs = Dedup.minhashSignatures(fresh, n, numPerms)
       .repartition(col("doc_id")).cache()
@@ -351,6 +358,7 @@ object DedupStream {
       stores.ids.append(newSigs.select("doc_id"))
       written
     } finally { newSigs.unpersist(); () }
+    } finally { triage.foreach(_.unpersist()); () }
   }
 
   /** Wire the incremental dedup onto a document stream

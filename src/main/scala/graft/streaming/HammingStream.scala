@@ -43,13 +43,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: index writes are one flat O(batch) delta per batch;
   * the probe prunes to the (band, kb) combos the batch hashes into.
-  * The history-probe join keys on (band, key), so a hot history key (a
-  * flat-color crowd accumulated over months) concentrates its per-batch
-  * candidate output in one task — bounded by |batch postings on that
-  * key| × |history postings on it| per batch, not corpus²; chunking the
-  * pruned history slice per (band, key) is the known hardening if an
-  * ingest ever crowds a single key (the batch side is already chunked
-  * inside [[Dedup.bandedHamming64Pairs]]).
+  * The history-probe join is chunk-hardened on BOTH sides: the batch
+  * side rides [[Dedup.bandedHamming64Pairs]]'s chunking for its
+  * within-batch pairs, and the pruned history slice splits into
+  * id-ordered 512-row chunks per (band, key) before the probe join —
+  * a hot history key (a flat-color crowd accumulated over months)
+  * spreads its per-batch candidates across |key postings|/512 tasks
+  * instead of one, spread-gated by the DedupScaleCheck hot-history
+  * probe.
   */
 object HammingStream {
 
@@ -118,20 +119,52 @@ object HammingStream {
       val nh = stores.bands.read(spark) match {
         case Some(idx0) =>
           val idx = DedupStream.pruneToBatchCombos(idx0, newBands)
-          newBands.as("a").join(idx.as("b"),
-              col("a.band") === col("b.band") && col("a.kb") === col("b.kb") &&
-                col("a.key") === col("b.key") && col("a.id") =!= col("b.id"))
-            .select(least(col("a.id"), col("b.id")).as("id_a"),
-              greatest(col("a.id"), col("b.id")).as("id_b"),
-              (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
-                bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).cast("long").as("hamming"))
+          // hot-history hardening ([[Dedup.bandedHamming64PairsRaw]]'s
+          // 512-chunk discipline applied to the pruned history slice): a
+          // months-old flat-color/boilerplate crowd on ONE (band, key)
+          // would otherwise meet the whole batch in one join task. Each
+          // key's history postings split into id-ordered 512-row chunks;
+          // batch postings fan across their key's OBSERVED chunk ids (a
+          // 1-posting key fans ×1), and the probe join distributes over
+          // (band, key, hcid). The explicit-count repartition anchors
+          // the spread against AQE coalescing and the shuffle_hash hints
+          // pin the strategy so no small side broadcasts the chunked
+          // exchange out of the join — both hazards measured and gated
+          // on the batch operator (NOTES_r11 §4).
+          val chunk = 512
+          val parts = spark.sessionState.conf.numShufflePartitions
+          val wKey = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("key")).orderBy(col("id"))
+          val hx = idx
+            .withColumn("hcid", ((row_number().over(wKey) - 1) / chunk).cast("long"))
+            .repartition(parts, col("band"), col("key"), col("hcid"))
+          val hchunks = hx.select(col("band"), col("kb"), col("key"), col("hcid"))
+            .distinct()
+          val probes = newBands
+            .join(hchunks.hint("shuffle_hash"), Seq("band", "kb", "key"))
+          probes
+            .join(hx.select(col("band"), col("key"), col("hcid"),
+                col("id").as("hid"), col("lo").as("hlo"), col("hi").as("hhi"))
+                .hint("shuffle_hash"),
+              Seq("band", "key", "hcid"))
+            .where(col("id") =!= col("hid"))
+            .select(least(col("id"), col("hid")).as("id_a"),
+              greatest(col("id"), col("hid")).as("id_b"),
+              (bit_count(col("lo").bitwiseXOR(col("hlo"))) +
+                bit_count(col("hi").bitwiseXOR(col("hhi")))).cast("long").as("hamming"))
             .where(col("hamming") <= maxHamming)
             .dropDuplicates("id_a", "id_b")
         case None => nn.limit(0)
       }
+      // within-batch and history pairs are disjoint in the HAPPY path
+      // (fresh is ledger-anti-joined), but a crashed batch that upserted
+      // bands and lost the ids append re-ingests its docs as "fresh" —
+      // a pair can then arrive from BOTH legs, and appendDedup only
+      // anti-joins against the sink, not within the batch
       val pairs = nn.unionByName(nh)
         .select(concat_ws("_", col("id_a"), col("id_b")).as("id"),
           col("id_a"), col("id_b"), col("hamming"))
+        .dropDuplicates("id")
       val written = IdempotentSink.appendDedup(pairs, pairsDir)
       // bands upsert replay-idempotently at (id, band) granularity; the
       // ledger lands LAST as an unchecked append (fresh was anti-joined
