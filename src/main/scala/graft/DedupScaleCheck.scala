@@ -109,6 +109,83 @@ object DedupScaleCheck {
         f"growth=${tail3 / head3}%.2fx (index grew ${nBatches}x over the run)")
     }
 
+    // HOT-HISTORY KEY GATE (VERDICT r11 #2): a 10k-posting single-key
+    // history crowd — the months-old flat-color pHash / boilerplate
+    // SimHash accumulation — probed by small batches. Asserts EXACT
+    // pair counts (each batch doc is a Hamming-0 twin of exactly one
+    // history doc) and that the probe join's candidate emission spreads
+    // across partitions instead of concentrating in the hot key's one
+    // task (the pre-chunking shape).
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("graft-hhot").toString
+      val stores = graft.streaming.HammingStream.epochStores(s"$root/index")
+      val nHist = 10000
+      // single-error-detecting encode (i << 1 | parity): any two distinct
+      // codewords differ in ≥ 2 bits, and the code replicates across
+      // bands 1-3, so every distinct sketch pair sits at Hamming ≥ 6 —
+      // band 0 is the ONE shared crowd key, everything else is unique
+      def enc(i: Int): Long = (i.toLong << 1) | (java.lang.Integer.bitCount(i) & 1).toLong
+      val crowdKey = 0xBEEFL
+      def mkSketches(ids: Seq[(Long, Int)]) = {
+        import spark.implicits._
+        ids.map { case (id, i) =>
+          val e = enc(i)
+          (id, crowdKey | ((e & 0xFFFFL) << 16), ((e & 0xFFFFL) << 16) | (e & 0xFFFFL))
+        }.toDF("id", "lo", "hi")
+      }
+      val hist = mkSketches((0 until nHist).map(i => (i.toLong, i)))
+      val t0 = System.nanoTime()
+      val w0 = graft.streaming.HammingStream.processBatch(hist, stores, s"$root/pairs")
+      val tIngest = (System.nanoTime() - t0) / 1e9
+      // the crowd ingest itself rides the within-batch chunk discipline:
+      // C(10k,2) band-0 candidates, zero qualifying pairs
+      require(w0 == 0, s"hot-history: crowd ingest expected 0 pairs, got $w0")
+      val batches = 3
+      val m = 50
+      val batchTimes = (0 until batches).map { b =>
+        val ids = (0 until m).map(j => b * m + j)
+        val batch = mkSketches(ids.map(i => (1000000L + i, i)))
+        val t1 = System.nanoTime()
+        val w = graft.streaming.HammingStream.processBatch(batch, stores, s"$root/pairs")
+        val s = (System.nanoTime() - t1) / 1e9
+        require(w == m,
+          s"hot-history: batch $b expected $m twin pairs against the crowd, got $w")
+        println(f"[dedup-scale] hot-history batch=$b docs=$m pairs=$w t=$s%.2f s")
+        s
+      }
+      // spread census on the probe join's CANDIDATE emission (Hamming
+      // budget 128 = no cut, pre-dedup — the survivors alone carry no
+      // spread information about the hot key's m×nHist candidate volume):
+      // a fresh batch against the full 10k-key history. Every (probe,
+      // hist) pair meets exactly once in band 0 (chunks PARTITION the
+      // key's postings), plus one meeting per band 1-3 for each twin.
+      val probeBatch = mkSketches((0 until m).map(j => (2000000L + j, batches * m + j)))
+      val newBands = graft.streaming.HammingStream.bandPostings(probeBatch)
+      val idx = stores.bands.read(spark).get
+      val pruned = graft.streaming.DedupStream.pruneToBatchCombos(idx, newBands)
+      val byPart = graft.streaming.HammingStream.historyPairsRaw(newBands, pruned, 128)
+        .groupBy(spark_partition_id().as("p"))
+        .agg(count(lit(1)).as("n")).collect()
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val minSpread = math.min(10, parts)
+      // the indexed history is the crowd PLUS the three earlier batches
+      // (their postings upserted per batch, all carrying the band-0
+      // crowd key); twins add one meeting per band 1-3
+      val expectRaw = m.toLong * (nHist + batches * m) + 3L * m
+      val rawTotal = byPart.map(_.getLong(1)).sum
+      require(rawTotal == expectRaw,
+        s"hot-history probe completeness regressed: $rawTotal raw rows vs $expectRaw")
+      require(byPart.length >= minSpread,
+        s"hot-history candidate emission concentrated on ${byPart.length} " +
+          "partitions — the per-(band, key) history chunking regressed")
+      val maxShare = byPart.map(_.getLong(1)).max.toDouble / rawTotal
+      require(maxShare <= math.max(0.5, 2.0 / parts),
+        f"hot-history max task share $maxShare%.2f — one task owns the crowd")
+      println(f"[dedup-scale] hot-history SUMMARY: crowd=$nHist ingest=$tIngest%.2f s " +
+        f"batch p50=${batchTimes.sorted.apply(batches / 2)}%.2f s " +
+        f"spread=${byPart.length} partitions maxShare=${maxShare * 100}%.0f%%")
+    }
+
     // GATED INGEST THROUGHPUT (VERDICT r9 #5): the number a 100 TB ingest
     // design actually needs — the sf corpus replayed as DISJOINT
     // micro-batch slices (a real ingest, unlike the mutually-dissimilar

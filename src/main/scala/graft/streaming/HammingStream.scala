@@ -76,8 +76,10 @@ object HammingStream {
       deferCompaction = deferCompaction, fullCompactEvery = 4))
 
   /** The four 16-bit band keys of a (id, lo, hi) sketch relation, plus
-    * the kb pruning bucket, sketch denormalized onto every row. */
-  private def bandPostings(sketches: DataFrame): DataFrame =
+    * the kb pruning bucket, sketch denormalized onto every row.
+    * Package-visible so the DedupScaleCheck hot-history gate can build
+    * the probe input the way the batch body does. */
+  private[graft] def bandPostings(sketches: DataFrame): DataFrame =
     sketches.select(col("id"), col("lo"), col("hi"),
       explode(array(
         struct(lit(0).as("band"), col("lo").bitwiseAND(0xFFFFL).as("key")),
@@ -90,6 +92,54 @@ object HammingStream {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"),
         col("lo"), col("hi"))
       .withColumn("kb", pmod(xxhash64(col("key")), lit(KeyBuckets)))
+
+  /** New×history candidate probe, BEFORE the pair dedup — one row per
+    * (pair, agreeing band meeting). `newBands`/`idx` are band-posting
+    * relations ([[bandPostings]] shape; `idx` already pruned to the
+    * batch's combos).
+    *
+    * Hot-history hardening ([[Dedup.bandedHamming64PairsRaw]]'s
+    * 512-chunk discipline applied to the pruned history slice): a
+    * months-old flat-color/boilerplate crowd on ONE (band, key) would
+    * otherwise meet the whole batch in one join task. Each key's
+    * history postings split into id-ordered 512-row chunks; batch
+    * postings fan across their key's OBSERVED chunk ids (a 1-posting
+    * key fans ×1), and the probe join distributes over
+    * (band, key, hcid). The explicit-count repartition anchors the
+    * spread against AQE coalescing and the shuffle_hash hints pin the
+    * strategy so no small side broadcasts the chunked exchange out of
+    * the join — both hazards measured and gated on the batch operator
+    * (NOTES_r11 §4). Exposed pre-dedup so the DedupScaleCheck
+    * hot-history gate can census rows per task at the join output (the
+    * dedup exchange re-hashes on the pair key and would erase the
+    * spread being asserted).
+    */
+  private[graft] def historyPairsRaw(newBands: DataFrame, idx: DataFrame,
+                                     maxHamming: Int): DataFrame = {
+    val spark = newBands.sparkSession
+    val chunk = 512
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key")).orderBy(col("id"))
+    val hx = idx
+      .withColumn("hcid", ((row_number().over(wKey) - 1) / chunk).cast("long"))
+      .repartition(parts, col("band"), col("key"), col("hcid"))
+    val hchunks = hx.select(col("band"), col("kb"), col("key"), col("hcid"))
+      .distinct()
+    val probes = newBands
+      .join(hchunks.hint("shuffle_hash"), Seq("band", "kb", "key"))
+    probes
+      .join(hx.select(col("band"), col("key"), col("hcid"),
+          col("id").as("hid"), col("lo").as("hlo"), col("hi").as("hhi"))
+          .hint("shuffle_hash"),
+        Seq("band", "key", "hcid"))
+      .where(col("id") =!= col("hid"))
+      .select(least(col("id"), col("hid")).as("id_a"),
+        greatest(col("id"), col("hid")).as("id_b"),
+        (bit_count(col("lo").bitwiseXOR(col("hlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("hhi")))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 
   /** Process one micro-batch of 64-bit sketches (columns: id long,
     * lo long, hi long — e.g. [[Dedup.simhash64Portable]] output renamed,
@@ -118,42 +168,8 @@ object HammingStream {
       // exact verify needs no second store read
       val nh = stores.bands.read(spark) match {
         case Some(idx0) =>
-          val idx = DedupStream.pruneToBatchCombos(idx0, newBands)
-          // hot-history hardening ([[Dedup.bandedHamming64PairsRaw]]'s
-          // 512-chunk discipline applied to the pruned history slice): a
-          // months-old flat-color/boilerplate crowd on ONE (band, key)
-          // would otherwise meet the whole batch in one join task. Each
-          // key's history postings split into id-ordered 512-row chunks;
-          // batch postings fan across their key's OBSERVED chunk ids (a
-          // 1-posting key fans ×1), and the probe join distributes over
-          // (band, key, hcid). The explicit-count repartition anchors
-          // the spread against AQE coalescing and the shuffle_hash hints
-          // pin the strategy so no small side broadcasts the chunked
-          // exchange out of the join — both hazards measured and gated
-          // on the batch operator (NOTES_r11 §4).
-          val chunk = 512
-          val parts = spark.sessionState.conf.numShufflePartitions
-          val wKey = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("key")).orderBy(col("id"))
-          val hx = idx
-            .withColumn("hcid", ((row_number().over(wKey) - 1) / chunk).cast("long"))
-            .repartition(parts, col("band"), col("key"), col("hcid"))
-          val hchunks = hx.select(col("band"), col("kb"), col("key"), col("hcid"))
-            .distinct()
-          val probes = newBands
-            .join(hchunks.hint("shuffle_hash"), Seq("band", "kb", "key"))
-          probes
-            .join(hx.select(col("band"), col("key"), col("hcid"),
-                col("id").as("hid"), col("lo").as("hlo"), col("hi").as("hhi"))
-                .hint("shuffle_hash"),
-              Seq("band", "key", "hcid"))
-            .where(col("id") =!= col("hid"))
-            .select(least(col("id"), col("hid")).as("id_a"),
-              greatest(col("id"), col("hid")).as("id_b"),
-              (bit_count(col("lo").bitwiseXOR(col("hlo"))) +
-                bit_count(col("hi").bitwiseXOR(col("hhi")))).cast("long").as("hamming"))
-            .where(col("hamming") <= maxHamming)
-            .dropDuplicates("id_a", "id_b")
+          historyPairsRaw(newBands, DedupStream.pruneToBatchCombos(idx0, newBands),
+            maxHamming).dropDuplicates("id_a", "id_b")
         case None => nn.limit(0)
       }
       // within-batch and history pairs are disjoint in the HAPPY path
