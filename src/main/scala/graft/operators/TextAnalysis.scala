@@ -57,6 +57,14 @@ object TextAnalysis {
     * the q73 lesson, caught by the sf0.1 stress sweep. Operands stay
     * non-negative so Spark `div` (truncate) and DuckDB `//` (floor)
     * agree.
+    *
+    * Input bounds: all operands are PER-DOCUMENT counts and the widest
+    * product is 3000·nToks·nChars, which fits a signed 64-bit integer
+    * while nToks·nChars < ~1.5e15 — a single document tens of MB large.
+    * Past that both engines diverge the same way (Spark wraps silently,
+    * DuckDB raises), so cap document size upstream (the DocGate length
+    * gate every ingest front door runs) before scoring; corpus SIZE
+    * never enters this expression.
     */
   def qualityExpr(text: Column): Column = {
     val nChars = length(text).cast("long")
@@ -514,10 +522,18 @@ object TextAnalysis {
       .select(col("token"), col("n"),
         // exact HALF_UP 6dp of the integer rational n/total — float
         // round(n/total, 6) is the engine-divergent half-tie class the
-        // sf0.1 stress sweep flagged on quality/luma (same discipline)
+        // sf0.1 stress sweep flagged on quality/luma (same discipline).
+        // `total` is a CORPUS-level token count, so the 2·n·10⁶ product
+        // is the one rational here that genuinely outgrows a Long at
+        // target scale (~2.5e13 tokens in 100 TB of text wraps past
+        // total ≈ 4.6e12): widen to DECIMAL(38,0) — div still returns
+        // BIGINT, the quotient is ≤ 10⁶, and the DuckDB twin's BIGINT
+        // `//` agrees wherever it doesn't raise
         (call_function("div",
-          lit(2L) * col("n") * lit(1000000L) + col("total"),
-          lit(2L) * col("total")).cast("double") / 1e6).as("freq"))
+          lit(2L) * col("n").cast("decimal(38,0)") * lit(1000000L) +
+            col("total").cast("decimal(38,0)"),
+          lit(2L) * col("total").cast("decimal(38,0)")).cast("double") / 1e6)
+          .as("freq"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
   }

@@ -78,9 +78,19 @@ object Multimodal {
     * integers: BigDecimal-of-double vs DuckDB round half-tie semantics
     * diverged by 1e-6 on 2 of 5000 sf0.1 video frames (the sf0.1 stress
     * sweep). Requires num ≥ 0, den > 0 (both engines' integer division
-    * then agrees). */
-  private def ticks6(num: Long, den: Long): Double =
-    ((2L * num * 1000000L + den) / (2L * den)).toDouble / 1e6
+    * then agrees). The Long fast path holds while 2·num·10⁶ + den fits
+    * 63 bits (num ≲ 4.6e12 — e.g. ~1.4e8 full-scale audio samples);
+    * larger inputs take the exact BigInt path instead of wrapping
+    * silently (the DuckDB `//` twin RAISES there — a payload that big
+    * has no oracle row, so the engine staying exact is the only
+    * contract). */
+  private def ticks6(num: Long, den: Long): Double = {
+    require(num >= 0 && den > 0, s"ticks6 needs num >= 0, den > 0: $num/$den")
+    if (num < (Long.MaxValue - den) / 2000000L)
+      ((2L * num * 1000000L + den) / (2L * den)).toDouble / 1e6
+    else
+      ((BigInt(num) * 2000000 + den) / (BigInt(den) * 2)).toDouble / 1e6
+  }
 
   /** Real pixel decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF readers ship
     * with the JRE). Returns (width, height, mean sample brightness in [0,1]

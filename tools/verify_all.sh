@@ -35,10 +35,11 @@ for fixture in "$TESTDATA/sf0.001" "$TESTDATA/sf0.01" "$PWD/testdata-adv"; do
   python3 tools/oracle_check.py "$fixture" "$out" --ordered
 done
 
-# optional stress leg: the sf0.1 sweep is 10x the driver's fixture and
-# is what exposed the r11 half-tie class (quality/luma/freq float
-# rounds) — slow (~25 min), so opt-in
-if [ "${VERIFY_SF01:-0}" = "1" ]; then
+# sf0.1 stress leg — DEFAULT ON since r12 (VERDICT r11 #4): the sweep is
+# 10x the driver's fixture and is what exposed the r11 half-tie class
+# (quality/luma/freq float rounds) that sf0.01 + adversarial never trip.
+# Slow (~25 min); VERIFY_SF01=0 opts out for quick iteration loops.
+if [ "${VERIFY_SF01:-1}" = "1" ]; then
   echo "-- Verify + oracle_check (stress): $TESTDATA/sf0.1 -> $WORK/sf0.1"
   sbt -batch "runMain graft.Verify $TESTDATA/sf0.1 $WORK/sf0.1"
   python3 tools/oracle_check.py "$TESTDATA/sf0.1" "$WORK/sf0.1" --ordered
