@@ -44,6 +44,14 @@ object StreamRunner {
       heartbeatTimeoutMs: Long = 30000L,
       compactLogAfterFiles: Int = 64)
 
+  /** The minimal handle [[supervise]] needs — [[Running]] here and
+    * [[IngestRunner.Running]] both provide it, so one supervision loop
+    * fronts the market stream and the ingest streams alike. */
+  trait Supervised {
+    def query: StreamingQuery
+    def detach(): Unit
+  }
+
   /** A started runner: the query plus the ops handles wired around it. */
   final case class Running(
       query: StreamingQuery,
@@ -51,7 +59,7 @@ object StreamRunner {
       alerts: Alerts.AlertManager,
       listener: StreamingQueryListener,
       schedule: SessionSchedule,
-      decision: Reconcile.Decision) {
+      decision: Reconcile.Decision) extends Supervised {
 
     /** Detach the listener (after the query has already terminated). */
     def detach(): Unit =
@@ -239,7 +247,7 @@ object StreamRunner {
     * reset with every restart and never escalate), and a clean stop after
     * restarts logs the INFO recovery row (reconnect_manager.py:63-105).
     */
-  def supervise(mk: () => Running,
+  def supervise(mk: () => Supervised,
                 policy: RetryPolicy.Config = RetryPolicy.Config(),
                 sleep: Long => Unit = Thread.sleep,
                 alerts: Option[Alerts.AlertManager] = None): Outcome = {

@@ -173,7 +173,7 @@ object DedupStream {
     * gates: the doc gates fire first (a rejected doc is never checked for
     * contamination), contamination runs on the survivors only.
     */
-  private def triageBatch(seen: DataFrame, docGate: Option[DocGate],
+  private[streaming] def triageBatch(seen: DataFrame, docGate: Option[DocGate],
                           gate: Option[ContaminationGate]): DataFrame = {
     val verdict = docGate.fold(
       seen.withColumn("reject_reason", lit(null).cast("string")))(g =>
@@ -193,7 +193,7 @@ object DedupStream {
     * system logs. Returns the admitted remainder (still reading the
     * triage cache — unpersist only after its signatures materialize).
     */
-  private def writeTriage(triage: DataFrame, docGate: Option[DocGate],
+  private[streaming] def writeTriage(triage: DataFrame, docGate: Option[DocGate],
                           gate: Option[ContaminationGate]): DataFrame = {
     val spark = triage.sparkSession
     docGate.foreach { g =>

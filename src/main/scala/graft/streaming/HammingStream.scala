@@ -4,6 +4,7 @@ import graft.operators.Dedup
 import graft.sink.{EpochKeyedStore, IdempotentSink, KeyedStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 /** Incremental banded-Hamming near-duplicate detection over a STREAM of
   * 64-bit sketches — the continuously-running form of
@@ -189,5 +190,70 @@ object HammingStream {
       stores.ids.append(fresh.select("id"))
       written
     } finally { fresh.unpersist(); () }
+  }
+
+  /** Wire the incremental sketch near-dup onto a STREAM of (id, lo, hi)
+    * sketches — [[DedupStream.start]]'s shape for the sketch modalities:
+    * long-lived deferred-compaction stores (the write path never folds;
+    * `maintain` after every batch — including empty ones — harvests and
+    * publishes background folds at quiescent points), one persisted
+    * micro-batch frame so the ledger anti-join and the band derivations
+    * read one materialization.
+    */
+  def start(sketches: DataFrame, indexDir: String, pairsDir: String,
+            checkpointDir: String, maxHamming: Int = 3): StreamingQuery = {
+    val stores = epochStores(indexDir, deferCompaction = true)
+    sketches.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.persist()
+        try {
+          if (!batch.isEmpty) {
+            processBatch(batch, stores, pairsDir, maxHamming)
+            ()
+          }
+        } finally { batch.unpersist(); () }
+        stores.maintain(batch.sparkSession)
+      }
+      .start()
+  }
+
+  /** TEXT front door: gate → sketch → index → pairs over a document
+    * stream (columns: doc_id long, text string) — the SimHash sibling of
+    * [[DedupStream.start]]'s gated MinHash ingest, sharing its
+    * [[DedupStream.DocGate]] (rejects quarantined with reasons, never
+    * indexed; the quarantine write is id-deduped so a replayed batch
+    * re-rejects without duplicating audit rows).
+    */
+  def startText(docs: DataFrame, indexDir: String, pairsDir: String,
+                checkpointDir: String, maxHamming: Int = 3,
+                docGate: Option[DedupStream.DocGate] = None): StreamingQuery = {
+    val stores = epochStores(indexDir, deferCompaction = true)
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val batch = b.persist()
+        try {
+          if (!batch.isEmpty) {
+            // one cached triage pass, DedupStream's gate discipline:
+            // rejects land id-deduped with reasons, admitted docs sketch
+            val triage = docGate.map(g =>
+              DedupStream.triageBatch(batch, Some(g), None))
+            try {
+              val admitted = triage.fold(batch)(
+                DedupStream.writeTriage(_, docGate, None))
+              val sk = graft.operators.Dedup.simhash64Portable(admitted)
+                .select(col("doc_id").as("id"), col("simhash_lo").as("lo"),
+                  col("simhash_hi").as("hi"))
+              processBatch(sk, stores, pairsDir, maxHamming)
+              ()
+            } finally { triage.foreach(_.unpersist()); () }
+          }
+        } finally { batch.unpersist(); () }
+        stores.maintain(batch.sparkSession)
+      }
+      .start()
   }
 }

@@ -3,6 +3,7 @@ package graft
 import graft.operators.Dedup
 import graft.streaming.HammingStream
 import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -84,6 +85,117 @@ class HammingStreamSpec extends AnyFunSuite {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .as[(Long, Long, Long)].collect().toSet
     assert(streamed === batch)
+  }
+
+  test("2-session restart e2e: index survives, replay no-op, pairs equal the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-hrunner").toString
+    val cfg = graft.app.IngestRunner.Config(s"$root/index", s"$root/pairs",
+      s"$root/ckpt1", s"$root/syslog")
+    val all = ladder()
+    val b1 = all.filter(_._1 <= 4)
+    val b2 = all.filter(t => t._1 > 4 && t._1 <= 7)
+    val b3 = all.filter(_._1 > 7)
+    // SESSION 1: supervised front door, two micro-batches, clean stop
+    val s1 = MemoryStream[(Long, Long, Long)]
+    val r1 = graft.app.IngestRunner.startSketches(
+      s1.toDF().toDF("id", "lo", "hi"), cfg)
+    try {
+      s1.addData(b1: _*); r1.query.processAllAvailable()
+      s1.addData(b2: _*); r1.query.processAllAvailable()
+    } finally r1.stop()
+    val afterS1 = pairsOf(spark.read.parquet(s"$root/pairs"))
+    // SESSION 2: a NEW runner over the SAME index/pairs dirs (the restart:
+    // fresh store handles, fresh checkpoint — a memory source cannot
+    // resume offsets, so the at-least-once contract is modeled by
+    // REPLAYING batch 2 before the new batch arrives)
+    val s2 = MemoryStream[(Long, Long, Long)]
+    val r2 = graft.app.IngestRunner.startSketches(
+      s2.toDF().toDF("id", "lo", "hi"),
+      cfg.copy(checkpointDir = s"$root/ckpt2"))
+    try {
+      s2.addData(b2: _*); r2.query.processAllAvailable() // replay: ledger no-op
+      assert(pairsOf(spark.read.parquet(s"$root/pairs")) === afterS1)
+      s2.addData(b3: _*); r2.query.processAllAvailable()
+    } finally r2.stop()
+    // the union of both sessions' pairs is EXACTLY the batch operator's
+    val batch = pairsOf(Dedup.bandedHamming64Pairs(all.toDF("id", "lo", "hi"), 3))
+    assert(pairsOf(spark.read.parquet(s"$root/pairs")) === batch)
+    // ledger survived the restart: every id indexed exactly once
+    val stores = HammingStream.epochStores(s"$root/index")
+    assert(stores.ids.read(spark).get.count() === all.size.toLong)
+    assert(stores.ids.read(spark).get.select("id").distinct().count() === all.size.toLong)
+    // ops channel: both sessions logged their front-door startup row
+    val log = spark.read.parquet(s"$root/syslog")
+      .where(col("event") === "ingest_start")
+    assert(log.count() === 2L)
+  }
+
+  test("supervise fronts the ingest runner: a failed first attempt restarts and completes") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-hsupervise").toString
+    val cfg = graft.app.IngestRunner.Config(s"$root/index", s"$root/pairs",
+      s"$root/ckpt", s"$root/syslog")
+    val stream = MemoryStream[(Long, Long, Long)]
+    stream.addData(ladder(): _*)
+    @volatile var live: graft.app.IngestRunner.Running = null
+    var attempts = 0
+    val mk: () => graft.app.StreamRunner.Supervised = () => {
+      attempts += 1
+      if (attempts == 1) throw new RuntimeException("injected start failure")
+      val r = graft.app.IngestRunner.startSketches(
+        stream.toDF().toDF("id", "lo", "hi"), cfg)
+      live = r
+      r
+    }
+    @volatile var outcome: graft.app.StreamRunner.Outcome = null
+    val t = new Thread(() => {
+      outcome = graft.app.StreamRunner.supervise(mk,
+        graft.recover.RetryPolicy.Config(baseDelayMs = 1L, maxAttempts = 3),
+        _ => ())
+    })
+    t.start()
+    val deadline = System.currentTimeMillis() + 30000
+    while (live == null && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(live != null, "supervised ingest query never started")
+    live.query.processAllAvailable()
+    live.query.stop() // clean stop → supervise completes
+    t.join(30000)
+    assert(outcome === graft.app.StreamRunner.Completed(1))
+    val batch = pairsOf(Dedup.bandedHamming64Pairs(ladder().toDF("id", "lo", "hi"), 3))
+    assert(pairsOf(spark.read.parquet(s"$root/pairs")) === batch)
+  }
+
+  test("gated text front door: rejects stay out of the sketch index; pairs match the batch operator on admitted docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-htext-gate").toString
+    val cfg = graft.app.IngestRunner.Config(s"$root/index", s"$root/pairs",
+      s"$root/ckpt", s"$root/syslog")
+    val base = "the quick brown fox jumps over the lazy dog near the quiet river bank " +
+      "while morning light spreads across the valley and distant hills glow softly"
+    val piiDoc = base + " contact someone@example.com now"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("quiet", "silent")),
+      (3L, piiDoc)) // rejected at the door — never sketched or indexed
+    val gate = graft.streaming.DedupStream.DocGate(s"$root/rejects")
+    val stream = MemoryStream[(Long, String)]
+    val r = graft.app.IngestRunner.startText(
+      stream.toDF().toDF("doc_id", "text"), cfg, docGate = Some(gate))
+    try {
+      stream.addData(docs: _*)
+      r.query.processAllAvailable()
+    } finally r.stop()
+    val streamed = pairsOf(spark.read.parquet(s"$root/pairs"))
+    val admitted = docs.filter(_._1 <= 2L)
+    val batch = Dedup.simhashPairsPortable(admitted.toDF("doc_id", "text"), 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch && streamed.nonEmpty)
+    assert(spark.read.parquet(s"$root/rejects")
+      .select("doc_id").as[Long].collect().toSet === Set(3L))
+    val stores = HammingStream.epochStores(s"$root/index")
+    assert(stores.ids.read(spark).get.as[Long].collect().toSet === Set(1L, 2L))
   }
 
   test("band deltas are flat; the probe prunes to the batch's (band, kb) combos") {
