@@ -2870,7 +2870,7 @@ object SparkEntry {
         |                              AND a.doc_id < b.doc_id),
         |est AS (
         |  SELECT c.doc_a, c.doc_b,
-        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+        |         CAST((2 * sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 10000 + 16) // 32 AS DOUBLE) / 10000.0 AS est_jaccard
         |  FROM cand c
         |  JOIN sig sa ON sa.doc_id = c.doc_a
         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
@@ -2988,9 +2988,15 @@ object SparkEntry {
         |    CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'))) AS BIGINT) AS n_stop
         |  FROM documents)
         |SELECT doc_id,
-        |  round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 4) AS punct_ratio,
-        |  round(CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END, 4) AS digit_ratio,
-        |  round(CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END, 4) AS stopword_ratio,
+        |  CAST(CASE WHEN n_chars > 0
+        |    THEN (2 * n_punct * 10000 + n_chars) // (2 * n_chars) ELSE 0 END
+        |    AS DOUBLE) / 10000.0 AS punct_ratio,
+        |  CAST(CASE WHEN n_chars > 0
+        |    THEN (2 * n_digit * 10000 + n_chars) // (2 * n_chars) ELSE 0 END
+        |    AS DOUBLE) / 10000.0 AS digit_ratio,
+        |  CAST(CASE WHEN n_toks > 0
+        |    THEN (2 * n_stop * 10000 + n_toks) // (2 * n_toks) ELSE 0 END
+        |    AS DOUBLE) / 10000.0 AS stopword_ratio,
         |  CAST(n_toks AS BIGINT) AS n_tokens,
         |  CAST(CAST(CASE
         |      WHEN n_chars = 0 THEN 2000 + 25 * least(n_toks, 200)
@@ -3050,11 +3056,15 @@ object SparkEntry {
         |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT p.doc_a, p.doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, p.n_common,
-        |       round(p.n_common / (sa.n_sh + sb.n_sh - p.n_common), 4) AS jaccard
+        |       CAST((2 * p.n_common * 10000 + (sa.n_sh + sb.n_sh - p.n_common))
+        |            // (2 * (sa.n_sh + sb.n_sh - p.n_common)) AS DOUBLE)
+        |         / 10000.0 AS jaccard
         |FROM pairs p
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
-        |WHERE round(p.n_common / (sa.n_sh + sb.n_sh - p.n_common), 4) >= 0.4
+        |WHERE CAST((2 * p.n_common * 10000 + (sa.n_sh + sb.n_sh - p.n_common))
+        |           // (2 * (sa.n_sh + sb.n_sh - p.n_common)) AS DOUBLE)
+        |        / 10000.0 >= 0.4
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q38_minhash_portable" ->
       """WITH w AS (
@@ -3122,7 +3132,7 @@ object SparkEntry {
         |                              AND a.doc_id < b.doc_id),
         |est AS (
         |  SELECT c.doc_a, c.doc_b,
-        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+        |         CAST((2 * sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 10000 + 16) // 32 AS DOUBLE) / 10000.0 AS est_jaccard
         |  FROM cand c
         |  JOIN sig sa ON sa.doc_id = c.doc_a
         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
@@ -3287,9 +3297,9 @@ object SparkEntry {
         |         CAST(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
         |                              x -> x <> '')) AS BIGINT) AS v
         |  FROM documents),
-        |d AS (SELECT v, count(*) AS c FROM w GROUP BY 1),
+        |d AS (SELECT v, count(*) AS c FROM w WHERE v IS NOT NULL GROUP BY 1),
         |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM d),
-        |n AS (SELECT count(*) AS n FROM w),
+        |n AS (SELECT count(*) AS n FROM w WHERE v IS NOT NULL),
         |js AS (SELECT unnest(range(1, 4)) AS j),
         |cuts AS (SELECT j, min(v) AS cut FROM cum, n, js
         |         WHERE cum >= (j * n.n + 3) // 4 GROUP BY j),
@@ -3560,12 +3570,13 @@ object SparkEntry {
         |              CAST(sum(n_events) AS BIGINT) AS s,
         |              sum(n_events * n_events) AS q
         |       FROM daily GROUP BY 1),
-        |sd AS (SELECT event_type, CAST(s AS DOUBLE) / d AS mean,
+        |sd AS (SELECT event_type, s, d, CAST(s AS DOUBLE) / d AS mean,
         |              sqrt(greatest(0.0, CAST(q AS DOUBLE) / d
         |                - (CAST(s AS DOUBLE) / d) * (CAST(s AS DOUBLE) / d))) AS sd
         |       FROM st)
         |SELECT daily.event_type, daily.day, daily.n_events,
-        |       round(sd.mean, 4) AS mean_daily,
+        |       CAST((2 * sd.s * 10000 + sd.d) // (2 * sd.d) AS DOUBLE)
+        |         / 10000.0 AS mean_daily,
         |       CAST(daily.n_events AS DOUBLE) > sd.mean + 3.0 * sd.sd AS anomaly
         |FROM daily JOIN sd ON sd.event_type = daily.event_type
         |ORDER BY daily.event_type, day""".stripMargin,
@@ -3625,7 +3636,8 @@ object SparkEntry {
          |s AS (SELECT doc_id,
          |             ((2 * nll_micro + n_tokens) // (2 * n_tokens)) / 1000000.0 AS avg_nll
          |      FROM d),
-         |qt2 AS (SELECT doc_id, CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS v FROM q),
+         |qt2 AS (SELECT doc_id, CAST(floor(quality * 10000 + 0.5) AS BIGINT) AS v FROM q
+         |        WHERE quality IS NOT NULL),
          |st2 AS (SELECT doc_id, CAST(floor(avg_nll * 1000 + 0.5) AS BIGINT) AS v FROM s),
          |qg AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM qt2 GROUP BY 1),
          |qc AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
@@ -3717,7 +3729,7 @@ object SparkEntry {
         |                              AND a.doc_id < b.doc_id),
         |est AS (
         |  SELECT c.doc_a, c.doc_b,
-        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 64, 4) AS est_jaccard
+        |         CAST((2 * sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 10000 + 64) // 128 AS DOUBLE) / 10000.0 AS est_jaccard
         |  FROM cand c
         |  JOIN sig sa ON sa.doc_id = c.doc_a
         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
@@ -3778,7 +3790,7 @@ object SparkEntry {
         |                              AND a.doc_id < b.doc_id),
         |est AS (
         |  SELECT c.doc_a, c.doc_b,
-        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+        |         CAST((2 * sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 10000 + 16) // 32 AS DOUBLE) / 10000.0 AS est_jaccard
         |  FROM cand c
         |  JOIN sig sa ON sa.doc_id = c.doc_a
         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
@@ -3888,16 +3900,20 @@ object SparkEntry {
         |  GROUP BY doc_id)
         |SELECT g.doc_id,
         |  CASE WHEN len(words) > 0
-        |       THEN round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4)
+        |       THEN CAST((2 * (len(words) - len(list_distinct(words))) * 10000
+        |                  + len(words)) // (2 * len(words)) AS DOUBLE) / 10000.0
         |       ELSE 0.0 END AS dup_word_frac,
         |  CASE WHEN len(ng) > 0
-        |       THEN round(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng), 4)
+        |       THEN CAST((2 * (len(ng) - len(list_distinct(ng))) * 10000
+        |                  + len(ng)) // (2 * len(ng)) AS DOUBLE) / 10000.0
         |       ELSE 0.0 END AS dup_ngram_frac,
         |  CASE WHEN len(ng) > 0
-        |       THEN round(CAST(coalesce(t.top_cnt, 0) AS DOUBLE) / len(ng), 4)
+        |       THEN CAST((2 * coalesce(t.top_cnt, 0) * 10000
+        |                  + len(ng)) // (2 * len(ng)) AS DOUBLE) / 10000.0
         |       ELSE 0.0 END AS top_ngram_frac,
         |  (CASE WHEN len(ng) > 0
-        |        THEN round(1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng), 4)
+        |        THEN CAST((2 * (len(ng) - len(list_distinct(ng))) * 10000
+        |                   + len(ng)) // (2 * len(ng)) AS DOUBLE) / 10000.0
         |        ELSE 0.0 END) > 0.2 AS repetitive
         |FROM g LEFT JOIN tops t ON t.doc_id = g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
@@ -4035,7 +4051,8 @@ object SparkEntry {
         |  GROUP BY tok.doc_id)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |       CAST(n_oov AS BIGINT) AS n_oov,
-        |       round(n_oov / (n_tokens * 1.0), 6) AS oov_rate
+        |       CAST((2 * n_oov * 1000000 + n_tokens) // (2 * n_tokens)
+        |            AS DOUBLE) / 1000000.0 AS oov_rate
         |FROM a ORDER BY doc_id""".stripMargin,
     "q63_pii_redact" ->
       s"""WITH d AS (
@@ -4264,7 +4281,7 @@ object SparkEntry {
          |                              AND a.doc_id < b.doc_id),
          |est AS (
          |  SELECT c.doc_a, c.doc_b,
-         |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+         |         CAST((2 * sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 10000 + 16) // 32 AS DOUBLE) / 10000.0 AS est_jaccard
          |  FROM cand c
          |  JOIN sig sa ON sa.doc_id = c.doc_a
          |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
@@ -4415,9 +4432,10 @@ object SparkEntry {
     // of truth; an edit to the formula moves all four oracles together
     "q77_quality_deciles" ->
       s"""WITH $QualitySql,
-        |d AS (SELECT quality AS v, count(*) AS c FROM q GROUP BY v),
+        |d AS (SELECT quality AS v, count(*) AS c FROM q
+        |      WHERE quality IS NOT NULL GROUP BY v),
         |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM d),
-        |n AS (SELECT count(*) AS n FROM q),
+        |n AS (SELECT count(*) AS n FROM q WHERE quality IS NOT NULL),
         |js AS (SELECT unnest(range(1, 10)) AS j),
         |cuts AS (
         |  SELECT j, min(v) AS cut
@@ -4967,7 +4985,8 @@ object SparkEntry {
     // q77's quality chain; explicit type-1 quantiles on the counting grid
     "q115_source_quality" ->
       s"""WITH $QualitySql,
-         |src AS (SELECT d.source, q.quality FROM documents d JOIN q ON q.doc_id = d.doc_id),
+         |src AS (SELECT d.source, q.quality FROM documents d JOIN q ON q.doc_id = d.doc_id
+         |        WHERE q.quality IS NOT NULL),
          |cells AS (SELECT source, quality, CAST(count(*) AS BIGINT) AS cnt
          |          FROM src GROUP BY 1, 2),
          |cum AS (SELECT source, quality, cnt,
@@ -5000,13 +5019,17 @@ object SparkEntry {
         |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT p.doc_a, p.doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b, p.n_common,
-        |       round(p.n_common / sa.n_sh, 4) AS contain_a,
-        |       round(p.n_common / sb.n_sh, 4) AS contain_b
+        |       CAST((2 * p.n_common * 10000 + sa.n_sh) // (2 * sa.n_sh) AS DOUBLE)
+        |         / 10000.0 AS contain_a,
+        |       CAST((2 * p.n_common * 10000 + sb.n_sh) // (2 * sb.n_sh) AS DOUBLE)
+        |         / 10000.0 AS contain_b
         |FROM pairs p
         |JOIN sizes sa ON sa.doc_id = p.doc_a
         |JOIN sizes sb ON sb.doc_id = p.doc_b
-        |WHERE round(p.n_common / sa.n_sh, 4) >= 0.6
-        |   OR round(p.n_common / sb.n_sh, 4) >= 0.6
+        |WHERE CAST((2 * p.n_common * 10000 + sa.n_sh) // (2 * sa.n_sh) AS DOUBLE)
+        |        / 10000.0 >= 0.6
+        |   OR CAST((2 * p.n_common * 10000 + sb.n_sh) // (2 * sb.n_sh) AS DOUBLE)
+        |        / 10000.0 >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q107_vocab_coverage" ->
       """WITH tok AS (
@@ -6238,7 +6261,9 @@ object SparkEntry {
         |       FROM tk a JOIN tk b ON b.tok = a.tok AND a.doc_id < b.doc_id
         |       GROUP BY 1, 2)
         |SELECT it.da AS doc_a, it.db AS doc_b, sa.n AS n_a, sb.n AS n_b,
-        |       c AS n_common, round(c / (sa.n + sb.n - c), 4) AS jaccard
+        |       c AS n_common,
+        |       CAST((2 * c * 10000 + (sa.n + sb.n - c)) // (2 * (sa.n + sb.n - c))
+        |            AS DOUBLE) / 10000.0 AS jaccard
         |FROM it JOIN sz sa ON sa.doc_id = it.da
         |        JOIN sz sb ON sb.doc_id = it.db
         |WHERE c * 20 >= (sa.n + sb.n - c) * 19
@@ -7472,7 +7497,8 @@ object SparkEntry {
     "q247_quantile_norm" ->
       s"""WITH $QualitySql,
         |cells AS (SELECT d.source, q.quality, CAST(count(*) AS BIGINT) AS cnt
-        |          FROM q JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |          FROM q JOIN documents d USING (doc_id)
+        |          WHERE q.quality IS NOT NULL GROUP BY 1, 2),
         |sl AS (SELECT source, quality,
         |              sum(cnt) OVER (PARTITION BY source ORDER BY quality
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
@@ -7764,7 +7790,8 @@ object SparkEntry {
         |             CAST(len(list_filter(regexp_split_to_array(doc.text, '\\s+'),
         |               x -> x <> '')) AS BIGINT) AS ntok
         |      FROM q JOIN documents doc ON doc.doc_id = q.doc_id),
-        |g AS (SELECT qt AS v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+        |g AS (SELECT qt AS v, CAST(count(*) AS BIGINT) AS c FROM d
+        |      WHERE qt IS NOT NULL GROUP BY 1),
         |w AS (SELECT v, c,
         |             CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
         |               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
@@ -8659,7 +8686,7 @@ object SparkEntry {
         |                              AND a.doc_id < b.doc_id),
         |est AS (
         |  SELECT c.doc_a, c.doc_b,
-        |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+        |         CAST((2 * sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 10000 + 16) // 32 AS DOUBLE) / 10000.0 AS est_jaccard
         |  FROM cand c
         |  JOIN sig sa ON sa.doc_id = c.doc_a
         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
@@ -8673,8 +8700,10 @@ object SparkEntry {
         |        FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |        GROUP BY 1, 2),
         |j AS (SELECT p.doc_a, p.doc_b, p.est_jaccard,
-        |             round(coalesce(ish.i, 0) * 1.0 /
-        |                   (sa.sz + sb.sz - coalesce(ish.i, 0)), 4) AS exact_jaccard
+        |             CAST((2 * coalesce(ish.i, 0) * 10000
+        |                   + (sa.sz + sb.sz - coalesce(ish.i, 0)))
+        |                  // (2 * (sa.sz + sb.sz - coalesce(ish.i, 0)))
+        |                  AS DOUBLE) / 10000.0 AS exact_jaccard
         |      FROM prs p
         |      JOIN sz sa ON sa.doc_id = p.doc_a
         |      JOIN sz sb ON sb.doc_id = p.doc_b
@@ -8785,7 +8814,7 @@ object SparkEntry {
       |                              AND a.doc_id < b.doc_id),
       |est AS (
       |  SELECT c.doc_a, c.doc_b,
-      |         round(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16, 4) AS est_jaccard
+      |         CAST((2 * sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) * 10000 + 16) // 32 AS DOUBLE) / 10000.0 AS est_jaccard
       |  FROM cand c
       |  JOIN sig sa ON sa.doc_id = c.doc_a
       |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm

@@ -66,11 +66,22 @@ object Dedup {
     * Output: doc_a < doc_b, n_a, n_b, intersection (over capped shingles),
     * jaccard = inter / (n_a + n_b − inter), filtered ≥ threshold.
     */
+  /** Exact HALF_UP 4dp of the COUNT rational n/d (n ≥ 0, d > 0) — the
+    * integer-ticks discipline for every displayed similarity ratio in
+    * this file. Count quotients CAN land on exact decimal half-ties
+    * (34/64 = 0.53125 — a 4dp tie any 64-perm signature pair can hit),
+    * where Spark's shortest-repr HALF_UP and DuckDB's double rounding
+    * disagree; one integer division removes the window on both engines.
+    */
+  private def ticks4(n: Column, d: Column): Column =
+    call_function("div", lit(2L) * n * lit(10000L) + d, lit(2L) * d)
+      .cast("double") / 1e4
+
   def jaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.4,
                    maxDf: Int = 100): DataFrame =
     sharedShinglePairStats(docs, n, maxDf)
       .withColumn("jaccard",
-        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
+        ticks4(col("n_common"), col("n_a") + col("n_b") - col("n_common")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
 
@@ -91,8 +102,8 @@ object Dedup {
   def containmentPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.6,
                        maxDf: Int = 100): DataFrame =
     sharedShinglePairStats(docs, n, maxDf)
-      .withColumn("contain_a", round(col("n_common") / col("n_a"), 4))
-      .withColumn("contain_b", round(col("n_common") / col("n_b"), 4))
+      .withColumn("contain_a", ticks4(col("n_common"), col("n_a")))
+      .withColumn("contain_b", ticks4(col("n_common"), col("n_b")))
       .where(col("contain_a") >= threshold || col("contain_b") >= threshold)
       .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "contain_a", "contain_b")
 
@@ -208,9 +219,9 @@ object Dedup {
     * interpret a lambda per element).
     */
   def estJaccardExpr(numPerms: Int): Column =
-    round((0 until numPerms).map(p =>
+    ticks4((0 until numPerms).map(p =>
       when(element_at(col("sig_a"), p + 1) === element_at(col("sig_b"), p + 1), 1)
-        .otherwise(0)).reduce(_ + _).cast("double") / lit(numPerms.toDouble), 4)
+        .otherwise(0)).reduce(_ + _).cast("long"), lit(numPerms.toLong))
 
   /** Explode a signature array into (band, key) rows; `key` is the band's
     * signature slice (array form for in-plan joins, comma-joined string
@@ -756,7 +767,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("__sz").as("__sb")), Seq("doc_b"))
       .withColumn("__i", coalesce(col("__i"), lit(0L)))
       .withColumn("exact_jaccard",
-        round(col("__i").cast("double") / (col("__sa") + col("__sb") - col("__i")), 4))
+        ticks4(col("__i"), col("__sa") + col("__sb") - col("__i")))
       .withColumn("err_ticks",
         (round(col("est_jaccard") * 10000) - round(col("exact_jaccard") * 10000))
           .cast("long"))
@@ -1178,7 +1189,7 @@ object Dedup {
         size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .where(col("n_common") * den >= (col("n_a") + col("n_b") - col("n_common")) * num)
       .withColumn("jaccard",
-        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
+        ticks4(col("n_common"), col("n_a") + col("n_b") - col("n_common")))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         col("n_common"), col("jaccard"))
   }
@@ -1497,8 +1508,8 @@ object Dedup {
           col("n_common"))
         .select(col("doc_a"), col("doc_b"),
           col("__na").as("n_a"), col("__nb").as("n_b"), col("n_common"),
-          round(col("n_common") /
-            (col("__na") + col("__nb") - col("n_common")), 4).as("jaccard"))
+          ticks4(col("n_common"),
+            col("__na") + col("__nb") - col("n_common")).as("jaccard"))
       within.unionByName(cross)
     }
   }

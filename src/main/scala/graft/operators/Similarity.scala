@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   * Dot products use `zip_with` + `aggregate` higher-order functions over
   * double-cast floats: a strictly sequential left-to-right fold, so results
   * are bit-deterministic regardless of partitioning.
+  *
+  * Rounding policy for every `round(cosine, 6)` in this file: the quotient
+  * is DOUBLE-on-DOUBLE — both engines derive the identical IEEE double
+  * from identical float inputs (same fold order, correctly-rounded sqrt),
+  * so the only divergence window is an exact decimal half-tie at the 6th
+  * place, which a continuous dot-product quotient does not land on
+  * (measured: zero cosine divergences across the sf0.1 stress sweep that
+  * DID flag the count-derived ratios). The integer-rational ticks
+  * discipline ([[graft.operators.TextAnalysis.qualityExpr]], Multimodal's
+  * ticks6) applies to COUNT-derived ratios, where exact .5 ties are
+  * dense; forcing these float quotients through it would add a lossy
+  * quantization step for no parity gain.
   */
 object Similarity {
 

@@ -56,10 +56,16 @@ object Stats {
                       pinInput: Boolean = false): DataFrame = {
     require(k >= 2, "need at least two buckets")
     val df = if (pinInput) Pins.pin(df0) else df0
-    val counts = df.groupBy(col(valueCol).as("__v"))
+    // a NULL measure has no place on a quantile axis: excluded from the
+    // grid AND the n denominator (the tickQuantiles/winsorizedMeans
+    // convention — and the engine-portability fix: Spark cumulates an
+    // included null group FIRST while DuckDB windows order it LAST, so
+    // one null row used to shift every cut target by one). Null rows
+    // still get `bucketCol` = 1 below: cuts < NULL is null, the filter
+    // drops every cut, size() = 0.
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
-    // ascending, nulls first (Spark default) — the collected order IS the
-    // cumulation order, so null measures keep their pre-r7 semantics
     val capped = counts.orderBy("__v").limit(maxDistinct + 1)
       .collect().map(r => (r.get(0), r.getLong(1)))
     require(capped.length <= maxDistinct,
@@ -200,7 +206,7 @@ object Stats {
     val stats = daily.groupBy(col(keyCol))
       .agg(count(lit(1)).as("__d"), sum(col("n_events")).as("__s"),
         sum((col("n_events") * col("n_events")).cast("decimal(38,0)")).as("__q"))
-      .select(col(keyCol),
+      .select(col(keyCol), col("__d"), col("__s"),
         (col("__s").cast("double") / col("__d")).as("__mean"),
         sqrt(greatest(lit(0.0),
           col("__q").cast("double") / col("__d") -
@@ -208,7 +214,12 @@ object Stats {
               (col("__s").cast("double") / col("__d")))).as("__sd"))
     daily.join(broadcast(stats), Seq(keyCol))
       .select(col(keyCol), col("day"), col("n_events"),
-        round(col("__mean"), 4).as("mean_daily"),
+        // __mean is a COUNT ratio (Σ events / days): displayed tick-exact
+        // (the q31 discipline) while the anomaly band keeps the full-
+        // precision mean
+        (call_function("div",
+          lit(2L) * col("__s") * lit(10000L) + col("__d"),
+          lit(2L) * col("__d")).cast("double") / 1e4).as("mean_daily"),
         (col("n_events").cast("double") >
           col("__mean") + lit(sigmas) * col("__sd")).as("anomaly"))
   }

@@ -95,18 +95,26 @@ object TextAnalysis {
     * expressed as pure column math.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val nChars = length(col("text")).cast("double")
+    val nChars = length(col("text")).cast("long")
     val toks = tokens(col("text"))
-    val nToks = size(toks).cast("double")
-    val nPunct = size(regexp_extract_all(col("text"), lit("[\\.,;:!\\?]"), lit(0))).cast("double")
-    val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double")
-    val nStop = markerCount(col("text"), stopwords).cast("double")
+    val nToks = size(toks).cast("long")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[\\.,;:!\\?]"), lit(0))).cast("long")
+    val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("long")
+    val nStop = markerCount(col("text"), stopwords).cast("long")
+    // exact HALF_UP 4dp of the COUNT-derived ratios (the integer-rational
+    // ticks discipline): the former float round(n/d, 4) was the last
+    // half-tie-capable round in the quality family — counts CAN land on
+    // exact .5 ties, where Spark's BigDecimal-of-double and DuckDB's
+    // round disagree
+    def ticks4(n: Column, d: Column): Column =
+      call_function("div", lit(2L) * n * lit(10000L) + d, lit(2L) * d)
+        .cast("double") / 1e4
     docs.select(
       col("doc_id"),
-      round(when(nChars > 0, nPunct / nChars).otherwise(0.0), 4).as("punct_ratio"),
-      round(when(nChars > 0, nDigit / nChars).otherwise(0.0), 4).as("digit_ratio"),
-      round(when(nToks > 0, nStop / nToks).otherwise(0.0), 4).as("stopword_ratio"),
-      size(toks).cast("long").as("n_tokens"),
+      when(nChars > 0, ticks4(nPunct, nChars)).otherwise(0.0).as("punct_ratio"),
+      when(nChars > 0, ticks4(nDigit, nChars)).otherwise(0.0).as("digit_ratio"),
+      when(nToks > 0, ticks4(nStop, nToks)).otherwise(0.0).as("stopword_ratio"),
+      nToks.as("n_tokens"),
       qualityExpr(col("text")).as("quality"))
   }
 
@@ -124,6 +132,11 @@ object TextAnalysis {
   def sourceQualityQuantiles(docs: DataFrame): DataFrame = {
     val cells = docs
       .select(col("source"), qualityExpr(col("text")).as("quality"))
+      // null quality (null text) is not a quantile observation — the
+      // quantileBuckets null convention; also keeps the cumulation
+      // engine-portable (Spark windows order an included null FIRST,
+      // DuckDB LAST)
+      .where(col("quality").isNotNull)
       .groupBy(col("source"), col("quality")).agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("source")).orderBy(col("quality"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -156,6 +169,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val scored = docs.select(col("source"), qualityExpr(col("text")).as("quality"))
+      .where(col("quality").isNotNull) // the quantileBuckets null convention
     val deciles = broadcast((1 until q).map(_.toLong).toDF("decile"))
     def cuts(cells: DataFrame, parts: Seq[String], out: String): DataFrame = {
       val wCum = Window.partitionBy(parts.map(col): _*).orderBy(col("quality"))
@@ -477,10 +491,16 @@ object TextAnalysis {
       acc => acc.getField("best"))
 
   def repetitionStats(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    // exact HALF_UP 4dp of (size − distinct)/size — count ratios round
+    // tick-exact (the q31 discipline): float round half-tie-diverges
+    // between engines on quotients like odd/32
+    def ticks4(num: Column, den: Column): Column =
+      call_function("div", lit(2L) * num * lit(10000L) + den, lit(2L) * den)
+        .cast("double") / 1e4
     def dupFrac(xs: Column): Column =
       when(size(xs) > 0,
-        round(lit(1.0) - size(array_distinct(xs)).cast("double") /
-          size(xs).cast("double"), 4))
+        ticks4((size(xs) - size(array_distinct(xs))).cast("long"),
+          size(xs).cast("long")))
         .otherwise(0.0)
     docs
       .select(col("doc_id"), tokens(asciiLower(col("text"))).as("w"))
@@ -496,8 +516,8 @@ object TextAnalysis {
         dupFrac(col("w")).as("dup_word_frac"),
         dupFrac(col("ng")).as("dup_ngram_frac"),
         when(size(col("ng")) > 0,
-          round(topRunLength(array_sort(col("ng"))).cast("double") /
-            size(col("ng")).cast("double"), 4))
+          ticks4(topRunLength(array_sort(col("ng"))).cast("long"),
+            size(col("ng")).cast("long")))
           .otherwise(0.0).as("top_ngram_frac"))
       .withColumn("repetitive", col("dup_ngram_frac") > threshold)
   }
@@ -771,7 +791,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+        // exact HALF_UP 6dp of the count ratio (the q31/q58 discipline):
+        // a float round ties on quotients like odd/128 at the 7th decimal
+        (call_function("div",
+          lit(2L) * col("n_oov") * lit(1000000L) + col("n_tokens"),
+          lit(2L) * col("n_tokens")).cast("double") / 1e6).as("oov_rate"))
   }
 
   /** Transcendental values carried as integers: ln is the one function in
@@ -1251,7 +1275,12 @@ object TextAnalysis {
     */
   def qualityBlend(docs: DataFrame, maxDistinct: Int = 100000): DataFrame = {
     def pctDim(df: DataFrame, tickCol: String): DataFrame = {
-      val grid = df.groupBy(col(tickCol).as("__v")).agg(count(lit(1)).as("__c"))
+      // null ticks (unscoreable docs — null text) are excluded from the
+      // grid and the denominator (the quantileBuckets convention); they
+      // drop from the output at the equi-join, which matches the
+      // token-bearing-docs contract
+      val grid = df.where(col(tickCol).isNotNull)
+        .groupBy(col(tickCol).as("__v")).agg(count(lit(1)).as("__c"))
         .orderBy("__v").limit(maxDistinct + 1)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       require(grid.length <= maxDistinct,
