@@ -418,6 +418,11 @@ object Stats {
     val m3 = col("__s3").cast("double") / col("n_rows")
     val m4 = col("__s4").cast("double") / col("n_rows")
     val varP = greatest(lit(1e-12), m2 - m * m)
+    // float round(·, 4) justified: multi-op double expressions (powers,
+    // products, a pow 1.5) evaluated in ONE fixed shape from exact
+    // integer sums — both engines derive the identical IEEE double, and
+    // unlike a bare count ratio the composed value has no decimal
+    // half-tie density (the tick discipline is for single n/d rationals)
     sums.select(col("__k").as(keyCol), col("n_rows"),
       round(m, 4).as("mean"),
       round((m3 - lit(3.0) * m * m2 + lit(2.0) * m * m * m) /
@@ -487,6 +492,10 @@ object Stats {
         (dev * dev /
           (col("__tot").cast("double") * col("__rt") * col("__ct")))
           .as("__term"))
+      // float round justified: a Σ of continuous double terms has no
+      // decimal half-tie density (the tick discipline is for single
+      // count rationals), and the 4dp round absorbs fold-order ulps of
+      // the bounded-grid sum
       .agg(round(sum(col("__term")), 4).as("chi2"),
         count(lit(1)).as("n_cells"),
         ((countDistinct(col("__a")) - 1) * (countDistinct(col("__b")) - 1))

@@ -1247,6 +1247,10 @@ object TextAnalysis {
         sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"),
         sum((col("__y") * col("__y")).cast("decimal(38,0)")).as("__syy"))
       .select(col("source"), col("n_docs"),
+        // float round justified (the Pearson-r class, also dailyAutocorr
+        // / dailyTrend / zipf slope): one fixed multi-op double shape
+        // over exact integer sums with a sqrt — identical IEEE doubles
+        // on both engines, no decimal half-tie density
         round(
           (col("n_docs") * col("__sxy").cast("double") -
             col("__sx").cast("double") * col("__sy").cast("double")) /
