@@ -753,7 +753,13 @@ object Dedup {
     */
   def lshCalibration(docs: DataFrame, n: Int = 5, numPerms: Int = 16,
                      bands: Int = 8, threshold: Double = 0.2): DataFrame = {
-    val est = minhashLshPairsPortable(docs, n, numPerms, bands, threshold)
+    // the verified pair set is tiny next to the LSH chain producing it,
+    // and THREE consumers read it here (both sides of the candidate-doc
+    // union + the final estimate join) — pin it so the chain runs once
+    // (thresholdSweep's pattern, one level up so q103/q240/q292/q301
+    // all inherit it)
+    val est = Pins.pin(
+      minhashLshPairsPortable(docs, n, numPerms, bands, threshold))
     val cdocs = est.select(col("doc_a").as("doc_id"))
       .union(est.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shingles(docs, n).join(cdocs, Seq("doc_id"))
@@ -923,7 +929,11 @@ object Dedup {
           .otherwise("kept"))
     val counts = verdicts.groupBy(col("source"), col("reason"))
       .agg(count(lit(1)).as("n_docs"))
-    val totals = verdicts.groupBy(col("source")).agg(count(lit(1)).as("__t"))
+    // totals re-aggregate the ≤ sources×3-row COUNTS, not the verdicts:
+    // reasons partition the corpus, so Σ n_docs per source IS the source
+    // total — the second consumer of the whole cluster+quality chain
+    // becomes a second consumer of a tiny agg (whose exchange reuses)
+    val totals = counts.groupBy(col("source")).agg(sum(col("n_docs")).as("__t"))
     counts.join(broadcast(totals), Seq("source"))
       .select(col("source"), col("reason"), col("n_docs"),
         expr("(n_docs * 20000 + __t) div (2 * __t)").as("share_bp"))
