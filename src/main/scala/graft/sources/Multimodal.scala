@@ -84,7 +84,7 @@ object Multimodal {
     * silently (the DuckDB `//` twin RAISES there — a payload that big
     * has no oracle row, so the engine staying exact is the only
     * contract). */
-  private def ticks6(num: Long, den: Long): Double = {
+  private[graft] def ticks6(num: Long, den: Long): Double = {
     require(num >= 0 && den > 0, s"ticks6 needs num >= 0, den > 0: $num/$den")
     if (num < (Long.MaxValue - den) / 2000000L)
       ((2L * num * 1000000L + den) / (2L * den)).toDouble / 1e6
