@@ -13,7 +13,12 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
+      // SPARK_GRAFT_EXPLAIN_AQE=false shows the STATIC plan with the
+      // ReuseExchange rule applied — the view the PlanAudit scan census
+      // counts (AQE-on initial plans hide reuse, which happens per-stage
+      // at runtime)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

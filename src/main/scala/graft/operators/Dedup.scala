@@ -115,10 +115,22 @@ object Dedup {
   private def sharedShinglePairStats(docs: DataFrame, n: Int,
                                      maxDf: Int): DataFrame = {
     // pinch-point exchange: the shingle explode feeds doc sizes, the df
-    // cap, and both sides of the inverted-index join — compute it once
-    val sh = shingles(docs, n).repartition(col("doc_id"), col("shingle"))
+    // cap, and both sides of the inverted-index join — compute it once.
+    // The explicit isNotNulls (no-ops: array_join never yields null and
+    // doc_id is the corpus key) make every branch's exchange child
+    // IDENTICAL — without them the optimizer infers isnotnull(shingle)/
+    // isnotnull(doc_id) below the exchange on the JOIN branches only, and
+    // a one-filter difference defeats ReuseExchange, re-running the
+    // explode per branch (the r12 plan audit counted 3 surviving text
+    // scans in q35/q106; with the filters pinned it is 1)
+    val sh = shingles(docs, n)
+      .where(col("shingle").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("doc_id"), col("shingle"))
     val docSizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // count(doc_id), not count(1): counting a literal lets the optimizer
+    // prune doc_id below this branch's copy of the shared aggregate, and
+    // the specialized subtree defeats ReuseExchange (r12 plan audit)
+    val rare = sh.groupBy(col("shingle")).agg(count(col("doc_id")).as("df"))
       .where(col("df") <= maxDf).select("shingle")
     val capped = sh.join(rare, Seq("shingle"))
     val pairs = capped.as("a")
@@ -762,7 +774,13 @@ object Dedup {
       minhashLshPairsPortable(docs, n, numPerms, bands, threshold))
     val cdocs = est.select(col("doc_a").as("doc_id"))
       .union(est.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingles(docs, n).join(cdocs, Seq("doc_id"))
+    // pinch-point exchange over the candidate-doc shingles: sizes + both
+    // self-join sides share one reused exchange (explicit isNotNull keeps
+    // the branches identical — see sharedShinglePairStats)
+    val sh = shingles(docs, n)
+      .where(col("shingle").isNotNull && col("doc_id").isNotNull)
+      .join(cdocs, Seq("doc_id"))
+      .repartition(col("doc_id"), col("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("__sz"))
     val shared = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

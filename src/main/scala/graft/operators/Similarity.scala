@@ -1292,8 +1292,32 @@ object Similarity {
   def ivfProbeCurve(embeddings: DataFrame, queryPred: Column, k: Int = 10,
                     nLists: Int = 16, probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     require(probes.nonEmpty, "need at least one probe count")
+    // shared work hoisted out of the probe loop (r12): the brute-force
+    // ground truth is probe-INDEPENDENT — pin its (queries × k)-row
+    // result once instead of re-running the query×corpus scoring join
+    // per probe point — and the default-centroid driver collect resolves
+    // once instead of once per annIvfTopK call. Same selection rule as
+    // annIvfTopK's default path (lowest vec_ids, unit of the same
+    // index-order sums), so results are identical.
+    val exact = Pins.pin(
+      knnCosineBrute(embeddings, queryPred, k)
+        .select(col("query_id"), col("neighbor_id")))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents: Seq[(Int, Seq[Double])] = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("norm", l2norm(col("v")))
+      .where(col("norm") > 0)
+      .orderBy(col("vec_id")).limit(nLists)
+      .select(col("v")).as[Seq[Double]].collect()
+      .zipWithIndex.map { case (v, i) => (i + 1, v) }.toSeq
     probes.map { p =>
-      annRecallReport(embeddings, queryPred, k, nLists, p)
+      val approx = annIvfTopK(embeddings, queryPred, k, nLists, p, Some(cents))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
         .agg(count(lit(1)).as("n_queries"),
           sum(col("n_exact")).as("n_exact"), sum(col("n_hit")).as("n_hit"))
         .select(lit(p.toLong).as("n_probe"), col("n_queries"),

@@ -38,21 +38,33 @@ object Sketch {
   def cmsHeavyHitterAudit(docs: DataFrame, d: Int = 4, w: Int = 1024,
                           k: Int = 20): DataFrame = {
     require(d >= 1 && w >= 1, "need d >= 1 hash rows and w >= 1 slots")
+    // explicit no-op filter: branch subtrees must stay identical for the
+    // exact-aggregate exchange to be reused across the sketch and top-k
+    // branches (the r12 plan-audit lesson, see sharedShinglePairStats)
     val exact = docs
       .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .where(col("tok").isNotNull)
       .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
-    val cms = (0 until d).map { r =>
-      exact.select(lit(r).as("__row"), slotExpr(r, col("tok"), w).as("__slot"),
-        col("n_exact").as("__c"))
-    }.reduce(_ unionByName _)
+    // d rows per token via ONE explode over a struct array — a union of
+    // d selects of `exact` plants d copies of the whole tokenize+agg
+    // subtree in the plan (the r12 audit counted 5 surviving text scans
+    // here); the explode keeps one copy and emits the same rows
+    val cms = exact.select(explode(array((0 until d).map { r =>
+        struct(lit(r).as("__row"), slotExpr(r, col("tok"), w).as("__slot"),
+          col("n_exact").as("__c"))
+      }: _*)).as("__e"))
+      .select(col("__e.__row").as("__row"), col("__e.__slot").as("__slot"),
+        col("__e.__c").as("__c"))
       .groupBy(col("__row"), col("__slot")).agg(sum(col("__c")).as("__sc"))
     val ord = Seq(col("n_exact").desc, col("tok").asc)
     val top = exact.orderBy(ord: _*).limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(ord: _*)).cast("long"))
-    val probes = (0 until d).map { r =>
-      top.select(col("rank"), col("tok"), col("n_exact"),
-        lit(r).as("__row"), slotExpr(r, col("tok"), w).as("__slot"))
-    }.reduce(_ unionByName _)
+    val probes = top.select(col("rank"), col("tok"), col("n_exact"),
+      explode(array((0 until d).map { r =>
+        struct(lit(r).as("__row"), slotExpr(r, col("tok"), w).as("__slot"))
+      }: _*)).as("__p"))
+      .select(col("rank"), col("tok"), col("n_exact"),
+        col("__p.__row").as("__row"), col("__p.__slot").as("__slot"))
     probes.join(broadcast(cms), Seq("__row", "__slot"))
       .groupBy(col("rank"), col("tok"), col("n_exact"))
       .agg(min(col("__sc")).as("n_est"))

@@ -446,9 +446,22 @@ object TextAnalysis {
   def winnowOverlapPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
                          minShared: Int = 3, maxDf: Int = 50,
                          prodHash: Boolean = false): DataFrame = {
+    // pinch-point exchange (sharedShinglePairStats' discipline): the
+    // winnowing expression — the entry's dominant cost — feeds the df cap
+    // AND both self-join sides; one explicit repartition makes all three
+    // branches share a single reused exchange so it evaluates ONCE. The
+    // isNotNulls are no-ops (fingerprints are ints, doc_id is the corpus
+    // key) but keep every branch's exchange child identical — the
+    // optimizer infers them on the join branches only, and a one-filter
+    // difference defeats ReuseExchange (r12 plan audit: the winnow
+    // explode ran twice here)
     val fps = winnowingFingerprints(docs, k, w, prodHash)
       .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
-    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .where(col("fp").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("doc_id"), col("fp"))
+    // count(doc_id), not count(1) — keeps doc_id in this branch's
+    // subtree so the pinch exchange is reused (see sharedShinglePairStats)
+    val rare = fps.groupBy(col("fp")).agg(count(col("doc_id")).as("__df"))
       .where(col("__df") <= maxDf)
     val idx = fps.join(rare.select("fp"), Seq("fp"))
     idx.as("a").join(idx.as("b"),
@@ -532,7 +545,13 @@ object TextAnalysis {
   /** (token, n) corpus token counts — one scan + one hash aggregate; the
     * shared head of [[vocab]] and [[oovRate]]. */
   private def tokenCounts(docs: DataFrame): DataFrame =
+    // explicit isNotNull (a no-op — tokens() never yields null elements):
+    // consumers that JOIN on the token get isnotnull(token) inferred and
+    // pushed below this aggregate, and a one-filter difference between
+    // branches defeats ReuseExchange, re-running the tokenize per branch
+    // (the r12 plan-audit lesson; see sharedShinglePairStats)
     docs.select(explode(tokens(asciiLower(col("text")))).as("token"))
+      .where(col("token").isNotNull)
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
 
   def vocab(docs: DataFrame, k: Int = 100): DataFrame = {
@@ -687,6 +706,12 @@ object TextAnalysis {
           s => struct(s.as("s"),
             array_join(slice(col("__w"), s, lit(n)), " ").as("shingle")))).as("__sp"))
       .select(col("doc_id"), col("__sp.s").as("s"), col("__sp.shingle").as("shingle"))
+    // NOTE (r12 plan audit): the positional explode evaluates once per
+    // consumer branch (df aggregate + drop-start join). A pinch-point
+    // repartition does NOT dedupe here: the df branch prunes `s` below
+    // the exchange, so the branch subtrees differ and ReuseExchange
+    // misses — the pinch would only ADD a full-span shuffle. Pinning the
+    // span relation is the q164 anti-pattern (corpus-sized arrays).
     val rep = spans.select(col("shingle"), col("doc_id")).distinct()
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("__first"))
@@ -735,8 +760,17 @@ object TextAnalysis {
     * Output: doc_id, n_shingles, n_unique, novelty.
     */
   def ngramNovelty(docs: DataFrame, n: Int = 13): DataFrame = {
+    // pinch-point exchange by the shingle: the df aggregate AND the join
+    // back both need hash(shingle) distribution, so ONE repartition
+    // serves both branches (explode runs once, no further exchange on
+    // either side — both consumers read exactly (doc_id, shingle), so
+    // column pruning cannot specialize the branches; explicit isNotNulls
+    // keep the subtrees identical, see sharedShinglePairStats)
     val sh = Dedup.shingles(docs, n) // (doc_id, shingle), distinct per doc
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .where(col("shingle").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("shingle"))
+    // count(doc_id), not count(1) — see sharedShinglePairStats
+    val df = sh.groupBy(col("shingle")).agg(count(col("doc_id")).as("__df"))
     sh.join(df, Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(
@@ -831,8 +865,18 @@ object TextAnalysis {
   def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(asciiLower(col("text")))).as("token"))
+      // no-op filter that keeps the df-aggregate and join branches'
+      // subtrees identical so the tf exchange is reused (tokenize once)
+      .where(col("token").isNotNull && col("doc_id").isNotNull)
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // count(when(tf >= 1, ..)), not count(1): a literal count (or a
+    // count of the provably-non-null tf, which Catalyst rewrites back to
+    // count(1)) lets the optimizer drop the tf aggregate from this
+    // branch's partial agg, specializing the subtree below the shared
+    // exchange and defeating its reuse; the predicate is always true
+    // (every tf group has >= 1 row) but not statically foldable
+    val df = tf.groupBy(col("token"))
+      .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("__score").desc, col("token"))
@@ -862,6 +906,9 @@ object TextAnalysis {
                            minCount: Long = 20L): DataFrame = {
     val tok = docs.select(col("source"),
       explode(tokens(asciiLower(col("text")))).as("token"))
+      // no-op filter so the three consumers of srcTok (totals, global
+      // counts, the display join) share one reused exchange
+      .where(col("token").isNotNull)
     val srcTok = tok.groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("c"))
     val srcTot = srcTok.groupBy(col("source")).agg(sum(col("c")).as("__ns"))
@@ -988,8 +1035,14 @@ object TextAnalysis {
     val binned = docs.select(col("source"),
       when(groupExpr, 0L).otherwise(1L).as("__g"),
       floor(qualityExpr(col("text")) * 10).cast("long").as("__bin"))
-    val counts = binned.groupBy(col("source"), col("__g"), col("__bin"))
-      .agg(count(lit(1)).as("__c"))
+    // pin the ≤ sources×2×11-row count grid: without it the a/b halves'
+    // __g filters push below this aggregate into the quality scan, and
+    // the corpus-wide qualityExpr evaluates once PER HALF (r12 plan
+    // audit: 3 surviving text scans; multi-consumer + tiny = exactly
+    // when Pins.pin pays)
+    val counts = Pins.pin(binned
+      .groupBy(col("source"), col("__g"), col("__bin"))
+      .agg(count(lit(1)).as("__c")))
     val grid = binned.select(col("source")).distinct()
       .crossJoin(broadcast((0L to 10L).toDF("__bin")))
       .crossJoin(broadcast(Seq(0L, 1L).toDF("__g")))
@@ -1337,6 +1390,10 @@ object TextAnalysis {
     val tagged = docs.withColumn("__split", splitExpr(trainPct, valPct))
     val counts = tagged.where(col("__split") === "train")
       .select(explode(tokens(asciiLower(col("text")))).as("token"))
+      // no-op filter: the scoring LEFT join pushes isnotnull(token) below
+      // this aggregate on its branch only; making it explicit lets the
+      // total branch reuse the same exchange (train tokenize runs once)
+      .where(col("token").isNotNull)
       .groupBy(col("token")).agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum(col("__c")).as("__t"))
     val vocabN = docs
@@ -1439,10 +1496,20 @@ object TextAnalysis {
           element_at(col("__w"), i + 1).as("cur")))).as("__bg"))
       .select(col("doc_id"), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
 
+  // NOTE (r12): a shared per-doc bigram-type aggregate (regroup by
+  // (doc_id, prev, cur), derive model + scoring from it) was built and
+  // REVERTED on measurement: the regroup barely compresses (most bigram
+  // types occur once per doc), so it adds a near-full-stream exchange
+  // while the tokenize it saves is cheaper — q101 1.56 -> 2.13 s,
+  // q105 0.86 -> 1.55 s in the same-box A/B. The double derivation
+  // below is the measured-faster plan (the q164 pin lesson's sibling).
   def bigramLmScore(docs: DataFrame): DataFrame = {
     val pairs = bigramPairs(docs)
     val uni = tokenCounts(docs).withColumnRenamed("n", "c1")
-    val vocabSize = uni.agg(count(lit(1)).as("__v"))
+    // count(when(c1 >= 1, ..)) — keeps the unigram partial agg identical
+    // across the vocab-size and model-join branches (exchange reuse;
+    // count(c1) alone is rewritten to count(1) and the reuse breaks)
+    val vocabSize = uni.agg(count(when(col("c1") >= 1, lit(1))).as("__v"))
     val model = pairs.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("c2"))
       .join(broadcast(uni.withColumnRenamed("token", "prev")), Seq("prev"))
@@ -2363,11 +2430,17 @@ object TextAnalysis {
     require(query.nonEmpty, "query must have at least one term")
     val toks = docs.select(col("doc_id"),
       explode(tokens(asciiLower(col("text")))).as("tok"))
+      // no-op filter so the corpus-stats and tf branches' shared
+      // aggregates reuse their exchanges (tokenize once per projection)
+      .where(col("tok").isNotNull && col("doc_id").isNotNull)
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("__len"))
     val stats = lens.agg(count(lit(1)).as("__N"), sum(col("__len")).as("__L"))
     val tf = toks.where(col("tok").isin(query: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    // count(when(__tf >= 1, ..)) — keeps the tf partial agg identical
+    // across branches so its exchange is reused (see tfidfTopK)
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(when(col("__tf") >= 1, lit(1))).as("__df"))
     val avg = col("__L").cast("double") / col("__N")
     val idf = log((col("__N").cast("double") - col("__df") + 0.5) /
       (col("__df") + 0.5) + 1.0)
@@ -2618,7 +2691,11 @@ object TextAnalysis {
   def arrivalNoveltyDecay(docs: DataFrame, n: Int = 3,
                           bands: Int = 10): DataFrame = {
     require(n >= 1 && bands >= 1, "need positive shingle size and bands")
+    // pinch-point exchange by the shingle — same shape as [[ngramNovelty]]:
+    // the first-seen aggregate and the join back share one shuffle
     val sh = Dedup.shingles(docs, n)
+      .where(col("shingle").isNotNull && col("doc_id").isNotNull)
+      .repartition(col("shingle"))
     val firstSeen = sh.groupBy(col("shingle"))
       .agg(min(col("doc_id")).as("__first"))
     val perDoc = sh.join(firstSeen, Seq("shingle"))
