@@ -38,6 +38,18 @@ class NewOpsR12Spec extends AnyFunSuite {
     assert(run(true) === run(false))
   }
 
+  test("dedupLines: pinned line stream is value-identical to pin.mode=none") {
+    val docs = Seq(
+      (1L, "a\nb\nc"), (2L, "a\nx\ny"), (3L, "b\nz"), (4L, "only")
+    ).toDF("doc_id", "text")
+    def run() = TextAnalysis.dedupLines(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val pinned = run()
+    spark.conf.set("spark.graft.pin.mode", "none")
+    try assert(run() === pinned)
+    finally spark.conf.set("spark.graft.pin.mode", "local")
+  }
+
   test("estJaccardExpr: 34 of 64 matching perms (0.53125, an exact 4dp half-tie) rounds HALF_UP") {
     // signatures agreeing on exactly the first 34 of 64 positions
     val a = (0 until 64).map(_.toLong)
