@@ -698,8 +698,8 @@ object TextAnalysis {
   def dedupSpans(docs: DataFrame, n: Int = 13, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 2,
       "need a positive span length; minDocs < 2 would cut every document")
-    val base = docs.select(col("doc_id"),
-      coalesce(tokens(asciiLower(col("text"))), array()).as("__w"))
+    val base = Pins.pin(docs.select(col("doc_id"),
+      coalesce(tokens(asciiLower(col("text"))), array()).as("__w")))
     val spans = base.where(size(col("__w")) >= n)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("__w")) - (n - 1)),
@@ -711,7 +711,11 @@ object TextAnalysis {
     // repartition does NOT dedupe here: the df branch prunes `s` below
     // the exchange, so the branch subtrees differ and ReuseExchange
     // misses — the pinch would only ADD a full-span shuffle. Pinning the
-    // span relation is the q164 anti-pattern (corpus-sized arrays).
+    // SPAN relation is the q164 anti-pattern (13x corpus shingle
+    // strings); pinning `base` above is not — the tokenized docs are
+    // corpus-sized once and feed THREE branches (two explodes + the
+    // final reassembly join), so the pin saves two tokenize passes
+    // (measured at sf0.1: q305 ~3.2 -> ~2.5 s, control-normalized).
     val rep = spans.select(col("shingle"), col("doc_id")).distinct()
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("__first"))

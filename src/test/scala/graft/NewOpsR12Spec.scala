@@ -50,6 +50,20 @@ class NewOpsR12Spec extends AnyFunSuite {
     finally spark.conf.set("spark.graft.pin.mode", "local")
   }
 
+  test("dedupSpans: pinned token base is value-identical to pin.mode=none") {
+    // doc 1 is the first container of the repeated 3-gram; docs 2 and 3
+    // must lose it; doc 4 is clean and survives whole
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "x a b c y"), (3L, "a b c"), (4L, "p q r")
+    ).toDF("doc_id", "text")
+    def run() = TextAnalysis.dedupSpans(docs, n = 3).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val pinned = run()
+    spark.conf.set("spark.graft.pin.mode", "none")
+    try assert(run() === pinned)
+    finally spark.conf.set("spark.graft.pin.mode", "local")
+  }
+
   test("estJaccardExpr: 34 of 64 matching perms (0.53125, an exact 4dp half-tie) rounds HALF_UP") {
     // signatures agreeing on exactly the first 34 of 64 positions
     val a = (0 until 64).map(_.toLong)
