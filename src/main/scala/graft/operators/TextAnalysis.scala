@@ -168,8 +168,17 @@ object TextAnalysis {
     require(q >= 2, "need at least 2 quantile buckets")
     val spark = docs.sparkSession
     import spark.implicits._
-    val scored = docs.select(col("source"), qualityExpr(col("text")).as("quality"))
-      .where(col("quality").isNotNull) // the quantileBuckets null convention
+    // pinned: the quality projection (tokenize + char-class over full
+    // text) feeds BOTH the per-source and the global counting grid —
+    // unpinned it evaluates once per grid (the q191 quantileBuckets
+    // class). The pinned rows are (source, long) — corpus-sized but
+    // narrow. r12 A/B at sf0.1 (two pairs, control-normalized):
+    // q247 2.88/2.90 -> 2.57/2.68 s — modest here because the grid
+    // aggregation dominates at this corpus size, but the saved pass is
+    // the full-text scan, which grows with document size.
+    val scored = Pins.pin(docs
+      .select(col("source"), qualityExpr(col("text")).as("quality"))
+      .where(col("quality").isNotNull)) // the quantileBuckets null convention
     val deciles = broadcast((1 until q).map(_.toLong).toDF("decile"))
     def cuts(cells: DataFrame, parts: Seq[String], out: String): DataFrame = {
       val wCum = Window.partitionBy(parts.map(col): _*).orderBy(col("quality"))
@@ -2630,6 +2639,12 @@ object TextAnalysis {
     */
   def phraseMatchTopTrigram(docs: DataFrame): DataFrame = {
     val toks = tokens(asciiLower(col("text")))
+    // NOT pinned (r12 counter-result): the trigram stream feeds two
+    // consumers, but pinning the tokenized base measured FLAT at sf0.1
+    // (two control-normalized pairs: 1.91/2.23 -> 1.93/1.83 s) — unlike
+    // dedupSpans (three consumers) the saved second tokenize here just
+    // covers the pin's own write+read; pinning the 3x trigram explode
+    // itself would be the q164 anti-pattern outright.
     val tri = docs
       .select(col("doc_id"), toks.as("__w"))
       .where(size(col("__w")) >= 3)

@@ -64,6 +64,20 @@ class NewOpsR12Spec extends AnyFunSuite {
     finally spark.conf.set("spark.graft.pin.mode", "local")
   }
 
+  test("quantileNormTable: pinned quality projection is value-identical to pin.mode=none") {
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta"), (2L, "s1", "alpha alpha alpha"),
+      (3L, "s2", "the quick brown fox jumps"), (4L, "s2", "zz"),
+      (5L, "s1", "one two three four five six")
+    ).toDF("doc_id", "source", "text")
+    def run() = TextAnalysis.quantileNormTable(docs, q = 4)
+      .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+    val pinned = run()
+    spark.conf.set("spark.graft.pin.mode", "none")
+    try assert(run() === pinned)
+    finally spark.conf.set("spark.graft.pin.mode", "local")
+  }
+
   test("estJaccardExpr: 34 of 64 matching perms (0.53125, an exact 4dp half-tie) rounds HALF_UP") {
     // signatures agreeing on exactly the first 34 of 64 positions
     val a = (0 until 64).map(_.toLong)
