@@ -1103,8 +1103,7 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
         .where(col("event_id").isNotNull)
         .withColumn("arrival",
-          conv(substring(md5(col("event_id").cast("string")), 1, 12), 16, 10)
-            .cast("long"))
+          graft.functions.md5_prefix_long(col("event_id").cast("string"), 12))
       Engagement.watermarkLateness(ev, "ts", "arrival", "event_type",
         tieCol = Some("event_id")).orderBy(col("event_type").asc_nulls_last)
     }),

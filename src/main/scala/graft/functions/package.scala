@@ -28,4 +28,19 @@ package object functions {
                           prodHash: Boolean = false): Column =
     org.apache.spark.sql.graftshim.WinnowFunctions
       .winnow_fingerprints(text, k, w, prodHash)
+
+  /** `conv(substring(md5(c), 1, width), 16, 10) :: long` as one native
+    * codegen expression — bit-identical, one thread-local digest, no hex
+    * string / substring / conv parse per call.
+    */
+  def md5_prefix_long(c: Column, width: Int): Column =
+    org.apache.spark.sql.graftshim.Md5Functions.md5_prefix_long(c, width)
+
+  /** Intersection size of two SORTED DISTINCT array<string> columns by
+    * linear merge, early-exiting (with a < `required` result) once the
+    * count provably cannot reach `required` — exact whenever ≥ `required`.
+    */
+  def sorted_intersect_count(a: Column, b: Column, required: Column): Column =
+    org.apache.spark.sql.graftshim.ArrayFunctions
+      .sorted_intersect_count(a, b, required)
 }

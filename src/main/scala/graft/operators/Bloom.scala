@@ -31,8 +31,8 @@ object Bloom {
     * one independent salt per hash function. */
   def slotExprs(key: Column, m: Int, k: Int): Seq[Column] =
     (0 until k).map { i =>
-      pmod(conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, 8),
-        16, 10).cast("long"), lit(m.toLong))
+      pmod(graft.functions.md5_prefix_long(
+        concat(lit(s"$i:"), key.cast("string")), 8), lit(m.toLong))
     }
 
   /** The bounded build-side bit set: distinct occupied slot ids. */

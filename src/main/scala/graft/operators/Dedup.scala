@@ -152,7 +152,7 @@ object Dedup {
     */
   val xxhashBase: Column => Column = s => pmod(xxhash64(s), lit(1L << 32))
   val md5Base: Column => Column = s =>
-    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    graft.functions.md5_prefix_long(s, 8)
 
   /** Prime > 2³² for the universal-hash permutation family. */
   val MinhashPrime = 4294967311L
@@ -317,7 +317,7 @@ object Dedup {
     val tf = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h", graft.functions.md5_prefix_long(col("tok"), 8))
     val votes = voteBits(tf, 32, b => shiftright(col("h"), b))
     votes.select(col("doc_id"), packBits(votes, 0, 32).as("simhash32"))
   }
@@ -338,8 +338,8 @@ object Dedup {
     val tf = toks
       .select(col("doc_id"), explode(col("w")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("hlo", conv(substring(md5(concat(col("tok"), lit("#lo"))), 1, 8), 16, 10).cast("long"))
-      .withColumn("hhi", conv(substring(md5(concat(col("tok"), lit("#hi"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("hlo", graft.functions.md5_prefix_long(concat(col("tok"), lit("#lo")), 8))
+      .withColumn("hhi", graft.functions.md5_prefix_long(concat(col("tok"), lit("#hi")), 8))
     val votes = voteBits(tf, 64,
       b => if (b < 32) shiftright(col("hlo"), b) else shiftright(col("hhi"), b - 32))
     votes.select(col("doc_id"),
@@ -1208,14 +1208,23 @@ object Dedup {
       array_sort(array_distinct(TextAnalysis.tokens(TextAnalysis.asciiLower(col("text")))))
         .as("__toks"))
     val cand = prefixFilterCandidates(base, num, den)
+    // pass gate c·den ≥ (|A|+|B|−c)·num ⟺ c ≥ ⌈num(|A|+|B|)/(num+den)⌉:
+    // phrasing the filter against the bound (instead of against n_common on
+    // both sides) leaves ONE merge-count in the pushed-down join condition,
+    // and the sorted-merge expression early-exits failing pairs — the
+    // hash-set array_intersect was evaluated 3× per candidate (twice in the
+    // join condition, once in the output projection)
+    val reqd = call_function("div",
+      lit(num.toLong) * (col("n_a") + col("n_b")) + lit((num + den - 1).toLong),
+      lit((num + den).toLong))
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("__toks").as("__ta")),
         Seq("doc_a"))
       .join(base.select(col("doc_id").as("doc_b"), col("__toks").as("__tb")),
         Seq("doc_b"))
       .withColumn("n_common",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
-      .where(col("n_common") * den >= (col("n_a") + col("n_b") - col("n_common")) * num)
+        graft.functions.sorted_intersect_count(col("__ta"), col("__tb"), reqd))
+      .where(col("n_common") >= reqd)
       .withColumn("jaccard",
         ticks4(col("n_common"), col("n_a") + col("n_b") - col("n_common")))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
@@ -1497,15 +1506,21 @@ object Dedup {
           pigeonholeCandidates(repSel, num, den, (kmax + 3).toInt)
         else
           prefixFilterCandidates(reps.select(col("doc_id"), col("__toks")), num, den)
+      // same gate, phrased against the pigeonhole bound so the pushed-down
+      // join condition carries ONE sorted-merge count (early-exiting) — see
+      // prefixFilterJaccardPairs; the hash-set array_intersect ran 3× per
+      // candidate pair here
+      val reqd = call_function("div",
+        lit(num.toLong) * (col("n_a") + col("n_b")) + lit((num + den - 1).toLong),
+        lit((num + den).toLong))
       val verified = cand
         .join(reps.select(col("doc_id").as("doc_a"), col("gid").as("ga"),
           col("__toks").as("__ta")), Seq("doc_a"))
         .join(reps.select(col("doc_id").as("doc_b"), col("gid").as("gb"),
           col("__toks").as("__tb")), Seq("doc_b"))
         .withColumn("n_common",
-          size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
-        .where(col("n_common") * den >=
-          (col("n_a") + col("n_b") - col("n_common")) * num)
+          graft.functions.sorted_intersect_count(col("__ta"), col("__tb"), reqd))
+        .where(col("n_common") >= reqd)
         .select(col("ga"), col("gb"), col("n_a"), col("n_b"), col("n_common"))
       // member expansion over (gid, chunk) keys: each verified family
       // pair first fans out to its chunk grid (metadata-sized rows),

@@ -115,9 +115,8 @@ object Layout {
     require(candidates.nonEmpty, "need at least one candidate key")
     require(buckets >= 1, "buckets must be positive")
     def bucketOf(cols: Seq[String]): Column = pmod(
-      conv(substring(md5(concat_ws("\u0001",
-        cols.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*)),
-        1, 8), 16, 10).cast("long"),
+      graft.functions.md5_prefix_long(concat_ws("\u0001",
+        cols.map(c => coalesce(col(c).cast("string"), lit("∅"))): _*), 8),
       lit(buckets.toLong))
     val tagged = df.select(explode(array(candidates.map { case (name, cols) =>
       struct(lit(name).as("key_name"), bucketOf(cols).as("bucket"))

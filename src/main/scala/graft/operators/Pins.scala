@@ -42,9 +42,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Pins {
 
-  /** Pin `df` per the session's `spark.graft.pin.mode` (see class doc). */
-  def pin(df: DataFrame): DataFrame =
-    df.sparkSession.conf.get("spark.graft.pin.mode", "local") match {
+  /** Pin `df` per the session's `spark.graft.pin.mode` (see class doc).
+    * When the conf is UNSET the default is deployment-derived via
+    * [[defaultMode]] rather than a constant `local` — localCheckpoint
+    * blocks are non-replicated, so on a dynamic-allocation deployment
+    * (where executor loss is routine, not exceptional) a constant `local`
+    * default would silently plant an unrecoverable-lineage footgun inside
+    * every pinned query path.
+    */
+  def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val mode = spark.conf.getOption("spark.graft.pin.mode")
+      .getOrElse(defaultMode(
+        spark.conf.getOption("spark.dynamicAllocation.enabled")
+          .exists(_.equalsIgnoreCase("true")),
+        spark.sparkContext.getCheckpointDir.isDefined))
+    mode match {
       case "local"    => df.localCheckpoint(true)
       case "lazy"     => df.localCheckpoint(false)
       case "reliable" => df.checkpoint(true)
@@ -52,6 +65,24 @@ object Pins {
       case other => throw new IllegalArgumentException(
         s"spark.graft.pin.mode=$other — expected local | lazy | reliable | none")
     }
+  }
+
+  /** The deployment-derived default pin mode (explicit
+    * `spark.graft.pin.mode` always wins):
+    *
+    *   - static allocation (the local / dedicated-cluster case):
+    *     `local` — eager localCheckpoint, the measured multi-consumer fix;
+    *   - dynamic allocation WITH a checkpoint dir: `reliable` — executors
+    *     come and go by design, so pins must survive executor loss;
+    *   - dynamic allocation WITHOUT a checkpoint dir: `none` — correctness
+    *     over speed: upstreams re-derive per consumer rather than risking
+    *     an unrecoverable stage on the first reclaimed executor.
+    */
+  private[graft] def defaultMode(dynamicAllocation: Boolean,
+                                 hasCheckpointDir: Boolean): String =
+    if (!dynamicAllocation) "local"
+    else if (hasCheckpointDir) "reliable"
+    else "none"
 
   /** (count, memory bytes, disk bytes) of every block-persisted RDD still
     * registered with the session — pinned checkpoints and caches alike.

@@ -24,8 +24,8 @@ object Sketch {
 
   /** slot_r(key) = md5("r:key") low-32 mod w — one salt per hash row. */
   def slotExpr(row: Int, key: Column, w: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"$row:"), key)), 1, 8), 16, 10)
-      .cast("long"), lit(w.toLong))
+    pmod(graft.functions.md5_prefix_long(concat(lit(s"$row:"), key), 8),
+      lit(w.toLong))
 
   /** Heavy-hitter audit of the (d, w) design point: the exact top-`k`
     * tokens with their CMS point estimates and the relative
@@ -122,7 +122,7 @@ object Sketch {
       .where(col("key").isNotNull && col("__id").isNotNull)
     val hashed = base
       .withColumn("__h",
-        conv(substring(md5(col("__id")), 1, 15), 16, 10).cast("long"))
+        graft.functions.md5_prefix_long(col("__id"), 15))
       .withColumn("__reg", pmod(col("__h"), lit(m.toLong)))
       .withColumn("__rank", hllRankExpr(s"__h div $m"))
     val regs = hashed.groupBy(col("key"), col("__reg"))

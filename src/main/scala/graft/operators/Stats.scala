@@ -26,29 +26,33 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   /** Adds `bucketCol` (1..k) to `df` by exact k-quantile cuts of
-    * `valueCol`. The distinct-value dimension is materialized on the
-    * driver for the cut literals — bounded by `maxDistinct` and enforced
-    * (the [[Similarity]] centroid-sample / [[Dedup]] union-find gating
-    * discipline: bounded driver work is declared, unbounded raises).
+    * `valueCol`. Fully IN-PLAN — no driver collect, ONE action:
     *
-    * No window function anywhere: `orderBy().limit(cap+1)` plans as
-    * TakeOrderedAndProject — a per-partition top-(cap+1) heap plus a
-    * bounded driver merge, so an UNBOUNDED measure still finishes the
-    * job in O(n log cap) and hits the gate without ever paying a
-    * corpus-wide sort (the earlier shape ran a single-partition cumsum
-    * window over ALL distinct values and only then checked the cap).
-    * The cumulative counts are then driver arithmetic over ≤ cap rows.
-    * Driver payload at the merge is min(cardinality, cap+1) rows per
-    * upstream partition of ~16 bytes each — bounded and declared.
+    *   counts grid (one hash agg, bounded by the measure's cardinality)
+    *   → `orderBy().limit(cap+1)` (TakeOrderedAndProject: a per-partition
+    *     top-(cap+1) heap, so an UNBOUNDED measure still reaches the
+    *     cardinality gate in O(n log cap) without a corpus-wide sort)
+    *   → cumulative + total sums over the ≤ cap+1 grid CELLS (a
+    *     single-partition window, bounded by `maxDistinct`, never by the
+    *     corpus — the counting-dim discipline)
+    *   → one global agg row carrying the (k−1)-element cut array
+    *     (cut_j = smallest v with k·cum ≥ j·n, the integer-ceil target)
+    *   → broadcast cross join + pure column assignment
+    *     (bucket = 1 + #{cuts < v}; heavy ties can duplicate a cut value
+    *     across j's, which skips a bucket — value-identical to the
+    *     former driver-side arithmetic).
     *
-    * `df` is evaluated TWICE by construction — once for the counting
-    * grid and once for the bucket-assignment pass (they are separate
-    * actions, so no exchange reuse applies). For a cheap input (a table
-    * scan, a column pick) that is the right trade; when the input is an
-    * expensive projection (a quality score tokenizing every document),
-    * set `pinInput = true` to materialize it once via [[Pins.pin]] and
-    * serve both passes from the pinned blocks — the measured fix for the
-    * double quality scan in the q191/q77 calibration entries.
+    * The `maxDistinct` gate raises IN-PLAN (`raise_error` when the capped
+    * grid exceeds the bound) at the first ACTION rather than at operator
+    * construction — same failure, action-time surfacing.
+    *
+    * `df` still feeds two subtrees (the grid and the assignment pass) —
+    * within one action now, but scans are not reused across subtrees, so
+    * for an expensive input projection (a quality score tokenizing every
+    * document) set `pinInput = true` to materialize it once via
+    * [[Pins.pin]] and serve both subtrees from the pinned blocks (the
+    * measured fix for the double quality scan in q191/q77; the in-plan
+    * cuts additionally removed those entries' separate grid-collect job).
     */
   def quantileBuckets(df0: DataFrame, valueCol: String, k: Int,
                       bucketCol: String = "bucket",
@@ -66,25 +70,33 @@ object Stats {
     val counts = df.where(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__c"))
-    val capped = counts.orderBy("__v").limit(maxDistinct + 1)
-      .collect().map(r => (r.get(0), r.getLong(1)))
-    require(capped.length <= maxDistinct,
-      s"$valueCol has more than $maxDistinct distinct values: " +
-        "quantile bucketing by counting needs a bounded measure — " +
-        "round/discretize the column first (see quantileBucketsTicked)")
-    var running = 0L
-    val cum = capped.map { case (v, c) => running += c; (v, running) }
-    val n = running
-    val cuts: Seq[Any] = (1 until k).flatMap { j =>
-      val target = (j * n + k - 1) / k // integer ceil(j*n/k)
-      cum.find(_._2 >= target).map(_._1)
-    }
-    if (cuts.isEmpty) df.withColumn(bucketCol, lit(1)) // empty input
-    else {
-      val cutArr = array(cuts.map(c => lit(c)).toIndexedSeq: _*)
-      df.withColumn(bucketCol,
-        (lit(1) + size(filter(cutArr, c => c < col(valueCol)))).cast("int"))
-    }
+    val grid = counts.orderBy("__v").limit(maxDistinct + 1)
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cum = grid.select(col("__v"),
+      sum(col("__c")).over(wCum).as("__cum"),
+      sum(col("__c")).over(wAll).as("__n"))
+    // cut_j = min v with cum ≥ ceil(j·n/k) ⟺ k·cum ≥ j·n (integer cum);
+    // cum is nondecreasing in v so min() picks the first qualifying cell
+    val cutsRow = cum.groupBy().agg(
+      count(lit(1)).as("__g"),
+      array((1 until k).map(j =>
+        min(when(col("__cum") * k >= col("__n") * j, col("__v")))): _*)
+        .as("__cuts"))
+    val gateMsg = s"$valueCol has more than $maxDistinct distinct values: " +
+      "quantile bucketing by counting needs a bounded measure — " +
+      "round/discretize the column first (see quantileBucketsTicked)"
+    val gated = cutsRow.select(
+      when(col("__g") <= maxDistinct, col("__cuts"))
+        .otherwise(raise_error(lit(gateMsg))).as("__cuts"))
+    df.crossJoin(broadcast(gated))
+      .withColumn(bucketCol,
+        (lit(1) + size(filter(col("__cuts"), c => c < col(valueCol)))).cast("int"))
+      .drop("__cuts")
   }
 
   /** The unbounded-measure path: discretize `valueCol` onto a fixed
@@ -201,18 +213,28 @@ object Stats {
                      sigmas: Double = 3.0): DataFrame = {
     val daily = df
       .select(col(keyCol), to_date(col(tsCol).cast("timestamp")).as("day"))
-      .where(col("day").isNotNull)
+      // the explicit key null-filter mirrors what the former inner
+      // equi-join on keyCol did silently (null keys never matched) — the
+      // window rewrite below would otherwise KEEP the null-key partition
+      // (caught by the adversarial-layout sweep: +19 rows)
+      .where(col("day").isNotNull && col(keyCol).isNotNull)
       .groupBy(col(keyCol), col("day")).agg(count(lit(1)).as("n_events"))
-    val stats = daily.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__d"), sum(col("n_events")).as("__s"),
-        sum((col("n_events") * col("n_events")).cast("decimal(38,0)")).as("__q"))
-      .select(col(keyCol), col("__d"), col("__s"),
-        (col("__s").cast("double") / col("__d")).as("__mean"),
-        sqrt(greatest(lit(0.0),
-          col("__q").cast("double") / col("__d") -
-            (col("__s").cast("double") / col("__d")) *
-              (col("__s").cast("double") / col("__d")))).as("__sd"))
-    daily.join(broadcast(stats), Seq(keyCol))
+    // per-key stats as whole-partition window sums over the grid (see
+    // rollingDailyMean): the groupBy(key) + broadcast rejoin re-derived
+    // the daily subtree — here a union + burst explode — from a second
+    // full scan; the window costs one bounded-grid exchange instead
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val stats = daily
+      .withColumn("__d", count(lit(1)).over(wKey))
+      .withColumn("__s", sum(col("n_events")).over(wKey))
+      .withColumn("__q",
+        sum((col("n_events") * col("n_events")).cast("decimal(38,0)")).over(wKey))
+      .withColumn("__mean", col("__s").cast("double") / col("__d"))
+      .withColumn("__sd", sqrt(greatest(lit(0.0),
+        col("__q").cast("double") / col("__d") -
+          (col("__s").cast("double") / col("__d")) *
+            (col("__s").cast("double") / col("__d")))))
+    stats
       .select(col(keyCol), col("day"), col("n_events"),
         // __mean is a COUNT ratio (Σ events / days): displayed tick-exact
         // (the q31 discipline) while the anomaly band keeps the full-
@@ -368,10 +390,17 @@ object Stats {
     val daily = df
       .select(col(keyCol).as("__k"),
         to_date(col(tsCol).cast("timestamp")).as("__d"))
-      .where(col("__d").isNotNull)
+      // key null-filter mirrors the former inner-join-on-key semantics
+      // (see dailyAnomalies)
+      .where(col("__d").isNotNull && col("__k").isNotNull)
       .groupBy(col("__k"), col("__d")).agg(count(lit(1)).as("__y"))
-    val origins = daily.groupBy(col("__k")).agg(min(col("__d")).as("__d0"))
-    val pts = daily.join(broadcast(origins), Seq("__k"))
+    // origin as a whole-partition window min over the grid (see
+    // rollingDailyMean): the groupBy(k).agg(min) + broadcast rejoin
+    // re-derived the daily subtree from a second full scan, and the
+    // window's key partitioning is the final aggregate's anyway
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+    val pts = daily
+      .withColumn("__d0", min(col("__d")).over(wKey))
       .select(col("__k"), datediff(col("__d"), col("__d0")).cast("long").as("__x"),
         col("__y"))
     val denom = col("n_days") * col("__sxx").cast("double") -
@@ -552,13 +581,22 @@ object Stats {
     val daily = df
       .select(col(keyCol).as("__k"),
         to_date(col(tsCol).cast("timestamp")).as("__d"))
-      .where(col("__d").isNotNull)
+      // key null-filter mirrors the former inner-join-on-key semantics
+      // (see dailyAnomalies)
+      .where(col("__d").isNotNull && col("__k").isNotNull)
       .groupBy(col("__k"), col("__d")).agg(count(lit(1)).as("n_events"))
-    val origins = daily.groupBy(col("__k")).agg(min(col("__d")).as("__d0"))
     val wR = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__k")).orderBy(col("__idx"))
       .rangeBetween(-(windowDays - 1), 0)
-    daily.join(broadcast(origins), Seq("__k"))
+    // per-key origin as a whole-partition window min over the (key × day)
+    // GRID — a separate groupBy(key).agg(min) aggregates (k,d)→k, whose
+    // exchange cannot reuse the grid's (k,d) exchange, so Spark re-derived
+    // the daily subtree from a SECOND full scan and broadcast it back
+    // (r13 plan audit: 2 scans → 1; the min window shares the trailing-sum
+    // window's key partitioning, so it adds no exchange)
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+    daily
+      .withColumn("__d0", min(col("__d")).over(wKey))
       .withColumn("__idx", datediff(col("__d"), col("__d0")).cast("long"))
       .withColumn("trail_sum", sum(col("n_events")).over(wR))
       .withColumn("__den", least(col("__idx") + 1, lit(windowDays.toLong)))

@@ -1669,7 +1669,7 @@ object TextAnalysis {
     * budget draws stay uniform, classifiers stay mean-of-weights.
     */
   val md5Hash32: Column => Column =
-    s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    s => graft.functions.md5_prefix_long(s, 8)
   val xxHash32: Column => Column =
     s => pmod(xxhash64(s), lit(1L << 32))
 

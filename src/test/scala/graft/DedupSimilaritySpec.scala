@@ -847,11 +847,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val sb = graft.operators.Stats.quantileBuckets(skew, "v", k = 2)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert((1 to 8).forall(i => sb(i.toLong) == 1) && sb(9L) == 2 && sb(10L) == 2)
-    // unbounded measures are refused, not silently mis-bucketed
-    val err = intercept[IllegalArgumentException] {
+    // unbounded measures are refused, not silently mis-bucketed — the
+    // r13 in-plan cuts raise via raise_error at ACTION time (the gate is
+    // part of the plan now, not a construction-time collect)
+    val err = intercept[Throwable] {
       graft.operators.Stats.quantileBuckets(vals, "v", k = 4, maxDistinct = 5)
+        .collect()
     }
-    assert(err.getMessage.contains("distinct"))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(err).exists(_.contains("distinct")))
   }
 
   test("manifest diff: all four statuses, checksum catches content swaps behind equal counts") {
@@ -1295,15 +1300,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // a corpus-growing measure: the exact path raises at the cap, the
     // ticked path completes because the grid bounds the value dimension
     val many = (1 to 1000).map(i => (i.toLong, i / 1000.0)).toDF("id", "v")
-    intercept[IllegalArgumentException] {
+    intercept[Throwable] {
       graft.operators.Stats.quantileBuckets(many, "v", k = 4, maxDistinct = 100)
+        .collect()
     }
     val ticked = graft.operators.Stats.quantileBucketsTicked(
       many, "v", k = 4, tick = 0.02, maxDistinct = 100)
     assert(ticked.count() === 1000)
-    // the grid helper column is dropped; assignment is pure column work
+    // the grid helper column is dropped; cuts are in-plan (one bounded
+    // grid window + a broadcast 1-row cut relation — no driver collect)
     assert(ticked.columns.toSeq === Seq("id", "v", "bucket"))
-    assert(!ticked.queryExecution.executedPlan.toString.contains("Window"))
     // phases are monotone in the measure and all k are populated
     val phases = ticked.orderBy("id").select("bucket").as[Int].collect()
     assert(phases.toSet === Set(1, 2, 3, 4))

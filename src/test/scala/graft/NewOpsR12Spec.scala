@@ -45,9 +45,13 @@ class NewOpsR12Spec extends AnyFunSuite {
     def run() = TextAnalysis.dedupLines(docs).orderBy("doc_id")
       .as[(Long, Long, Long, String)].collect().toSeq
     val pinned = run()
+    val prior = spark.conf.getOption("spark.graft.pin.mode")
     spark.conf.set("spark.graft.pin.mode", "none")
     try assert(run() === pinned)
-    finally spark.conf.set("spark.graft.pin.mode", "local")
+    finally prior match {
+      case Some(m) => spark.conf.set("spark.graft.pin.mode", m)
+      case None => spark.conf.unset("spark.graft.pin.mode")
+    }
   }
 
   test("dedupSpans: pinned token base is value-identical to pin.mode=none") {
@@ -59,9 +63,13 @@ class NewOpsR12Spec extends AnyFunSuite {
     def run() = TextAnalysis.dedupSpans(docs, n = 3).orderBy("doc_id")
       .as[(Long, Long, Long, String)].collect().toSeq
     val pinned = run()
+    val prior = spark.conf.getOption("spark.graft.pin.mode")
     spark.conf.set("spark.graft.pin.mode", "none")
     try assert(run() === pinned)
-    finally spark.conf.set("spark.graft.pin.mode", "local")
+    finally prior match {
+      case Some(m) => spark.conf.set("spark.graft.pin.mode", m)
+      case None => spark.conf.unset("spark.graft.pin.mode")
+    }
   }
 
   test("quantileNormTable: pinned quality projection is value-identical to pin.mode=none") {
@@ -73,9 +81,13 @@ class NewOpsR12Spec extends AnyFunSuite {
     def run() = TextAnalysis.quantileNormTable(docs, q = 4)
       .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
     val pinned = run()
+    val prior = spark.conf.getOption("spark.graft.pin.mode")
     spark.conf.set("spark.graft.pin.mode", "none")
     try assert(run() === pinned)
-    finally spark.conf.set("spark.graft.pin.mode", "local")
+    finally prior match {
+      case Some(m) => spark.conf.set("spark.graft.pin.mode", m)
+      case None => spark.conf.unset("spark.graft.pin.mode")
+    }
   }
 
   test("estJaccardExpr: 34 of 64 matching perms (0.53125, an exact 4dp half-tie) rounds HALF_UP") {
