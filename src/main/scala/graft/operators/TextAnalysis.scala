@@ -725,6 +725,10 @@ object TextAnalysis {
     // corpus-sized once and feed THREE branches (two explodes + the
     // final reassembly join), so the pin saves two tokenize passes
     // (measured at sf0.1: q305 ~3.2 -> ~2.5 s, control-normalized).
+    // Session-lifetime + eager-construction caveats as in dedupLines:
+    // corpus-sized blocks live until the plan is GC'd, and the default
+    // eager mode runs the tokenize job at construction — long-lived
+    // callers sweep between queries or set spark.graft.pin.mode.
     val rep = spans.select(col("shingle"), col("doc_id")).distinct()
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"), min(col("doc_id")).as("__first"))
@@ -1914,7 +1918,14 @@ object TextAnalysis {
     // pinned: the exploded line stream feeds BOTH the boilerplate-df
     // derivation and the join's left side — unpinned, the full-text
     // split/explode runs once per consumer (the quantileBuckets
-    // double-scan class; r12 A/B at sf0.1: q66 2.80 -> 1.75 s median)
+    // double-scan class; r12 A/B at sf0.1: q66 2.80 -> 1.75 s median).
+    // SESSION-LIFETIME NOTE (r13, from the r12 advisor): the pinned
+    // relation here is corpus-sized (full line text) and, under the
+    // default eager mode, materializes a Spark job at operator
+    // CONSTRUCTION; blocks then live until the ContextCleaner GCs the
+    // dead plan. A long-lived session running many independent queries
+    // should sweep between them (Pins.sweepAll — what Bench/Verify do)
+    // or set spark.graft.pin.mode=lazy|none (see Pins scaladoc).
     val lines = Pins.pin(docs.select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "line"))))
     val boiler = lines.select(col("line"), col("doc_id")).distinct()
