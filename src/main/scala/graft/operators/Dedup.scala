@@ -187,17 +187,40 @@ object Dedup {
                         baseHash: Column => Column = xxhashBase): DataFrame =
     minhashSignaturesFromTokens(tokenized(docs), n, numPerms, baseHash)
 
-  /** [[minhashSignatures]] over a pre-tokenized (doc_id, w) relation. */
+  /** [[minhashSignatures]] over a pre-tokenized (doc_id, w) relation.
+    *
+    * For the two engine hash bases the signature is computed ROW-LOCALLY
+    * by one native expression ([[org.apache.spark.sql.graftshim.MinhashSignature]]):
+    * the exploded formulation paid a generated row, an aggregate-hash
+    * probe, and (via the groupBy) an exchange per SHINGLE to compute a
+    * per-DOC quantity from per-doc data. Bit-identical by construction
+    * and pinned by MinhashSigSpec against the exploded reference on both
+    * bases; a caller-supplied custom base still routes through the
+    * exploded pipeline (the expression bakes the hash in).
+    */
   def minhashSignaturesFromTokens(toks: DataFrame, n: Int = 5, numPerms: Int = 64,
                                   baseHash: Column => Column = xxhashBase): DataFrame = {
-    val h = shinglesFromTokens(toks, n).select(col("doc_id"), baseHash(col("shingle")).as("h"))
-    val aggs = (0 until numPerms).map { p =>
-      val (a, b) = permCoeff(p)
-      min((col("h") * a + b) % MinhashPrime).as(s"m$p")
+    val nativeXx: Option[Boolean] =
+      if (baseHash eq md5Base) Some(false)
+      else if (baseHash eq xxhashBase) Some(true)
+      else None
+    nativeXx match {
+      case Some(xx) =>
+        val (as, bs) = (0 until numPerms).map(permCoeff).unzip
+        toks.where(size(col("w")) >= n)
+          .select(col("doc_id"),
+            org.apache.spark.sql.graftshim.MinhashFunctions
+              .minhash_signature(col("w"), n, as, bs, xx).as("sig"))
+      case None =>
+        val h = shinglesFromTokens(toks, n).select(col("doc_id"), baseHash(col("shingle")).as("h"))
+        val aggs = (0 until numPerms).map { p =>
+          val (a, b) = permCoeff(p)
+          min((col("h") * a + b) % MinhashPrime).as(s"m$p")
+        }
+        h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id"),
+            array((0 until numPerms).map(p => col(s"m$p")): _*).as("sig"))
     }
-    h.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numPerms).map(p => col(s"m$p")): _*).as("sig"))
   }
 
   /** Portable MinHash signatures as (doc_id, perm, minhash) rows: the
